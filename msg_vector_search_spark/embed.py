@@ -1,0 +1,98 @@
+"""The embedding UDF (SURVEY 2.I I1/I2) — the engine's single pandas UDF.
+
+The reference embeds with sentence-transformers all-MiniLM-L6-v2 in
+hardware-tuned batches, hand-rolling thread parallelism with ordered
+reassembly (reference: src/core/embeddings/processor.py:174-324;
+batch sizing src/core/utils/hardware_optimizer.py:84-138).  In Spark the
+thread pool IS task parallelism and the batch knob IS the Arrow batch
+size, so the whole 150-line apparatus reduces to one iterator-of-series
+pandas UDF with a lazily-initialized per-worker model.
+
+sentence-transformers is not installed in this environment, so the
+model loader falls back to a DETERMINISTIC FAKE encoder (md5-seeded,
+L2-normalized) with the same signature and batch shape.  The Spark-side
+plumbing — Arrow batching, lazy per-executor init, array<float> output —
+is identical for fake and real models; swapping in the real model is a
+one-line change in ``_load_model``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EMBED_DIM = 64  # fixture dimension; the reference model uses 384
+
+_MODEL = None  # per-worker lazy singleton (one load per executor process)
+
+
+class _DeterministicFakeModel:
+    """Stand-in for SentenceTransformer: md5-seeded Gaussian vectors,
+    L2-normalized.  Deterministic in the text alone, so re-runs and
+    retried tasks produce identical embeddings (idempotent sink safe)."""
+
+    def __init__(self, dim: int = EMBED_DIM):
+        self.dim = dim
+
+    def encode(self, texts: list[str], batch_size: int = 64,
+               **_kwargs) -> np.ndarray:
+        out = np.empty((len(texts), self.dim), dtype=np.float32)
+        for i, text in enumerate(texts):
+            seed = int.from_bytes(
+                hashlib.md5(text.encode("utf-8")).digest()[:8], "little")
+            rng = np.random.default_rng(seed)
+            v = rng.standard_normal(self.dim).astype(np.float32)
+            n = float(np.linalg.norm(v))
+            out[i] = v / n if n > 0 else v
+        return out
+
+
+def _load_model(dim: int = EMBED_DIM):
+    """Lazy per-worker model load (reference loads per process at
+    embeddings/processor.py:47-109 with device selection; device pick
+    would live here for the real model)."""
+    global _MODEL
+    if _MODEL is None:
+        try:  # pragma: no cover - real model path, not in this image
+            from sentence_transformers import SentenceTransformer
+            _MODEL = SentenceTransformer("all-MiniLM-L6-v2")
+        except ImportError:
+            _MODEL = _DeterministicFakeModel(dim)
+    return _MODEL
+
+
+@F.pandas_udf(T.ArrayType(T.FloatType()))
+def embed_text(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    """I1 ``udf_embed_batch``: text -> float32[EMBED_DIM].
+
+    Iterator form so the model loads once per task, not per Arrow batch;
+    Arrow batch size (spark.sql.execution.arrow.maxRecordsPerBatch) is
+    the moral equivalent of the reference's hardware-tuned batch size.
+    """
+    model = _load_model()
+    for series in batches:
+        texts = series.fillna("").astype(str).tolist()
+        vecs = model.encode(texts, batch_size=64)
+        yield pd.Series([np.asarray(v, dtype=np.float32) for v in vecs])
+
+
+def embed_query_vector(query: str, dim: int = EMBED_DIM) -> list[float]:
+    """I2 ``udf_embed_query``: driver-side single-string embed; the
+    result travels to executors as a literal array (no 1-row DataFrame
+    round-trip).  Reference: embeddings/processor.py:467."""
+    vec = _load_model(dim).encode([query])[0]
+    return [float(x) for x in vec]
+
+
+def with_embeddings(df: DataFrame, text_col: str = "message_text",
+                    out_col: str = "embedding") -> DataFrame:
+    """Attach embeddings to a text DataFrame — the whole 'generate
+    embeddings' stage of the reference ETL (embeddings/processor.py:
+    174-241) as one column expression."""
+    return df.withColumn(out_col, embed_text(F.col(text_col)))

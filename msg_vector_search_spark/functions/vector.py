@@ -1,0 +1,91 @@
+"""Dense-vector scalar functions (SURVEY 2.C C10, 4 physical-design notes).
+
+The reference computes cosine similarity per row in NumPy after
+``json.loads``-ing a JSON-encoded vector (reference:
+src/core/embeddings/processor.py:413-434, :501-506).  Here vectors stay
+native ``array<float>`` and all vector math is built from Spark
+higher-order functions (``zip_with`` + ``aggregate``) — pure JVM
+expressions inside whole-stage codegen, no Python in the hot path.
+
+All arithmetic is promoted to double: float32 inputs, double
+accumulation, matching what the DuckDB oracle computes and avoiding
+float32 drift (SURVEY 7 hard-point 2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Sequential-order double-precision dot product of two float arrays."""
+    a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column | str) -> Column:
+    """L2 norm in double precision."""
+    a = F.col(a) if isinstance(a, str) else a
+    return F.sqrt(F.aggregate(
+        a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    """C10 ``cosine_similarity``: dot/(|a||b|), 0.0 when either norm is 0.
+
+    Reference: src/core/embeddings/processor.py:413-434 (zero-norm guard
+    at :431-432).
+    """
+    n = norm(a) * norm(b)
+    return F.when(n == 0.0, F.lit(0.0)).otherwise(dot(a, b) / n)
+
+
+def l2_normalize(a: Column | str) -> Column:
+    """Pre-normalization so that cosine == dot at query time.
+
+    Physical-design choice (SURVEY 4): normalizing embeddings once at
+    write time replaces two norms per scored row with none — at 100 TB
+    the norm work is ~2/3 of brute-force scoring.  Zero vectors are kept
+    as zero vectors (cosine contract: similarity 0).
+    """
+    a = F.col(a) if isinstance(a, str) else a
+    n = norm(a)
+    return F.when(n == 0.0, a.cast("array<double>")).otherwise(
+        F.transform(a, lambda x: x.cast("double") / n))
+
+
+def euclidean(a: Column | str, b: Column | str) -> Column:
+    """L2 distance (used by the IVF centroid assignment)."""
+    a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
+    return F.sqrt(F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+                   * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ))
+
+
+# ---------------------------------------------------------------------------
+# DuckDB-oracle SQL fragments for the same math (kept adjacent so the two
+# dialects evolve together; used by __spark_entry__.oracle_sql()).
+# ---------------------------------------------------------------------------
+
+def duck_dot(a: str, b: str) -> str:
+    return (f"list_dot_product(list_transform({a}, x -> CAST(x AS DOUBLE)), "
+            f"list_transform({b}, x -> CAST(x AS DOUBLE)))")
+
+
+def duck_norm(a: str) -> str:
+    return (f"sqrt(list_dot_product(list_transform({a}, x -> CAST(x AS DOUBLE)), "
+            f"list_transform({a}, x -> CAST(x AS DOUBLE))))")
+
+
+def duck_cosine(a: str, b: str) -> str:
+    n = f"({duck_norm(a)} * {duck_norm(b)})"
+    return (f"CASE WHEN {n} = 0.0 THEN 0.0 "
+            f"ELSE {duck_dot(a, b)} / {n} END")

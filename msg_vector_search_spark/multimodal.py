@@ -1,0 +1,104 @@
+"""Multimodal column plumbing — image/audio/video as opaque binary
+columns with typed metadata (training-data-pipeline extension surface;
+no analog in the reference, whose corpus is text-only).
+
+Design: media payloads are ``binary`` columns; decode / feature-extract
+/ resize / frame-sample run as Arrow-batched ``mapInPandas`` stages so
+each worker touches only its partition's bytes — the schema,
+partitioning and batch shape are the real, tested engine surface.  The
+actual codecs (PIL/ffmpeg/torchaudio) are NOT in this container, so the
+decode step is stubbed: :func:`decode_media` raises
+``NotImplementedError`` by contract, and the tested path uses the
+deterministic fake feature extractor (byte histograms) which exercises
+identical plumbing.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("media_type", T.StringType(), True),   # image|audio|video
+    T.StructField("payload", T.BinaryType(), True),       # opaque encoded bytes
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("duration_ms", T.LongType(), True),
+])
+
+FEATURE_DIM = 16
+
+FEATURES_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("media_type", T.StringType(), True),
+    T.StructField("n_bytes", T.LongType(), True),
+    T.StructField("features", T.ArrayType(T.FloatType()), True),
+])
+
+
+def decode_media(payload: bytes, media_type: str):  # pragma: no cover
+    """Decode an encoded media payload to pixels / samples / frames.
+
+    STUB: the image/audio libraries are not available in this
+    environment.  A deployment implements this with PIL / soundfile /
+    pyav and keeps the surrounding plumbing unchanged.
+    """
+    raise NotImplementedError(
+        "media codecs are not bundled in this environment; "
+        "plug PIL/soundfile/pyav into decode_media()")
+
+
+def _byte_histogram(payload: bytes, bins: int = FEATURE_DIM) -> np.ndarray:
+    """Deterministic fake feature extractor: normalized histogram over
+    byte values — stands in for CNN/audio embeddings with the same
+    shape/dtype contract."""
+    if not payload:
+        return np.zeros(bins, dtype=np.float32)
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    hist, _ = np.histogram(arr, bins=bins, range=(0, 256))
+    return (hist / max(len(arr), 1)).astype(np.float32)
+
+
+def extract_features(media: DataFrame, bins: int = FEATURE_DIM) -> DataFrame:
+    """Feature-extraction stage over a media table: ``mapInPandas`` so
+    each Arrow batch of binary payloads is processed vectorized, one
+    model/codec init per task.  This is the exact plan shape a real
+    image-embedding stage uses at 100 TB (scan -> narrow map, no
+    shuffle)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                _byte_histogram(p if p is not None else b"", bins)
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "media_type": pdf["media_type"],
+                "n_bytes": [len(p) if p is not None else 0 for p in pdf["payload"]],
+                "features": feats,
+            })
+
+    return media.mapInPandas(op, schema=FEATURES_SCHEMA)
+
+
+def documents_as_media(documents: DataFrame) -> DataFrame:
+    """Build a synthetic media table from the documents fixture: the
+    text bytes become the opaque payload.  Exercises the full binary
+    pipeline deterministically (no media fixture exists)."""
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image"))
+         .when(F.col("doc_id") % 3 == 1, F.lit("audio"))
+         .otherwise(F.lit("video")).alias("media_type"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )

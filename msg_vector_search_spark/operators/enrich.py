@@ -1,0 +1,83 @@
+"""Enrichment joins and window context (SURVEY 2.D D1/D3, 2.G).
+
+The reference enriches per row: a dict lookup for the user name
+(src/core/database/user_mapper.py:252-263, called per message at
+processor.py:453-454) and TWO correlated point queries per message for
+previous/next context (processor.py:266-318) — O(N · log N) random
+B-tree probes.  Spark-first: one broadcast hash join + one window with
+``lag``/``lead``, a single shuffle partitioned by session, linear work.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import textops
+
+
+def join_user_dim(facts: DataFrame, user_dim: DataFrame,
+                  key: str = "user_id", name_col: str = "user_name") -> DataFrame:
+    """D1 ``join_user_dim``: broadcast left join + "User {id}" fallback
+    (reference: user_mapper.py:252-263).  The dimension is small by
+    construction — broadcast is the correct plan at any corpus scale."""
+    joined = facts.join(F.broadcast(user_dim), key, "left")
+    return joined.withColumn(
+        name_col,
+        F.coalesce(F.col(name_col),
+                   F.concat(F.lit("User "), F.col(key).cast("string"))))
+
+
+def join_conv_dim(facts: DataFrame, conv_dim: DataFrame, user_dim: DataFrame,
+                  sid_col: str = "session_id") -> DataFrame:
+    """D2 consumer: resolve conversation names with the priority
+    coalesce chain group-name -> peer-user name (private chats) -> the
+    sid itself (reference: processor.py:192-264 fallback ladder)."""
+    peer = textops.buddy_user_id(F.col(sid_col)).cast("long")
+    out = (
+        facts.withColumn("_peer_id", peer)
+        .join(F.broadcast(conv_dim), sid_col, "left")
+        .join(F.broadcast(user_dim.select(F.col("user_id").alias("_peer_id"),
+                                          F.col("user_name").alias("_peer_name"))),
+              "_peer_id", "left")
+    )
+    return (
+        out.withColumn(
+            "conversation_name",
+            F.coalesce(F.col("conversation_name"),
+                       F.when(textops.conv_type_from_sid(F.col(sid_col)) == "private",
+                              F.col("_peer_name")),
+                       F.col(sid_col)))
+        .drop("_peer_id", "_peer_name")
+    )
+
+
+def context_prev_next(df: DataFrame, part_col: str, ts_col: str,
+                      text_col: str, truncate: int = 100) -> DataFrame:
+    """D3 ``context_prev_next``: previous/next message text within the
+    same session ordered by time, truncated to 100 chars.
+
+    Reference: processor.py:266-318 — two correlated ``ORDER BY ..
+    LIMIT 1`` queries PER ROW.  The canonical window rewrite: one
+    shuffle on the session key, then ``lag``/``lead`` inside each
+    sorted partition.  Tiebreak on the text column keeps equal-ts rows
+    deterministic.
+    """
+    w = Window.partitionBy(part_col).orderBy(ts_col, text_col)
+    return (
+        df.withColumn("prev_text",
+                      textops.truncate_ellipsis(F.lag(text_col, 1).over(w), truncate))
+        .withColumn("next_text",
+                     textops.truncate_ellipsis(F.lead(text_col, 1).over(w), truncate))
+    )
+
+
+def rolling_agg(df: DataFrame, part_col: str, ts_col: str, value_col: str,
+                n_preceding: int = 3) -> DataFrame:
+    """2.G extension: rolling aggregate over the last *n* rows per key —
+    the frame-spec window the reference never needed but any event
+    pipeline does (SURVEY 2.G note)."""
+    w = (Window.partitionBy(part_col).orderBy(ts_col)
+         .rowsBetween(-n_preceding, 0))
+    return df.withColumn("rolling_sum", F.round(F.sum(value_col).over(w), 6)) \
+             .withColumn("rolling_avg", F.round(F.avg(value_col).over(w), 6))

@@ -1,0 +1,95 @@
+"""IVF (inverted-file) approximate nearest-neighbour index — the scale
+path past brute force (SURVEY 4 "custom opportunity").
+
+Brute force scans the whole corpus per query (reference:
+src/core/embeddings/processor.py:489-525 — fine at 70 k rows, not at
+100 TB).  IVF: pick nlist centroids, assign every vector to its nearest
+centroid (the "cell"), PARTITION the stored table by cell; at query
+time score the query against the nlist centroids only, probe the top
+nprobe cells, and brute-force inside them.  Scanned fraction ≈
+nprobe/nlist, and because the table is written ``partitionBy(cell)``
+the pruning is literal Parquet partition pruning — the filter never
+reads the other cells.
+
+Centroid selection here is a deterministic seed-pick (every k-th vector
+by id) rather than iterated k-means: deterministic => DuckDB-oracle
+checkable, and the plan shape (broadcast centroids -> argmin ->
+partitioned write -> pruned probe) is identical to what trained
+centroids would use.  Swapping in MLlib KMeans centroids is a drop-in.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import vector as V
+
+
+def seed_centroids(embeddings: DataFrame, nlist: int,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Deterministic centroid pick: the nlist smallest vector ids.
+    (K-means refinement is a drop-in replacement; the index layout and
+    query plan do not change.)"""
+    return (
+        embeddings.orderBy(id_col).limit(nlist)
+        .select(F.col(id_col).alias("centroid_id"),
+                F.col(vec_col).alias("centroid_vec"))
+    )
+
+
+def assign_cells(embeddings: DataFrame, centroids: DataFrame,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """Assign every vector to its nearest centroid by cosine (ties to
+    the smallest centroid id).  Broadcast nested-loop against the tiny
+    centroid table — the corpus is never shuffled."""
+    scored = embeddings.crossJoin(F.broadcast(centroids)).withColumn(
+        "cdist", (F.round(V.cosine(F.col(vec_col), F.col("centroid_vec")), 9) + F.lit(0.0)))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("cdist").desc(), F.col("centroid_id").asc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, vec_col, F.col("centroid_id").alias("cell"))
+    )
+
+
+def write_index(assigned: DataFrame, path: str) -> None:
+    """Materialize the IVF index: the corpus partitioned by cell.  A
+    probe that filters on ``cell`` prunes at the directory level."""
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
+def probe_cells(centroids: DataFrame, query_vec: list[float],
+                nprobe: int) -> DataFrame:
+    """Rank the centroids against the query, keep the top nprobe cell
+    ids — a driver-sized computation (nlist rows)."""
+    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        centroids.withColumn("qdist", V.cosine(F.col("centroid_vec"), qv))
+        .orderBy(F.col("qdist").desc(), F.col("centroid_id").asc())
+        .limit(nprobe)
+        .select(F.col("centroid_id").alias("cell"))
+    )
+
+
+def ivf_search(assigned: DataFrame, centroids: DataFrame,
+               query_vec: list[float], k: int = 10, nprobe: int = 2,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """ANN search: probe the top nprobe cells, brute-force within.
+
+    ``assigned`` may be the in-memory assignment or the partitioned
+    parquet index; in the latter case the semi join on ``cell`` becomes
+    a partition-pruning filter (broadcast DPP under AQE).
+    """
+    cells = probe_cells(centroids, query_vec, nprobe)
+    candidates = assigned.join(F.broadcast(cells), "cell", "left_semi")
+    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        candidates.withColumn("sim", (F.round(V.cosine(F.col(vec_col), qv), 6) + F.lit(0.0)))
+        .orderBy(F.col("sim").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "cell", "sim")
+    )

@@ -1,0 +1,78 @@
+"""Sorts / limits / top-k beyond the flagship (SURVEY 2.F).
+
+F1 lives in operators.similarity; these are the remaining order/limit
+shapes.  The reference paginates with ``LIMIT ? OFFSET ?`` loops
+(processor.py:423-437) — an anti-pattern Spark replaces with partition
+parallelism; the row_number pagination here exists for API parity when
+a caller genuinely demands a page.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def page_by_ts(df: DataFrame, ts_col: str, page: int, page_size: int,
+               tiebreak: str) -> DataFrame:
+    """F2 ``sort_ts_pagination``: deterministic page *page* (1-based) of
+    the time-ordered scan (reference: processor.py:428-437).  Global
+    ``row_number`` forces a single-partition window — correct but
+    intentionally NOT the scan strategy; the ingest pipeline reads
+    partition-parallel instead."""
+    w = Window.orderBy(F.col(ts_col), F.col(tiebreak))
+    lo, hi = (page - 1) * page_size, page * page_size
+    return (df.withColumn("rn", F.row_number().over(w))
+              .filter((F.col("rn") > lo) & (F.col("rn") <= hi)))
+
+
+def kth_most_recent_ts(df: DataFrame, ts_col: str, k: int,
+                       tiebreak: str) -> DataFrame:
+    """F3 ``kth_ts_offset``: timestamp of the k-th most recent row — the
+    reference's backfill cap probe (processor.py:386-401,
+    ``ORDER BY _createAt DESC LIMIT 1 OFFSET k-1``).  At 100 TB the
+    exact k-th gives way to ``approx_percentile`` (see
+    :func:`ts_quantile_cut`)."""
+    w = Window.orderBy(F.col(ts_col).desc(), F.col(tiebreak))
+    return (df.withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") == k)
+              .select(F.col(ts_col).alias("kth_ts")))
+
+
+def ts_quantile_cut(df: DataFrame, ts_col: str, fraction: float) -> DataFrame:
+    """F3 scale variant: the timestamp splitting off the most recent
+    *fraction* of rows, via a one-pass approximate quantile sketch."""
+    return df.agg(F.expr(
+        f"approx_percentile({ts_col}, {1.0 - fraction})").alias("cut_ts"))
+
+
+def neighbor_limit1(df: DataFrame, ts_col: str, pivot_ts, direction: str,
+                    tiebreak: str) -> DataFrame:
+    """F4 ``neighbor_limit1``: nearest row strictly before/after a pivot
+    time (reference: processor.py:286-313).  The per-row form is D3's
+    lag/lead; this standalone form is a filtered top-1."""
+    if direction == "before":
+        filtered = df.filter(F.col(ts_col) < F.lit(pivot_ts))
+        order = [F.col(ts_col).desc(), F.col(tiebreak)]
+    else:
+        filtered = df.filter(F.col(ts_col) > F.lit(pivot_ts))
+        order = [F.col(ts_col).asc(), F.col(tiebreak)]
+    return filtered.orderBy(*order).limit(1)
+
+
+def limit_candidates(df: DataFrame, n: int, order_col: str) -> DataFrame:
+    """F5 ``limit_candidates``: bounded candidate set (reference:
+    user_mapper.py:198 ``LIMIT 500``).  Ordered so the cap is
+    deterministic under parallel execution."""
+    return df.orderBy(order_col).limit(n)
+
+
+def topk_per_group(df: DataFrame, group_col: str, order_col: str, k: int,
+                   tiebreak: str, ascending: bool = False) -> DataFrame:
+    """Top-k per group — the windowed generalization of F1 (SURVEY 2.G
+    table): per-group rank <= k."""
+    order = [F.col(order_col).asc() if ascending else F.col(order_col).desc(),
+             F.col(tiebreak)]
+    w = Window.partitionBy(group_col).orderBy(*order)
+    return (df.withColumn("rank", F.row_number().over(w))
+              .filter(F.col("rank") <= k))

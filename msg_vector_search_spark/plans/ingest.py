@@ -1,0 +1,127 @@
+"""The ingest/ETL pipeline (SURVEY 3.2) — the reference's
+``update_embeddings`` write path as ONE linear DataFrame plan.
+
+Reference flow (src/core/search/engine.py:57-103 + src/core/database/
+processor.py:320-508): watermark read -> incremental scan -> per-row
+text extract/clean -> per-row user & conversation lookups -> per-row
+prev/next point queries -> batched model encode -> bulk upsert ->
+watermark advance.  Everything per-row becomes declarative here:
+
+    scan (pushdown: ts > watermark)
+      -> narrow transforms (extract, clean, type derivations)   [stage 1]
+      -> window lag/lead on (session, ts)                       [shuffle 1]
+      -> broadcast join user_dim, conv_dim                      [no shuffle]
+      -> pandas-UDF embed (Arrow exchange, same stage)
+      -> last-wins dedup on message_id                          [shuffle 2]
+      -> parquet upsert + watermark write
+
+Two shuffles total regardless of corpus size; the scan+transforms fuse
+into one whole-stage-codegen span.
+
+The fixture mapping: ``events`` plays ``chat_message`` (event_id=_mid,
+ts=_createAt, user_id=u, props=c JSON content, event_type=t) — same
+shapes, same operators.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import embed
+from ..functions import textops
+from ..operators import dims, enrich
+from ..sources import readers, sinks, state
+
+
+def messages_from_events(events: DataFrame) -> DataFrame:
+    """Shape the events fixture into the reference's message schema.
+
+    Derivations mirror processor.py: session id from the partition key
+    (group vs buddy prefix, processor.py:203), text extracted from the
+    JSON content column (C1), cleaned (C2), human-formatted time (C3).
+    The heterogeneous type column is normalized to string ``msg_kind``
+    (SURVEY 1.2 hazard).
+    """
+    sid = F.when(
+        F.col("user_id") % 3 == 0,
+        F.concat(F.lit("group-"), (F.col("user_id") % 7).cast("string")),
+    ).otherwise(F.concat(F.lit("buddy-"), F.col("user_id").cast("string")))
+    raw_text = textops.extract_text(F.col("props"))
+    return (
+        events.select(
+            F.col("event_id").cast("string").alias("message_id"),
+            sid.alias("session_id"),
+            F.col("user_id"),
+            F.col("ts"),
+            F.col("event_type").alias("msg_kind"),
+            F.col("props"),
+            F.col("value"),
+        )
+        .withColumn("message_text", textops.clean_text(raw_text))
+        .withColumn("conversation_type",
+                    textops.conv_type_from_sid(F.col("session_id")))
+        .withColumn("message_time", textops.fmt_human_time(F.col("ts")))
+    )
+
+
+def build_user_dim(events: DataFrame) -> DataFrame:
+    """User dimension for the fixture corpus: distinct user ids with a
+    deterministic display name for even ids (odd ids exercise the
+    "User {id}" fallback, reference user_mapper.py:252-263)."""
+    return (
+        events.filter(F.col("user_id").isNotNull())
+        .select("user_id").distinct()
+        .filter(F.col("user_id") % 2 == 0)
+        .withColumn("user_name",
+                    F.concat(F.lit("Member "), F.col("user_id").cast("string")))
+    )
+
+
+def ingest_batch(spark: SparkSession, sf_dir: str, store_dir: str,
+                 watermark: dt.datetime | None = None,
+                 max_messages: int | None = None) -> DataFrame:
+    """One incremental ingest batch; returns the stored DataFrame.
+
+    *max_messages* is the reference's backfill cap (H4, engine.py:57):
+    implemented as an ordered limit on (ts, message_id) so a capped
+    batch is deterministic and its max(ts) is a valid next watermark.
+    """
+    events = readers.read_table(spark, sf_dir, "events")
+    if watermark is not None:
+        events = events.filter(F.col("ts") > F.lit(watermark))
+    msgs = messages_from_events(events)
+    msgs = msgs.filter(F.length(F.trim(F.col("message_text"))) > 0)
+    if max_messages is not None:
+        msgs = msgs.orderBy("ts", "message_id").limit(max_messages)
+
+    msgs = enrich.context_prev_next(
+        msgs, "session_id", "ts", "message_text")
+
+    user_dim = build_user_dim(readers.read_table(spark, sf_dir, "events"))
+    msgs = enrich.join_user_dim(msgs, user_dim)
+
+    msgs = embed.with_embeddings(msgs, "message_text")
+
+    out_path = os.path.join(store_dir, "message_embeddings.parquet")
+    sinks.upsert_parquet(spark, msgs, out_path, key="message_id",
+                         order_col="ts")
+    stored = spark.read.parquet(out_path)
+
+    new_wm = msgs.agg(F.max("ts")).collect()[0][0]
+    if new_wm is not None:
+        state.write_watermark(spark, store_dir, new_wm)
+    return stored
+
+
+def run_incremental(spark: SparkSession, sf_dir: str, store_dir: str,
+                    max_messages: int | None = None) -> DataFrame:
+    """Watermark-driven incremental run: read+clamp state, process only
+    newer rows, advance state (reference: engine.py:57-103).  Re-running
+    with no new data writes nothing new (idempotent — H5)."""
+    wm = state.read_watermark(spark, store_dir)
+    return ingest_batch(spark, sf_dir, store_dir, watermark=wm,
+                        max_messages=max_messages)

@@ -1,0 +1,58 @@
+"""SparkSession construction tuned for this engine.
+
+Local mode is the test bed; the configs are chosen so the same code is
+correct on a multi-executor cluster: AQE on (runtime coalescing, skew
+join splitting, dynamic broadcast), shuffle partitions sized to cores
+locally (on a real cluster AQE coalesces from a larger initial number),
+Arrow enabled for the pandas-UDF path, session timezone pinned to UTC so
+timestamp rendering matches the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(app_name: str = "msg_vector_search_spark",
+              cpus: int | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    Every config below also makes sense on a 1000-executor cluster;
+    nothing here is local-mode-only except ``master``.
+    """
+    cpus = cpus or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # shuffle sizing: ~cores locally; AQE coalesces small partitions
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # deterministic timestamp semantics vs the DuckDB oracle
+        .config("spark.sql.session.timeZone", "UTC")
+        # Arrow for pandas UDFs / toPandas
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine confs to an externally-created
+    session (the driver hands us one in ``__spark_entry__``).
+
+    Only runtime SQL confs are touched — safe on a live session.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    return spark

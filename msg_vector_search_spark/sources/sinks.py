@@ -1,0 +1,62 @@
+"""Sinks (SURVEY 2.A A5/A6).
+
+The reference's vector store write is a bulk ``INSERT OR REPLACE``
+inside one transaction (reference: src/core/embeddings/processor.py:
+326-411) — i.e. an idempotent last-writer-wins upsert on the message-id
+primary key.  Spark has no in-place upsert on plain Parquet, so the
+equivalent is: union incoming with existing, window-dedup keeping the
+newest row per key, rewrite.  With Delta/Iceberg on the classpath this
+becomes MERGE; the jars are not in this environment so the dedup-rewrite
+is the implementation and the MERGE path is documented.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import dedup_last_wins
+
+
+def upsert_parquet(spark: SparkSession, incoming: DataFrame, path: str,
+                   key: str, order_col: str,
+                   partition_by: list[str] | None = None) -> None:
+    """A5 ``sink_upsert_embeddings``: last-writer-wins upsert into a
+    Parquet table.  Incoming rows shadow existing rows with the same
+    key; among duplicates the largest *order_col* wins (reference
+    semantics: the newest write replaces, embeddings/processor.py:
+    382-388).
+
+    Scale: the union+dedup shuffles on the key once.  On a real lake the
+    table is partitioned (e.g. by date) so the rewrite touches only the
+    partitions present in ``incoming`` — pass *partition_by* and use
+    dynamic partition overwrite.
+    """
+    exists = os.path.exists(path)
+    if exists:
+        current = spark.read.parquet(path)
+        merged = current.unionByName(incoming, allowMissingColumns=True)
+    else:
+        merged = incoming
+    deduped = dedup_last_wins(merged, key, order_col)
+    writer = deduped.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    tmp = path + "._staged"
+    writer.parquet(tmp)
+    final = spark.read.parquet(tmp)
+    final.write.mode("overwrite").parquet(path)
+
+
+def write_dimension(df: DataFrame, path: str, fmt: str = "parquet") -> None:
+    """A6: persist a small dimension (the reference caches its user dim
+    as a JSON file with a 24 h TTL, user_mapper.py:222-233).  Parquet by
+    default; JSON kept for byte-level parity with the reference's cache
+    format."""
+    writer = df.coalesce(1).write.mode("overwrite")
+    if fmt == "json":
+        writer.json(path)
+    else:
+        writer.parquet(path)

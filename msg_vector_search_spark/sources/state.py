@@ -1,0 +1,79 @@
+"""Watermark state (SURVEY 2.A A7/A8, 2.H H1/H2).
+
+The reference keeps a scalar ``last_processed_timestamp`` in a SQLite
+KV table with corruption guards (reference: src/core/database/
+processor.py:32-115 — future timestamp resets to 0 at :62-64, a
+>10-year-old value clamps to now-30d at :66-69).  Here the state is a
+single-row Parquet table written atomically per batch; Structured
+Streaming replaces all of it with checkpointed offsets (see
+streaming/stream.py).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import schemas
+
+EPOCH = dt.datetime(1970, 1, 1)
+WATERMARK_KEY = "last_processed_timestamp"
+
+
+def clamp_watermark(ts: Column, as_of: Column) -> Column:
+    """H2 corruption guards as one expression.
+
+    * watermark in the future (> as_of)       -> epoch (reprocess all)
+    * watermark absurdly old (> 10 y before)  -> as_of - 30 days
+    * otherwise                               -> unchanged
+
+    Reference: processor.py:62-69.  ``as_of`` is explicit (not ``now()``)
+    so the operator is deterministic and oracle-checkable.
+    """
+    ten_years = F.expr("INTERVAL 3650 DAYS")
+    thirty_days = F.expr("INTERVAL 30 DAYS")
+    return (
+        F.when(ts > as_of, F.lit(EPOCH))
+        .when(ts < as_of - ten_years, (as_of - thirty_days))
+        .otherwise(ts)
+    )
+
+
+def duck_clamp_watermark(ts: str, as_of: str) -> str:
+    """DuckDB rendering of :func:`clamp_watermark` for the oracle."""
+    return (
+        f"CASE WHEN {ts} > {as_of} THEN TIMESTAMP '1970-01-01 00:00:00' "
+        f"WHEN {ts} < {as_of} - INTERVAL 3650 DAYS "
+        f"THEN {as_of} - INTERVAL 30 DAYS ELSE {ts} END"
+    )
+
+
+def read_watermark(spark: SparkSession, state_dir: str,
+                   as_of: dt.datetime | None = None) -> dt.datetime:
+    """A7 ``watermark_read``: load + clamp the scalar watermark; missing
+    state means epoch (full scan), mirroring the reference's default 0."""
+    path = os.path.join(state_dir, "watermark.parquet")
+    as_of = as_of or dt.datetime.utcnow()
+    try:
+        df = spark.read.parquet(path)
+    except Exception:
+        return EPOCH
+    row = (
+        df.filter(F.col("key") == WATERMARK_KEY)
+        .select(clamp_watermark(F.col("ts"), F.lit(as_of)).alias("ts"))
+        .collect()
+    )
+    return row[0]["ts"] if row else EPOCH
+
+
+def write_watermark(spark: SparkSession, state_dir: str,
+                    ts: dt.datetime) -> None:
+    """A8: overwrite the single-row state table after a successful batch
+    (reference: processor.py:77-115 ``INSERT OR REPLACE``).  Overwrite of
+    a one-row Parquet is atomic at the commit-protocol level."""
+    path = os.path.join(state_dir, "watermark.parquet")
+    df = spark.createDataFrame([(WATERMARK_KEY, ts)], schema=schemas.WATERMARK_STATE)
+    df.coalesce(1).write.mode("overwrite").parquet(path)
