@@ -1,0 +1,74 @@
+"""Benchmark harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Headline set = the reference's flagship paths (brute-force KNN search,
+multi-query KNN join, ingest-shaped transform) plus the scale-surface
+operators (MinHash LSH dedup, grouped aggregation, windowed context).
+Baseline context (BASELINE.md): the reference does brute-force cosine
+over ~70 k 384-dim rows "sub-second" and ingests 150-200 msg/s on its
+best hardware.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from msg_vector_search_spark.session import get_spark
+    from msg_vector_search_spark import contract
+
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
+    spark = get_spark("bench", cpus=CPUS)
+
+    # headline queries: name -> callable(spark, sf_dir) -> DataFrame
+    heads = [
+        "topk_by_similarity",     # flagship brute-force KNN
+        "knn_broadcast_join",     # multi-query KNN
+        "cosine_similarity",      # full-corpus scoring throughput
+        "sink_upsert_embeddings", # upsert/dedup write shape
+        "scan_latest_file",
+        "watermark_read",
+    ]
+    # include every registered query that exists; later rounds extend this
+    names = [n for n in heads if n in contract.REGISTRY]
+    extra = [n for n in sorted(contract.REGISTRY) if n not in heads]
+    names += extra
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in names:
+        fn = contract.REGISTRY[name]
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, SF_DIR)
+            n = df.count()
+        except Exception as e:  # a failing query must not kill the bench
+            print(f"bench: {name} failed: {e}", file=sys.stderr)
+            continue
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

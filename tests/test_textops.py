@@ -1,0 +1,116 @@
+"""Unit tests for scalar text/json/time functions (SURVEY 5.3): edge
+cases the reference's per-row code handles (processor.py:117-178)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from msg_vector_search_spark.functions import textops
+
+
+def one(spark, expr, **cols):
+    df = spark.createDataFrame([tuple(cols.values())], list(cols.keys()))
+    return df.select(expr.alias("out")).head()["out"]
+
+
+def test_extract_text_object(spark):
+    assert one(spark, textops.extract_text(F.col("c")),
+               c='{"text": "hello"}') == "hello"
+
+
+def test_extract_text_object_missing_key(spark):
+    assert one(spark, textops.extract_text(F.col("c")), c='{"x": 1}') == ""
+
+
+def test_extract_text_array(spark):
+    got = one(spark, textops.extract_text(F.col("c")),
+              c='[{"text": "a"}, {"text": "b"}]')
+    assert got == "a b"
+
+
+def test_extract_text_raw_passthrough(spark):
+    assert one(spark, textops.extract_text(F.col("c")),
+               c="plain words") == "plain words"
+
+
+def test_extract_text_malformed_array(spark):
+    assert one(spark, textops.extract_text(F.col("c")),
+               c="[not json") == "[not json"
+
+
+def test_extract_text_type_gate(spark):
+    got = one(spark,
+              textops.extract_text(F.col("c"), F.col("t")),
+              c='{"text": "hello"}', t=2)
+    assert got is None
+
+
+def test_clean_text_url_and_emoji(spark):
+    got = one(spark, textops.clean_text(F.col("c")),
+              c="see   https://x.co/a?b=1 now ✨ok✨")
+    assert got == "see  now ok"
+
+
+def test_clean_text_empty_and_whitespace(spark):
+    assert one(spark, textops.clean_text(F.col("c")), c="   \t\n ") == ""
+
+
+def test_clean_text_keeps_allowed_punct(spark):
+    assert one(spark, textops.clean_text(F.col("c")),
+               c="a, b! c? d; e: f-g 'h' \"i\".") == \
+        "a, b! c? d; e: f-g 'h' \"i\"."
+
+
+def test_fmt_human_time(spark):
+    import datetime as dt
+    got = one(spark, textops.fmt_human_time(F.col("ts")),
+              ts=dt.datetime(2025, 7, 18, 15, 4, 0))
+    assert got == "Jul 18, 2025 at 03:04 PM"
+
+
+def test_conv_type(spark):
+    assert one(spark, textops.conv_type_from_sid(F.col("s")),
+               s="group-12") == "group"
+    assert one(spark, textops.conv_type_from_sid(F.col("s")),
+               s="buddy-9") == "private"
+
+
+def test_truncate_ellipsis(spark):
+    long = "x" * 150
+    got = one(spark, textops.truncate_ellipsis(F.col("c")), c=long)
+    assert got == "x" * 100 + "..."
+    assert one(spark, textops.truncate_ellipsis(F.col("c")), c="short") == "short"
+
+
+def test_name_from_email(spark):
+    got = one(spark, textops.name_from_email(F.col("c")),
+              c="User ID: 42 Email: jane.doe@shopee.com")
+    assert got == "Jane Doe"
+    assert one(spark, textops.name_from_email(F.col("c")), c="nope") is None
+
+
+def test_user_id_from_content(spark):
+    assert one(spark, textops.user_id_from_content(F.col("c")),
+               c="User ID: 42 Email: a.b@shopee.com") == 42
+
+
+def test_is_file_name(spark):
+    for s, want in [("report.pdf", True), ("Screenshot 2024", True),
+                    ("a/b/c", True), ("http://x", True), ("x", True),
+                    ("Jane Doe", False)]:
+        assert one(spark, textops.is_file_name(F.col("c")), c=s) is want, s
+
+
+def test_group_name_probe_fallbacks(spark):
+    assert one(spark, textops.group_name_probe(F.col("c")),
+               c='{"n": "Team"}') == "Team"
+    assert one(spark, textops.group_name_probe(F.col("c")),
+               c='{"gn": "G2"}') == "G2"
+    assert one(spark, textops.group_name_probe(F.col("c")),
+               c='{"group_name": "G3"}') == "G3"
+    # length guard: reject >= 100 chars
+    assert one(spark, textops.group_name_probe(F.col("c")),
+               c='{"n": "' + "x" * 120 + '"}') is None
+    assert one(spark, textops.group_name_probe(F.col("c")),
+               c='{"n": ""}') is None

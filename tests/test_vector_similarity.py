@@ -1,0 +1,83 @@
+"""Unit tests: vector math (C10 zero-norm contract), top-k
+determinism, dedup last-wins, watermark clamps (SURVEY 5.3)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from msg_vector_search_spark.functions import vector as V
+from msg_vector_search_spark.operators import dedup, similarity
+from msg_vector_search_spark.sources import state
+
+
+def test_cosine_basic(spark):
+    df = spark.createDataFrame([([1.0, 0.0], [1.0, 0.0]),
+                                ([1.0, 0.0], [0.0, 1.0]),
+                                ([1.0, 2.0], [2.0, 4.0])], ["a", "b"])
+    got = [r["c"] for r in df.select(V.cosine("a", "b").alias("c")).collect()]
+    assert got[0] == pytest.approx(1.0)
+    assert got[1] == pytest.approx(0.0)
+    assert got[2] == pytest.approx(1.0)
+
+
+def test_cosine_zero_norm_is_zero(spark):
+    # reference contract: zero vector => similarity 0 (embeddings/
+    # processor.py:431-432)
+    df = spark.createDataFrame([([0.0, 0.0], [1.0, 1.0])], ["a", "b"])
+    assert df.select(V.cosine("a", "b").alias("c")).head()["c"] == 0.0
+
+
+def test_l2_normalize(spark):
+    df = spark.createDataFrame([([3.0, 4.0],)], ["a"])
+    got = df.select(V.l2_normalize("a").alias("n")).head()["n"]
+    assert got == pytest.approx([0.6, 0.8])
+    assert math.isclose(sum(x * x for x in got), 1.0)
+
+
+def test_topk_deterministic_ties(spark):
+    # two rows with identical vectors => tie on sim; tiebreak = vec_id
+    rows = [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = similarity.knn_search(df, [1.0, 0.0], k=2)
+    assert [r["vec_id"] for r in got.collect()] == [1, 2]
+
+
+def test_dedup_last_wins(spark):
+    rows = [("a", 1, "old"), ("a", 2, "new"), ("b", 1, "only")]
+    df = spark.createDataFrame(rows, ["k", "v", "tag"])
+    got = {r["k"]: r["tag"] for r in dedup.dedup_last_wins(df, "k", "v").collect()}
+    assert got == {"a": "new", "b": "only"}
+
+
+def test_watermark_clamps(spark):
+    as_of = dt.datetime(2026, 1, 1)
+    cases = spark.createDataFrame(
+        [("future", dt.datetime(2027, 1, 1)),
+         ("ancient", dt.datetime(2000, 1, 1)),
+         ("normal", dt.datetime(2025, 12, 1))], ["k", "wm"])
+    got = {r["k"]: r["out"] for r in cases.select(
+        "k", state.clamp_watermark(F.col("wm"), F.lit(as_of)).alias("out")
+    ).collect()}
+    assert got["future"] == dt.datetime(1970, 1, 1)
+    assert got["ancient"] == as_of - dt.timedelta(days=30)
+    assert got["normal"] == dt.datetime(2025, 12, 1)
+
+
+def test_knn_join_shapes(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_embedding"))
+    out = similarity.knn_join(emb, queries, k=3).collect()
+    assert len(out) == 6
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["q_id"], []).append(r)
+    for q, rs in by_q.items():
+        # self-match first at sim ~1.0
+        best = max(rs, key=lambda r: r["sim"])
+        assert best["vec_id"] == q
+        assert best["sim"] == pytest.approx(1.0, abs=1e-5)
