@@ -71,6 +71,15 @@ def clean_text(text: Column | str) -> Column:
     return F.trim(c)
 
 
+def duck_clean_text(expr: str) -> str:
+    """DuckDB rendering of :func:`clean_text` (same regexes, same order,
+    global flag explicit — DuckDB replaces first match by default)."""
+    c = f"regexp_replace({expr}, '\\s+', ' ', 'g')"
+    c = f"regexp_replace({c}, 'https?://\\S+', '', 'g')"
+    c = (f"regexp_replace({c}, '[^\\w\\s.,!?;:\\-''\"]', '', 'g')")
+    return f"trim({c})"
+
+
 def fmt_human_time(ts: Column | str) -> Column:
     """C3 ``fmt_human_time``: epoch -> "Jul 18, 2025 at 03:04 PM".
 

@@ -76,7 +76,8 @@ def first_per_group(df: DataFrame, group_col: str, order_cols: list,
 
 def conversation_dim(messages: DataFrame, sid_col: str, ts_col: str,
                      content_col: str, info_types: list,
-                     creation_types: list, type_col: str) -> DataFrame:
+                     creation_types: list, type_col: str,
+                     tiebreak_col: str | None = None) -> DataFrame:
     """D2 ``join_conv_name``: one name per session, priority-ordered:
     (1) first group-info message carrying a valid name probe,
     (2) earliest creation message, else callers coalesce to the user dim
@@ -98,7 +99,8 @@ def conversation_dim(messages: DataFrame, sid_col: str, ts_col: str,
             .otherwise(F.lit(1)))
         .filter(F.col("conv_name_candidate").isNotNull())
     )
-    w = Window.partitionBy(sid_col).orderBy("priority", ts_col)
+    order = ["priority", ts_col] + ([tiebreak_col] if tiebreak_col else [])
+    w = Window.partitionBy(sid_col).orderBy(*order)
     return (
         candidates.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)

@@ -72,12 +72,21 @@ def context_prev_next(df: DataFrame, part_col: str, ts_col: str,
     )
 
 
-def rolling_agg(df: DataFrame, part_col: str, ts_col: str, value_col: str,
-                n_preceding: int = 3) -> DataFrame:
+def rolling_agg(df: DataFrame, part_col: str, order_cols: list,
+                value_col: str, n_preceding: int = 3) -> DataFrame:
     """2.G extension: rolling aggregate over the last *n* rows per key —
     the frame-spec window the reference never needed but any event
-    pipeline does (SURVEY 2.G note)."""
-    w = (Window.partitionBy(part_col).orderBy(ts_col)
+    pipeline does (SURVEY 2.G note).
+
+    *order_cols* must make the ordering total (include a unique
+    tiebreak) or the frame contents are nondeterministic.  The rolling
+    average is derived from the grid-rounded sum and the frame count so
+    both engines of an oracle pair divide identical doubles.
+    """
+    w = (Window.partitionBy(part_col).orderBy(*order_cols)
          .rowsBetween(-n_preceding, 0))
-    return df.withColumn("rolling_sum", F.round(F.sum(value_col).over(w), 6)) \
-             .withColumn("rolling_avg", F.round(F.avg(value_col).over(w), 6))
+    rsum = F.round(F.sum(value_col).over(w), 3) + F.lit(0.0)
+    rcnt = F.count(value_col).over(w)
+    return (df.withColumn("rolling_sum", rsum)
+              .withColumn("rolling_avg",
+                          F.round(rsum / rcnt, 6) + F.lit(0.0)))
