@@ -587,3 +587,404 @@ def group_name_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return docs.select(
         "doc_id", textops.group_name_probe(content).alias("conv_name"))
+
+
+# =========================================================================
+# Joins / lookups (SURVEY 2.D)
+# =========================================================================
+
+@register("join_user_dim", oracle="""
+SELECT o.o_orderkey, o.o_custkey,
+       coalesce(c.c_name, 'User ' || CAST(o.o_custkey AS VARCHAR)) AS user_name
+FROM orders o
+LEFT JOIN (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 3 != 0) c
+  ON o.o_custkey = c.c_custkey
+""")
+def join_user_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1: broadcast left lookup join with 'User {id}' fallback
+    (reference: user_mapper.py:252-263); a third of the dimension is
+    withheld to exercise the fallback path."""
+    orders = _t(spark, sf_dir, "orders")
+    user_dim = (_t(spark, sf_dir, "customer")
+                .filter(F.col("c_custkey") % 3 != 0)
+                .select(F.col("c_custkey").alias("user_id"),
+                        F.col("c_name").alias("user_name")))
+    facts = orders.select("o_orderkey", F.col("o_custkey").alias("user_id"))
+    out = enrich_ops.join_user_dim(facts, user_dim)
+    return out.select("o_orderkey", F.col("user_id").alias("o_custkey"),
+                      "user_name")
+
+
+@register("join_conv_name", oracle="""
+WITH m AS (
+  SELECT event_id, ts, user_id, event_type,
+         CASE WHEN user_id % 3 = 0 THEN 'group-' || CAST(user_id AS VARCHAR)
+              ELSE 'buddy-' || CAST(user_id AS VARCHAR) END AS session_id,
+         CASE WHEN event_type = 'view'
+              THEN '{"n": "room-' || CAST(user_id AS VARCHAR) || '"}'
+              ELSE props END AS content
+  FROM events
+), cand AS (
+  SELECT session_id, ts, event_id,
+         CASE WHEN json_valid(content)
+               AND length(trim(json_extract_string(content, '$.n'))) > 0
+               AND length(trim(json_extract_string(content, '$.n'))) < 100
+              THEN trim(json_extract_string(content, '$.n')) END AS nm,
+         CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS priority
+  FROM m WHERE event_type IN ('view', 'click')
+), ranked AS (
+  SELECT session_id, nm,
+         row_number() OVER (PARTITION BY session_id
+                            ORDER BY priority, ts, event_id) AS rn
+  FROM cand WHERE nm IS NOT NULL
+), dim AS (
+  SELECT session_id, nm AS conversation_name FROM ranked WHERE rn = 1
+)
+SELECT s.session_id, coalesce(d.conversation_name, s.session_id)
+         AS conversation_name
+FROM (SELECT DISTINCT session_id FROM m) s
+LEFT JOIN dim d USING (session_id)
+""")
+def join_conv_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2: conversation-name dimension built ONCE (first qualifying
+    group-info row per session by priority+time), then a broadcast
+    lookup with sid fallback — the decorrelation of the reference's
+    per-row LIMIT-1 queries (processor.py:192-264,
+    embeddings/processor.py:548-617)."""
+    events = _t(spark, sf_dir, "events")
+    sid = (F.when(F.col("user_id") % 3 == 0,
+                  F.concat(F.lit("group-"), F.col("user_id").cast("string")))
+           .otherwise(F.concat(F.lit("buddy-"), F.col("user_id").cast("string"))))
+    content = (F.when(F.col("event_type") == "view",
+                      F.concat(F.lit('{"n": "room-'),
+                               F.col("user_id").cast("string"), F.lit('"}')))
+               .otherwise(F.col("props")))
+    msgs = (events.withColumn("session_id", sid)
+            .withColumn("content", content))
+    dim = dims_ops.conversation_dim(
+        msgs, "session_id", "ts", "content",
+        info_types=["view"], creation_types=["click"],
+        type_col="event_type", tiebreak_col="event_id")
+    sessions = msgs.select("session_id").distinct()
+    return (sessions.join(F.broadcast(dim), "session_id", "left")
+            .select("session_id",
+                    F.coalesce("conversation_name", "session_id")
+                    .alias("conversation_name")))
+
+
+@register("context_prev_next", oracle="""
+SELECT event_id, user_id,
+       lag(props) OVER w AS prev_text,
+       lead(props) OVER w AS next_text
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, props)
+""")
+def context_prev_next(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3: prev/next message text per session via lag/lead — the window
+    rewrite of the reference's two correlated point queries per row
+    (processor.py:266-318)."""
+    events = _t(spark, sf_dir, "events")
+    out = enrich_ops.context_prev_next(events, "user_id", "ts", "props")
+    return out.select("event_id", "user_id", "prev_text", "next_text")
+
+
+@register("anti_join_unnamed", oracle="""
+SELECT DISTINCT user_id FROM events
+WHERE user_id IS NOT NULL
+  AND user_id NOT IN (SELECT DISTINCT user_id FROM events
+                      WHERE event_type = 'click')
+""")
+def anti_join_unnamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4: users lacking a name = distinct keys minus resolved keys, as
+    a left-anti join (reference set difference: user_mapper.py:179-182).
+    'Named' here = users with any click event."""
+    events = _t(spark, sf_dir, "events")
+    all_users = filter_ops.not_null_distinct(events, "user_id")
+    named = (events.filter(F.col("event_type") == "click")
+             .select("user_id").distinct())
+    return dims_ops.unnamed_users(all_users, named)
+
+
+@register("semi_join_deep_search", oracle="""
+WITH unnamed AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE user_id IS NOT NULL
+    AND user_id NOT IN (SELECT DISTINCT user_id FROM events
+                        WHERE event_type = 'click')
+)
+SELECT event_id, user_id, event_type FROM events
+WHERE user_id IN (SELECT user_id FROM unnamed)
+ORDER BY event_id LIMIT 500
+""")
+def semi_join_deep_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5: bounded candidate fetch for unnamed users — semi join +
+    deterministic cap (reference: user_mapper.py:188-198 LIMIT 500)."""
+    events = _t(spark, sf_dir, "events")
+    all_users = filter_ops.not_null_distinct(events, "user_id")
+    named = (events.filter(F.col("event_type") == "click")
+             .select("user_id").distinct())
+    unnamed = dims_ops.unnamed_users(all_users, named)
+    out = dims_ops.deep_search_candidates(events, unnamed, cap=500,
+                                          order_col="event_id")
+    return out.select("event_id", "user_id", "event_type")
+
+
+@register("dedup_last_wins", oracle="""
+WITH doubled AS (
+  SELECT event_id, ts, value FROM events
+  UNION ALL
+  SELECT event_id, ts + INTERVAL 1 HOUR AS ts, value + 100 AS value
+  FROM events WHERE event_id % 10 = 0
+), ranked AS (
+  SELECT event_id, ts, value,
+         row_number() OVER (PARTITION BY event_id ORDER BY ts DESC, event_id)
+           AS rn
+  FROM doubled
+)
+SELECT event_id, ts, value FROM ranked WHERE rn = 1
+""")
+def dedup_last_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7: last-writer-wins primary-key dedup (INSERT OR REPLACE
+    semantics, reference: embeddings/processor.py:382-388); every 10th
+    event re-arrives 1 h later with a new value and must shadow the
+    original."""
+    events = _t(spark, sf_dir, "events").select("event_id", "ts", "value")
+    newer = (events.filter(F.col("event_id") % 10 == 0)
+             .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+             .withColumn("value", F.col("value") + 100))
+    return dedup_ops.dedup_last_wins(events.unionByName(newer),
+                                     "event_id", "ts")
+
+
+# =========================================================================
+# Aggregates (SURVEY 2.E)
+# =========================================================================
+
+@register("agg_count_total", oracle="SELECT count(*) AS total_count FROM events")
+def agg_count_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 (reference: engine.py:162, :244-245)."""
+    return agg_ops.count_total(_t(spark, sf_dir, "events"))
+
+
+@register("agg_count_embedded",
+          oracle="SELECT count(*) AS total_count FROM embeddings")
+def agg_count_embedded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 (reference: engine.py:254-255)."""
+    return agg_ops.count_total(_t(spark, sf_dir, "embeddings"))
+
+
+@register("agg_min_max_ts", oracle="""
+SELECT min(ts) AS min_ts, max(ts) AS max_ts FROM events
+""")
+def agg_min_max_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 (reference: processor.py:362-367)."""
+    return agg_ops.min_max_ts(_t(spark, sf_dir, "events"))
+
+
+@register("agg_count_distinct_users", oracle="""
+SELECT count(DISTINCT user_id) AS n_users FROM events
+""")
+def agg_count_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 exact variant (reference: user_mapper.py:57, :180); the HLL
+    approx variant is the rows-only query ``approx_distinct_users``."""
+    return _t(spark, sf_dir, "events").agg(
+        F.countDistinct("user_id").alias("n_users"))
+
+
+@register("approx_distinct_users")
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 scale variant: HLL++ sketch — sketch internals differ from
+    DuckDB's approx so this is a rows-only check by design."""
+    return _t(spark, sf_dir, "events").agg(
+        F.approx_count_distinct("user_id").alias("n_users_approx"))
+
+
+@register("agg_new_msg_gap", oracle="""
+SELECT (SELECT count(*) FROM events) AS total_count,
+       (SELECT count(*) FROM embeddings) AS embedded_count,
+       (SELECT count(*) FROM events) - (SELECT count(*) FROM embeddings) AS gap
+""")
+def agg_new_msg_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5: the freshness-trigger gap (reference: engine.py:160-175)."""
+    return agg_ops.new_message_gap(_t(spark, sf_dir, "events"),
+                                   _t(spark, sf_dir, "embeddings"))
+
+
+@register("agg_group_first", oracle="""
+SELECT user_id, event_type AS first_type, ts AS first_ts FROM (
+  SELECT user_id, event_type, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn = 1
+""")
+def agg_group_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6: first qualifying row per group — the decorrelated form of the
+    reference's per-sid LIMIT-1 lookups (processor.py:211-216)."""
+    events = _t(spark, sf_dir, "events")
+    first = dims_ops.first_per_group(events, "user_id", ["ts", "event_id"])
+    return first.select("user_id", F.col("event_type").alias("first_type"),
+                        F.col("ts").alias("first_ts"))
+
+
+@register("agg_running_max_watermark", oracle="""
+SELECT max(ts) AS watermark FROM events
+""")
+def agg_running_max_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7: batch max(ts) -> next watermark (reference:
+    processor.py:466-468, :488-491)."""
+    return agg_ops.running_max_watermark(_t(spark, sf_dir, "events"))
+
+
+@register("group_agg_events", oracle="""
+SELECT event_type, count(*) AS n,
+       (round(sum(value), 3) + 0) AS sum_value,
+       (round((round(sum(value), 3) + 0) / count(*), 6) + 0) AS avg_value
+FROM events GROUP BY event_type
+""")
+def group_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GroupBy aggregation surface (SURVEY 2.E note): map-side partial
+    aggregation; avg derived from the grid-rounded sum so both engines
+    divide identical doubles."""
+    events = _t(spark, sf_dir, "events")
+    sum_v = rnd(F.sum("value"), 3)
+    return events.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        sum_v.alias("sum_value"),
+        rnd(sum_v / F.count("*"), 6).alias("avg_value"))
+
+
+# =========================================================================
+# Sorts / limits / top-k (SURVEY 2.F) and windows (2.G)
+# =========================================================================
+
+@register("sort_ts_pagination", oracle="""
+SELECT event_id, ts, CAST(rn AS INT) AS rn FROM (
+  SELECT event_id, ts, row_number() OVER (ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn > 100 AND rn <= 150
+""")
+def sort_ts_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2: deterministic page 3 (rows 101-150) of the time-ordered scan
+    (reference pagination loop: processor.py:423-437)."""
+    events = _t(spark, sf_dir, "events")
+    out = topk_ops.page_by_ts(events, "ts", page=3, page_size=50,
+                              tiebreak="event_id")
+    return out.select("event_id", "ts", F.col("rn").cast("int").alias("rn"))
+
+
+@register("kth_ts_offset", oracle="""
+SELECT ts AS kth_ts FROM (
+  SELECT ts, row_number() OVER (ORDER BY ts DESC, event_id) AS rn
+  FROM events
+) WHERE rn = 100
+""")
+def kth_ts_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: timestamp of the 100th most recent row (reference backfill
+    cap: processor.py:386-401)."""
+    return topk_ops.kth_most_recent_ts(_t(spark, sf_dir, "events"), "ts",
+                                       k=100, tiebreak="event_id")
+
+
+@register("neighbor_limit1", oracle="""
+SELECT event_id, ts FROM events
+WHERE ts < (SELECT min(ts) + INTERVAL 5 DAYS FROM events)
+ORDER BY ts DESC, event_id LIMIT 1
+""")
+def neighbor_limit1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: nearest row strictly before a pivot instant (reference:
+    processor.py:286-313)."""
+    events = _t(spark, sf_dir, "events")
+    pivot = events.agg(F.expr("min(ts) + INTERVAL 5 DAYS")).head()[0]
+    out = topk_ops.neighbor_limit1(events, "ts", pivot, "before",
+                                   tiebreak="event_id")
+    return out.select("event_id", "ts")
+
+
+@register("limit_candidates", oracle="""
+SELECT event_id, user_id, event_type FROM events ORDER BY event_id LIMIT 500
+""")
+def limit_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5: deterministic bounded candidate cap (reference:
+    user_mapper.py:198)."""
+    events = _t(spark, sf_dir, "events")
+    return (topk_ops.limit_candidates(events, 500, "event_id")
+            .select("event_id", "user_id", "event_type"))
+
+
+@register("topk_per_group", oracle="""
+SELECT event_type, event_id, value, CAST(rank AS INT) AS rank FROM (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id) AS rank
+  FROM events
+) WHERE rank <= 3
+""")
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2.G: per-group top-k — the windowed generalization of F1."""
+    events = _t(spark, sf_dir, "events")
+    out = topk_ops.topk_per_group(events, "event_type", "value", k=3,
+                                  tiebreak="event_id")
+    return out.select("event_type", "event_id", "value",
+                      F.col("rank").cast("int").alias("rank"))
+
+
+@register("rolling_window_agg", oracle="""
+SELECT event_id, user_id,
+       (round(sum(value) OVER w, 3) + 0) AS rolling_sum,
+       (round((round(sum(value) OVER w, 3) + 0) / count(value) OVER w, 6) + 0)
+         AS rolling_avg
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+""")
+def rolling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2.G extension: rolling sum/avg over the last 4 events per user
+    (frame-spec window, SURVEY 2.G note)."""
+    events = _t(spark, sf_dir, "events")
+    out = enrich_ops.rolling_agg(events, "user_id", ["ts", "event_id"],
+                                 "value")
+    return out.select("event_id", "user_id", "rolling_sum", "rolling_avg")
+
+
+@register("tumbling_window_agg", oracle="""
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n, (round(sum(value), 3) + 0) AS sum_value
+FROM events GROUP BY 1, 2
+""")
+def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2.H/P5: event-time tumbling-window aggregation — the batch twin
+    of streaming.stream.tumbling_event_counts."""
+    events = _t(spark, sf_dir, "events")
+    return (events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("n"), rnd(F.sum("value"), 3).alias("sum_value"))
+            .select(F.col("w.start").alias("window_start"), "event_type",
+                    "n", "sum_value"))
+
+
+@register("sessionize", oracle="""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+               OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 1 HOUR
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions
+FROM flagged GROUP BY user_id
+""")
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: a >1 h inactivity gap starts a new session;
+    count sessions per user (lag + conditional cumsum — the standard
+    Spark sessionization idiom)."""
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        prev_ts.isNull()
+        | (F.col("ts").cast("long") - prev_ts.cast("long") > 3600),
+        F.lit(1)).otherwise(F.lit(0))
+    return (events.withColumn("new_session", new_session)
+            .groupBy("user_id")
+            .agg(F.sum("new_session").alias("n_sessions")))
