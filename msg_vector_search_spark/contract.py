@@ -988,3 +988,290 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (events.withColumn("new_session", new_session)
             .groupBy("user_id")
             .agg(F.sum("new_session").alias("n_sessions")))
+
+
+# =========================================================================
+# Relational surface Spark gives for free (SURVEY 2.D note, 7 P5):
+# set ops, outer joins, multi-key groupBy, broadcast-join top-k
+# =========================================================================
+
+@register("set_ops_nations", oracle="""
+SELECT 'union' AS op, n FROM (
+  SELECT c_nationkey AS n FROM customer
+  UNION SELECT s_nationkey AS n FROM supplier)
+UNION ALL
+SELECT 'intersect' AS op, n FROM (
+  SELECT c_nationkey AS n FROM customer
+  INTERSECT SELECT s_nationkey AS n FROM supplier)
+UNION ALL
+SELECT 'except' AS op, n FROM (
+  SELECT c_nationkey AS n FROM customer
+  EXCEPT SELECT s_nationkey AS n FROM supplier)
+""")
+def set_ops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT in one result, tagged (absent from the
+    reference — SURVEY 2.D note; exposed because Spark SQL gives them
+    for free)."""
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("n"))
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("n"))
+    u = cust.union(supp).distinct().withColumn("op", F.lit("union"))
+    i = cust.intersect(supp).withColumn("op", F.lit("intersect"))
+    e = cust.subtract(supp).withColumn("op", F.lit("except"))
+    return u.unionByName(i).unionByName(e).select("op", "n")
+
+
+@register("join_outer_totals", oracle="""
+WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY 1),
+     s AS (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY 1)
+SELECT coalesce(c.nk, s.nk) AS nationkey,
+       coalesce(c.n_cust, 0) AS n_cust,
+       coalesce(s.n_supp, 0) AS n_supp
+FROM c FULL OUTER JOIN s ON c.nk = s.nk
+""")
+def join_outer_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of per-nation customer/supplier counts (outer
+    joins absent from the reference — SURVEY 2.D note)."""
+    c = (_t(spark, sf_dir, "customer").groupBy(F.col("c_nationkey").alias("nk"))
+         .agg(F.count("*").alias("n_cust")))
+    s = (_t(spark, sf_dir, "supplier").groupBy(F.col("s_nationkey").alias("nk"))
+         .agg(F.count("*").alias("n_supp")))
+    return (c.join(s, "nk", "full_outer")
+            .select(F.col("nk").alias("nationkey"),
+                    F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+                    F.coalesce("n_supp", F.lit(0)).alias("n_supp")))
+
+
+@register("tpch_q1_pricing_summary", oracle="""
+SELECT l_returnflag, l_linestatus,
+       (round(sum(l_quantity), 2) + 0) AS sum_qty,
+       (round(sum(l_extendedprice), 2) + 0) AS sum_base_price,
+       (round(sum(round(l_extendedprice * (1 - l_discount), 4)), 4) + 0)
+         AS sum_disc_price,
+       count(*) AS count_order,
+       (round((round(sum(l_quantity), 2) + 0) / count(*), 6) + 0) AS avg_qty
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""")
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: multi-key groupBy + sum/avg over
+    the star fixtures (the reference has no keyed aggregation — SURVEY
+    2.E note).  Per-row products are grid-rounded before the sum so the
+    parallel Spark sum and DuckDB's sequential sum agree exactly."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02"))
+    sum_qty = rnd(F.sum("l_quantity"), 2)
+    disc_price = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        sum_qty.alias("sum_qty"),
+        rnd(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        rnd(F.sum(disc_price), 4).alias("sum_disc_price"),
+        F.count("*").alias("count_order"),
+        rnd(sum_qty / F.count("*"), 6).alias("avg_qty"))
+
+
+@register("tpch_top_customers", oracle="""
+SELECT o.o_custkey, c.c_name,
+       (round(sum(o.o_totalprice), 2) + 0) AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY o.o_custkey, c.c_name
+ORDER BY revenue DESC, o_custkey LIMIT 10
+""")
+def tpch_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dimension join + grouped sum + deterministic top-10 —
+    the F1 pattern on relational data."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (orders.join(F.broadcast(cust),
+                        orders.o_custkey == cust.c_custkey)
+            .groupBy("o_custkey", "c_name")
+            .agg(rnd(F.sum("o_totalprice"), 2).alias("revenue"))
+            .orderBy(F.col("revenue").desc(), F.col("o_custkey"))
+            .limit(10))
+
+
+@register("first_order_per_customer", oracle="""
+SELECT o_custkey, o_orderkey AS first_order, o_orderdate AS first_date FROM (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders
+) WHERE rn = 1
+""")
+def first_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 on relational data: earliest order per customer via
+    row_number (min_by with full-row semantics)."""
+    orders = _t(spark, sf_dir, "orders")
+    first = dims_ops.first_per_group(orders, "o_custkey",
+                                     ["o_orderdate", "o_orderkey"])
+    return first.select("o_custkey",
+                        F.col("o_orderkey").alias("first_order"),
+                        F.col("o_orderdate").alias("first_date"))
+
+
+# =========================================================================
+# Training-data pipeline: dedup family (extension surface)
+# =========================================================================
+
+_DUCK_TOKENS = ("string_split_regex(trim(lower(text)), '\\s+')")
+
+
+@register("dedup_exact", oracle=f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+)
+SELECT md5(array_to_string({_DUCK_TOKENS}, ' ')) AS fp,
+       min(doc_id) AS doc_id, count(*) AS dup_count
+FROM corpus GROUP BY 1
+""")
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-text fingerprint; every 10th doc is
+    re-injected under a new id and must collapse onto the original
+    (dup_count 2, canonical id = min)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = (docs.filter(F.col("doc_id") % 10 == 0)
+            .withColumn("doc_id", F.col("doc_id") + 1000000))
+    return dedup_ops.dedup_exact(docs.unionByName(dups))
+
+
+def _duck_shingles(n: int) -> str:
+    """DuckDB twin of dedup.shingles: word n-grams with the short-doc
+    fallback (1-indexed lists; range() is 0-based)."""
+    joins = " || ' ' || ".join(f"toks[i + {j + 1}]" for j in range(n))
+    return (f"CASE WHEN len(toks) - {n - 1} <= 0 "
+            f"THEN [array_to_string(toks, ' ')] "
+            f"ELSE [{joins} FOR i IN range(len(toks) - {n - 1})] END")
+
+
+_DUCK_HASH48 = "(('0x' || substr(md5({x}), 1, 12))::BIGINT)"
+
+
+def _duck_minhash(num_hashes: int) -> str:
+    """DuckDB twin of dedup.minhash_signature over a `sh` shingle list."""
+    parts = [
+        "list_min(list_transform(sh, s -> "
+        + _DUCK_HASH48.format(x=f"'{i}|' || s") + "))"
+        for i in range(num_hashes)
+    ]
+    return "[" + ", ".join(parts) + "]"
+
+
+@register("dedup_minhash_lsh", oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents
+), sh AS (
+  SELECT doc_id, {_duck_shingles(3)} AS sh FROM toks
+), sig AS (
+  SELECT doc_id, {_duck_minhash(8)} AS sig FROM sh
+), banded AS (
+  SELECT doc_id,
+         unnest(range(4)) AS band_idx,
+         unnest([
+           CAST(sig[1] AS VARCHAR) || '_' || CAST(sig[2] AS VARCHAR),
+           CAST(sig[3] AS VARCHAR) || '_' || CAST(sig[4] AS VARCHAR),
+           CAST(sig[5] AS VARCHAR) || '_' || CAST(sig[6] AS VARCHAR),
+           CAST(sig[7] AS VARCHAR) || '_' || CAST(sig[8] AS VARCHAR)
+         ]) AS band_hash
+  FROM sig
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM banded a JOIN banded b
+  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+WHERE a.doc_id < b.doc_id
+""")
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8)+LSH(4 bands x 2 rows) near-dup candidate pairs over
+    3-word shingles — shuffle keys are uniform band hashes, corpus never
+    all-paired."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_ops.dedup_minhash_lsh(docs, num_hashes=8, bands=4,
+                                       shingle_n=3)
+
+
+def _duck_simhash(bits: int) -> str:
+    h = _DUCK_HASH48.format(x="t")
+    terms = []
+    for b in range(bits):
+        vote = (f"list_sum(list_transform(toks, t -> "
+                f"CASE WHEN ({h} >> {b}) & 1 = 1 THEN 1 ELSE -1 END))")
+        terms.append(f"(CASE WHEN {vote} > 0 THEN {2 ** b} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+@register("dedup_simhash", oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents
+), fp AS (
+  SELECT doc_id, CAST({_duck_simhash(16)} AS BIGINT) AS simhash FROM toks
+)
+SELECT simhash, count(*) AS cluster_size, min(doc_id) AS min_id
+FROM fp GROUP BY simhash HAVING count(*) > 1
+""")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash clusters (hamming-0 grouping); sign-vote bits over
+    token hashes, one shuffle on the fingerprint."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_ops.dedup_simhash(docs, bits=16)
+
+
+@register("dedup_ngram_jaccard", oracle=f"""
+WITH toks AS (
+  SELECT doc_id, source, {_DUCK_TOKENS} AS toks FROM documents
+), sh AS (
+  SELECT doc_id, source AS block,
+         unnest(list_distinct({_duck_shingles(2)})) AS shingle
+  FROM toks
+), sizes AS (
+  SELECT doc_id, block, count(*) AS set_size FROM sh GROUP BY 1, 2
+), inter AS (
+  SELECT a.block, a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter_size
+  FROM sh a JOIN sh b ON a.block = b.block AND a.shingle = b.shingle
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3
+)
+SELECT i.block, i.id_a, i.id_b,
+       (round(CAST(i.inter_size AS DOUBLE)
+              / (sa.set_size + sb.set_size - i.inter_size), 6) + 0) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a AND sa.block = i.block
+JOIN sizes sb ON sb.doc_id = i.id_b AND sb.block = i.block
+WHERE (round(CAST(i.inter_size AS DOUBLE)
+             / (sa.set_size + sb.set_size - i.inter_size), 6) + 0) >= 0.2
+""")
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 2-gram Jaccard >= 0.2 for pairs sharing a source block —
+    the verification stage after LSH blocking."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_ops.ngram_jaccard_pairs(docs, "source", shingle_n=2,
+                                         threshold=0.2)
+
+
+@register("dedup_embedding_cosine", oracle=f"""
+WITH corpus AS (
+  SELECT vec_id, label, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, label,
+         list_transform(embedding, x -> CAST(x * 1.25 AS FLOAT)) AS embedding
+  FROM embeddings WHERE vec_id % 20 = 0
+)
+SELECT a.label AS block, a.vec_id AS id_a, b.vec_id AS id_b,
+       (round({V.duck_cosine('a.embedding', 'b.embedding')}, 6) + 0) AS sim
+FROM corpus a JOIN corpus b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE (round({V.duck_cosine('a.embedding', 'b.embedding')}, 6) + 0) >= 0.99
+""")
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs within a label block; every 20th
+    vector is re-injected scaled x1.25 (cosine 1.0 with its original)
+    and must be caught."""
+    emb = _t(spark, sf_dir, "embeddings")
+    scaled = (emb.filter(F.col("vec_id") % 20 == 0)
+              .withColumn("vec_id", F.col("vec_id") + 1000000)
+              .withColumn("embedding", F.transform(
+                  "embedding",
+                  lambda x: (x * F.lit(1.25)).cast("float"))))
+    corpus = emb.unionByName(scaled)
+    return dedup_ops.embedding_near_dup(corpus, threshold=0.99)

@@ -68,12 +68,15 @@ def minhash_signature(shingle_col: Column, num_hashes: int = 8) -> Column:
     permutation approximation while staying a pure SQL expression.
     Returns array<bigint> of length *num_hashes*.
     """
-    return F.array(*[
-        F.array_min(F.transform(
+    def seeded_min(i: int) -> Column:
+        # NB: the lambda must take exactly ONE arg — a 2-arg lambda is
+        # interpreted by transform() as (element, index).
+        prefix = f"{i}|"
+        return F.array_min(F.transform(
             shingle_col,
-            lambda s, i=i: analysis.token_hash(F.concat(F.lit(f"{i}|"), s))))
-        for i in range(num_hashes)
-    ])
+            lambda s: analysis.token_hash(F.concat(F.lit(prefix), s))))
+
+    return F.array(*[seeded_min(i) for i in range(num_hashes)])
 
 
 def dedup_minhash_lsh(df: DataFrame, text_col: str = "text",
@@ -121,15 +124,18 @@ def simhash(text: Column | str, bits: int = 16) -> Column:
     """
     toks = analysis.tokens(text)
     hashes = F.transform(toks, analysis.token_hash)
-    bit_terms = []
-    for b in range(bits):
+
+    def bit_vote(b: int) -> Column:
+        # closure (not default-arg lambda): aggregate's merge lambda must
+        # take exactly two args
         vote = F.aggregate(
             hashes, F.lit(0).cast("long"),
-            lambda acc, h, b=b: acc + F.when(
+            lambda acc, h: acc + F.when(
                 F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1,
                 F.lit(1)).otherwise(F.lit(-1)))
-        bit_terms.append(
-            F.when(vote > 0, F.lit(2 ** b).cast("long")).otherwise(F.lit(0)))
+        return F.when(vote > 0, F.lit(2 ** b).cast("long")).otherwise(F.lit(0))
+
+    bit_terms = [bit_vote(b) for b in range(bits)]
     out = bit_terms[0]
     for t in bit_terms[1:]:
         out = out + t
