@@ -1151,10 +1151,12 @@ _DUCK_HASH48 = "(('0x' || substr(md5({x}), 1, 12))::BIGINT)"
 
 
 def _duck_minhash(num_hashes: int) -> str:
-    """DuckDB twin of dedup.minhash_signature over a `sh` shingle list."""
+    """DuckDB twin of dedup.minhash_signature over an `hs` base-hash
+    list: seeded universal hashes (a*h+b) mod p, min per seed."""
+    P = dedup_ops.MINHASH_PRIME
     parts = [
-        "list_min(list_transform(sh, s -> "
-        + _DUCK_HASH48.format(x=f"'{i}|' || s") + "))"
+        f"list_min(list_transform(hs, h -> "
+        f"({dedup_ops.MINHASH_A[i]} * h + {dedup_ops.MINHASH_B[i]}) % {P}))"
         for i in range(num_hashes)
     ]
     return "[" + ", ".join(parts) + "]"
@@ -1165,8 +1167,12 @@ WITH toks AS (
   SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents
 ), sh AS (
   SELECT doc_id, {_duck_shingles(3)} AS sh FROM toks
+), hashed AS (
+  SELECT doc_id,
+         list_transform(sh, s -> {_DUCK_HASH48.format(x='s')}) AS hs
+  FROM sh
 ), sig AS (
-  SELECT doc_id, {_duck_minhash(8)} AS sig FROM sh
+  SELECT doc_id, {_duck_minhash(8)} AS sig FROM hashed
 ), banded AS (
   SELECT doc_id,
          unnest(range(4)) AS band_idx,

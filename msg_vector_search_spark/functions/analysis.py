@@ -31,6 +31,19 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+def bind_once(col: Column, fn) -> Column:
+    """Evaluate *col* once and pass it to *fn* as a bound lambda
+    variable.
+
+    Higher-order-function lambdas re-evaluate every captured
+    *expression* on each reference (they're interpreted, no
+    subexpression elimination), but lambda *variables* are computed
+    values.  ``transform(array(col), fn)[1]`` binds col exactly once —
+    the idiom that turns O(n^2) shingle/ngram builders back into O(n).
+    """
+    return F.element_at(F.transform(F.array(col), fn), 1)
+
+
 def tokens(text: Column | str) -> Column:
     """Whitespace tokenization of lowercased text -> array<string>."""
     return F.split(F.trim(F.lower(_c(text))), r"\s+")

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from .analysis import bind_once
+
 
 def dot(a: Column | str, b: Column | str) -> Column:
     """Sequential-order double-precision dot product of two float arrays."""
@@ -41,8 +43,11 @@ def cosine(a: Column | str, b: Column | str) -> Column:
     Reference: src/core/embeddings/processor.py:413-434 (zero-norm guard
     at :431-432).
     """
-    n = norm(a) * norm(b)
-    return F.when(n == 0.0, F.lit(0.0)).otherwise(dot(a, b) / n)
+    # bind the norm product once: lambda variables are values, so the two
+    # O(d) norm scans run once instead of once per reference
+    return bind_once(
+        norm(a) * norm(b),
+        lambda n: F.when(n == 0.0, F.lit(0.0)).otherwise(dot(a, b) / n))
 
 
 def l2_normalize(a: Column | str) -> Column:
@@ -54,9 +59,12 @@ def l2_normalize(a: Column | str) -> Column:
     as zero vectors (cosine contract: similarity 0).
     """
     a = F.col(a) if isinstance(a, str) else a
-    n = norm(a)
-    return F.when(n == 0.0, a.cast("array<double>")).otherwise(
-        F.transform(a, lambda x: x.cast("double") / n))
+    # norm bound once — captured inside the transform lambda it would be
+    # re-evaluated per ELEMENT, turning normalization into O(d^2)
+    return bind_once(
+        norm(a),
+        lambda n: F.when(n == 0.0, a.cast("array<double>")).otherwise(
+            F.transform(a, lambda x: x.cast("double") / n)))
 
 
 def euclidean(a: Column | str, b: Column | str) -> Column:

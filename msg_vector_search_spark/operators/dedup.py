@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from ..functions import analysis
 from ..functions import vector as V
+from ..session import widen
 
 
 def dedup_last_wins(df: DataFrame, key: str, order_col: str) -> DataFrame:
@@ -39,7 +40,7 @@ def dedup_exact(df: DataFrame, text_col: str = "text",
     the smallest id (deterministic canonical row).  One shuffle on the
     48-bit-uniform hash — no skew, map-side partial aggregation."""
     return (
-        df.withColumn("fp", analysis.fingerprint_md5(text_col))
+        widen(df).withColumn("fp", analysis.fingerprint_md5(text_col))
         .groupBy("fp")
         .agg(F.min(id_col).alias(id_col), F.count("*").alias("dup_count"))
     )
@@ -47,36 +48,84 @@ def dedup_exact(df: DataFrame, text_col: str = "text",
 
 def shingles(text: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles of normalized text -> array<string>.
-    Documents shorter than *n* tokens yield their full token join."""
-    toks = analysis.tokens(text)
-    k = F.size(toks) - (n - 1)
-    return F.when(
-        k <= 0, F.array(F.concat_ws(" ", toks))
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), k),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j) for j in range(n)]),
+    Documents shorter than *n* tokens yield their full token join.
+
+    The token array is bound ONCE via :func:`analysis.bind_once`; a
+    naive ``element_at(tokens(text), i+j)`` inside the lambda would
+    re-tokenize the document per shingle position (O(tokens^2))."""
+    def build(toks: Column) -> Column:
+        k = F.size(toks) - (n - 1)
+        return F.when(
+            k <= 0, F.array(F.concat_ws(" ", toks))
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + j) for j in range(n)]),
+            )
         )
-    )
+
+    return analysis.bind_once(analysis.tokens(text), build)
+
+
+# Universal-hash seeding for MinHash: h_i(x) = (A[i]*x + B[i]) mod P over
+# the 48-bit base hash.  P is the largest prime < 2^48; A[i] < 2^15 keeps
+# A[i]*x < 2^63 (no int64 overflow in either Spark or DuckDB).  ONE md5
+# per shingle instead of num_hashes of them.
+MINHASH_PRIME = 281474976710597
+MINHASH_A = (10007, 12289, 15013, 18041, 21001, 24593, 27437, 31231,
+             10009, 12301, 15017, 18043, 21011, 24611, 27449, 31237)
+MINHASH_B = (7919, 104729, 1299709, 15485863, 32452843, 49979687,
+             67867967, 86028121, 7927, 104743, 1299721, 15485867,
+             32452867, 49979693, 67867979, 86028157)
 
 
 def minhash_signature(shingle_col: Column, num_hashes: int = 8) -> Column:
-    """MinHash signature: h_i = min over shingles of hash48(i || s).
+    """MinHash signature as ONE streaming aggregate over the shingles.
 
-    Seeding by prefixing the hash index keeps each h_i an independent
-    permutation approximation while staying a pure SQL expression.
+    Each shingle is md5-hashed exactly once; the *num_hashes* seeded
+    variants are cheap ``(a*h+b) % p`` arithmetic.  The accumulator is
+    the array of running minima, so the whole signature is a single
+    expression evaluated once per row — critical because higher-order
+    functions don't participate in whole-stage codegen, so any repeated
+    reference would re-run the md5 scan of the document.
     Returns array<bigint> of length *num_hashes*.
     """
-    def seeded_min(i: int) -> Column:
-        # NB: the lambda must take exactly ONE arg — a 2-arg lambda is
-        # interpreted by transform() as (element, index).
-        prefix = f"{i}|"
-        return F.array_min(F.transform(
-            shingle_col,
-            lambda s: analysis.token_hash(F.concat(F.lit(prefix), s))))
+    seeds = F.array(*[
+        F.struct(F.lit(MINHASH_A[i]).cast("long").alias("a"),
+                 F.lit(MINHASH_B[i]).cast("long").alias("b"))
+        for i in range(num_hashes)])
+    hashed = F.transform(shingle_col, analysis.token_hash)
+    init = F.array_repeat(F.lit(MINHASH_PRIME).cast("long"), num_hashes)
+    return F.aggregate(
+        hashed, init,
+        lambda acc, h: F.zip_with(
+            acc, seeds,
+            lambda m, s: F.least(m, (s.a * h + s.b) % MINHASH_PRIME)))
 
-    return F.array(*[seeded_min(i) for i in range(num_hashes)])
+
+def lsh_band_hashes(shingle_col: Column, num_hashes: int, bands: int) -> Column:
+    """Band hashes (array<string>, length *bands*) computed in the same
+    single aggregate as the signature: the ``finish`` lambda binds the
+    signature ONCE (lambda variables are values, not re-evaluated
+    expressions) and concatenates each band's rows."""
+    rows_per_band = num_hashes // bands
+    seeds = F.array(*[
+        F.struct(F.lit(MINHASH_A[i]).cast("long").alias("a"),
+                 F.lit(MINHASH_B[i]).cast("long").alias("b"))
+        for i in range(num_hashes)])
+    hashed = F.transform(shingle_col, analysis.token_hash)
+    init = F.array_repeat(F.lit(MINHASH_PRIME).cast("long"), num_hashes)
+    return F.aggregate(
+        hashed, init,
+        lambda acc, h: F.zip_with(
+            acc, seeds,
+            lambda m, s: F.least(m, (s.a * h + s.b) % MINHASH_PRIME)),
+        lambda sig: F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.concat_ws("_", *[
+                F.element_at(sig, b * rows_per_band + r + 1).cast("string")
+                for r in range(rows_per_band)])))
 
 
 def dedup_minhash_lsh(df: DataFrame, text_col: str = "text",
@@ -94,16 +143,11 @@ def dedup_minhash_lsh(df: DataFrame, text_col: str = "text",
     num_hashes/bands and salt giant buckets (near-identical boilerplate
     docs) before the self-join.
     """
-    rows_per_band = num_hashes // bands
-    sig = minhash_signature(shingles(F.col(text_col), shingle_n), num_hashes)
-    banded = df.withColumn("_sig", sig).select(
+    band_arr = lsh_band_hashes(shingles(F.col(text_col), shingle_n),
+                               num_hashes, bands)
+    banded = widen(df).select(
         F.col(id_col),
-        F.posexplode(F.array(*[
-            F.concat_ws("_", *[
-                F.element_at(F.col("_sig"), b * rows_per_band + r + 1).cast("string")
-                for r in range(rows_per_band)])
-            for b in range(bands)
-        ])).alias("band_idx", "band_hash"),
+        F.posexplode(band_arr).alias("band_idx", "band_hash"),
     )
     a = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
     b = banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
@@ -124,22 +168,27 @@ def simhash(text: Column | str, bits: int = 16) -> Column:
     """
     toks = analysis.tokens(text)
     hashes = F.transform(toks, analysis.token_hash)
-
-    def bit_vote(b: int) -> Column:
-        # closure (not default-arg lambda): aggregate's merge lambda must
-        # take exactly two args
-        vote = F.aggregate(
-            hashes, F.lit(0).cast("long"),
-            lambda acc, h: acc + F.when(
-                F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1,
-                F.lit(1)).otherwise(F.lit(-1)))
-        return F.when(vote > 0, F.lit(2 ** b).cast("long")).otherwise(F.lit(0))
-
-    bit_terms = [bit_vote(b) for b in range(bits)]
-    out = bit_terms[0]
-    for t in bit_terms[1:]:
-        out = out + t
-    return out
+    # 2^b weights as a literal array (shiftleft/right need Python-int
+    # amounts, so inside lambdas the bit test is arithmetic:
+    # bit b of h is set iff h % 2^(b+1) >= 2^b).
+    pows = F.array(*[F.lit(2 ** b).cast("long") for b in range(bits)])
+    init = F.array_repeat(F.lit(0).cast("long"), bits)
+    # ONE pass over the tokens: the accumulator is the array of per-bit
+    # votes; the finish lambda folds the votes into the fingerprint int.
+    # (A per-bit F.aggregate would re-hash every token `bits` times —
+    # higher-order functions are interpreted, no subexpression reuse.)
+    return F.aggregate(
+        hashes, init,
+        lambda acc, h: F.zip_with(
+            acc, pows,
+            lambda v, p: v + F.when(h % (p * 2) >= p, F.lit(1))
+                              .otherwise(F.lit(-1))),
+        lambda votes: F.aggregate(
+            F.zip_with(
+                votes, pows,
+                lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long"))),
+            F.lit(0).cast("long"),
+            lambda s, x: s + x))
 
 
 def dedup_simhash(df: DataFrame, text_col: str = "text",
@@ -148,7 +197,7 @@ def dedup_simhash(df: DataFrame, text_col: str = "text",
     distance 0).  Distance <= d at scale: d+1 bit-slice tables, union
     the candidate pairs."""
     return (
-        df.withColumn("simhash", simhash(F.col(text_col), bits))
+        widen(df).withColumn("simhash", simhash(F.col(text_col), bits))
         .groupBy("simhash")
         .agg(F.count("*").alias("cluster_size"), F.min(id_col).alias("min_id"))
         .filter(F.col("cluster_size") > 1)
@@ -167,7 +216,7 @@ def ngram_jaccard_pairs(df: DataFrame, block_col: str, text_col: str = "text",
     and this operator is the verification stage.
     """
     exploded = (
-        df.select(F.col(id_col), F.col(block_col).alias("block"),
+        widen(df).select(F.col(id_col), F.col(block_col).alias("block"),
                   F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n)))
                   .alias("shingle"))
     )
@@ -205,16 +254,23 @@ def embedding_near_dup(embeddings: DataFrame, block_col: str = "label",
     the vectors themselves).  Cosine is the codegen'd higher-order
     expression from functions.vector.
     """
+    # norms computed once per ROW before the join — per pair only the
+    # dot product remains, cutting the pairwise O(d) work to a third
     a = embeddings.select(F.col(id_col).alias("id_a"),
                           F.col(vec_col).alias("vec_a"),
+                          V.norm(vec_col).alias("norm_a"),
                           F.col(block_col).alias("block"))
     b = embeddings.select(F.col(id_col).alias("id_b"),
                           F.col(vec_col).alias("vec_b"),
+                          V.norm(vec_col).alias("norm_b"),
                           F.col(block_col).alias("block"))
+    nprod = F.col("norm_a") * F.col("norm_b")
+    sim = F.when(nprod == 0.0, F.lit(0.0)).otherwise(
+        V.dot("vec_a", "vec_b") / nprod)
     return (
         a.join(b, "block")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("sim", (F.round(V.cosine("vec_a", "vec_b"), 6) + F.lit(0.0)))
+        .withColumn("sim", F.round(sim, 6) + F.lit(0.0))
         .filter(F.col("sim") >= threshold)
         .select("block", "id_a", "id_b", "sim")
     )

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
@@ -56,3 +56,19 @@ def tune_session(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     return spark
+
+
+def widen(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Ensure at least *min_partitions* (default: cluster parallelism)
+    for compute-heavy downstream stages.
+
+    Small fixture files arrive as ONE input split, serializing expensive
+    per-row work (shingling, hashing, embedding) onto a single core.  At
+    production scale the scan is already wide and this is a no-op — the
+    round-robin repartition only fires when the source is narrower than
+    the cluster.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import schemas
+from ..session import widen  # noqa: F401  (re-export; historical home)
 
 FIXTURE_TABLES = tuple(schemas.TABLES)
 
