@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
+from . import embed, multimodal
 from .functions import analysis, textops, vector as V
 from .operators import aggregates as agg_ops
 from .operators import dedup as dedup_ops
@@ -1281,3 +1282,182 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                   lambda x: (x * F.lit(1.25)).cast("float"))))
     corpus = emb.unionByName(scaled)
     return dedup_ops.embedding_near_dup(corpus, threshold=0.99)
+
+
+# =========================================================================
+# Text analysis family (training-data-pipeline extension surface):
+# language id, quality scoring, token counting, fingerprinting
+# =========================================================================
+
+_DUCK_STOP = ", ".join(f"'{w}'" for w in analysis.EN_STOPWORDS)
+_DUCK_STOP_RATIO = (
+    "(CASE WHEN len(toks) = 0 THEN 0.0 ELSE "
+    f"CAST(len(list_filter(toks, t -> t IN ({_DUCK_STOP}))) AS DOUBLE)"
+    " / len(toks) END)")
+_DUCK_PUNCT_RATIO = (
+    "(CASE WHEN length(text) = 0 THEN 0.0 ELSE "
+    "CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)"
+    " / length(text) END)")
+
+
+@register("text_lang_id", oracle=f"""
+WITH t AS (SELECT doc_id, text, {_DUCK_TOKENS} AS toks FROM documents)
+SELECT doc_id,
+       CASE WHEN {_DUCK_STOP_RATIO} >= 0.08 THEN 'en' ELSE 'und' END AS lang_id,
+       (round({_DUCK_STOP_RATIO}, 6) + 0) AS stopword_ratio
+FROM t
+""")
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language id by English-stopword density (extension
+    surface; no analog in the reference, whose corpus is chat text)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        analysis.lang_id(F.col("text")).alias("lang_id"),
+        rnd(analysis.stopword_ratio(F.col("text")), 6).alias("stopword_ratio"))
+
+
+@register("text_quality_score", oracle=f"""
+WITH t AS (SELECT doc_id, text, {_DUCK_TOKENS} AS toks FROM documents)
+SELECT doc_id,
+       (round(
+          0.5 * least(CAST(length(text) AS DOUBLE) / 400.0, 1.0)
+        + 0.5 * least({_DUCK_STOP_RATIO} * 5.0, 1.0)
+        - 0.25 * least({_DUCK_PUNCT_RATIO} * 5.0, 1.0), 6) + 0) AS quality
+FROM t
+""")
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score: length band + stopword presence -
+    punctuation excess (fixed weights, deterministic)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        (analysis.quality_score(F.col("text")) + F.lit(0.0)).alias("quality"))
+
+
+@register("text_token_counts", oracle=f"""
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(string_split_regex(trim(text), '\\s+')) END
+         AS ws_tokens,
+       len(regexp_extract_all(text, '{analysis.RE_BPE_TOKEN}')) AS bpe_tokens
+FROM documents
+""")
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish regex
+    (letter runs | digit runs | single symbols)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        analysis.whitespace_token_count(F.col("text")).alias("ws_tokens"),
+        analysis.bpe_token_count(F.col("text")).alias("bpe_tokens"))
+
+
+@register("text_fingerprint", oracle=f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents)
+SELECT doc_id,
+       md5(array_to_string(toks, ' ')) AS fp_md5,
+       CAST(list_sum([
+         (('0x' || substr(md5(toks[i + 1]), 1, 8))::BIGINT) * (i + 1)
+         FOR i IN range(len(toks))
+       ]) AS BIGINT) AS fp_rolling
+FROM t
+""")
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: exact md5 of normalized text plus an
+    order-sensitive positional rolling hash."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        analysis.fingerprint_md5("text").alias("fp_md5"),
+        analysis.fingerprint_rolling("text").alias("fp_rolling"))
+
+
+# =========================================================================
+# ANN scale path: IVF partition-pruned search (SURVEY 4 custom opportunity)
+# =========================================================================
+
+@register("ann_ivf_topk", oracle=f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT 16
+), q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id, e.embedding, c.centroid_id,
+         (round({V.duck_cosine('e.embedding', 'c.cvec')}, 9) + 0) AS cdist
+  FROM embeddings e CROSS JOIN cent c
+), assigned AS (
+  SELECT vec_id, embedding, centroid_id AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cdist DESC, centroid_id) AS rn
+    FROM scored) WHERE rn = 1
+), probe AS (
+  SELECT centroid_id AS cell
+  FROM cent, q
+  ORDER BY {V.duck_cosine('cvec', 'qv')} DESC, centroid_id LIMIT 2
+)
+SELECT a.vec_id, a.cell,
+       (round({V.duck_cosine('a.embedding', 'qv')}, 6) + 0) AS sim
+FROM assigned a, q
+WHERE a.cell IN (SELECT cell FROM probe)
+ORDER BY sim DESC, a.vec_id LIMIT 10
+""")
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN search: 16 deterministic centroids, probe top-2 cells,
+    brute-force within — the partition-pruned scale path past the
+    brute-force flagship (scanned fraction ~ nprobe/nlist)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = ivf_ops.seed_centroids(emb, 16)
+    assigned = ivf_ops.assign_cells(emb, cent)
+    return ivf_ops.ivf_search(assigned, cent, _query_vec(spark, sf_dir),
+                              k=10, nprobe=2)
+
+
+# =========================================================================
+# Embedding UDF (SURVEY 2.I I1/I2) and multimodal plumbing — the model
+# itself is not SQL-expressible, so these are rows-only checks except
+# where the output is model-free (multimodal metadata).
+# =========================================================================
+
+@register("udf_embed_batch")
+def udf_embed_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I1 ``udf_embed_batch``: Arrow-batched pandas-UDF embedding of the
+    documents table (deterministic fake encoder; rows-only check).
+    Output is the model-free part: id, dimension, unit norm.
+    Reference: src/core/embeddings/processor.py:174-324."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = embed.with_embeddings(readers.widen(docs), text_col="text")
+    return out.select(
+        "doc_id",
+        F.size("embedding").alias("dim"),
+        rnd(V.norm("embedding"), 3).alias("norm"))
+
+
+@register("udf_embed_query")
+def udf_embed_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I2 ``udf_embed_query`` + the full search path: embed one query
+    string driver-side, broadcast it as a literal, cosine top-k against
+    the stored corpus (rows-only: the query vector is model output).
+    Reference: embeddings/processor.py:461-529."""
+    qv = embed.embed_query_vector("test message")
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim_ops.knn_search(emb, qv, k=10, threshold=-1.0)
+
+
+@register("multimodal_features", oracle="""
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio'
+            ELSE 'video' END AS media_type,
+       octet_length(encode(text)) AS n_bytes
+FROM documents
+""")
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: binary payload column ->
+    mapInPandas feature extraction (byte histograms standing in for
+    codec+CNN) -> typed metadata.  The oracle checks the model-free
+    metadata columns; the feature vectors are covered by unit tests."""
+    docs = _t(spark, sf_dir, "documents")
+    media = multimodal.documents_as_media(docs)
+    feats = multimodal.extract_features(readers.widen(media))
+    return feats.select("media_id", "media_type", "n_bytes")
