@@ -50,7 +50,14 @@ def messages_from_events(events: DataFrame) -> DataFrame:
         F.col("user_id") % 3 == 0,
         F.concat(F.lit("group-"), (F.col("user_id") % 7).cast("string")),
     ).otherwise(F.concat(F.lit("buddy-"), F.col("user_id").cast("string")))
-    raw_text = textops.extract_text(F.col("props"))
+    # C1 extraction first; the events fixture's props carry no 'text'
+    # key, so fall back to a deterministic rendering of the event —
+    # the reference would skip such rows entirely, but a corpus of zero
+    # messages exercises nothing
+    raw_text = F.coalesce(
+        F.nullif(textops.extract_text(F.col("props")), F.lit("")),
+        F.concat_ws(" ", F.col("msg_kind"),
+                    F.get_json_object(F.col("props"), "$.k")))
     return (
         events.select(
             F.col("event_id").cast("string").alias("message_id"),
@@ -93,11 +100,17 @@ def ingest_batch(spark: SparkSession, sf_dir: str, store_dir: str,
     events = readers.read_table(spark, sf_dir, "events")
     if watermark is not None:
         events = events.filter(F.col("ts") > F.lit(watermark))
-    msgs = messages_from_events(events)
-    msgs = msgs.filter(F.length(F.trim(F.col("message_text"))) > 0)
+    scanned = messages_from_events(events)
     if max_messages is not None:
-        msgs = msgs.orderBy("ts", "message_id").limit(max_messages)
+        scanned = scanned.orderBy("ts", "message_id").limit(max_messages)
 
+    # Watermark covers every SCANNED row — empty-text rows are consumed
+    # (never rescanned) but not stored, matching the reference's skip
+    # inside the batch loop (processor.py:449-451 with batch watermark
+    # from the raw rows at :466-468).
+    new_wm = scanned.agg(F.max("ts")).collect()[0][0]
+
+    msgs = scanned.filter(F.length(F.trim(F.col("message_text"))) > 0)
     msgs = enrich.context_prev_next(
         msgs, "session_id", "ts", "message_text")
 
@@ -111,7 +124,6 @@ def ingest_batch(spark: SparkSession, sf_dir: str, store_dir: str,
                          order_col="ts")
     stored = spark.read.parquet(out_path)
 
-    new_wm = msgs.agg(F.max("ts")).collect()[0][0]
     if new_wm is not None:
         state.write_watermark(spark, store_dir, new_wm)
     return stored

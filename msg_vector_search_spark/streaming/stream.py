@@ -12,21 +12,42 @@ schema; ``maxFilesPerTrigger`` is the input-rate cap (H4 analog).
 
 from __future__ import annotations
 
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-from .. import schemas
+# streaming-source schema: ts is physically TIMESTAMP(NANOS), read as a
+# nanosecond long (spark.sql.legacy.parquet.nanosAsLong) and converted
+# to a microsecond timestamp below — same convention as the batch reader
+# (sources.readers.read_table)
+_EVENTS_NANOS = T.StructType([
+    T.StructField("event_id", T.LongType(), False),
+    T.StructField("ts", T.LongType(), True),
+    T.StructField("user_id", T.LongType(), True),
+    T.StructField("event_type", T.StringType(), True),
+    T.StructField("value", T.DoubleType(), True),
+    T.StructField("props", T.StringType(), True),
+])
 
 
 def read_event_stream(spark: SparkSession, sf_dir: str,
                       max_files_per_trigger: int | None = None) -> DataFrame:
     """File-source stream over the events fixture (H1: source offsets
-    are the watermark; H4: maxFilesPerTrigger is the backfill cap)."""
-    reader = (spark.readStream.schema(schemas.EVENTS)
+    are the watermark; H4: maxFilesPerTrigger is the backfill cap).
+
+    The source path is a GLOB (``[e]vents.parquet``): FileStreamSource
+    rejects a bare file path ("basePath must be a directory") but
+    accepts a glob, whose parent directory becomes the base.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = (spark.readStream.schema(_EVENTS_NANOS)
               .format("parquet"))
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return reader.load(f"{sf_dir}/events.parquet")
+    df = reader.load(f"{sf_dir}/[e]vents.parquet")
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def tumbling_event_counts(events: DataFrame,
@@ -45,16 +66,26 @@ def tumbling_event_counts(events: DataFrame,
 
 
 def run_stream_once(spark: SparkSession, sf_dir: str,
-                    query_name: str = "tumbling_counts") -> DataFrame:
+                    query_name: str = "tumbling_counts",
+                    output_mode: str = "append",
+                    checkpoint_dir: str | None = None) -> DataFrame:
     """Drive the streaming query to completion over the current fixture
     contents (memory sink + processAllAvailable) and return the result
     as a DataFrame — the local smoke-test harness for the streaming
-    path."""
+    path.
+
+    ``append`` (production mode) emits only windows finalized by the
+    watermark — the trailing ``late`` interval stays in state;
+    ``complete`` emits everything and matches the batch twin exactly.
+    A fresh checkpoint dir is created per run unless one is passed
+    (a reused checkpoint replays no data and yields an empty table).
+    """
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix=f"ckpt_{query_name}_")
     events = read_event_stream(spark, sf_dir)
     agg = tumbling_event_counts(events)
-    q = (agg.writeStream.outputMode("append")
+    q = (agg.writeStream.outputMode(output_mode)
          .format("memory").queryName(query_name)
-         .option("checkpointLocation", f"/tmp/ckpt_{query_name}")
+         .option("checkpointLocation", ckpt)
          .start())
     try:
         q.processAllAvailable()

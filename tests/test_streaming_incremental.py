@@ -1,0 +1,122 @@
+"""Streaming + batch-incremental coverage (SURVEY 2.H, plans 3.2).
+
+The streaming tumbling-window query must agree with its batch twin;
+the incremental ingest pipeline must be idempotent (H5) and advance its
+watermark; the watermark clamp guards (H2) mirror the reference's
+corruption handling (src/core/database/processor.py:62-69).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from msg_vector_search_spark.plans import ingest
+from msg_vector_search_spark.sources import readers, state
+from msg_vector_search_spark.streaming import incremental, stream
+
+SF = "/root/testdata/sf0.001"
+
+
+def batch_tumbling(spark):
+    events = readers.read_table(spark, SF, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "event_type", "n", "sum_value")
+    )
+
+
+def as_set(df, cols):
+    return {tuple(r) for r in df.select(*cols).collect()}
+
+
+def test_stream_complete_matches_batch(spark):
+    got = stream.run_stream_once(spark, SF, query_name="t_complete",
+                                 output_mode="complete")
+    want = batch_tumbling(spark)
+    cols = ["window_start", "event_type", "n", "sum_value"]
+    assert as_set(got, cols) == as_set(want, cols)
+
+
+def test_stream_append_emits_only_finalized_windows(spark):
+    got = stream.run_stream_once(spark, SF, query_name="t_append",
+                                 output_mode="append")
+    batch = batch_tumbling(spark)
+    max_ts = readers.read_table(spark, SF, "events") \
+        .agg(F.max("ts")).collect()[0][0]
+    watermark = max_ts - dt.timedelta(hours=2)
+    finalized = batch.filter(F.col("window_end") <= F.lit(watermark))
+    cols = ["window_start", "event_type", "n", "sum_value"]
+    got_set = as_set(got, cols)
+    assert got_set == as_set(finalized, cols)
+    # sanity: the trailing windows really were held back in state
+    assert len(got_set) < batch.count()
+
+
+def test_ingest_idempotent_and_watermark_advances(spark, tmp_path):
+    store = str(tmp_path / "store")
+    first = ingest.ingest_batch(spark, SF, store)
+    n_first = first.count()
+    assert n_first > 0
+    # watermark advanced to the max ingested ts
+    wm = state.read_watermark(spark, store)
+    max_ts = readers.read_table(spark, SF, "events") \
+        .agg(F.max("ts")).collect()[0][0]
+    assert wm == max_ts
+    # re-run: no new rows, no duplicates (H5 idempotence)
+    again = ingest.run_incremental(spark, SF, store)
+    assert again.count() == n_first
+    ids = again.groupBy("message_id").count().filter(F.col("count") > 1)
+    assert ids.count() == 0
+
+
+def test_ingest_backfill_cap_then_catch_up(spark, tmp_path):
+    store = str(tmp_path / "store")
+    capped = ingest.ingest_batch(spark, SF, store, max_messages=50)
+    # cap bounds the SCANNED rows; empties among them are consumed, not stored
+    assert 0 < capped.count() <= 50
+    # the capped batch's watermark must let a later run catch up
+    rest = ingest.run_incremental(spark, SF, store)
+    full_store = str(tmp_path / "full")
+    full = ingest.ingest_batch(spark, SF, full_store)
+    assert rest.count() == full.count()
+    assert as_set(rest, ["message_id"]) == as_set(full, ["message_id"])
+
+
+def test_watermark_clamp_guards(spark):
+    as_of = dt.datetime(2026, 1, 1)
+    rows = [
+        (dt.datetime(2030, 1, 1),),   # future -> epoch
+        (dt.datetime(2010, 1, 1),),   # >10y old -> as_of - 30d
+        (dt.datetime(2025, 12, 1),),  # sane -> unchanged
+    ]
+    df = spark.createDataFrame(rows, ["ts"])
+    got = [r[0] for r in df.select(
+        state.clamp_watermark(F.col("ts"), F.lit(as_of)).alias("c")
+    ).collect()]
+    assert got[0] == state.EPOCH
+    assert got[1] == as_of - dt.timedelta(days=30)
+    assert got[2] == dt.datetime(2025, 12, 1)
+
+
+def test_backlog_tiers():
+    assert incremental.backlog_tier(1_000) == "small"
+    assert incremental.backlog_tier(30_000) == "medium"
+    assert incremental.backlog_tier(60_000) == "large"
+    assert incremental.backfill_caps(60_000) == (5_000, 250)
+
+
+def test_seven_day_reset():
+    oldest = dt.datetime(2026, 1, 1)
+    newest = dt.datetime(2026, 3, 1)
+    stale = dt.datetime(2025, 12, 1)
+    assert incremental.seven_day_reset(stale, oldest, newest) == \
+        newest - dt.timedelta(days=7)
+    ok = dt.datetime(2026, 2, 1)
+    assert incremental.seven_day_reset(ok, oldest, newest) == ok
