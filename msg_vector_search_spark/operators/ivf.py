@@ -45,8 +45,13 @@ def assign_cells(embeddings: DataFrame, centroids: DataFrame,
     """Assign every vector to its nearest centroid by cosine (ties to
     the smallest centroid id).  Broadcast nested-loop against the tiny
     centroid table — the corpus is never shuffled."""
-    scored = embeddings.crossJoin(F.broadcast(centroids)).withColumn(
-        "cdist", (F.round(V.cosine(F.col(vec_col), F.col("centroid_vec")), 9) + F.lit(0.0)))
+    emb_n = embeddings.withColumn("_vn", V.norm(F.col(vec_col)))
+    cent_n = centroids.withColumn("_cn", V.norm(F.col("centroid_vec")))
+    nprod = F.col("_vn") * F.col("_cn")
+    cos = F.when(nprod == 0.0, F.lit(0.0)).otherwise(
+        V.dot(F.col(vec_col), F.col("centroid_vec")) / nprod)
+    scored = emb_n.crossJoin(F.broadcast(cent_n)).withColumn(
+        "cdist", (F.round(cos, 9) + F.lit(0.0)))
     w = Window.partitionBy(id_col).orderBy(
         F.col("cdist").desc(), F.col("centroid_id").asc())
     return (
@@ -84,11 +89,13 @@ def ivf_search(assigned: DataFrame, centroids: DataFrame,
     parquet index; in the latter case the semi join on ``cell`` becomes
     a partition-pruning filter (broadcast DPP under AQE).
     """
+    from .similarity import similarity_to_query
+
     cells = probe_cells(centroids, query_vec, nprobe)
     candidates = assigned.join(F.broadcast(cells), "cell", "left_semi")
-    qv = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
-        candidates.withColumn("sim", (F.round(V.cosine(F.col(vec_col), qv), 6) + F.lit(0.0)))
+        similarity_to_query(candidates, query_vec, vec_col)
+        .withColumn("sim", (F.round(F.col("sim"), 6) + F.lit(0.0)))
         .orderBy(F.col("sim").desc(), F.col(id_col).asc())
         .limit(k)
         .select(id_col, "cell", "sim")

@@ -17,6 +17,8 @@ cuts the scanned fraction to nprobe/nlist.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -32,9 +34,22 @@ def similarity_to_query(corpus: DataFrame, query_vec: list[float],
     single-query special case of the reference's scan loop (reference:
     src/core/embeddings/processor.py:489-506).  No join, no shuffle: the
     plan is scan -> project, one codegen stage.
+
+    The query norm is a CONSTANT, so it is computed here in Python:
+    higher-order aggregates over literal arrays are not constant-folded
+    by Catalyst and would re-reduce the 0-dim-varying norm on every row.
+    Per row this leaves one dot and one corpus-side norm — exactly the
+    work brute force requires (pre-normalized corpora skip the latter).
     """
     qv = F.array(*[F.lit(float(x)) for x in query_vec])
-    return corpus.withColumn(out_col, V.cosine(F.col(vec_col), qv))
+    qnorm = math.sqrt(sum(float(x) * float(x) for x in query_vec))
+    if qnorm == 0.0:
+        return corpus.withColumn(out_col, F.lit(0.0))
+    nprod = V.norm(F.col(vec_col)) * F.lit(qnorm)
+    return corpus.withColumn(
+        out_col,
+        V.bind_once(nprod, lambda n: F.when(n == 0.0, F.lit(0.0))
+                    .otherwise(V.dot(F.col(vec_col), qv) / n)))
 
 
 def threshold_filter(scored: DataFrame, threshold: float,
@@ -68,7 +83,12 @@ def knn_search(corpus: DataFrame, query_vec: list[float], k: int = 30,
         similarity_to_query(corpus, query_vec, vec_col)
         .withColumn("sim", (F.round(F.col("sim"), 6) + F.lit(0.0)))
     )
-    return top_k(threshold_filter(scored, threshold), k, tiebreak=tiebreak)
+    # top-k FIRST, threshold after: equivalent result (if any top-k row
+    # is under the threshold, every non-top-k row is too), but the
+    # threshold then filters k rows instead of being pushed down past
+    # the projection — which would inline and re-evaluate the whole
+    # cosine expression a second time per corpus row.
+    return threshold_filter(top_k(scored, k, tiebreak=tiebreak), threshold)
 
 
 def knn_join(corpus: DataFrame, queries: DataFrame, k: int = 10,
@@ -83,9 +103,14 @@ def knn_join(corpus: DataFrame, queries: DataFrame, k: int = 10,
     rank window.  corpus is never shuffled until the (tiny) ranked
     result — the correct asymmetric shape at 100 TB.
     """
-    joined = corpus.crossJoin(F.broadcast(queries))
-    scored = joined.withColumn(
-        "sim", (F.round(V.cosine(F.col(corpus_vec), F.col(query_vec)), 6) + F.lit(0.0)))
+    # norms once per input row on each side; per pair only the dot runs
+    corpus_n = corpus.withColumn("_cn", V.norm(F.col(corpus_vec)))
+    queries_n = queries.withColumn("_qn", V.norm(F.col(query_vec)))
+    joined = corpus_n.crossJoin(F.broadcast(queries_n))
+    nprod = F.col("_cn") * F.col("_qn")
+    cos = F.when(nprod == 0.0, F.lit(0.0)).otherwise(
+        V.dot(F.col(corpus_vec), F.col(query_vec)) / nprod)
+    scored = joined.withColumn("sim", (F.round(cos, 6) + F.lit(0.0)))
     w = Window.partitionBy(query_id).orderBy(
         F.col("sim").desc(), F.col(corpus_id).asc())
     return (
@@ -106,12 +131,17 @@ def pairwise_similarity(left: DataFrame, right: DataFrame, on: str,
     threshold.
     """
     a = left.select(F.col("vec_id").alias("id_a"),
-                    F.col(vec_col).alias("vec_a"), F.col(on).alias("k_a"))
+                    F.col(vec_col).alias("vec_a"), F.col(on).alias("k_a"),
+                    V.norm(vec_col).alias("_na"))
     b = right.select(F.col("vec_id").alias("id_b"),
-                     F.col(vec_col).alias("vec_b"), F.col(on).alias("k_b"))
+                     F.col(vec_col).alias("vec_b"), F.col(on).alias("k_b"),
+                     V.norm(vec_col).alias("_nb"))
+    nprod = F.col("_na") * F.col("_nb")
+    cos = F.when(nprod == 0.0, F.lit(0.0)).otherwise(
+        V.dot("vec_a", "vec_b") / nprod)
     return (
         a.join(b, (F.col("k_a") == F.col("k_b")) & (F.col("id_a") < F.col("id_b")))
-        .withColumn("sim", (F.round(V.cosine("vec_a", "vec_b"), 6) + F.lit(0.0)))
+        .withColumn("sim", (F.round(cos, 6) + F.lit(0.0)))
         .filter(F.col("sim") >= F.lit(threshold))
         .select("id_a", "id_b", F.col("k_a").alias("block"), "sim")
     )
