@@ -16,27 +16,33 @@ from pyspark.sql import functions as F
 def page_by_ts(df: DataFrame, ts_col: str, page: int, page_size: int,
                tiebreak: str) -> DataFrame:
     """F2 ``sort_ts_pagination``: deterministic page *page* (1-based) of
-    the time-ordered scan (reference: processor.py:428-437).  Global
-    ``row_number`` forces a single-partition window — correct but
-    intentionally NOT the scan strategy; the ingest pipeline reads
-    partition-parallel instead."""
-    w = Window.orderBy(F.col(ts_col), F.col(tiebreak))
+    the time-ordered scan (reference: processor.py:428-437).
+
+    A naive global ``row_number`` moves the WHOLE table to one
+    partition.  Instead: ordered ``limit(page*size)`` plans
+    TakeOrderedAndProject (per-partition heaps, driver merge of
+    page*size rows), and the global window then numbers only that
+    bounded prefix.  Pagination stays an anti-pattern for deep pages —
+    the ingest pipeline reads partition-parallel instead."""
     lo, hi = (page - 1) * page_size, page * page_size
-    return (df.withColumn("rn", F.row_number().over(w))
-              .filter((F.col("rn") > lo) & (F.col("rn") <= hi)))
+    prefix = df.orderBy(F.col(ts_col), F.col(tiebreak)).limit(hi)
+    w = Window.orderBy(F.col(ts_col), F.col(tiebreak))
+    return (prefix.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") > lo))
 
 
 def kth_most_recent_ts(df: DataFrame, ts_col: str, k: int,
                        tiebreak: str) -> DataFrame:
     """F3 ``kth_ts_offset``: timestamp of the k-th most recent row — the
     reference's backfill cap probe (processor.py:386-401,
-    ``ORDER BY _createAt DESC LIMIT 1 OFFSET k-1``).  At 100 TB the
-    exact k-th gives way to ``approx_percentile`` (see
+    ``ORDER BY _createAt DESC LIMIT 1 OFFSET k-1``).
+
+    Ordered ``limit(k)`` (TakeOrderedAndProject heaps, no global window)
+    then min(ts) of the k kept rows == the k-th most recent.  At 100 TB
+    the exact k-th gives way to ``approx_percentile`` (see
     :func:`ts_quantile_cut`)."""
-    w = Window.orderBy(F.col(ts_col).desc(), F.col(tiebreak))
-    return (df.withColumn("rn", F.row_number().over(w))
-              .filter(F.col("rn") == k)
-              .select(F.col(ts_col).alias("kth_ts")))
+    return (df.orderBy(F.col(ts_col).desc(), F.col(tiebreak)).limit(k)
+              .agg(F.min(ts_col).alias("kth_ts")))
 
 
 def ts_quantile_cut(df: DataFrame, ts_col: str, fraction: float) -> DataFrame:

@@ -92,3 +92,84 @@ def run_stream_once(spark: SparkSession, sf_dir: str,
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: gap-based sessionization via
+# applyInPandasWithState (SURVEY 2.H extension; the batch twin is the
+# `sessionize` contract query).
+# ---------------------------------------------------------------------------
+
+SESSION_OUT_SCHEMA = ("user_id bigint, session_start timestamp, "
+                      "session_end timestamp, n_events bigint")
+SESSION_STATE_SCHEMA = "start timestamp, last timestamp, n bigint"
+
+
+def stateful_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based session assembly as a custom stateful operator.
+
+    Per user: events within *gap_minutes* of the previous event extend
+    the current session; a larger gap CLOSES it (emitted downstream) and
+    opens a new one.  The open session per user persists in the state
+    store across micro-batches — the semantics ``groupBy(window)`` can't
+    express (session length is data-dependent, not fixed).
+
+    Scale: state is one row per user (start, last, n); the shuffle key
+    is user_id.  A production deployment adds a state timeout to evict
+    idle users instead of keeping them forever.
+    """
+    import pandas as pd  # local import: only the streaming path needs it
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def assemble(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        if state.exists:
+            start, last, n = state.get
+            start, last = pd.Timestamp(start), pd.Timestamp(last)
+        else:
+            start = last = None
+            n = 0
+        closed = []
+        for pdf in pdf_iter:
+            for ts in pdf["ts"].sort_values():
+                ts = pd.Timestamp(ts)
+                if start is None:
+                    start, last, n = ts, ts, 1
+                elif ts - last > gap:
+                    closed.append((user_id, start, last, n))
+                    start, last, n = ts, ts, 1
+                else:
+                    last, n = ts, n + 1
+        if start is not None:
+            state.update((start.to_pydatetime(), last.to_pydatetime(), int(n)))
+        if closed:
+            yield pd.DataFrame(closed, columns=[
+                "user_id", "session_start", "session_end", "n_events"])
+
+    return (events.select("user_id", "ts")
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                assemble, SESSION_OUT_SCHEMA, SESSION_STATE_SCHEMA,
+                "append", GroupStateTimeout.NoTimeout))
+
+
+def run_stateful_sessions(spark: SparkSession, sf_dir: str,
+                          gap_minutes: int = 30,
+                          query_name: str = "stateful_sessions") -> DataFrame:
+    """Drive the stateful sessionizer over the fixture stream to
+    completion; returns the CLOSED sessions (each user's trailing open
+    session stays in state, as it must)."""
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{query_name}_")
+    sessions = stateful_sessionize(read_event_stream(spark, sf_dir),
+                                   gap_minutes=gap_minutes)
+    q = (sessions.writeStream.outputMode("append")
+         .format("memory").queryName(query_name)
+         .option("checkpointLocation", ckpt)
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")

@@ -120,3 +120,32 @@ def test_seven_day_reset():
         newest - dt.timedelta(days=7)
     ok = dt.datetime(2026, 2, 1)
     assert incremental.seven_day_reset(ok, oldest, newest) == ok
+
+
+def test_stateful_sessionize_matches_batch_gaps(spark):
+    """Closed sessions from applyInPandasWithState == batch lag-gap
+    sessionization minus each user's trailing (still-open) session."""
+    gap_min = 30
+    got = stream.run_stateful_sessions(spark, SF, gap_minutes=gap_min)
+
+    events = readers.read_table(spark, SF, "events")
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gapped = (events.withColumn("prev_ts", F.lag("ts").over(w))
+              .withColumn("new_s", F.when(
+                  F.col("prev_ts").isNull() |
+                  ((F.col("ts").cast("long") - F.col("prev_ts").cast("long"))
+                   > gap_min * 60), 1).otherwise(0)))
+    sess = (gapped.withColumn("s_id", F.sum("new_s").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)))
+            .groupBy("user_id", "s_id")
+            .agg(F.min("ts").alias("session_start"),
+                 F.max("ts").alias("session_end"),
+                 F.count("*").alias("n_events")))
+    # drop each user's last (open) session — the stateful op holds it back
+    last = sess.groupBy("user_id").agg(F.max("s_id").alias("last_id"))
+    closed = (sess.join(last, "user_id")
+              .filter(F.col("s_id") != F.col("last_id")))
+    cols = ["user_id", "session_start", "session_end", "n_events"]
+    assert as_set(got, cols) == as_set(closed, cols)
+    assert got.count() > 0
