@@ -32,6 +32,10 @@ def main() -> None:
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
     spark = get_spark("bench", cpus=CPUS)
 
+    # JVM/codegen warmup so the first timed query isn't charged for
+    # session spin-up (~3-5 s that no steady-state deployment pays)
+    contract.REGISTRY["topk_by_similarity"](spark, SF_DIR).count()
+
     # headline queries: name -> callable(spark, sf_dir) -> DataFrame
     heads = [
         "topk_by_similarity",     # flagship brute-force KNN
@@ -61,12 +65,34 @@ def main() -> None:
         timings[name] = round(dt, 3)
         total += dt
 
+    # headline metrics directly comparable to BASELINE.md:
+    # - search latency: warm brute-force cosine top-k over the corpus
+    #   (reference claims "sub-second" at 70k x 384-dim on a Mac)
+    # - embedding throughput: pandas-UDF embed of the documents table
+    #   (reference: 150-200 msg/s best-case on M3)
+    t0 = time.perf_counter()
+    contract.REGISTRY["topk_by_similarity"](spark, SF_DIR).count()
+    search_latency = time.perf_counter() - t0
+
+    n_docs = None
+    embed_rate = None
+    if "udf_embed_batch" in contract.REGISTRY:
+        t0 = time.perf_counter()
+        n_docs = contract.REGISTRY["udf_embed_batch"](spark, SF_DIR).count()
+        embed_s = time.perf_counter() - t0
+        embed_rate = round(n_docs / embed_s, 1) if embed_s > 0 else None
+
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "headline": {
+            "search_latency_s": round(search_latency, 3),
+            "embed_docs": n_docs,
+            "embed_throughput_docs_per_s": embed_rate,
+        },
     }))
 
 

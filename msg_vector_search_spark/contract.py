@@ -1461,3 +1461,34 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.documents_as_media(docs)
     feats = multimodal.extract_features(readers.widen(media))
     return feats.select("media_id", "media_type", "n_bytes")
+
+
+@register("search_topk_enriched", oracle=f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id, e.label,
+         (round({V.duck_cosine('e.embedding', 'qv')}, 6) + 0) AS sim
+  FROM embeddings e, q
+), topk AS (
+  SELECT * FROM scored ORDER BY sim DESC, vec_id LIMIT 30
+)
+SELECT t.vec_id, t.sim, (round(t.sim, 3) + 0) AS similarity_score,
+       n.n_name AS label_name
+FROM topk t JOIN nation n ON t.label = n.n_nationkey
+""")
+def search_topk_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full 3.1 read path composed: brute-force cosine top-k, then
+    broadcast dimension enrichment ON THE K ROWS (the reference re-ran
+    correlated lookups per result, embeddings/processor.py:532-617) and
+    the reference's 3-dp display rounding (engine.py:203)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    topk = sim_ops.knn_search(emb, _query_vec(spark, sf_dir), k=30,
+                              threshold=-1.0)
+    dim = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("label"),
+        F.col("n_name").alias("label_name"))
+    return (topk.join(F.broadcast(dim), "label")
+            .select("vec_id", "sim",
+                    (F.round(F.col("sim"), 3) + F.lit(0.0))
+                    .alias("similarity_score"),
+                    "label_name"))
