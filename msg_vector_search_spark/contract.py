@@ -1492,3 +1492,24 @@ def search_topk_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.round(F.col("sim"), 3) + F.lit(0.0))
                     .alias("similarity_score"),
                     "label_name"))
+
+
+@register("udtf_explode_users", oracle="""
+SELECT c_custkey AS user_id, trim(c_name) AS user_name FROM customer
+""")
+def udtf_explode_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UDTF-shaped surface (SURVEY 2.I): struct/array -> JSON text
+    at the storage boundary (C9, to_json), then the read side's LIKE
+    pre-filter -> from_json -> explode of the member array (reference:
+    src/core/database/user_mapper.py:95-137).  The oracle checks the
+    round trip preserved the full (uid, name) relation."""
+    cust = _t(spark, sf_dir, "customer")
+    grouped = (cust.groupBy("c_nationkey")
+               .agg(F.sort_array(F.collect_list(F.struct(
+                   F.col("c_custkey").alias("uid"),
+                   F.col("c_name").alias("n")))).alias("u")))
+    json_msgs = grouped.select(F.to_json(F.struct(
+        F.concat(F.lit("Group "), F.col("c_nationkey").cast("string"))
+         .alias("n"),
+        F.col("u"))).alias("c"))
+    return dims_ops.users_from_group_info(json_msgs, "c")

@@ -90,3 +90,23 @@ def rolling_agg(df: DataFrame, part_col: str, order_cols: list,
     return (df.withColumn("rolling_sum", rsum)
               .withColumn("rolling_avg",
                           F.round(rsum / rcnt, 6) + F.lit(0.0)))
+
+
+def salted_join(skewed: DataFrame, other: DataFrame, key: str,
+                unique_col: str, n_salts: int = 16,
+                how: str = "inner") -> DataFrame:
+    """Skew-safe equi-join: spread each hot key over *n_salts* reducers.
+
+    The skewed side gets a deterministic salt (hash of its unique id —
+    NOT rand(), which breaks retry idempotence); the other side is
+    replicated once per salt value.  Every original pair still meets on
+    exactly one (key, salt), so the result equals the plain join while
+    the hottest reducer shrinks by ~n_salts.  AQE's skew-join splitting
+    handles moderate skew automatically; explicit salting is for the
+    pathological key that exceeds a single executor even after splits.
+    """
+    s = skewed.withColumn(
+        "_salt", F.pmod(F.hash(F.col(unique_col)), F.lit(n_salts)))
+    o = other.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)])))
+    return s.join(o, [key, "_salt"], how).drop("_salt")

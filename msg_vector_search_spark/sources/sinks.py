@@ -60,3 +60,24 @@ def write_dimension(df: DataFrame, path: str, fmt: str = "parquet") -> None:
         writer.json(path)
     else:
         writer.parquet(path)
+
+
+def write_bucketed(df: DataFrame, table: str, n_buckets: int, key: str,
+                   path: str | None = None,
+                   sort_cols: list[str] | None = None) -> None:
+    """Bucketed table write — the co-located-join layout (SURVEY 4b).
+
+    Both sides of a recurring equi-join written with the same bucket
+    count and key join WITHOUT a shuffle: each bucket pairs off by file.
+    This is the batch analog of the reference's B-tree index on
+    session_id (src/core/embeddings/processor.py:153-156) — except the
+    'index' is the physical layout, so at 100 TB the join skips the
+    exchange of the entire corpus, the single biggest cost in any
+    enrich-at-scale plan.
+    """
+    w = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, key)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table)
