@@ -8,6 +8,7 @@ for B3) — the reference hand-writes the same predicates into SQL strings
 
 from __future__ import annotations
 
+import calendar
 from datetime import datetime
 
 from pyspark.sql import Column, DataFrame
@@ -19,8 +20,21 @@ def since_ts(df: DataFrame, watermark: datetime | str,
     """B1 ``filter_since_ts``: the incremental watermark predicate
     ``ts > ?`` (reference: src/core/database/processor.py:349-353,
     :428-437).  Pushed to the scan: only row groups whose max(ts)
-    exceeds the watermark are read."""
-    return df.filter(F.col(ts_col) > F.lit(watermark))
+    exceeds the watermark are read.
+
+    When the frame carries a raw ``_ts_nanos`` column (the events
+    reader's nanos workaround), the converted ``ts`` is an expression
+    Parquet can't push — so a COARSE raw-domain twin is added: any row
+    with ts > wm has nanos > wm-in-nanos, so the twin never drops a
+    qualifying row, but it reaches PushedFilters and prunes row groups.
+    The exact predicate still applies after conversion.
+    """
+    exact = F.col(ts_col) > F.lit(watermark)
+    if "_ts_nanos" in df.columns and isinstance(watermark, datetime):
+        wm_nanos = (calendar.timegm(watermark.utctimetuple()) * 10**9
+                    + watermark.microsecond * 1_000)
+        return df.filter((F.col("_ts_nanos") > F.lit(wm_nanos)) & exact)
+    return df.filter(exact)
 
 
 def json_probe(df: DataFrame, col: str, *needles: str) -> DataFrame:

@@ -42,8 +42,14 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # keep the RAW nanos long alongside the converted timestamp:
+        # predicates on the converted column wrap it in an expression
+        # Parquet can't push, so watermark filters (filters.since_ts)
+        # add a coarse raw-domain twin on _ts_nanos that DOES push —
+        # row-group min/max skipping is what makes the incremental scan
+        # cheap at 100 TB
+        return (df.withColumn("_ts_nanos", F.col("ts"))
+                  .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
     return spark.read.parquet(table_path(sf_dir, name))
 
 

@@ -1,0 +1,81 @@
+"""Physical-plan regression tests: the scale properties (pushdown,
+broadcast, bounded top-k, shuffle budget) asserted on the plans
+themselves, so a refactor that silently degrades the 100 TB story
+fails CI even though results stay correct."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from msg_vector_search_spark import contract
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_flagship_topk_is_single_stage_heap(spark):
+    df = contract.REGISTRY["topk_by_similarity"](spark, SF)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan          # no shuffle at any corpus size
+    assert "Sort " not in plan             # no global sort
+
+
+def test_incremental_filter_reaches_parquet_scan(spark):
+    df = contract.REGISTRY["filter_since_ts"](spark, SF)
+    plan = plan_of(df)
+    assert "PushedFilters: [" in plan
+    # the watermark predicate must appear among the pushed filters
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "GreaterThan" in pushed
+
+
+def test_projection_prunes_read_schema(spark):
+    df = contract.REGISTRY["scan_messages"](spark, SF)
+    plan = plan_of(df)
+    read_schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    # documents has text+lang+source+n_chars+doc_id; all are selected,
+    # so instead check a 2-column projection prunes to 2
+    df2 = contract.REGISTRY["filter_not_null_distinct"](spark, SF)
+    plan2 = plan_of(df2)
+    rs = plan2.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "text" not in rs  # only the key column is read
+
+
+def test_dimension_join_broadcasts_small_side(spark):
+    df = contract.REGISTRY["join_user_dim"](spark, SF)
+    assert "BroadcastHashJoin" in plan_of(df)
+
+
+def test_enriched_search_broadcasts_after_topk(spark):
+    df = contract.REGISTRY["search_topk_enriched"](spark, SF)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_minhash_lsh_shuffle_budget(spark):
+    """LSH candidate generation: shuffles only for the widen
+    repartition, the band-bucket self-join and the final distinct —
+    never an all-pairs cross product."""
+    df = contract.REGISTRY["dedup_minhash_lsh"](spark, SF)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_probe_is_semi_join_prune(spark):
+    df = contract.REGISTRY["ann_ivf_topk"](spark, SF)
+    plan = plan_of(df)
+    # probe list reaches the corpus as a broadcast semi join (the
+    # partition-pruning filter once the index is written partitioned)
+    assert "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan
