@@ -13,6 +13,7 @@ is the implementation and the MERGE path is documented.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -44,10 +45,20 @@ def upsert_parquet(spark: SparkSession, incoming: DataFrame, path: str,
     writer = deduped.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
+    # stage-and-swap: the merged result reads `path`, so it cannot be
+    # overwritten in place; write the new generation once and swap the
+    # directories (the old double-write read the stage back and wrote a
+    # full second copy — 2x the write IO of the table).  On an object
+    # store this whole function is a format-level MERGE (Delta/Iceberg).
     tmp = path + "._staged"
     writer.parquet(tmp)
-    final = spark.read.parquet(tmp)
-    final.write.mode("overwrite").parquet(path)
+    if os.path.exists(path):
+        old = path + "._old"
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old)
+    else:
+        os.rename(tmp, path)
 
 
 def write_dimension(df: DataFrame, path: str, fmt: str = "parquet") -> None:
