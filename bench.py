@@ -82,6 +82,27 @@ def main() -> None:
         embed_s = time.perf_counter() - t0
         embed_rate = round(n_docs / embed_s, 1) if embed_s > 0 else None
 
+    # - ingest throughput: the FULL 3.2 write path (scan -> extract/clean
+    #   -> lag/lead context -> dim join -> embed UDF -> dedup upsert ->
+    #   watermark) in messages/second; the reference's headline number is
+    #   150-200 msg/s (M3) for the same pipeline
+    ingest_rate = None
+    n_ingested = None
+    try:
+        import shutil
+        import tempfile
+
+        from msg_vector_search_spark.plans import ingest as ingest_plan
+        store = tempfile.mkdtemp(prefix="bench_ingest_")
+        t0 = time.perf_counter()
+        n_scanned = ingest_plan.ingest_batch(spark, SF_DIR, store).count()
+        ingest_s = time.perf_counter() - t0
+        n_ingested = n_scanned
+        ingest_rate = round(n_scanned / ingest_s, 1) if ingest_s > 0 else None
+        shutil.rmtree(store, ignore_errors=True)
+    except Exception as e:
+        print(f"bench: ingest headline failed: {e}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": round(total, 3),
@@ -92,6 +113,8 @@ def main() -> None:
             "search_latency_s": round(search_latency, 3),
             "embed_docs": n_docs,
             "embed_throughput_docs_per_s": embed_rate,
+            "ingest_msgs": n_ingested,
+            "ingest_throughput_msgs_per_s": ingest_rate,
         },
     }))
 
