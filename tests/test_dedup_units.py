@@ -1,0 +1,64 @@
+"""Unit edge cases for the dedup primitives (the oracle covers the
+integration paths; these pin the boundary behaviors)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from msg_vector_search_spark.operators import dedup
+
+
+def _one(spark, text, expr):
+    return spark.createDataFrame([(text,)], ["text"]) \
+        .select(expr.alias("out")).collect()[0]["out"]
+
+
+def test_shingles_short_doc_falls_back_to_join(spark):
+    out = _one(spark, "only two", dedup.shingles(F.col("text"), 3))
+    assert out == ["only two"]
+
+
+def test_shingles_exact_n_tokens(spark):
+    out = _one(spark, "a b c", dedup.shingles(F.col("text"), 3))
+    assert out == ["a b c"]
+
+
+def test_shingles_sliding(spark):
+    out = _one(spark, "a b c d", dedup.shingles(F.col("text"), 2))
+    assert out == ["a b", "b c", "c d"]
+
+
+def test_minhash_signature_shape_and_determinism(spark):
+    sig_expr = dedup.minhash_signature(
+        dedup.shingles(F.col("text"), 2), num_hashes=8)
+    a = _one(spark, "the quick brown fox", sig_expr)
+    b = _one(spark, "the quick brown fox", sig_expr)
+    assert len(a) == 8 and a == b
+    assert all(0 <= h < dedup.MINHASH_PRIME for h in a)
+
+
+def test_minhash_similar_docs_share_signature_entries(spark):
+    sig_expr = dedup.minhash_signature(
+        dedup.shingles(F.col("text"), 2), num_hashes=8)
+    a = _one(spark, "the quick brown fox jumps over the lazy dog", sig_expr)
+    b = _one(spark, "the quick brown fox jumps over the lazy cat", sig_expr)
+    c = _one(spark, "completely different text with no overlap at all", sig_expr)
+    assert sum(x == y for x, y in zip(a, b)) > \
+        sum(x == y for x, y in zip(a, c))
+
+
+def test_simhash_deterministic_and_bounded(spark):
+    expr = dedup.simhash(F.col("text"), bits=16)
+    a = _one(spark, "hello world hello", expr)
+    assert 0 <= a < 2 ** 16
+    assert a == _one(spark, "hello world hello", expr)
+
+
+def test_jaccard_identical_docs_score_one(spark):
+    df = spark.createDataFrame(
+        [(1, "b", "alpha beta gamma delta"),
+         (2, "b", "alpha beta gamma delta")],
+        ["doc_id", "source", "text"])
+    out = dedup.ngram_jaccard_pairs(df, "source", shingle_n=2,
+                                    threshold=0.5).collect()
+    assert len(out) == 1 and out[0]["jaccard"] == 1.0
