@@ -78,9 +78,15 @@ def main() -> int:
 
     sys.path.insert(0, REPO)
     import __spark_entry__ as entrymod
-    from msg_vector_search_spark.session import get_spark
+    from pyspark.sql import SparkSession
 
-    spark = get_spark("oracle_check", cpus=8)
+    # VANILLA session on purpose: the external driver does not apply our
+    # engine confs, so contract queries must self-pin anything they need
+    # (UTC timezone, nanos handling) — running the gate tuned would hide
+    # that class of bug.  AQE (on by default in Spark 4) coalesces the
+    # default 200 shuffle partitions at this scale.
+    spark = (SparkSession.builder.master("local[8]")
+             .appName("oracle_check").getOrCreate())
     con = duck_connection(sf_dir)
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
 
