@@ -1513,3 +1513,83 @@ def udtf_explode_users(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("n"),
         F.col("u"))).alias("c"))
     return dims_ops.users_from_group_info(json_msgs, "c")
+
+
+@register("train_test_split", oracle=f"""
+SELECT doc_id,
+       CASE WHEN {analysis.duck_token_hash("CAST(doc_id AS VARCHAR)")} % 100 < 80
+            THEN 'train' ELSE 'test' END AS split
+FROM documents
+""")
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/20 train/test assignment by hashing the stable
+    id — reproducible across runs/retries (a rand() split is neither),
+    and shuffle-free: the split is a narrow projection, so downstream
+    per-split writes partition by this column."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = analysis.token_hash(F.col("doc_id").cast("string")) % 100
+    return docs.select(
+        "doc_id",
+        F.when(bucket < 80, F.lit("train")).otherwise(F.lit("test"))
+         .alias("split"))
+
+
+@register("text_chunking", oracle=f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents),
+chunks AS (
+  SELECT doc_id,
+         unnest(range(CAST(ceil(len(toks) / 32.0) AS BIGINT))) AS chunk_idx,
+         toks
+  FROM t WHERE len(toks) > 0
+)
+SELECT doc_id, chunk_idx,
+       array_to_string(toks[chunk_idx * 32 + 1 : (chunk_idx + 1) * 32], ' ')
+         AS chunk_text,
+       least(32, len(toks) - chunk_idx * 32) AS n_tokens
+FROM chunks
+""")
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing: split each document into <=32-token
+    chunks with a stable chunk index — the pre-tokenization chunker of
+    a training pipeline.  One narrow pass: bind tokens once, transform
+    over chunk indices, posexplode; no shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    size = 32
+
+    def build(toks):
+        n_chunks = F.ceil(F.size(toks) / F.lit(float(size))).cast("int")
+        return F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.struct(
+                F.concat_ws(" ", F.slice(toks, i * size + 1, size))
+                 .alias("chunk_text"),
+                F.least(F.lit(size), F.size(toks) - i * size)
+                 .alias("n_tokens")))
+
+    chunks = analysis.bind_once(analysis.tokens(F.col("text")), build)
+    return (docs.filter(F.size(analysis.tokens(F.col("text"))) > 0)
+            .select("doc_id", F.posexplode(chunks)
+                    .alias("chunk_idx", "chunk"))
+            .select("doc_id", F.col("chunk_idx").cast("long"),
+                    F.col("chunk.chunk_text").alias("chunk_text"),
+                    F.col("chunk.n_tokens").cast("long").alias("n_tokens")))
+
+
+@register("text_repetition", oracle=f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents)
+SELECT doc_id,
+       (round(CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) END,
+              6) + 0) AS distinct_ratio
+FROM t
+""")
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signal: distinct-token ratio (low values =
+    boilerplate/spam, a standard pretraining filter)."""
+    docs = _t(spark, sf_dir, "documents")
+    ratio = analysis.bind_once(
+        analysis.tokens(F.col("text")),
+        lambda toks: F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks)))
+    return docs.select("doc_id", (F.round(ratio, 6) + F.lit(0.0))
+                       .alias("distinct_ratio"))
