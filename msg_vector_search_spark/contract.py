@@ -1593,3 +1593,73 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.array_distinct(toks)).cast("double") / F.size(toks)))
     return docs.select("doc_id", (F.round(ratio, 6) + F.lit(0.0))
                        .alias("distinct_ratio"))
+
+
+@register("topk_prenormalized", oracle=f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+qn AS (SELECT list_transform(qv, x -> CAST(x AS DOUBLE)
+                / sqrt(list_dot_product(list_transform(qv, y -> CAST(y AS DOUBLE)),
+                                        list_transform(qv, y -> CAST(y AS DOUBLE)))))
+         AS qv FROM q),
+norm_corpus AS (
+  SELECT vec_id,
+         CASE WHEN {V.duck_norm('embedding')} = 0.0
+              THEN list_transform(embedding, x -> CAST(x AS DOUBLE))
+              ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)
+                     / {V.duck_norm('embedding')}) END AS nvec
+  FROM embeddings
+)
+SELECT vec_id,
+       (round(list_dot_product(nvec, qv), 6) + 0) AS sim
+FROM norm_corpus, qn
+ORDER BY sim DESC, vec_id LIMIT 30
+""")
+def topk_prenormalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The write-time pre-normalization design (SURVEY 4a): store
+    l2-normalized vectors once, and query-time cosine degenerates to a
+    single dot product — no per-row norm at all, ~3x less arithmetic on
+    the 100 TB scan side.  Matches plain cosine top-k up to rounding."""
+    emb = _t(spark, sf_dir, "embeddings")
+    normed = emb.select("vec_id", V.l2_normalize("embedding").alias("nvec"))
+    qv = _query_vec(spark, sf_dir)
+    import math
+    qn = math.sqrt(sum(x * x for x in qv)) or 1.0
+    qlit = F.array(*[F.lit(float(x) / qn) for x in qv])
+    return (normed
+            .select("vec_id",
+                    (F.round(V.dot(F.col("nvec"), qlit), 6) + F.lit(0.0))
+                    .alias("sim"))
+            .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+            .limit(30))
+
+
+def _duck_centroid(dim: int) -> str:
+    parts = ", ".join(
+        f"(round(avg(CAST(embedding[{i + 1}] AS DOUBLE)), 6) + 0)"
+        for i in range(dim))
+    return f"[{parts}]"
+
+
+@register("group_centroids_pandas", oracle=f"""
+SELECT label, count(*) AS n, {_duck_centroid(64)} AS centroid
+FROM embeddings GROUP BY label
+""")
+def group_centroids_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map Arrow surface (applyInPandas): per-label embedding
+    centroids computed with vectorized NumPy per group — the plan shape
+    of per-cluster model fitting at scale (one shuffle on the group
+    key, then pure Arrow batches).  Oracle: per-dimension averages."""
+    import numpy as np
+    import pandas as pd
+
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def centroid(pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+        c = np.round(mat.mean(axis=0), 6) + 0.0
+        return pd.DataFrame({"label": [pdf["label"].iloc[0]],
+                             "n": [len(pdf)],
+                             "centroid": [c.tolist()]})
+
+    return (emb.groupBy("label").applyInPandas(
+        centroid, "label int, n bigint, centroid array<double>"))

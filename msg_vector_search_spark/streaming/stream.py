@@ -173,3 +173,27 @@ def run_stateful_sessions(spark: SparkSession, sf_dir: str,
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def stream_upsert(spark: SparkSession, sf_dir: str, store_path: str,
+                  query_name: str = "stream_upsert") -> None:
+    """H5 end-to-end: stream the source into the idempotent upsert sink
+    via foreachBatch — each micro-batch merges last-writer-wins on
+    event_id, so replays/retries never duplicate (the streaming twin of
+    sinks.upsert_parquet + the reference's INSERT OR REPLACE)."""
+    from ..sources import sinks
+
+    events = read_event_stream(spark, sf_dir)
+
+    def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sinks.upsert_parquet(batch_df.sparkSession, batch_df, store_path,
+                             key="event_id", order_col="ts")
+
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{query_name}_")
+    q = (events.writeStream.foreachBatch(upsert_batch)
+         .option("checkpointLocation", ckpt)
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

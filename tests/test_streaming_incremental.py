@@ -149,3 +149,19 @@ def test_stateful_sessionize_matches_batch_gaps(spark):
     cols = ["user_id", "session_start", "session_end", "n_events"]
     assert as_set(got, cols) == as_set(closed, cols)
     assert got.count() > 0
+
+
+def test_stream_foreachbatch_upsert_idempotent(spark, tmp_path):
+    """Streaming -> foreachBatch upsert: all rows land exactly once,
+    and replaying the whole stream (fresh checkpoint) changes nothing."""
+    store = str(tmp_path / "stream_store")
+    stream.stream_upsert(spark, SF, store, query_name="su1")
+    events = readers.read_table(spark, SF, "events")
+    stored = spark.read.parquet(store)
+    assert stored.count() == events.count()
+    # replay from scratch: upsert keeps the table identical
+    stream.stream_upsert(spark, SF, store, query_name="su2")
+    again = spark.read.parquet(store)
+    assert again.count() == events.count()
+    dups = again.groupBy("event_id").count().filter(F.col("count") > 1)
+    assert dups.count() == 0
