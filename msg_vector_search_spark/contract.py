@@ -1663,3 +1663,22 @@ def group_centroids_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (emb.groupBy("label").applyInPandas(
         centroid, "label int, n bigint, centroid array<double>"))
+
+
+@register("event_value_percentiles", oracle="""
+SELECT event_type,
+       (round(quantile_cont(value, 0.5), 6) + 0) AS p50,
+       (round(quantile_cont(value, 0.9), 6) + 0) AS p90,
+       (round(quantile_cont(value, 0.99), 6) + 0) AS p99
+FROM events GROUP BY event_type
+""")
+def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped exact percentiles (interpolated) — the stats surface the
+    reference lacks entirely.  At 100 TB the exact sort-based percentile
+    gives way to approx_percentile (t-digest sketch, one pass,
+    mergeable); the plan shape is the same single keyed shuffle."""
+    events = _t(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        rnd(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        rnd(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        rnd(F.expr("percentile(value, 0.99)"), 6).alias("p99"))
