@@ -28,6 +28,7 @@ from pyspark.sql import Window
 from . import embed, multimodal
 from .functions import analysis, textops, vector as V
 from .operators import aggregates as agg_ops
+from .operators import asof as asof_ops
 from .operators import dedup as dedup_ops
 from .operators import dims as dims_ops
 from .operators import enrich as enrich_ops
@@ -1682,3 +1683,107 @@ def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
         rnd(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
         rnd(F.expr("percentile(value, 0.99)"), 6).alias("p99"))
+
+
+# =========================================================================
+# Time-series / relational operators beyond the reference (brief-named
+# custom ops: as-of join, range join, rollup)
+# =========================================================================
+
+@register("asof_join_events", oracle="""
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), views AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view'
+)
+SELECT c.event_id, c.user_id, c.ts,
+       v.value AS asof_value, v.ts AS asof_ts
+FROM clicks c ASOF LEFT JOIN views v
+  ON c.user_id = v.user_id AND c.ts >= v.ts
+""")
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every click, the latest prior (or simultaneous)
+    view's value per user — union+window composition, ONE shuffle on
+    the key, no correlated scan.  Oracle: DuckDB's native ASOF JOIN."""
+    events = _t(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click") \
+        .select("event_id", "user_id", "ts")
+    views = events.filter(F.col("event_type") == "view") \
+        .select("event_id", "user_id", "ts", "value",
+                F.col("ts").alias("view_ts"))
+    out = asof_ops.asof_join(clicks, views, key="user_id", ts="ts",
+                             value_cols=["value", "view_ts"],
+                             tiebreak="event_id")
+    return out.select("event_id", "user_id", "ts",
+                      F.col("asof_value"),
+                      F.col("asof_view_ts").alias("asof_ts"))
+
+
+@register("range_join_ship_window", oracle="""
+SELECT o.o_orderkey,
+       count(l.l_linenumber) AS n_shipped_90d
+FROM orders o LEFT JOIN lineitem l
+  ON l.l_orderkey = o.o_orderkey
+ AND l.l_shipdate >= o.o_orderdate
+ AND l.l_shipdate < o.o_orderdate + INTERVAL 90 DAYS
+GROUP BY o.o_orderkey
+""")
+def range_join_ship_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi + range join (absent from the reference): line items shipped
+    within 90 days of their order date.  The equi key keeps it a hash
+    join with the range as a residual predicate — never a cross
+    product."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cond = ((li.l_orderkey == orders.o_orderkey)
+            & (li.l_shipdate >= orders.o_orderdate)
+            & (li.l_shipdate < F.date_add(orders.o_orderdate, 90)))
+    return (orders.join(li, cond, "left")
+            .groupBy("o_orderkey")
+            .agg(F.count("l_linenumber").alias("n_shipped_90d")))
+
+
+@register("rollup_order_status", oracle="""
+SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+       coalesce(o_orderstatus, 'ALL') AS status,
+       count(*) AS n,
+       (round(sum(o_totalprice), 2) + 0) AS total
+FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+""")
+def rollup_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-set ROLLUP (absent from the reference; free in Spark):
+    per-(priority,status) counts plus priority and grand totals in one
+    pass — partial aggregation applies to every grouping set."""
+    orders = _t(spark, sf_dir, "orders")
+    return (orders.rollup("o_orderpriority", "o_orderstatus")
+            .agg(F.count("*").alias("n"),
+                 rnd(F.sum("o_totalprice"), 2).alias("total"))
+            .select(F.coalesce("o_orderpriority", F.lit("ALL"))
+                    .alias("priority"),
+                    F.coalesce("o_orderstatus", F.lit("ALL"))
+                    .alias("status"), "n", "total"))
+
+
+@register("rollup_two_level_time", oracle="""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, event_type,
+         count(*) AS n, sum(value) AS sv
+  FROM events GROUP BY 1, 2
+)
+SELECT date_trunc('day', h) AS day, event_type,
+       CAST(sum(n) AS BIGINT) AS n,
+       (round(sum(sv), 4) + 0) AS sum_value
+FROM hourly GROUP BY 1, 2
+""")
+def rollup_two_level_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: daily numbers RE-AGGREGATED
+    from the hourly rollup (counts and sums are mergeable), not from raw
+    rows — at 100 TB the daily pass reads the tiny hourly table."""
+    events = _t(spark, sf_dir, "events")
+    hourly = (events.groupBy(F.date_trunc("hour", "ts").alias("h"),
+                             "event_type")
+              .agg(F.count("*").alias("n"), F.sum("value").alias("sv")))
+    return (hourly.groupBy(F.date_trunc("day", "h").alias("day"),
+                           "event_type")
+            .agg(F.sum("n").alias("n"),
+                 rnd(F.sum("sv"), 4).alias("sum_value")))
