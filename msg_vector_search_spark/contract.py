@@ -34,6 +34,7 @@ from .operators import dims as dims_ops
 from .operators import enrich as enrich_ops
 from .operators import filters as filter_ops
 from .operators import ivf as ivf_ops
+from .operators import lsh as lsh_ops
 from .operators import similarity as sim_ops
 from .operators import topk as topk_ops
 from .sources import readers, state
@@ -1164,7 +1165,7 @@ def _duck_minhash(num_hashes: int) -> str:
     return "[" + ", ".join(parts) + "]"
 
 
-@register("dedup_minhash_lsh", oracle=f"""
+_MINHASH_PAIRS_SQL = f"""
 WITH toks AS (
   SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents
 ), sh AS (
@@ -1190,7 +1191,10 @@ SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM banded a JOIN banded b
   ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
 WHERE a.doc_id < b.doc_id
-""")
+"""
+
+
+@register("dedup_minhash_lsh", oracle=_MINHASH_PAIRS_SQL)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(8)+LSH(4 bands x 2 rows) near-dup candidate pairs over
     3-word shingles — shuffle keys are uniform band hashes, corpus never
@@ -1412,6 +1416,75 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = ivf_ops.assign_cells(emb, cent)
     return ivf_ops.ivf_search(assigned, cent, _query_vec(spark, sf_dir),
                               k=10, nprobe=2)
+
+
+@register("ann_lsh_topk", oracle=f"""
+WITH planes AS (
+  SELECT embedding AS pv, row_number() OVER (ORDER BY vec_id) - 1 AS pidx
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 4)
+), buckets AS (
+  SELECT e.vec_id, e.embedding,
+         CAST(sum(CASE WHEN (round({V.duck_dot('e.embedding', 'p.pv')}, 6)
+                             + 0) >= 0
+                  THEN CAST(1 AS BIGINT) << p.pidx ELSE 0 END) AS BIGINT)
+           AS bucket
+  FROM embeddings e CROSS JOIN planes p
+  GROUP BY e.vec_id, e.embedding
+), q AS (
+  SELECT embedding AS qv, bucket AS qbucket FROM buckets WHERE vec_id = 0
+), probe AS (
+  SELECT DISTINCT pb FROM (
+    SELECT qbucket AS pb FROM q
+    UNION ALL
+    SELECT xor(qbucket, CAST(1 AS BIGINT) << i) AS pb FROM q, range(4) t(i)
+  )
+), cand AS (
+  SELECT b.vec_id, b.embedding, b.bucket
+  FROM buckets b JOIN probe ON b.bucket = probe.pb
+)
+SELECT c.vec_id, c.bucket,
+       (round({V.duck_cosine('c.embedding', 'q.qv')}, 6) + 0) AS sim
+FROM cand c, q
+ORDER BY sim DESC, c.vec_id LIMIT 10
+""")
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH ANN search: 4 deterministic hyperplanes -> 16-bucket
+    sign index assigned in ONE narrow codegen expression (no shuffle),
+    multi-probe of the query bucket's Hamming-1 neighborhood (5 of 16
+    buckets), brute-force cosine within — the bucketed scale path the
+    brief asks for next to IVF.  The materialized form writes
+    ``partitionBy("bucket")`` so the probe prunes partitions."""
+    emb = _t(spark, sf_dir, "embeddings")
+    planes = lsh_ops.seed_planes(emb, 4)
+    return lsh_ops.lsh_search(emb, planes, query_id=0, k=10)
+
+
+@register("dedup_components", oracle=f"""
+WITH RECURSIVE pairs AS ({_MINHASH_PAIRS_SQL}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+walk(id, comp) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.id
+)
+SELECT id, min(comp) AS component FROM walk GROUP BY id
+""")
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash+LSH candidate-pair graph:
+    the clustering stage that turns near-dup PAIRS into dedup DECISIONS
+    (component id = smallest reachable doc id = the canonical doc to
+    keep).  Iterative min-label propagation, one shuffle per round,
+    early-exit at fixpoint; the oracle is DuckDB's recursive CTE over
+    the same pair set."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup_ops.dedup_minhash_lsh(docs, num_hashes=8, bands=4,
+                                        shingle_n=3)
+    return dedup_ops.connected_components(pairs)
 
 
 # =========================================================================

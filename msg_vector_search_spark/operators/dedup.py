@@ -244,6 +244,58 @@ def ngram_jaccard_pairs(df: DataFrame, block_col: str, text_col: str = "text",
     )
 
 
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b",
+                         max_iter: int = 50) -> DataFrame:
+    """Transitive closure of near-dup pairs -> (id, component) with
+    component = the smallest id reachable — the clustering stage that
+    turns candidate PAIRS into dedup DECISIONS (keep one canonical doc
+    per component).
+
+    Iterative min-label propagation: every node starts labelled with its
+    own id; each round a node takes the min of its label and its
+    neighbors' labels; stop at fixpoint.  Each round is one shuffle
+    (join on src + groupBy), lineage is cut per round with
+    ``localCheckpoint`` so the plan doesn't grow with iterations, and
+    the loop exits early via a cheap changed-row count.
+
+    Rounds needed = graph diameter.  Near-dup graphs are shallow (dup
+    clusters are cliques or short chains), so this converges in a
+    handful of rounds; for adversarially long chains at 100 TB switch
+    to the large-star/small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14), which
+    converges in O(log^2 n) rounds with the same per-round plan shape.
+    """
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    edges = fwd.unionByName(rev).distinct().localCheckpoint(eager=True)
+
+    labels = (edges.select(F.col("src").alias("id")).distinct()
+              .withColumn("comp", F.col("id"))
+              .localCheckpoint(eager=True))
+
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["src"] == labels["id"])
+            .groupBy("dst").agg(F.min("comp").alias("nbr_comp"))
+        )
+        updated = (
+            labels.join(nbr_min, labels["id"] == nbr_min["dst"], "left")
+            .select(
+                "id",
+                F.least(F.col("comp"),
+                        F.coalesce(F.col("nbr_comp"), F.col("comp")))
+                .alias("comp"),
+                (F.col("nbr_comp") < F.col("comp")).alias("_changed"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = updated.filter(F.col("_changed")).limit(1).count()
+        labels = updated.drop("_changed")
+        if changed == 0:
+            break
+    return labels.select("id", F.col("comp").alias("component"))
+
+
 def embedding_near_dup(embeddings: DataFrame, block_col: str = "label",
                        threshold: float = 0.95,
                        id_col: str = "vec_id",

@@ -62,3 +62,26 @@ def test_jaccard_identical_docs_score_one(spark):
     out = dedup.ngram_jaccard_pairs(df, "source", shingle_n=2,
                                     threshold=0.5).collect()
     assert len(out) == 1 and out[0]["jaccard"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# Connected components (pairs -> dedup decisions)
+# ---------------------------------------------------------------------------
+
+def test_connected_components_chain_and_singletons(spark):
+    # chain 1-2-3-4 plus isolated pair 10-11: min label must cross the
+    # whole chain (transitivity), not just direct neighbors
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"])
+    out = {r["id"]: r["component"]
+           for r in dedup.connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_cycle_and_order_independence(spark):
+    # cycle with edges given in arbitrary orientation
+    pairs = spark.createDataFrame(
+        [(7, 5), (5, 6), (6, 7), (9, 8)], ["id_a", "id_b"])
+    out = {r["id"]: r["component"]
+           for r in dedup.connected_components(pairs).collect()}
+    assert out == {5: 5, 6: 5, 7: 5, 8: 8, 9: 8}
