@@ -1487,6 +1487,102 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.connected_components(pairs)
 
 
+@register("dedup_keep_canonical", oracle=f"""
+WITH RECURSIVE pairs AS ({_MINHASH_PAIRS_SQL}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+walk(id, comp) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.id
+),
+cc AS (SELECT id, min(comp) AS component FROM walk GROUP BY id)
+SELECT d.doc_id, d.source
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT id FROM cc WHERE id <> component)
+""")
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline materialized end-to-end: LSH candidate pairs
+    -> connected components -> DROP every non-canonical member (keep
+    the smallest id per component) via a single anti join against the
+    tiny drop list — the corpus-sized side is filtered in place, never
+    shuffled (the drop list broadcasts)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup_ops.dedup_minhash_lsh(docs, num_hashes=8, bands=4,
+                                        shingle_n=3)
+    comp = dedup_ops.connected_components(pairs)
+    drops = comp.filter(F.col("id") != F.col("component")).select("id")
+    return (docs.join(F.broadcast(drops),
+                      docs["doc_id"] == drops["id"], "left_anti")
+            .select("doc_id", "source"))
+
+
+@register("stratified_sample", oracle=f"""
+SELECT doc_id, lang
+FROM documents
+WHERE {analysis.duck_token_hash("CAST(doc_id AS VARCHAR)")} % 100 <
+      (CASE lang WHEN 'en' THEN 40 WHEN 'zh' THEN 80 ELSE 100 END)
+""")
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-stratified downsampling — the data-mixing primitive of
+    a training pipeline (downweight the dominant language, keep the
+    rest).  Deterministic id-hash buckets, not rand(): reproducible
+    across runs and retries, and the whole thing is a narrow filter on
+    the scan — no shuffle at any scale."""
+    docs = _t(spark, sf_dir, "documents")
+    rate = (F.when(F.col("lang") == "en", F.lit(40))
+            .when(F.col("lang") == "zh", F.lit(80))
+            .otherwise(F.lit(100)))
+    return (docs.filter(analysis.stratified_keep(F.col("doc_id"), rate))
+            .select("doc_id", "lang"))
+
+
+@register("text_pii_scrub", oracle=f"""
+WITH seeded AS (
+  SELECT doc_id,
+         text || ' Contact u' || CAST(doc_id AS VARCHAR)
+              || '@example.com or https://ex.com/d/' || CAST(doc_id AS VARCHAR)
+              || ' ref ' || CAST(10000000 + doc_id AS VARCHAR) AS text
+  FROM documents
+), scrubbed AS (
+  SELECT doc_id, {analysis.duck_pii_scrub('text')} AS clean FROM seeded
+)
+SELECT doc_id, clean,
+       CAST((length(clean) - length(replace(clean, '<PII>', '')))
+            / {len(analysis.PII_TOKEN)} AS BIGINT) AS n_redactions
+FROM scrubbed
+""")
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails, URLs, long digit runs -> a placeholder) —
+    narrow regexp_replace chain in the scan stage.  Deterministic PII is
+    seeded into every document (the fixture corpus has none) so the
+    regexes are genuinely exercised; n_redactions counts placeholder
+    occurrences."""
+    docs = _t(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" Contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or https://ex.com/d/"),
+            F.col("doc_id").cast("string"), F.lit(" ref "),
+            (F.lit(10000000) + F.col("doc_id")).cast("string"),
+        ).alias("text"))
+    clean = analysis.pii_scrub(F.col("text"))
+    return seeded.select(
+        "doc_id",
+        clean.alias("clean"),
+    ).withColumn(
+        "n_redactions",
+        ((F.length("clean")
+          - F.length(F.regexp_replace("clean", analysis.PII_TOKEN, "")))
+         / len(analysis.PII_TOKEN)).cast("long"))
+
+
 # =========================================================================
 # Embedding UDF (SURVEY 2.I I1/I2) and multimodal plumbing — the model
 # itself is not SQL-expressible, so these are rows-only checks except

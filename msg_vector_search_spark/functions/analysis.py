@@ -139,3 +139,45 @@ def fingerprint_rolling(text: Column | str) -> Column:
     idx = F.sequence(F.lit(1), F.size(toks))
     weighted = F.zip_with(toks, idx, lambda t, i: token_hash32(t) * i.cast("long"))
     return F.aggregate(weighted, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing and sampling (training-data pipeline extension surface)
+# ---------------------------------------------------------------------------
+
+# Deliberately simple ASCII regexes, written once and mirrored verbatim
+# in the oracle SQL (Spark replaces globally by default; DuckDB needs
+# the 'g' flag — see duck_pii_scrub).
+RE_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+RE_PII_LONG_DIGITS = r"[0-9]{7,}"
+RE_PII_URL = r"https?://[^\s]+"
+PII_TOKEN = "<PII>"
+
+
+def pii_scrub(text: Column | str) -> Column:
+    """Redact emails, long digit runs (phone/account numbers), and URLs
+    with a fixed placeholder.  Order matters: emails first (their local
+    part may contain digit runs), then URLs, then bare digit runs —
+    kept identical in the oracle."""
+    t = _c(text)
+    t = F.regexp_replace(t, RE_PII_EMAIL, PII_TOKEN)
+    t = F.regexp_replace(t, RE_PII_URL, PII_TOKEN)
+    t = F.regexp_replace(t, RE_PII_LONG_DIGITS, PII_TOKEN)
+    return t
+
+
+def duck_pii_scrub(expr: str) -> str:
+    """DuckDB twin of :func:`pii_scrub` (same regexes, same order)."""
+    out = f"regexp_replace({expr}, '{RE_PII_EMAIL}', '{PII_TOKEN}', 'g')"
+    out = f"regexp_replace({out}, '{RE_PII_URL}', '{PII_TOKEN}', 'g')"
+    return f"regexp_replace({out}, '{RE_PII_LONG_DIGITS}', '{PII_TOKEN}', 'g')"
+
+
+def stratified_keep(id_col: Column | str, rate_pct: Column) -> Column:
+    """Deterministic stratified-sampling predicate: keep iff
+    hash48(id) % 100 < rate_pct.  Reproducible across runs/retries
+    (unlike rand()-based sampling) and a NARROW filter — no shuffle, and
+    at 100 TB the filter rides the scan, so a 10% stratum reads 10% of
+    the rows out of the scan stage."""
+    bucket = token_hash(_c(id_col).cast("string")) % 100
+    return bucket < rate_pct
