@@ -1095,6 +1095,95 @@ def tpch_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(10))
 
 
+@register("tpch_q3_shipping_priority", oracle="""
+SELECT l.l_orderkey,
+       (round(sum(round(l.l_extendedprice * (1 - l.l_discount), 4)), 4) + 0)
+         AS revenue,
+       o.o_orderdate, o.o_orderpriority
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1997-06-01 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+""")
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped: selective dimension filter -> broadcast join ->
+    fact join -> grouped revenue -> deterministic top-10.  The filtered
+    customer segment broadcasts (1/5 of an already-small dimension);
+    lineitem, the only big table, is filtered at the scan and shuffles
+    once for the aggregation — the join order Catalyst should and does
+    pick at any scale."""
+    cust = (_t(spark, sf_dir, "customer")
+            .filter(F.col("c_mktsegment") == "BUILDING")
+            .select("c_custkey"))
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-06-01"))
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-06-01"))
+    disc = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(rnd(F.sum(disc), 4).alias("revenue"))
+            .select("l_orderkey", "revenue", "o_orderdate",
+                    "o_orderpriority")
+            .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+            .limit(10))
+
+
+@register("tpch_q5_local_supplier_volume", oracle="""
+SELECT n.n_name,
+       (round(sum(round(l.l_extendedprice * (1 - l.l_discount), 4)), 4) + 0)
+         AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+              AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n.n_name ORDER BY revenue DESC, n_name
+""")
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped: six-way join with a non-equi-free cycle (the
+    customer-nation = supplier-nation condition joins two fact-side
+    dimensions).  All dimensions broadcast; the two fact tables meet in
+    the only real shuffle; region/nation prune suppliers before they
+    touch lineitem."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = (_t(spark, sf_dir, "orders")
+              .filter((F.col("o_orderdate") >= F.lit("1996-01-01"))
+                      & (F.col("o_orderdate") < F.lit("1997-01-01")))
+              .select("o_orderkey", "o_custkey"))
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation")
+    region = (_t(spark, sf_dir, "region")
+              .filter(F.col("r_name") == "ASIA").select("r_regionkey"))
+    asia_nations = nation.join(
+        F.broadcast(region),
+        nation.n_regionkey == region.r_regionkey).select(
+            "n_nationkey", "n_name")
+    asia_supp = supp.join(
+        F.broadcast(asia_nations),
+        supp.s_nationkey == asia_nations.n_nationkey)
+    disc = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(asia_supp),
+                  (li.l_suppkey == asia_supp.s_suppkey)
+                  & (cust.c_nationkey == asia_supp.s_nationkey))
+            .groupBy("n_name")
+            .agg(rnd(F.sum(disc), 4).alias("revenue"))
+            .orderBy(F.col("revenue").desc(), F.col("n_name")))
+
+
 @register("first_order_per_customer", oracle="""
 SELECT o_custkey, o_orderkey AS first_order, o_orderdate AS first_date FROM (
   SELECT o_custkey, o_orderkey, o_orderdate,
@@ -1631,6 +1720,60 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.documents_as_media(docs)
     feats = multimodal.extract_features(readers.widen(media))
     return feats.select("media_id", "media_type", "n_bytes")
+
+
+@register("multimodal_resize", oracle="""
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio'
+            ELSE 'video' END AS media_type,
+       CASE WHEN doc_id % 3 = 0 THEN 64 ELSE CAST(NULL AS INTEGER) END AS width,
+       CASE WHEN doc_id % 3 = 0 THEN 64 ELSE CAST(NULL AS INTEGER) END AS height,
+       CASE WHEN doc_id % 3 = 0 THEN 4096
+            ELSE octet_length(encode(text)) END AS n_bytes
+FROM documents
+""")
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage plumbing: image rows resampled to 64x64 (stubbed
+    codec, true byte-count contract payload==W*H), other modalities
+    pass through.  The oracle checks the full metadata surface; payload
+    bytes are pinned by unit tests."""
+    docs = _t(spark, sf_dir, "documents")
+    media = multimodal.documents_as_media(docs)
+    resized = multimodal.resize_images(readers.widen(media), 64, 64)
+    return resized.select(
+        "media_id", "media_type", "width", "height",
+        F.length("payload").cast("long").alias("n_bytes"))
+
+
+@register("multimodal_frame_sample", oracle="""
+WITH media AS (
+  SELECT doc_id AS media_id, octet_length(encode(text)) AS L
+  FROM documents WHERE doc_id % 3 = 2
+), f AS (
+  SELECT media_id, L,
+         greatest(1, CAST(ceil(L / 256.0) AS BIGINT)) AS n_frames
+  FROM media
+)
+SELECT media_id,
+       CAST(unnest(range(0, n_frames, 2)) AS INTEGER) AS frame_idx,
+       least(256, L - CAST(unnest(range(0, n_frames, 2)) AS BIGINT) * 256)
+         AS frame_bytes,
+       n_frames
+FROM f
+""")
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling fan-out: every video payload explodes to every
+    2nd 256-byte frame (stubbed demux, metadata-faithful) — the
+    UDTF-shaped mapInPandas a video pipeline runs before per-frame
+    embedding.  Oracle checks the whole fan-out metadata (frame index
+    set, per-frame sizes, frame counts)."""
+    docs = _t(spark, sf_dir, "documents")
+    media = multimodal.documents_as_media(docs).filter(
+        F.col("media_type") == "video")
+    frames = multimodal.sample_frames(readers.widen(media),
+                                      frame_size=256, stride=2)
+    return frames.select("media_id", "frame_idx", "frame_bytes", "n_frames")
 
 
 @register("search_topk_enriched", oracle=f"""

@@ -106,6 +106,105 @@ def extract_features(media: DataFrame, bins: int = FEATURE_DIM) -> DataFrame:
     return media.mapInPandas(op, schema=FEATURES_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("media_type", T.StringType(), True),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("payload", T.BinaryType(), True),
+])
+
+
+def resize_images(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
+    """Resize stage: image rows are decoded, resampled to
+    (target_w, target_h) and re-encoded; non-image rows pass through
+    untouched.  Narrow ``mapInPandas`` — one codec init per task, no
+    shuffle, the exact plan shape of a production thumbnail stage.
+
+    The resample itself is STUBBED (no PIL in this container) with a
+    deterministic truncate/zero-pad to ``target_w*target_h`` bytes —
+    the fake raster keeps the byte-count contract (payload size ==
+    W*H) so schema, batch shape and metadata are fully testable; a
+    deployment swaps the two marked lines for
+    ``decode_media`` + ``Image.resize``.
+    """
+    target = target_w * target_h
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_payload, out_w, out_h = [], [], []
+            for p, mt, w, h in zip(pdf["payload"], pdf["media_type"],
+                                   pdf["width"], pdf["height"]):
+                p = p if p is not None else b""
+                if mt == "image":
+                    # STUB resample: deployment = decode_media(p, mt)
+                    # then Image.resize((target_w, target_h)).tobytes()
+                    p = p[:target] + b"\x00" * max(0, target - len(p))
+                    w, h = target_w, target_h
+                out_payload.append(p)
+                out_w.append(w)
+                out_h.append(h)
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "media_type": pdf["media_type"],
+                "width": pd.array(out_w, dtype="Int32"),
+                "height": pd.array(out_h, dtype="Int32"),
+                "payload": out_payload,
+            })
+
+    return media.mapInPandas(op, schema=RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("frame_idx", T.IntegerType(), False),
+    T.StructField("frame_bytes", T.LongType(), False),
+    T.StructField("n_frames", T.LongType(), False),
+    T.StructField("frame_payload", T.BinaryType(), True),
+])
+
+
+def sample_frames(media: DataFrame, frame_size: int = 256,
+                  stride: int = 2) -> DataFrame:
+    """Frame-sampling stage: each video payload fans out to every
+    *stride*-th frame — the UDTF-shaped ``mapInPandas`` (rows out >
+    rows in) a video pipeline uses before per-frame embedding.
+
+    Frame extraction is STUBBED (no pyav here): a "frame" is the next
+    ``frame_size``-byte slice of the payload, deterministic and
+    metadata-faithful (n_frames = ceil(bytes/frame_size)); a deployment
+    replaces the slicing with container demux + keyframe decode and
+    keeps the fan-out plan shape.
+
+    Scale note: output partitioning inherits the input's — no shuffle;
+    downstream per-frame work sees ~len/stride/frame_size times the
+    rows, so size ``maxRecordsPerBatch`` for the EXPANDED batch.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sizes, totals, frames = [], [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                p = p if p is not None else b""
+                n_frames = max(1, -(-len(p) // frame_size))
+                for i in range(0, n_frames, stride):
+                    chunk = p[i * frame_size:(i + 1) * frame_size]
+                    ids.append(mid)
+                    idxs.append(i)
+                    sizes.append(len(chunk))
+                    totals.append(n_frames)
+                    frames.append(chunk)
+            yield pd.DataFrame({
+                "media_id": ids,
+                "frame_idx": pd.array(idxs, dtype="int32"),
+                "frame_bytes": pd.array(sizes, dtype="int64"),
+                "n_frames": pd.array(totals, dtype="int64"),
+                "frame_payload": frames,
+            })
+
+    return media.mapInPandas(op, schema=FRAMES_SCHEMA)
+
+
 def documents_as_media(documents: DataFrame) -> DataFrame:
     """Build a synthetic media table from the documents fixture: the
     text bytes become the opaque payload.  Exercises the full binary

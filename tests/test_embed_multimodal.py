@@ -49,3 +49,33 @@ def test_multimodal_features(spark, sf_dir):
 def test_decode_media_is_stubbed():
     with pytest.raises(NotImplementedError):
         multimodal.decode_media(b"bytes", "image")
+
+
+def test_resize_images_truncates_and_pads(spark):
+    media = spark.createDataFrame(
+        [(1, "image", b"abcdefgh", None, None, None),
+         (2, "audio", b"xy", None, None, None),
+         (3, "image", b"xy", None, None, None)],
+        schema=multimodal.MEDIA_SCHEMA)
+    out = {r["media_id"]: r
+           for r in multimodal.resize_images(media, 2, 2).collect()}
+    assert bytes(out[1]["payload"]) == b"abcd"          # truncated to 2*2
+    assert bytes(out[3]["payload"]) == b"xy\x00\x00"    # zero-padded
+    assert (out[1]["width"], out[1]["height"]) == (2, 2)
+    assert bytes(out[2]["payload"]) == b"xy"            # non-image untouched
+    assert out[2]["width"] is None
+
+
+def test_sample_frames_fanout_and_last_partial_frame(spark):
+    # 10 bytes / frame_size 4 -> frames of 4,4,2; stride 2 keeps idx 0,2
+    media = spark.createDataFrame(
+        [(7, "video", b"0123456789", None, None, None),
+         (8, "video", b"", None, None, None)],
+        schema=multimodal.MEDIA_SCHEMA)
+    rows = multimodal.sample_frames(media, frame_size=4, stride=2).collect()
+    by = {(r["media_id"], r["frame_idx"]): r for r in rows}
+    assert set(by) == {(7, 0), (7, 2), (8, 0)}
+    assert by[(7, 0)]["frame_bytes"] == 4 and bytes(by[(7, 0)]["frame_payload"]) == b"0123"
+    assert by[(7, 2)]["frame_bytes"] == 2 and bytes(by[(7, 2)]["frame_payload"]) == b"89"
+    assert by[(7, 0)]["n_frames"] == 3
+    assert by[(8, 0)]["frame_bytes"] == 0 and by[(8, 0)]["n_frames"] == 1
