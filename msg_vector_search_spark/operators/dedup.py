@@ -266,13 +266,26 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     "Connected Components in MapReduce and Beyond", SoCC'14), which
     converges in O(log^2 n) rounds with the same per-round plan shape.
     """
+    def _free(ckpt_df: DataFrame) -> None:
+        # localCheckpoint pins its blocks in the block manager for the
+        # session's lifetime; superseded iterations must release them or
+        # a long-lived driver accumulates one pinned RDD per round per
+        # call.  The blocks belong to the LogicalRDD's underlying RDD —
+        # unpersisting queryExecution().toRdd() (a fresh derived RDD)
+        # would be a silent no-op.
+        try:
+            ckpt_df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        except Exception:
+            pass  # best-effort: plan wasn't a bare LogicalRDD
+
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
     edges = fwd.unionByName(rev).distinct().localCheckpoint(eager=True)
 
-    labels = (edges.select(F.col("src").alias("id")).distinct()
-              .withColumn("comp", F.col("id"))
-              .localCheckpoint(eager=True))
+    prev_ckpt = (edges.select(F.col("src").alias("id")).distinct()
+                 .withColumn("comp", F.col("id"))
+                 .localCheckpoint(eager=True))
+    labels = prev_ckpt
 
     for _ in range(max_iter):
         nbr_min = (
@@ -290,9 +303,12 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
             )
         ).localCheckpoint(eager=True)
         changed = updated.filter(F.col("_changed")).limit(1).count()
+        _free(prev_ckpt)
+        prev_ckpt = updated
         labels = updated.drop("_changed")
         if changed == 0:
             break
+    _free(edges)
     return labels.select("id", F.col("comp").alias("component"))
 
 
