@@ -35,6 +35,10 @@ def main() -> None:
     # JVM/codegen warmup so the first timed query isn't charged for
     # session spin-up (~3-5 s that no steady-state deployment pays)
     contract.REGISTRY["topk_by_similarity"](spark, SF_DIR).count()
+    # Python-worker warmup: the first Arrow/pandas stage otherwise pays
+    # one interpreter spawn + numpy/pandas import per core (~2-4 s wall)
+    spark.range(CPUS * 4).repartition(CPUS).mapInPandas(
+        lambda it: it, schema="id long").count()
 
     # headline queries: name -> callable(spark, sf_dir) -> DataFrame
     heads = [
