@@ -1630,6 +1630,68 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "lang"))
 
 
+@register("decontaminate_ngram", oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct({_duck_shingles(3)})) AS sh FROM toks
+), ev AS (
+  SELECT DISTINCT sh FROM sh WHERE doc_id % 50 = 0
+), tr AS (
+  SELECT doc_id, sh FROM sh WHERE doc_id % 50 <> 0
+)
+SELECT tr.doc_id, count(DISTINCT tr.sh) AS n_shared
+FROM tr JOIN ev ON tr.sh = ev.sh
+GROUP BY tr.doc_id
+""")
+def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag every training document sharing
+    at least one 3-gram shingle with the held-out eval set (here the
+    deterministic doc_id%50 slice stands in for a benchmark suite).
+
+    Scale shape: the eval shingle set is benchmark-sized (tiny next to
+    a 100 TB corpus) so it BROADCASTS; the training side's shingles are
+    matched map-side and only the contaminated survivors reach the
+    final aggregation — the corpus itself never shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = readers.widen(docs).select(
+        "doc_id",
+        F.explode(F.array_distinct(
+            dedup_ops.shingles(F.col("text"), 3))).alias("sh"))
+    ev = (sh.filter(F.col("doc_id") % 50 == 0)
+          .select("sh").distinct())
+    tr = sh.filter(F.col("doc_id") % 50 != 0)
+    return (tr.join(F.broadcast(ev), "sh")
+            .groupBy("doc_id")
+            .agg(F.countDistinct("sh").alias("n_shared")))
+
+
+@register("shard_assignment", oracle=f"""
+WITH h AS (
+  SELECT doc_id,
+         {analysis.duck_token_hash("CAST(doc_id AS VARCHAR)")} AS h
+  FROM documents
+)
+SELECT doc_id, CAST(h % 8 AS BIGINT) AS shard,
+       row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS pos
+FROM h
+""")
+def shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffled training-shard assignment: every document lands in one
+    of 8 shards by id hash, ordered pseudo-randomly (hash order) within
+    its shard — reproducible global shuffle without a rand() in sight.
+    The write path this models is ``repartition(shard)`` +
+    ``sortWithinPartitions(h)``: one shuffle with uniform keys, each
+    shard written by exactly one task in shuffled order."""
+    docs = _t(spark, sf_dir, "documents")
+    h = analysis.token_hash(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (docs.select("doc_id", h.alias("h"),
+                        (h % 8).cast("long").alias("shard"))
+            .withColumn("pos", F.row_number().over(w))
+            .select("doc_id", "shard", "pos"))
+
+
 @register("text_pii_scrub", oracle=f"""
 WITH seeded AS (
   SELECT doc_id,

@@ -94,6 +94,33 @@ def run_stream_once(spark: SparkSession, sf_dir: str,
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
+def run_stream_dedup(spark: SparkSession, sf_dir: str,
+                     query_name: str = "stream_dedup",
+                     late: str = "2 hours") -> DataFrame:
+    """Streaming dedup-on-ingest (H5): ``withWatermark`` +
+    ``dropDuplicates`` on the message key — the streaming twin of the
+    batch last-writer-wins upsert (operators.dedup.dedup_last_wins).
+    State holds one entry per key seen within the watermark horizon and
+    is evicted past it, so state size is bounded by the late window, not
+    the corpus — the property that makes exactly-once-ish ingest viable
+    at 100 TB.  Duplicate keys are synthesized (event_id div 2 — every
+    key arrives ~twice) since the fixture's ids are unique."""
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{query_name}_")
+    events = read_event_stream(spark, sf_dir)
+    dedup = (events.withColumn("mid", F.expr("event_id div 2"))
+             .withWatermark("ts", late)
+             .dropDuplicates(["mid"]))
+    q = (dedup.writeStream.outputMode("append")
+         .format("memory").queryName(query_name)
+         .option("checkpointLocation", ckpt)
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
 # ---------------------------------------------------------------------------
 # Custom stateful operator: gap-based sessionization via
 # applyInPandasWithState (SURVEY 2.H extension; the batch twin is the

@@ -165,3 +165,15 @@ def test_stream_foreachbatch_upsert_idempotent(spark, tmp_path):
     assert again.count() == events.count()
     dups = again.groupBy("event_id").count().filter(F.col("count") > 1)
     assert dups.count() == 0
+
+
+def test_stream_dedup_keeps_one_row_per_key(spark):
+    got = stream.run_stream_dedup(spark, SF, query_name="t_dedup")
+    events = readers.read_table(spark, SF, "events")
+    n_keys = events.select(
+        F.expr("event_id div 2").alias("mid")).distinct().count()
+    assert got.count() == n_keys                      # one survivor per key
+    assert got.select("mid").distinct().count() == n_keys
+    # survivors are genuine source rows (key = id div 2 holds)
+    bad = got.filter(F.expr("mid != event_id div 2")).count()
+    assert bad == 0
