@@ -78,10 +78,12 @@ def probe_buckets(assigned: DataFrame, query_id, nplanes: int,
     driver collect in the query path)."""
     flips = F.array(F.lit(0).cast("long"),
                     *[F.lit(1 << i).cast("long") for i in range(nplanes)])
+    # no .distinct(): XORing one bucket with 0, 2^0, ..., 2^(n-1) yields
+    # inherently distinct values, and a distinct here would shuffle the
+    # (tiny) probe set inside the broadcast build side for nothing
     return (assigned.filter(F.col(id_col) == query_id)
             .select(F.explode(flips).alias("flip"), "bucket")
-            .select(F.col("bucket").bitwiseXOR(F.col("flip")).alias("pb"))
-            .distinct())
+            .select(F.col("bucket").bitwiseXOR(F.col("flip")).alias("pb")))
 
 
 def lsh_search(embeddings: DataFrame, planes: list[list[float]],

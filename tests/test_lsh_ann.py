@@ -43,3 +43,29 @@ def test_multiprobe_covers_hamming1_and_search_finds_duplicate(spark):
     # hamming-1 neighbor found via multi-probe; opposite vector pruned
     assert got[0] == 0 and got[1] == 9 and 5 in got and 7 not in got
     assert math.isclose(res[0]["sim"], 1.0, abs_tol=1e-6)
+
+
+def test_lsh_materialized_index_prunes_and_matches(spark, tmp_path):
+    from msg_vector_search_spark.sources import readers
+
+    emb = readers.read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    planes = lsh.seed_planes(emb, 4)
+    assigned = lsh.assign_buckets(emb, planes)
+
+    path = str(tmp_path / "lsh_index")
+    assigned.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    on_disk = spark.read.parquet(path)
+
+    mem = lsh.lsh_search(emb, planes, query_id=0, k=5)
+    # on-disk search: bucket column already present, so probe + score
+    probes = lsh.probe_buckets(on_disk, 0, len(planes))
+    probe_vals = [r["pb"] for r in probes.collect()]
+    pruned = on_disk.filter(F.col("bucket").isin(probe_vals))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    part_filters = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "bucket" in part_filters
+
+    disk = lsh.lsh_search(on_disk.drop("bucket"), planes, query_id=0, k=5)
+    assert {tuple(r) for r in mem.collect()} == \
+           {tuple(r) for r in disk.collect()}

@@ -79,3 +79,27 @@ def test_ivf_probe_is_semi_join_prune(spark):
     # partition-pruning filter once the index is written partitioned)
     assert "LeftSemi" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_lsh_ann_no_corpus_shuffle(spark):
+    # bucket assignment is narrow; the probe arrives as a broadcast
+    # semi join; top-k is a bounded heap — the only Exchanges allowed
+    # are broadcast exchanges
+    df = contract.REGISTRY["ann_lsh_topk"](spark, SF)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+    for line in plan.splitlines():
+        if "Exchange" in line and "BroadcastExchange" not in line:
+            raise AssertionError(f"unexpected shuffle: {line.strip()}")
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    df = contract.REGISTRY["decontaminate_ngram"](spark, SF)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_stratified_sample_is_narrow(spark):
+    df = contract.REGISTRY["stratified_sample"](spark, SF)
+    plan = plan_of(df)
+    assert "Exchange" not in plan          # pure scan + filter + project
