@@ -1548,6 +1548,71 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ops.lsh_search(emb, planes, query_id=0, k=10)
 
 
+@register("sim_join_ivf", oracle=f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT 8
+), scored AS (
+  SELECT e.vec_id, e.embedding, c.centroid_id,
+         (round({V.duck_cosine('e.embedding', 'c.cvec')}, 9) + 0) AS cdist
+  FROM embeddings e CROSS JOIN cent c
+), assigned AS (
+  SELECT vec_id, embedding, centroid_id AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cdist DESC, centroid_id) AS rn
+    FROM scored) WHERE rn = 1
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cell,
+         (round({V.duck_cosine('a.embedding', 'b.embedding')}, 6) + 0) AS sim
+  FROM assigned a JOIN assigned b ON a.cell = b.cell
+  WHERE a.vec_id <> b.vec_id
+)
+SELECT id_a, id_b, cell, sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY id_a
+                               ORDER BY sim DESC, id_b) AS rn
+  FROM pairs) WHERE rn <= 3
+""")
+def sim_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity JOIN, both sides large: every vector's top-3 cosine
+    neighbors within its IVF cell — blocked co-location instead of the
+    broadcast the query-set KNN uses.  One shuffle on the cell key; the
+    quadratic work never leaves a cell."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = ivf_ops.seed_centroids(emb, 8)
+    assigned = ivf_ops.assign_cells(emb, cent)
+    return sim_ops.similarity_join_topk(assigned, "cell", k=3)
+
+
+@register("topk_quantized_int8", oracle=f"""
+WITH q AS (
+  SELECT {V.duck_dequantize_int8('embedding')} AS qv
+  FROM embeddings WHERE vec_id = 0
+), dq AS (
+  SELECT vec_id, {V.duck_dequantize_int8('embedding')} AS dvec
+  FROM embeddings
+)
+SELECT d.vec_id,
+       (round({V.duck_cosine('d.dvec', 'q.qv')}, 6) + 0) AS sim
+FROM dq d, q
+ORDER BY sim DESC, d.vec_id LIMIT 30
+""")
+def topk_quantized_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship top-k over int8-quantized vectors: per-vector
+    symmetric quantize/dequantize fused into the scoring expression, so
+    the accuracy of the 4x-smaller storage path is value-checked
+    end-to-end against the oracle doing identical arithmetic."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dq = emb.select("vec_id", V.dequantize_int8("embedding").alias("dvec"))
+    qrow = (dq.filter(F.col("vec_id") == 0)
+            .select(F.col("dvec").alias("qv")))
+    sim = V.cosine(F.col("dvec"), F.col("qv"))
+    return (dq.crossJoin(F.broadcast(qrow))
+            .withColumn("sim", F.round(sim, 6) + F.lit(0.0))
+            .orderBy(F.col("sim").desc(), F.col("vec_id"))
+            .limit(30)
+            .select("vec_id", "sim"))
+
+
 @register("dedup_components", oracle=f"""
 WITH RECURSIVE pairs AS ({_MINHASH_PAIRS_SQL}),
 edges AS (

@@ -78,6 +78,25 @@ def euclidean(a: Column | str, b: Column | str) -> Column:
     ))
 
 
+def dequantize_int8(a: Column | str) -> Column:
+    """Symmetric per-vector int8 quantize-then-dequantize: scale =
+    max|x|/127, q = floor(x/scale + 0.5) (round-half-up, identical in
+    both dialects — round() itself ties differently across engines),
+    dequant = q*scale.
+
+    The storage path this models writes ``array<tinyint>`` + one float
+    scale per vector — 4x smaller than float32, which at 100 TB is the
+    difference between an in-page-cache index and a disk-bound one.
+    Here the round-trip is fused into one expression so the ACCURACY of
+    quantized search is oracle-checkable end-to-end.  Zero vectors pass
+    through (scale would be 0)."""
+    a = F.col(a) if isinstance(a, str) else a
+    return bind_once(
+        F.array_max(F.transform(a, lambda x: F.abs(x.cast("double")))) / 127.0,
+        lambda s: F.when(s == 0.0, a.cast("array<double>")).otherwise(
+            F.transform(a, lambda x: F.floor(x.cast("double") / s + 0.5) * s)))
+
+
 # ---------------------------------------------------------------------------
 # DuckDB-oracle SQL fragments for the same math (kept adjacent so the two
 # dialects evolve together; used by __spark_entry__.oracle_sql()).
@@ -97,3 +116,14 @@ def duck_cosine(a: str, b: str) -> str:
     n = f"({duck_norm(a)} * {duck_norm(b)})"
     return (f"CASE WHEN {n} = 0.0 THEN 0.0 "
             f"ELSE {duck_dot(a, b)} / {n} END")
+
+
+def duck_dequantize_int8(a: str) -> str:
+    """DuckDB twin of :func:`dequantize_int8` (same scale, same
+    round-half-up, same zero-vector passthrough)."""
+    s = (f"(list_max(list_transform({a}, x -> abs(CAST(x AS DOUBLE)))) "
+         f"/ 127.0)")
+    return (f"CASE WHEN {s} = 0.0 "
+            f"THEN list_transform({a}, x -> CAST(x AS DOUBLE)) "
+            f"ELSE list_transform({a}, x -> "
+            f"floor(CAST(x AS DOUBLE) / {s} + 0.5) * {s}) END")

@@ -145,3 +145,38 @@ def pairwise_similarity(left: DataFrame, right: DataFrame, on: str,
         .filter(F.col("sim") >= F.lit(threshold))
         .select("id_a", "id_b", F.col("k_a").alias("block"), "sim")
     )
+
+
+def similarity_join_topk(assigned: DataFrame, block_col: str, k: int,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """All-vectors-to-their-neighbors similarity JOIN: for every vector,
+    its top-k cosine neighbors within its block (IVF cell / LSH bucket)
+    — the both-sides-large pattern ``knn_join`` (broadcast query set)
+    cannot cover.
+
+    Scale shape: one shuffle on the block key co-locates each cell, the
+    quadratic work is confined to within-cell pairs (cells are corpus/
+    nlist sized by construction), norms are computed once per ROW before
+    the join, and the per-source top-k is a windowed rank inside the
+    already-blocked partition.  Recall improves by unioning nprobe>1
+    cell assignments per vector before the join."""
+    a = assigned.select(F.col(id_col).alias("id_a"),
+                        F.col(vec_col).alias("vec_a"),
+                        V.norm(vec_col).alias("_na"),
+                        F.col(block_col).alias("cell"))
+    b = assigned.select(F.col(id_col).alias("id_b"),
+                        F.col(vec_col).alias("vec_b"),
+                        V.norm(vec_col).alias("_nb"),
+                        F.col(block_col).alias("cell"))
+    nprod = F.col("_na") * F.col("_nb")
+    cos = F.when(nprod == 0.0, F.lit(0.0)).otherwise(
+        V.dot("vec_a", "vec_b") / nprod)
+    pairs = (a.join(b, "cell")
+             .filter(F.col("id_a") != F.col("id_b"))
+             .withColumn("sim", F.round(cos, 6) + F.lit(0.0)))
+    w = Window.partitionBy("id_a").orderBy(F.col("sim").desc(),
+                                           F.col("id_b"))
+    return (pairs.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("id_a", "id_b", "cell", "sim"))

@@ -81,3 +81,31 @@ def test_knn_join_shapes(spark, sf_dir):
         best = max(rs, key=lambda r: r["sim"])
         assert best["vec_id"] == q
         assert best["sim"] == pytest.approx(1.0, abs=1e-5)
+
+
+def test_dequantize_int8_zero_vector_and_accuracy(spark):
+    from msg_vector_search_spark.functions import vector as V
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [1.0, -0.5, 0.25])],
+        "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r["dq"] for r in df.select(
+        "vec_id", V.dequantize_int8("embedding").alias("dq")).collect()}
+    assert out[1] == [0.0, 0.0, 0.0]            # zero vector passes through
+    # max-abs element is reproduced exactly; others within one step
+    scale = 1.0 / 127.0
+    assert abs(out[2][0] - 1.0) < 1e-12
+    assert abs(out[2][1] - (-0.5)) <= scale / 2 + 1e-12
+    assert abs(out[2][2] - 0.25) <= scale / 2 + 1e-12
+
+
+def test_similarity_join_topk_blocks_and_ranks(spark):
+    from msg_vector_search_spark.operators import similarity as S
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], "x"), (2, [0.9, 0.1], "x"), (3, [0.0, 1.0], "x"),
+         (4, [1.0, 1.0], "y")],
+        "vec_id long, embedding array<float>, cell string")
+    out = S.similarity_join_topk(df, "cell", k=1).collect()
+    by_a = {r["id_a"]: r for r in out}
+    assert by_a[1]["id_b"] == 2          # nearest within block x
+    assert by_a[2]["id_b"] == 1
+    assert 4 not in by_a                 # singleton block -> no pairs
