@@ -1,0 +1,73 @@
+"""Property-based tests (hypothesis): the operators whose correctness
+is a mathematical invariant get checked against an independent
+reference implementation on randomized inputs, not just fixed cases."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from msg_vector_search_spark.functions import vector as V
+from msg_vector_search_spark.operators import dedup
+
+SETTINGS = dict(max_examples=8, deadline=None)
+
+
+def uf_components(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    """Reference union-find: node -> smallest id in its component."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@settings(**SETTINGS)
+@given(st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(
+        lambda p: p[0] != p[1]),
+    min_size=1, max_size=25))
+def test_connected_components_matches_union_find(spark, pairs):
+    df = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    got = {r["id"]: r["component"]
+           for r in dedup.connected_components(df).collect()}
+    assert got == uf_components(pairs)
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.floats(-1e3, 1e3, allow_nan=False, width=32),
+                min_size=1, max_size=12))
+def test_dequantize_int8_error_bounded_by_half_step(spark, vec):
+    df = spark.createDataFrame([(vec,)], "embedding array<float>")
+    out = df.select(V.dequantize_int8("embedding").alias("dq")) \
+        .collect()[0]["dq"]
+    # float32 storage rounds the input; compare against what Spark read
+    stored = df.collect()[0]["embedding"]
+    scale = max(abs(x) for x in stored) / 127.0
+    for orig, deq in zip(stored, out):
+        assert abs(deq - orig) <= scale / 2 + 1e-9
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.floats(-100, 100, allow_nan=False, width=32),
+                min_size=2, max_size=10),
+       st.lists(st.floats(-100, 100, allow_nan=False, width=32),
+                min_size=2, max_size=10))
+def test_cosine_bounded_and_symmetric(spark, a, b):
+    n = min(len(a), len(b))
+    a, b = a[:n], b[:n]
+    df = spark.createDataFrame([(a, b)],
+                               "a array<float>, b array<float>")
+    row = df.select(V.cosine("a", "b").alias("ab"),
+                    V.cosine("b", "a").alias("ba")).collect()[0]
+    assert abs(row["ab"]) <= 1.0 + 1e-9
+    assert abs(row["ab"] - row["ba"]) < 1e-9
