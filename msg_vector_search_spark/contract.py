@@ -1184,6 +1184,46 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
             .orderBy(F.col("revenue").desc(), F.col("n_name")))
 
 
+@register("tpch_q14_promo_revenue", oracle="""
+WITH j AS (
+  SELECT round(l.l_extendedprice * (1 - l.l_discount), 4) AS rev,
+         p.p_type = 'PROMO' AS is_promo
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l.l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+), s AS (
+  SELECT (round(sum(CASE WHEN is_promo THEN rev ELSE 0 END), 4) + 0)
+           AS promo_revenue,
+         (round(sum(rev), 4) + 0) AS total_revenue
+  FROM j
+)
+SELECT promo_revenue, total_revenue,
+       (round(100.0 * promo_revenue / total_revenue, 6) + 0) AS promo_pct
+FROM s
+""")
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped promo-revenue share: fact-to-dimension equi
+    join + conditional aggregation to a single row.  part broadcasts;
+    lineitem is date-pruned at the scan and never shuffles (the final
+    aggregate is a map-side partial + 1-row merge).  The percentage is
+    derived from the already-rounded sums so both engines divide
+    identical doubles."""
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= F.lit("1996-01-01"))
+                  & (F.col("l_shipdate") < F.lit("1996-04-01")))
+          .select("l_partkey", "l_extendedprice", "l_discount"))
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    promo = rnd(F.sum(F.when(F.col("p_type") == "PROMO", rev)
+                      .otherwise(F.lit(0.0))), 4)
+    total = rnd(F.sum(rev), 4)
+    return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .agg(promo.alias("promo_revenue"), total.alias("total_revenue"))
+            .withColumn("promo_pct",
+                        rnd(F.lit(100.0) * F.col("promo_revenue")
+                            / F.col("total_revenue"), 6)))
+
+
 @register("first_order_per_customer", oracle="""
 SELECT o_custkey, o_orderkey AS first_order, o_orderdate AS first_date FROM (
   SELECT o_custkey, o_orderkey, o_orderdate,
