@@ -29,22 +29,48 @@ def replicate(spark, mult: int, out_dir: str) -> None:
        .parquet(f"{out_dir}/documents.parquet")
 
 
+def replicate_embeddings(spark, mult: int, out_dir: str) -> None:
+    # jitter one coordinate per replica so copies aren't exact dups and
+    # buckets/cells keep realistic occupancy
+    from pyspark.sql import functions as F
+    emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    copies = []
+    for i in range(mult):
+        c = emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * 10_000_000))
+        if i:
+            c = c.withColumn(
+                "embedding",
+                F.transform("embedding",
+                            lambda x, j: (x + F.when(j == 0, F.lit(i * 1e-4))
+                                          .otherwise(F.lit(0.0))).cast("float")))
+        copies.append(c)
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    out.repartition(32).write.mode("overwrite") \
+       .parquet(f"{out_dir}/embeddings.parquet")
+
+
 def main() -> None:
-    from msg_vector_search_spark.operators import dedup
+    from msg_vector_search_spark.operators import dedup, ivf, lsh
     from msg_vector_search_spark.session import get_spark
 
     mults = [int(a) for a in sys.argv[1:]] or [1, 4, 16]
     spark = get_spark("scaling_check")
     print(f"{'xN':>4} {'docs':>8} {'minhash_s':>10} {'simhash_s':>10} "
-          f"{'exact_s':>8} {'pairs':>8}")
+          f"{'exact_s':>8} {'pairs':>8} {'ivf_s':>8} {'lsh_s':>8} "
+          f"{'cc_s':>8}")
     for m in mults:
         d = tempfile.mkdtemp(prefix=f"scale_{m}x_")
         try:
             replicate(spark, m, d)
+            replicate_embeddings(spark, m, d)
             docs = spark.read.parquet(f"{d}/documents.parquet")
+            emb = spark.read.parquet(f"{d}/embeddings.parquet")
             n = docs.count()
             t0 = time.perf_counter()
-            pairs = dedup.dedup_minhash_lsh(docs).count()
+            pair_df = dedup.dedup_minhash_lsh(docs)
+            pairs = pair_df.count()
             t_mh = time.perf_counter() - t0
             t0 = time.perf_counter()
             dedup.dedup_simhash(docs).count()
@@ -52,8 +78,26 @@ def main() -> None:
             t0 = time.perf_counter()
             dedup.dedup_exact(docs).count()
             t_ex = time.perf_counter() - t0
+            # ANN search latency must stay ~flat: the probed fraction of
+            # the corpus is what grows, not the full scan
+            qv = [float(x) for x in emb.select("embedding").head()[0]]
+            cent = ivf.seed_centroids(emb, 16)
+            assigned = ivf.assign_cells(emb, cent)
+            t0 = time.perf_counter()
+            ivf.ivf_search(assigned, cent, qv, k=10, nprobe=2).count()
+            t_ivf = time.perf_counter() - t0
+            planes = lsh.seed_planes(emb, 4)
+            t0 = time.perf_counter()
+            lsh.lsh_search(emb, planes, query_id=0, k=10).count()
+            t_lsh = time.perf_counter() - t0
+            # components over the real near-dup graph: rounds = diameter,
+            # per-round cost tracks the edge count
+            t0 = time.perf_counter()
+            dedup.connected_components(pair_df).count()
+            t_cc = time.perf_counter() - t0
             print(f"{m:>4} {n:>8} {t_mh:>10.2f} {t_sh:>10.2f} "
-                  f"{t_ex:>8.2f} {pairs:>8}", flush=True)
+                  f"{t_ex:>8.2f} {pairs:>8} {t_ivf:>8.2f} {t_lsh:>8.2f} "
+                  f"{t_cc:>8.2f}", flush=True)
         finally:
             shutil.rmtree(d, ignore_errors=True)
 
