@@ -1,0 +1,99 @@
+"""The engine facade — one object with the reference's three public
+entry points, so a user of ``SemanticSearchEngine`` (reference:
+src/core/search/engine.py) can switch by changing a constructor.
+
+| reference (engine.py)          | here                                   |
+|--------------------------------|----------------------------------------|
+| ``search(q, limit, threshold,  | :meth:`Engine.search` — freshness gate |
+|   force_update)`` :105-226     | -> inline update -> top-k -> envelope  |
+| ``update_embeddings(batch,     | :meth:`Engine.update_embeddings` —     |
+|   max_messages)`` :57-103      | watermark-incremental ingest + upsert  |
+| ``get_database_stats()``       | :meth:`Engine.get_database_stats` —    |
+|   :228-284                     | one union-of-aggregates query          |
+
+Everything heavy stays in the ``plans``/``operators`` layers; this
+class only holds session, store path, and the H3 gate state — exactly
+the state the reference keeps on its engine object (engine.py:32-55).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import SparkSession
+
+from .plans import ingest as ingest_plan
+from .plans import search as search_plan
+from .plans import stats as stats_plan
+from .sources import readers
+
+
+class Engine:
+    """Spark-backed drop-in for the reference's engine lifecycle.
+
+    ``sf_dir`` is the message source (the events fixture plays the
+    chat_message table); ``store_dir`` holds the embedding store and
+    watermark state (the message_embeddings/vector_metadata analog).
+    """
+
+    def __init__(self, spark: SparkSession, sf_dir: str, store_dir: str,
+                 update_threshold: int = 50):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self.store_dir = store_dir
+        self.gate = search_plan.FreshnessGate(threshold=update_threshold)
+
+    # -- 3.2 write path ---------------------------------------------------
+    def update_embeddings(self, max_messages: int | None = 10_000) -> dict:
+        """Incremental ingest run (reference: engine.py:57-103): returns
+        the reference's ``{status, new_messages, update_time_ms}``."""
+        t0 = time.time()
+        before = self._embedded_count()
+        ingest_plan.run_incremental(self.spark, self.sf_dir, self.store_dir,
+                                    max_messages=max_messages)
+        return {
+            "status": "success",
+            "new_messages": self._embedded_count() - before,
+            "update_time_ms": round((time.time() - t0) * 1000, 1),
+        }
+
+    # -- 3.1 read path ----------------------------------------------------
+    def search(self, query: str, limit: int = 30, threshold: float = 0.3,
+               conversation_type: str | None = None,
+               session_id: str | None = None,
+               force_update: bool = False) -> dict:
+        """Flagship search (reference: engine.py:105-226): freshness
+        gate may run an inline update first, then cosine top-k with
+        optional pushed-down predicates, returned in the reference's
+        envelope."""
+        gap = self._message_count() - self._embedded_count()
+        if self.gate.should_update(gap, force=force_update):
+            self.update_embeddings()
+        corpus = self._store()
+        return search_plan.search_with_envelope(
+            corpus, query, limit=limit, threshold=threshold,
+            conversation_type=conversation_type, session_id=session_id)
+
+    # -- 3.3 stats path ---------------------------------------------------
+    def get_database_stats(self) -> dict:
+        """One union-of-aggregates query (reference: engine.py:228-284
+        runs three serial round-trips)."""
+        msgs = ingest_plan.messages_from_events(
+            readers.read_table(self.spark, self.sf_dir, "events"))
+        row = stats_plan.database_stats(msgs, self._store()).collect()[0]
+        return row.asDict()
+
+    # -- internals ---------------------------------------------------------
+    def _store(self):
+        import os
+        path = os.path.join(self.store_dir, "message_embeddings.parquet")
+        return self.spark.read.parquet(path)
+
+    def _message_count(self) -> int:
+        return readers.read_table(self.spark, self.sf_dir, "events").count()
+
+    def _embedded_count(self) -> int:
+        try:
+            return self._store().count()
+        except Exception:
+            return 0  # store not initialized yet (first run)

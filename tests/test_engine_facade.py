@@ -1,0 +1,54 @@
+"""End-to-end lifecycle through the Engine facade: cold start -> ingest
+-> gated search -> stats, mirroring the reference's engine object
+(src/core/search/engine.py)."""
+
+from __future__ import annotations
+
+from msg_vector_search_spark.engine import Engine
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_engine_lifecycle(spark, tmp_path):
+    eng = Engine(spark, SF, str(tmp_path / "store"))
+
+    # cold start: no store yet
+    assert eng._embedded_count() == 0
+
+    up = eng.update_embeddings()
+    assert up["status"] == "success"
+    assert up["new_messages"] > 0
+    n_first = eng._embedded_count()
+
+    # idempotent: nothing new -> nothing stored
+    up2 = eng.update_embeddings()
+    assert up2["new_messages"] == 0
+    assert eng._embedded_count() == n_first
+
+    res = eng.search("test message", limit=5, threshold=-1.0)
+    assert res["status"] == "success"
+    assert 0 < len(res["results"]) <= 5
+    assert res["metadata"]["total_results"] == len(res["results"])
+    top = res["results"][0]
+    assert "similarity_score" in top and "message_id" in top
+    # ranked descending
+    sims = [r["sim"] for r in res["results"]]
+    assert sims == sorted(sims, reverse=True)
+
+    stats = eng.get_database_stats()
+    assert stats["embedded_messages"] == n_first
+    assert stats["total_messages"] >= stats["embedded_messages"]
+    assert 0 < stats["coverage_pct"] <= 100.0
+
+
+def test_engine_force_update_and_gate(spark, tmp_path):
+    eng = Engine(spark, SF, str(tmp_path / "store"), update_threshold=10**9)
+    # huge threshold: the gate would never fire on its own...
+    eng.update_embeddings()
+    n = eng._embedded_count()
+    res = eng.search("hello", limit=3, threshold=-1.0)
+    assert res["status"] == "success"
+    # ...but force_update runs the (idempotent) refresh inline
+    res = eng.search("hello", limit=3, threshold=-1.0, force_update=True)
+    assert res["status"] == "success"
+    assert eng._embedded_count() == n
