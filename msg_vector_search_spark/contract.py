@@ -1735,6 +1735,55 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "lang"))
 
 
+@register("text_tfidf_topterms", oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_DUCK_TOKENS}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+), df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+), n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         (round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) + 0)
+           AS tfidf
+  FROM tf JOIN df USING (term), n
+)
+SELECT doc_id, term, tfidf FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term) AS rn
+  FROM scored) WHERE rn <= 3
+""")
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level TF-IDF: per-document top-3 terms scored against
+    corpus-wide document frequencies — the two-pass shape (global stats
+    joined back to per-doc counts) that keyword extraction, quality
+    weighting and weighted MinHash all build on.
+
+    Scale: the DF table is vocabulary-sized, so it does NOT broadcast —
+    the term join co-partitions both sides on the (uniform) term key,
+    then one more shuffle re-keys by doc for the windowed top-k.  At
+    100 TB prune the vocabulary first (df > 1 cutoff drops the hapax
+    half) and the per-doc aggregate is map-side partial."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = readers.widen(docs).select(
+        "doc_id", F.explode(analysis.tokens(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (tf.join(dfreq, "term")
+              .crossJoin(F.broadcast(n))
+              .withColumn(
+                  "tfidf",
+                  rnd(F.col("tf") * F.log(F.col("n_docs").cast("double")
+                                          / F.col("df")), 6)))
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(),
+                                             F.col("term"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select("doc_id", "term", "tfidf"))
+
+
 @register("decontaminate_ngram", oracle=f"""
 WITH toks AS (
   SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents
