@@ -25,7 +25,7 @@ from pyspark.sql import SparkSession
 from .plans import ingest as ingest_plan
 from .plans import search as search_plan
 from .plans import stats as stats_plan
-from .sources import readers
+from .sources import readers, sinks
 
 
 class Engine:
@@ -36,12 +36,18 @@ class Engine:
     watermark state (the message_embeddings/vector_metadata analog).
     """
 
+    #: seconds a computed freshness gap stays valid when no ingest ran
+    GAP_TTL_S = 60.0
+
     def __init__(self, spark: SparkSession, sf_dir: str, store_dir: str,
-                 update_threshold: int = 50):
+                 update_threshold: int = 50, clock=time.time):
         self.spark = spark
         self.sf_dir = sf_dir
         self.store_dir = store_dir
-        self.gate = search_plan.FreshnessGate(threshold=update_threshold)
+        self._clock = clock
+        self.gate = search_plan.FreshnessGate(threshold=update_threshold,
+                                              clock=clock)
+        self._gap_cache: tuple[float, int] | None = None
 
     # -- 3.2 write path ---------------------------------------------------
     def update_embeddings(self, max_messages: int | None = 10_000) -> dict:
@@ -51,6 +57,7 @@ class Engine:
         before = self._embedded_count()
         ingest_plan.run_incremental(self.spark, self.sf_dir, self.store_dir,
                                     max_messages=max_messages)
+        self._gap_cache = None  # the store changed; cached gap is stale
         return {
             "status": "success",
             "new_messages": self._embedded_count() - before,
@@ -65,9 +72,15 @@ class Engine:
         """Flagship search (reference: engine.py:105-226): freshness
         gate may run an inline update first, then cosine top-k with
         optional pushed-down predicates, returned in the reference's
-        envelope."""
-        gap = self._message_count() - self._embedded_count()
-        if self.gate.should_update(gap, force=force_update):
+        envelope.
+
+        The gap is passed LAZILY: the gate's cooldown pre-check runs
+        first and the two corpus counts only execute when it passes —
+        and even then a recent result (<= GAP_TTL_S old, invalidated by
+        any ingest) is reused, so N back-to-back searches pay for at
+        most one pair of count jobs instead of N (at 100 TB the source
+        count is the dominant cost of the gate)."""
+        if self.gate.should_update(self._freshness_gap, force=force_update):
             self.update_embeddings()
         corpus = self._store()
         return search_plan.search_with_envelope(
@@ -87,7 +100,15 @@ class Engine:
     def _store(self):
         import os
         path = os.path.join(self.store_dir, "message_embeddings.parquet")
-        return self.spark.read.parquet(path)
+        return sinks.read_store(self.spark, path)
+
+    def _freshness_gap(self) -> int:
+        now = self._clock()
+        if self._gap_cache is not None and now - self._gap_cache[0] <= self.GAP_TTL_S:
+            return self._gap_cache[1]
+        gap = self._message_count() - self._embedded_count()
+        self._gap_cache = (now, gap)
+        return gap
 
     def _message_count(self) -> int:
         return readers.read_table(self.spark, self.sf_dir, "events").count()

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 
 def since_ts(df: DataFrame, watermark: datetime | str,
-             ts_col: str = "ts") -> DataFrame:
+             ts_col: str = "ts", inclusive: bool = False) -> DataFrame:
     """B1 ``filter_since_ts``: the incremental watermark predicate
     ``ts > ?`` (reference: src/core/database/processor.py:349-353,
     :428-437).  Pushed to the scan: only row groups whose max(ts)
@@ -28,12 +28,21 @@ def since_ts(df: DataFrame, watermark: datetime | str,
     with ts > wm has nanos > wm-in-nanos, so the twin never drops a
     qualifying row, but it reaches PushedFilters and prunes row groups.
     The exact predicate still applies after conversion.
+
+    *inclusive* (``ts >= ?``) is for capped incremental batches: when a
+    size cap truncates a batch mid-timestamp, rows sharing the boundary
+    instant that fell past the cap would be skipped forever by a strict
+    predicate.  Reprocessing the boundary instant is safe because the
+    upsert sink is last-writer-wins idempotent on the key.
     """
-    exact = F.col(ts_col) > F.lit(watermark)
+    exact = (F.col(ts_col) >= F.lit(watermark) if inclusive
+             else F.col(ts_col) > F.lit(watermark))
     if "_ts_nanos" in df.columns and isinstance(watermark, datetime):
         wm_nanos = (calendar.timegm(watermark.utctimetuple()) * 10**9
                     + watermark.microsecond * 1_000)
-        return df.filter((F.col("_ts_nanos") > F.lit(wm_nanos)) & exact)
+        coarse = (F.col("_ts_nanos") >= F.lit(wm_nanos) if inclusive
+                  else F.col("_ts_nanos") > F.lit(wm_nanos))
+        return df.filter(coarse & exact)
     return df.filter(exact)
 
 

@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from .. import embed
 from ..functions import textops
-from ..operators import dims, enrich
+from ..operators import dims, enrich, filters
 from ..sources import readers, sinks, state
 
 
@@ -95,19 +95,31 @@ def ingest_batch(spark: SparkSession, sf_dir: str, store_dir: str,
 
     *max_messages* is the reference's backfill cap (H4, engine.py:57):
     implemented as an ordered limit on (ts, message_id) so a capped
-    batch is deterministic and its max(ts) is a valid next watermark.
+    batch is deterministic.  The watermark predicate is INCLUSIVE
+    (``ts >= wm``): a cap can truncate the batch mid-timestamp, and a
+    strict predicate would then skip the boundary instant's remaining
+    rows forever; re-reading the boundary is safe because the sink is
+    last-writer-wins idempotent on message_id.
     """
     events = readers.read_table(spark, sf_dir, "events")
     if watermark is not None:
-        events = events.filter(F.col("ts") > F.lit(watermark))
+        # filters.since_ts adds the raw _ts_nanos twin predicate that
+        # reaches PushedFilters — the incremental scan prunes row groups
+        # instead of re-reading the full source every run
+        events = filters.since_ts(events, watermark, inclusive=True)
     scanned = messages_from_events(events)
     if max_messages is not None:
         scanned = scanned.orderBy("ts", "message_id").limit(max_messages)
+    # the batch feeds three actions (watermark max, touched-bucket probe,
+    # the store write); persist it so the source is scanned once —
+    # bounded by the cap, spills to disk on an uncapped backfill
+    scanned = scanned.persist()
 
     # Watermark covers every SCANNED row — empty-text rows are consumed
     # (never rescanned) but not stored, matching the reference's skip
     # inside the batch loop (processor.py:449-451 with batch watermark
-    # from the raw rows at :466-468).
+    # from the raw rows at :466-468).  Computed from the persisted batch:
+    # no second pass over the source.
     new_wm = scanned.agg(F.max("ts")).collect()[0][0]
 
     msgs = scanned.filter(F.length(F.trim(F.col("message_text"))) > 0)
@@ -122,10 +134,11 @@ def ingest_batch(spark: SparkSession, sf_dir: str, store_dir: str,
     out_path = os.path.join(store_dir, "message_embeddings.parquet")
     sinks.upsert_parquet(spark, msgs, out_path, key="message_id",
                          order_col="ts")
-    stored = spark.read.parquet(out_path)
+    stored = sinks.read_store(spark, out_path)
 
     if new_wm is not None:
         state.write_watermark(spark, store_dir, new_wm)
+    scanned.unpersist()
     return stored
 
 

@@ -42,20 +42,30 @@ class FreshnessGate:
         self._last_update: float | None = None
         self.search_count = 0
 
-    def should_update(self, gap: int, force: bool = False) -> bool:
+    def should_update(self, gap, force: bool = False) -> bool:
+        """*gap* may be an int or a ZERO-ARG CALLABLE returning the int.
+
+        The cooldown check runs FIRST and a callable gap is only invoked
+        after it passes — so the two corpus-count jobs that compute the
+        gap are skipped entirely while the cooldown holds (the reference
+        orders its checks the same way, engine.py:139-151; at 100 TB the
+        counts are the dominant cost of the gate).
+        """
         self.search_count += 1
         now = self._clock()
         if force:
             self._last_update = now
             return True
-        threshold = self.threshold * (
-            3 if self.search_count <= self.warmup_searches else 1)
-        if gap <= threshold:
-            return False
         cooldown = (self.early_cooldown_s
                     if now - self._start < self.early_window_s
                     else self.late_cooldown_s)
         if self._last_update is not None and now - self._last_update < cooldown:
+            return False
+        threshold = self.threshold * (
+            3 if self.search_count <= self.warmup_searches else 1)
+        if callable(gap):
+            gap = gap()
+        if gap <= threshold:
             return False
         self._last_update = now
         return True

@@ -98,18 +98,25 @@ def run_stream_dedup(spark: SparkSession, sf_dir: str,
                      query_name: str = "stream_dedup",
                      late: str = "2 hours") -> DataFrame:
     """Streaming dedup-on-ingest (H5): ``withWatermark`` +
-    ``dropDuplicates`` on the message key — the streaming twin of the
-    batch last-writer-wins upsert (operators.dedup.dedup_last_wins).
-    State holds one entry per key seen within the watermark horizon and
-    is evicted past it, so state size is bounded by the late window, not
-    the corpus — the property that makes exactly-once-ish ingest viable
-    at 100 TB.  Duplicate keys are synthesized (event_id div 2 — every
-    key arrives ~twice) since the fixture's ids are unique."""
+    ``dropDuplicatesWithinWatermark`` on the message key — the streaming
+    twin of the batch last-writer-wins upsert
+    (operators.dedup.dedup_last_wins).
+
+    ``dropDuplicatesWithinWatermark`` is the form whose state IS evicted
+    past the watermark horizon: it timestamps each key's state row and
+    drops it once the event-time watermark passes, so state size is
+    bounded by the late window, not the corpus — the property that makes
+    exactly-once-ish ingest viable at 100 TB.  (Plain
+    ``dropDuplicates(["mid"])`` on a key-only subset keeps one state row
+    per distinct key FOREVER — watermark cleanup only applies when the
+    event-time column is part of the dedup subset.)  Duplicate keys are
+    synthesized (event_id div 2 — every key arrives ~twice) since the
+    fixture's ids are unique."""
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_{query_name}_")
     events = read_event_stream(spark, sf_dir)
     dedup = (events.withColumn("mid", F.expr("event_id div 2"))
              .withWatermark("ts", late)
-             .dropDuplicates(["mid"]))
+             .dropDuplicatesWithinWatermark(["mid"]))
     q = (dedup.writeStream.outputMode("append")
          .format("memory").queryName(query_name)
          .option("checkpointLocation", ckpt)
