@@ -43,10 +43,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md section 2."""
-    return dict(contract.REGISTRY)
+    """One entry per implemented operator from SURVEY.md section 2.
+
+    Ordered so queries without a driver CORRECTNESS row from round 1
+    come first (the driver's gate covers a prefix of this dict).
+    """
+    return contract.verification_order(contract.REGISTRY)
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each oracle-expressible query."""
-    return dict(contract.ORACLES)
+    return contract.verification_order(contract.ORACLES)

@@ -2315,3 +2315,43 @@ def rollup_two_level_time(spark: SparkSession, sf_dir: str) -> DataFrame:
                            "event_type")
             .agg(F.sum("n").alias("n"),
                  rnd(F.sum("sv"), 4).alias("sum_value")))
+
+
+# =========================================================================
+# Driver-verification ordering
+# =========================================================================
+# The driver's correctness gate covers roughly the first 50 registry
+# entries, in order. Round 1 (CORRECTNESS_r01.json) verified exactly the
+# 50 names below; the LLM-pipeline extension surface registered after
+# them got no driver row. Rotate: queries without a driver-verified row
+# yet go first so every operator accrues one across rounds. Purely a
+# presentation order — REGISTRY itself keeps source order.
+DRIVER_VERIFIED = frozenset({
+    "cosine_similarity", "round_sim", "filter_sim_threshold",
+    "topk_by_similarity", "knn_broadcast_join", "scan_messages",
+    "scan_latest_file", "sink_upsert_embeddings", "watermark_read",
+    "filter_since_ts", "filter_like_json_probe", "filter_in_list",
+    "filter_not_null_distinct", "filter_nonempty_text",
+    "filter_dynamic_conj", "json_extract_text", "clean_text",
+    "fmt_human_time", "conv_type_from_sid", "truncate_ellipsis",
+    "regex_name_from_email", "is_file_name", "derived_pct",
+    "group_name_probe", "join_user_dim", "join_conv_name",
+    "context_prev_next", "anti_join_unnamed", "semi_join_deep_search",
+    "dedup_last_wins", "agg_count_total", "agg_count_embedded",
+    "agg_min_max_ts", "agg_count_distinct_users",
+    "approx_distinct_users", "agg_new_msg_gap", "agg_group_first",
+    "agg_running_max_watermark", "group_agg_events",
+    "sort_ts_pagination", "kth_ts_offset", "neighbor_limit1",
+    "limit_candidates", "topk_per_group", "rolling_window_agg",
+    "tumbling_window_agg", "sessionize", "set_ops_nations",
+    "join_outer_totals", "tpch_q1_pricing_summary",
+})
+
+
+def verification_order(mapping: dict) -> dict:
+    """Reorder ``mapping`` (REGISTRY or ORACLES) so names without a
+    round-1 driver CORRECTNESS row come first, each block keeping its
+    original registration order."""
+    pending = [k for k in REGISTRY if k not in DRIVER_VERIFIED]
+    done = [k for k in REGISTRY if k in DRIVER_VERIFIED]
+    return {k: mapping[k] for k in (*pending, *done) if k in mapping}
