@@ -1327,10 +1327,60 @@ WHERE a.doc_id < b.doc_id
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(8)+LSH(4 bands x 2 rows) near-dup candidate pairs over
     3-word shingles — shuffle keys are uniform band hashes, corpus never
-    all-paired."""
+    all-paired.  max_block turns on the exact grid-salting skew guard
+    (boilerplate mega-buckets spread over ceil(n/32) reducers; output
+    identical — the oracle above is the unsalted join)."""
     docs = _t(spark, sf_dir, "documents")
     return dedup_ops.dedup_minhash_lsh(docs, num_hashes=8, bands=4,
-                                       shingle_n=3)
+                                       shingle_n=3, max_block=32)
+
+
+@register("dedup_lsh_star", oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents
+), sh AS (
+  SELECT doc_id, {_duck_shingles(3)} AS sh FROM toks
+), hashed AS (
+  SELECT doc_id,
+         list_transform(sh, s -> {_DUCK_HASH48.format(x='s')}) AS hs
+  FROM sh
+), sig AS (
+  SELECT doc_id, {_duck_minhash(8)} AS sig FROM hashed
+), banded AS (
+  SELECT doc_id,
+         unnest(range(4)) AS band_idx,
+         unnest([
+           CAST(sig[1] AS VARCHAR) || '_' || CAST(sig[2] AS VARCHAR),
+           CAST(sig[3] AS VARCHAR) || '_' || CAST(sig[4] AS VARCHAR),
+           CAST(sig[5] AS VARCHAR) || '_' || CAST(sig[6] AS VARCHAR),
+           CAST(sig[7] AS VARCHAR) || '_' || CAST(sig[8] AS VARCHAR)
+         ]) AS band_hash
+  FROM sig
+), sized AS (
+  SELECT doc_id, band_idx, band_hash,
+         count(*) OVER (PARTITION BY band_idx, band_hash) AS bsz,
+         min(doc_id) OVER (PARTITION BY band_idx, band_hash) AS bmin
+  FROM banded
+)
+SELECT DISTINCT id_a, id_b FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sized a JOIN sized b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+  WHERE a.bsz <= 8 AND a.doc_id < b.doc_id
+  UNION ALL
+  SELECT bmin AS id_a, doc_id AS id_b
+  FROM sized WHERE bsz > 8 AND doc_id <> bmin
+)
+""")
+def dedup_lsh_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates with O(n) output for oversized buckets: buckets
+    over the threshold emit star (min_id, member) spanning edges instead
+    of the quadratic pair set — identical connected components, bounded
+    output.  Threshold 8 is artificially low so sf0.01 exercises both
+    arms; 100 TB default is O(thousands)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_ops.lsh_star_pairs(docs, num_hashes=8, bands=4,
+                                    shingle_n=3, star_threshold=8)
 
 
 def _duck_simhash(bits: int) -> str:
@@ -1616,11 +1666,14 @@ def sim_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity JOIN, both sides large: every vector's top-3 cosine
     neighbors within its IVF cell — blocked co-location instead of the
     broadcast the query-set KNN uses.  One shuffle on the cell key; the
-    quadratic work never leaves a cell."""
+    quadratic work never leaves a cell.  max_cell turns on the exact
+    grid-salting skew guard (output identical — the oracle above is the
+    unsalted join)."""
     emb = _t(spark, sf_dir, "embeddings")
     cent = ivf_ops.seed_centroids(emb, 8)
     assigned = ivf_ops.assign_cells(emb, cent)
-    return sim_ops.similarity_join_topk(assigned, "cell", k=3)
+    return sim_ops.similarity_join_topk(assigned, "cell", k=3,
+                                        max_cell=128)
 
 
 @register("topk_quantized_int8", oracle=f"""

@@ -128,20 +128,59 @@ def lsh_band_hashes(shingle_col: Column, num_hashes: int, bands: int) -> Column:
                 for r in range(rows_per_band)])))
 
 
+def _grid_salted_self_pairs(keyed: DataFrame, block_cols: list[str],
+                            id_col: str, max_block: int) -> DataFrame:
+    """EXACT skew-safe self-join of *keyed* on *block_cols*: emits the
+    identical (id_a, id_b) row set as a plain self-join, but a block of
+    n rows is spread over ceil(n / max_block) reducers instead of one.
+
+    Grid salting: side B gets a deterministic sub-bucket ``hash48(id) %
+    nsub``; side A is replicated once per sub-bucket, so every original
+    pair still meets on exactly one (block, salt) key.  nsub adapts per
+    block from a groupBy count — partial aggregation keeps the size scan
+    itself skew-free (the reducer sees one row per block, not the
+    block's members).  The salt hash is the shared md5-prefix primitive,
+    so the construction is DuckDB-mirrorable (though mirroring is never
+    needed: the output is equal to the unsalted join's).
+    """
+    sizes = (keyed.groupBy(*block_cols).agg(F.count("*").alias("_bsz"))
+             .withColumn("_nsub",
+                         F.greatest(F.lit(1),
+                                    F.ceil(F.col("_bsz") / max_block))
+                         .cast("int"))
+             .drop("_bsz"))
+    sized = keyed.join(sizes, block_cols)
+    a = sized.select(
+        F.col(id_col).alias("id_a"), *block_cols,
+        F.explode(F.sequence(F.lit(0), F.col("_nsub") - 1)).alias("_salt"))
+    b = sized.select(
+        F.col(id_col).alias("id_b"), *block_cols,
+        F.pmod(analysis.token_hash(F.col(id_col).cast("string")),
+               F.col("_nsub")).alias("_salt"))
+    return (a.join(b, [*block_cols, "_salt"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+
+
 def dedup_minhash_lsh(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", num_hashes: int = 8,
-                      bands: int = 4, shingle_n: int = 3) -> DataFrame:
+                      bands: int = 4, shingle_n: int = 3,
+                      max_block: int | None = None) -> DataFrame:
     """MinHash + LSH near-dup candidate pairs.
 
     shingle -> minhash signature -> split into *bands* -> explode band
     buckets -> self-join per (band, bucket) -> distinct candidate pairs
     (id_a < id_b).
 
-    Scale: the only shuffle keys are (band_idx, band_hash) — uniformly
-    distributed by construction, so no skew; the corpus is never
-    all-paired, only same-bucket rows meet.  At 100 TB raise
-    num_hashes/bands and salt giant buckets (near-identical boilerplate
-    docs) before the self-join.
+    Scale: the only shuffle keys are (band_idx, band_hash) — uniform for
+    *distinct* texts by construction; the corpus is never all-paired,
+    only same-bucket rows meet.  The skew that DOES happen is semantic:
+    near-identical boilerplate docs (dedup's very target) all share a
+    bucket.  *max_block* caps the per-reducer block via exact grid
+    salting (:func:`_grid_salted_self_pairs`) — same output, hottest
+    reducer divided by ceil(block/max_block).  The pair COUNT of a mega
+    bucket is still quadratic; when the output itself is the problem,
+    use :func:`lsh_star_pairs`.
     """
     band_arr = lsh_band_hashes(shingles(F.col(text_col), shingle_n),
                                num_hashes, bands)
@@ -149,6 +188,9 @@ def dedup_minhash_lsh(df: DataFrame, text_col: str = "text",
         F.col(id_col),
         F.posexplode(band_arr).alias("band_idx", "band_hash"),
     )
+    if max_block is not None:
+        return _grid_salted_self_pairs(
+            banded, ["band_idx", "band_hash"], id_col, max_block)
     a = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
     b = banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
     return (
@@ -156,6 +198,47 @@ def dedup_minhash_lsh(df: DataFrame, text_col: str = "text",
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b").distinct()
     )
+
+
+def lsh_star_pairs(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", num_hashes: int = 8,
+                   bands: int = 4, shingle_n: int = 3,
+                   star_threshold: int = 64) -> DataFrame:
+    """LSH candidate pairs with O(n) output for oversized buckets.
+
+    Buckets at or under *star_threshold* emit full pairwise candidates
+    (exactly as :func:`dedup_minhash_lsh`); bigger buckets emit only the
+    STAR (min_id, member) spanning edges.  A 10M-doc boilerplate bucket
+    contributes 10M-1 edges instead of 5*10^13 pairs, and
+    :func:`connected_components` recovers the identical cluster — the
+    spanning edges connect everything the clique would.  The trade is
+    per-PAIR fidelity, not clustering fidelity: downstream pairwise
+    verification (n-gram Jaccard) sees each big-bucket member compared
+    against the canonical doc only.  This is the 100 TB default for
+    dedup candidate generation.
+    """
+    band_arr = lsh_band_hashes(shingles(F.col(text_col), shingle_n),
+                               num_hashes, bands)
+    banded = widen(df).select(
+        F.col(id_col),
+        F.posexplode(band_arr).alias("band_idx", "band_hash"),
+    )
+    # groupBy (map-side partial agg), not a window: the size/min scan of
+    # a mega bucket must not itself land the bucket on one reducer.
+    stats = banded.groupBy("band_idx", "band_hash").agg(
+        F.count("*").alias("_bsz"), F.min(id_col).alias("_bmin"))
+    sized = banded.join(stats, ["band_idx", "band_hash"])
+    small = sized.filter(F.col("_bsz") <= star_threshold)
+    a = small.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
+    b = small.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
+    small_pairs = (a.join(b, ["band_idx", "band_hash"])
+                   .filter(F.col("id_a") < F.col("id_b"))
+                   .select("id_a", "id_b"))
+    star_pairs = (sized.filter((F.col("_bsz") > star_threshold)
+                               & (F.col(id_col) != F.col("_bmin")))
+                  .select(F.col("_bmin").alias("id_a"),
+                          F.col(id_col).alias("id_b")))
+    return small_pairs.unionByName(star_pairs).distinct()
 
 
 def simhash(text: Column | str, bits: int = 16) -> Column:

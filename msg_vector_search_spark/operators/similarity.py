@@ -22,6 +22,7 @@ import math
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions import analysis
 from ..functions import vector as V
 
 
@@ -149,7 +150,8 @@ def pairwise_similarity(left: DataFrame, right: DataFrame, on: str,
 
 def similarity_join_topk(assigned: DataFrame, block_col: str, k: int,
                          id_col: str = "vec_id",
-                         vec_col: str = "embedding") -> DataFrame:
+                         vec_col: str = "embedding",
+                         max_cell: int | None = None) -> DataFrame:
     """All-vectors-to-their-neighbors similarity JOIN: for every vector,
     its top-k cosine neighbors within its block (IVF cell / LSH bucket)
     — the both-sides-large pattern ``knn_join`` (broadcast query set)
@@ -160,7 +162,14 @@ def similarity_join_topk(assigned: DataFrame, block_col: str, k: int,
     nlist sized by construction), norms are computed once per ROW before
     the join, and the per-source top-k is a windowed rank inside the
     already-blocked partition.  Recall improves by unioning nprobe>1
-    cell assignments per vector before the join."""
+    cell assignments per vector before the join.
+
+    *max_cell* guards cell skew (a dense corpus region overloading one
+    cell): exact grid salting — side B sub-bucketed by a deterministic
+    ``hash48(id) % nsub``, side A replicated per sub-bucket, so the
+    result is IDENTICAL to the unsalted join while the hottest reducer
+    scores ~max_cell * cell pairs instead of cell^2.  Cell sizes come
+    from a partial-aggregated groupBy, never a window over the cell."""
     a = assigned.select(F.col(id_col).alias("id_a"),
                         F.col(vec_col).alias("vec_a"),
                         V.norm(vec_col).alias("_na"),
@@ -169,10 +178,30 @@ def similarity_join_topk(assigned: DataFrame, block_col: str, k: int,
                         F.col(vec_col).alias("vec_b"),
                         V.norm(vec_col).alias("_nb"),
                         F.col(block_col).alias("cell"))
+    if max_cell is not None:
+        sizes = (assigned.groupBy(F.col(block_col).alias("cell"))
+                 .agg(F.count("*").alias("_csz"))
+                 .withColumn("_nsub",
+                             F.greatest(F.lit(1),
+                                        F.ceil(F.col("_csz") / max_cell))
+                             .cast("int"))
+                 .drop("_csz"))
+        a = (a.join(sizes, "cell")
+             .withColumn("_salt", F.explode(
+                 F.sequence(F.lit(0), F.col("_nsub") - 1)))
+             .drop("_nsub"))
+        b = (b.join(sizes, "cell")
+             .withColumn("_salt",
+                         F.pmod(analysis.token_hash(
+                             F.col("id_b").cast("string")), F.col("_nsub")))
+             .drop("_nsub"))
+        join_keys = ["cell", "_salt"]
+    else:
+        join_keys = ["cell"]
     nprod = F.col("_na") * F.col("_nb")
     cos = F.when(nprod == 0.0, F.lit(0.0)).otherwise(
         V.dot("vec_a", "vec_b") / nprod)
-    pairs = (a.join(b, "cell")
+    pairs = (a.join(b, join_keys)
              .filter(F.col("id_a") != F.col("id_b"))
              .withColumn("sim", F.round(cos, 6) + F.lit(0.0)))
     w = Window.partitionBy("id_a").orderBy(F.col("sim").desc(),
