@@ -1725,13 +1725,15 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the MinHash+LSH candidate-pair graph:
     the clustering stage that turns near-dup PAIRS into dedup DECISIONS
     (component id = smallest reachable doc id = the canonical doc to
-    keep).  Iterative min-label propagation, one shuffle per round,
-    early-exit at fixpoint; the oracle is DuckDB's recursive CTE over
-    the same pair set."""
+    keep).  Alternating large-star/small-star contraction (Kiveris
+    SoCC'14): rounds bounded by log^2(component size), not graph
+    diameter, so chain-shaped dup graphs converge too; the oracle is
+    DuckDB's recursive CTE over the same pair set.  Min-label
+    propagation remains available as connected_components()."""
     docs = _t(spark, sf_dir, "documents")
     pairs = dedup_ops.dedup_minhash_lsh(docs, num_hashes=8, bands=4,
                                         shingle_n=3)
-    return dedup_ops.connected_components(pairs)
+    return dedup_ops.connected_components_star(pairs)
 
 
 @register("dedup_keep_canonical", oracle=f"""
@@ -1761,7 +1763,7 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     pairs = dedup_ops.dedup_minhash_lsh(docs, num_hashes=8, bands=4,
                                         shingle_n=3)
-    comp = dedup_ops.connected_components(pairs)
+    comp = dedup_ops.connected_components_star(pairs)
     drops = comp.filter(F.col("id") != F.col("component")).select("id")
     return (docs.join(F.broadcast(drops),
                       docs["doc_id"] == drops["id"], "left_anti")

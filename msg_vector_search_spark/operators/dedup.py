@@ -395,6 +395,95 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     return labels.select("id", F.col("comp").alias("component"))
 
 
+def _cc_free(ckpt_df: DataFrame) -> None:
+    """Release a superseded localCheckpoint's pinned blocks (see
+    :func:`connected_components` for why unpersisting the analyzed
+    plan's own RDD is required)."""
+    try:
+        ckpt_df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass  # best-effort: plan wasn't a bare LogicalRDD
+
+
+def connected_components_star(pairs: DataFrame, id_a: str = "id_a",
+                              id_b: str = "id_b", max_iter: int = 50,
+                              stats: dict | None = None) -> DataFrame:
+    """Alternating large-star/small-star connected components — the
+    O(log^2 n)-round contraction of Kiveris et al., "Connected
+    Components in MapReduce and Beyond" (SoCC'14).  Same contract as
+    :func:`connected_components` (-> (id, component=min reachable id))
+    but the round count is bounded by log^2 of the component size, not
+    its DIAMETER, so adversarial chain-shaped dup graphs (pairwise
+    near-dups along a drifting document) converge in ~10 rounds where
+    min-label propagation needs thousands.
+
+    large-star(u): every neighbor v > u re-points to min(N(u) + {u});
+    small-star(u): over parent edges (u > v), every v and u re-point to
+    the min.  Both are one groupBy-min + one equi-join — two shuffles
+    per half-round, lineage cut per round with released localCheckpoints.
+    Convergence = edge multiset fixpoint, detected by (count, xor-ish
+    checksum) — collision odds ~2^-64 per round; max_iter backstops.
+    At fixpoint edges form stars rooted at each component's min id.
+    """
+    edges = (pairs.select(F.col(id_a).cast("long").alias("u"),
+                          F.col(id_b).cast("long").alias("v"))
+             .filter(F.col("u") != F.col("v"))
+             .distinct().localCheckpoint(eager=True))
+    nodes = (edges.select(F.col("u").alias("id"))
+             .unionByName(edges.select(F.col("v").alias("id")))
+             .distinct().localCheckpoint(eager=True))
+
+    def large_star(e: DataFrame) -> DataFrame:
+        bi = e.unionByName(e.select(F.col("v").alias("u"),
+                                    F.col("u").alias("v")))
+        mins = bi.groupBy("u").agg(F.least(F.min("v"), F.first("u"))
+                                   .alias("m"))
+        return (bi.filter(F.col("v") > F.col("u"))
+                .join(mins, "u")
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .filter(F.col("u") != F.col("v")).distinct())
+
+    def small_star(e: DataFrame) -> DataFrame:
+        dirn = e.select(F.greatest("u", "v").alias("u"),
+                        F.least("u", "v").alias("v"))
+        mins = dirn.groupBy("u").agg(F.min("v").alias("m"))
+        nbrs = (dirn.join(mins, "u")
+                .select(F.col("v").alias("u"), F.col("m").alias("v")))
+        selfs = mins.select(F.col("u"), F.col("m").alias("v"))
+        return (nbrs.unionByName(selfs)
+                .filter(F.col("u") != F.col("v")).distinct())
+
+    def checksum(e: DataFrame) -> tuple:
+        row = e.agg(F.count("*"), F.sum(F.hash("u", "v"))).collect()[0]
+        return (row[0], row[1])
+
+    prev_ckpt = edges
+    prev_sum = checksum(edges)
+    rounds = 0
+    for _ in range(max_iter):
+        stepped = small_star(large_star(prev_ckpt)) \
+            .localCheckpoint(eager=True)
+        cur_sum = checksum(stepped)
+        _cc_free(prev_ckpt)
+        prev_ckpt = stepped
+        rounds += 1
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    if stats is not None:
+        stats["rounds"] = rounds
+    # fixpoint edges are (member, component-min) stars; roots map to
+    # themselves via the left join's coalesce
+    labels = (nodes.join(prev_ckpt.withColumnRenamed("u", "id"),
+                         "id", "left")
+              .select("id", F.coalesce(F.col("v"), F.col("id"))
+                      .alias("component")))
+    out = labels.localCheckpoint(eager=True)
+    _cc_free(prev_ckpt)
+    _cc_free(nodes)
+    return out
+
+
 def embedding_near_dup(embeddings: DataFrame, block_col: str = "label",
                        threshold: float = 0.95,
                        id_col: str = "vec_id",

@@ -71,3 +71,30 @@ def test_cosine_bounded_and_symmetric(spark, a, b):
                     V.cosine("b", "a").alias("ba")).collect()[0]
     assert abs(row["ab"]) <= 1.0 + 1e-9
     assert abs(row["ab"] - row["ba"]) < 1e-9
+
+
+@settings(**SETTINGS)
+@given(st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(
+        lambda p: p[0] != p[1]),
+    min_size=1, max_size=25))
+def test_star_components_match_union_find(spark, pairs):
+    df = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    got = {r["id"]: r["component"]
+           for r in dedup.connected_components_star(df).collect()}
+    assert got == uf_components(pairs)
+
+
+def test_star_components_path_graph_log2_rounds(spark):
+    """Adversarial chain: a 1000-node path (diameter 999).  Min-label
+    propagation needs ~999 rounds; the star contraction must stay
+    within the Kiveris O(log^2 n) bound — log2(1000)^2 ~= 100, and in
+    practice far fewer."""
+    n = 1000
+    pairs = [(i, i + 1) for i in range(n - 1)]
+    df = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    stats: dict = {}
+    got = dedup.connected_components_star(df, stats=stats)
+    assert got.filter(F.col("component") != 0).count() == 0
+    assert got.count() == n
+    assert stats["rounds"] <= 100, stats
