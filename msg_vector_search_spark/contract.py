@@ -713,22 +713,30 @@ WITH unnamed AS (
   SELECT DISTINCT user_id FROM events
   WHERE user_id IS NOT NULL
     AND user_id NOT IN (SELECT DISTINCT user_id FROM events
-                        WHERE event_type = 'click')
+                        WHERE event_type = 'purchase' AND value > 150)
 )
 SELECT event_id, user_id, event_type FROM events
 WHERE user_id IN (SELECT user_id FROM unnamed)
+   OR (props LIKE '%"k": 7%' AND props LIKE '%7}%')
 ORDER BY event_id LIMIT 500
 """)
 def semi_join_deep_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D5: bounded candidate fetch for unnamed users — semi join +
-    deterministic cap (reference: user_mapper.py:188-198 LIMIT 500)."""
+    """D5: bounded candidate fetch for unnamed users — id-set membership
+    OR content probes, deterministic cap (reference:
+    user_mapper.py:188-198 ``u IN (...) OR content LIKE ... LIMIT
+    500``).  'Named' = users with a >150-value purchase so the unnamed
+    set is nonempty at sf0.01; the probe arm pulls rows from named
+    users too, exercising the OR."""
     events = _t(spark, sf_dir, "events")
     all_users = filter_ops.not_null_distinct(events, "user_id")
-    named = (events.filter(F.col("event_type") == "click")
+    named = (events.filter((F.col("event_type") == "purchase")
+                           & (F.col("value") > 150))
              .select("user_id").distinct())
     unnamed = dims_ops.unnamed_users(all_users, named)
     out = dims_ops.deep_search_candidates(events, unnamed, cap=500,
-                                          order_col="event_id")
+                                          order_col="event_id",
+                                          content_col="props",
+                                          probes=['"k": 7', '7}'])
     return out.select("event_id", "user_id", "event_type")
 
 

@@ -52,14 +52,31 @@ def unnamed_users(all_users: DataFrame, named: DataFrame,
 
 def deep_search_candidates(messages: DataFrame, unnamed: DataFrame,
                            key: str = "user_id", cap: int = 500,
-                           order_col: str = "event_id") -> DataFrame:
+                           order_col: str = "event_id",
+                           content_col: str | None = None,
+                           probes: list[str] | None = None) -> DataFrame:
     """D5 ``semi_join_deep_search``: candidate messages for unnamed
-    users via a semi join, capped (reference: user_mapper.py:188-198
-    ``u IN (...) ... LIMIT 500``).  The cap is ordered by a key so the
+    users, capped (reference: user_mapper.py:188-198 ``u IN (...) OR
+    content LIKE '%User ID:%' AND content LIKE '%Email:%' ... LIMIT
+    500``).  The OR arm means this is NOT a plain semi join: the id-set
+    membership is marked via a broadcast left join and OR-ed with the
+    content probes, preserving each row exactly once — a union of two
+    arms would double-scan the corpus and double-count rows matching
+    both.  *unnamed* must be distinct on *key* (it is, by construction,
+    from :func:`unnamed_users`).  The cap is ordered by a key so the
     candidate set is deterministic — an unordered LIMIT is a correctness
     bug under Spark's parallel execution."""
+    if not probes or content_col is None:
+        return (messages.join(unnamed, key, "left_semi")
+                .orderBy(order_col).limit(cap))
+    marked = unnamed.select(key).withColumn("_hit", F.lit(True))
+    probe_pred = F.col(content_col).contains(probes[0])
+    for p in probes[1:]:
+        probe_pred = probe_pred & F.col(content_col).contains(p)
     return (
-        messages.join(unnamed, key, "left_semi")
+        messages.join(F.broadcast(marked), key, "left")
+        .filter(F.col("_hit").isNotNull() | probe_pred)
+        .drop("_hit")
         .orderBy(order_col).limit(cap)
     )
 
