@@ -28,6 +28,8 @@ def main() -> None:
 
     from msg_vector_search_spark.session import get_spark
     from msg_vector_search_spark import contract
+    from msg_vector_search_spark.embed import encoder_kind
+    _encoder = encoder_kind()
 
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
     spark = get_spark("bench", cpus=CPUS)
@@ -114,6 +116,11 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "headline": {
+            # "fake" = deterministic md5-seeded encoder (sentence-
+            # transformers absent): embed/ingest rates then measure
+            # Spark plumbing, NOT model inference, and are not
+            # comparable to the reference's 150-200 msg/s MiniLM number
+            "encoder": _encoder,
             "search_latency_s": round(search_latency, 3),
             "embed_docs": n_docs,
             "embed_throughput_docs_per_s": embed_rate,

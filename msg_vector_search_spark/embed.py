@@ -67,6 +67,18 @@ def _load_model(dim: int = EMBED_DIM):
     return _MODEL
 
 
+def encoder_kind() -> str:
+    """'real' when sentence-transformers is importable (driver-side
+    probe; executors resolve the same way), else 'fake'.  Bench output
+    carries this so embed/ingest throughput numbers are never mistaken
+    for model-bound numbers when the deterministic fake is in play."""
+    try:  # pragma: no cover - real model path, not in this image
+        import sentence_transformers  # noqa: F401
+        return "real"
+    except ImportError:
+        return "fake"
+
+
 @F.pandas_udf(T.ArrayType(T.FloatType()))
 def embed_text(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
     """I1 ``udf_embed_batch``: text -> float32[EMBED_DIM].

@@ -79,3 +79,22 @@ def test_sample_frames_fanout_and_last_partial_frame(spark):
     assert by[(7, 2)]["frame_bytes"] == 2 and bytes(by[(7, 2)]["frame_payload"]) == b"89"
     assert by[(7, 0)]["n_frames"] == 3
     assert by[(8, 0)]["frame_bytes"] == 0 and by[(8, 0)]["n_frames"] == 1
+
+
+@pytest.mark.skipif(embed.encoder_kind() != "real",
+                    reason="sentence-transformers not installed in this "
+                           "image; embed UDF runs the deterministic fake")
+def test_real_sentence_transformers_path(spark):
+    """Integration check for the real-model branch of _load_model: runs
+    only where sentence-transformers is installed.  Verifies the UDF
+    yields 384-dim unit-norm vectors and that identical texts embed
+    identically across tasks (idempotent-sink requirement)."""
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "hello world"), (3, "something else")],
+        ["id", "message_text"]).repartition(3)
+    out = {r["id"]: r["embedding"]
+           for r in embed.with_embeddings(df).collect()}
+    assert len(out[1]) == 384
+    norm = sum(x * x for x in out[1]) ** 0.5
+    assert abs(norm - 1.0) < 1e-3
+    assert out[1] == out[2] != out[3]
