@@ -39,6 +39,37 @@ def seed_centroids(embeddings: DataFrame, nlist: int,
     )
 
 
+def kmeans_centroids(embeddings: DataFrame, nlist: int,
+                     vec_col: str = "embedding", max_iter: int = 10,
+                     seed: int = 42) -> DataFrame:
+    """K-means-refined centroids via MLlib — the quality upgrade over
+    :func:`seed_centroids`, same output contract (centroid_id,
+    centroid_vec), so every downstream stage (assign, partitioned write,
+    pruned probe) is unchanged.
+
+    Vectors are L2-normalized before fitting: MLlib KMeans minimizes
+    Euclidean distance, and on the unit sphere Euclidean order equals
+    cosine order, so the trained cells match the cosine assignment
+    :func:`assign_cells` performs.  Training cost is
+    O(max_iter * corpus * nlist) — run it on a sample at 100 TB
+    (centroids only need to see the density, not every row).  Not used
+    by oracle queries (k-means|| init is seed-stable but not
+    dialect-reproducible in DuckDB); recall vs the seed pick is
+    measured in tools/scaling_check.py.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = embeddings.select(
+        array_to_vector(V.l2_normalize(F.col(vec_col)).cast("array<double>"))
+        .alias("features"))
+    model = KMeans(k=nlist, maxIter=max_iter, seed=seed).fit(feats)
+    rows = [(i, [float(x) for x in c])
+            for i, c in enumerate(model.clusterCenters())]
+    return embeddings.sparkSession.createDataFrame(
+        rows, "centroid_id bigint, centroid_vec array<float>")
+
+
 def assign_cells(embeddings: DataFrame, centroids: DataFrame,
                  id_col: str = "vec_id",
                  vec_col: str = "embedding") -> DataFrame:

@@ -38,3 +38,20 @@ def test_ivf_index_prunes_partitions_and_matches(spark, tmp_path):
     assert "cell" in part_filters
     # and the probe really reads a subset of the cells
     assert pruned.select("cell").distinct().count() <= 2
+
+
+def test_kmeans_centroids_drop_in(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = ivf.kmeans_centroids(emb, nlist=4)
+    rows = cents.collect()
+    assert len(rows) == 4
+    assert {r["centroid_id"] for r in rows} == {0, 1, 2, 3}
+    dim = len(emb.select("embedding").head()[0])
+    assert all(len(r["centroid_vec"]) == dim for r in rows)
+    # drop-in: assignment covers every vector, cells within range,
+    # and the pruned search still returns k rows
+    assigned = ivf.assign_cells(emb, cents)
+    assert assigned.count() == emb.count()
+    assert assigned.select("cell").distinct().count() <= 4
+    qv = [float(x) for x in emb.select("embedding").head()[0]]
+    assert ivf.ivf_search(assigned, cents, qv, k=5, nprobe=2).count() == 5

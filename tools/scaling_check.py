@@ -11,6 +11,8 @@ import sys
 import tempfile
 import time
 
+from pyspark.sql import functions as F
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
@@ -49,6 +51,43 @@ def replicate_embeddings(spark, mult: int, out_dir: str) -> None:
         out = out.unionByName(c)
     out.repartition(32).write.mode("overwrite") \
        .parquet(f"{out_dir}/embeddings.parquet")
+
+
+def measure_ivf_recall(spark, emb, nlist: int = 16, nprobe: int = 2,
+                       k: int = 10, n_queries: int = 10) -> dict[str, float]:
+    """recall@k of IVF (seed-picked vs k-means centroids) against
+    brute-force ground truth, averaged over *n_queries* stored vectors.
+    The measurement the centroid-quality claim rests on: k-means cells
+    follow the density, so the query's true neighbors concentrate in
+    fewer cells and survive nprobe pruning more often."""
+    from msg_vector_search_spark.operators import ivf, similarity
+
+    # query vectors must be DISJOINT from the seed-centroid picks (the
+    # nlist smallest ids): a query that IS a centroid trivially keeps
+    # its neighborhood in its own cell and inflates seed recall.
+    qrows = emb.orderBy(F.col("vec_id").desc()).limit(n_queries) \
+        .select("vec_id", "embedding").collect()
+    truth = {}
+    for r in qrows:
+        qv = [float(x) for x in r["embedding"]]
+        top = similarity.knn_search(emb, qv, k=k).select("vec_id").collect()
+        truth[r["vec_id"]] = {t["vec_id"] for t in top}
+
+    out = {}
+    for name, cents in [
+        ("seed", ivf.seed_centroids(emb, nlist)),
+        ("kmeans", ivf.kmeans_centroids(emb, nlist)),
+    ]:
+        assigned = ivf.assign_cells(emb, cents).localCheckpoint()
+        hits = 0
+        for r in qrows:
+            qv = [float(x) for x in r["embedding"]]
+            got = {g["vec_id"] for g in
+                   ivf.ivf_search(assigned, cents, qv, k=k, nprobe=nprobe)
+                   .select("vec_id").collect()}
+            hits += len(got & truth[r["vec_id"]])
+        out[name] = hits / (k * len(qrows))
+    return out
 
 
 def main() -> None:
@@ -90,14 +129,16 @@ def main() -> None:
             t0 = time.perf_counter()
             lsh.lsh_search(emb, planes, query_id=0, k=10).count()
             t_lsh = time.perf_counter() - t0
-            # components over the real near-dup graph: rounds = diameter,
-            # per-round cost tracks the edge count
+            # components over the real near-dup graph (star contraction:
+            # rounds ~ log^2 component size, per-round cost ~ edge count)
             t0 = time.perf_counter()
-            dedup.connected_components(pair_df).count()
+            dedup.connected_components_star(pair_df).count()
             t_cc = time.perf_counter() - t0
+            recall = measure_ivf_recall(spark, emb)
             print(f"{m:>4} {n:>8} {t_mh:>10.2f} {t_sh:>10.2f} "
                   f"{t_ex:>8.2f} {pairs:>8} {t_ivf:>8.2f} {t_lsh:>8.2f} "
-                  f"{t_cc:>8.2f}", flush=True)
+                  f"{t_cc:>8.2f}  recall@10 seed={recall['seed']:.2f} "
+                  f"kmeans={recall['kmeans']:.2f}", flush=True)
         finally:
             shutil.rmtree(d, ignore_errors=True)
 
