@@ -1,0 +1,59 @@
+"""Serving shim smoke: the reference's three MCP endpoints driven
+end-to-end (ingest -> search envelope -> stats) through dict dispatch
+and the stdio framing loop."""
+
+from __future__ import annotations
+
+import io
+import json
+
+from msg_vector_search_spark.engine import Engine
+from msg_vector_search_spark.server import ServingShim
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_shim_three_endpoints(spark, tmp_path):
+    shim = ServingShim(Engine(spark, SF, str(tmp_path / "store")))
+
+    up = shim.handle({"tool": "update_embeddings", "args": {}})
+    assert up["status"] == "success" and up["new_messages"] > 0
+
+    res = shim.handle({"tool": "search_messages",
+                       "args": {"query": "test", "limit": 5,
+                                "threshold": -1.0}})
+    assert res["status"] == "success"
+    assert 0 < len(res["results"]) <= 5
+    assert res["metadata"]["total_results"] == len(res["results"])
+
+    stats = shim.handle({"tool": "database_stats"})
+    assert stats["embedded_messages"] > 0
+
+
+def test_shim_error_envelopes(spark, tmp_path):
+    shim = ServingShim(Engine(spark, SF, str(tmp_path / "store")))
+    bad = shim.handle({"tool": "no_such_tool"})
+    assert bad["status"] == "error" and "search_messages" in bad["tools"]
+    bad2 = shim.handle({"tool": "database_stats", "args": {"bogus": 1}})
+    assert bad2["status"] == "error" and bad2["tool"] == "database_stats"
+
+
+def test_shim_stdio_loop(spark, tmp_path):
+    shim = ServingShim(Engine(spark, SF, str(tmp_path / "store")))
+    shim.handle({"tool": "update_embeddings"})
+    reqs = "\n".join([
+        json.dumps({"tool": "database_stats"}),
+        "not json at all",
+        json.dumps({"tool": "search_messages",
+                    "args": {"query": "hi", "limit": 2,
+                             "threshold": -1.0}}),
+        json.dumps({"tool": "shutdown"}),
+        json.dumps({"tool": "database_stats"}),  # after shutdown: unserved
+    ]) + "\n"
+    out = io.StringIO()
+    served = shim.serve_stdio(io.StringIO(reqs), out)
+    lines = [json.loads(l) for l in out.getvalue().splitlines()]
+    assert served == 3 and len(lines) == 3
+    assert lines[0]["embedded_messages"] > 0
+    assert lines[1]["status"] == "error" and "bad json" in lines[1]["error"]
+    assert lines[2]["status"] == "success" and len(lines[2]["results"]) == 2
