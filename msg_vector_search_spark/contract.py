@@ -1680,8 +1680,12 @@ def sim_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     cent = ivf_ops.seed_centroids(emb, 8)
     assigned = ivf_ops.assign_cells(emb, cent)
+    # max_cell bounds the hottest reducer at ~max_cell*cell pairs; the
+    # cost is replicating side A ceil(cell/max_cell) times, so the cap
+    # is set well above the EXPECTED cell size (corpus/nlist) and only
+    # bites outlier cells.
     return sim_ops.similarity_join_topk(assigned, "cell", k=3,
-                                        max_cell=128)
+                                        max_cell=512)
 
 
 @register("topk_quantized_int8", oracle=f"""
