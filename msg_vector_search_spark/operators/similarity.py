@@ -209,3 +209,66 @@ def similarity_join_topk(assigned: DataFrame, block_col: str, k: int,
     return (pairs.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= k)
             .select("id_a", "id_b", "cell", "sim"))
+
+
+def similarity_join_topk_pandas(assigned: DataFrame, block_col: str,
+                                k: int, id_col: str = "vec_id",
+                                vec_col: str = "embedding") -> DataFrame:
+    """Vectorized twin of :func:`similarity_join_topk`: the within-cell
+    pairwise kernel as one numpy matrix multiply per cell via
+    ``applyInPandas``, instead of an interpreted higher-order dot per
+    pair.
+
+    Why it exists: Spark's higher-order functions evaluate per array
+    element in the interpreter, so the blocked quadratic kernel costs
+    ~cell^2 * dim interpreted ops; normalizing the cell's matrix once
+    and calling BLAS GEMM does the same arithmetic vectorized in C —
+    the right physical kernel when cells are thousands of rows.  Same
+    logical result modulo float summation order (GEMM reorders the
+    accumulation, so ~1e-15-relative drift vs the sequential expression
+    — which is why the ORACLE query keeps the expression form: a
+    value-hash comparison cannot tolerate reordered float sums).
+
+    Scale shape is identical: one shuffle groups each cell, memory per
+    task is O(cell * dim) for the matrix plus O(cell * k) for results;
+    pair k with a cell-size guard (the grid salting of the expression
+    variant does not apply here — a mega cell must instead be split by
+    re-clustering, or the GEMM tiled)."""
+    import numpy as np
+    import pandas as pd
+
+    block_type = assigned.schema[block_col].dataType.simpleString()
+    out_schema = (f"id_a long, id_b long, {block_col} {block_type}, "
+                  "sim double")
+
+    def cell_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {"id_a": [], "id_b": [], block_col: [], "sim": []})
+        ids = pdf[id_col].to_numpy()
+        mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        safe = np.where(norms == 0.0, 1.0, norms)
+        unit = mat / safe[:, None]
+        sims = unit @ unit.T
+        sims[norms == 0.0, :] = 0.0
+        sims[:, norms == 0.0] = 0.0
+        np.fill_diagonal(sims, -np.inf)
+        sims = np.round(sims, 6) + 0.0
+        kk = min(k, n - 1)
+        # per-row top-k with (sim desc, id asc) tiebreak: lexsort on
+        # (-sim, id) gives ascending id within equal sims
+        order = np.lexsort((np.broadcast_to(ids, sims.shape), -sims),
+                           axis=1)[:, :kk]
+        rows = np.repeat(np.arange(n), kk)
+        cols = order.ravel()
+        return pd.DataFrame({
+            "id_a": ids[rows],
+            "id_b": ids[cols],
+            block_col: pdf[block_col].iloc[0],
+            "sim": sims[rows, cols],
+        })
+
+    return assigned.select(id_col, vec_col, block_col) \
+        .groupBy(block_col).applyInPandas(cell_topk, out_schema)

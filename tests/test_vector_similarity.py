@@ -109,3 +109,29 @@ def test_similarity_join_topk_blocks_and_ranks(spark):
     assert by_a[1]["id_b"] == 2          # nearest within block x
     assert by_a[2]["id_b"] == 1
     assert 4 not in by_a                 # singleton block -> no pairs
+
+
+def test_similarity_join_topk_pandas_matches_expression(spark, sf_dir):
+    from msg_vector_search_spark.operators import ivf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(400)
+    cent = ivf.seed_centroids(emb, 4)
+    assigned = ivf.assign_cells(emb, cent)
+    expr = similarity.similarity_join_topk(assigned, "cell", k=3)
+    fast = similarity.similarity_join_topk_pandas(assigned, "cell", k=3)
+    e = {(r.id_a, r.id_b, r.cell) for r in expr.collect()}
+    f_rows = fast.collect()
+    f = {(r.id_a, r.id_b, r.cell) for r in f_rows}
+    # identical neighbor sets; sims agree to float-reordering tolerance
+    assert e == f
+    esim = {(r.id_a, r.id_b): r.sim for r in expr.collect()}
+    for r in f_rows:
+        assert abs(esim[(r.id_a, r.id_b)] - r.sim) < 1e-9
+
+
+def test_similarity_join_topk_pandas_single_row_cell(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [1.0, 0.1], 1), (3, [0.9, 0.1], 1)],
+        "vec_id long, embedding array<float>, cell int")
+    out = similarity.similarity_join_topk_pandas(df, "cell", k=5).collect()
+    assert {(r.id_a, r.id_b) for r in out} == {(2, 3), (3, 2)}
