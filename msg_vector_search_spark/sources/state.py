@@ -77,3 +77,46 @@ def write_watermark(spark: SparkSession, state_dir: str,
     path = os.path.join(state_dir, "watermark.parquet")
     df = spark.createDataFrame([(WATERMARK_KEY, ts)], schema=schemas.WATERMARK_STATE)
     df.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+# -- maintenance verbs (reference: src/initialize.py:51-116) --------------
+
+def reset_watermark(spark: SparkSession, state_dir: str,
+                    ts: dt.datetime) -> dt.datetime:
+    """``--reset-timestamp`` (reference: initialize.py:82-98): force the
+    watermark to an explicit timestamp — the operator's lever for
+    re-ingesting from a chosen point (e.g. after a bad batch).  Returns
+    the previous value for the operator's log."""
+    prev = read_watermark(spark, state_dir)
+    write_watermark(spark, state_dir, ts)
+    return prev
+
+
+def delete_watermark(state_dir: str) -> bool:
+    """``--force`` (reference: initialize.py:100-116 DELETEs the
+    watermark key): drop the state entirely so the next ingest
+    reprocesses from epoch.  Safe against the upsert sink's last-
+    writer-wins idempotence — re-ingest replaces, never duplicates.
+    Returns whether state existed."""
+    import shutil
+    path = os.path.join(state_dir, "watermark.parquet")
+    existed = os.path.exists(path)
+    shutil.rmtree(path, ignore_errors=True)
+    return existed
+
+
+def check_timestamps(spark: SparkSession, messages: DataFrame,
+                     state_dir: str, ts_col: str = "ts") -> dict:
+    """``--check-timestamps`` (reference: initialize.py:51-80): one
+    aggregate over the source + the state row, with the reference's
+    sanity verdict — a watermark outside [min_ts, max_ts] means the
+    incremental scan will either reprocess everything or skip new rows.
+    """
+    row = messages.agg(F.min(ts_col).alias("min_ts"),
+                       F.max(ts_col).alias("max_ts")).collect()[0]
+    wm = read_watermark(spark, state_dir)
+    in_range = (wm == EPOCH
+                or (row["min_ts"] is not None
+                    and row["min_ts"] <= wm <= row["max_ts"]))
+    return {"min_ts": row["min_ts"], "max_ts": row["max_ts"],
+            "watermark": wm, "watermark_in_range": bool(in_range)}

@@ -177,3 +177,58 @@ def test_stream_dedup_keeps_one_row_per_key(spark):
     # survivors are genuine source rows (key = id div 2 holds)
     bad = got.filter(F.expr("mid != event_id div 2")).count()
     assert bad == 0
+
+
+def test_watermark_maintenance_verbs(spark, tmp_path):
+    import datetime as dt
+
+    from msg_vector_search_spark.sources import state
+
+    sd = str(tmp_path / "state")
+    # delete on absent state reports absence
+    assert state.delete_watermark(sd) is False
+
+    t1 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    state.write_watermark(spark, sd, t1)
+    assert state.read_watermark(spark, sd) == t1
+
+    # reset returns the previous value and installs the new one
+    t2 = dt.datetime(2026, 2, 2, 0, 0, 0)
+    prev = state.reset_watermark(spark, sd, t2)
+    assert prev == t1 and state.read_watermark(spark, sd) == t2
+
+    # force-delete -> next read is epoch (full reprocess)
+    assert state.delete_watermark(sd) is True
+    assert state.read_watermark(spark, sd) == state.EPOCH
+
+
+def test_check_timestamps_sanity(spark, tmp_path):
+    import datetime as dt
+
+    from msg_vector_search_spark.sources import state
+
+    sd = str(tmp_path / "state")
+    msgs = spark.createDataFrame(
+        [(1, dt.datetime(2026, 1, 1)), (2, dt.datetime(2026, 1, 10))],
+        "id long, ts timestamp")
+    # no state: epoch watermark counts as sane (full scan is intended)
+    rep = state.check_timestamps(spark, msgs, sd)
+    assert rep["watermark_in_range"] is True and rep["watermark"] == state.EPOCH
+
+    state.write_watermark(spark, sd, dt.datetime(2026, 1, 5))
+    assert state.check_timestamps(spark, msgs, sd)["watermark_in_range"]
+
+    # a FUTURE watermark is already handled upstream: the H2 clamp in
+    # read_watermark folds it to epoch, which is in-range by intent
+    state.write_watermark(spark, sd, dt.datetime(2027, 6, 1))
+    rep = state.check_timestamps(spark, msgs, sd)
+    assert rep["watermark"] == state.EPOCH
+    assert rep["watermark_in_range"] is True
+
+    # past but outside the source range (and recent enough to dodge the
+    # 10-year clamp): the insane case the verb exists to flag
+    state.write_watermark(spark, sd, dt.datetime(2020, 1, 1))
+    rep = state.check_timestamps(spark, msgs, sd)
+    assert rep["watermark_in_range"] is False
+    assert rep["min_ts"] == dt.datetime(2026, 1, 1)
+    assert rep["max_ts"] == dt.datetime(2026, 1, 10)
