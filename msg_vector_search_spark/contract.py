@@ -1417,6 +1417,34 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.dedup_simhash(docs, bits=16)
 
 
+@register("dedup_simhash_hamming", oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents
+), fp AS (
+  SELECT doc_id, CAST({_duck_simhash(16)} AS BIGINT) AS fp FROM toks
+), banded AS (
+  SELECT doc_id, fp,
+         unnest(range(3)) AS block_idx,
+         unnest([(fp >> 0) & 63, (fp >> 6) & 31, (fp >> 11) & 31])
+           AS block_val
+  FROM fp
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+FROM banded a JOIN banded b
+  ON a.block_idx = b.block_idx AND a.block_val = b.block_val
+WHERE a.doc_id < b.doc_id AND bit_count(xor(a.fp, b.fp)) <= 2
+""")
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at hamming distance <= 2 via bit-slice
+    blocking (3 slices of the 16-bit fingerprint; pigeonhole guarantees
+    any <=2-distant pair shares a slice) — candidates are same-slice
+    rows only, verified with one xor+popcount each."""
+    docs = _t(spark, sf_dir, "documents")
+    out = dedup_ops.simhash_hamming_pairs(docs, bits=16, max_distance=2)
+    return out.withColumn("hamming", F.col("hamming").cast("long"))
+
+
 @register("dedup_ngram_jaccard", oracle=f"""
 WITH toks AS (
   SELECT doc_id, source, {_DUCK_TOKENS} AS toks FROM documents

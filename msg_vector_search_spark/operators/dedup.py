@@ -287,6 +287,60 @@ def dedup_simhash(df: DataFrame, text_col: str = "text",
     )
 
 
+def simhash_blocks(bits: int, max_distance: int) -> list[tuple[int, int]]:
+    """(shift, mask) per block: *bits* split into max_distance+1 nearly
+    equal contiguous slices.  Pigeonhole: two fingerprints within
+    hamming distance d differ in at most d blocks, so they MATCH
+    exactly on at least one of the d+1 — the blocking key that makes
+    hamming<=d dedup an equi-join (Manku et al., WWW'07)."""
+    nblocks = max_distance + 1
+    base, extra = divmod(bits, nblocks)
+    out, shift = [], 0
+    for i in range(nblocks):
+        width = base + (1 if i < extra else 0)
+        out.append((shift, (1 << width) - 1))
+        shift += width
+    return out
+
+
+def simhash_hamming_pairs(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", bits: int = 16,
+                          max_distance: int = 2) -> DataFrame:
+    """SimHash near-dup pairs at hamming distance <= *max_distance* —
+    the generalization past :func:`dedup_simhash`'s exact-fingerprint
+    (distance 0) grouping.
+
+    Bit-slice blocking: explode each fingerprint into its d+1 block
+    values, self-join per (block_idx, block_val) — candidates are only
+    same-slice rows, never all pairs — then verify the true hamming
+    distance with one xor+popcount per candidate.  Shuffle keys are
+    fingerprint slices (uniform for distinct texts); identical-text
+    skew is bounded by the same grid-salting pattern as LSH if needed.
+    Returns (id_a, id_b, hamming).
+    """
+    fp = simhash(F.col(text_col), bits)
+    block_vals = F.array(*[
+        F.shiftright(F.col("fp"), shift).bitwiseAND(F.lit(mask))
+        for shift, mask in simhash_blocks(bits, max_distance)])
+    banded = (widen(df)
+              .select(F.col(id_col), fp.alias("fp"))
+              .select(id_col, "fp",
+                      F.posexplode(block_vals)
+                      .alias("block_idx", "block_val")))
+    a = banded.select(F.col(id_col).alias("id_a"), F.col("fp").alias("fp_a"),
+                      "block_idx", "block_val")
+    b = banded.select(F.col(id_col).alias("id_b"), F.col("fp").alias("fp_b"),
+                      "block_idx", "block_val")
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        a.join(b, ["block_idx", "block_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_distance)
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(df: DataFrame, block_col: str, text_col: str = "text",
                         id_col: str = "doc_id", shingle_n: int = 2,
                         threshold: float = 0.5) -> DataFrame:

@@ -85,3 +85,41 @@ def test_connected_components_cycle_and_order_independence(spark):
     out = {r["id"]: r["component"]
            for r in dedup.connected_components(pairs).collect()}
     assert out == {5: 5, 6: 5, 7: 5, 8: 8, 9: 8}
+
+
+def test_simhash_blocks_partition_the_bits():
+    blocks = dedup.simhash_blocks(16, 2)
+    assert blocks == [(0, 63), (6, 31), (11, 31)]
+    # slices tile the 16 bits exactly
+    covered = sum(bin(mask).count("1") for _, mask in blocks)
+    assert covered == 16
+
+
+def test_simhash_hamming_pairs_match_brute_force(spark):
+    rows = [(i, t) for i, t in enumerate([
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",
+        "the quick brown fox leaps over the lazy dog",
+        "completely different text with no overlap at all",
+        "another unrelated document about spark shuffles",
+        "the quick brown fox jumps over the lazy dog",  # exact dup of 0
+        "pack my box with five dozen liquor jugs",
+        "sphinx of black quartz judge my vow",
+    ])]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in dedup.simhash_hamming_pairs(df, max_distance=2).collect()}
+    # brute-force ground truth over all pairs
+    fps = {r.doc_id: r.fp for r in df.select(
+        "doc_id", dedup.simhash(F.col("text"), 16).alias("fp")).collect()}
+    truth = {}
+    ids = sorted(fps)
+    for i in ids:
+        for j in ids:
+            if i < j:
+                d = bin(fps[i] ^ fps[j]).count("1")
+                if d <= 2:
+                    truth[(i, j)] = d
+    # blocking is a complete cover for d<=2 (pigeonhole): sets EQUAL
+    assert got == truth
+    assert got[(0, 5)] == 0  # the exact dup pair is in there
