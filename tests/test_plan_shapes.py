@@ -103,3 +103,28 @@ def test_stratified_sample_is_narrow(spark):
     df = contract.REGISTRY["stratified_sample"](spark, SF)
     plan = plan_of(df)
     assert "Exchange" not in plan          # pure scan + filter + project
+
+
+def test_salted_sim_join_no_cartesian_and_pandas_kernel_shape(spark):
+    # grid-salted sim join: still equi-joins only (salt widens the key,
+    # never degrades to a cross product); the GEMM twin is a single
+    # FlatMapGroupsInPandas over one cell shuffle
+    plan = plan_of(contract.REGISTRY["sim_join_ivf"](spark, SF))
+    assert "CartesianProduct" not in plan
+    pplan = plan_of(contract.REGISTRY["sim_join_ivf_pandas"](spark, SF))
+    assert "FlatMapGroupsInPandas" in pplan
+    assert "CartesianProduct" not in pplan
+
+
+def test_simhash_hamming_blocking_is_equi_join(spark):
+    plan = plan_of(contract.REGISTRY["dedup_simhash_hamming"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lsh_star_no_window_over_buckets(spark):
+    # bucket sizes/mins come from a partial-aggregated groupBy, never a
+    # Window over the bucket members (which would serialize a mega
+    # bucket onto one reducer even before pairing)
+    df = contract.REGISTRY["dedup_lsh_star"](spark, SF)
+    assert "Window" not in optimized_of(df)
