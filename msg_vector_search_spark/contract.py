@@ -1302,7 +1302,7 @@ def _duck_minhash(num_hashes: int) -> str:
     return "[" + ", ".join(parts) + "]"
 
 
-_MINHASH_PAIRS_SQL = f"""
+_MINHASH_CTE = f"""
 WITH toks AS (
   SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents
 ), sh AS (
@@ -1323,7 +1323,9 @@ WITH toks AS (
            CAST(sig[7] AS VARCHAR) || '_' || CAST(sig[8] AS VARCHAR)
          ]) AS band_hash
   FROM sig
-)
+)"""
+
+_MINHASH_PAIRS_SQL = _MINHASH_CTE + """
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM banded a JOIN banded b
   ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
@@ -1443,6 +1445,77 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     out = dedup_ops.simhash_hamming_pairs(docs, bits=16, max_distance=2)
     return out.withColumn("hamming", F.col("hamming").cast("long"))
+
+
+@register("dedup_minhash_estimate", oracle=_MINHASH_CTE + """,
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+  WHERE a.doc_id < b.doc_id
+)
+SELECT p.id_a, p.id_b,
+       (round(CAST(list_sum([CASE WHEN sa.sig[i + 1] = sb.sig[i + 1]
+                             THEN 1 ELSE 0 END FOR i IN range(8)])
+                   AS DOUBLE) / 8, 6) + 0) AS est_jaccard
+FROM pairs p
+JOIN sig sa ON sa.doc_id = p.id_a
+JOIN sig sb ON sb.doc_id = p.id_b
+""")
+def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature-based Jaccard ESTIMATE for the LSH candidate pairs
+    (E[component match] = J): num_hashes integer compares per pair
+    instead of re-shingling both documents — the cheap prune between
+    candidate generation and exact verification at 100 TB."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_ops.minhash_estimate_pairs(docs, num_hashes=8, bands=4,
+                                            shingle_n=3)
+
+
+@register("dedup_embedding_lsh", oracle=f"""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(embedding, x -> CAST(x * 1.25 AS FLOAT)) AS embedding
+  FROM embeddings WHERE vec_id % 20 = 0
+), planes AS (
+  SELECT embedding AS pv, row_number() OVER (ORDER BY vec_id) - 1 AS pidx
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 4)
+), buckets AS (
+  SELECT c.vec_id, c.embedding,
+         CAST(sum(CASE WHEN (round({V.duck_dot('c.embedding', 'p.pv')}, 6)
+                             + 0) >= 0
+                  THEN CAST(1 AS BIGINT) << p.pidx ELSE 0 END) AS BIGINT)
+           AS bucket
+  FROM corpus c CROSS JOIN planes p
+  GROUP BY c.vec_id, c.embedding
+)
+SELECT a.bucket AS block, a.vec_id AS id_a, b.vec_id AS id_b,
+       (round({V.duck_cosine('a.embedding', 'b.embedding')}, 6) + 0) AS sim
+FROM buckets a JOIN buckets b
+  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE (round({V.duck_cosine('a.embedding', 'b.embedding')}, 6) + 0) >= 0.99
+""")
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup with the block = the vector's own sign-LSH
+    bucket (no label column needed — the 100 TB shape, where blocking
+    must come from the vectors themselves).  Scale-dup injections (x
+    1.25) share their original's bucket EXACTLY: a positive scale
+    flips no dot-product sign, so LSH blocking provably cannot miss
+    them."""
+    emb = _t(spark, sf_dir, "embeddings")
+    scaled = (emb.filter(F.col("vec_id") % 20 == 0)
+              .withColumn("vec_id", F.col("vec_id") + 1000000)
+              .withColumn("embedding", F.transform(
+                  "embedding",
+                  lambda x: (x * F.lit(1.25)).cast("float"))))
+    corpus = emb.unionByName(scaled)
+    planes = lsh_ops.seed_planes(emb, 4)
+    assigned = lsh_ops.assign_buckets(corpus.select("vec_id", "embedding"),
+                                      planes)
+    return dedup_ops.embedding_near_dup(assigned, block_col="bucket",
+                                        threshold=0.99)
 
 
 @register("dedup_ngram_jaccard", oracle=f"""

@@ -241,6 +241,44 @@ def lsh_star_pairs(df: DataFrame, text_col: str = "text",
     return small_pairs.unionByName(star_pairs).distinct()
 
 
+def minhash_estimate_pairs(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", num_hashes: int = 8,
+                           bands: int = 4, shingle_n: int = 3,
+                           max_block: int | None = None) -> DataFrame:
+    """LSH candidate pairs scored with the MINHASH-SIGNATURE Jaccard
+    estimate: est = fraction of matching signature components — the
+    classic property E[match_i] = J(A,B).
+
+    This is the cheap middle stage between candidate generation and
+    exact verification: the signatures already exist from the LSH pass
+    (num_hashes longs per doc), so scoring a pair costs num_hashes
+    integer compares instead of re-shingling both documents the way
+    exact n-gram Jaccard (:func:`ngram_jaccard_pairs`) must.  At 100 TB
+    run estimate -> prune -> exact-verify survivors only.
+
+    Join shape: the pair list (two narrow long columns) joins the
+    signature table twice on its id — both joins are equi-joins on
+    uniform ids; the signature table is corpus-sized but narrow
+    (id + num_hashes longs).
+    """
+    sigs = widen(df).select(
+        F.col(id_col),
+        minhash_signature(shingles(F.col(text_col), shingle_n),
+                          num_hashes).alias("sig"))
+    pairs = dedup_minhash_lsh(df, text_col, id_col, num_hashes, bands,
+                              shingle_n, max_block=max_block)
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    matches = F.aggregate(
+        F.zip_with("sig_a", "sig_b",
+                   lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0))),
+        F.lit(0), lambda acc, m: acc + m)
+    return (pairs.join(sa, "id_a").join(sb, "id_b")
+            .select("id_a", "id_b",
+                    (F.round(matches.cast("double") / num_hashes, 6)
+                     + F.lit(0.0)).alias("est_jaccard")))
+
+
 def simhash(text: Column | str, bits: int = 16) -> Column:
     """SimHash over whitespace tokens: bit b of the fingerprint is the
     sign of sum over tokens of (+1 if bit b of hash48(token) else -1).

@@ -123,3 +123,15 @@ def test_simhash_hamming_pairs_match_brute_force(spark):
     # blocking is a complete cover for d<=2 (pigeonhole): sets EQUAL
     assert got == truth
     assert got[(0, 5)] == 0  # the exact dup pair is in there
+
+
+def test_minhash_estimate_identical_docs_score_one(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon zeta"),
+         (3, "totally different words entirely here now")],
+        ["doc_id", "text"])
+    rows = {(r.id_a, r.id_b): r.est_jaccard
+            for r in dedup.minhash_estimate_pairs(df, shingle_n=2).collect()}
+    assert rows[(1, 2)] == 1.0
+    assert all(0.0 <= v <= 1.0 for v in rows.values())
