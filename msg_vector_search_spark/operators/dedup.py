@@ -355,6 +355,12 @@ def simhash_hamming_pairs(df: DataFrame, text_col: str = "text",
     fingerprint slices (uniform for distinct texts); identical-text
     skew is bounded by the same grid-salting pattern as LSH if needed.
     Returns (id_a, id_b, hamming).
+
+    Slice width = bits/(d+1) sets the blocking selectivity: a slice
+    takes 2^width values, so expected candidates scale as
+    (d+1) * n^2 / 2^width.  The 16-bit default (oracle-readable) is
+    coarse — at 100 TB use 64-bit fingerprints (16-bit slices at d=3),
+    which also shrinks true-collision clusters.
     """
     fp = simhash(F.col(text_col), bits)
     block_vals = F.array(*[
