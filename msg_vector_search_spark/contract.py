@@ -1901,6 +1901,87 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "source"))
 
 
+@register("pipeline_clean_corpus", oracle=f"""
+WITH RECURSIVE kept AS (
+  SELECT doc_id, text, n_chars
+  FROM (SELECT doc_id, text, n_chars, {_DUCK_TOKENS} AS toks
+        FROM documents) t
+  WHERE {_DUCK_STOP_RATIO} >= 0.08
+    AND (round(
+          0.5 * least(CAST(length(text) AS DOUBLE) / 400.0, 1.0)
+        + 0.5 * least({_DUCK_STOP_RATIO} * 5.0, 1.0)
+        - 0.25 * least({_DUCK_PUNCT_RATIO} * 5.0, 1.0), 6) + 0) >= 0.3
+), exact AS (
+  SELECT doc_id, text, n_chars FROM (
+    SELECT doc_id, text, n_chars,
+           row_number() OVER (
+             PARTITION BY md5(array_to_string({_DUCK_TOKENS}, ' '))
+             ORDER BY doc_id) AS rn
+    FROM kept) WHERE rn = 1
+), sh AS (
+  SELECT doc_id, {_duck_shingles(3)} AS sh
+  FROM (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM exact) t
+), hashed AS (
+  SELECT doc_id,
+         list_transform(sh, s -> {_DUCK_HASH48.format(x='s')}) AS hs
+  FROM sh
+), sig AS (
+  SELECT doc_id, {_duck_minhash(8)} AS sig FROM hashed
+), banded AS (
+  SELECT doc_id,
+         unnest(range(4)) AS band_idx,
+         unnest([
+           CAST(sig[1] AS VARCHAR) || '_' || CAST(sig[2] AS VARCHAR),
+           CAST(sig[3] AS VARCHAR) || '_' || CAST(sig[4] AS VARCHAR),
+           CAST(sig[5] AS VARCHAR) || '_' || CAST(sig[6] AS VARCHAR),
+           CAST(sig[7] AS VARCHAR) || '_' || CAST(sig[8] AS VARCHAR)
+         ]) AS band_hash
+  FROM sig
+), edges AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+  WHERE a.doc_id <> b.doc_id
+), walk AS (
+  SELECT DISTINCT src AS id, src AS comp FROM edges
+  UNION
+  SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.id
+), cc AS (
+  SELECT id, min(comp) AS component FROM walk GROUP BY id
+)
+SELECT doc_id, n_chars FROM exact
+WHERE doc_id NOT IN (SELECT id FROM cc WHERE id <> component)
+""")
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data pipeline end-to-end: language gate -> quality
+    gate -> exact dedup (keep smallest id per fingerprint) -> near-dup
+    dedup (LSH candidates, star connected components, keep canonical) —
+    one composed DataFrame plan.
+
+    Scale shape per stage: the two gates are Column predicates riding
+    the scan (no shuffle); exact dedup is one window on the uniform
+    fingerprint; LSH is the guarded band join; components is the
+    log^2-round star contraction; the final drop is a broadcast anti
+    join, so the corpus is never shuffled after dedup decisions are
+    made."""
+    from pyspark.sql import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = (docs
+            .filter(analysis.lang_id(F.col("text")) == "en")
+            .filter(analysis.quality_score(F.col("text")) >= 0.3))
+    w = W.partitionBy(analysis.fingerprint_md5("text")).orderBy("doc_id")
+    exact = (kept.withColumn("_rn", F.row_number().over(w))
+             .filter(F.col("_rn") == 1).drop("_rn"))
+    pairs = dedup_ops.dedup_minhash_lsh(exact, num_hashes=8, bands=4,
+                                        shingle_n=3, max_block=32)
+    comp = dedup_ops.connected_components_star(pairs)
+    drops = comp.filter(F.col("id") != F.col("component")).select("id")
+    return (exact.join(F.broadcast(drops),
+                       exact["doc_id"] == drops["id"], "left_anti")
+            .select("doc_id", "n_chars"))
+
+
 @register("stratified_sample", oracle=f"""
 SELECT doc_id, lang
 FROM documents
