@@ -559,8 +559,10 @@ def connected_components_star(pairs: DataFrame, id_a: str = "id_a",
     prev_sum = checksum(edges)
     rounds = 0
     for _ in range(max_iter):
+        # lazy checkpoint: the checksum aggregate is the action that
+        # materializes it — one job per round instead of two
         stepped = small_star(large_star(prev_ckpt)) \
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         cur_sum = checksum(stepped)
         _cc_free(prev_ckpt)
         prev_ckpt = stepped
