@@ -186,6 +186,37 @@ def knn_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
+@register("knn_join_pandas", oracle="""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 3
+), scored AS (
+  SELECT q.q_id, e.vec_id,
+         (round(""" + V.duck_cosine('e.embedding', 'q.qv') + """, 6) + 0)
+           AS sim
+  FROM embeddings e CROSS JOIN q
+), ranked AS (
+  SELECT q_id, vec_id, sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC)
+           AS rank
+  FROM scored
+)
+SELECT q_id, vec_id, sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+""")
+def knn_join_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same query-set KNN with per-partition GEMM and PARTIAL
+    top-k: each corpus partition emits only its own top-k per query, so
+    the global rank window sees k*Q*partitions rows instead of
+    corpus*Q — the shuffle reduction that matters at 100 TB.  Same
+    oracle as knn_broadcast_join."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qrows = [(r["vec_id"], [float(x) for x in r["embedding"]])
+             for r in emb.filter(F.col("vec_id") < 3)
+             .select("vec_id", "embedding").collect()]
+    out = sim_ops.knn_join_pandas(emb, qrows, k=5)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
 # =========================================================================
 # Scans / sinks / state (SURVEY 2.A)
 # =========================================================================

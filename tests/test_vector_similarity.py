@@ -135,3 +135,26 @@ def test_similarity_join_topk_pandas_single_row_cell(spark):
         "vec_id long, embedding array<float>, cell int")
     out = similarity.similarity_join_topk_pandas(df, "cell", k=5).collect()
     assert {(r.id_a, r.id_b) for r in out} == {(2, 3), (3, 2)}
+
+
+def test_knn_join_pandas_matches_broadcast_join(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_embedding"))
+    expr = similarity.knn_join(emb, queries, k=7)
+    qrows = [(r["vec_id"], [float(x) for x in r["embedding"]])
+             for r in emb.filter(F.col("vec_id") < 5)
+             .select("vec_id", "embedding").collect()]
+    fast = similarity.knn_join_pandas(emb, qrows, k=7)
+    e = {(r.q_id, r.vec_id, r.rank) for r in expr.collect()}
+    f = {(r.q_id, r.vec_id, r.rank) for r in fast.collect()}
+    assert e == f
+
+
+def test_knn_join_pandas_zero_norm_query_scores_zero(spark):
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 2.0])],
+        "vec_id long, embedding array<float>")
+    out = similarity.knn_join_pandas(corpus, [(9, [0.0, 0.0])], k=2).collect()
+    assert {r.sim for r in out} == {0.0}
+    assert [r.vec_id for r in sorted(out, key=lambda r: r.rank)] == [1, 2]
