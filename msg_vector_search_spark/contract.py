@@ -1932,6 +1932,47 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "source"))
 
 
+@register("dedup_repeated_chunks", oracle=f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+  WHERE doc_id % 10 = 0
+), toks AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS toks FROM corpus
+), sized AS (
+  SELECT doc_id, toks,
+         CAST(ceil(len(toks) / 16.0) AS INT) AS n FROM toks
+), chunks AS (
+  SELECT doc_id,
+         unnest(range(n)) AS pos,
+         unnest([array_to_string(toks[i * 16 + 1 : i * 16 + 16], ' ')
+                 FOR i IN range(n)]) AS chunk
+  FROM sized WHERE n > 0
+), counted AS (
+  SELECT doc_id, pos, chunk,
+         count(*) OVER (PARTITION BY chunk) AS cnt
+  FROM chunks
+)
+SELECT doc_id, count(*) AS kept_chunks,
+       string_agg(chunk, ' ' ORDER BY pos) AS clean_text
+FROM counted WHERE cnt <= 1
+GROUP BY doc_id
+""")
+def dedup_repeated_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup (CCNet/Dolma paragraph stage on token
+    windows): 16-token chunks repeated anywhere in the corpus are
+    dropped and docs reassembled from survivors.  Every 10th doc is
+    re-injected verbatim, so BOTH copies lose all their chunks and
+    vanish — the exact-boilerplate kill the stage exists for."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = (docs.filter(F.col("doc_id") % 10 == 0)
+            .withColumn("doc_id", F.col("doc_id") + 1000000))
+    return dedup_ops.dedup_repeated_chunks(docs.unionByName(dups),
+                                           chunk_tokens=16,
+                                           max_occurrences=1)
+
+
 @register("pipeline_clean_corpus", oracle=f"""
 WITH RECURSIVE kept AS (
   SELECT doc_id, text, n_chars

@@ -241,6 +241,48 @@ def lsh_star_pairs(df: DataFrame, text_col: str = "text",
     return small_pairs.unionByName(star_pairs).distinct()
 
 
+def dedup_repeated_chunks(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", chunk_tokens: int = 16,
+                          max_occurrences: int = 1) -> DataFrame:
+    """Sub-document dedup: drop every fixed-width token chunk that
+    occurs more than *max_occurrences* times ACROSS THE CORPUS and
+    reassemble each document from its surviving chunks (the
+    paragraph-dedup stage of CCNet/Dolma-style pipelines, on token
+    windows since the fixtures have no paragraph breaks).
+
+    Plan: tokenize once -> non-overlapping chunk windows -> explode ->
+    corpus-wide counts via groupBy (map-side partial aggregation — a
+    boilerplate chunk repeated 10M times arrives at its reducer as
+    partial counts, never as 10M rows) -> equi-join counts back ->
+    filter -> re-assemble with an ordered collect per doc.  Documents
+    whose chunks are all boilerplate drop out entirely.  At 100 TB
+    group chunk counts by a hash of the chunk, not the string, to keep
+    shuffle keys narrow.
+    """
+    toks = analysis.tokens(F.col(text_col))
+    nchunks = F.ceil(F.size("_toks") / F.lit(chunk_tokens)).cast("int")
+    chunk_arr = F.transform(
+        F.sequence(F.lit(0), F.col("_n") - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice("_toks", i * chunk_tokens + 1, chunk_tokens)))
+    exploded = (widen(df)
+                .select(F.col(id_col), toks.alias("_toks"))
+                .withColumn("_n", nchunks)
+                .filter(F.col("_n") > 0)
+                .select(id_col,
+                        F.posexplode(chunk_arr).alias("pos", "chunk")))
+    counts = exploded.groupBy("chunk").agg(F.count("*").alias("_cnt"))
+    kept = (exploded.join(counts, "chunk")
+            .filter(F.col("_cnt") <= max_occurrences))
+    reassembled = F.concat_ws(
+        " ", F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+            lambda x: x.chunk))
+    return (kept.groupBy(id_col)
+            .agg(F.count("*").alias("kept_chunks"),
+                 reassembled.alias("clean_text")))
+
+
 def minhash_estimate_pairs(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", num_hashes: int = 8,
                            bands: int = 4, shingle_n: int = 3,

@@ -135,3 +135,16 @@ def test_minhash_estimate_identical_docs_score_one(spark):
             for r in dedup.minhash_estimate_pairs(df, shingle_n=2).collect()}
     assert rows[(1, 2)] == 1.0
     assert all(0.0 <= v <= 1.0 for v in rows.values())
+
+
+def test_repeated_chunks_kill_both_copies_and_keep_unique(spark):
+    base = " ".join(f"w{i}" for i in range(32))      # 2 chunks of 16
+    uniq = " ".join(f"u{i}" for i in range(20))      # 2 chunks (16+4)
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, uniq)], ["doc_id", "text"])
+    out = {r.doc_id: r for r in
+           dedup.dedup_repeated_chunks(df, chunk_tokens=16).collect()}
+    # docs 1 and 2 are chunk-identical -> every chunk repeated -> gone
+    assert set(out) == {3}
+    assert out[3].kept_chunks == 2
+    assert out[3].clean_text == uniq
