@@ -98,7 +98,7 @@ def main() -> None:
     spark = get_spark("scaling_check")
     print(f"{'xN':>4} {'docs':>8} {'minhash_s':>10} {'simhash_s':>10} "
           f"{'exact_s':>8} {'pairs':>8} {'ivf_s':>8} {'lsh_s':>8} "
-          f"{'cc_s':>8}")
+          f"{'cc_s':>8} {'gemm_s':>8}")
     for m in mults:
         d = tempfile.mkdtemp(prefix=f"scale_{m}x_")
         try:
@@ -134,10 +134,21 @@ def main() -> None:
             t0 = time.perf_counter()
             dedup.connected_components_star(pair_df).count()
             t_cc = time.perf_counter() - t0
+            # both-sides-large similarity join with the GEMM kernel —
+            # quadratic work per cell, so this is the column to watch
+            # for blowup as cells grow with the corpus
+            from msg_vector_search_spark.operators import similarity
+            cent32 = ivf.seed_centroids(emb, 32)
+            assigned32 = ivf.assign_cells(emb, cent32)
+            t0 = time.perf_counter()
+            similarity.similarity_join_topk_pandas(assigned32, "cell",
+                                                   k=3).count()
+            t_gemm = time.perf_counter() - t0
             recall = measure_ivf_recall(spark, emb)
             print(f"{m:>4} {n:>8} {t_mh:>10.2f} {t_sh:>10.2f} "
                   f"{t_ex:>8.2f} {pairs:>8} {t_ivf:>8.2f} {t_lsh:>8.2f} "
-                  f"{t_cc:>8.2f}  recall@10 seed={recall['seed']:.2f} "
+                  f"{t_cc:>8.2f} {t_gemm:>8.2f}  "
+                  f"recall@10 seed={recall['seed']:.2f} "
                   f"kmeans={recall['kmeans']:.2f}", flush=True)
         finally:
             shutil.rmtree(d, ignore_errors=True)
