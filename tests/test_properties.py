@@ -98,3 +98,24 @@ def test_star_components_path_graph_log2_rounds(spark):
     assert got.filter(F.col("component") != 0).count() == 0
     assert got.count() == n
     assert stats["rounds"] <= 100, stats
+
+
+_WORDS = ["alpha", "beta", "gamma", "delta", "spark", "table", "row"]
+
+
+@settings(**SETTINGS)
+@given(st.lists(
+    st.lists(st.sampled_from(_WORDS), min_size=3, max_size=8),
+    min_size=2, max_size=12))
+def test_grid_salted_lsh_equals_unsalted_on_random_corpora(spark, token_lists):
+    """Exactness of the skew guard as an invariant: for ANY corpus,
+    dedup_minhash_lsh(max_block=2) — nsub > 1 for every bucket beyond
+    two members — emits exactly the plain join's pair set."""
+    docs = [(i, " ".join(toks)) for i, toks in enumerate(token_lists)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    plain = {(r.id_a, r.id_b)
+             for r in dedup.dedup_minhash_lsh(df, shingle_n=2).collect()}
+    salted = {(r.id_a, r.id_b)
+              for r in dedup.dedup_minhash_lsh(df, shingle_n=2,
+                                               max_block=2).collect()}
+    assert plain == salted
