@@ -1781,7 +1781,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SIM_JOIN_IVF_SQL = f"""
 WITH cent AS (
   SELECT vec_id AS centroid_id, embedding AS cvec
-  FROM embeddings ORDER BY vec_id LIMIT 8
+  FROM embeddings ORDER BY vec_id LIMIT 16
 ), scored AS (
   SELECT e.vec_id, e.embedding, c.centroid_id,
          (round({V.duck_cosine('e.embedding', 'c.cvec')}, 9) + 0) AS cdist
@@ -1813,7 +1813,7 @@ def sim_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid-salting skew guard (output identical — the oracle above is the
     unsalted join)."""
     emb = _t(spark, sf_dir, "embeddings")
-    cent = ivf_ops.seed_centroids(emb, 8)
+    cent = ivf_ops.seed_centroids(emb, 16)
     assigned = ivf_ops.assign_cells(emb, cent)
     # max_cell bounds the hottest reducer at ~max_cell*cell pairs; the
     # cost is replicating side A ceil(cell/max_cell) times, so the cap
@@ -1833,7 +1833,7 @@ def sim_join_ivf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~1e-15 drift sits ~9 orders of magnitude inside the 6dp rounding
     grid."""
     emb = _t(spark, sf_dir, "embeddings")
-    cent = ivf_ops.seed_centroids(emb, 8)
+    cent = ivf_ops.seed_centroids(emb, 16)
     assigned = ivf_ops.assign_cells(emb, cent)
     return sim_ops.similarity_join_topk_pandas(assigned, "cell", k=3)
 
