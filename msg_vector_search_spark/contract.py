@@ -2255,7 +2255,11 @@ def udf_embed_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference: embeddings/processor.py:461-529."""
     qv = embed.embed_query_vector("test message")
     emb = _t(spark, sf_dir, "embeddings")
-    return sim_ops.knn_search(emb, qv, k=10, threshold=-1.0)
+    # Scalar projection only: the driver's pandas canonicalizer cannot
+    # hash array cells, and the embedding column is knn_search
+    # passthrough baggage — (vec_id, sim) IS the search answer.
+    return sim_ops.knn_search(emb, qv, k=10, threshold=-1.0).select(
+        "vec_id", "sim")
 
 
 @register("multimodal_features", oracle="""
@@ -2501,22 +2505,20 @@ def topk_prenormalized(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(30))
 
 
-def _duck_centroid(dim: int) -> str:
-    parts = ", ".join(
-        f"(round(avg(CAST(embedding[{i + 1}] AS DOUBLE)), 6) + 0)"
-        for i in range(dim))
-    return f"[{parts}]"
-
-
-@register("group_centroids_pandas", oracle=f"""
-SELECT label, count(*) AS n, {_duck_centroid(64)} AS centroid
-FROM embeddings GROUP BY label
+@register("group_centroids_pandas", oracle="""
+SELECT label, count(*) AS n, CAST(idx - 1 AS INTEGER) AS dim_idx,
+       (round(avg(CAST(embedding[idx] AS DOUBLE)), 6) + 0) AS value
+FROM embeddings, range(1, 65) t(idx)
+GROUP BY label, idx
 """)
 def group_centroids_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map Arrow surface (applyInPandas): per-label embedding
     centroids computed with vectorized NumPy per group — the plan shape
     of per-cluster model fitting at scale (one shuffle on the group
-    key, then pure Arrow batches).  Oracle: per-dimension averages."""
+    key, then pure Arrow batches).  The centroid array is exploded to
+    (label, n, dim_idx, value) rows so the driver's pandas
+    canonicalizer (which cannot hash list cells) can sort/hash the
+    result.  Oracle: per-dimension averages via a range cross join."""
     import numpy as np
     import pandas as pd
 
@@ -2529,8 +2531,11 @@ def group_centroids_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
                              "n": [len(pdf)],
                              "centroid": [c.tolist()]})
 
-    return (emb.groupBy("label").applyInPandas(
-        centroid, "label int, n bigint, centroid array<double>"))
+    grouped = emb.groupBy("label").applyInPandas(
+        centroid, "label int, n bigint, centroid array<double>")
+    return grouped.select(
+        "label", "n",
+        F.posexplode("centroid").alias("dim_idx", "value"))
 
 
 @register("event_value_percentiles", oracle="""
@@ -2660,12 +2665,34 @@ def rollup_two_level_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Driver-verification ordering
 # =========================================================================
 # The driver's correctness gate covers roughly the first 50 registry
-# entries, in order. Round 1 (CORRECTNESS_r01.json) verified exactly the
-# 50 names below; the LLM-pipeline extension surface registered after
-# them got no driver row. Rotate: queries without a driver-verified row
-# yet go first so every operator accrues one across rounds. Purely a
+# entries, in order. Rounds 1+2 (CORRECTNESS_r01/r02.json) together
+# verified the names below (r02 added 48: all of its 50-query window
+# except udf_embed_query and group_centroids_pandas, which were red on
+# array-column canonicalization and rotate back into the window after
+# their round-3 fix). Rotate: queries without a driver-verified row yet
+# go first so every operator accrues one across rounds. Purely a
 # presentation order — REGISTRY itself keeps source order.
 DRIVER_VERIFIED = frozenset({
+    # round 2 (CORRECTNESS_r02.json)
+    "knn_join_pandas", "tpch_top_customers", "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume", "tpch_q14_promo_revenue",
+    "first_order_per_customer", "dedup_exact", "dedup_minhash_lsh",
+    "dedup_lsh_star", "dedup_simhash", "dedup_simhash_hamming",
+    "dedup_minhash_estimate", "dedup_embedding_lsh",
+    "dedup_ngram_jaccard", "dedup_embedding_cosine", "text_lang_id",
+    "text_quality_score", "text_token_counts", "text_fingerprint",
+    "ann_ivf_topk", "ann_lsh_topk", "sim_join_ivf", "sim_join_ivf_pandas",
+    "topk_quantized_int8", "dedup_components", "dedup_keep_canonical",
+    "dedup_repeated_chunks", "pipeline_clean_corpus", "stratified_sample",
+    "text_tfidf_topterms", "decontaminate_ngram", "shard_assignment",
+    "text_pii_scrub", "udf_embed_batch", "multimodal_features",
+    "multimodal_resize", "multimodal_frame_sample",
+    "search_topk_enriched", "udtf_explode_users", "train_test_split",
+    "text_chunking", "text_repetition", "topk_prenormalized",
+    "event_value_percentiles", "asof_join_events",
+    "range_join_ship_window", "rollup_order_status",
+    "rollup_two_level_time",
+    # round 1 (CORRECTNESS_r01.json)
     "cosine_similarity", "round_sim", "filter_sim_threshold",
     "topk_by_similarity", "knn_broadcast_join", "scan_messages",
     "scan_latest_file", "sink_upsert_embeddings", "watermark_read",
