@@ -23,18 +23,22 @@ implementation and the MERGE path is documented.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-
-from ..operators.dedup import dedup_last_wins
 
 #: Partition column of the upsert store layout.  Internal — readers go
 #: through :func:`read_store`, which drops it.
 BUCKET_COL = "_bkt"
 DEFAULT_BUCKETS = 64
+
+#: Layout metadata file inside the store directory.  The leading
+#: underscore keeps Spark/Hadoop parquet listing from treating it as
+#: data (same convention as ``_SUCCESS``).
+LAYOUT_META = "_layout.json"
 
 
 def bucket_of(key: Column | str, num_buckets: int) -> Column:
@@ -46,11 +50,41 @@ def bucket_of(key: Column | str, num_buckets: int) -> Column:
     return F.pmod(F.xxhash64(key.cast("string")), F.lit(num_buckets)).cast("int")
 
 
-def _is_bucketed(path: str) -> bool:
+def _read_layout(path: str) -> int | None:
+    """The store's persisted bucket count, or None for a store written
+    before layout metadata existed (or a plain flat parquet dir)."""
     try:
-        return any(d.startswith(f"{BUCKET_COL}=") for d in os.listdir(path))
-    except FileNotFoundError:
-        return False
+        with open(os.path.join(path, LAYOUT_META)) as f:
+            return int(json.load(f)["num_buckets"])
+    except (FileNotFoundError, NotADirectoryError, KeyError,
+            ValueError, json.JSONDecodeError):
+        return None
+
+
+def _write_layout(path: str, num_buckets: int) -> None:
+    with open(os.path.join(path, LAYOUT_META), "w") as f:
+        json.dump({"num_buckets": num_buckets}, f)
+
+
+def _dedup_last_wins_bucketed(df: DataFrame, key: str,
+                              order_col: str) -> DataFrame:
+    """Last-writer-wins dedup computed WITHIN the bucket partition: one
+    shuffle on ``BUCKET_COL`` serves both the dedup (a key never spans
+    buckets, so per-bucket last-wins == global last-wins) and the write
+    layout (each bucket lands whole in exactly one task, so
+    ``partitionBy(BUCKET_COL)`` emits ONE file per directory instead of
+    tasks x buckets files).  Sort order (key asc, order_col desc) makes
+    each key's newest row the first of its run; the ``lag`` probe keeps
+    exactly those.  Tie handling on equal (key, order_col) matches
+    :func:`~..operators.dedup.dedup_last_wins` (arbitrary among
+    identical-order duplicates)."""
+    w = (Window.partitionBy(BUCKET_COL)
+         .orderBy(F.col(key).asc(), F.col(order_col).desc()))
+    prev = F.lag(key).over(w)
+    return (df.withColumn("_prev_key", prev)
+              .filter(F.col("_prev_key").isNull()
+                      | (F.col("_prev_key") != F.col(key)))
+              .drop("_prev_key"))
 
 
 def _swap_dir(src: str, dst: str) -> None:
@@ -79,28 +113,47 @@ def upsert_parquet(spark: SparkSession, incoming: DataFrame, path: str,
     wins (reference semantics: the newest write replaces,
     embeddings/processor.py:382-388).
 
-    Scale: the merge shuffles only (touched buckets + batch) on the
-    uniform bucket key; the rest of the table is neither read nor
+    Scale: the merge shuffles only (touched buckets + batch) — ONE
+    shuffle on the bucket key that serves both the dedup and the write
+    layout (see :func:`_dedup_last_wins_bucketed`), emitting one file
+    per bucket directory; the rest of the table is neither read nor
     written.  A crash mid-swap leaves some buckets new and some old —
     each bucket is internally consistent (last-wins holds per key
     because a key never spans buckets); a table format (Delta/Iceberg
     MERGE) is the production answer for multi-partition atomicity.
+
+    The bucket count is persisted in ``_layout.json`` at first write
+    and is AUTHORITATIVE thereafter: a caller-supplied *num_buckets*
+    only sizes a brand-new store.  (Hashing a later batch with a
+    different count would scatter keys into different buckets and
+    silently break per-bucket last-wins.)  A bucketed store without
+    metadata — written before this guard — takes the one-time
+    migration path below, which re-hashes everything and records the
+    count.
     """
+    exists = os.path.exists(path)
+    stored_buckets = _read_layout(path) if exists else None
+    if stored_buckets is not None:
+        num_buckets = stored_buckets
     inc = incoming.withColumn(BUCKET_COL, bucket_of(key, num_buckets))
 
-    exists = os.path.exists(path)
-    if not exists or not _is_bucketed(path):
-        # first write, or one-time migration of a legacy flat store
+    if stored_buckets is None:
+        # first write, or one-time migration of a legacy flat /
+        # metadata-less store
         if exists:
-            current = spark.read.parquet(path).withColumn(
+            current = spark.read.parquet(path)
+            if BUCKET_COL in current.columns:
+                current = current.drop(BUCKET_COL)
+            current = current.withColumn(
                 BUCKET_COL, bucket_of(key, num_buckets))
             merged = current.unionByName(inc, allowMissingColumns=True)
         else:
             merged = inc
-        deduped = dedup_last_wins(merged, key, order_col)
+        deduped = _dedup_last_wins_bucketed(merged, key, order_col)
         tmp = path + "._staged"
         deduped.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp)
         _swap_dir(tmp, path)
+        _write_layout(path, num_buckets)
         return
 
     # incremental path: touch only the buckets the batch hashes into.
@@ -114,7 +167,7 @@ def upsert_parquet(spark: SparkSession, incoming: DataFrame, path: str,
     current = spark.read.parquet(path).filter(
         F.col(BUCKET_COL).isin(touched))  # directory-level pruning
     merged = current.unionByName(inc, allowMissingColumns=True)
-    deduped = dedup_last_wins(merged, key, order_col)
+    deduped = _dedup_last_wins_bucketed(merged, key, order_col)
     tmp = path + "._staged"
     deduped.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp)
     for b in touched:
