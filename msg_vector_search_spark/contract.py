@@ -2665,14 +2665,16 @@ def rollup_two_level_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Driver-verification ordering
 # =========================================================================
 # The driver's correctness gate covers roughly the first 50 registry
-# entries, in order. Rounds 1+2 (CORRECTNESS_r01/r02.json) together
-# verified the names below (r02 added 48: all of its 50-query window
-# except udf_embed_query and group_centroids_pandas, which were red on
-# array-column canonicalization and rotate back into the window after
-# their round-3 fix). Rotate: queries without a driver-verified row yet
-# go first so every operator accrues one across rounds. Purely a
-# presentation order — REGISTRY itself keeps source order.
+# entries, in order. Rounds 1-3 (CORRECTNESS_r01/r02/r03.json) together
+# verified every name below — as of round 3 the full registry is green
+# (r03's 50-query window passed 50/50, adding udf_embed_query and
+# group_centroids_pandas, the two array-canonicalization reds fixed in
+# round 3). Rotate: queries without a driver-verified row yet go first
+# so every operator accrues one across rounds. Purely a presentation
+# order — REGISTRY itself keeps source order.
 DRIVER_VERIFIED = frozenset({
+    # round 3 (CORRECTNESS_r03.json)
+    "udf_embed_query", "group_centroids_pandas",
     # round 2 (CORRECTNESS_r02.json)
     "knn_join_pandas", "tpch_top_customers", "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume", "tpch_q14_promo_revenue",
@@ -2716,8 +2718,8 @@ DRIVER_VERIFIED = frozenset({
 
 def verification_order(mapping: dict) -> dict:
     """Reorder ``mapping`` (REGISTRY or ORACLES) so names without a
-    round-1 driver CORRECTNESS row come first, each block keeping its
-    original registration order."""
+    driver CORRECTNESS row from any prior round come first, each block
+    keeping its original registration order."""
     pending = [k for k in REGISTRY if k not in DRIVER_VERIFIED]
     done = [k for k in REGISTRY if k in DRIVER_VERIFIED]
     return {k: mapping[k] for k in (*pending, *done) if k in mapping}
