@@ -132,8 +132,11 @@ def ingest_batch(spark: SparkSession, sf_dir: str, store_dir: str,
     msgs = embed.with_embeddings(msgs, "message_text")
 
     out_path = os.path.join(store_dir, "message_embeddings.parquet")
+    # message_id is the arrival-ordered event id: the range layout puts
+    # an incremental batch in O(batch/width) partition dirs however big
+    # the store has grown (sinks.py module docstring has the cost model)
     sinks.upsert_parquet(spark, msgs, out_path, key="message_id",
-                         order_col="ts")
+                         order_col="ts", layout="range")
     stored = sinks.read_store(spark, out_path)
 
     if new_wm is not None:

@@ -6,14 +6,31 @@ inside one transaction (reference: src/core/embeddings/processor.py:
 primary key, whose cost is O(batch), not O(table).
 
 Spark has no in-place upsert on plain Parquet, so the store is laid out
-as a HASH-BUCKET-PARTITIONED table: directory ``_bkt=<i>`` holds every
-row whose key hashes to bucket *i*.  An incoming batch then only ever
-touches the buckets its keys hash to: read THOSE partitions (directory
-pruning — untouched buckets are never opened), merge + last-wins dedup,
-rewrite only those directories.  Cost is O(batch + touched buckets),
-matching the reference's O(batch) ``INSERT OR REPLACE`` up to the
-bucket granularity; untouched partition files are byte-identical after
-the upsert (asserted in tests/test_layout_scale.py).
+as a KEY-PARTITIONED table: directory ``_bkt=<i>`` holds every row
+whose key maps to bucket *i* under a pure function of the key.  An
+incoming batch then only ever touches the buckets its keys map to: read
+THOSE partitions (directory pruning — untouched buckets are never
+opened), merge + last-wins dedup, rewrite only those directories.
+Untouched partition files are byte-identical after the upsert (asserted
+in tests/test_layout_scale.py).
+
+Two layouts, chosen at first write and persisted in ``_layout.json``:
+
+``range`` (for arrival-ordered integer-castable keys — message ids):
+    bucket = ``key div range_width``.  The Spark analog of the
+    reference's clustered SQLite B-tree on rowid: a batch of B new keys
+    is CONTIGUOUS in key space, so it lands in O(B / range_width)
+    partitions no matter how large the store is, and updates to old
+    keys touch exactly the partitions that hold them.  New key ranges
+    grow new directories — the store never needs re-bucketing.  This is
+    the 100 TB path for the ingest workload and the layout
+    ``plans/ingest.py`` uses.
+
+``hash`` (for arbitrary keys): bucket = ``xxhash64(key) mod N``.
+    Rewrite cost is O(min(B, N) * keys_per_bucket) — batch-proportional
+    only while B << N, so N is auto-sized at first write from the
+    initial load (``max(64, keys / TARGET_KEYS_PER_BUCKET)``) rather
+    than fixed at 64.  Safe default when keys carry no arrival order.
 
 With Delta/Iceberg on the classpath this whole function is a
 format-level MERGE with file-level pruning; the jars are not in this
@@ -34,6 +51,13 @@ from pyspark.sql import functions as F
 #: through :func:`read_store`, which drops it.
 BUCKET_COL = "_bkt"
 DEFAULT_BUCKETS = 64
+#: Hash-layout auto-sizing target: keys per bucket at first write.
+#: Incremental rewrite cost is ~touched_buckets x this, so it bounds
+#: write amplification; raise it to trade amplification for bigger
+#: bucket files.
+TARGET_KEYS_PER_BUCKET = 128
+#: Range-layout default: keys per partition directory.
+DEFAULT_RANGE_WIDTH = 4096
 
 #: Layout metadata file inside the store directory.  The leading
 #: underscore keeps Spark/Hadoop parquet listing from treating it as
@@ -42,28 +66,56 @@ LAYOUT_META = "_layout.json"
 
 
 def bucket_of(key: Column | str, num_buckets: int) -> Column:
-    """Deterministic bucket id for a key: uniform, retry-stable (pure
-    hash, no ``rand()``), identical across batches — the invariant that
-    makes per-bucket dedup equal global dedup: every version of a key
-    lands in the same directory."""
+    """Deterministic hash bucket id for a key: uniform, retry-stable
+    (pure hash, no ``rand()``), identical across batches — the
+    invariant that makes per-bucket dedup equal global dedup: every
+    version of a key lands in the same directory."""
     key = F.col(key) if isinstance(key, str) else key
     return F.pmod(F.xxhash64(key.cast("string")), F.lit(num_buckets)).cast("int")
 
 
-def _read_layout(path: str) -> int | None:
-    """The store's persisted bucket count, or None for a store written
-    before layout metadata existed (or a plain flat parquet dir)."""
+def range_bucket_of(key: Column | str, range_width: int) -> Column:
+    """Range bucket id: ``key div range_width`` on the integer value of
+    the key.  Pure function of the key (same invariant as
+    :func:`bucket_of`), but CONTIGUOUS: consecutive ids share a
+    directory, so an arrival-ordered batch touches O(batch/width)
+    directories.  Requires integer-castable keys — enforced by
+    :func:`upsert_parquet`'s touched-bucket probe (a non-castable key
+    yields a NULL bucket, which the probe rejects)."""
+    key = F.col(key) if isinstance(key, str) else key
+    # try_cast: a malformed key yields a NULL bucket for the guards to
+    # reject, instead of an ANSI cast error deep inside the write job
+    return F.floor(key.try_cast("long") / F.lit(range_width)).cast("int")
+
+
+def _bucket_expr(key: str, meta: dict) -> Column:
+    if meta["layout"] == "range":
+        return range_bucket_of(key, meta["range_width"])
+    return bucket_of(key, meta["num_buckets"])
+
+
+def _read_layout(path: str) -> dict | None:
+    """The store's persisted layout metadata, or None for a store
+    written before layout metadata existed (or a plain flat parquet
+    dir).  Pre-range-layout metadata files ({"num_buckets": N}) read as
+    hash layouts — no migration needed."""
     try:
         with open(os.path.join(path, LAYOUT_META)) as f:
-            return int(json.load(f)["num_buckets"])
+            meta = json.load(f)
+        if not isinstance(meta, dict):
+            return None
+        if meta.get("layout") == "range":
+            return {"layout": "range",
+                    "range_width": int(meta["range_width"])}
+        return {"layout": "hash", "num_buckets": int(meta["num_buckets"])}
     except (FileNotFoundError, NotADirectoryError, KeyError,
-            ValueError, json.JSONDecodeError):
+            TypeError, ValueError):
         return None
 
 
-def _write_layout(path: str, num_buckets: int) -> None:
+def _write_layout(path: str, meta: dict) -> None:
     with open(os.path.join(path, LAYOUT_META), "w") as f:
-        json.dump({"num_buckets": num_buckets}, f)
+        json.dump(meta, f)
 
 
 def _dedup_last_wins_bucketed(df: DataFrame, key: str,
@@ -74,17 +126,35 @@ def _dedup_last_wins_bucketed(df: DataFrame, key: str,
     layout (each bucket lands whole in exactly one task, so
     ``partitionBy(BUCKET_COL)`` emits ONE file per directory instead of
     tasks x buckets files).  Sort order (key asc, order_col desc) makes
-    each key's newest row the first of its run; the ``lag`` probe keeps
-    exactly those.  Tie handling on equal (key, order_col) matches
-    :func:`~..operators.dedup.dedup_last_wins` (arbitrary among
-    identical-order duplicates)."""
+    each key's newest row the first of its run; the row-1 / null-safe
+    probe keeps exactly those — including exactly ONE row for a NULL
+    key group (NULLs sort together), matching
+    :func:`~..operators.dedup.dedup_last_wins`.  Tie handling on equal
+    (key, order_col) likewise matches (arbitrary among identical-order
+    duplicates)."""
     w = (Window.partitionBy(BUCKET_COL)
          .orderBy(F.col(key).asc(), F.col(order_col).desc()))
+    # lag(lit(1)) is NULL exactly on the partition's first row, so the
+    # probe distinguishes "no previous row" from "previous key is NULL"
+    first_row = F.lag(F.lit(1)).over(w).isNull()
     prev = F.lag(key).over(w)
-    return (df.withColumn("_prev_key", prev)
-              .filter(F.col("_prev_key").isNull()
-                      | (F.col("_prev_key") != F.col(key)))
-              .drop("_prev_key"))
+    return (df.withColumn("_first_row", first_row)
+              .withColumn("_prev_key", prev)
+              .filter(F.col("_first_row")
+                      | ~F.col("_prev_key").eqNullSafe(F.col(key)))
+              .drop("_first_row", "_prev_key"))
+
+
+def _check_no_null_bucket(staged: str, key: str) -> None:
+    """Fail a first write whose keys didn't all map to a bucket (range
+    layout over non-integer-castable keys) BEFORE it becomes the store.
+    A directory check, not an extra Spark action."""
+    null_part = os.path.join(staged, f"{BUCKET_COL}=__HIVE_DEFAULT_PARTITION__")
+    if os.path.exists(null_part):
+        shutil.rmtree(staged)
+        raise ValueError(
+            f"range layout requires integer-castable keys; column "
+            f"{key!r} produced non-castable values")
 
 
 def _swap_dir(src: str, dst: str) -> None:
@@ -104,66 +174,98 @@ def read_store(spark: SparkSession, path: str) -> DataFrame:
     return df.drop(BUCKET_COL) if BUCKET_COL in df.columns else df
 
 
+def _new_layout(incoming: DataFrame, key: str, layout: str,
+                num_buckets: int | None, range_width: int) -> dict:
+    """Layout metadata for a brand-new store.  Hash bucket count, when
+    not given, is auto-sized from the initial load so that
+    keys-per-bucket stays near :data:`TARGET_KEYS_PER_BUCKET` — the
+    quantity that bounds incremental rewrite cost.  The sizing action
+    is column-pruned to the key (expensive derived columns don't
+    run)."""
+    if layout == "range":
+        return {"layout": "range", "range_width": int(range_width)}
+    if num_buckets is None:
+        n_keys = incoming.agg(
+            F.approx_count_distinct(key).alias("n")).collect()[0]["n"]
+        num_buckets = max(DEFAULT_BUCKETS,
+                          -(-int(n_keys) // TARGET_KEYS_PER_BUCKET))
+    return {"layout": "hash", "num_buckets": int(num_buckets)}
+
+
 def upsert_parquet(spark: SparkSession, incoming: DataFrame, path: str,
                    key: str, order_col: str,
-                   num_buckets: int = DEFAULT_BUCKETS) -> None:
+                   num_buckets: int | None = None,
+                   layout: str = "hash",
+                   range_width: int = DEFAULT_RANGE_WIDTH) -> None:
     """A5 ``sink_upsert_embeddings``: last-writer-wins upsert into a
-    bucket-partitioned Parquet table.  Incoming rows shadow existing
-    rows with the same key; among duplicates the largest *order_col*
-    wins (reference semantics: the newest write replaces,
-    embeddings/processor.py:382-388).
+    key-partitioned Parquet table.  Incoming rows shadow existing rows
+    with the same key; among duplicates the largest *order_col* wins
+    (reference semantics: the newest write replaces,
+    embeddings/processor.py:382-388).  NULL-key rows are dropped —
+    primary-key semantics, matching ``INSERT OR REPLACE`` on a keyed
+    table.
 
     Scale: the merge shuffles only (touched buckets + batch) — ONE
     shuffle on the bucket key that serves both the dedup and the write
     layout (see :func:`_dedup_last_wins_bucketed`), emitting one file
     per bucket directory; the rest of the table is neither read nor
-    written.  A crash mid-swap leaves some buckets new and some old —
-    each bucket is internally consistent (last-wins holds per key
-    because a key never spans buckets); a table format (Delta/Iceberg
-    MERGE) is the production answer for multi-partition atomicity.
+    written.  With ``layout="range"`` (arrival-ordered integer keys,
+    the ingest path) a batch of B keys touches O(B / range_width)
+    directories however large the store is — the module docstring has
+    the full cost model.  A crash mid-swap leaves some buckets new and
+    some old — each bucket is internally consistent (last-wins holds
+    per key because a key never spans buckets); a table format
+    (Delta/Iceberg MERGE) is the production answer for multi-partition
+    atomicity.
 
-    The bucket count is persisted in ``_layout.json`` at first write
-    and is AUTHORITATIVE thereafter: a caller-supplied *num_buckets*
-    only sizes a brand-new store.  (Hashing a later batch with a
-    different count would scatter keys into different buckets and
-    silently break per-bucket last-wins.)  A bucketed store without
-    metadata — written before this guard — takes the one-time
-    migration path below, which re-hashes everything and records the
-    count.
+    The layout (kind + bucket count / range width) is persisted in
+    ``_layout.json`` at first write and is AUTHORITATIVE thereafter:
+    caller-supplied *layout* / *num_buckets* / *range_width* only size
+    a brand-new store.  (Mapping a later batch with a different
+    function would scatter keys into different buckets and silently
+    break per-bucket last-wins.)  A bucketed store without metadata —
+    written before this guard — takes the one-time migration path
+    below, which re-maps everything and records the layout.
     """
     exists = os.path.exists(path)
-    stored_buckets = _read_layout(path) if exists else None
-    if stored_buckets is not None:
-        num_buckets = stored_buckets
-    inc = incoming.withColumn(BUCKET_COL, bucket_of(key, num_buckets))
-
-    if stored_buckets is None:
+    meta = _read_layout(path) if exists else None
+    incoming = incoming.filter(F.col(key).isNotNull())
+    if meta is None:
+        fresh = _new_layout(incoming, key, layout, num_buckets,
+                            range_width)
+        inc = incoming.withColumn(BUCKET_COL, _bucket_expr(key, fresh))
         # first write, or one-time migration of a legacy flat /
         # metadata-less store
         if exists:
             current = spark.read.parquet(path)
             if BUCKET_COL in current.columns:
                 current = current.drop(BUCKET_COL)
-            current = current.withColumn(
-                BUCKET_COL, bucket_of(key, num_buckets))
+            current = (current.filter(F.col(key).isNotNull())
+                       .withColumn(BUCKET_COL, _bucket_expr(key, fresh)))
             merged = current.unionByName(inc, allowMissingColumns=True)
         else:
             merged = inc
         deduped = _dedup_last_wins_bucketed(merged, key, order_col)
         tmp = path + "._staged"
         deduped.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp)
+        _check_no_null_bucket(tmp, key)
         _swap_dir(tmp, path)
-        _write_layout(path, num_buckets)
+        _write_layout(path, fresh)
         return
 
-    # incremental path: touch only the buckets the batch hashes into.
-    # The distinct() is driver-sized (<= num_buckets values); Catalyst
-    # prunes every column but the key out of this action, so expensive
-    # derived columns (e.g. the embed UDF) do NOT run here.
-    touched = sorted(
-        r[0] for r in inc.select(BUCKET_COL).distinct().collect())
+    # incremental path: touch only the buckets the batch maps into.
+    # The distinct() is driver-sized (bounded by batch key spread);
+    # Catalyst prunes every column but the key out of this action, so
+    # expensive derived columns (e.g. the embed UDF) do NOT run here.
+    inc = incoming.withColumn(BUCKET_COL, _bucket_expr(key, meta))
+    touched = [r[0] for r in inc.select(BUCKET_COL).distinct().collect()]
     if not touched:
         return
+    if None in touched:
+        raise ValueError(
+            f"range layout requires integer-castable keys; column "
+            f"{key!r} produced non-castable values")
+    touched = sorted(touched)
     current = spark.read.parquet(path).filter(
         F.col(BUCKET_COL).isin(touched))  # directory-level pruning
     merged = current.unionByName(inc, allowMissingColumns=True)

@@ -221,7 +221,8 @@ def stream_upsert(spark: SparkSession, sf_dir: str, store_path: str,
 
     def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
         sinks.upsert_parquet(batch_df.sparkSession, batch_df, store_path,
-                             key="event_id", order_col="ts")
+                             key="event_id", order_col="ts",
+                             layout="range")
 
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_{query_name}_")
     q = (events.writeStream.foreachBatch(upsert_batch)

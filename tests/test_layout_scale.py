@@ -103,6 +103,158 @@ def test_upsert_touches_only_incoming_buckets(spark, tmp_path):
     assert final.filter(F.col("k") == 999).count() == 1
 
 
+def test_upsert_range_layout_batch_proportional(spark, tmp_path):
+    """The scale criterion: a >=1k-key batch against a >=100k-row store
+    rewrites only batch-proportional partitions.  With the range layout
+    an arrival-ordered batch (new ids + updates to recent ids) is
+    contiguous in key space, so it lands in O(batch/range_width)
+    directories however large the store is — the property that keeps
+    ingest O(batch) at 100 TB."""
+    store = str(tmp_path / "range_store")
+    base = (spark.range(100_000)
+            .select(F.col("id").cast("string").alias("k"),
+                    F.concat(F.lit("v"), F.col("id")).alias("v"),
+                    F.lit(1).alias("ord")))
+    sinks.upsert_parquet(spark, base, store, key="k", order_col="ord",
+                         layout="range", range_width=1000)
+    meta = sinks._read_layout(store)
+    assert meta == {"layout": "range", "range_width": 1000}
+    before = _partition_state(store)
+    n_parts = {rel.split("=")[1].split("/")[0] for rel in before}
+    assert len(n_parts) == 100  # 100k keys / width 1000
+
+    # arrival-ordered batch: 800 brand-new ids + 300 updates to the
+    # most recent ids -> 1100 distinct keys spanning ranges 99-100
+    batch = (spark.range(99_000, 100_800)
+             .filter((F.col("id") >= 100_000) | (F.col("id") < 99_300))
+             .select(F.col("id").cast("string").alias("k"),
+                     F.lit("updated").alias("v"),
+                     F.lit(2).alias("ord")))
+    assert batch.count() == 1100
+    sinks.upsert_parquet(spark, batch, store, key="k", order_col="ord")
+    after = _partition_state(store)
+
+    rewritten = {rel.split("=")[1].split("/")[0]
+                 for rel, sig in before.items() if after.get(rel) != sig}
+    rewritten |= {rel.split("=")[1].split("/")[0]
+                  for rel in after if rel not in before}
+    # 1100 contiguous keys / width 1000 -> at most 3 ranges touched, out
+    # of ~101 directories; everything else byte-identical
+    assert len(rewritten) <= 3, f"rewrote {len(rewritten)} partitions"
+    untouched = n_parts - rewritten
+    assert len(untouched) >= 97
+    for rel, sig in before.items():
+        if rel.split("=")[1].split("/")[0] in untouched:
+            assert after.get(rel) == sig, f"untouched {rel} was rewritten"
+
+    final = sinks.read_store(spark, store)
+    assert final.count() == 100_800
+    assert final.filter(F.col("v") == "updated").count() == 1100
+
+
+def test_upsert_hash_auto_sizes_buckets(spark, tmp_path):
+    """With no explicit num_buckets the first write sizes the hash
+    layout from the initial load (~TARGET_KEYS_PER_BUCKET keys per
+    bucket), instead of freezing 64 buckets for any store size."""
+    from pyspark.sql import Row
+
+    store = str(tmp_path / "auto_store")
+    base = (spark.range(20_000)
+            .select(F.col("id").alias("k"), F.lit(1).alias("ord")))
+    sinks.upsert_parquet(spark, base, store, key="k", order_col="ord")
+    meta = sinks._read_layout(store)
+    assert meta["layout"] == "hash"
+    expected = 20_000 // sinks.TARGET_KEYS_PER_BUCKET
+    # approx_count_distinct sizing: within 10% of the exact count
+    assert 0.9 * expected <= meta["num_buckets"] <= 1.1 * expected
+
+    # a tiny store still gets the floor
+    tiny = str(tmp_path / "tiny_store")
+    sinks.upsert_parquet(
+        spark, spark.createDataFrame([Row(k=1, ord=1)]), tiny,
+        key="k", order_col="ord")
+    assert sinks._read_layout(tiny)["num_buckets"] == sinks.DEFAULT_BUCKETS
+
+
+def test_upsert_stored_bucket_count_is_authoritative(spark, tmp_path):
+    """A later caller passing a different num_buckets must NOT re-hash
+    the store: the persisted layout wins, directories stay put, and
+    last-writer-wins still holds (a silent count change would scatter
+    keys across buckets and break per-bucket dedup)."""
+    from pyspark.sql import Row
+
+    store = str(tmp_path / "auth_store")
+    base = spark.createDataFrame(
+        [Row(k=i, v="old", ord=1) for i in range(200)])
+    sinks.upsert_parquet(spark, base, store, key="k", order_col="ord",
+                         num_buckets=16)
+    import os
+    dirs_before = {d for d in os.listdir(store)
+                   if d.startswith(sinks.BUCKET_COL + "=")}
+    assert len(dirs_before) == 16
+
+    batch = spark.createDataFrame([Row(k=7, v="new", ord=2)])
+    sinks.upsert_parquet(spark, batch, store, key="k", order_col="ord",
+                         num_buckets=32)  # must be ignored
+    assert sinks._read_layout(store) == {"layout": "hash",
+                                         "num_buckets": 16}
+    dirs_after = {d for d in os.listdir(store)
+                  if d.startswith(sinks.BUCKET_COL + "=")}
+    assert dirs_after == dirs_before
+    final = sinks.read_store(spark, store)
+    assert final.count() == 200
+    assert final.filter(F.col("k") == 7).collect()[0]["v"] == "new"
+
+
+def test_upsert_drops_null_keys_and_bucketed_dedup_matches(spark, tmp_path):
+    """NULL-key rows are dropped by the sink (primary-key semantics);
+    the bucketed dedup itself keeps exactly ONE row for a NULL key
+    group, matching operators.dedup.dedup_last_wins, so any other
+    caller gets consistent semantics."""
+    from pyspark.sql import Row
+
+    store = str(tmp_path / "nullkey_store")
+    rows = [Row(k="1", v="a", ord=1), Row(k=None, v="n1", ord=1),
+            Row(k=None, v="n2", ord=2), Row(k="2", v="b", ord=1)]
+    sinks.upsert_parquet(spark, spark.createDataFrame(rows), store,
+                         key="k", order_col="ord", num_buckets=4)
+    final = sinks.read_store(spark, store)
+    assert final.count() == 2  # both null-key rows dropped
+    assert final.filter(F.col("k").isNull()).count() == 0
+
+    # the dedup primitive alone: one survivor per key INCLUDING null
+    df = spark.createDataFrame(rows).withColumn(
+        sinks.BUCKET_COL, F.lit(0))
+    kept = sinks._dedup_last_wins_bucketed(df, "k", "ord").collect()
+    assert len(kept) == 3
+    null_rows = [r for r in kept if r["k"] is None]
+    assert len(null_rows) == 1 and null_rows[0]["v"] == "n2"
+
+
+def test_upsert_range_rejects_non_integer_keys(spark, tmp_path):
+    from pyspark.sql import Row
+
+    store = str(tmp_path / "badkey_store")
+    bad = spark.createDataFrame([Row(k="not-a-number", v="x", ord=1)])
+    with pytest.raises(ValueError, match="integer-castable"):
+        sinks.upsert_parquet(spark, bad, store, key="k", order_col="ord",
+                             layout="range")
+    assert not __import__("os").path.exists(store)
+
+
+def test_read_layout_tolerates_corrupt_metadata(spark, tmp_path):
+    """A corrupt _layout.json (array / scalar / non-numeric) must read
+    as None -> the migration path, never a crash."""
+    import os
+    d = str(tmp_path / "corrupt")
+    os.makedirs(d)
+    for payload in ("[1,2,3]", "42", '"x"', '{"num_buckets": "abc"}',
+                    '{"layout": "range"}', "not json"):
+        with open(os.path.join(d, sinks.LAYOUT_META), "w") as f:
+            f.write(payload)
+        assert sinks._read_layout(d) is None, payload
+
+
 def test_upsert_migrates_legacy_flat_store(spark, tmp_path):
     """A pre-bucketing flat store is migrated in one pass on the next
     upsert, preserving last-writer-wins against the incoming batch."""
