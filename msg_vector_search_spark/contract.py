@@ -19,6 +19,9 @@ Determinism rules applied uniformly (SURVEY section 7 hard points):
 
 from __future__ import annotations
 
+import itertools
+import os
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -37,7 +40,8 @@ from .operators import ivf as ivf_ops
 from .operators import lsh as lsh_ops
 from .operators import similarity as sim_ops
 from .operators import topk as topk_ops
-from .sources import readers, state
+from .sources import readers, sinks, state
+from .streaming import stream as streaming_ops
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -2659,6 +2663,110 @@ def rollup_two_level_time(spark: SparkSession, sf_dir: str) -> DataFrame:
                            "event_type")
             .agg(F.sum("n").alias("n"),
                  rnd(F.sum("sv"), 4).alias("sum_value")))
+
+
+# =========================================================================
+# Structured Streaming surface (SURVEY 2.H) — the streaming twins run
+# for real (readStream -> Trigger.AvailableNow -> memory/foreachBatch
+# sink) and their materialized results are oracle-checked against the
+# same batch SQL the batch twins use.  Each run gets a fresh memory
+# table name so repeated driver invocations in one session don't
+# collide.
+# =========================================================================
+
+_STREAM_SEQ = itertools.count()
+
+
+@register("streaming_tumbling_availablenow", oracle="""
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n, (round(sum(value), 3) + 0) AS sum_value
+FROM events GROUP BY 1, 2
+""")
+def streaming_tumbling_availablenow(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """2.H H1/H2 live: event-time tumbling window with watermark, run
+    as a real streaming query (Trigger.AvailableNow, memory sink,
+    complete mode) and materialized — must equal the batch twin
+    ``tumbling_window_agg`` exactly (reference's polling loop semantics,
+    src/core/search/engine.py:57-103)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    name = f"ct_stream_tumbling_{next(_STREAM_SEQ)}"
+    out = streaming_ops.run_stream_once(
+        spark, sf_dir, query_name=name, output_mode="complete",
+        round_digits=None)
+    return out.select("window_start", "event_type", "n",
+                      rnd(F.col("sum_value"), 3).alias("sum_value"))
+
+
+@register("streaming_sessionize_stateful", oracle="""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+               OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+),
+agg AS (
+  SELECT user_id, sid, min(ts) AS session_start, max(ts) AS session_end,
+         count(*) AS n_events
+  FROM sess GROUP BY user_id, sid
+)
+SELECT user_id, session_start, session_end, n_events
+FROM agg
+QUALIFY sid < max(sid) OVER (PARTITION BY user_id)
+""")
+def streaming_sessionize_stateful(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Custom stateful operator live (applyInPandasWithState): gap-based
+    sessions (30 min) assembled across micro-batches; emits CLOSED
+    sessions — each user's trailing session stays in the state store, so
+    the oracle drops each user's last session.  Session boundaries
+    depend only on ts gaps, so equal-ts ordering ambiguity cannot move a
+    row across sessions."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    name = f"ct_stream_sessions_{next(_STREAM_SEQ)}"
+    return streaming_ops.run_stateful_sessions(
+        spark, sf_dir, gap_minutes=30, query_name=name).select(
+        "user_id", "session_start", "session_end", "n_events")
+
+
+@register("streaming_dedup_within_watermark", oracle="""
+SELECT DISTINCT event_id // 2 AS mid FROM events
+""")
+def streaming_dedup_within_watermark(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """H5 live: dropDuplicatesWithinWatermark on a synthesized duplicate
+    key (event_id div 2 — every key arrives ~twice) emits EXACTLY one
+    row per key, with state evicted past the watermark horizon; the
+    surviving key set must equal the source's distinct key set."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    name = f"ct_stream_dedup_{next(_STREAM_SEQ)}"
+    return streaming_ops.run_stream_dedup(
+        spark, sf_dir, query_name=name).select("mid")
+
+
+@register("streaming_upsert_store", oracle="""
+SELECT event_id, user_id, event_type FROM events
+""")
+def streaming_upsert_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H5 end-to-end live: stream -> foreachBatch -> range-layout upsert
+    sink, then read the store back.  Unique source keys mean the store
+    must hold exactly the source rows — the idempotent-replay twin of
+    the reference's INSERT OR REPLACE ingest
+    (src/core/embeddings/processor.py:382-391)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    name = f"ct_stream_upsert_{next(_STREAM_SEQ)}"
+    store = os.path.join(tempfile.mkdtemp(prefix=name + "_"), "store")
+    streaming_ops.stream_upsert(spark, sf_dir, store, query_name=name)
+    return sinks.read_store(spark, store).select(
+        "event_id", "user_id", "event_type")
 
 
 # =========================================================================

@@ -52,14 +52,20 @@ def read_event_stream(spark: SparkSession, sf_dir: str,
 
 def tumbling_event_counts(events: DataFrame,
                           window: str = "1 hour",
-                          late: str = "2 hours") -> DataFrame:
+                          late: str = "2 hours",
+                          round_digits: int | None = 6) -> DataFrame:
     """Event-time tumbling-window aggregation with late-data watermark
     (H2): counts and value sums per (window, event_type).  The batch
-    twin of this query is ``tumbling_window_agg`` in __spark_entry__."""
+    twin of this query is ``tumbling_window_agg`` in __spark_entry__.
+    ``round_digits=None`` leaves the sum raw so a caller can apply its
+    own oracle-grid rounding without double-rounding artifacts."""
+    s = F.sum("value")
+    if round_digits is not None:
+        s = F.round(s, round_digits)
     return (
         events.withWatermark("ts", late)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .agg(F.count("*").alias("n"), s.alias("sum_value"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n",
                 "sum_value")
     )
@@ -68,11 +74,13 @@ def tumbling_event_counts(events: DataFrame,
 def run_stream_once(spark: SparkSession, sf_dir: str,
                     query_name: str = "tumbling_counts",
                     output_mode: str = "append",
-                    checkpoint_dir: str | None = None) -> DataFrame:
+                    checkpoint_dir: str | None = None,
+                    round_digits: int | None = 6) -> DataFrame:
     """Drive the streaming query to completion over the current fixture
-    contents (memory sink + processAllAvailable) and return the result
-    as a DataFrame — the local smoke-test harness for the streaming
-    path.
+    contents (``Trigger.AvailableNow`` + memory sink) and return the
+    result as a DataFrame — the local smoke-test harness for the
+    streaming path, and the engine behind the
+    ``streaming_tumbling_availablenow`` contract query.
 
     ``append`` (production mode) emits only windows finalized by the
     watermark — the trailing ``late`` interval stays in state;
@@ -82,9 +90,10 @@ def run_stream_once(spark: SparkSession, sf_dir: str,
     """
     ckpt = checkpoint_dir or tempfile.mkdtemp(prefix=f"ckpt_{query_name}_")
     events = read_event_stream(spark, sf_dir)
-    agg = tumbling_event_counts(events)
+    agg = tumbling_event_counts(events, round_digits=round_digits)
     q = (agg.writeStream.outputMode(output_mode)
          .format("memory").queryName(query_name)
+         .trigger(availableNow=True)
          .option("checkpointLocation", ckpt)
          .start())
     try:
