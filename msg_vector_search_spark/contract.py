@@ -1836,6 +1836,51 @@ def sim_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                                         max_cell=512)
 
 
+_SIM_JOIN_IVF_P2_SQL = f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT 16
+), scored AS (
+  SELECT e.vec_id, e.embedding, c.centroid_id,
+         (round({V.duck_cosine('e.embedding', 'c.cvec')}, 9) + 0) AS cdist
+  FROM embeddings e CROSS JOIN cent c
+), assigned AS (
+  SELECT vec_id, embedding, centroid_id AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cdist DESC, centroid_id) AS rn
+    FROM scored) WHERE rn <= 2
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         min(a.cell) AS cell,
+         max((round({V.duck_cosine('a.embedding', 'b.embedding')}, 6) + 0))
+           AS sim
+  FROM assigned a JOIN assigned b ON a.cell = b.cell
+  WHERE a.vec_id <> b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+)
+SELECT id_a, id_b, cell, sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY id_a
+                               ORDER BY sim DESC, id_b) AS rn
+  FROM pairs) WHERE rn <= 3
+"""
+
+
+@register("sim_join_ivf_p2", oracle=_SIM_JOIN_IVF_P2_SQL)
+def sim_join_ivf_p2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-cell similarity join: every vector assigned to its TWO
+    nearest cells (ivf.assign_cells_multi), pairs meeting in any shared
+    cell, deduped before ranking.  Fixes the p=1 recall gap — a pair of
+    near-dups straddling a cell boundary is never compared by
+    sim_join_ivf; with p=2 they meet whenever either's second cell is
+    the other's first (pair-recall delta measured in
+    tools/scaling_check.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = ivf_ops.seed_centroids(emb, 16)
+    assigned = ivf_ops.assign_cells_multi(emb, cent, nprobe=2)
+    return sim_ops.similarity_join_topk(assigned, "cell", k=3,
+                                        max_cell=512, dedup_pairs=True)
+
+
 @register("sim_join_ivf_pandas", oracle=_SIM_JOIN_IVF_SQL)
 def sim_join_ivf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same similarity join with the within-cell kernel as ONE

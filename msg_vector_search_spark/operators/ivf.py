@@ -92,6 +92,33 @@ def assign_cells(embeddings: DataFrame, centroids: DataFrame,
     )
 
 
+def assign_cells_multi(embeddings: DataFrame, centroids: DataFrame,
+                       nprobe: int = 2, id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Multi-probe assignment: every vector lands in its *nprobe*
+    nearest cells (one output row per assignment).  The similarity-JOIN
+    recall fix: with p=1 a pair of near-dups straddling a cell boundary
+    is never compared; with p=2 they meet whenever either's second cell
+    is the other's first.  Corpus is replicated nprobe x — the standard
+    IVF write-amplification trade (FAISS's IVF multi-assignment) — and
+    downstream pair emission must dedup (a pair can share up to nprobe
+    cells)."""
+    emb_n = embeddings.withColumn("_vn", V.norm(F.col(vec_col)))
+    cent_n = centroids.withColumn("_cn", V.norm(F.col("centroid_vec")))
+    nprod = F.col("_vn") * F.col("_cn")
+    cos = F.when(nprod == 0.0, F.lit(0.0)).otherwise(
+        V.dot(F.col(vec_col), F.col("centroid_vec")) / nprod)
+    scored = emb_n.crossJoin(F.broadcast(cent_n)).withColumn(
+        "cdist", (F.round(cos, 9) + F.lit(0.0)))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("cdist").desc(), F.col("centroid_id").asc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= nprobe)
+        .select(id_col, vec_col, F.col("centroid_id").alias("cell"))
+    )
+
+
 def write_index(assigned: DataFrame, path: str) -> None:
     """Materialize the IVF index: the corpus partitioned by cell.  A
     probe that filters on ``cell`` prunes at the directory level."""

@@ -213,7 +213,8 @@ def pairwise_similarity(left: DataFrame, right: DataFrame, on: str,
 def similarity_join_topk(assigned: DataFrame, block_col: str, k: int,
                          id_col: str = "vec_id",
                          vec_col: str = "embedding",
-                         max_cell: int | None = None) -> DataFrame:
+                         max_cell: int | None = None,
+                         dedup_pairs: bool = False) -> DataFrame:
     """All-vectors-to-their-neighbors similarity JOIN: for every vector,
     its top-k cosine neighbors within its block (IVF cell / LSH bucket)
     — the both-sides-large pattern ``knn_join`` (broadcast query set)
@@ -231,7 +232,14 @@ def similarity_join_topk(assigned: DataFrame, block_col: str, k: int,
     ``hash48(id) % nsub``, side A replicated per sub-bucket, so the
     result is IDENTICAL to the unsalted join while the hottest reducer
     scores ~max_cell * cell pairs instead of cell^2.  Cell sizes come
-    from a partial-aggregated groupBy, never a window over the cell."""
+    from a partial-aggregated groupBy, never a window over the cell.
+
+    *dedup_pairs* is for MULTI-assignment inputs (one row per (vector,
+    cell), e.g. ``ivf.assign_cells_multi``): a pair sharing several
+    cells would otherwise be emitted once per shared cell and eat
+    duplicate rank slots.  The dedup is a groupBy on (id_a, id_b)
+    keeping min(cell)/max(sim) — deterministic, one extra shuffle whose
+    input is already blocked-bounded (never the raw corpus)."""
     a = assigned.select(F.col(id_col).alias("id_a"),
                         F.col(vec_col).alias("vec_a"),
                         V.norm(vec_col).alias("_na"),
@@ -266,6 +274,9 @@ def similarity_join_topk(assigned: DataFrame, block_col: str, k: int,
     pairs = (a.join(b, join_keys)
              .filter(F.col("id_a") != F.col("id_b"))
              .withColumn("sim", F.round(cos, 6) + F.lit(0.0)))
+    if dedup_pairs:
+        pairs = pairs.groupBy("id_a", "id_b").agg(
+            F.min("cell").alias("cell"), F.max("sim").alias("sim"))
     w = Window.partitionBy("id_a").orderBy(F.col("sim").desc(),
                                            F.col("id_b"))
     return (pairs.withColumn("rn", F.row_number().over(w))

@@ -90,6 +90,32 @@ def measure_ivf_recall(spark, emb, nlist: int = 16, nprobe: int = 2,
     return out
 
 
+def measure_pair_recall(spark, emb, nlist: int = 16,
+                        k: int = 3) -> dict[str, float]:
+    """Pair recall of the blocked similarity JOIN vs exact ground truth
+    (every vector's true top-k neighbors, full GEMM in one block).
+    Quantifies the p=1 boundary gap the cross-cell (p=2) assignment
+    exists to close: a near-dup pair straddling a cell boundary is
+    invisible to the within-cell join."""
+    from msg_vector_search_spark.operators import ivf, similarity
+
+    def pair_set(df):
+        return {(r["id_a"], r["id_b"])
+                for r in df.select("id_a", "id_b").collect()}
+
+    truth = pair_set(similarity.similarity_join_topk_pandas(
+        emb.withColumn("cell", F.lit(0)), "cell", k=k))
+
+    cent = ivf.seed_centroids(emb, nlist)
+    p1 = pair_set(similarity.similarity_join_topk(
+        ivf.assign_cells(emb, cent), "cell", k=k))
+    p2 = pair_set(similarity.similarity_join_topk(
+        ivf.assign_cells_multi(emb, cent, nprobe=2), "cell", k=k,
+        dedup_pairs=True))
+    return {"p1": len(p1 & truth) / len(truth),
+            "p2": len(p2 & truth) / len(truth)}
+
+
 def main() -> None:
     from msg_vector_search_spark.operators import dedup, ivf, lsh
     from msg_vector_search_spark.session import get_spark
@@ -145,11 +171,14 @@ def main() -> None:
                                                    k=3).count()
             t_gemm = time.perf_counter() - t0
             recall = measure_ivf_recall(spark, emb)
+            pr = measure_pair_recall(spark, emb) if m == 1 else None
             print(f"{m:>4} {n:>8} {t_mh:>10.2f} {t_sh:>10.2f} "
                   f"{t_ex:>8.2f} {pairs:>8} {t_ivf:>8.2f} {t_lsh:>8.2f} "
                   f"{t_cc:>8.2f} {t_gemm:>8.2f}  "
                   f"recall@10 seed={recall['seed']:.2f} "
-                  f"kmeans={recall['kmeans']:.2f}", flush=True)
+                  f"kmeans={recall['kmeans']:.2f}"
+                  + (f"  pair-recall@3 p1={pr['p1']:.2f} p2={pr['p2']:.2f}"
+                     if pr else ""), flush=True)
         finally:
             shutil.rmtree(d, ignore_errors=True)
 
