@@ -19,6 +19,7 @@ one-line change in ``_load_model``.
 from __future__ import annotations
 
 import hashlib
+import os
 from collections.abc import Iterator
 
 import numpy as np
@@ -53,27 +54,43 @@ class _DeterministicFakeModel:
         return out
 
 
+#: Local-weights override: a directory containing a saved
+#: sentence-transformers model (``SentenceTransformer.save`` layout).
+#: Lets an air-gapped cluster run the REAL encoder from mounted
+#: weights with no network/hub access — executors inherit the env var
+#: from the session (spark.executorEnv) or the cluster runtime.
+MODEL_DIR_ENV = "SPARK_GRAFT_MODEL_DIR"
+
+
 def _load_model(dim: int = EMBED_DIM):
     """Lazy per-worker model load (reference loads per process at
     embeddings/processor.py:47-109 with device selection; device pick
-    would live here for the real model)."""
+    would live here for the real model).  Resolution order:
+    $SPARK_GRAFT_MODEL_DIR (local weights, offline) -> hub model name
+    (network) -> deterministic fake (sentence-transformers absent)."""
     global _MODEL
     if _MODEL is None:
         try:  # pragma: no cover - real model path, not in this image
             from sentence_transformers import SentenceTransformer
-            _MODEL = SentenceTransformer("all-MiniLM-L6-v2")
+            model_dir = os.environ.get(MODEL_DIR_ENV)
+            _MODEL = SentenceTransformer(
+                model_dir if model_dir else "all-MiniLM-L6-v2")
         except ImportError:
             _MODEL = _DeterministicFakeModel(dim)
     return _MODEL
 
 
 def encoder_kind() -> str:
-    """'real' when sentence-transformers is importable (driver-side
-    probe; executors resolve the same way), else 'fake'.  Bench output
-    carries this so embed/ingest throughput numbers are never mistaken
-    for model-bound numbers when the deterministic fake is in play."""
+    """'real-local' when sentence-transformers is importable and
+    $SPARK_GRAFT_MODEL_DIR points at mounted weights, 'real' when only
+    the hub path is available, else 'fake' (driver-side probe;
+    executors resolve the same way).  Bench output carries this so
+    embed/ingest throughput numbers are never mistaken for model-bound
+    numbers when the deterministic fake is in play."""
     try:  # pragma: no cover - real model path, not in this image
         import sentence_transformers  # noqa: F401
+        if os.environ.get(MODEL_DIR_ENV):
+            return "real-local"
         return "real"
     except ImportError:
         return "fake"

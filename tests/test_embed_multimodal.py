@@ -81,7 +81,7 @@ def test_sample_frames_fanout_and_last_partial_frame(spark):
     assert by[(8, 0)]["frame_bytes"] == 0 and by[(8, 0)]["n_frames"] == 1
 
 
-@pytest.mark.skipif(embed.encoder_kind() != "real",
+@pytest.mark.skipif(not embed.encoder_kind().startswith("real"),
                     reason="sentence-transformers not installed in this "
                            "image; embed UDF runs the deterministic fake")
 def test_real_sentence_transformers_path(spark):
@@ -98,3 +98,22 @@ def test_real_sentence_transformers_path(spark):
     norm = sum(x * x for x in out[1]) ** 0.5
     assert abs(norm - 1.0) < 1e-3
     assert out[1] == out[2] != out[3]
+
+
+def test_model_dir_env_resolution(monkeypatch, tmp_path):
+    """The $SPARK_GRAFT_MODEL_DIR local-weights branch: encoder_kind
+    reports 'real-local' only when sentence-transformers is importable
+    AND the env var is set; without the package the fake stays in
+    charge regardless of the env var (no crash on a dangling dir)."""
+    monkeypatch.setenv(embed.MODEL_DIR_ENV, str(tmp_path))
+    kind = embed.encoder_kind()
+    try:
+        import sentence_transformers  # noqa: F401
+        assert kind == "real-local"
+    except ImportError:
+        assert kind == "fake"
+        # _load_model must also fall back cleanly with the var set
+        monkeypatch.setattr(embed, "_MODEL", None)
+        model = embed._load_model()
+        assert isinstance(model, embed._DeterministicFakeModel)
+        monkeypatch.setattr(embed, "_MODEL", None)
