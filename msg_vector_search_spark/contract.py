@@ -2720,6 +2720,268 @@ def rollup_two_level_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =========================================================================
+# Analytics widening (round 4): pivot, CUBE, histogram, SCD2 history,
+# disjunctive-pushdown join, ntile/percent_rank/cume_dist, grouped
+# moment statistics, bigram counts, time-RANGE rolling window.
+# =========================================================================
+
+@register("pivot_event_type_daily", oracle="""
+SELECT date_trunc('day', ts) AS day,
+       CAST(count(*) FILTER (event_type = 'click')    AS BIGINT) AS click,
+       CAST(count(*) FILTER (event_type = 'error')    AS BIGINT) AS error,
+       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+       CAST(count(*) FILTER (event_type = 'signup')   AS BIGINT) AS signup,
+       CAST(count(*) FILTER (event_type = 'view')     AS BIGINT) AS view
+FROM events GROUP BY 1
+""")
+def pivot_event_type_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long -> wide): daily counts per event type as columns.
+    The pivot VALUES are explicit — at 100 TB an implicit pivot costs a
+    distinct-values pre-job on the full corpus and risks a
+    million-column explosion; pinning the dictionary keeps it one
+    groupBy with map-side partials."""
+    events = _t(spark, sf_dir, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    out = (events.groupBy(F.date_trunc("day", "ts").alias("day"))
+           .pivot("event_type", kinds).count())
+    # pivot yields NULL for empty cells; the oracle's FILTER count is 0
+    return out.select("day", *[F.coalesce(F.col(k), F.lit(0)).alias(k)
+                               for k in kinds])
+
+
+@register("cube_order_priority", oracle="""
+SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+       coalesce(o_orderstatus, 'ALL') AS status,
+       CAST(grouping(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+       count(*) AS n,
+       (round(sum(o_totalprice), 2) + 0) AS total
+FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+""")
+def cube_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (priority, status): all four grouping sets in one
+    pass, disambiguated by grouping_id (bit i set = dimension i rolled
+    up — same encoding both engines).  Partial aggregation applies to
+    every set; one shuffle total."""
+    orders = _t(spark, sf_dir, "orders")
+    return (orders.cube("o_orderpriority", "o_orderstatus")
+            .agg(F.grouping_id().cast("long").alias("gid"),
+                 F.count("*").alias("n"),
+                 rnd(F.sum("o_totalprice"), 2).alias("total"))
+            .select(F.coalesce("o_orderpriority", F.lit("ALL"))
+                    .alias("priority"),
+                    F.coalesce("o_orderstatus", F.lit("ALL"))
+                    .alias("status"), "gid", "n", "total"))
+
+
+@register("event_value_histogram", oracle="""
+SELECT CAST(least(floor(value / 25), 19) AS BIGINT) AS bin,
+       count(*) AS n,
+       (round(sum(value), 4) + 0) AS sum_value
+FROM events GROUP BY 1
+""")
+def event_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (25-unit bins over [0, 500), top bin
+    clamped): binning is a pure projection riding the scan, then one
+    20-group aggregation — the profile pass a training pipeline runs
+    over every numeric column at 100 TB for near-free."""
+    events = _t(spark, sf_dir, "events")
+    bin_col = F.least(F.floor(F.col("value") / 25), F.lit(19)) \
+        .cast("long").alias("bin")
+    return (events.groupBy(bin_col)
+            .agg(F.count("*").alias("n"),
+                 rnd(F.sum("value"), 4).alias("sum_value")))
+
+
+@register("scd2_customer_status", oracle="""
+SELECT o_custkey, o_orderkey, o_orderstatus,
+       o_orderdate AS valid_from,
+       lead(o_orderdate) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey)
+         AS valid_to
+FROM orders
+""")
+def scd2_customer_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 assembly: each customer's order
+    states become [valid_from, valid_to) intervals via lead() — the
+    standard dimension-history build, one shuffle on the entity key
+    (open interval = NULL valid_to).  Unique o_orderkey tiebreak makes
+    equal-date sequences deterministic."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate",
+                                                "o_orderkey")
+    return orders.select(
+        "o_custkey", "o_orderkey", "o_orderstatus",
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w).alias("valid_to"))
+
+
+@register("tpch_q19_disjunctive", oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n,
+       (round(sum(l_extendedprice * (1 - l_discount)), 2) + 0) AS revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 10 AND 30
+       AND l.l_quantity BETWEEN 10 AND 40)
+""")
+def tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs across both join sides.  Catalyst
+    splits the disjunction into per-side implied filters (brand/size
+    prune part, quantity prunes lineitem BEFORE the join) — the
+    predicate-pushdown stress test for disjunctive conditions; part is
+    broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    arm1 = ((F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20))
+    arm2 = ((F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 40))
+    return (j.filter(arm1 | arm2)
+            .agg(F.count("*").alias("n"),
+                 rnd(F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue")))
+
+
+_CUST_SPEND_SQL = """
+SELECT o_custkey, (round(sum(o_totalprice), 2) + 0) AS total
+FROM orders GROUP BY o_custkey
+"""
+
+
+@register("ntile_customer_quartiles", oracle=f"""
+WITH spend AS ({_CUST_SPEND_SQL})
+SELECT o_custkey, total,
+       CAST(ntile(4) OVER (ORDER BY total DESC, o_custkey) AS BIGINT)
+         AS quartile
+FROM spend
+""")
+def ntile_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile bucketing: customers into spend quartiles.  The global
+    ORDER BY window is the scale hazard (single-partition sort) — at
+    100 TB this becomes approx-quantile cutpoints + a scan-side bucket
+    projection; here the exact form IS the oracle-checkable spec."""
+    orders = _t(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        rnd(F.sum("o_totalprice"), 2).alias("total"))
+    w = Window.orderBy(F.col("total").desc(), F.col("o_custkey"))
+    return spend.select("o_custkey", "total",
+                        F.ntile(4).over(w).cast("long").alias("quartile"))
+
+
+@register("percent_rank_cume_dist", oracle=f"""
+WITH spend AS ({_CUST_SPEND_SQL})
+SELECT o_custkey, total,
+       (round(percent_rank() OVER (ORDER BY total, o_custkey), 6) + 0)
+         AS pct_rank,
+       (round(cume_dist() OVER (ORDER BY total, o_custkey), 6) + 0)
+         AS cume
+FROM spend
+""")
+def percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution ranks over customer spend (percent_rank /
+    cume_dist) — unique (total, custkey) ordering makes both exact and
+    deterministic.  Same global-sort caveat and same sketch-based scale
+    path as ntile."""
+    orders = _t(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        rnd(F.sum("o_totalprice"), 2).alias("total"))
+    w = Window.orderBy("total", "o_custkey")
+    return spend.select(
+        "o_custkey", "total",
+        rnd(F.percent_rank().over(w), 6).alias("pct_rank"),
+        rnd(F.cume_dist().over(w), 6).alias("cume"))
+
+
+@register("corr_stats_events", oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       (round(avg(value), 4) + 0) AS mean_value,
+       (round(stddev_samp(value), 4) + 0) AS sd_value,
+       (round(corr(value, CAST(extract(hour FROM ts) AS DOUBLE)), 4) + 0)
+         AS corr_value_hour
+FROM events GROUP BY event_type
+""")
+def corr_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped moment statistics (mean / sample stddev / Pearson
+    correlation with hour-of-day): all computed from mergeable
+    co-moments, so the plan is one keyed shuffle with map-side
+    partials — the feature-statistics pass of a training pipeline.
+    Rounded to 4dp: parallel co-moment merge order perturbs the last
+    couple of double ulps."""
+    events = _t(spark, sf_dir, "events")
+    hour = F.hour("ts").cast("double")
+    return (events.groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 rnd(F.avg("value"), 4).alias("mean_value"),
+                 rnd(F.stddev_samp("value"), 4).alias("sd_value"),
+                 rnd(F.corr(F.col("value"), hour), 4)
+                 .alias("corr_value_hour")))
+
+
+@register("text_bigram_top20", oracle="""
+WITH toks AS (
+  SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS t
+  FROM documents
+), big AS (
+  SELECT unnest(list_transform(list_zip(t[:-1], t[2:]),
+                               x -> x[1] || ' ' || x[2])) AS bigram
+  FROM toks
+)
+SELECT bigram, count(*) AS n
+FROM big WHERE bigram IS NOT NULL
+GROUP BY bigram
+ORDER BY n DESC, bigram LIMIT 20
+""")
+def text_bigram_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram counts (the n-gram language-model building block):
+    tokenize -> adjacent-pair -> explode -> count -> top-20.  All
+    array ops are codegen'd column expressions riding the scan; the
+    count is one shuffle with map-side partials and the top-20 is
+    TakeOrderedAndProject — no global sort."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), "[^a-z0-9]+"),
+                    lambda x: x != F.lit(""))
+    n = F.size(toks)
+    bigrams = F.when(n >= 2, F.zip_with(
+        F.slice(toks, 1, n - 1), F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b))
+    ).otherwise(F.array().cast("array<string>"))
+    return (docs.select(F.explode(bigrams).alias("bigram"))
+            .groupBy("bigram").agg(F.count("*").alias("n"))
+            .orderBy(F.col("n").desc(), "bigram").limit(20))
+
+
+@register("rolling_1h_range_agg", oracle="""
+SELECT event_id, user_id,
+       CAST(count(*) OVER w AS BIGINT) AS n_1h,
+       (round(sum(value) OVER w, 4) + 0) AS sum_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+""")
+def rolling_1h_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE rolling window: per event, that user's event count
+    and value sum over the trailing hour — a VALUE-based frame (all
+    peers of an equal timestamp included), unlike the row-based
+    rolling_window_agg.  Ordered by unix_micros so the frame bound is
+    exact to the stored microsecond, matching the oracle's INTERVAL
+    arithmetic."""
+    events = _t(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.unix_micros("ts"))
+         .rangeBetween(-3_600_000_000, 0))
+    return events.select(
+        "event_id", "user_id",
+        F.count("*").over(w).alias("n_1h"),
+        rnd(F.sum("value").over(w), 4).alias("sum_1h"))
+
+
+# =========================================================================
 # Structured Streaming surface (SURVEY 2.H) — the streaming twins run
 # for real (readStream -> Trigger.AvailableNow -> memory/foreachBatch
 # sink) and their materialized results are oracle-checked against the
