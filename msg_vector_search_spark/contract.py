@@ -1873,12 +1873,16 @@ def sim_join_ivf_p2(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dups straddling a cell boundary is never compared by
     sim_join_ivf; with p=2 they meet whenever either's second cell is
     the other's first (pair-recall delta measured in
-    tools/scaling_check.py)."""
+    tools/scaling_check.py).  Runs the GEMM kernel — p=2 quadruples
+    within-cell pair volume, exactly when BLAS beats the interpreted
+    dot (~2.5x here); the expression form is equality-pinned in
+    tests/test_skew_guards.py and shares this oracle (reorder drift
+    ~1e-15, 9 orders inside the 6dp grid)."""
     emb = _t(spark, sf_dir, "embeddings")
     cent = ivf_ops.seed_centroids(emb, 16)
     assigned = ivf_ops.assign_cells_multi(emb, cent, nprobe=2)
-    return sim_ops.similarity_join_topk(assigned, "cell", k=3,
-                                        max_cell=512, dedup_pairs=True)
+    return sim_ops.similarity_join_topk_pandas(assigned, "cell", k=3,
+                                               dedup_pairs=True)
 
 
 @register("sim_join_ivf_pandas", oracle=_SIM_JOIN_IVF_SQL)

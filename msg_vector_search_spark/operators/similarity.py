@@ -286,7 +286,8 @@ def similarity_join_topk(assigned: DataFrame, block_col: str, k: int,
 
 def similarity_join_topk_pandas(assigned: DataFrame, block_col: str,
                                 k: int, id_col: str = "vec_id",
-                                vec_col: str = "embedding") -> DataFrame:
+                                vec_col: str = "embedding",
+                                dedup_pairs: bool = False) -> DataFrame:
     """Vectorized twin of :func:`similarity_join_topk`: the within-cell
     pairwise kernel as one numpy matrix multiply per cell via
     ``applyInPandas``, instead of an interpreted higher-order dot per
@@ -306,7 +307,14 @@ def similarity_join_topk_pandas(assigned: DataFrame, block_col: str,
     task is O(cell * dim) for the matrix plus O(cell * k) for results;
     pair k with a cell-size guard (the grid salting of the expression
     variant does not apply here — a mega cell must instead be split by
-    re-clustering, or the GEMM tiled)."""
+    re-clustering, or the GEMM tiled).
+
+    *dedup_pairs* (multi-assignment inputs): per-cell top-k remains
+    EXACT under multi-assignment — a pair in the global top-k of the
+    deduped union is in the top-k of every cell containing it (the
+    cell's candidate set is a subset of the union) — so the per-cell
+    kernel stays untouched and a groupBy(id_a, id_b) + rank window
+    finishes the job on k-bounded survivors, never raw pairs."""
     import numpy as np
     import pandas as pd
 
@@ -343,5 +351,14 @@ def similarity_join_topk_pandas(assigned: DataFrame, block_col: str,
             "sim": sims[rows, cols],
         })
 
-    return assigned.select(id_col, vec_col, block_col) \
+    per_cell = assigned.select(id_col, vec_col, block_col) \
         .groupBy(block_col).applyInPandas(cell_topk, out_schema)
+    if not dedup_pairs:
+        return per_cell
+    deduped = per_cell.groupBy("id_a", "id_b").agg(
+        F.min(block_col).alias(block_col), F.max("sim").alias("sim"))
+    w = Window.partitionBy("id_a").orderBy(F.col("sim").desc(),
+                                           F.col("id_b"))
+    return (deduped.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .select("id_a", "id_b", block_col, "sim"))

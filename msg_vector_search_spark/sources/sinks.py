@@ -280,6 +280,33 @@ def upsert_parquet(spark: SparkSession, incoming: DataFrame, path: str,
     shutil.rmtree(tmp)
 
 
+def rebucket_store(spark: SparkSession, path: str,
+                   key: str, order_col: str,
+                   num_buckets: int | None = None,
+                   layout: str = "hash",
+                   range_width: int = DEFAULT_RANGE_WIDTH) -> dict:
+    """Maintenance verb: rewrite a store under a new layout (more hash
+    buckets after the store outgrew its first-write sizing, or a
+    hash -> range migration once keys are known arrival-ordered).
+
+    One full deduped rewrite — the amortized cost of growth, like a
+    dynamic array's doubling copy: re-size when keys-per-bucket drifts
+    ~4x past TARGET_KEYS_PER_BUCKET and incremental upserts stay
+    O(batch) between migrations.  Returns the new layout metadata.
+    """
+    current = read_store(spark, path)
+    meta = _new_layout(current, key, layout, num_buckets, range_width)
+    staged = (current.filter(F.col(key).isNotNull())
+              .withColumn(BUCKET_COL, _bucket_expr(key, meta)))
+    deduped = _dedup_last_wins_bucketed(staged, key, order_col)
+    tmp = path + "._rebucket"
+    deduped.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp)
+    _check_no_null_bucket(tmp, key)
+    _swap_dir(tmp, path)
+    _write_layout(path, meta)
+    return meta
+
+
 def write_dimension(df: DataFrame, path: str, fmt: str = "parquet") -> None:
     """A6: persist a small dimension (the reference caches its user dim
     as a JSON file with a 24 h TTL, user_mapper.py:222-233).  Parquet by

@@ -255,6 +255,36 @@ def test_read_layout_tolerates_corrupt_metadata(spark, tmp_path):
         assert sinks._read_layout(d) is None, payload
 
 
+def test_rebucket_store_grows_and_migrates_layout(spark, tmp_path):
+    """rebucket_store re-sizes an outgrown hash store and can migrate
+    hash -> range; data and last-writer-wins survive both rewrites."""
+    from pyspark.sql import Row
+
+    store = str(tmp_path / "grow_store")
+    base = (spark.range(5_000)
+            .select(F.col("id").cast("string").alias("k"),
+                    F.lit("v").alias("v"), F.lit(1).alias("ord")))
+    sinks.upsert_parquet(spark, base, store, key="k", order_col="ord",
+                         num_buckets=8)
+
+    meta = sinks.rebucket_store(spark, store, key="k", order_col="ord")
+    assert meta["layout"] == "hash"
+    assert meta["num_buckets"] > 8  # auto-sized from the 5k keys
+    assert sinks._read_layout(store) == meta
+    assert sinks.read_store(spark, store).count() == 5_000
+
+    meta = sinks.rebucket_store(spark, store, key="k", order_col="ord",
+                                layout="range", range_width=1000)
+    assert meta == {"layout": "range", "range_width": 1000}
+    final = sinks.read_store(spark, store)
+    assert final.count() == 5_000
+    # upserts after migration honor the new (stored) layout
+    batch = spark.createDataFrame([Row(k="7", v="new", ord=2)])
+    sinks.upsert_parquet(spark, batch, store, key="k", order_col="ord")
+    assert sinks.read_store(spark, store) \
+        .filter(F.col("k") == "7").collect()[0]["v"] == "new"
+
+
 def test_upsert_migrates_legacy_flat_store(spark, tmp_path):
     """A pre-bucketing flat store is migrated in one pass on the next
     upsert, preserving last-writer-wins against the incoming batch."""

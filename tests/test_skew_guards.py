@@ -89,3 +89,25 @@ def test_sim_join_max_cell_is_exact(spark, sf_dir):
                                               max_cell=16)
     key = lambda df: {(r.id_a, r.id_b, r.cell, r.sim) for r in df.collect()}
     assert key(plain) == key(guarded)
+
+
+def test_p2_dedup_expression_equals_pandas(spark, sf_dir):
+    """Multi-assignment (p=2) pair dedup: the expression form (dedup
+    before rank) and the GEMM form (per-cell top-k, dedup survivors,
+    re-rank) must agree exactly — per-cell top-k is lossless because a
+    global-top-k pair ranks top-k inside every cell containing it."""
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .limit(300))
+    cent = ivf.seed_centroids(emb, 4)
+    assigned = ivf.assign_cells_multi(emb, cent, nprobe=2)
+    expr = similarity.similarity_join_topk(assigned, "cell", k=3,
+                                           dedup_pairs=True)
+    gemm = similarity.similarity_join_topk_pandas(assigned, "cell", k=3,
+                                                  dedup_pairs=True)
+    key = lambda df: {(r.id_a, r.id_b, r.cell, r.sim) for r in df.collect()}
+    assert key(expr) == key(gemm)
+    # and multi-assignment really adds cross-cell pairs vs p=1
+    p1 = similarity.similarity_join_topk(
+        ivf.assign_cells(emb, cent), "cell", k=3)
+    pairs = lambda df: {(r.id_a, r.id_b) for r in df.collect()}
+    assert pairs(expr) != pairs(p1)
