@@ -2960,6 +2960,81 @@ def text_bigram_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.col("n").desc(), "bigram").limit(20))
 
 
+@register("funnel_signup_click_purchase", oracle="""
+WITH s AS (
+  SELECT user_id, min(ts) AS t0 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.ts) AS t1
+  FROM events e JOIN s ON e.user_id = s.user_id
+  WHERE e.event_type = 'click' AND e.ts >= s.t0
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= c.t1
+  GROUP BY e.user_id
+)
+SELECT CAST((SELECT count(*) FROM s) AS BIGINT) AS n_signup,
+       CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click_after,
+       CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase_after
+""")
+def funnel_signup_click_purchase(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel: users who signed up, then clicked at or
+    after signup, then purchased at or after that click.  Each stage is
+    one keyed aggregation joined forward — per-user state never leaves
+    its shuffle partition and stage outputs shrink monotonically, so
+    the funnel costs steps x one co-partitioned join, not a
+    self-join explosion."""
+    events = _t(spark, sf_dir, "events")
+    s = (events.filter(F.col("event_type") == "signup")
+         .groupBy("user_id").agg(F.min("ts").alias("t0")))
+    c = (events.filter(F.col("event_type") == "click")
+         .join(s, "user_id")
+         .filter(F.col("ts") >= F.col("t0"))
+         .groupBy("user_id").agg(F.min("ts").alias("t1")))
+    p = (events.filter(F.col("event_type") == "purchase")
+         .join(c, "user_id")
+         .filter(F.col("ts") >= F.col("t1"))
+         .groupBy("user_id").agg(F.min("ts").alias("t2")))
+    return (s.agg(F.count("*").alias("n_signup"))
+            .crossJoin(c.agg(F.count("*").alias("n_click_after")))
+            .crossJoin(p.agg(F.count("*").alias("n_purchase_after"))))
+
+
+@register("cohort_weekly_retention", oracle="""
+WITH first_seen AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort
+  FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+)
+SELECT f.cohort,
+       CAST(date_diff('week', f.cohort, a.wk) AS BIGINT) AS week_offset,
+       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+FROM first_seen f JOIN activity a USING (user_id)
+GROUP BY 1, 2
+""")
+def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen week,
+    counted as active per week offset.  Two keyed aggregations and one
+    user-key join; both sides shrink to (user, week) granularity before
+    anything joins, so the triangle's cost is user-cardinality, not
+    event-cardinality.  Both engines truncate weeks to Monday, and
+    week offsets of week-truncated instants are exact."""
+    events = _t(spark, sf_dir, "events")
+    first_seen = (events.groupBy("user_id")
+                  .agg(F.date_trunc("week", F.min("ts")).alias("cohort")))
+    activity = (events.select(
+        "user_id", F.date_trunc("week", "ts").alias("wk")).distinct())
+    return (first_seen.join(activity, "user_id")
+            .groupBy("cohort",
+                     (F.floor(F.datediff("wk", "cohort") / 7)
+                      .cast("long").alias("week_offset")))
+            .agg(F.count_distinct("user_id").alias("n_active")))
+
+
 @register("rolling_1h_range_agg", oracle="""
 SELECT event_id, user_id,
        CAST(count(*) OVER w AS BIGINT) AS n_1h,
