@@ -2960,6 +2960,68 @@ def text_bigram_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.col("n").desc(), "bigram").limit(20))
 
 
+@register("topk_with_ties", oracle="""
+SELECT o_custkey, total, CAST(rnk AS BIGINT) AS rnk FROM (
+  SELECT o_custkey, (round(sum(o_totalprice), 2) + 0) AS total,
+         rank() OVER (ORDER BY (round(sum(o_totalprice), 2) + 0) DESC)
+           AS rnk
+  FROM orders GROUP BY o_custkey)
+WHERE rnk <= 10
+""")
+def topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH TIES top-k: rank() instead of row_number(), so equal spend
+    totals all make the cut — membership is a pure function of the
+    data, no arbitrary tie survivor.  Ranking on the ROUNDED total
+    keeps tie groups identical across engines."""
+    orders = _t(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        rnd(F.sum("o_totalprice"), 2).alias("total"))
+    w = Window.orderBy(F.col("total").desc())
+    return (spend.withColumn("rnk", F.rank().over(w).cast("long"))
+            .filter(F.col("rnk") <= 10))
+
+
+@register("unpivot_daily_counts", oracle="""
+WITH d AS (SELECT DISTINCT date_trunc('day', ts) AS day FROM events),
+k AS (SELECT unnest(['click','error','purchase','signup','view']) AS kind),
+c AS (SELECT date_trunc('day', ts) AS day, event_type AS kind,
+             count(*) AS n
+      FROM events GROUP BY 1, 2)
+SELECT d.day, k.kind, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+FROM d CROSS JOIN k LEFT JOIN c USING (day, kind)
+""")
+def unpivot_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide -> long, the melt inverse of
+    pivot_event_type_daily): the pivoted daily matrix back to (day,
+    kind, n) rows — zero-filled cells become explicit zero rows, which
+    is the densified form a feature store wants.  Unpivot is a
+    projection-time explode: no shuffle beyond the pivot's own."""
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    wide = pivot_event_type_daily(spark, sf_dir)
+    return (wide.unpivot("day", kinds, "kind", "n")
+            .select("day", "kind", F.col("n").cast("long").alias("n")))
+
+
+@register("user_event_type_sets", oracle="""
+SELECT user_id,
+       array_to_string(list_sort(list(DISTINCT event_type)), ',')
+         AS kinds,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_kinds
+FROM events GROUP BY user_id
+""")
+def user_event_type_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped set aggregation: each user's distinct event types as a
+    sorted, comma-joined string (string-joined rather than an array
+    column so the value-hash comparison is canonical).  collect_set's
+    state is bounded by the type dictionary, not event count — map-side
+    partials apply."""
+    events = _t(spark, sf_dir, "events")
+    return (events.groupBy("user_id")
+            .agg(F.concat_ws(",", F.sort_array(
+                     F.collect_set("event_type"))).alias("kinds"),
+                 F.count_distinct("event_type").alias("n_kinds")))
+
+
 @register("funnel_signup_click_purchase", oracle="""
 WITH s AS (
   SELECT user_id, min(ts) AS t0 FROM events
