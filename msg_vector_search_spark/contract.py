@@ -2876,6 +2876,44 @@ def ntile_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.ntile(4).over(w).cast("long").alias("quartile"))
 
 
+@register("spend_quartile_scan", oracle=f"""
+WITH spend AS ({_CUST_SPEND_SQL}),
+cuts AS (
+  SELECT (round(quantile_cont(total, 0.25), 6) + 0) AS c1,
+         (round(quantile_cont(total, 0.50), 6) + 0) AS c2,
+         (round(quantile_cont(total, 0.75), 6) + 0) AS c3
+  FROM spend
+)
+SELECT s.o_custkey, s.total,
+       CAST(1 + CAST(s.total > c.c1 AS BIGINT)
+              + CAST(s.total > c.c2 AS BIGINT)
+              + CAST(s.total > c.c3 AS BIGINT) AS BIGINT) AS quartile
+FROM spend s CROSS JOIN cuts c
+""")
+def spend_quartile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile bucketing WITHOUT the global window — the 100 TB form
+    of ntile_customer_quartiles: exact quartile cutpoints from one
+    aggregation (three driver-sized numbers, broadcast back), bucket
+    assignment as a scan-riding comparison.  No single-partition sort
+    anywhere; at extreme scale the cutpoint pass swaps to
+    approx_percentile with the same downstream plan.  (Semantics
+    differ from ntile at ties: equal totals share a bucket here
+    instead of being split to balance bucket sizes.)"""
+    orders = _t(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        rnd(F.sum("o_totalprice"), 2).alias("total"))
+    cuts = spend.agg(
+        rnd(F.expr("percentile(total, 0.25)"), 6).alias("c1"),
+        rnd(F.expr("percentile(total, 0.50)"), 6).alias("c2"),
+        rnd(F.expr("percentile(total, 0.75)"), 6).alias("c3"))
+    q = (F.lit(1)
+         + (F.col("total") > F.col("c1")).cast("long")
+         + (F.col("total") > F.col("c2")).cast("long")
+         + (F.col("total") > F.col("c3")).cast("long"))
+    return (spend.crossJoin(F.broadcast(cuts))
+            .select("o_custkey", "total", q.cast("long").alias("quartile")))
+
+
 @register("percent_rank_cume_dist", oracle=f"""
 WITH spend AS ({_CUST_SPEND_SQL})
 SELECT o_custkey, total,
