@@ -1295,6 +1295,139 @@ def first_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("o_orderdate").alias("first_date"))
 
 
+@register("tpch_q18_large_orders", oracle="""
+WITH big AS (
+  SELECT l_orderkey, (round(sum(l_quantity), 2) + 0) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING (round(sum(l_quantity), 2) + 0) > 150.0
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+       o.o_totalprice, b.sum_qty
+FROM big b
+JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100
+""")
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped (large-volume orders): HAVING-filtered fact
+    aggregate joined back to its parents.  The lineitem groupBy is the
+    one unavoidable shuffle; the join with orders is on the SAME key,
+    so the aggregate side reuses its exchange (no second shuffle of
+    the aggregated side) and AQE sizes the orders side at runtime —
+    deliberately NOT broadcast, because the having-survivor set is a
+    fixed fraction of orders and grows with the data.  customer is a
+    broadcast dim.  The having threshold compares the grid-rounded
+    sum so both engines cut the same borderline orders.  Top-100 runs
+    as TakeOrderedAndProject (no global sort)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (li.groupBy("l_orderkey")
+           .agg(rnd(F.sum("l_quantity"), 2).alias("sum_qty"))
+           .filter(F.col("sum_qty") > 150.0))
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (big.join(orders, big.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                    "o_totalprice", "sum_qty")
+            .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+            .limit(100))
+
+
+@register("tpch_q21_waiting_suppliers", oracle="""
+WITH per_order AS (
+  SELECT l.l_orderkey,
+         count(DISTINCT l.l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN l.l_shipdate > o.o_orderdate
+                                  + INTERVAL 90 DAY
+                             THEN l.l_suppkey END) AS n_late,
+         max(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                  THEN l.l_suppkey END) AS late_supp
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'
+  GROUP BY l.l_orderkey
+)
+SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM per_order p JOIN supplier s ON s.s_suppkey = p.late_supp
+WHERE p.n_supp > 1 AND p.n_late = 1
+GROUP BY s.s_name ORDER BY numwait DESC, s_name LIMIT 100
+""")
+def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped (suppliers who kept orders waiting): the
+    classic EXISTS/NOT-EXISTS double correlation, rewritten as ONE
+    per-order aggregate — "this supplier shipped >90 days late, at
+    least one other supplier is on the order, and no other supplier
+    was late" becomes (n_supp > 1 AND n_late = 1), with the culprit
+    recovered as max(late suppkey) (exactly one late supplier exists
+    under n_late = 1, so max is THE supplier).  Two shuffles total
+    (order-key aggregate, supplier-name count) instead of the naive
+    plan's two extra self-joins of lineitem; the late predicate rides
+    the first join, and supplier broadcasts."""
+    orders = (_t(spark, sf_dir, "orders")
+              .filter(F.col("o_orderstatus") == "F")
+              .select("o_orderkey", "o_orderdate"))
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    late = (F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"))
+    late_key = F.when(late, F.col("l_suppkey"))
+    per_order = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+                 .groupBy("l_orderkey")
+                 .agg(F.countDistinct("l_suppkey").alias("n_supp"),
+                      F.countDistinct(late_key).alias("n_late"),
+                      F.max(late_key).alias("late_supp")))
+    return (per_order
+            .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+            .join(F.broadcast(supp),
+                  per_order.late_supp == supp.s_suppkey)
+            .groupBy("s_name")
+            .agg(F.count(F.lit(1)).alias("numwait"))
+            .orderBy(F.col("numwait").desc(), F.col("s_name"))
+            .limit(100))
+
+
+@register("tpch_q22_dormant_accounts", oracle="""
+WITH cutoff AS (
+  SELECT (round(avg(c_acctbal), 6) + 0) AS avg_bal
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS numcust,
+       (round(sum(c.c_acctbal), 2) + 0) AS totacctbal
+FROM customer c CROSS JOIN cutoff
+WHERE c.c_acctbal > cutoff.avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+""")
+def tpch_q22_dormant_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped (global-sales-opportunity): above-average
+    account balances with no recent orders, per market segment.  The
+    scalar subquery (global positive-balance average) is a one-row
+    aggregate broadcast back onto the scan — no window, no second
+    pass; the rounded cut point makes both engines draw the same
+    line.  NOT EXISTS is a left-anti join whose right side is
+    date-pruned AT THE SCAN (PushedFilters), so at 100 TB the anti
+    join hashes only the recent slice of orders, not the history."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal")
+    cutoff = (cust.filter(F.col("c_acctbal") > 0.0)
+              .agg(rnd(F.avg("c_acctbal"), 6).alias("avg_bal")))
+    recent = (_t(spark, sf_dir, "orders")
+              .filter(F.col("o_orderdate") >= F.lit("2001-01-01"))
+              .select("o_custkey"))
+    rich = (cust.crossJoin(F.broadcast(cutoff))
+            .filter(F.col("c_acctbal") > F.col("avg_bal")))
+    dormant = rich.join(recent, rich.c_custkey == recent.o_custkey,
+                        "left_anti")
+    return (dormant.groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("numcust"),
+                 rnd(F.sum("c_acctbal"), 2).alias("totacctbal"))
+            .orderBy("c_mktsegment"))
+
+
 # =========================================================================
 # Training-data pipeline: dedup family (extension surface)
 # =========================================================================
