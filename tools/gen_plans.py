@@ -72,6 +72,36 @@ SHOW = [
     ("rolling_1h_range_agg",
      "Time-RANGE rolling window: one shuffle on the entity key, "
      "value-based frame over unix_micros."),
+    ("tpch_q18_large_orders",
+     "HAVING-filtered fact aggregate joined back to its parents: one "
+     "keyed exchange for the lineitem groupBy; the join is on the SAME "
+     "key so at scale the aggregate side reuses its partitioning "
+     "(locally the tiny sides broadcast); top-100 is "
+     "TakeOrderedAndProject, never a global sort."),
+    ("tpch_q21_waiting_suppliers",
+     "EXISTS/NOT-EXISTS double correlation as ONE per-order aggregate: "
+     "Spark plans the two conditional countDistincts as a grouped "
+     "dedup + FILTER counts (no Expand), two keyed exchanges total "
+     "instead of two extra lineitem self-joins."),
+    ("tpch_q22_dormant_accounts",
+     "Scalar-subquery cutoff as a 1-row broadcast back onto the scan; "
+     "NOT EXISTS is a LeftAnti whose right side is date-pruned at the "
+     "scan; one keyed exchange for the segment rollup."),
+    ("tpch_q16_supplier_part_counts",
+     "Distinct-projection substitute for partsupp: 2-column scan -> "
+     "dedup shuffle; exclusion list and filtered part both broadcast; "
+     "countDistinct re-shuffles on the group key only."),
+    ("distinct_users_twophase",
+     "count(DISTINCT) in explicit two-phase form: pair-dedup spreads a "
+     "hot key across all partitions before the per-key count."),
+    ("join_salted_skew",
+     "Salted fact->dim join (R=8): join key is (user_id, salt) so a "
+     "hot user splits across 8 reducers; exact oracle = plain join. "
+     "At fixture scale Catalyst broadcasts and the salt is inert."),
+    ("spend_quartile_scan",
+     "Quantile bucketing without ntile's single-partition global "
+     "window: cutpoints from one aggregation broadcast back as a "
+     "1-row build side; bucket assignment rides the scan."),
 ]
 
 
