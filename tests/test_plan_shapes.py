@@ -128,3 +128,44 @@ def test_lsh_star_no_window_over_buckets(spark):
     # bucket onto one reducer even before pairing)
     df = contract.REGISTRY["dedup_lsh_star"](spark, SF)
     assert "Window" not in optimized_of(df)
+
+
+def test_q18_one_keyed_exchange_and_bounded_topk(spark):
+    # the HAVING aggregate is the only hash exchange; the top-100 is a
+    # per-partition heap, never a global sort
+    plan = plan_of(contract.REGISTRY["tpch_q18_large_orders"](spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan
+
+
+def test_q21_aggregate_rewrite_scans_lineitem_once(spark):
+    # the naive EXISTS/NOT-EXISTS plan self-joins lineitem three times;
+    # the per-order aggregate rewrite reads it exactly once
+    plan = plan_of(contract.REGISTRY["tpch_q21_waiting_suppliers"](spark, SF))
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_q22_anti_join_right_side_date_pruned(spark):
+    plan = plan_of(contract.REGISTRY["tpch_q22_dormant_accounts"](spark, SF))
+    assert "LeftAnti" in plan
+    orders_scans = [ln for ln in plan.splitlines() if "orders.parquet" in ln]
+    assert any("GreaterThanOrEqual(o_orderdate" in ln for ln in orders_scans)
+
+
+def test_twophase_distinct_pair_shuffle_precedes_key_count(spark):
+    # phase 1 shuffles on the (key, user) PAIR — the property that
+    # spreads a hot key; phase 2 shuffles on the key alone
+    plan = plan_of(contract.REGISTRY["distinct_users_twophase"](spark, SF))
+    assert plan.count("Exchange hashpartitioning(event_type") == 2
+    assert any("user_id" in ln for ln in plan.splitlines()
+               if "Exchange hashpartitioning(event_type" in ln)
+
+
+def test_salted_join_key_carries_salt(spark):
+    # the join condition must include the salt column — placement
+    # control survives even when Catalyst picks broadcast locally
+    plan = plan_of(contract.REGISTRY["join_salted_skew"](spark, SF))
+    join_lines = [ln for ln in plan.splitlines()
+                  if "HashJoin" in ln or "SortMergeJoin" in ln]
+    assert any("_salt" in ln for ln in join_lines)
