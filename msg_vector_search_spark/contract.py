@@ -1830,6 +1830,41 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                                          threshold=0.2)
 
 
+@register("dedup_edit_distance", oracle="""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id,
+         substr(text, 1, 20) || 'Z' || substr(text, 21) AS text
+  FROM documents WHERE doc_id % 15 = 0
+), keyed AS (
+  SELECT doc_id, lower(substr(text, 1, 12)) AS block,
+         substr(text, 1, 64) AS cmp
+  FROM corpus
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.cmp, b.cmp) AS BIGINT) AS dist
+FROM keyed a JOIN keyed b ON a.block = b.block AND a.doc_id < b.doc_id
+WHERE levenshtein(a.cmp, b.cmp) <= 2
+""")
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy dedup by bounded edit distance (record-linkage style):
+    every 15th doc is re-injected with one character inserted at
+    position 21 and must pair with its original at dist 1.  Blocks by
+    the 12-char lowercase prefix (untouched by the injected edit);
+    levenshtein runs over the first 64 chars only, so per-candidate
+    cost is constant regardless of document length.  The operator
+    grid-salts hot blocks; the oracle is the plain block join — salt
+    changes placement, never the pair set."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mut = (docs.filter(F.col("doc_id") % 15 == 0)
+           .withColumn("doc_id", F.col("doc_id") + 2000000)
+           .withColumn("text", F.concat(F.substring("text", 1, 20),
+                                        F.lit("Z"),
+                                        F.expr("substring(text, 21)"))))
+    return dedup_ops.edit_distance_pairs(docs.unionByName(mut))
+
+
 @register("dedup_embedding_cosine", oracle=f"""
 WITH corpus AS (
   SELECT vec_id, label, embedding FROM embeddings

@@ -467,6 +467,53 @@ def ngram_jaccard_pairs(df: DataFrame, block_col: str, text_col: str = "text",
     )
 
 
+def edit_distance_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", prefix_len: int = 12,
+                        cmp_len: int = 64, max_dist: int = 2,
+                        max_block: int = 64) -> DataFrame:
+    """Fuzzy near-dup pairs by bounded edit distance within prefix
+    blocks — the classic record-linkage form of fuzzy dedup.
+
+    Block = the lowercased first *prefix_len* characters: an edit past
+    the prefix never moves a document out of its block (edits inside
+    the prefix are what the MinHash/SimHash families catch, so the two
+    stages complement).  Comparison = ``levenshtein`` over the first
+    *cmp_len* characters — a JVM codegen builtin, cost bounded at
+    O(cmp_len^2) per candidate regardless of document length.  The
+    pair space is bounded by the block, and a hot block (boilerplate
+    openings at corpus scale) is grid-salted so no reducer ever holds
+    more than ~*max_block* rows of one block; the emitted pair set is
+    EXACTLY the plain block join's (each pair meets on one salt key).
+    """
+    keyed = widen(df).select(
+        F.col(id_col),
+        F.lower(F.substring(F.col(text_col), 1, prefix_len))
+        .alias("block"),
+        F.substring(F.col(text_col), 1, cmp_len).alias("_cmp"))
+    sizes = (keyed.groupBy("block").agg(F.count("*").alias("_bsz"))
+             .withColumn("_nsub",
+                         F.greatest(F.lit(1),
+                                    F.ceil(F.col("_bsz") / max_block))
+                         .cast("int"))
+             .drop("_bsz"))
+    sized = keyed.join(sizes, "block")
+    a = sized.select(
+        F.col(id_col).alias("id_a"), F.col("_cmp").alias("_cmp_a"),
+        F.col("block"),
+        F.explode(F.sequence(F.lit(0), F.col("_nsub") - 1)).alias("_salt"))
+    b = sized.select(
+        F.col(id_col).alias("id_b"), F.col("_cmp").alias("_cmp_b"),
+        F.col("block"),
+        F.pmod(analysis.token_hash(F.col(id_col).cast("string")),
+               F.col("_nsub")).alias("_salt"))
+    return (a.join(b, ["block", "_salt"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("dist",
+                        F.levenshtein("_cmp_a", "_cmp_b").cast("long"))
+            .filter(F.col("dist") <= max_dist)
+            .select("id_a", "id_b", "dist"))
+
+
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b",
                          max_iter: int = 50) -> DataFrame:

@@ -111,3 +111,24 @@ def test_p2_dedup_expression_equals_pandas(spark, sf_dir):
         ivf.assign_cells(emb, cent), "cell", k=3)
     pairs = lambda df: {(r.id_a, r.id_b) for r in df.collect()}
     assert pairs(expr) != pairs(p1)
+
+
+def test_edit_distance_salting_is_exact(spark, boilerplate):
+    # max_block=1 forces the grid salt on every multi-row block (the
+    # 500 clones share one prefix block); the pair set must equal the
+    # plain unsalted block join's
+    guarded = dedup.edit_distance_pairs(boilerplate, max_block=1)
+    keyed = boilerplate.select(
+        "doc_id",
+        F.lower(F.substring("text", 1, 12)).alias("block"),
+        F.substring("text", 1, 64).alias("cmp"))
+    a = keyed.select(F.col("doc_id").alias("id_a"), "block",
+                     F.col("cmp").alias("cmp_a"))
+    b = keyed.select(F.col("doc_id").alias("id_b"), "block",
+                     F.col("cmp").alias("cmp_b"))
+    plain = (a.join(b, "block").filter(F.col("id_a") < F.col("id_b"))
+             .filter(F.levenshtein("cmp_a", "cmp_b") <= 2))
+    assert _pairs(guarded) == _pairs(plain)
+    # the clones are identical -> all pairs present: C(500,2) of them
+    assert sum(1 for p in _pairs(guarded)
+               if p[0] < 1000 and p[1] < 1000) == 500 * 499 // 2
