@@ -2456,6 +2456,46 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "term", "tfidf"))
 
 
+@register("text_unigram_logprob", oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_DUCK_TOKENS}) AS term FROM documents
+), cnt AS (
+  SELECT term, count(*) AS c FROM tok GROUP BY 1
+), tot AS (SELECT count(*) AS n FROM tok)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_toks,
+       (round(avg(-ln(CAST(c.c AS DOUBLE) / tot.n)), 6) + 0)
+         AS avg_neg_logprob
+FROM tok t JOIN cnt c USING (term), tot
+GROUP BY t.doc_id
+""")
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality gate (the CCNet/Gopher filter shape):
+    score every document by the average negative log-probability of
+    its tokens under the corpus's own unigram model.  High scores =
+    improbable token streams (gibberish, boilerplate soup) — the rows
+    a training pipeline drops or down-weights.
+
+    Same two-pass scale shape as TF-IDF: the unigram table is
+    vocabulary-sized so it does NOT broadcast — the term join
+    co-partitions on the uniform token key; the total-count scalar IS
+    broadcast (one row); the per-doc average is map-side partial.  At
+    100 TB the model table comes from a held-out reference corpus
+    instead of the corpus itself — the plan is identical."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = readers.widen(docs).select(
+        "doc_id", F.explode(analysis.tokens(F.col("text"))).alias("term"))
+    cnt = tok.groupBy("term").agg(F.count("*").alias("c"))
+    tot = tok.agg(F.count("*").alias("n"))
+    return (tok.join(cnt, "term")
+            .crossJoin(F.broadcast(tot))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_toks"),
+                 rnd(F.avg(-F.log(F.col("c").cast("double")
+                                  / F.col("n"))), 6)
+                 .alias("avg_neg_logprob")))
+
+
 @register("decontaminate_ngram", oracle=f"""
 WITH toks AS (
   SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents
