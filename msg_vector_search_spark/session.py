@@ -36,6 +36,13 @@ def get_spark(app_name: str = "msg_vector_search_spark",
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # deterministic timestamp semantics vs the DuckDB oracle
         .config("spark.sql.session.timeZone", "UTC")
+        # parquet timestamps resolve to TIMESTAMP (with zone, = UTC),
+        # matching schemas.TABLES and event-time watermark requirements,
+        # regardless of which table a session happens to read first
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # events.ts has shipped as TIMESTAMP(NANOS) in some fixture
+        # generations; the vectorized reader needs this to read it at all
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Arrow for pandas UDFs / toPandas
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
@@ -55,6 +62,8 @@ def tune_session(spark: SparkSession) -> SparkSession:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark
 
 

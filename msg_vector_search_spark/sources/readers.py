@@ -16,6 +16,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .. import schemas
 from ..session import widen  # noqa: F401  (re-export; historical home)
@@ -34,20 +35,34 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     matches ``schemas.TABLES`` (asserted in tests).  Keeping the footer
     schema preserves vectorized reading and min/max row-group skipping.
 
-    ``events.ts`` is physically TIMESTAMP(NANOS), which Spark's reader
-    rejects; it is read as a nanosecond long and truncated to
-    microseconds — exactly what DuckDB 1.0 does on the oracle side, so
-    both engines see identical instants.
+    ``events.ts`` has shipped in two physical forms across fixture
+    generations: TIMESTAMP(MICROS) (reads natively) and
+    TIMESTAMP(NANOS), which Spark's vectorized reader rejects — that
+    one is read as a nanosecond long and truncated to microseconds,
+    exactly what DuckDB 1.0 does on the oracle side, so both engines
+    see identical instants.  The branch is decided by the footer
+    schema Spark resolved, not by a config flag.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # micros fixtures must resolve to TIMESTAMP (with zone, session
+        # tz = UTC), not TIMESTAMP_NTZ: downstream code and event-time
+        # watermarks expect the with-zone type, and reading it natively
+        # (rather than casting after the scan) keeps the watermark
+        # predicate eligible for Parquet pushdown
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled",
+                       "false")
         df = spark.read.parquet(table_path(sf_dir, name))
-        # keep the RAW nanos long alongside the converted timestamp:
-        # predicates on the converted column wrap it in an expression
-        # Parquet can't push, so watermark filters (filters.since_ts)
-        # add a coarse raw-domain twin on _ts_nanos that DOES push —
-        # row-group min/max skipping is what makes the incremental scan
-        # cheap at 100 TB
+        if not isinstance(df.schema["ts"].dataType, T.LongType):
+            # micros fixture: native timestamp scan, predicates push —
+            # no raw-domain twin needed
+            return df
+        # nanos fixture: keep the RAW nanos long alongside the converted
+        # timestamp: predicates on the converted column wrap it in an
+        # expression Parquet can't push, so watermark filters
+        # (filters.since_ts) add a coarse raw-domain twin on _ts_nanos
+        # that DOES push — row-group min/max skipping is what makes the
+        # incremental scan cheap at 100 TB
         return (df.withColumn("_ts_nanos", F.col("ts"))
                   .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
     return spark.read.parquet(table_path(sf_dir, name))

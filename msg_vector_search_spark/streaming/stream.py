@@ -18,18 +18,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# streaming-source schema: ts is physically TIMESTAMP(NANOS), read as a
-# nanosecond long (spark.sql.legacy.parquet.nanosAsLong) and converted
-# to a microsecond timestamp below — same convention as the batch reader
-# (sources.readers.read_table)
-_EVENTS_NANOS = T.StructType([
-    T.StructField("event_id", T.LongType(), False),
-    T.StructField("ts", T.LongType(), True),
-    T.StructField("user_id", T.LongType(), True),
-    T.StructField("event_type", T.StringType(), True),
-    T.StructField("value", T.DoubleType(), True),
-    T.StructField("props", T.StringType(), True),
-])
+# streaming-source schema: a file stream needs its schema up front.
+# events.ts has shipped both as TIMESTAMP(MICROS) (reads natively) and
+# TIMESTAMP(NANOS) (read as a nanosecond long under
+# spark.sql.legacy.parquet.nanosAsLong and converted below) — the batch
+# reader (sources.readers.read_table) resolves which form this fixture
+# uses, and the stream mirrors its resolved schema.
 
 
 def read_event_stream(spark: SparkSession, sf_dir: str,
@@ -41,13 +35,27 @@ def read_event_stream(spark: SparkSession, sf_dir: str,
     rejects a bare file path ("basePath must be a directory") but
     accepts a glob, whose parent directory becomes the base.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = (spark.readStream.schema(_EVENTS_NANOS)
+    from ..sources import readers
+
+    # one driver-side footer read (via the batch reader, which pins the
+    # nanos-as-long and NTZ-as-LTZ confs) decides the ts form
+    batch_schema = readers.read_table(spark, sf_dir, "events").schema
+    nanos = "_ts_nanos" in batch_schema.names
+    if nanos:
+        source_schema = T.StructType([
+            T.StructField(f.name, T.LongType() if f.name == "ts"
+                          else f.dataType, f.nullable)
+            for f in batch_schema if f.name != "_ts_nanos"])
+    else:
+        source_schema = batch_schema
+    reader = (spark.readStream.schema(source_schema)
               .format("parquet"))
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.load(f"{sf_dir}/[e]vents.parquet")
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if nanos:
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def tumbling_event_counts(events: DataFrame,
