@@ -1469,6 +1469,165 @@ def tpch_q16_supplier_part_counts(spark: SparkSession,
                      "p_brand", "p_type", "p_size"))
 
 
+@register("tpch_q2_min_cost_supplier", oracle="""
+WITH supply AS (
+  SELECT l_partkey, l_suppkey,
+         (round(avg(l_extendedprice / l_quantity), 4) + 0) AS unit_cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+), best AS (
+  SELECT l_partkey, min(unit_cost) AS min_cost FROM supply
+  GROUP BY l_partkey
+)
+SELECT s.l_partkey AS p_partkey, p.p_brand, sup.s_name,
+       s.unit_cost AS min_cost
+FROM supply s
+JOIN best b ON b.l_partkey = s.l_partkey AND s.unit_cost = b.min_cost
+JOIN part p ON p.p_partkey = s.l_partkey
+JOIN supplier sup ON sup.s_suppkey = s.l_suppkey
+WHERE p.p_size < 10
+ORDER BY min_cost, p_partkey, s_name LIMIT 100
+""")
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped (minimum-cost supplier): the correlated MIN
+    subquery decorrelated into aggregate + self-join on (key, min).
+    lineitem stands in for partsupp — per (part, supplier) unit cost is
+    itself an aggregate.  Both the supply agg and the per-part min hash
+    on l_partkey, so the min side reuses the supply exchange (one
+    lineitem shuffle total); part and supplier broadcast.  At 100 TB
+    the same plan holds: the pre-aggregated supply relation is
+    |parts|x|suppliers-per-part|, orders of magnitude under the fact
+    table, and ties on min cost are kept (same as Q2's semantics) so
+    the result is deterministic under the (cost, part, name) sort."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+    supply = (li.groupBy("l_partkey", "l_suppkey")
+              .agg(rnd(F.avg(F.col("l_extendedprice")
+                             / F.col("l_quantity")), 4).alias("unit_cost")))
+    best = (supply.groupBy("l_partkey").agg(
+        F.min("unit_cost").alias("min_cost"))
+        .withColumnRenamed("l_partkey", "_best_partkey"))
+    part = (_t(spark, sf_dir, "part")
+            .filter(F.col("p_size") < 10).select("p_partkey", "p_brand"))
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (supply.join(best,
+                        (F.col("l_partkey") == F.col("_best_partkey"))
+                        & (F.col("unit_cost") == F.col("min_cost")))
+            .drop("_best_partkey", "min_cost")
+            .join(F.broadcast(part), supply.l_partkey == part.p_partkey)
+            .join(F.broadcast(sup), supply.l_suppkey == sup.s_suppkey)
+            .select(F.col("l_partkey").alias("p_partkey"), "p_brand",
+                    "s_name", F.col("unit_cost").alias("min_cost"))
+            .orderBy("min_cost", "p_partkey", "s_name")
+            .limit(100))
+
+
+@register("tpch_q4_order_priority", oracle="""
+SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+""")
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped (order-priority checking): EXISTS with a
+    correlated non-equi condition, planned as a LEFT SEMI hash join on
+    the equi key with the date comparison as the join residual — no
+    row explosion, the probe short-circuits on first match.  The date
+    window prunes orders at the scan; at scale both sides hash on
+    orderkey once and the semi join emits each order at most once
+    regardless of how many lineitems qualify."""
+    orders = (_t(spark, sf_dir, "orders")
+              .filter((F.col("o_orderdate") >= F.lit("1997-01-01"))
+                      & (F.col("o_orderdate") < F.lit("1997-07-01")))
+              .select("o_orderkey", "o_orderdate", "o_orderpriority"))
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (orders.join(
+        li, (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi"))
+    return (late.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count"))
+            .orderBy("o_orderpriority"))
+
+
+@register("tpch_q15_top_supplier", oracle="""
+WITH rev AS (
+  SELECT l_suppkey, (round(sum(l_extendedprice * (1 - l_discount)), 2) + 0)
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+), top AS (SELECT max(total_revenue) AS max_rev FROM rev)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM rev r CROSS JOIN top
+JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.total_revenue = top.max_rev
+ORDER BY s.s_suppkey
+""")
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped (top supplier): the MAX-of-aggregate subquery
+    decorrelated into a 1-row global max cross-joined (broadcast) back
+    against the per-supplier revenue relation — the classic argmax-
+    with-ties shape.  One shuffle on l_suppkey for the revenue agg; the
+    global max is a partial-aggregated scalar; supplier broadcasts.
+    Revenue is grid-rounded BEFORE the max comparison so both engines
+    pick the same winner when two suppliers are within float ulps."""
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= F.lit("1996-01-01"))
+                  & (F.col("l_shipdate") < F.lit("1996-04-01")))
+          .select("l_suppkey", "l_extendedprice", "l_discount"))
+    rev = (li.groupBy("l_suppkey")
+           .agg(rnd(F.sum(F.col("l_extendedprice")
+                          * (1 - F.col("l_discount"))), 2)
+                .alias("total_revenue")))
+    top = rev.agg(F.max("total_revenue").alias("max_rev"))
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (rev.crossJoin(F.broadcast(top))
+            .filter(F.col("total_revenue") == F.col("max_rev"))
+            .join(F.broadcast(sup), rev.l_suppkey == sup.s_suppkey)
+            .select("s_suppkey", "s_name", "total_revenue")
+            .orderBy("s_suppkey"))
+
+
+@register("tpch_q17_small_quantity_revenue", oracle="""
+WITH avg_qty AS (
+  SELECT l_partkey, (round(0.5 * avg(l_quantity), 6) + 0) AS half_avg
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT (round(sum(l.l_extendedprice) / 7.0, 4) + 0) AS avg_yearly
+FROM lineitem l
+JOIN avg_qty a ON a.l_partkey = l.l_partkey
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#11' AND l.l_quantity < a.half_avg
+""")
+def tpch_q17_small_quantity_revenue(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped (small-quantity-order revenue): the correlated
+    AVG subquery decorrelated into a per-part aggregate joined back to
+    the fact rows it summarizes.  Both the avg and the join hash on
+    l_partkey, so the aggregated side reuses the fact exchange — one
+    lineitem shuffle, then a broadcast of the brand-filtered part dim.
+    The half-average is grid-rounded before the strict comparison so
+    borderline lineitems cut identically in both engines.  At 100 TB
+    the per-part aggregate is |parts| rows — always the small side."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice")
+    avg_qty = (li.groupBy("l_partkey")
+               .agg(rnd(F.lit(0.5) * F.avg("l_quantity"), 6)
+                    .alias("half_avg")))
+    part = (_t(spark, sf_dir, "part")
+            .filter(F.col("p_brand") == "Brand#11").select("p_partkey"))
+    return (li.join(avg_qty, "l_partkey")
+            .filter(F.col("l_quantity") < F.col("half_avg"))
+            .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .agg(rnd(F.sum("l_extendedprice") / 7.0, 4)
+                 .alias("avg_yearly")))
+
+
 # =========================================================================
 # Skew & scale patterns: the explicit two-phase / salted forms
 # =========================================================================
