@@ -1613,17 +1613,22 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession,
     lineitem shuffle, then a broadcast of the brand-filtered part dim.
     The half-average is grid-rounded before the strict comparison so
     borderline lineitems cut identically in both engines.  At 100 TB
-    the per-part aggregate is |parts| rows — always the small side."""
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_partkey", "l_quantity", "l_extendedprice")
+    the per-part aggregate is |parts| rows — always the small side.
+    The brand predicate is a part attribute, so it is applied BEFORE
+    the per-part average (semi-join pre-filter on the fact): the avg
+    branch aggregates only the brand's fraction of the fact table
+    instead of all of it, with identical per-part averages."""
+    part = (_t(spark, sf_dir, "part")
+            .filter(F.col("p_brand") == "Brand#11").select("p_partkey"))
+    li = (_t(spark, sf_dir, "lineitem")
+          .select("l_partkey", "l_quantity", "l_extendedprice")
+          .join(F.broadcast(part),
+                F.col("l_partkey") == F.col("p_partkey"), "left_semi"))
     avg_qty = (li.groupBy("l_partkey")
                .agg(rnd(F.lit(0.5) * F.avg("l_quantity"), 6)
                     .alias("half_avg")))
-    part = (_t(spark, sf_dir, "part")
-            .filter(F.col("p_brand") == "Brand#11").select("p_partkey"))
     return (li.join(avg_qty, "l_partkey")
             .filter(F.col("l_quantity") < F.col("half_avg"))
-            .join(F.broadcast(part), li.l_partkey == part.p_partkey)
             .agg(rnd(F.sum("l_extendedprice") / 7.0, 4)
                  .alias("avg_yearly")))
 

@@ -102,6 +102,22 @@ SHOW = [
      "Quantile bucketing without ntile's single-partition global "
      "window: cutpoints from one aggregation broadcast back as a "
      "1-row build side; bucket assignment rides the scan."),
+    ("tpch_q2_min_cost_supplier",
+     "Correlated MIN decorrelated: supply agg and per-part min hash on "
+     "the same key, so the min side reuses the supply exchange; part "
+     "and supplier broadcast; ties kept for determinism."),
+    ("tpch_q4_order_priority",
+     "EXISTS with a non-equi residual: LEFT SEMI hash join on the equi "
+     "key, date comparison as the join condition — each order emitted "
+     "at most once, no row explosion."),
+    ("tpch_q15_top_supplier",
+     "MAX-of-aggregate: per-supplier revenue (one keyed exchange), "
+     "global max as a partial-aggregated 1-row broadcast cross join, "
+     "argmax-with-ties after grid rounding."),
+    ("tpch_q17_small_quantity_revenue",
+     "Correlated AVG joined back on its own grouping key: the "
+     "aggregate side reuses the fact exchange (no second lineitem "
+     "shuffle); brand-filtered part dim broadcasts."),
 ]
 
 
