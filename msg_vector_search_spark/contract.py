@@ -38,6 +38,7 @@ from .operators import enrich as enrich_ops
 from .operators import filters as filter_ops
 from .operators import ivf as ivf_ops
 from .operators import lsh as lsh_ops
+from .operators import pq as pq_ops
 from .operators import similarity as sim_ops
 from .operators import topk as topk_ops
 from .sources import readers, sinks, state
@@ -2224,6 +2225,52 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     planes = lsh_ops.seed_planes(emb, 4)
     return lsh_ops.lsh_search(emb, planes, query_id=0, k=10)
+
+
+@register("ann_pq_topk", oracle=f"""
+WITH seeds AS (
+  SELECT embedding AS sv, row_number() OVER (ORDER BY vec_id) - 1 AS cw
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)
+), js AS (SELECT unnest(range(8)) AS j),
+cb AS (
+  SELECT js.j, seeds.cw, seeds.sv[(js.j*8+1):(js.j*8+8)] AS cv
+  FROM seeds CROSS JOIN js
+), ev AS (
+  SELECT e.vec_id, js.j, e.embedding[(js.j*8+1):(js.j*8+8)] AS xv
+  FROM embeddings e CROSS JOIN js
+), assigned AS (
+  SELECT vec_id, j, cw FROM (
+    SELECT ev.vec_id, ev.j, cb.cw,
+           row_number() OVER (
+             PARTITION BY ev.vec_id, ev.j
+             ORDER BY (round({V.duck_dot('ev.xv', 'cb.cv')}, 9) + 0) DESC,
+                      cb.cw) AS rn
+    FROM ev JOIN cb ON cb.j = ev.j) WHERE rn = 1
+), q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+qtab AS (
+  SELECT cb.j, cb.cw,
+         (round({V.duck_dot('(SELECT qv FROM q)[(cb.j*8+1):(cb.j*8+8)]',
+                            'cb.cv')}, 9) + 0) AS d
+  FROM cb
+)
+SELECT a.vec_id, (round(sum(t.d), 6) + 0) AS adc_sim
+FROM assigned a JOIN qtab t ON t.j = a.j AND t.cw = a.cw
+GROUP BY a.vec_id
+ORDER BY adc_sim DESC, vec_id LIMIT 10
+""")
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jegou et al., TPAMI 2011): m=8
+    subspaces x 16 seed codewords; corpus encoded to 8 small ints per
+    vector (64x smaller than float32); query scored via an asymmetric-
+    distance table folded into a codegen expression — m lookups + adds
+    per row, no UDF/join/shuffle on the serving path, top-k as
+    TakeOrderedAndProject.  The compressed-scan path past brute force
+    when even the IVF probe set outgrows memory bandwidth."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = pq_ops.seed_codebooks(emb, m=8, ncodes=16)
+    codes = pq_ops.pq_encode(emb, cb)
+    table = pq_ops.adc_table(_query_vec(spark, sf_dir), cb)
+    return pq_ops.pq_search(codes, table, k=10)
 
 
 _SIM_JOIN_IVF_SQL = f"""

@@ -1,0 +1,111 @@
+"""Product-quantization (PQ) ANN: compress each vector into m sub-space
+codebook indices, then score candidates with an asymmetric-distance
+table (ADC) — one table lookup + add per subspace instead of a d-dim
+dot product per row.
+
+Scale story (100 TB): the encoded corpus is m small ints per vector
+(d=64 float32 -> m=8 codes = 64x smaller), so a 100 TB raw-vector
+corpus becomes ~1.6 TB of codes; the ADC scan is memory-bandwidth
+bound, rides the Parquet scan with zero shuffles, and the query-side
+distance table is an m*ncodes literal (128 doubles here) folded into
+the codegen'd expression — nothing is broadcast, nothing is joined.
+Top-k plans as TakeOrderedAndProject exactly like the brute-force
+flagship.  Reference analog: the full scan of ``message_embeddings``
+with a per-row NumPy cosine (src/core/embeddings/processor.py:489-525)
+— PQ is the classic drop-in when that scan outgrows one node, from
+Jegou et al., "Product Quantization for Nearest Neighbor Search"
+(TPAMI 2011).
+
+Codebooks here are SEED codebooks — the sub-vectors of the ``ncodes``
+smallest-id corpus vectors — mirroring ``ivf.seed_centroids``: fully
+deterministic and SQL-expressible so the driver's DuckDB oracle can
+value-check assignment + ADC end-to-end.  K-means-refined codebooks
+are a drop-in replacement (swap `seed_codebooks` for a trained array;
+the encode/search plans do not change shape).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def seed_codebooks(embeddings: DataFrame, m: int = 8, ncodes: int = 16,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> np.ndarray:
+    """Deterministic (m, ncodes, d/m) codebook tensor from the ncodes
+    smallest-id vectors — driver-sized collect (16 rows), same pattern
+    as ivf.seed_centroids."""
+    rows = (embeddings.orderBy(id_col).limit(ncodes)
+            .select(vec_col).collect())
+    base = np.array([r[0] for r in rows], dtype=np.float64)  # ncodes x d
+    d = base.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    # subspace j's codebook = columns [j*dsub, (j+1)*dsub) of the seeds
+    return np.stack([base[:, j * dsub:(j + 1) * dsub] for j in range(m)])
+
+
+def pq_encode(embeddings: DataFrame, codebooks: np.ndarray,
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Encode every vector into m codebook indices (argmax inner
+    product per subspace, ties to the lowest code — matching the
+    oracle's ``ORDER BY dot DESC, code`` row_number pick).
+
+    One Arrow-batched GEMM per (batch, subspace): X_j @ C_j^T is
+    (batch x dsub)(dsub x ncodes) — vectorized C, no per-row Python.
+    Narrow map, no shuffle; at scale this is the one-off index build.
+    """
+    m, ncodes, dsub = codebooks.shape
+    cb = codebooks  # captured; shipped once per worker via closure
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for j in range(m):
+                dots = np.round(x[:, j * dsub:(j + 1) * dsub] @ cb[j].T, 9)
+                codes[:, j] = dots.argmax(axis=1)  # first max = lowest code
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                "codes": list(codes)})
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        encode, schema=f"{id_col} long, codes array<int>")
+
+
+def adc_table(qvec: list[float], codebooks: np.ndarray) -> np.ndarray:
+    """The query's asymmetric-distance table: table[j, c] = <q_j, C_j[c]>
+    (rounded to the same 9dp grid as encode so both engines agree)."""
+    m, ncodes, dsub = codebooks.shape
+    q = np.asarray(qvec, dtype=np.float64)
+    return np.stack([np.round(cb_j @ q[j * dsub:(j + 1) * dsub], 9)
+                     for j, cb_j in enumerate(codebooks)])
+
+
+def pq_search(codes: DataFrame, table: np.ndarray, k: int = 10,
+              id_col: str = "vec_id") -> DataFrame:
+    """ADC top-k over the encoded corpus.
+
+    The distance table is folded in as an array literal, so scoring is
+    a pure codegen expression (m lookups + adds per row): no UDF, no
+    join, no shuffle — and the final top-k is TakeOrderedAndProject.
+    """
+    m, ncodes = table.shape
+    flat = [float(v) for v in table.ravel()]  # row-major: j*ncodes + c
+    tbl = F.array(*[F.lit(v) for v in flat])
+    score = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)), F.lit(0.0),
+        lambda acc, j: acc + F.element_at(
+            tbl, (j * ncodes + F.element_at("codes", j + 1) + 1)
+            .cast("int")))
+    return (codes
+            .withColumn("adc_sim", F.round(score, 6) + F.lit(0.0))
+            .select(id_col, "adc_sim")
+            .orderBy(F.col("adc_sim").desc(), id_col)
+            .limit(k))

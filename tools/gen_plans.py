@@ -118,6 +118,11 @@ SHOW = [
      "Correlated AVG joined back on its own grouping key: the "
      "aggregate side reuses the fact exchange (no second lineitem "
      "shuffle); brand-filtered part dim broadcasts."),
+    ("ann_pq_topk",
+     "Product-quantization ANN: encode is one Arrow GEMM stage; the "
+     "ADC serving path is expression-only (distance table folded in "
+     "as a literal, m lookups+adds per row), zero exchanges, "
+     "TakeOrderedAndProject top-k."),
 ]
 
 
