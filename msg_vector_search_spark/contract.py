@@ -2227,7 +2227,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ops.lsh_search(emb, planes, query_id=0, k=10)
 
 
-@register("ann_pq_topk", oracle=f"""
+_PQ_ADC_CTE = f"""
 WITH seeds AS (
   SELECT embedding AS sv, row_number() OVER (ORDER BY vec_id) - 1 AS cw
   FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)
@@ -2252,10 +2252,15 @@ qtab AS (
          (round({V.duck_dot('(SELECT qv FROM q)[(cb.j*8+1):(cb.j*8+8)]',
                             'cb.cv')}, 9) + 0) AS d
   FROM cb
-)
-SELECT a.vec_id, (round(sum(t.d), 6) + 0) AS adc_sim
-FROM assigned a JOIN qtab t ON t.j = a.j AND t.cw = a.cw
-GROUP BY a.vec_id
+), adc AS (
+  SELECT a.vec_id, (round(sum(t.d), 6) + 0) AS adc_sim
+  FROM assigned a JOIN qtab t ON t.j = a.j AND t.cw = a.cw
+  GROUP BY a.vec_id
+)"""
+
+
+@register("ann_pq_topk", oracle=_PQ_ADC_CTE + """
+SELECT vec_id, adc_sim FROM adc
 ORDER BY adc_sim DESC, vec_id LIMIT 10
 """)
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2271,6 +2276,28 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = pq_ops.pq_encode(emb, cb)
     table = pq_ops.adc_table(_query_vec(spark, sf_dir), cb)
     return pq_ops.pq_search(codes, table, k=10)
+
+
+@register("ann_pq_rerank", oracle=_PQ_ADC_CTE + f""",
+short AS (SELECT vec_id FROM adc ORDER BY adc_sim DESC, vec_id LIMIT 50)
+SELECT e.vec_id,
+       (round({V.duck_cosine('e.embedding', '(SELECT qv FROM q)')}, 6) + 0)
+         AS sim
+FROM embeddings e JOIN short s ON s.vec_id = e.vec_id
+ORDER BY sim DESC, e.vec_id LIMIT 10
+""")
+def ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage PQ: ADC shortlist (top-50 on the compressed scan) then
+    exact cosine re-rank of the survivors — the standard recovery for
+    quantization loss.  The exact cosine runs on 50 broadcast-joined
+    rows, never the corpus; at 100 TB stage 1 reads ~1/64th of the
+    bytes and stage 2 is a point lookup per survivor."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = pq_ops.seed_codebooks(emb, m=8, ncodes=16)
+    codes = pq_ops.pq_encode(emb, cb)
+    qv = _query_vec(spark, sf_dir)
+    table = pq_ops.adc_table(qv, cb)
+    return pq_ops.pq_rerank(emb, codes, table, qv, k=10, shortlist=50)
 
 
 _SIM_JOIN_IVF_SQL = f"""

@@ -109,3 +109,26 @@ def pq_search(codes: DataFrame, table: np.ndarray, k: int = 10,
             .select(id_col, "adc_sim")
             .orderBy(F.col("adc_sim").desc(), id_col)
             .limit(k))
+
+
+def pq_rerank(embeddings: DataFrame, codes: DataFrame, table: np.ndarray,
+              qvec: list[float], k: int = 10, shortlist: int = 50,
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Two-stage PQ search: ADC shortlist (cheap, compressed scan) then
+    exact cosine re-rank of the survivors against the raw vectors —
+    the standard accuracy recovery for quantization loss.
+
+    The shortlist is k-bounded (``shortlist`` rows), so the re-rank
+    side is a broadcast join back into the raw corpus: the expensive
+    exact cosine runs on *shortlist* rows, never the corpus."""
+    from ..functions import vector as V
+
+    short = pq_search(codes, table, k=shortlist, id_col=id_col)
+    q = F.array(*[F.lit(float(v)) for v in qvec])
+    exact = V.cosine(F.col(vec_col), q)
+    return (embeddings.join(F.broadcast(short.select(id_col)), id_col)
+            .withColumn("sim", F.round(exact, 6) + F.lit(0.0))
+            .select(id_col, "sim")
+            .orderBy(F.col("sim").desc(), id_col)
+            .limit(k))

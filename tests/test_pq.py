@@ -60,6 +60,20 @@ def test_pq_search_equals_table_sum(spark):
         assert abs(r["adc_sim"] - expect) < 1e-9
 
 
+def test_rerank_orders_by_exact_cosine(spark):
+    emb = _corpus(spark)
+    cb = pq.seed_codebooks(emb, m=8, ncodes=16)
+    codes = pq.pq_encode(emb, cb)
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    q = [float(v) for v in qrow[0]]
+    table = pq.adc_table(q, cb)
+    got = pq.pq_rerank(emb, codes, table, q, k=3, shortlist=500).collect()
+    # with the shortlist covering the whole corpus, re-rank == exact KNN
+    from msg_vector_search_spark.operators import similarity
+    exact = similarity.knn_search(emb, q, k=3).select("vec_id").collect()
+    assert [r["vec_id"] for r in got] == [r["vec_id"] for r in exact]
+
+
 def test_serving_path_plan_shape(spark):
     emb = _corpus(spark)
     cb = pq.seed_codebooks(emb, m=8, ncodes=16)

@@ -90,6 +90,37 @@ def measure_ivf_recall(spark, emb, nlist: int = 16, nprobe: int = 2,
     return out
 
 
+def measure_pq_recall(spark, emb, m: int = 8, ncodes: int = 16,
+                      k: int = 10, shortlist: int = 50,
+                      n_queries: int = 10) -> dict[str, float]:
+    """recall@k of PQ-ADC (raw and with exact re-rank of the top-
+    `shortlist`) against brute-force ground truth — the accuracy the
+    64x compression claim costs, and how much the re-rank stage buys
+    back."""
+    from msg_vector_search_spark.operators import pq, similarity
+
+    cb = pq.seed_codebooks(emb, m=m, ncodes=ncodes)
+    codes = pq.pq_encode(emb, cb).localCheckpoint()
+    qrows = emb.orderBy(F.col("vec_id").desc()).limit(n_queries) \
+        .select("vec_id", "embedding").collect()
+    raw_hits = rr_hits = 0
+    for r in qrows:
+        qv = [float(x) for x in r["embedding"]]
+        truth = {t["vec_id"] for t in
+                 similarity.knn_search(emb, qv, k=k)
+                 .select("vec_id").collect()}
+        table = pq.adc_table(qv, cb)
+        raw = {g["vec_id"] for g in
+               pq.pq_search(codes, table, k=k).select("vec_id").collect()}
+        rr = {g["vec_id"] for g in
+              pq.pq_rerank(emb, codes, table, qv, k=k, shortlist=shortlist)
+              .select("vec_id").collect()}
+        raw_hits += len(raw & truth)
+        rr_hits += len(rr & truth)
+    denom = k * len(qrows)
+    return {"adc": raw_hits / denom, "rerank": rr_hits / denom}
+
+
 def measure_pair_recall(spark, emb, nlist: int = 16,
                         k: int = 3) -> dict[str, float]:
     """Pair recall of the blocked similarity JOIN vs exact ground truth
@@ -172,13 +203,17 @@ def main() -> None:
             t_gemm = time.perf_counter() - t0
             recall = measure_ivf_recall(spark, emb)
             pr = measure_pair_recall(spark, emb) if m == 1 else None
+            pqr = measure_pq_recall(spark, emb) if m == 1 else None
             print(f"{m:>4} {n:>8} {t_mh:>10.2f} {t_sh:>10.2f} "
                   f"{t_ex:>8.2f} {pairs:>8} {t_ivf:>8.2f} {t_lsh:>8.2f} "
                   f"{t_cc:>8.2f} {t_gemm:>8.2f}  "
                   f"recall@10 seed={recall['seed']:.2f} "
                   f"kmeans={recall['kmeans']:.2f}"
                   + (f"  pair-recall@3 p1={pr['p1']:.2f} p2={pr['p2']:.2f}"
-                     if pr else ""), flush=True)
+                     if pr else "")
+                  + (f"  pq-recall@10 adc={pqr['adc']:.2f} "
+                     f"rerank={pqr['rerank']:.2f}" if pqr else ""),
+                  flush=True)
         finally:
             shutil.rmtree(d, ignore_errors=True)
 
