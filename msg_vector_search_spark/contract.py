@@ -1498,7 +1498,15 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same plan holds: the pre-aggregated supply relation is
     |parts|x|suppliers-per-part|, orders of magnitude under the fact
     table, and ties on min cost are kept (same as Q2's semantics) so
-    the result is deterministic under the (cost, part, name) sort."""
+    the result is deterministic under the (cost, part, name) sort.
+
+    Boundary assumption: winners are picked by equality on the
+    4dp-rounded unit_cost, so both engines must land the extremal
+    group's average on the same side of a rounding boundary.  The 4dp
+    grid is ~5 orders coarser than the worst-case float reorder drift
+    of an avg over <100k rows, so a straddle needs an exact ...5 at
+    the 5th decimal — not observed on any fixture; acceptable under
+    the repo-wide grid-rounding convention (module docstring)."""
     li = _t(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
     supply = (li.groupBy("l_partkey", "l_suppkey")
@@ -1576,7 +1584,9 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     with-ties shape.  One shuffle on l_suppkey for the revenue agg; the
     global max is a partial-aggregated scalar; supplier broadcasts.
     Revenue is grid-rounded BEFORE the max comparison so both engines
-    pick the same winner when two suppliers are within float ulps."""
+    pick the same winner when two suppliers are within float ulps.
+    Same rounding-boundary assumption as Q2: the 2dp grid must not
+    split the extremal sum between engines — see the Q2 docstring."""
     li = (_t(spark, sf_dir, "lineitem")
           .filter((F.col("l_shipdate") >= F.lit("1996-01-01"))
                   & (F.col("l_shipdate") < F.lit("1996-04-01")))
@@ -3817,14 +3827,31 @@ def streaming_upsert_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Driver-verification ordering
 # =========================================================================
 # The driver's correctness gate covers roughly the first 50 registry
-# entries, in order. Rounds 1-3 (CORRECTNESS_r01/r02/r03.json) together
-# verified every name below — as of round 3 the full registry is green
-# (r03's 50-query window passed 50/50, adding udf_embed_query and
-# group_centroids_pandas, the two array-canonicalization reds fixed in
-# round 3). Rotate: queries without a driver-verified row yet go first
-# so every operator accrues one across rounds. Purely a presentation
-# order — REGISTRY itself keeps source order.
+# entries, in order. Rounds 1-4 (CORRECTNESS_r01..r04.json) together
+# verified every name below — the full registry is green (r04's
+# 50-query window passed 50/50 with zero errs). Rotate: queries
+# without a driver-verified row yet go first so every operator accrues
+# one across rounds. Purely a presentation order — REGISTRY itself
+# keeps source order.
 DRIVER_VERIFIED = frozenset({
+    # round 4 (CORRECTNESS_r04.json — 50/50 green; re-verified names
+    # already listed under earlier rounds are not repeated)
+    "tpch_q18_large_orders", "tpch_q21_waiting_suppliers",
+    "tpch_q22_dormant_accounts", "tpch_q16_supplier_part_counts",
+    "tpch_q2_min_cost_supplier", "tpch_q4_order_priority",
+    "tpch_q15_top_supplier", "tpch_q17_small_quantity_revenue",
+    "distinct_users_twophase", "join_salted_skew", "dedup_edit_distance",
+    "ann_pq_topk", "ann_pq_rerank", "sim_join_ivf_p2",
+    "text_unigram_logprob", "pivot_event_type_daily",
+    "cube_order_priority", "event_value_histogram",
+    "scd2_customer_status", "tpch_q19_disjunctive",
+    "ntile_customer_quartiles", "spend_quartile_scan",
+    "percent_rank_cume_dist", "corr_stats_events", "text_bigram_top20",
+    "topk_with_ties", "unpivot_daily_counts", "user_event_type_sets",
+    "funnel_signup_click_purchase", "cohort_weekly_retention",
+    "rolling_1h_range_agg", "streaming_tumbling_availablenow",
+    "streaming_sessionize_stateful", "streaming_dedup_within_watermark",
+    "streaming_upsert_store",
     # round 3 (CORRECTNESS_r03.json)
     "udf_embed_query", "group_centroids_pandas",
     # round 2 (CORRECTNESS_r02.json)

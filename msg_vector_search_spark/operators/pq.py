@@ -71,6 +71,10 @@ def kmeans_codebooks(embeddings: DataFrame, m: int = 8, ncodes: int = 16,
             .limit(sample).select(vec_col).collect())
     x = np.array([r[0] for r in rows], dtype=np.float64)
     d = x.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    if len(x) < ncodes:
+        raise ValueError(f"training sample {len(x)} < ncodes={ncodes}")
     dsub = d // m
     rng = np.random.default_rng(seed)
     books = []

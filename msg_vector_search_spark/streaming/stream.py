@@ -34,6 +34,12 @@ def read_event_stream(spark: SparkSession, sf_dir: str,
     The source path is a GLOB (``[e]vents.parquet``): FileStreamSource
     rejects a bare file path ("basePath must be a directory") but
     accepts a glob, whose parent directory becomes the base.
+
+    Single-form assumption: the stream schema is inferred from ONE
+    batch footer read, so every parquet file matched by the glob must
+    share one physical ts form (all micros or all nanos).  Holds for
+    the single-file fixtures; a mixed-form directory would need
+    per-file resolution before the union.
     """
     from ..sources import readers
 
