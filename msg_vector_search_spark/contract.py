@@ -2310,6 +2310,102 @@ def ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_ops.pq_rerank(emb, codes, table, qv, k=10, shortlist=50)
 
 
+@register("ann_pq_rerank_trained")  # rows-only BY DESIGN: per-subspace
+# Lloyd's iterations are seed-deterministic in NumPy but not
+# dialect-reproducible in DuckDB SQL; quality is invariant-checked
+# instead (tests/test_pq.py::test_trained_beats_seed_recall asserts
+# trained >= seed recall, and tools/scaling_check.py publishes
+# seed-vs-trained recall side by side — 0.37 vs 0.83 at sf0.1).
+def ann_pq_rerank_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION PQ path: k-means-trained codebooks (bounded
+    deterministic sample, operators/pq.py:kmeans_codebooks) + the
+    measured-knee shortlist of 200.  Identical plan shape to
+    ann_pq_rerank — compressed ADC scan, TakeOrderedAndProject
+    shortlist, broadcast exact re-rank — only the codebook literals
+    differ; the seed-codebook twin stays registered as the
+    oracle-value-checked spec of that shape."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = pq_ops.kmeans_codebooks(emb, m=8, ncodes=16)
+    codes = pq_ops.pq_encode(emb, cb)
+    qv = _query_vec(spark, sf_dir)
+    table = pq_ops.adc_table(qv, cb)
+    return pq_ops.pq_rerank(emb, codes, table, qv, k=10, shortlist=200)
+
+
+@register("ann_ivfpq_topk", oracle=f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT 16
+), q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+cscored AS (
+  SELECT e.vec_id, e.embedding, c.centroid_id,
+         (round({V.duck_cosine('e.embedding', 'c.cvec')}, 9) + 0) AS cdist
+  FROM embeddings e CROSS JOIN cent c
+), celled AS (
+  SELECT vec_id, embedding, centroid_id AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cdist DESC, centroid_id) AS rn
+    FROM cscored) WHERE rn = 1
+), probe AS (
+  SELECT centroid_id AS cell
+  FROM cent, q
+  ORDER BY {V.duck_cosine('cvec', 'qv')} DESC, centroid_id LIMIT 4
+), cand AS (
+  SELECT * FROM celled WHERE cell IN (SELECT cell FROM probe)
+), seeds AS (
+  SELECT embedding AS sv, row_number() OVER (ORDER BY vec_id) - 1 AS cw
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)
+), js AS (SELECT unnest(range(8)) AS j),
+cb AS (
+  SELECT js.j, seeds.cw, seeds.sv[(js.j*8+1):(js.j*8+8)] AS cv
+  FROM seeds CROSS JOIN js
+), ev AS (
+  SELECT c.vec_id, js.j, c.embedding[(js.j*8+1):(js.j*8+8)] AS xv
+  FROM cand c CROSS JOIN js
+), coded AS (
+  SELECT vec_id, j, cw FROM (
+    SELECT ev.vec_id, ev.j, cb.cw,
+           row_number() OVER (
+             PARTITION BY ev.vec_id, ev.j
+             ORDER BY (round({V.duck_dot('ev.xv', 'cb.cv')}, 9) + 0) DESC,
+                      cb.cw) AS rn
+    FROM ev JOIN cb ON cb.j = ev.j) WHERE rn = 1
+), qtab AS (
+  SELECT cb.j, cb.cw,
+         (round({V.duck_dot('(SELECT qv FROM q)[(cb.j*8+1):(cb.j*8+8)]',
+                            'cb.cv')}, 9) + 0) AS d
+  FROM cb
+), adc AS (
+  SELECT a.vec_id, (round(sum(t.d), 6) + 0) AS adc_sim
+  FROM coded a JOIN qtab t ON t.j = a.j AND t.cw = a.cw
+  GROUP BY a.vec_id
+), short AS (SELECT vec_id FROM adc ORDER BY adc_sim DESC, vec_id LIMIT 50)
+SELECT c.vec_id, c.cell,
+       (round({V.duck_cosine('c.embedding', '(SELECT qv FROM q)')}, 6) + 0)
+         AS sim
+FROM cand c JOIN short s ON s.vec_id = c.vec_id
+ORDER BY sim DESC, c.vec_id LIMIT 10
+""")
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF x PQ composition (FAISS IVFPQ shape): 16 coarse centroids
+    prune the scan to the query's top-4 cells (~1/4 of the corpus
+    here, nprobe/nlist in general — literal partition pruning once the
+    codes are stored partitionBy(cell)); ADC scores the survivors on
+    8-byte codes (1/64th of the raw bytes); exact cosine re-ranks the
+    top-50 shortlist via broadcast join.  Every stage seed-picked so
+    the DuckDB oracle value-checks the whole composition end-to-end;
+    swap seed picks for kmeans_centroids/kmeans_codebooks for the
+    trained production variant (same plan, better recall — measured in
+    tools/scaling_check.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = ivf_ops.seed_centroids(emb, 16)
+    assigned = ivf_ops.assign_cells(emb, cent)
+    cb = pq_ops.seed_codebooks(emb, m=8, ncodes=16)
+    return pq_ops.ivfpq_search(assigned, cent, cb,
+                               _query_vec(spark, sf_dir),
+                               k=10, nprobe=4, shortlist=50)
+
+
 _SIM_JOIN_IVF_SQL = f"""
 WITH cent AS (
   SELECT vec_id AS centroid_id, embedding AS cvec

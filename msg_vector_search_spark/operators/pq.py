@@ -16,12 +16,14 @@ with a per-row NumPy cosine (src/core/embeddings/processor.py:489-525)
 Jegou et al., "Product Quantization for Nearest Neighbor Search"
 (TPAMI 2011).
 
-Codebooks here are SEED codebooks — the sub-vectors of the ``ncodes``
-smallest-id corpus vectors — mirroring ``ivf.seed_centroids``: fully
-deterministic and SQL-expressible so the driver's DuckDB oracle can
-value-check assignment + ADC end-to-end.  K-means-refined codebooks
-are a drop-in replacement (swap `seed_codebooks` for a trained array;
-the encode/search plans do not change shape).
+Two codebook sources, one contract: ``seed_codebooks`` (sub-vectors of
+the ``ncodes`` smallest-id corpus vectors — fully deterministic and
+SQL-expressible, so the driver's DuckDB oracle value-checks assignment
++ ADC end-to-end) and ``kmeans_codebooks`` (per-subspace Lloyd's on a
+bounded deterministic sample — the production quality path: recall@10
+0.37 -> 0.83 on the sf0.1 probe, tools/scaling_check.py).  The
+encode/search/re-rank plans are identical under either; only the
+literal table values change.
 """
 
 from __future__ import annotations
@@ -96,8 +98,8 @@ def kmeans_codebooks(embeddings: DataFrame, m: int = 8, ncodes: int = 16,
 
 
 def pq_encode(embeddings: DataFrame, codebooks: np.ndarray,
-              id_col: str = "vec_id",
-              vec_col: str = "embedding") -> DataFrame:
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              keep_cols: tuple[str, ...] = ()) -> DataFrame:
     """Encode every vector into m codebook indices (argmax inner
     product per subspace, ties to the lowest code — matching the
     oracle's ``ORDER BY dot DESC, code`` row_number pick).
@@ -105,9 +107,16 @@ def pq_encode(embeddings: DataFrame, codebooks: np.ndarray,
     One Arrow-batched GEMM per (batch, subspace): X_j @ C_j^T is
     (batch x dsub)(dsub x ncodes) — vectorized C, no per-row Python.
     Narrow map, no shuffle; at scale this is the one-off index build.
+
+    ``keep_cols`` pass through unchanged (e.g. the IVF ``cell`` key, so
+    the encoded index can be written ``partitionBy(cell)`` and probed
+    with literal partition pruning).
     """
+    from pyspark.sql import types as T
+
     m, ncodes, dsub = codebooks.shape
     cb = codebooks  # captured; shipped once per worker via closure
+    keep = list(keep_cols)
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -116,11 +125,18 @@ def pq_encode(embeddings: DataFrame, codebooks: np.ndarray,
             for j in range(m):
                 dots = np.round(x[:, j * dsub:(j + 1) * dsub] @ cb[j].T, 9)
                 codes[:, j] = dots.argmax(axis=1)  # first max = lowest code
-            yield pd.DataFrame({id_col: pdf[id_col],
-                                "codes": list(codes)})
+            out = {id_col: pdf[id_col], "codes": list(codes)}
+            for c in keep:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
-    return embeddings.select(id_col, vec_col).mapInPandas(
-        encode, schema=f"{id_col} long, codes array<int>")
+    src = embeddings.select(id_col, vec_col, *keep)
+    fields = {f.name: f for f in src.schema.fields}
+    out_schema = T.StructType(
+        [fields[id_col],
+         T.StructField("codes", T.ArrayType(T.IntegerType()))]
+        + [fields[c] for c in keep])
+    return src.mapInPandas(encode, schema=out_schema)
 
 
 def adc_table(qvec: list[float], codebooks: np.ndarray) -> np.ndarray:
@@ -156,7 +172,7 @@ def pq_search(codes: DataFrame, table: np.ndarray, k: int = 10,
 
 
 def pq_rerank(embeddings: DataFrame, codes: DataFrame, table: np.ndarray,
-              qvec: list[float], k: int = 10, shortlist: int = 50,
+              qvec: list[float], k: int = 10, shortlist: int = 200,
               id_col: str = "vec_id",
               vec_col: str = "embedding") -> DataFrame:
     """Two-stage PQ search: ADC shortlist (cheap, compressed scan) then
@@ -165,7 +181,11 @@ def pq_rerank(embeddings: DataFrame, codes: DataFrame, table: np.ndarray,
 
     The shortlist is k-bounded (``shortlist`` rows), so the re-rank
     side is a broadcast join back into the raw corpus: the expensive
-    exact cosine runs on *shortlist* rows, never the corpus."""
+    exact cosine runs on *shortlist* rows, never the corpus.  The
+    default of 200 is the measured knee on the fixtures: with trained
+    codebooks recall@10 goes 0.54 -> 0.83 moving 50 -> 200 (sf0.1, the
+    probe in tools/scaling_check.py) while the re-rank side stays a
+    few hundred broadcast rows."""
     from ..functions import vector as V
 
     short = pq_search(codes, table, k=shortlist, id_col=id_col)
@@ -174,5 +194,45 @@ def pq_rerank(embeddings: DataFrame, codes: DataFrame, table: np.ndarray,
     return (embeddings.join(F.broadcast(short.select(id_col)), id_col)
             .withColumn("sim", F.round(exact, 6) + F.lit(0.0))
             .select(id_col, "sim")
+            .orderBy(F.col("sim").desc(), id_col)
+            .limit(k))
+
+
+def ivfpq_search(assigned: DataFrame, centroids: DataFrame,
+                 codebooks: np.ndarray, qvec: list[float], k: int = 10,
+                 nprobe: int = 4, shortlist: int = 50,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """IVF x PQ — the composed 100 TB serving plan (FAISS's IVFPQ,
+    Jegou et al. TPAMI 2011 section V): the coarse quantizer prunes
+    the scan to ~nprobe/nlist of the corpus, ADC scores the survivors
+    on the compressed codes (1/64th of the bytes), and the exact
+    cosine re-rank touches only ``shortlist`` raw vectors.  Net bytes
+    read: (nprobe/nlist) x (1/64) of the raw corpus plus *shortlist*
+    full vectors — the plan a real deployment runs when even the IVF
+    probe set outgrows memory bandwidth.
+
+    ``assigned`` is the cell-assigned corpus (``ivf.assign_cells``).
+    Encoding rides the query here so the DuckDB oracle can value-check
+    the whole composition; a deployment encodes ONCE offline and
+    stores codes ``partitionBy(cell)`` (``pq_encode(...,
+    keep_cols=("cell",))`` + ``ivf.write_index``), making the probe's
+    semi join literal partition pruning over 64x-smaller files.
+    """
+    from . import ivf
+
+    codes = pq_encode(assigned, codebooks, id_col=id_col,
+                      vec_col=vec_col, keep_cols=("cell",))
+    cells = ivf.probe_cells(centroids, qvec, nprobe)
+    cand = codes.join(F.broadcast(cells), "cell", "left_semi")
+    table = adc_table(qvec, codebooks)
+    short = pq_search(cand, table, k=shortlist, id_col=id_col)
+
+    from ..functions import vector as V
+    q = F.array(*[F.lit(float(v)) for v in qvec])
+    exact = V.cosine(F.col(vec_col), q)
+    return (assigned.join(F.broadcast(short.select(id_col)), id_col)
+            .withColumn("sim", F.round(exact, 6) + F.lit(0.0))
+            .select(id_col, "cell", "sim")
             .orderBy(F.col("sim").desc(), id_col)
             .limit(k))

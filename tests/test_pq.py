@@ -74,6 +74,85 @@ def test_rerank_orders_by_exact_cosine(spark):
     assert [r["vec_id"] for r in got] == [r["vec_id"] for r in exact]
 
 
+def test_encode_keep_cols_passthrough(spark):
+    emb = _corpus(spark).withColumn("cell", F.pmod("vec_id", F.lit(4)))
+    cb = pq.seed_codebooks(emb, m=8, ncodes=16)
+    out = pq.pq_encode(emb, cb, keep_cols=("cell",))
+    assert out.columns == ["vec_id", "codes", "cell"]
+    rows = out.collect()
+    assert all(r["cell"] == r["vec_id"] % 4 for r in rows)
+    # codes are unchanged by the passthrough
+    plain = {r["vec_id"]: list(r["codes"])
+             for r in pq.pq_encode(emb, cb).collect()}
+    assert all(list(r["codes"]) == plain[r["vec_id"]] for r in rows)
+
+
+def test_trained_beats_seed_recall(spark):
+    """The invariant the trained path is kept for: with the same m /
+    ncodes / shortlist, k-means codebooks must never lose to the seed
+    pick on either raw-ADC or re-ranked recall@10 (measured 0.25->0.32
+    ADC, 0.60->0.65 rr50 on this fixture; 0.18->0.28 / 0.37->0.54 at
+    sf0.1 — tools/scaling_check.py publishes the full table)."""
+    from msg_vector_search_spark.operators import similarity
+
+    emb = _corpus(spark)
+    qrows = (emb.orderBy(F.col("vec_id").desc()).limit(5)
+             .select("vec_id", "embedding").collect())
+    truth = {}
+    for r in qrows:
+        qv = [float(x) for x in r["embedding"]]
+        truth[r["vec_id"]] = {t["vec_id"] for t in
+                              similarity.knn_search(emb, qv, k=10)
+                              .select("vec_id").collect()}
+    recalls = {}
+    for kind, cb in [("seed", pq.seed_codebooks(emb, m=8, ncodes=16)),
+                     ("trained", pq.kmeans_codebooks(emb, m=8, ncodes=16))]:
+        codes = pq.pq_encode(emb, cb).localCheckpoint()
+        adc_hits = rr_hits = 0
+        for r in qrows:
+            qv = [float(x) for x in r["embedding"]]
+            table = pq.adc_table(qv, cb)
+            adc = {g["vec_id"] for g in
+                   pq.pq_search(codes, table, k=10).select("vec_id").collect()}
+            rr = {g["vec_id"] for g in
+                  pq.pq_rerank(emb, codes, table, qv, k=10, shortlist=50)
+                  .select("vec_id").collect()}
+            adc_hits += len(adc & truth[r["vec_id"]])
+            rr_hits += len(rr & truth[r["vec_id"]])
+        recalls[kind] = (adc_hits, rr_hits)
+    assert recalls["trained"][0] >= recalls["seed"][0]
+    assert recalls["trained"][1] >= recalls["seed"][1]
+
+
+def test_ivfpq_matches_bruteforce_within_probed_cells(spark):
+    """With the shortlist covering every candidate, IVF x PQ's output
+    must equal exact cosine top-k restricted to the probed cells — the
+    PQ stage can then only reorder the shortlist, which the exact
+    re-rank undoes, isolating the composition's recall loss to cell
+    pruning (by construction)."""
+    from msg_vector_search_spark.operators import ivf
+    from msg_vector_search_spark.functions import vector as V
+
+    emb = _corpus(spark)
+    cent = ivf.seed_centroids(emb, 16)
+    assigned = ivf.assign_cells(emb, cent).localCheckpoint()
+    cb = pq.seed_codebooks(emb, m=8, ncodes=16)
+    qrow = emb.filter(F.col("vec_id") == 7).select("embedding").head()
+    qv = [float(v) for v in qrow[0]]
+
+    got = pq.ivfpq_search(assigned, cent, cb, qv, k=5, nprobe=4,
+                          shortlist=10_000).collect()
+
+    cells = [r["cell"] for r in ivf.probe_cells(cent, qv, 4).collect()]
+    q = F.array(*[F.lit(float(v)) for v in qv])
+    expect = (assigned.filter(F.col("cell").isin(cells))
+              .withColumn("sim", F.round(V.cosine(F.col("embedding"), q), 6)
+                          + F.lit(0.0))
+              .orderBy(F.col("sim").desc(), "vec_id").limit(5).collect())
+    assert [(r["vec_id"], r["sim"]) for r in got] \
+        == [(r["vec_id"], r["sim"]) for r in expect]
+
+
 def test_serving_path_plan_shape(spark):
     emb = _corpus(spark)
     cb = pq.seed_codebooks(emb, m=8, ncodes=16)

@@ -91,34 +91,86 @@ def measure_ivf_recall(spark, emb, nlist: int = 16, nprobe: int = 2,
 
 
 def measure_pq_recall(spark, emb, m: int = 8, ncodes: int = 16,
-                      k: int = 10, shortlist: int = 50,
+                      k: int = 10,
                       n_queries: int = 10) -> dict[str, float]:
-    """recall@k of PQ-ADC (raw and with exact re-rank of the top-
-    `shortlist`) against brute-force ground truth — the accuracy the
-    64x compression claim costs, and how much the re-rank stage buys
-    back."""
+    """recall@k of PQ-ADC against brute-force ground truth, seed vs
+    k-means-trained codebooks side by side, raw and re-ranked at the
+    50 and 200 shortlists — the README recall table's source: the
+    accuracy the 64x compression claim costs, how much training the
+    codebooks recovers, and where the shortlist knee sits."""
     from msg_vector_search_spark.operators import pq, similarity
 
-    cb = pq.seed_codebooks(emb, m=m, ncodes=ncodes)
-    codes = pq.pq_encode(emb, cb).localCheckpoint()
     qrows = emb.orderBy(F.col("vec_id").desc()).limit(n_queries) \
         .select("vec_id", "embedding").collect()
-    raw_hits = rr_hits = 0
+    truth = {}
     for r in qrows:
         qv = [float(x) for x in r["embedding"]]
-        truth = {t["vec_id"] for t in
-                 similarity.knn_search(emb, qv, k=k)
-                 .select("vec_id").collect()}
-        table = pq.adc_table(qv, cb)
-        raw = {g["vec_id"] for g in
-               pq.pq_search(codes, table, k=k).select("vec_id").collect()}
-        rr = {g["vec_id"] for g in
-              pq.pq_rerank(emb, codes, table, qv, k=k, shortlist=shortlist)
-              .select("vec_id").collect()}
-        raw_hits += len(raw & truth)
-        rr_hits += len(rr & truth)
-    denom = k * len(qrows)
-    return {"adc": raw_hits / denom, "rerank": rr_hits / denom}
+        truth[r["vec_id"]] = {t["vec_id"] for t in
+                              similarity.knn_search(emb, qv, k=k)
+                              .select("vec_id").collect()}
+    out: dict[str, float] = {}
+    for kind, cb in [("seed", pq.seed_codebooks(emb, m=m, ncodes=ncodes)),
+                     ("trained", pq.kmeans_codebooks(emb, m=m,
+                                                     ncodes=ncodes))]:
+        codes = pq.pq_encode(emb, cb).localCheckpoint()
+        raw_hits = 0
+        rr_hits = {50: 0, 200: 0}
+        for r in qrows:
+            qv = [float(x) for x in r["embedding"]]
+            table = pq.adc_table(qv, cb)
+            raw = {g["vec_id"] for g in
+                   pq.pq_search(codes, table, k=k).select("vec_id").collect()}
+            raw_hits += len(raw & truth[r["vec_id"]])
+            for sl in rr_hits:
+                rr = {g["vec_id"] for g in
+                      pq.pq_rerank(emb, codes, table, qv, k=k, shortlist=sl)
+                      .select("vec_id").collect()}
+                rr_hits[sl] += len(rr & truth[r["vec_id"]])
+        denom = k * len(qrows)
+        out[f"{kind}_adc"] = raw_hits / denom
+        out[f"{kind}_rerank50"] = rr_hits[50] / denom
+        out[f"{kind}_rerank200"] = rr_hits[200] / denom
+    return out
+
+
+def measure_ivfpq_recall(spark, emb, nlist: int = 16, nprobe: int = 4,
+                         m: int = 8, ncodes: int = 16, k: int = 10,
+                         shortlist: int = 200,
+                         n_queries: int = 10) -> dict[str, float]:
+    """recall@k of the composed IVF x PQ path (cell pruning + ADC +
+    exact re-rank), seed picks vs fully trained (k-means centroids AND
+    codebooks).  The composition's recall is bounded by the IVF cell
+    recall (a true neighbor outside every probed cell is gone before
+    ADC sees it), so this measures what the 100 TB serving plan
+    actually returns."""
+    from msg_vector_search_spark.operators import ivf, pq, similarity
+
+    qrows = emb.orderBy(F.col("vec_id").desc()).limit(n_queries) \
+        .select("vec_id", "embedding").collect()
+    truth = {}
+    for r in qrows:
+        qv = [float(x) for x in r["embedding"]]
+        truth[r["vec_id"]] = {t["vec_id"] for t in
+                              similarity.knn_search(emb, qv, k=k)
+                              .select("vec_id").collect()}
+    out: dict[str, float] = {}
+    for kind, cent, cb in [
+        ("seed", ivf.seed_centroids(emb, nlist),
+         pq.seed_codebooks(emb, m=m, ncodes=ncodes)),
+        ("trained", ivf.kmeans_centroids(emb, nlist),
+         pq.kmeans_codebooks(emb, m=m, ncodes=ncodes)),
+    ]:
+        assigned = ivf.assign_cells(emb, cent).localCheckpoint()
+        hits = 0
+        for r in qrows:
+            qv = [float(x) for x in r["embedding"]]
+            got = {g["vec_id"] for g in
+                   pq.ivfpq_search(assigned, cent, cb, qv, k=k,
+                                   nprobe=nprobe, shortlist=shortlist)
+                   .select("vec_id").collect()}
+            hits += len(got & truth[r["vec_id"]])
+        out[kind] = hits / (k * len(qrows))
+    return out
 
 
 def measure_pair_recall(spark, emb, nlist: int = 16,
@@ -204,6 +256,7 @@ def main() -> None:
             recall = measure_ivf_recall(spark, emb)
             pr = measure_pair_recall(spark, emb) if m == 1 else None
             pqr = measure_pq_recall(spark, emb) if m == 1 else None
+            ivfpqr = measure_ivfpq_recall(spark, emb) if m == 1 else None
             print(f"{m:>4} {n:>8} {t_mh:>10.2f} {t_sh:>10.2f} "
                   f"{t_ex:>8.2f} {pairs:>8} {t_ivf:>8.2f} {t_lsh:>8.2f} "
                   f"{t_cc:>8.2f} {t_gemm:>8.2f}  "
@@ -211,8 +264,17 @@ def main() -> None:
                   f"kmeans={recall['kmeans']:.2f}"
                   + (f"  pair-recall@3 p1={pr['p1']:.2f} p2={pr['p2']:.2f}"
                      if pr else "")
-                  + (f"  pq-recall@10 adc={pqr['adc']:.2f} "
-                     f"rerank={pqr['rerank']:.2f}" if pqr else ""),
+                  + (f"  pq-recall@10 "
+                     f"seed adc={pqr['seed_adc']:.2f}"
+                     f"/rr50={pqr['seed_rerank50']:.2f}"
+                     f"/rr200={pqr['seed_rerank200']:.2f} "
+                     f"trained adc={pqr['trained_adc']:.2f}"
+                     f"/rr50={pqr['trained_rerank50']:.2f}"
+                     f"/rr200={pqr['trained_rerank200']:.2f}"
+                     if pqr else "")
+                  + (f"  ivfpq-recall@10 seed={ivfpqr['seed']:.2f} "
+                     f"trained={ivfpqr['trained']:.2f}"
+                     if ivfpqr else ""),
                   flush=True)
         finally:
             shutil.rmtree(d, ignore_errors=True)
