@@ -1644,6 +1644,455 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession,
                  .alias("avg_yearly")))
 
 
+@register("tpch_q6_forecast_revenue", oracle="""
+SELECT (round(sum(round(l_extendedprice * l_discount, 4)), 4) + 0)
+         AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""")
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecast revenue change): pure scan-filter-aggregate,
+    zero joins, zero keyed shuffles — every predicate reaches
+    PushedFilters, the product is grid-rounded per row, and the global
+    sum is a map-side partial + 1-row merge.  The simplest possible
+    100 TB plan: cost is exactly one pruned column scan."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24))
+    return li.agg(rnd(F.sum(F.round(F.col("l_extendedprice")
+                                    * F.col("l_discount"), 4)), 4)
+                  .alias("revenue"))
+
+
+@register("tpch_q7_volume_shipping", oracle="""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(extract(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+       (round(sum(round(l.l_extendedprice * (1 - l.l_discount), 4)), 4) + 0)
+         AS revenue
+FROM supplier s
+JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+""")
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped (volume shipping between two nations): the
+    bidirectional nation-pair filter over a five-way join.  Supplier
+    and customer are each pre-joined to the (broadcast) two-nation
+    slice, shrinking both BEFORE they touch the facts; the disjunctive
+    pair condition is applied after the fact join as a cheap residual
+    on two in-memory string columns.  lineitem->orders is the one real
+    shuffle (orderkey); everything else broadcasts.  At 100 TB the
+    filter order is what matters: the two-nation slice cuts supplier
+    and customer by ~12x each here (2 of 25 nations), so the fact join
+    output — not input — carries the selectivity."""
+    nations = (_t(spark, sf_dir, "nation")
+               .filter(F.col("n_name").isin("NATION_1", "NATION_2")))
+    supp = (_t(spark, sf_dir, "supplier")
+            .join(F.broadcast(nations),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    cust = (_t(spark, sf_dir, "customer")
+            .join(F.broadcast(nations),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .select("c_custkey", F.col("n_name").alias("cust_nation")))
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= F.lit("1996-01-01"))
+                  & (F.col("l_shipdate") < F.lit("1998-01-01")))
+          .select("l_orderkey", "l_suppkey", "l_shipdate",
+                  "l_extendedprice", "l_discount"))
+    disc = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    pair_ok = (((F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2"))
+               | ((F.col("supp_nation") == "NATION_2")
+                  & (F.col("cust_nation") == "NATION_1")))
+    return (li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+            .join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .filter(pair_ok)
+            .groupBy("supp_nation", "cust_nation",
+                     F.year("l_shipdate").cast("long").alias("l_year"))
+            .agg(rnd(F.sum(disc), 4).alias("revenue"))
+            .orderBy("supp_nation", "cust_nation", "l_year"))
+
+
+@register("tpch_q8_market_share", oracle="""
+WITH vol AS (
+  SELECT CAST(extract(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+         round(l.l_extendedprice * (1 - l.l_discount), 4) AS volume,
+         n2.n_name AS supp_nation
+  FROM part p
+  JOIN lineitem l ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+  JOIN region r ON n1.n_regionkey = r.r_regionkey
+  JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+  WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
+    AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+), yr AS (
+  SELECT o_year,
+         (round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                         ELSE 0 END), 4) + 0) AS nation_volume,
+         (round(sum(volume), 4) + 0) AS total_volume
+  FROM vol GROUP BY o_year
+)
+SELECT o_year, nation_volume, total_volume,
+       (round(nation_volume / total_volume, 6) + 0) AS mkt_share
+FROM yr ORDER BY o_year
+""")
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped (national market share): one supplier nation's
+    share of a region's yearly volume in one part type.  Eight-way
+    join where every dimension chain collapses to a broadcast —
+    ECONOMY parts, AMERICA customers (customer x nation x region
+    pre-joined driver-side-small), supplier x nation — so lineitem
+    shuffles exactly once (against date-filtered orders on orderkey).
+    The share divides two already-grid-rounded sums from the SAME
+    aggregation (one pass, conditional sum), never a second scan.  The
+    classic join-ordering stress: at 100 TB the only degrees of
+    freedom are which side builds the hash tables, and every build
+    side here is dimension-sized."""
+    part = (_t(spark, sf_dir, "part")
+            .filter(F.col("p_type") == "ECONOMY").select("p_partkey"))
+    nation = _t(spark, sf_dir, "nation")
+    region = (_t(spark, sf_dir, "region")
+              .filter(F.col("r_name") == "AMERICA").select("r_regionkey"))
+    am_cust = (_t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+               .join(F.broadcast(
+                   nation.join(F.broadcast(region),
+                               nation.n_regionkey == region.r_regionkey)
+                   .select("n_nationkey")),
+                   F.col("c_nationkey") == F.col("n_nationkey"))
+               .select("c_custkey"))
+    supp = (_t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+            .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    orders = (_t(spark, sf_dir, "orders")
+              .filter((F.col("o_orderdate") >= F.lit("1996-01-01"))
+                      & (F.col("o_orderdate") < F.lit("1998-01-01")))
+              .select("o_orderkey", "o_custkey", "o_orderdate"))
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount")
+    vol = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    joined = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+              .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+              .join(orders, li.l_orderkey == orders.o_orderkey)
+              .join(F.broadcast(am_cust),
+                    orders.o_custkey == am_cust.c_custkey))
+    yr = (joined
+          .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+          .agg(rnd(F.sum(F.when(F.col("supp_nation") == "NATION_3", vol)
+                         .otherwise(F.lit(0.0))), 4).alias("nation_volume"),
+               rnd(F.sum(vol), 4).alias("total_volume")))
+    return (yr.select("o_year", "nation_volume", "total_volume",
+                      rnd(F.col("nation_volume") / F.col("total_volume"), 6)
+                      .alias("mkt_share"))
+            .orderBy("o_year"))
+
+
+@register("tpch_q9_product_profit", oracle="""
+SELECT n.n_name AS nation,
+       CAST(extract(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+       (round(sum(round(l.l_extendedprice * (1 - l.l_discount)
+                        - 0.5 * p.p_retailprice * l.l_quantity, 4)), 4) + 0)
+         AS sum_profit
+FROM part p
+JOIN lineitem l ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE p.p_name LIKE '%red%'
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+""")
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped (product-type profit): profit per supplier
+    nation per year over name-matched parts.  The fixture has no
+    partsupp, so supply cost is proxied as half the part's retail
+    price x quantity — same join graph and measure shape
+    (fact x part x supplier x orders x nation), which is what Q9
+    exercises: a fact table joining TWO independent dimension chains
+    plus its order header.  part (name-filtered, broadcast) prunes
+    lineitem FIRST — at 100 TB the '%red%' part slice is what makes
+    the orders shuffle affordable; supplier/nation broadcast; the
+    only shuffles are lineitem->orders (orderkey) and the final
+    (nation, year) aggregation."""
+    part = (_t(spark, sf_dir, "part")
+            .filter(F.col("p_name").like("%red%"))
+            .select("p_partkey", "p_retailprice"))
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    profit = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.5) * F.col("p_retailprice") * F.col("l_quantity"), 4)
+    return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+            .join(F.broadcast(nation),
+                  supp.s_nationkey == nation.n_nationkey)
+            .join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy(F.col("n_name").alias("nation"),
+                     F.year("o_orderdate").cast("long").alias("o_year"))
+            .agg(rnd(F.sum(profit), 4).alias("sum_profit"))
+            .orderBy("nation", F.col("o_year").desc()))
+
+
+@register("tpch_q10_returned_items", oracle="""
+SELECT c.c_custkey, c.c_name,
+       (round(sum(round(l.l_extendedprice * (1 - l.l_discount), 4)), 4) + 0)
+         AS revenue,
+       (round(c.c_acctbal, 2) + 0) AS c_acctbal, n.n_name
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+""")
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped (returned-item reporting): revenue lost to
+    returns per customer in one quarter, top-20.  Returnflag and the
+    date window prune both facts at their scans; customer x nation
+    pre-joins broadcast-side; lineitem->orders shuffles on orderkey,
+    then one aggregation shuffle on the customer grain; top-20 is
+    TakeOrderedAndProject.  The grouping carries the customer
+    attributes (name, acctbal, nation) through the aggregation — at
+    100 TB that widens the shuffle rows but saves a second join back
+    to customer, the right trade while the customer grain stays far
+    under the fact grain."""
+    cust = (_t(spark, sf_dir, "customer")
+            .select("c_custkey", "c_name", "c_acctbal", "c_nationkey"))
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cust_n = (cust.join(F.broadcast(nation),
+                        cust.c_nationkey == nation.n_nationkey)
+              .select("c_custkey", "c_name", "c_acctbal", "n_name"))
+    orders = (_t(spark, sf_dir, "orders")
+              .filter((F.col("o_orderdate") >= F.lit("1996-10-01"))
+                      & (F.col("o_orderdate") < F.lit("1997-01-01")))
+              .select("o_orderkey", "o_custkey"))
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter(F.col("l_returnflag") == "R")
+          .select("l_orderkey", "l_extendedprice", "l_discount"))
+    disc = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust_n),
+                  orders.o_custkey == cust_n.c_custkey)
+            .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+            .agg(rnd(F.sum(disc), 4).alias("revenue"))
+            .select("c_custkey", "c_name", "revenue",
+                    rnd(F.col("c_acctbal"), 2).alias("c_acctbal"), "n_name")
+            .orderBy(F.col("revenue").desc(), "c_custkey").limit(20))
+
+
+@register("tpch_q11_important_stock", oracle="""
+WITH supply AS (
+  SELECT l.l_partkey, round(l.l_extendedprice * (1 - l.l_discount), 4) AS val
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE n.n_name = 'NATION_7'
+), parts AS (
+  SELECT l_partkey AS p_partkey, (round(sum(val), 4) + 0) AS value
+  FROM supply GROUP BY l_partkey
+), tot AS (SELECT (round(sum(val), 4) + 0) AS total FROM supply)
+SELECT p.p_partkey, p.value
+FROM parts p CROSS JOIN tot t
+WHERE p.value > t.total * 0.001
+ORDER BY p.value DESC, p.p_partkey
+""")
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shaped (important stock): parts whose supply value
+    from one nation's suppliers exceeds a fraction of that nation's
+    total.  The fixture has no partsupp, so supply value is the
+    nation's shipped lineitem value per part — same decorrelation
+    shape: the HAVING-over-global-scalar becomes a 1-row broadcast
+    cross join against the per-part aggregate.  The per-part agg and
+    the global total are computed from the SAME nation-filtered slice
+    (one semi-broadcast prune of lineitem, one partkey shuffle); the
+    total is a partial-agg scalar.  Same rounding-boundary note as Q2
+    on the fraction comparison."""
+    nation = (_t(spark, sf_dir, "nation")
+              .filter(F.col("n_name") == "NATION_7")
+              .select("n_nationkey"))
+    supp = (_t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+            .join(F.broadcast(nation),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey"))
+    li = (_t(spark, sf_dir, "lineitem")
+          .select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+          .join(F.broadcast(supp),
+                F.col("l_suppkey") == F.col("s_suppkey"), "left_semi"))
+    val = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    supply = li.select("l_partkey", val.alias("val"))
+    parts = (supply.groupBy("l_partkey")
+             .agg(rnd(F.sum("val"), 4).alias("value"))
+             .withColumnRenamed("l_partkey", "p_partkey"))
+    tot = supply.agg(rnd(F.sum("val"), 4).alias("total"))
+    return (parts.crossJoin(F.broadcast(tot))
+            .filter(F.col("value") > F.col("total") * 0.001)
+            .select("p_partkey", "value")
+            .orderBy(F.col("value").desc(), "p_partkey"))
+
+
+@register("tpch_q12_shipping_priority_class", oracle="""
+SELECT l.l_linestatus AS ship_class,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY ship_class ORDER BY ship_class
+""")
+def tpch_q12_shipping_priority_class(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shaped (shipping mode vs priority): priority-class
+    counts among late-shipped lines, bucketed by linestatus (the
+    fixture's stand-in for shipmode).  The lateness predicate compares
+    columns from BOTH sides (l_shipdate vs o_orderdate + 90d), so it
+    evaluates as a join residual — the date-window half pushes to the
+    lineitem scan, the cross-table half cannot, exactly Q12's shape.
+    One orderkey shuffle, then a 2-group aggregation with conditional
+    sums (single pass, no pivot)."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority")
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= F.lit("1996-01-01"))
+                  & (F.col("l_shipdate") < F.lit("1997-01-01")))
+          .select("l_orderkey", "l_shipdate", "l_linestatus"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .filter(F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+            .groupBy(F.col("l_linestatus").alias("ship_class"))
+            .agg(F.sum(F.when(high, 1).otherwise(0)).cast("long")
+                 .alias("high_line_count"),
+                 F.sum(F.when(~high, 1).otherwise(0)).cast("long")
+                 .alias("low_line_count"))
+            .orderBy("ship_class"))
+
+
+@register("tpch_q13_customer_distribution", oracle="""
+WITH c_orders AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT OUTER JOIN orders o
+    ON c.c_custkey = o.o_custkey
+   AND o.o_orderpriority <> '4-NOT SPECIFIED'
+  GROUP BY c.c_custkey
+)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM c_orders GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""")
+def tpch_q13_customer_distribution(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped (customer order-count distribution): histogram
+    of per-customer order counts, keeping zero-order customers via the
+    LEFT OUTER join (the priority exclusion stands in for the comment
+    filter — a predicate on the NULLABLE side, which must live in the
+    join condition, not a WHERE, to preserve unmatched customers).
+    Two aggregations: custkey grain (reuses the join's custkey
+    exchange), then the tiny count-of-counts.  At 100 TB the first
+    agg's key is the customer grain — bounded, uniform; the second is
+    dozens of rows."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = (_t(spark, sf_dir, "orders")
+              .filter(F.col("o_orderpriority") != "4-NOT SPECIFIED")
+              .select("o_orderkey", "o_custkey"))
+    c_orders = (cust.join(orders,
+                          cust.c_custkey == orders.o_custkey, "left")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return (c_orders.groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist"))
+            .orderBy(F.col("custdist").desc(), F.col("c_count").desc()))
+
+
+@register("tpch_q20_part_promotion", oracle="""
+WITH shipped AS (
+  SELECT l_suppkey, l_partkey, (round(sum(l_quantity), 2) + 0) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY l_suppkey, l_partkey
+), small_parts AS (
+  SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+), heavy AS (
+  SELECT DISTINCT sh.l_suppkey
+  FROM shipped sh JOIN small_parts sp ON sp.p_partkey = sh.l_partkey
+  WHERE sh.qty > 40
+)
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+JOIN heavy h ON h.l_suppkey = s.s_suppkey
+WHERE s.s_nationkey IN
+      (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_3')
+ORDER BY s.s_suppkey
+""")
+def tpch_q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shaped (potential part promotion): suppliers in one
+    nation who moved real volume (>40 units in the year) of any
+    name-matched part.  The fixture has no partsupp, so availability
+    is the shipped-quantity aggregate — preserving Q20's doubly nested
+    IN shape: supplier IN {suppliers of {matching parts} over
+    threshold}.  Decorrelated bottom-up: (supp, part) quantity agg
+    (one lineitem shuffle), semi join to the broadcast name-matched
+    part slice, distinct to supplier keys, then a broadcast semi join
+    into the nation-filtered supplier dim.  Every membership test is a
+    semi join — no EXISTS re-scan, no duplicate inflation."""
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= F.lit("1996-01-01"))
+                  & (F.col("l_shipdate") < F.lit("1997-01-01")))
+          .select("l_suppkey", "l_partkey", "l_quantity"))
+    shipped = (li.groupBy("l_suppkey", "l_partkey")
+               .agg(rnd(F.sum("l_quantity"), 2).alias("qty")))
+    small_parts = (_t(spark, sf_dir, "part")
+                   .filter(F.col("p_name").like("small%"))
+                   .select("p_partkey"))
+    heavy = (shipped.filter(F.col("qty") > 40)
+             .join(F.broadcast(small_parts),
+                   F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+             .select("l_suppkey").distinct())
+    nation = (_t(spark, sf_dir, "nation")
+              .filter(F.col("n_name") == "NATION_3")
+              .select("n_nationkey"))
+    supp = (_t(spark, sf_dir, "supplier")
+            .join(F.broadcast(nation),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", "s_name"))
+    return (supp.join(F.broadcast(heavy),
+                      F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+            .select("s_suppkey", "s_name")
+            .orderBy("s_suppkey"))
+
+
 # =========================================================================
 # Skew & scale patterns: the explicit two-phase / salted forms
 # =========================================================================

@@ -123,6 +123,41 @@ SHOW = [
      "ADC serving path is expression-only (distance table folded in "
      "as a literal, m lookups+adds per row), zero exchanges, "
      "TakeOrderedAndProject top-k."),
+    ("ann_ivfpq_topk",
+     "IVF x PQ composition: broadcast probe list prunes cells before "
+     "the ADC scan (partition pruning once codes are stored "
+     "partitionBy(cell)); exact re-rank joins the 50-row shortlist "
+     "back by broadcast — (nprobe/nlist) x (1/64) of the bytes."),
+    ("tpch_q6_forecast_revenue",
+     "Pure scan-filter-aggregate: every predicate in PushedFilters, "
+     "map-side partial sum, zero joins and zero keyed shuffles."),
+    ("tpch_q7_volume_shipping",
+     "Nation-pair volume: both nation slices pre-join broadcast-side "
+     "before touching facts; the disjunctive pair condition is a "
+     "post-join residual; one orderkey shuffle."),
+    ("tpch_q8_market_share",
+     "Eight-way join where every dimension chain is a broadcast build "
+     "side; lineitem shuffles once (vs date-filtered orders); share "
+     "divides two grid-rounded sums from ONE conditional aggregation."),
+    ("tpch_q9_product_profit",
+     "Fact x two dimension chains + order header: name-filtered part "
+     "broadcast prunes lineitem first; supplier/nation broadcast; "
+     "shuffles are lineitem->orders and the (nation, year) agg."),
+    ("tpch_q11_important_stock",
+     "HAVING-over-global-scalar decorrelated: per-part agg and 1-row "
+     "total from the same nation-pruned slice; total returns as a "
+     "broadcast cross join."),
+    ("tpch_q12_shipping_priority_class",
+     "Cross-table lateness predicate as a join residual (scan-side "
+     "date window pushed down); conditional sums in one pass."),
+    ("tpch_q13_customer_distribution",
+     "LEFT OUTER with the filter inside the join condition (nullable "
+     "side) to keep zero-order customers; custkey agg reuses the join "
+     "exchange; count-of-counts is dozens of rows."),
+    ("tpch_q20_part_promotion",
+     "Doubly nested IN decorrelated bottom-up: (supp,part) agg, semi "
+     "join to broadcast part slice, distinct, broadcast semi into the "
+     "nation-filtered supplier dim — membership only, no re-scans."),
 ]
 
 
