@@ -41,7 +41,7 @@ from .operators import lsh as lsh_ops
 from .operators import pq as pq_ops
 from .operators import similarity as sim_ops
 from .operators import topk as topk_ops
-from .sources import readers, sinks, state
+from .sources import layout, readers, sinks, state
 from .streaming import stream as streaming_ops
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -279,6 +279,44 @@ def sink_upsert_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = b1.unionByName(b2)
     return dedup_ops.dedup_last_wins(merged, "vec_id", "batch") \
         .select("vec_id", "label", "batch")
+
+
+@register("zorder_clustered_scan", oracle="""
+SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       (round(l_extendedprice, 2) + 0) AS price
+FROM lineitem
+WHERE l_partkey BETWEEN 100 AND 140 AND l_suppkey BETWEEN 10 AND 20
+""")
+def zorder_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered layout, end to end: write lineitem clustered
+    by the bit-interleave of (l_partkey, l_suppkey) — bucketized to
+    the 2^11 key space per the layout contract — then answer a
+    conjunctive two-column range query FROM THE CLUSTERED COPY.  The
+    oracle runs the same query on the raw table: identical values
+    prove the layout is a pure row-order permutation (lossless), while
+    tests/test_zorder.py proves the row-group min/max stats the
+    re-order creates actually prune (a Z-range covers a small square
+    of the key space, so BOTH columns' filters skip row groups — the
+    Delta/Iceberg Z-ORDER trick from Spark primitives: pure-Column
+    interleave + repartitionByRange + sortWithinPartitions).  At
+    100 TB this is table maintenance: cluster once, every multi-key
+    point/range scan after that reads a few row groups instead of the
+    table."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        "l_extendedprice")
+    out = os.path.join(tempfile.mkdtemp(prefix="zorder_"), "lineitem_z")
+    layout.write_zordered(
+        li, out,
+        [F.pmod(F.col("l_partkey"), F.lit(2048)),
+         F.pmod(F.col("l_suppkey"), F.lit(2048))],
+        bits=11, target_partitions=8)
+    clustered = spark.read.parquet(out)
+    return (clustered
+            .filter(F.col("l_partkey").between(100, 140)
+                    & F.col("l_suppkey").between(10, 20))
+            .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+                    rnd(F.col("l_extendedprice"), 2).alias("price")))
 
 
 @register("watermark_read", oracle=f"""
@@ -4030,8 +4068,10 @@ FROM spend
 def percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution ranks over customer spend (percent_rank /
     cume_dist) — unique (total, custkey) ordering makes both exact and
-    deterministic.  Same global-sort caveat and same sketch-based scale
-    path as ntile."""
+    deterministic.  PARITY FORM: the global ORDER BY window is a
+    single-partition sort at scale; percent_rank_scan is the
+    scale-safe twin (same oracle, same values, bucketed two-level
+    rank), as spend_quartile_scan is for ntile."""
     orders = _t(spark, sf_dir, "orders")
     spend = orders.groupBy("o_custkey").agg(
         rnd(F.sum("o_totalprice"), 2).alias("total"))
@@ -4040,6 +4080,69 @@ def percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey", "total",
         rnd(F.percent_rank().over(w), 6).alias("pct_rank"),
         rnd(F.cume_dist().over(w), 6).alias("cume"))
+
+
+@register("percent_rank_scan", oracle=f"""
+WITH spend AS ({_CUST_SPEND_SQL})
+SELECT o_custkey, total,
+       (round(percent_rank() OVER (ORDER BY total, o_custkey), 6) + 0)
+         AS pct_rank,
+       (round(cume_dist() OVER (ORDER BY total, o_custkey), 6) + 0)
+         AS cume
+FROM spend
+""")
+def percent_rank_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist WITHOUT the global window — the 100 TB
+    twin of percent_rank_cume_dist (same oracle, same values), via
+    two-level distributed rank:
+
+    1. 31 exact-percentile cutpoints over `total` (one aggregation,
+       broadcast back as a 1-row build side — spend_quartile_scan's
+       pattern);
+    2. scan-riding bucket assignment (count of cutpoints below);
+    3. per-bucket counts -> prefix offsets via a broadcast theta-join
+       over the <=32-row bucket relation (no window at all);
+    4. within-bucket row_number over a PARTITIONED window
+       (Window.partitionBy(bucket)) — global rank = offset +
+       local rank, exact because buckets are value ranges, so
+       bucket order extends total order.
+
+    Every stage is either scan-riding, a partitioned window, or
+    dimension-sized broadcast; the WindowExec-no-partition hazard the
+    parity form carries (contract.percent_rank_cume_dist) never
+    appears.  The unique (total, o_custkey) ordering key makes
+    percent_rank = (rank-1)/(n-1) and cume_dist = rank/n exact."""
+    orders = _t(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        rnd(F.sum("o_totalprice"), 2).alias("total"))
+    nbuckets = 32
+    qs = ",".join(str(i / nbuckets) for i in range(1, nbuckets))
+    cuts = spend.agg(F.expr(f"percentile(total, array({qs}))").alias("cs"))
+    bucket = (F.lit(1) + F.aggregate(
+        "cs", F.lit(0),
+        lambda acc, c: acc + (F.col("total") > c).cast("int")))
+    b_spend = (spend.crossJoin(F.broadcast(cuts))
+               .withColumn("bucket", bucket).drop("cs"))
+    counts = b_spend.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    a, b = counts.alias("a"), counts.alias("b")
+    offsets = (a.join(F.broadcast(b),
+                      F.col("b.bucket") < F.col("a.bucket"), "left")
+               .groupBy(F.col("a.bucket").alias("bucket"))
+               .agg(F.coalesce(F.sum("b.cnt"), F.lit(0)).alias("offset")))
+    w = Window.partitionBy("bucket").orderBy("total", "o_custkey")
+    # n from the bucket counts, not a fourth pass over the spend agg
+    # (at 100 TB you'd persist `spend` — it's customer-grain — and let
+    # exchange reuse collapse the remaining shared subtrees)
+    nrow = counts.agg(F.sum("cnt").alias("n"))
+    ranked = (b_spend.join(F.broadcast(offsets), "bucket")
+              .withColumn("rank", F.col("offset") + F.row_number().over(w))
+              .crossJoin(F.broadcast(nrow)))
+    pct = F.when(F.col("n") == 1, F.lit(0.0)).otherwise(
+        (F.col("rank") - 1) / (F.col("n") - 1))
+    return ranked.select(
+        "o_custkey", "total",
+        rnd(pct, 6).alias("pct_rank"),
+        rnd(F.col("rank") / F.col("n"), 6).alias("cume"))
 
 
 @register("corr_stats_events", oracle="""

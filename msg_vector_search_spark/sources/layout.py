@@ -58,10 +58,12 @@ def zorder_key(cols: list[Column | str], bits: int = 16) -> Column:
                             terms).alias("_zkey")
 
 
-def write_zordered(df: DataFrame, path: str, cols: list[str],
+def write_zordered(df: DataFrame, path: str, cols: list[Column | str],
                    bits: int = 16, target_partitions: int | None = None,
                    mode: str = "overwrite") -> None:
-    """Write *df* as parquet clustered by the Z-order of *cols*.
+    """Write *df* as parquet clustered by the Z-order of *cols* (names
+    or Column expressions — pass ``pmod(col, 2**bits)`` style bucket
+    expressions for unbounded domains, per the zorder_key contract).
 
     ``repartitionByRange`` samples the Z-value distribution so every
     output file holds a contiguous, similarly-sized Z-range (skew in
@@ -70,7 +72,7 @@ def write_zordered(df: DataFrame, path: str, cols: list[str],
     well.  The Z-key is dropped before writing — the layout is carried
     by row order, not a stored column.
     """
-    zkey = zorder_key([F.col(c) for c in cols], bits)
+    zkey = zorder_key(cols, bits)
     clustered = df.withColumn("_zkey", zkey)
     n = target_partitions or df.sparkSession.sparkContext.defaultParallelism
     (clustered.repartitionByRange(n, "_zkey")

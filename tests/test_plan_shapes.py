@@ -162,6 +162,34 @@ def test_twophase_distinct_pair_shuffle_precedes_key_count(spark):
                if "Exchange hashpartitioning(event_type" in ln)
 
 
+def test_percent_rank_scan_windows_all_partitioned(spark):
+    """The scale-safe percent_rank twin must never plan a
+    WindowExec-without-partition: its one window is bucket-partitioned
+    (the hazard form percent_rank_cume_dist plans Window over
+    Exchange SinglePartition by design — that's the documented
+    parity-form pair)."""
+    import re
+
+    df = contract.REGISTRY["percent_rank_scan"](spark, SF)
+    plan = plan_of(df)
+    win_lines = [ln for ln in plan.splitlines() if "Window [" in ln]
+    assert win_lines, "expected a windowed rank stage"
+    for ln in win_lines:
+        assert re.search(r"\], \[bucket#\d+\], \[", ln), ln
+    # no percent_rank/cume_dist window function anywhere — both are
+    # computed arithmetically from the distributed rank
+    assert "percent_rank(" not in plan
+    assert "cume_dist(" not in plan
+
+
+def test_zorder_scan_filters_pushed(spark):
+    df = contract.REGISTRY["zorder_clustered_scan"](spark, SF)
+    plan = plan_of(df)
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    # both range predicates reach the clustered copy's parquet scan
+    assert "l_partkey" in pushed and "l_suppkey" in pushed
+
+
 def test_salted_join_key_carries_salt(spark):
     # the join condition must include the salt column — placement
     # control survives even when Catalyst picks broadcast locally

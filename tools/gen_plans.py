@@ -158,6 +158,17 @@ SHOW = [
      "Doubly nested IN decorrelated bottom-up: (supp,part) agg, semi "
      "join to broadcast part slice, distinct, broadcast semi into the "
      "nation-filtered supplier dim — membership only, no re-scans."),
+    ("percent_rank_scan",
+     "Distributed percent_rank/cume_dist — the scale-safe twin of the "
+     "percent_rank_cume_dist parity form (hazard pair, same oracle): "
+     "broadcast percentile cutpoints, scan-side bucket assignment, "
+     "offsets via a 32-row broadcast theta-join, within-bucket rank "
+     "over a PARTITIONED window. No WindowExec-without-partition "
+     "anywhere; ntile's pair is spend_quartile_scan."),
+    ("zorder_clustered_scan",
+     "Z-order clustered copy + two-column range scan: pure-Column bit "
+     "interleave, repartitionByRange write, both filters prune row "
+     "groups on the clustered layout (stats proof in test_zorder)."),
 ]
 
 
