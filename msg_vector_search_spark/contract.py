@@ -38,6 +38,7 @@ from .operators import enrich as enrich_ops
 from .operators import filters as filter_ops
 from .operators import ivf as ivf_ops
 from .operators import lsh as lsh_ops
+from .operators import packing as packing_ops
 from .operators import pq as pq_ops
 from .operators import similarity as sim_ops
 from .operators import topk as topk_ops
@@ -964,6 +965,27 @@ def sort_ts_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = topk_ops.page_by_ts(events, "ts", page=3, page_size=50,
                               tiebreak="event_id")
     return out.select("event_id", "ts", F.col("rn").cast("int").alias("rn"))
+
+
+@register("keyset_pagination", oracle="""
+SELECT event_id, ts, user_id, event_type
+FROM events
+WHERE ts > TIMESTAMP '2024-01-15 00:00:00'
+   OR (ts = TIMESTAMP '2024-01-15 00:00:00' AND event_id > 5000)
+ORDER BY ts, event_id LIMIT 50
+""")
+def keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 scale twin (hazard pair with sort_ts_pagination): keyset /
+    seek pagination from a (ts, event_id) cursor.  The cursor
+    predicate pushes to the parquet scan (ts >= cursor prunes row
+    groups) and the page is TakeOrderedAndProject — page depth is
+    free, unlike OFFSET, which re-counts the prefix every page.  What
+    the reference's LIMIT/OFFSET loop (processor.py:423-437) becomes
+    at 100 TB."""
+    events = _t(spark, sf_dir, "events")
+    return (topk_ops.keyset_page(events, "ts", "2024-01-15 00:00:00",
+                                 5000, page_size=50, tiebreak="event_id")
+            .select("event_id", "ts", "user_id", "event_type"))
 
 
 @register("kth_ts_offset", oracle="""
@@ -3387,6 +3409,79 @@ def shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
                         (h % 8).cast("long").alias("shard"))
             .withColumn("pos", F.row_number().over(w))
             .select("doc_id", "shard", "pos"))
+
+
+_PACK_INPUT_SQL = f"""
+  SELECT doc_id,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END
+           AS BIGINT) AS n_tok,
+         CAST({analysis.duck_token_hash("CAST(doc_id AS VARCHAR)")} % 16
+           AS BIGINT) AS shard
+  FROM documents
+"""
+
+
+def _pack_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        analysis.whitespace_token_count(F.col("text")).cast("long")
+        .alias("n_tok"),
+        (analysis.token_hash(F.col("doc_id").cast("string")) % 16)
+        .cast("long").alias("shard"))
+
+
+@register("pack_sequences_budget", oracle=f"""
+WITH t AS ({_PACK_INPUT_SQL})
+SELECT doc_id, shard, n_tok,
+       CAST(floor((sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tok) / 512.0) AS BIGINT) AS pack_id
+FROM t
+""")
+def pack_sequences_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing, scan-riding form: concatenate each shard's
+    documents (hash-sharded, id-ordered) into 512-token training
+    sequences via pack_id = floor(exclusive-prefix-tokens / budget) —
+    a pure partitioned-window cumsum, one shard-key shuffle, no
+    Python.  A document may straddle a pack boundary (GPT-style
+    stream packing slices the token stream anyway); pack_greedy is
+    the never-split twin.  The reference serves search, not training
+    batches — this is the extension surface's dataloader leg."""
+    return packing_ops.pack_sequential(
+        _pack_input(spark, sf_dir), 512, "shard", "doc_id", "n_tok")
+
+
+@register("pack_sequences_greedy", oracle=f"""
+WITH RECURSIVE t AS (
+  SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+  FROM ({_PACK_INPUT_SQL})
+), rec AS (
+  SELECT shard, rn, doc_id, n_tok, n_tok AS run,
+         CAST(0 AS BIGINT) AS pack_id
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.shard, t.rn, t.doc_id, t.n_tok,
+         CASE WHEN rec.run + t.n_tok > 512 THEN t.n_tok
+              ELSE rec.run + t.n_tok END,
+         CASE WHEN rec.run + t.n_tok > 512 THEN rec.pack_id + 1
+              ELSE rec.pack_id END
+  FROM rec JOIN t ON t.shard = rec.shard AND t.rn = rec.rn + 1
+)
+SELECT doc_id, n_tok, shard, pack_id FROM rec
+""")
+def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing, exact dataloader semantics: documents never
+    split; a new 512-token pack starts when the next document would
+    overflow (oversized documents pack alone).  The reset recurrence
+    is order-sequential per shard, so it runs as ONE applyInPandas
+    pass per shard — the shard is the parallel grain, O(1) state per
+    task.  The DuckDB oracle replays the same recurrence as a
+    recursive CTE, so the driver value-checks a genuinely stateful
+    non-window computation end-to-end."""
+    return packing_ops.pack_greedy(
+        _pack_input(spark, sf_dir), 512, "shard", "doc_id", "n_tok")
 
 
 @register("text_pii_scrub", oracle=f"""

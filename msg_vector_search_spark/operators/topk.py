@@ -31,6 +31,28 @@ def page_by_ts(df: DataFrame, ts_col: str, page: int, page_size: int,
             .filter(F.col("rn") > lo))
 
 
+def keyset_page(df: DataFrame, ts_col: str, after_ts, after_id,
+                page_size: int, tiebreak: str) -> DataFrame:
+    """Keyset (seek) pagination — the scale form of :func:`page_by_ts`:
+    resume from the last row the client saw via a (ts, id) cursor
+    predicate instead of counting OFFSET rows.
+
+    The tuple-seek condition ``ts > cur_ts OR (ts = cur_ts AND id >
+    cur_id)`` pushes to the parquet scan (the ``ts >= cur_ts``
+    relaxation prunes row groups; the residual finishes the tuple
+    compare), and the page itself is TakeOrderedAndProject — so page
+    depth costs NOTHING: page 1 and page 10^6 read the same few row
+    groups past the cursor.  page_by_ts's bounded-prefix row_number
+    stays registered as the OFFSET-parity form; this is what a 100 TB
+    deployment actually serves."""
+    cur = (F.col(ts_col) > F.lit(after_ts)) | (
+        (F.col(ts_col) == F.lit(after_ts))
+        & (F.col(tiebreak) > F.lit(after_id)))
+    return (df.filter((F.col(ts_col) >= F.lit(after_ts)) & cur)
+            .orderBy(F.col(ts_col), F.col(tiebreak))
+            .limit(page_size))
+
+
 def kth_most_recent_ts(df: DataFrame, ts_col: str, k: int,
                        tiebreak: str) -> DataFrame:
     """F3 ``kth_ts_offset``: timestamp of the k-th most recent row — the

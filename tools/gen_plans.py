@@ -169,6 +169,15 @@ SHOW = [
      "Z-order clustered copy + two-column range scan: pure-Column bit "
      "interleave, repartitionByRange write, both filters prune row "
      "groups on the clustered layout (stats proof in test_zorder)."),
+    ("keyset_pagination",
+     "Keyset (seek) pagination — the scale twin of sort_ts_pagination "
+     "(hazard pair): the (ts, id) cursor predicate reaches "
+     "PushedFilters and the page is TakeOrderedAndProject; page depth "
+     "is free, unlike OFFSET."),
+    ("pack_sequences_greedy",
+     "Exact greedy sequence packing: one FlatMapGroupsInPandas pass "
+     "per shard (the parallel grain), O(1) state per task; the "
+     "scan-riding floor-cumsum twin is pack_sequences_budget."),
 ]
 
 
