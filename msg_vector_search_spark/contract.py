@@ -42,7 +42,7 @@ from .operators import packing as packing_ops
 from .operators import pq as pq_ops
 from .operators import similarity as sim_ops
 from .operators import topk as topk_ops
-from .sources import layout, readers, sinks, state
+from .sources import bucketed, layout, readers, sinks, state
 from .streaming import stream as streaming_ops
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -280,6 +280,45 @@ def sink_upsert_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = b1.unionByName(b2)
     return dedup_ops.dedup_last_wins(merged, "vec_id", "batch") \
         .select("vec_id", "label", "batch")
+
+
+@register("bucketed_colocated_join", oracle="""
+SELECT o.o_orderstatus,
+       (round(sum(round(l.l_extendedprice * (1 - l.l_discount), 4)), 4) + 0)
+         AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus
+""")
+def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed fact-to-fact join: both tables land bucketBy(8, key) on
+    their join keys, so the sort-merge join plans with ZERO exchange on
+    either input — the write paid the shuffle once, every later join
+    reads co-located, bucket-sorted files (tests/test_plan_shapes.py
+    pins the no-exchange property).  The third join strategy next to
+    broadcast (dims) and shuffle (ad hoc): at 100 TB this is the only
+    affordable shape for a RECURRING lineitem x orders join, which
+    would otherwise re-shuffle the fact tables every run.  The oracle
+    is the plain join — bucketing changes placement, never values."""
+    import re as _re
+
+    tag = _re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.strip("/"))
+    t_orders, t_li = f"bkt_orders_{tag}", f"bkt_lineitem_{tag}"
+    bucketed.write_bucketed(
+        _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus"),
+        t_orders, "o_orderkey", 8)
+    bucketed.write_bucketed(
+        _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"),
+        t_li, "l_orderkey", 8)
+    o = bucketed.read_table(spark, t_orders)
+    li = bucketed.read_table(spark, t_li)
+    disc = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    return (li.hint("merge").join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderstatus")
+            .agg(rnd(F.sum(disc), 4).alias("revenue"),
+                 F.count(F.lit(1)).alias("n_lines"))
+            .orderBy("o_orderstatus"))
 
 
 @register("zorder_clustered_scan", oracle="""

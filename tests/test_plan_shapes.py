@@ -190,6 +190,18 @@ def test_zorder_scan_filters_pushed(spark):
     assert "l_partkey" in pushed and "l_suppkey" in pushed
 
 
+def test_bucketed_join_has_no_pre_join_exchange(spark):
+    """Both sides bucketBy(8, join_key): the sort-merge join must read
+    co-located bucket files directly — any Exchange on a join key
+    means the write-time shuffle was wasted."""
+    df = contract.REGISTRY["bucketed_colocated_join"](spark, SF)
+    plan = plan_of(df)
+    assert "SortMergeJoin" in plan
+    assert plan.count("Bucketed: true") == 2
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan
+
+
 def test_salted_join_key_carries_salt(spark):
     # the join condition must include the salt column — placement
     # control survives even when Catalyst picks broadcast locally

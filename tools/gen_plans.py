@@ -178,6 +178,11 @@ SHOW = [
      "Exact greedy sequence packing: one FlatMapGroupsInPandas pass "
      "per shard (the parallel grain), O(1) state per task; the "
      "scan-riding floor-cumsum twin is pack_sequences_budget."),
+    ("bucketed_colocated_join",
+     "Bucketed fact-to-fact join: bucketBy(8, key) on both sides -> "
+     "SortMergeJoin over Bucketed: true scans with ZERO pre-join "
+     "exchange — the write paid the shuffle once; the recurring-join "
+     "strategy next to broadcast (dims) and shuffle (ad hoc)."),
 ]
 
 
