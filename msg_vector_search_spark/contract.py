@@ -2281,6 +2281,46 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.dedup_exact(docs.unionByName(dups))
 
 
+@register("dedup_incremental_new_docs", oracle=f"""
+WITH fp AS (
+  SELECT doc_id, md5(array_to_string({_DUCK_TOKENS}, ' ')) AS fp
+  FROM documents
+), batch AS (
+  SELECT fp, min(doc_id) AS doc_id,
+         CAST(count(*) AS BIGINT) AS batch_dups
+  FROM fp GROUP BY fp
+)
+SELECT b.doc_id, b.fp, b.batch_dups
+FROM batch b
+WHERE NOT EXISTS (SELECT 1 FROM fp s
+                  WHERE s.doc_id % 2 = 0 AND s.fp = b.fp)
+""")
+def dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL corpus hygiene — the shape every recurring crawl
+    runs: a fingerprint STORE of previously admitted documents (here:
+    the even-id half, persisted to parquet in-query so the anti join
+    reads a real store, not lineage) filters a NEW batch down to
+    genuinely new documents.  Batch-internal dedup first (groupBy fp,
+    canonical = min id, map-side partials), then one LEFT ANTI join
+    against the store on the uniform fp key.  At 100 TB the store is
+    |corpus-to-date| fingerprints — 16 bytes/doc, bucketed by fp so
+    the nightly anti join is co-located; the batch side is one crawl,
+    orders of magnitude smaller.  The admission decision never
+    rescans admitted TEXT, only fingerprints."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    fp = docs.select("doc_id",
+                     analysis.fingerprint_md5("text").alias("fp"))
+    store_dir = os.path.join(tempfile.mkdtemp(prefix="fpstore_"), "fp")
+    (fp.filter(F.col("doc_id") % 2 == 0).select("fp").distinct()
+     .write.mode("overwrite").parquet(store_dir))
+    store = spark.read.parquet(store_dir)
+    batch = (fp.groupBy("fp")
+             .agg(F.min("doc_id").alias("doc_id"),
+                  F.count(F.lit(1)).alias("batch_dups")))
+    return (batch.join(store, "fp", "left_anti")
+            .select("doc_id", "fp", "batch_dups"))
+
+
 def _duck_shingles(n: int) -> str:
     """DuckDB twin of dedup.shingles: word n-grams with the short-doc
     fallback (1-indexed lists; range() is 0-based)."""
