@@ -42,11 +42,18 @@ SECTIONS = [
         "tpch_q16_supplier_part_counts", "tpch_q2_min_cost_supplier",
         "tpch_q4_order_priority", "tpch_q15_top_supplier",
         "tpch_q17_small_quantity_revenue",
+        "tpch_q6_forecast_revenue", "tpch_q7_volume_shipping",
+        "tpch_q8_market_share", "tpch_q9_product_profit",
+        "tpch_q10_returned_items", "tpch_q11_important_stock",
+        "tpch_q12_shipping_priority_class",
+        "tpch_q13_customer_distribution", "tpch_q20_part_promotion",
         "first_order_per_customer", "event_value_percentiles"]),
-    ("Skew & scale patterns", [
-        "distinct_users_twophase", "join_salted_skew"]),
+    ("Skew & scale patterns / physical layout", [
+        "distinct_users_twophase", "join_salted_skew",
+        "zorder_clustered_scan", "bucketed_colocated_join"]),
     ("Sorts / limits / top-k (2.F)", [
-        "topk_by_similarity", "sort_ts_pagination", "kth_ts_offset",
+        "topk_by_similarity", "sort_ts_pagination", "keyset_pagination",
+        "kth_ts_offset",
         "neighbor_limit1", "limit_candidates", "topk_per_group",
         "search_topk_enriched"]),
     ("Windows / sessions / streaming twins (2.G/2.H)", [
@@ -54,7 +61,7 @@ SECTIONS = [
         "rollup_order_status", "rollup_two_level_time",
         "rolling_1h_range_agg", "scd2_customer_status",
         "ntile_customer_quartiles", "percent_rank_cume_dist",
-        "spend_quartile_scan"]),
+        "spend_quartile_scan", "percent_rank_scan"]),
     ("Structured Streaming live (2.H)", [
         "streaming_tumbling_availablenow", "streaming_sessionize_stateful",
         "streaming_dedup_within_watermark", "streaming_upsert_store"]),
@@ -74,9 +81,11 @@ SECTIONS = [
         "dedup_lsh_star", "dedup_minhash_estimate",
         "dedup_embedding_cosine", "dedup_embedding_lsh",
         "dedup_repeated_chunks", "dedup_components",
-        "dedup_keep_canonical", "pipeline_clean_corpus"]),
+        "dedup_keep_canonical", "pipeline_clean_corpus",
+        "dedup_incremental_new_docs"]),
     ("Training-data pipeline: similarity / ANN", [
         "ann_ivf_topk", "ann_lsh_topk", "ann_pq_topk", "ann_pq_rerank",
+        "ann_pq_rerank_trained", "ann_ivfpq_topk",
         "sim_join_ivf",
         "sim_join_ivf_pandas", "sim_join_ivf_p2", "knn_join_pandas",
         "topk_quantized_int8", "topk_prenormalized",
@@ -90,6 +99,8 @@ SECTIONS = [
     ("Training-data pipeline: multimodal", [
         "multimodal_features", "multimodal_resize",
         "multimodal_frame_sample"]),
+    ("Training-data pipeline: sequence packing", [
+        "pack_sequences_budget", "pack_sequences_greedy"]),
 ]
 
 
@@ -132,11 +143,13 @@ def main() -> None:
         " covers both modes).",
         "- Incremental ingest pipeline: watermark state, clamp guards,"
         " backfill caps, idempotent upsert (`plans/ingest.py`).",
-        "- Physical layout: bucketed co-located joins (no exchange),"
-        " skew salting (`tests/test_layout_scale.py`); plan-shape"
-        " regressions (`tests/test_plan_shapes.py`); Z-order clustered"
-        " writes with row-group min/max tightening proven on parquet"
-        " stats (`sources/layout.py`, `tests/test_zorder.py`).",
+        "- Physical layout: bucketed co-located joins and Z-order"
+        " clustered writes are registry-visible since round 5"
+        " (`bucketed_colocated_join`, `zorder_clustered_scan`); the"
+        " row-group pruning and no-exchange proofs live in"
+        " `tests/test_zorder.py` / `tests/test_plan_shapes.py`;"
+        " upsert-store layouts and skew salting in"
+        " `tests/test_layout_scale.py`.",
         "- Freshness gate H3 trigger policy (`tests/test_freshness_gate.py`).",
         "",
     ]
