@@ -221,12 +221,16 @@ def ivfpq_search(assigned: DataFrame, centroids: DataFrame,
     """
     from . import ivf
 
-    codes = pq_encode(assigned, codebooks, id_col=id_col,
-                      vec_col=vec_col, keep_cols=("cell",))
     cells = ivf.probe_cells(centroids, qvec, nprobe)
-    cand = codes.join(F.broadcast(cells), "cell", "left_semi")
+    # prune BEFORE encoding: query-time encode touches only the probed
+    # cells' vectors (a materialized deployment skips this stage
+    # entirely — codes are precomputed and stored partitionBy(cell),
+    # making this semi join literal partition pruning)
+    cand = assigned.join(F.broadcast(cells), "cell", "left_semi")
+    codes = pq_encode(cand, codebooks, id_col=id_col,
+                      vec_col=vec_col, keep_cols=("cell",))
     table = adc_table(qvec, codebooks)
-    short = pq_search(cand, table, k=shortlist, id_col=id_col)
+    short = pq_search(codes, table, k=shortlist, id_col=id_col)
 
     from ..functions import vector as V
     q = F.array(*[F.lit(float(v)) for v in qvec])
