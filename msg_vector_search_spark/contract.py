@@ -3659,6 +3659,40 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_id", "media_type", "n_bytes")
 
 
+@register("multimodal_dedup_bytes", oracle="""
+WITH media AS (
+  SELECT doc_id AS media_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 500000 AS media_id, text
+  FROM documents WHERE doc_id % 7 = 0
+)
+SELECT md5(text) AS payload_md5, min(media_id) AS media_id,
+       CAST(count(*) AS BIGINT) AS dup_count
+FROM media GROUP BY payload_md5
+""")
+def multimodal_dedup_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-exact multimodal dedup: group opaque binary payloads by
+    content hash (md5 computed JVM-side on the binary column — no
+    decode, no Python), canonical = smallest id.  Every 7th payload is
+    re-injected under a new id and must collapse onto its original.
+    The first pass of any multimodal pipeline: at 100 TB the hash
+    rides the scan and the only shuffle carries (16-byte digest, id)
+    pairs, never payload bytes — identical shape to dedup_exact but on
+    raw media bytes instead of normalized text.  (Spark hashes the
+    BINARY column; DuckDB's md5 is VARCHAR-only, so the oracle hashes
+    the text whose UTF-8 encoding IS that byte stream.)"""
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(F.col("doc_id").alias("media_id"),
+                        F.encode("text", "UTF-8").alias("payload"))
+    dups = (docs.filter(F.col("doc_id") % 7 == 0)
+            .select((F.col("doc_id") + 500000).alias("media_id"),
+                    F.encode("text", "UTF-8").alias("payload")))
+    return (media.unionByName(dups)
+            .groupBy(F.md5("payload").alias("payload_md5"))
+            .agg(F.min("media_id").alias("media_id"),
+                 F.count(F.lit(1)).alias("dup_count")))
+
+
 @register("multimodal_resize", oracle="""
 SELECT doc_id AS media_id,
        CASE WHEN doc_id % 3 = 0 THEN 'image'

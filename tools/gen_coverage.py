@@ -98,7 +98,7 @@ SECTIONS = [
         "text_tfidf_topterms", "text_unigram_logprob"]),
     ("Training-data pipeline: multimodal", [
         "multimodal_features", "multimodal_resize",
-        "multimodal_frame_sample"]),
+        "multimodal_frame_sample", "multimodal_dedup_bytes"]),
     ("Training-data pipeline: sequence packing", [
         "pack_sequences_budget", "pack_sequences_greedy"]),
 ]
