@@ -3818,6 +3818,77 @@ def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("split"))
 
 
+@register("corpus_weighted_sample", oracle=f"""
+WITH stats AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         (round(avg(n_chars), 2) + 0) AS avg_chars
+  FROM documents GROUP BY source
+), wts AS (
+  SELECT source, n_docs,
+         (round(least(1.0, 150.0 / avg_chars), 6) + 0) AS keep_frac
+  FROM stats
+)
+SELECT d.doc_id, d.source, w.keep_frac
+FROM documents d JOIN wts w ON d.source = w.source
+WHERE {analysis.duck_token_hash("CAST(d.doc_id AS VARCHAR)")} % 1000000
+      < CAST(w.keep_frac * 1000000 AS BIGINT)
+""")
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture re-weighting — the sampling step that turns raw
+    source proportions into a training mixture: per-source statistics
+    (one aggregation; here a quality proxy — shorter-doc sources keep
+    more) become per-source keep fractions, and a document survives
+    iff its STABLE id-hash falls under its source's threshold.  Two
+    stages only: a dimension-sized stats aggregate broadcast back, and
+    a scan-riding hash filter — no rand() (reproducible across runs
+    and retries, the property a resumable 100 TB pipeline needs), no
+    per-source shuffles, and the realized sample converges to
+    keep_frac per source by hash uniformity."""
+    docs = _t(spark, sf_dir, "documents")
+    wts = (docs.groupBy("source")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                rnd(F.avg("n_chars"), 2).alias("avg_chars"))
+           .select("source",
+                   rnd(F.least(F.lit(1.0), F.lit(150.0)
+                               / F.col("avg_chars")), 6)
+                   .alias("keep_frac")))
+    h = analysis.token_hash(F.col("doc_id").cast("string")) % 1000000
+    return (docs.join(F.broadcast(wts), "source")
+            .filter(h < (F.col("keep_frac") * 1000000).cast("long"))
+            .select("doc_id", "source", "keep_frac"))
+
+
+@register("zscore_by_group", oracle="""
+WITH stats AS (
+  SELECT event_type,
+         (round(avg(value), 6) + 0) AS mu,
+         (round(stddev_samp(value), 6) + 0) AS sigma
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       (round((e.value - s.mu) / s.sigma, 4) + 0) AS z
+FROM events e JOIN stats s ON e.event_type = s.event_type
+WHERE s.sigma > 0
+""")
+def zscore_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise feature normalization (z-score within event_type):
+    the two-pass broadcast form — moments from ONE partial-aggregated
+    pass over the scan (never a per-row window: an unbounded
+    avg/stddev window would re-shuffle the fact table and serialize
+    hot groups), joined back as a dimension-sized build side so the
+    normalization itself rides the scan.  Moments are grid-rounded
+    before the division so both engines divide identical doubles."""
+    events = _t(spark, sf_dir, "events")
+    stats = (events.groupBy("event_type")
+             .agg(rnd(F.avg("value"), 6).alias("mu"),
+                  rnd(F.stddev_samp("value"), 6).alias("sigma")))
+    return (events.join(F.broadcast(stats), "event_type")
+            .filter(F.col("sigma") > 0)
+            .select("event_id", "event_type",
+                    rnd((F.col("value") - F.col("mu")) / F.col("sigma"), 4)
+                    .alias("z")))
+
+
 @register("text_chunking", oracle=f"""
 WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents),
 chunks AS (

@@ -95,7 +95,8 @@ SECTIONS = [
         "text_fingerprint", "text_repetition", "text_chunking",
         "train_test_split", "stratified_sample", "text_pii_scrub",
         "decontaminate_ngram", "shard_assignment",
-        "text_tfidf_topterms", "text_unigram_logprob"]),
+        "text_tfidf_topterms", "text_unigram_logprob",
+        "corpus_weighted_sample", "zscore_by_group"]),
     ("Training-data pipeline: multimodal", [
         "multimodal_features", "multimodal_resize",
         "multimodal_frame_sample", "multimodal_dedup_bytes"]),
