@@ -153,6 +153,42 @@ def test_ivfpq_matches_bruteforce_within_probed_cells(spark):
         == [(r["vec_id"], r["sim"]) for r in expect]
 
 
+def test_ivfpq_codes_store_prunes_partitions(spark, tmp_path):
+    """The materialized IVFPQ deployment: codes encoded once with the
+    cell key kept (keep_cols), stored partitionBy(cell); the probe's
+    cell filter must become literal PartitionFilters on the codes
+    store (64x-smaller files read at nprobe/nlist of the directory
+    tree), and ADC over the store must equal ADC over the in-memory
+    codes for the probed cells."""
+    from msg_vector_search_spark.operators import ivf
+
+    emb = _corpus(spark)
+    cent = ivf.seed_centroids(emb, 8)
+    assigned = ivf.assign_cells(emb, cent)
+    cb = pq.seed_codebooks(emb, m=8, ncodes=16)
+    codes = pq.pq_encode(assigned, cb, keep_cols=("cell",))
+
+    path = str(tmp_path / "pq_codes")
+    codes.write.mode("overwrite").partitionBy("cell").parquet(path)
+    store = spark.read.parquet(path)
+
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0)
+          .select("embedding").head()[0]]
+    table = pq.adc_table(qv, cb)
+    cells = [r["cell"] for r in ivf.probe_cells(cent, qv, 2).collect()]
+
+    pruned = store.filter(F.col("cell").isin(cells))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    part_filters = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "cell" in part_filters
+
+    mem = pq.pq_search(
+        codes.filter(F.col("cell").isin(cells)).drop("cell"), table, k=5)
+    disk = pq.pq_search(pruned.drop("cell"), table, k=5)
+    assert [tuple(r) for r in mem.collect()] \
+        == [tuple(r) for r in disk.collect()]
+
+
 def test_serving_path_plan_shape(spark):
     emb = _corpus(spark)
     cb = pq.seed_codebooks(emb, m=8, ncodes=16)
