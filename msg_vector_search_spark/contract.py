@@ -321,6 +321,24 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("o_orderstatus"))
 
 
+@register("ann_ivfpq_trained")  # rows-only BY DESIGN: MLlib k-means||
+# centroids + Lloyd's codebooks are seed-deterministic but not
+# dialect-reproducible in DuckDB; the seed-picked twin ann_ivfpq_topk
+# carries the full oracle for the same plan, and recall (0.54 seed /
+# 0.58 trained at nprobe=4) is published by tools/scaling_check.py.
+def ann_ivfpq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fully trained IVF x PQ serving path: MLlib k-means coarse
+    centroids + Lloyd's-trained codebooks through the same
+    prune -> ADC -> re-rank composition as ann_ivfpq_topk."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = ivf_ops.kmeans_centroids(emb, 16)
+    assigned = ivf_ops.assign_cells(emb, cent)
+    cb = pq_ops.kmeans_codebooks(emb, m=8, ncodes=16)
+    return pq_ops.ivfpq_search(assigned, cent, cb,
+                               _query_vec(spark, sf_dir),
+                               k=10, nprobe=4, shortlist=200)
+
+
 @register("zorder_clustered_scan", oracle="""
 SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
        (round(l_extendedprice, 2) + 0) AS price
@@ -3530,6 +3548,36 @@ def pack_sequences_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     batches — this is the extension surface's dataloader leg."""
     return packing_ops.pack_sequential(
         _pack_input(spark, sf_dir), 512, "shard", "doc_id", "n_tok")
+
+
+@register("pack_fill_stats", oracle=f"""
+WITH RECURSIVE t AS (
+  SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+  FROM ({_PACK_INPUT_SQL})
+), rec AS (
+  SELECT shard, rn, doc_id, n_tok, n_tok AS run,
+         CAST(0 AS BIGINT) AS pack_id
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.shard, t.rn, t.doc_id, t.n_tok,
+         CASE WHEN rec.run + t.n_tok > 512 THEN t.n_tok
+              ELSE rec.run + t.n_tok END,
+         CASE WHEN rec.run + t.n_tok > 512 THEN rec.pack_id + 1
+              ELSE rec.pack_id END
+  FROM rec JOIN t ON t.shard = rec.shard AND t.rn = rec.rn + 1
+)
+SELECT shard, pack_id, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS pack_tokens
+FROM rec GROUP BY shard, pack_id
+""")
+def pack_fill_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency audit over the greedy packs: docs and token
+    fill per pack — the number a dataloader publishes (padding waste =
+    1 - pack_tokens/budget).  One extra keyed aggregation on the
+    (shard, pack_id) grain riding the packing pass's shard exchange."""
+    packed = packing_ops.pack_greedy(
+        _pack_input(spark, sf_dir), 512, "shard", "doc_id", "n_tok")
+    return packing_ops.pack_stats(packed, "shard", "n_tok")
 
 
 @register("pack_sequences_greedy", oracle=f"""

@@ -85,7 +85,7 @@ SECTIONS = [
         "dedup_incremental_new_docs"]),
     ("Training-data pipeline: similarity / ANN", [
         "ann_ivf_topk", "ann_lsh_topk", "ann_pq_topk", "ann_pq_rerank",
-        "ann_pq_rerank_trained", "ann_ivfpq_topk",
+        "ann_pq_rerank_trained", "ann_ivfpq_topk", "ann_ivfpq_trained",
         "sim_join_ivf",
         "sim_join_ivf_pandas", "sim_join_ivf_p2", "knn_join_pandas",
         "topk_quantized_int8", "topk_prenormalized",
@@ -101,7 +101,8 @@ SECTIONS = [
         "multimodal_features", "multimodal_resize",
         "multimodal_frame_sample", "multimodal_dedup_bytes"]),
     ("Training-data pipeline: sequence packing", [
-        "pack_sequences_budget", "pack_sequences_greedy"]),
+        "pack_sequences_budget", "pack_sequences_greedy",
+        "pack_fill_stats"]),
 ]
 
 
