@@ -190,6 +190,31 @@ def test_zorder_scan_filters_pushed(spark):
     assert "l_partkey" in pushed and "l_suppkey" in pushed
 
 
+def test_q6_pure_scan_aggregate(spark):
+    """Q6 must stay joins-free with every predicate pushed: the only
+    exchange is the 1-row final-aggregate merge, never a keyed one."""
+    df = contract.REGISTRY["tpch_q6_forecast_revenue"](spark, SF)
+    plan = plan_of(df)
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "l_shipdate" in pushed
+    assert "l_discount" in pushed
+    assert "l_quantity" in pushed
+    assert "Join" not in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_keyset_page_pushes_cursor_and_bounds_topk(spark):
+    """The seek cursor's ts >= relaxation must reach the parquet scan
+    (row-group pruning past the cursor) and the page must plan as
+    TakeOrderedAndProject — page depth reads no prefix."""
+    df = contract.REGISTRY["keyset_pagination"](spark, SF)
+    plan = plan_of(df)
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "GreaterThanOrEqual(ts" in pushed
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
 def test_bucketed_join_has_no_pre_join_exchange(spark):
     """Both sides bucketBy(8, join_key): the sort-merge join must read
     co-located bucket files directly — any Exchange on a join key
