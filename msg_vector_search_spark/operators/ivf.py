@@ -72,10 +72,13 @@ def kmeans_centroids(embeddings: DataFrame, nlist: int,
 
 def assign_cells(embeddings: DataFrame, centroids: DataFrame,
                  id_col: str = "vec_id",
-                 vec_col: str = "embedding") -> DataFrame:
+                 vec_col: str = "embedding",
+                 keep_cols: tuple[str, ...] = ()) -> DataFrame:
     """Assign every vector to its nearest centroid by cosine (ties to
     the smallest centroid id).  Broadcast nested-loop against the tiny
-    centroid table — the corpus is never shuffled."""
+    centroid table — the corpus is never shuffled.  ``keep_cols`` pass
+    through (metadata the index stores next to each vector, e.g. the
+    filter columns of a hybrid filtered-ANN query)."""
     emb_n = embeddings.withColumn("_vn", V.norm(F.col(vec_col)))
     cent_n = centroids.withColumn("_cn", V.norm(F.col("centroid_vec")))
     nprod = F.col("_vn") * F.col("_cn")
@@ -88,7 +91,8 @@ def assign_cells(embeddings: DataFrame, centroids: DataFrame,
     return (
         scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .select(id_col, vec_col, F.col("centroid_id").alias("cell"))
+        .select(id_col, vec_col, *keep_cols,
+                F.col("centroid_id").alias("cell"))
     )
 
 

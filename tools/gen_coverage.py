@@ -84,7 +84,8 @@ SECTIONS = [
         "dedup_keep_canonical", "pipeline_clean_corpus",
         "dedup_incremental_new_docs"]),
     ("Training-data pipeline: similarity / ANN", [
-        "ann_ivf_topk", "ann_lsh_topk", "ann_pq_topk", "ann_pq_rerank",
+        "ann_ivf_topk", "ann_ivf_filtered", "ann_lsh_topk",
+        "ann_pq_topk", "ann_pq_rerank",
         "ann_pq_rerank_trained", "ann_ivfpq_topk", "ann_ivfpq_trained",
         "sim_join_ivf",
         "sim_join_ivf_pandas", "sim_join_ivf_p2", "knn_join_pandas",
