@@ -377,6 +377,26 @@ def zorder_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                     rnd(F.col("l_extendedprice"), 2).alias("price")))
 
 
+@register("sink_delete_keys", oracle="""
+SELECT vec_id, label FROM embeddings WHERE vec_id % 7 <> 0
+""")
+def sink_delete_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Erasure end-to-end (the GDPR path): build the keyed store, then
+    delete every 7th key and read the store back — the result must be
+    exactly the surviving rows.  The delete is the same
+    directory-pruned rewrite as the incremental upsert (anti join
+    instead of last-wins; emptied buckets removed), so its cost is
+    O(touched buckets + key list) regardless of store size.  With
+    upsert/read/rebucket/delete the store lifecycle is complete."""
+    store = os.path.join(tempfile.mkdtemp(prefix="delstore_"), "store")
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "label")
+    sinks.upsert_parquet(spark, emb.withColumn("_ord", F.lit(1)),
+                         store, key="vec_id", order_col="_ord")
+    doomed = emb.filter(F.col("vec_id") % 7 == 0).select("vec_id")
+    sinks.delete_keys(spark, store, "vec_id", doomed)
+    return sinks.read_store(spark, store).select("vec_id", "label")
+
+
 @register("watermark_read", oracle=f"""
 WITH bounds AS (SELECT min(ts) AS min_ts, max(ts) AS max_ts FROM events),
 cands AS (

@@ -280,6 +280,45 @@ def upsert_parquet(spark: SparkSession, incoming: DataFrame, path: str,
     shutil.rmtree(tmp)
 
 
+def delete_keys(spark: SparkSession, path: str, key: str,
+                keys: DataFrame) -> list:
+    """Erasure verb (the GDPR path): remove every row whose *key*
+    appears in *keys*, touching ONLY the buckets those keys map into —
+    the same directory-pruned rewrite as the incremental upsert, with
+    an anti join in place of last-wins.  A bucket left empty has its
+    directory removed (a swap-only loop would silently resurrect the
+    deleted rows).  Returns the touched bucket ids.
+
+    Scale: cost is O(touched buckets + key list), independent of store
+    size; the key list is dimension-sized (it arrives as a DataFrame
+    and is used as a broadcast anti-join build side, never collected).
+    """
+    meta = _read_layout(path)
+    if meta is None:
+        raise ValueError(f"no layout metadata at {path}; not a store")
+    keyed = (keys.select(key).filter(F.col(key).isNotNull()).distinct()
+             .withColumn(BUCKET_COL, _bucket_expr(key, meta)))
+    touched = sorted(
+        r[0] for r in keyed.select(BUCKET_COL).distinct().collect())
+    if not touched:
+        return []
+    current = spark.read.parquet(path).filter(
+        F.col(BUCKET_COL).isin(touched))  # directory-level pruning
+    kept = current.join(F.broadcast(keyed.select(key)), key, "left_anti")
+    tmp = path + "._staged"
+    kept.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp)
+    for b in touched:
+        part = f"{BUCKET_COL}={b}"
+        src = os.path.join(tmp, part)
+        dst = os.path.join(path, part)
+        if os.path.exists(src):
+            _swap_dir(src, dst)
+        else:
+            shutil.rmtree(dst, ignore_errors=True)  # bucket emptied
+    shutil.rmtree(tmp, ignore_errors=True)
+    return touched
+
+
 def rebucket_store(spark: SparkSession, path: str,
                    key: str, order_col: str,
                    num_buckets: int | None = None,

@@ -302,3 +302,51 @@ def test_upsert_migrates_legacy_flat_store(spark, tmp_path):
     assert final.filter(F.col("k") == 5).collect()[0]["v"] == "new"
     import os
     assert any(d.startswith(sinks.BUCKET_COL + "=") for d in os.listdir(store))
+
+
+def test_delete_keys_touches_only_mapped_partitions(spark, tmp_path):
+    """Erasure locality: deleting a contiguous 1.5k-key slice from a
+    100k-row range store rewrites only the ranges those keys map into
+    (plus removes any bucket it empties); every other directory stays
+    byte-identical — the O(touched + key list) GDPR path."""
+    store = str(tmp_path / "del_store")
+    base = (spark.range(100_000)
+            .select(F.col("id").cast("string").alias("k"),
+                    F.concat(F.lit("v"), F.col("id")).alias("v"),
+                    F.lit(1).alias("ord")))
+    sinks.upsert_parquet(spark, base, store, key="k", order_col="ord",
+                         layout="range", range_width=1000)
+    before = _partition_state(store)
+
+    doomed = (spark.range(50_000, 51_500)
+              .select(F.col("id").cast("string").alias("k")))
+    touched = sinks.delete_keys(spark, store, "k", doomed)
+    assert len(touched) <= 2  # 1500 contiguous keys / width 1000
+    after = _partition_state(store)
+
+    changed = {rel.split("=")[1].split("/")[0]
+               for rel, sig in before.items() if after.get(rel) != sig}
+    assert changed <= {str(t) for t in touched}
+    final = sinks.read_store(spark, store)
+    assert final.count() == 98_500
+    assert final.filter((F.col("k").cast("long") >= 50_000)
+                        & (F.col("k").cast("long") < 51_500)).count() == 0
+
+
+def test_delete_keys_removes_emptied_bucket(spark, tmp_path):
+    """A bucket whose every key is deleted must disappear from the
+    store — a swap-only rewrite would resurrect its rows."""
+    store = str(tmp_path / "empty_store")
+    base = (spark.range(3_000)
+            .select(F.col("id").cast("string").alias("k"),
+                    F.lit("x").alias("v"), F.lit(1).alias("ord")))
+    sinks.upsert_parquet(spark, base, store, key="k", order_col="ord",
+                         layout="range", range_width=1000)
+    # wipe the whole middle range
+    doomed = (spark.range(1_000, 2_000)
+              .select(F.col("id").cast("string").alias("k")))
+    sinks.delete_keys(spark, store, "k", doomed)
+    import os as _os
+    assert not _os.path.exists(
+        _os.path.join(store, f"{sinks.BUCKET_COL}=1"))
+    assert sinks.read_store(spark, store).count() == 2_000

@@ -15,7 +15,7 @@ from msg_vector_search_spark import contract  # noqa: E402
 SECTIONS = [
     ("Scans / sources / sinks (SURVEY 2.A)", [
         "scan_messages", "scan_latest_file", "sink_upsert_embeddings",
-        "watermark_read"]),
+        "sink_delete_keys", "watermark_read"]),
     ("Filters / predicates (2.B)", [
         "filter_since_ts", "filter_like_json_probe", "filter_in_list",
         "filter_not_null_distinct", "filter_nonempty_text",
