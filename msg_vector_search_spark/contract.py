@@ -3652,6 +3652,68 @@ def pack_fill_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing_ops.pack_stats(packed, "shard", "n_tok")
 
 
+@register("pipeline_training_batches", oracle=f"""
+WITH RECURSIVE wts AS (
+  SELECT source,
+         (round(least(1.0, 150.0 / (round(avg(n_chars), 2) + 0)), 6) + 0)
+           AS keep_frac
+  FROM documents GROUP BY source
+), sampled AS (
+  SELECT d.doc_id,
+         CAST(CASE WHEN length(trim(d.text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(d.text), '\\s+')) END
+           AS BIGINT) AS n_tok,
+         CAST({analysis.duck_token_hash("CAST(d.doc_id AS VARCHAR)")} % 16
+           AS BIGINT) AS shard
+  FROM documents d JOIN wts w ON d.source = w.source
+  WHERE {analysis.duck_token_hash("CAST(d.doc_id AS VARCHAR)")} % 1000000
+        < CAST(w.keep_frac * 1000000 AS BIGINT)
+), t AS (
+  SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+  FROM sampled
+), rec AS (
+  SELECT shard, rn, doc_id, n_tok, n_tok AS run,
+         CAST(0 AS BIGINT) AS pack_id
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.shard, t.rn, t.doc_id, t.n_tok,
+         CASE WHEN rec.run + t.n_tok > 512 THEN t.n_tok
+              ELSE rec.run + t.n_tok END,
+         CASE WHEN rec.run + t.n_tok > 512 THEN rec.pack_id + 1
+              ELSE rec.pack_id END
+  FROM rec JOIN t ON t.shard = rec.shard AND t.rn = rec.rn + 1
+)
+SELECT doc_id, n_tok, shard, pack_id FROM rec
+""")
+def pipeline_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataloader path end-to-end: corpus mixture re-weighting
+    (per-source keep fractions, stable hash admission) feeding greedy
+    sequence packing (never-split, 512-token budget) per shard — raw
+    corpus in, training batches out, every stage deterministic and the
+    whole composition value-checked by one nested-CTE oracle.  Plan:
+    one dimension-sized stats aggregate broadcast back, a scan-riding
+    hash filter, one shard-key exchange shared by the packing pass —
+    at 100 TB nothing in the chain shuffles more than once."""
+    docs = _t(spark, sf_dir, "documents")
+    wts = (docs.groupBy("source")
+           .agg(rnd(F.avg("n_chars"), 2).alias("avg_chars"))
+           .select("source",
+                   rnd(F.least(F.lit(1.0), F.lit(150.0)
+                               / F.col("avg_chars")), 6)
+                   .alias("keep_frac")))
+    h = analysis.token_hash(F.col("doc_id").cast("string")) % 1000000
+    sampled = (docs.join(F.broadcast(wts), "source")
+               .filter(h < (F.col("keep_frac") * 1000000).cast("long"))
+               .select(
+                   "doc_id",
+                   analysis.whitespace_token_count(F.col("text"))
+                   .cast("long").alias("n_tok"),
+                   (analysis.token_hash(F.col("doc_id").cast("string"))
+                    % 16).cast("long").alias("shard")))
+    return packing_ops.pack_greedy(sampled, 512, "shard", "doc_id",
+                                   "n_tok")
+
+
 @register("pack_sequences_greedy", oracle=f"""
 WITH RECURSIVE t AS (
   SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn

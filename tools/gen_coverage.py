@@ -103,7 +103,7 @@ SECTIONS = [
         "multimodal_frame_sample", "multimodal_dedup_bytes"]),
     ("Training-data pipeline: sequence packing", [
         "pack_sequences_budget", "pack_sequences_greedy",
-        "pack_fill_stats"]),
+        "pack_fill_stats", "pipeline_training_batches"]),
 ]
 
 
