@@ -4861,6 +4861,39 @@ def streaming_tumbling_availablenow(spark: SparkSession,
                       rnd(F.col("sum_value"), 3).alias("sum_value"))
 
 
+@register("streaming_sliding_window", oracle="""
+WITH ks AS (SELECT unnest([0, 1]) AS k),
+exploded AS (
+  SELECT TIMESTAMP '2024-01-01 00:00:00'
+         + INTERVAL 1 MINUTE * (30 * (
+             CAST(floor(date_diff('second',
+                                  TIMESTAMP '2024-01-01 00:00:00',
+                                  ts) / 1800.0) AS BIGINT) - ks.k))
+           AS window_start,
+         event_type, value
+  FROM events CROSS JOIN ks
+)
+SELECT window_start, event_type, count(*) AS n,
+       (round(sum(value), 3) + 0) AS sum_value
+FROM exploded GROUP BY 1, 2
+""")
+def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2.H live: event-time SLIDING window (1 h window, 30 min slide —
+    every event in exactly two overlapping windows) run as a real
+    streaming query (Trigger.AvailableNow, complete mode) and
+    value-compared to the batch SQL that explodes each event into its
+    two containing windows.  The overlap is what tumbling can't
+    express; state = window/slide open windows per key, still evicted
+    by the watermark."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    name = f"ct_stream_sliding_{next(_STREAM_SEQ)}"
+    out = streaming_ops.run_stream_once(
+        spark, sf_dir, query_name=name, output_mode="complete",
+        agg_fn=streaming_ops.sliding_event_counts)
+    return out.select("window_start", "event_type", "n",
+                      rnd(F.col("sum_value"), 3).alias("sum_value"))
+
+
 @register("streaming_sessionize_stateful", oracle="""
 WITH flagged AS (
   SELECT user_id, ts,

@@ -85,11 +85,33 @@ def tumbling_event_counts(events: DataFrame,
     )
 
 
+def sliding_event_counts(events: DataFrame,
+                         window: str = "1 hour",
+                         slide: str = "30 minutes",
+                         late: str = "2 hours",
+                         round_digits: int | None = None) -> DataFrame:
+    """Event-time SLIDING window (overlapping: each event lands in
+    window/slide windows — 2 here), the smoothing form tumbling can't
+    express; state holds window/slide concurrent open windows per key,
+    still bounded by the watermark horizon."""
+    s = F.sum("value")
+    if round_digits is not None:
+        s = F.round(s, round_digits)
+    return (
+        events.withWatermark("ts", late)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), s.alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n",
+                "sum_value")
+    )
+
+
 def run_stream_once(spark: SparkSession, sf_dir: str,
                     query_name: str = "tumbling_counts",
                     output_mode: str = "append",
                     checkpoint_dir: str | None = None,
-                    round_digits: int | None = 6) -> DataFrame:
+                    round_digits: int | None = 6,
+                    agg_fn=None) -> DataFrame:
     """Drive the streaming query to completion over the current fixture
     contents (``Trigger.AvailableNow`` + memory sink) and return the
     result as a DataFrame — the local smoke-test harness for the
@@ -104,7 +126,8 @@ def run_stream_once(spark: SparkSession, sf_dir: str,
     """
     ckpt = checkpoint_dir or tempfile.mkdtemp(prefix=f"ckpt_{query_name}_")
     events = read_event_stream(spark, sf_dir)
-    agg = tumbling_event_counts(events, round_digits=round_digits)
+    agg = (agg_fn(events) if agg_fn is not None
+           else tumbling_event_counts(events, round_digits=round_digits))
     q = (agg.writeStream.outputMode(output_mode)
          .format("memory").queryName(query_name)
          .trigger(availableNow=True)

@@ -63,7 +63,8 @@ SECTIONS = [
         "ntile_customer_quartiles", "percent_rank_cume_dist",
         "spend_quartile_scan", "percent_rank_scan"]),
     ("Structured Streaming live (2.H)", [
-        "streaming_tumbling_availablenow", "streaming_sessionize_stateful",
+        "streaming_tumbling_availablenow", "streaming_sliding_window",
+        "streaming_sessionize_stateful",
         "streaming_dedup_within_watermark", "streaming_upsert_store"]),
     ("Analytics widening (round 4)", [
         "pivot_event_type_daily", "cube_order_priority",
