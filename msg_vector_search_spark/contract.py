@@ -4543,6 +4543,48 @@ def percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.cume_dist().over(w), 6).alias("cume"))
 
 
+@register("window_rank_family", oracle="""
+SELECT o_custkey, o_orderkey,
+       (round(o_totalprice, 2) + 0) AS price,
+       CAST(rank() OVER w AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+       (round(first_value(o_totalprice) OVER w2, 2) + 0) AS max_price,
+       (round(last_value(o_totalprice) OVER w2, 2) + 0) AS min_price,
+       (round(nth_value(o_totalprice, 2) OVER w2, 2) + 0) AS second_price
+FROM orders
+WHERE o_custkey % 100 = 0
+WINDOW w  AS (PARTITION BY o_custkey
+              ORDER BY round(o_totalprice, 2) DESC, o_orderkey),
+       w2 AS (PARTITION BY o_custkey
+              ORDER BY round(o_totalprice, 2) DESC, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""")
+def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining 2.G window functions in one partitioned pass:
+    rank / dense_rank on the ordered frame, first / last / nth_value
+    on the full-partition frame (last_value REQUIRES the explicit
+    unbounded-following frame — the default current-row frame is the
+    classic silent-wrong-answer).  All windows share one partition key
+    and ordering, so the plan is a single exchange + sort; no global
+    window anywhere.  Prices grid-rounded BEFORE ordering so tie
+    groups (which rank vs dense_rank exist to distinguish) are
+    identical in both engines."""
+    orders = (_t(spark, sf_dir, "orders")
+              .filter(F.col("o_custkey") % 100 == 0))
+    price = rnd(F.col("o_totalprice"), 2)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("price").desc(), F.col("o_orderkey"))
+    w2 = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (orders.withColumn("price", price)
+            .select("o_custkey", "o_orderkey", "price",
+                    F.rank().over(w).cast("long").alias("rnk"),
+                    F.dense_rank().over(w).cast("long").alias("drnk"),
+                    rnd(F.first("price").over(w2), 2).alias("max_price"),
+                    rnd(F.last("price").over(w2), 2).alias("min_price"),
+                    rnd(F.nth_value("price", 2).over(w2), 2)
+                    .alias("second_price")))
+
+
 @register("percent_rank_scan", oracle=f"""
 WITH spend AS ({_CUST_SPEND_SQL})
 SELECT o_custkey, total,

@@ -61,7 +61,8 @@ SECTIONS = [
         "rollup_order_status", "rollup_two_level_time",
         "rolling_1h_range_agg", "scd2_customer_status",
         "ntile_customer_quartiles", "percent_rank_cume_dist",
-        "spend_quartile_scan", "percent_rank_scan"]),
+        "spend_quartile_scan", "percent_rank_scan",
+        "window_rank_family"]),
     ("Structured Streaming live (2.H)", [
         "streaming_tumbling_availablenow", "streaming_sliding_window",
         "streaming_sessionize_stateful",
