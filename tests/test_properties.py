@@ -119,3 +119,30 @@ def test_grid_salted_lsh_equals_unsalted_on_random_corpora(spark, token_lists):
               for r in dedup.dedup_minhash_lsh(df, shingle_n=2,
                                                max_block=2).collect()}
     assert plain == salted
+
+
+def test_ts_quantile_cut_splits_requested_fraction(spark):
+    """The approx-percentile scale twin of kth_ts_offset: the returned
+    cut must split off ~fraction of rows (within the sketch's rank
+    tolerance), and must never disagree with the exact k-th timestamp
+    by more than that tolerance in rank terms."""
+    from msg_vector_search_spark.operators import topk
+    from msg_vector_search_spark.sources import readers
+
+    events = readers.read_table(spark, "/root/testdata/sf0.001", "events")
+    n = events.count()
+    frac = 0.01
+    cut = topk.ts_quantile_cut(events, "ts", frac).collect()[0]["cut_ts"]
+    above = events.filter(F.col("ts") > F.lit(cut)).count()
+    # approx_percentile default accuracy=10000 -> rank error <= n/10000;
+    # allow a generous 1% of n on top of the target fraction
+    assert abs(above - frac * n) <= max(2, 0.01 * n)
+
+    exact = topk.kth_most_recent_ts(events, "ts", k=int(frac * n),
+                                    tiebreak="event_id")
+    kth = exact.collect()[0]["kth_ts"]
+    # rank distance between the sketch cut and the exact k-th ts
+    between = events.filter(
+        (F.col("ts") > F.least(F.lit(cut), F.lit(kth)))
+        & (F.col("ts") <= F.greatest(F.lit(cut), F.lit(kth)))).count()
+    assert between <= max(2, 0.01 * n)
