@@ -183,6 +183,19 @@ SHOW = [
      "SortMergeJoin over Bucketed: true scans with ZERO pre-join "
      "exchange — the write paid the shuffle once; the recurring-join "
      "strategy next to broadcast (dims) and shuffle (ad hoc)."),
+    ("ann_ivf_filtered",
+     "Filtered (hybrid) ANN: the metadata predicate composes with the "
+     "IVF probe inside the probed cells — selectivity stacks with "
+     "cell pruning; pre-filter beats post-filtering the top-k."),
+    ("window_rank_family",
+     "rank/dense_rank/first/last/nth_value in one partitioned pass: "
+     "all windows share one partition key and ordering -> a single "
+     "exchange + sort; last_value pinned to the explicit "
+     "unbounded-following frame."),
+    ("pipeline_training_batches",
+     "Dataloader capstone: mixture re-weighting (broadcast stats + "
+     "scan-riding hash admission) into greedy 512-token packing — one "
+     "shard exchange carries the whole chain."),
 ]
 
 
