@@ -207,7 +207,7 @@ def main() -> None:
     spark = get_spark("scaling_check")
     print(f"{'xN':>4} {'docs':>8} {'minhash_s':>10} {'simhash_s':>10} "
           f"{'exact_s':>8} {'pairs':>8} {'ivf_s':>8} {'lsh_s':>8} "
-          f"{'cc_s':>8} {'gemm_s':>8}")
+          f"{'cc_s':>8} {'gemm_s':>8} {'pack_s':>8}")
     for m in mults:
         d = tempfile.mkdtemp(prefix=f"scale_{m}x_")
         try:
@@ -253,13 +253,29 @@ def main() -> None:
             similarity.similarity_join_topk_pandas(assigned32, "cell",
                                                    k=3).count()
             t_gemm = time.perf_counter() - t0
+            # greedy sequence packing: sequential per shard, so wall
+            # time must track rows/shards — shard count doubles with
+            # each corpus doubling in a real deployment; here shards
+            # are fixed at 64 so the column should grow ~linearly
+            from msg_vector_search_spark.functions import analysis
+            from msg_vector_search_spark.operators import packing
+            pack_in = docs.select(
+                "doc_id",
+                analysis.whitespace_token_count(F.col("text"))
+                .cast("long").alias("n_tok"),
+                (analysis.token_hash(F.col("doc_id").cast("string")) % 64)
+                .cast("long").alias("shard"))
+            t0 = time.perf_counter()
+            packing.pack_greedy(pack_in, 512, "shard", "doc_id",
+                                "n_tok").count()
+            t_pack = time.perf_counter() - t0
             recall = measure_ivf_recall(spark, emb)
             pr = measure_pair_recall(spark, emb) if m == 1 else None
             pqr = measure_pq_recall(spark, emb) if m == 1 else None
             ivfpqr = measure_ivfpq_recall(spark, emb) if m == 1 else None
             print(f"{m:>4} {n:>8} {t_mh:>10.2f} {t_sh:>10.2f} "
                   f"{t_ex:>8.2f} {pairs:>8} {t_ivf:>8.2f} {t_lsh:>8.2f} "
-                  f"{t_cc:>8.2f} {t_gemm:>8.2f}  "
+                  f"{t_cc:>8.2f} {t_gemm:>8.2f} {t_pack:>8.2f}  "
                   f"recall@10 seed={recall['seed']:.2f} "
                   f"kmeans={recall['kmeans']:.2f}"
                   + (f"  pair-recall@3 p1={pr['p1']:.2f} p2={pr['p2']:.2f}"
