@@ -3632,10 +3632,10 @@ WITH RECURSIVE t AS (
   FROM t WHERE rn = 1
   UNION ALL
   SELECT t.shard, t.rn, t.doc_id, t.n_tok,
-         CASE WHEN rec.run + t.n_tok > 512 THEN t.n_tok
+         CASE WHEN rec.run + t.n_tok > 512 AND rec.run > 0 THEN t.n_tok
               ELSE rec.run + t.n_tok END,
-         CASE WHEN rec.run + t.n_tok > 512 THEN rec.pack_id + 1
-              ELSE rec.pack_id END
+         CASE WHEN rec.run + t.n_tok > 512 AND rec.run > 0
+              THEN rec.pack_id + 1 ELSE rec.pack_id END
   FROM rec JOIN t ON t.shard = rec.shard AND t.rn = rec.rn + 1
 )
 SELECT shard, pack_id, CAST(count(*) AS BIGINT) AS n_docs,
@@ -3667,7 +3667,7 @@ WITH RECURSIVE wts AS (
            AS BIGINT) AS shard
   FROM documents d JOIN wts w ON d.source = w.source
   WHERE {analysis.duck_token_hash("CAST(d.doc_id AS VARCHAR)")} % 1000000
-        < CAST(w.keep_frac * 1000000 AS BIGINT)
+        < CAST(floor(w.keep_frac * 1000000) AS BIGINT)
 ), t AS (
   SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
   FROM sampled
@@ -3677,10 +3677,10 @@ WITH RECURSIVE wts AS (
   FROM t WHERE rn = 1
   UNION ALL
   SELECT t.shard, t.rn, t.doc_id, t.n_tok,
-         CASE WHEN rec.run + t.n_tok > 512 THEN t.n_tok
+         CASE WHEN rec.run + t.n_tok > 512 AND rec.run > 0 THEN t.n_tok
               ELSE rec.run + t.n_tok END,
-         CASE WHEN rec.run + t.n_tok > 512 THEN rec.pack_id + 1
-              ELSE rec.pack_id END
+         CASE WHEN rec.run + t.n_tok > 512 AND rec.run > 0
+              THEN rec.pack_id + 1 ELSE rec.pack_id END
   FROM rec JOIN t ON t.shard = rec.shard AND t.rn = rec.rn + 1
 )
 SELECT doc_id, n_tok, shard, pack_id FROM rec
@@ -3703,7 +3703,7 @@ def pipeline_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .alias("keep_frac")))
     h = analysis.token_hash(F.col("doc_id").cast("string")) % 1000000
     sampled = (docs.join(F.broadcast(wts), "source")
-               .filter(h < (F.col("keep_frac") * 1000000).cast("long"))
+               .filter(h < F.floor(F.col("keep_frac") * 1000000).cast("long"))
                .select(
                    "doc_id",
                    analysis.whitespace_token_count(F.col("text"))
@@ -3724,10 +3724,10 @@ WITH RECURSIVE t AS (
   FROM t WHERE rn = 1
   UNION ALL
   SELECT t.shard, t.rn, t.doc_id, t.n_tok,
-         CASE WHEN rec.run + t.n_tok > 512 THEN t.n_tok
+         CASE WHEN rec.run + t.n_tok > 512 AND rec.run > 0 THEN t.n_tok
               ELSE rec.run + t.n_tok END,
-         CASE WHEN rec.run + t.n_tok > 512 THEN rec.pack_id + 1
-              ELSE rec.pack_id END
+         CASE WHEN rec.run + t.n_tok > 512 AND rec.run > 0
+              THEN rec.pack_id + 1 ELSE rec.pack_id END
   FROM rec JOIN t ON t.shard = rec.shard AND t.rn = rec.rn + 1
 )
 SELECT doc_id, n_tok, shard, pack_id FROM rec
@@ -4013,7 +4013,7 @@ WITH stats AS (
 SELECT d.doc_id, d.source, w.keep_frac
 FROM documents d JOIN wts w ON d.source = w.source
 WHERE {analysis.duck_token_hash("CAST(d.doc_id AS VARCHAR)")} % 1000000
-      < CAST(w.keep_frac * 1000000 AS BIGINT)
+      < CAST(floor(w.keep_frac * 1000000) AS BIGINT)
 """)
 def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus mixture re-weighting — the sampling step that turns raw
@@ -4036,7 +4036,7 @@ def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .alias("keep_frac")))
     h = analysis.token_hash(F.col("doc_id").cast("string")) % 1000000
     return (docs.join(F.broadcast(wts), "source")
-            .filter(h < (F.col("keep_frac") * 1000000).cast("long"))
+            .filter(h < F.floor(F.col("keep_frac") * 1000000).cast("long"))
             .select("doc_id", "source", "keep_frac"))
 
 

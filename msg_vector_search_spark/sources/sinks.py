@@ -63,6 +63,9 @@ DEFAULT_RANGE_WIDTH = 4096
 #: underscore keeps Spark/Hadoop parquet listing from treating it as
 #: data (same convention as ``_SUCCESS``).
 LAYOUT_META = "_layout.json"
+#: Marker recording an in-flight erasure's swap plan (stage-then-commit;
+#: see :func:`delete_keys` / :func:`_finish_pending_delete`).
+DELETE_MANIFEST = "_delete_pending.json"
 
 
 def bucket_of(key: Column | str, num_buckets: int) -> Column:
@@ -280,6 +283,45 @@ def upsert_parquet(spark: SparkSession, incoming: DataFrame, path: str,
     shutil.rmtree(tmp)
 
 
+def _finish_pending_delete(path: str) -> bool:
+    """Commit (or crash-recover) a staged erasure: replay the swap
+    plan recorded in ``_delete_pending.json``.  Every step is
+    idempotent against every crash point of a previous attempt —
+    a bucket already swapped has no staged dir left and is skipped; a
+    half-finished ``_swap_dir`` (``._old`` present) is rolled forward;
+    a bucket in the manifest's ``emptied`` list has its directory
+    removed.  The manifest is deleted LAST, so the store is back to
+    "no erasure in flight" only once every bucket is final.  Returns
+    True if a pending erasure was committed."""
+    mpath = os.path.join(path, DELETE_MANIFEST)
+    if not os.path.exists(mpath):
+        return False
+    with open(mpath) as f:
+        manifest = json.load(f)
+    tmp = path + "._staged"
+    emptied = set(manifest.get("emptied", []))
+    for b in manifest["touched"]:
+        part = f"{BUCKET_COL}={b}"
+        src = os.path.join(tmp, part)
+        dst = os.path.join(path, part)
+        old = dst + "._old"
+        if os.path.exists(old):
+            if os.path.exists(dst):        # crashed after rename-in
+                shutil.rmtree(old)
+            elif os.path.exists(src):      # crashed between renames
+                os.rename(src, dst)
+                shutil.rmtree(old)
+            else:                          # staged lost: restore old
+                os.rename(old, dst)
+        elif os.path.exists(src):
+            _swap_dir(src, dst)
+        elif b in emptied:
+            shutil.rmtree(dst, ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.remove(mpath)
+    return True
+
+
 def delete_keys(spark: SparkSession, path: str, key: str,
                 keys: DataFrame) -> list:
     """Erasure verb (the GDPR path): remove every row whose *key*
@@ -289,6 +331,18 @@ def delete_keys(spark: SparkSession, path: str, key: str,
     directory removed (a swap-only loop would silently resurrect the
     deleted rows).  Returns the touched bucket ids.
 
+    Failure semantics: stage-then-commit.  The full anti-joined
+    rewrite is staged first, then a manifest (``_delete_pending.json``
+    listing the swap plan) is written, and only then are bucket
+    directories swapped — by :func:`_finish_pending_delete`, whose
+    steps are individually idempotent.  A crash before the manifest
+    write leaves the store untouched (orphan staging is swept on the
+    next call); a crash after it leaves a recorded in-flight erasure
+    that the NEXT ``delete_keys`` (or ``read_store``-side tooling
+    calling ``_finish_pending_delete``) rolls forward before doing
+    anything else.  Re-running with the same key list is therefore the
+    documented recovery path and is a no-op on completed buckets.
+
     Scale: cost is O(touched buckets + key list), independent of store
     size; the key list is dimension-sized (it arrives as a DataFrame
     and is used as a broadcast anti-join build side, never collected).
@@ -296,6 +350,10 @@ def delete_keys(spark: SparkSession, path: str, key: str,
     meta = _read_layout(path)
     if meta is None:
         raise ValueError(f"no layout metadata at {path}; not a store")
+    if not _finish_pending_delete(path):
+        # no pending erasure: sweep staging orphaned by a crash that
+        # predates its manifest (the store itself is untouched then)
+        shutil.rmtree(path + "._staged", ignore_errors=True)
     keyed = (keys.select(key).filter(F.col(key).isNotNull()).distinct()
              .withColumn(BUCKET_COL, _bucket_expr(key, meta)))
     touched = sorted(
@@ -307,15 +365,13 @@ def delete_keys(spark: SparkSession, path: str, key: str,
     kept = current.join(F.broadcast(keyed.select(key)), key, "left_anti")
     tmp = path + "._staged"
     kept.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp)
-    for b in touched:
-        part = f"{BUCKET_COL}={b}"
-        src = os.path.join(tmp, part)
-        dst = os.path.join(path, part)
-        if os.path.exists(src):
-            _swap_dir(src, dst)
-        else:
-            shutil.rmtree(dst, ignore_errors=True)  # bucket emptied
-    shutil.rmtree(tmp, ignore_errors=True)
+    emptied = [b for b in touched
+               if not os.path.exists(os.path.join(tmp, f"{BUCKET_COL}={b}"))]
+    manifest = {"touched": touched, "emptied": emptied}
+    mpath = os.path.join(path, DELETE_MANIFEST)
+    with open(mpath, "w") as f:
+        json.dump(manifest, f)
+    _finish_pending_delete(path)  # the commit IS the recovery routine
     return touched
 
 

@@ -350,3 +350,50 @@ def test_delete_keys_removes_emptied_bucket(spark, tmp_path):
     assert not _os.path.exists(
         _os.path.join(store, f"{sinks.BUCKET_COL}=1"))
     assert sinks.read_store(spark, store).count() == 2_000
+
+
+def test_delete_keys_crash_recovery_rolls_forward(spark, tmp_path):
+    """Stage-then-commit erasure: a crash AFTER the manifest write but
+    mid-swap (one bucket half-renamed, another not yet swapped) must be
+    rolled forward by the next delete_keys call — re-running with the
+    same key list is the documented recovery path and lands in the
+    exact state a crash-free run would have produced."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    store = str(tmp_path / "crash_store")
+    base = (spark.range(3_000)
+            .select(F.col("id").cast("string").alias("k"),
+                    F.lit("x").alias("v"), F.lit(1).alias("ord")))
+    sinks.upsert_parquet(spark, base, store, key="k", order_col="ord",
+                         layout="range", range_width=1000)
+    doomed = (spark.range(500, 1_500)
+              .select(F.col("id").cast("string").alias("k")))
+
+    # stage the rewrite exactly as delete_keys would (buckets 0 and 1)
+    meta = sinks._read_layout(store)
+    keyed = doomed.withColumn(
+        sinks.BUCKET_COL, sinks._bucket_expr("k", meta))
+    current = spark.read.parquet(store).filter(
+        F.col(sinks.BUCKET_COL).isin([0, 1]))
+    kept = current.join(F.broadcast(keyed.select("k")), "k", "left_anti")
+    tmp = store + "._staged"
+    kept.write.mode("overwrite").partitionBy(sinks.BUCKET_COL).parquet(tmp)
+    with open(_os.path.join(store, sinks.DELETE_MANIFEST), "w") as f:
+        _json.dump({"touched": [0, 1], "emptied": []}, f)
+    # simulate a crash inside _swap_dir on bucket 0: old renamed out,
+    # staged not yet renamed in; bucket 1 untouched entirely
+    part0 = _os.path.join(store, f"{sinks.BUCKET_COL}=0")
+    _os.rename(part0, part0 + "._old")
+
+    touched = sinks.delete_keys(spark, store, "k", doomed)
+    assert touched == [0, 1]  # re-run reports the same plan
+    final = sinks.read_store(spark, store)
+    assert final.count() == 2_000
+    assert final.filter((F.col("k").cast("long") >= 500)
+                        & (F.col("k").cast("long") < 1_500)).count() == 0
+    assert not _os.path.exists(part0 + "._old")
+    assert not _os.path.exists(store + "._staged")
+    assert not _os.path.exists(_os.path.join(store, sinks.DELETE_MANIFEST))
+    _shutil.rmtree(store, ignore_errors=True)
