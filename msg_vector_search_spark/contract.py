@@ -5011,13 +5011,28 @@ def streaming_upsert_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Driver-verification ordering
 # =========================================================================
 # The driver's correctness gate covers roughly the first 50 registry
-# entries, in order. Rounds 1-4 (CORRECTNESS_r01..r04.json) together
-# verified every name below — the full registry is green (r04's
-# 50-query window passed 50/50 with zero errs). Rotate: queries
-# without a driver-verified row yet go first so every operator accrues
-# one across rounds. Purely a presentation order — REGISTRY itself
-# keeps source order.
+# entries, in order. Rounds 1-5 (CORRECTNESS_r01..r05.json) together
+# verified every name below — the full registry is green (r05's
+# 50-query window passed 48 oracle + 2 rows-only-by-design with zero
+# errs). Rotate: queries without a driver-verified row yet go first so
+# every operator accrues one across rounds. Purely a presentation
+# order — REGISTRY itself keeps source order.
 DRIVER_VERIFIED = frozenset({
+    # round 5 (CORRECTNESS_r05.json — re-verified names already listed
+    # under earlier rounds are not repeated)
+    "bucketed_colocated_join", "ann_ivfpq_trained",
+    "zorder_clustered_scan", "sink_delete_keys", "keyset_pagination",
+    "tpch_q6_forecast_revenue", "tpch_q7_volume_shipping",
+    "tpch_q8_market_share", "tpch_q9_product_profit",
+    "tpch_q10_returned_items", "tpch_q11_important_stock",
+    "tpch_q12_shipping_priority_class", "tpch_q13_customer_distribution",
+    "tpch_q20_part_promotion", "dedup_incremental_new_docs",
+    "ann_ivf_filtered", "ann_pq_rerank_trained", "ann_ivfpq_topk",
+    "pack_sequences_budget", "pack_fill_stats",
+    "pipeline_training_batches", "pack_sequences_greedy",
+    "multimodal_dedup_bytes", "corpus_weighted_sample",
+    "zscore_by_group", "window_rank_family", "percent_rank_scan",
+    "streaming_sliding_window",
     # round 4 (CORRECTNESS_r04.json — 50/50 green; re-verified names
     # already listed under earlier rounds are not repeated)
     "tpch_q18_large_orders", "tpch_q21_waiting_suppliers",
