@@ -31,6 +31,7 @@ from pyspark.sql import Window
 from . import embed, multimodal
 from .functions import analysis, textops, vector as V
 from .operators import aggregates as agg_ops
+from .operators import ann_index
 from .operators import asof as asof_ops
 from .operators import dedup as dedup_ops
 from .operators import dims as dims_ops
@@ -3010,7 +3011,11 @@ def ann_pq_rerank_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_ops.pq_rerank(emb, codes, table, qv, k=10, shortlist=200)
 
 
-@register("ann_ivfpq_topk", oracle=f"""
+# The seed-artifact IVF x PQ composition, end to end in SQL — shared by
+# the inline row (ann_ivfpq_topk) and the materialized-index row
+# (ann_ivfpq_materialized): same artifacts, same parameters, so the
+# persisted layout must reproduce the inline computation exactly.
+_IVFPQ_SEED_ORACLE = f"""
 WITH cent AS (
   SELECT vec_id AS centroid_id, embedding AS cvec
   FROM embeddings ORDER BY vec_id LIMIT 16
@@ -3063,7 +3068,10 @@ SELECT c.vec_id, c.cell,
          AS sim
 FROM cand c JOIN short s ON s.vec_id = c.vec_id
 ORDER BY sim DESC, c.vec_id LIMIT 10
-""")
+"""
+
+
+@register("ann_ivfpq_topk", oracle=_IVFPQ_SEED_ORACLE)
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF x PQ composition (FAISS IVFPQ shape): 16 coarse centroids
     prune the scan to the query's top-4 cells (~1/4 of the corpus
@@ -3082,6 +3090,141 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_ops.ivfpq_search(assigned, cent, cb,
                                _query_vec(spark, sf_dir),
                                k=10, nprobe=4, shortlist=50)
+
+
+# Materialized-index cache: the index-build job runs ONCE per
+# (fixture, artifact flavor) and every later query serves from the
+# persisted store — the "index once, query many" economics the
+# lifecycle exists for.  Keyed by sf_dir so the driver's sf never
+# collides with tests.
+_ANN_INDEX_CACHE: dict[tuple[str, bool], str] = {}
+
+
+def _materialized_index(spark: SparkSession, sf_dir: str,
+                        trained: bool = False) -> str:
+    key = (sf_dir, trained)
+    if key not in _ANN_INDEX_CACHE:
+        path = os.path.join(
+            tempfile.mkdtemp(prefix="annidx_"), "index")
+        ann_index.build_index(spark, _t(spark, sf_dir, "embeddings"),
+                              path, nlist=16, m=8, ncodes=16,
+                              trained=trained)
+        _ANN_INDEX_CACHE[key] = path
+    return _ANN_INDEX_CACHE[key]
+
+
+@register("ann_ivfpq_materialized", oracle=_IVFPQ_SEED_ORACLE)
+def ann_ivfpq_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF x PQ served from the PERSISTED index (operators/ann_index):
+    vectors and PQ codes stored partitionBy(cell) with centroid +
+    codebook sidecars; the query probes the sidecar, prunes both
+    stores to the probed cells (literal partition pruning — pinned in
+    tests/test_ivf_index.py), ADC-scores the pruned codes and
+    exact-re-ranks the shortlist.  NO training and NO assignment at
+    query time — the build job ran once (cached per fixture).  Seed
+    artifacts, so the oracle is ann_ivfpq_topk's verbatim: the
+    materialized layout must reproduce the inline composition
+    bit-for-bit."""
+    path = _materialized_index(spark, sf_dir, trained=False)
+    return ann_index.search_index(spark, path, _query_vec(spark, sf_dir),
+                                  k=10, nprobe=4, shortlist=50)
+
+
+@register("ann_ivfpq_materialized_trained")  # rows-only BY DESIGN:
+# trained artifacts (MLlib k-means|| centroids + Lloyd's codebooks)
+# are seed-deterministic but not dialect-reproducible in DuckDB; the
+# seed-artifact twin above carries the full oracle for the identical
+# serving plan, and the nprobe x shortlist operating point is
+# measured, not guessed (tools/scaling_check.py knee table -> README).
+def ann_ivfpq_materialized_trained(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """The production serving row: trained IVF x PQ artifacts built
+    ONCE (cached materialized index), queries served from the
+    persisted store with cell partition pruning — no k-means, no
+    Lloyd's, no assignment in the query path, unlike
+    ann_ivfpq_trained (kept registered as the build-path check)."""
+    path = _materialized_index(spark, sf_dir, trained=True)
+    return ann_index.search_index(spark, path, _query_vec(spark, sf_dir),
+                                  k=10, nprobe=8, shortlist=200)
+
+
+@register("ann_index_upsert", oracle=f"""
+WITH base AS (SELECT * FROM embeddings WHERE vec_id % 10 <> 3),
+cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec
+  FROM base ORDER BY vec_id LIMIT 16
+), q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 3),
+cscored AS (
+  SELECT e.vec_id, e.embedding, c.centroid_id,
+         (round({V.duck_cosine('e.embedding', 'c.cvec')}, 9) + 0) AS cdist
+  FROM embeddings e CROSS JOIN cent c
+), celled AS (
+  SELECT vec_id, embedding, centroid_id AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cdist DESC, centroid_id) AS rn
+    FROM cscored) WHERE rn = 1
+), probe AS (
+  SELECT centroid_id AS cell
+  FROM cent, q
+  ORDER BY {V.duck_cosine('cvec', 'qv')} DESC, centroid_id LIMIT 4
+), cand AS (
+  SELECT * FROM celled WHERE cell IN (SELECT cell FROM probe)
+), seeds AS (
+  SELECT embedding AS sv, row_number() OVER (ORDER BY vec_id) - 1 AS cw
+  FROM (SELECT vec_id, embedding FROM base ORDER BY vec_id LIMIT 16)
+), js AS (SELECT unnest(range(8)) AS j),
+cb AS (
+  SELECT js.j, seeds.cw, seeds.sv[(js.j*8+1):(js.j*8+8)] AS cv
+  FROM seeds CROSS JOIN js
+), ev AS (
+  SELECT c.vec_id, js.j, c.embedding[(js.j*8+1):(js.j*8+8)] AS xv
+  FROM cand c CROSS JOIN js
+), coded AS (
+  SELECT vec_id, j, cw FROM (
+    SELECT ev.vec_id, ev.j, cb.cw,
+           row_number() OVER (
+             PARTITION BY ev.vec_id, ev.j
+             ORDER BY (round({V.duck_dot('ev.xv', 'cb.cv')}, 9) + 0) DESC,
+                      cb.cw) AS rn
+    FROM ev JOIN cb ON cb.j = ev.j) WHERE rn = 1
+), qtab AS (
+  SELECT cb.j, cb.cw,
+         (round({V.duck_dot('(SELECT qv FROM q)[(cb.j*8+1):(cb.j*8+8)]',
+                            'cb.cv')}, 9) + 0) AS d
+  FROM cb
+), adc AS (
+  SELECT a.vec_id, (round(sum(t.d), 6) + 0) AS adc_sim
+  FROM coded a JOIN qtab t ON t.j = a.j AND t.cw = a.cw
+  GROUP BY a.vec_id
+), short AS (SELECT vec_id FROM adc ORDER BY adc_sim DESC, vec_id LIMIT 50)
+SELECT c.vec_id, c.cell,
+       (round({V.duck_cosine('c.embedding', '(SELECT qv FROM q)')}, 6) + 0)
+         AS sim
+FROM cand c JOIN short s ON s.vec_id = c.vec_id
+ORDER BY sim DESC, c.vec_id LIMIT 10
+""")
+def ann_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance — the ANN side of the recurring
+    crawl (pairs with dedup_incremental_new_docs): build the
+    materialized index over 90% of the corpus, then fold the held-out
+    10% in via ann_index.upsert_index — assignment against the
+    PERSISTED centroids, encoding with the PERSISTED codebooks, merge
+    rewriting only the cell partitions the batch maps into
+    (O(batch + touched cells), never a rebuild).  The query vector IS
+    a batch member (vec_id=3), so a green row proves post-upsert
+    search finds the new vectors; the oracle replays assignment +
+    encoding of the full corpus against the BASE-derived artifacts —
+    exactly what build-then-upsert must equal."""
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 10 != 3)
+    batch = emb.filter(F.col("vec_id") % 10 == 3)
+    path = os.path.join(tempfile.mkdtemp(prefix="annups_"), "index")
+    ann_index.build_index(spark, base, path, nlist=16, m=8, ncodes=16)
+    ann_index.upsert_index(spark, path, batch)
+    qrow = emb.filter(F.col("vec_id") == 3).select("embedding").head()
+    qv = [float(x) for x in qrow[0]]
+    return ann_index.search_index(spark, path, qv,
+                                  k=10, nprobe=4, shortlist=50)
 
 
 _SIM_JOIN_IVF_SQL = f"""

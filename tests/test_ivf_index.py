@@ -40,6 +40,83 @@ def test_ivf_index_prunes_partitions_and_matches(spark, tmp_path):
     assert pruned.select("cell").distinct().count() <= 2
 
 
+def test_materialized_index_serves_pruned_no_training(spark, tmp_path):
+    """The full index lifecycle: build_index persists vectors + codes
+    partitionBy(cell) with centroid/codebook sidecars; search_index
+    serves with literal cell partition pruning on BOTH stores (codes
+    scan and re-rank scan) and returns exactly the inline IVFPQ
+    composition's answer."""
+    from msg_vector_search_spark.operators import ann_index, pq
+
+    emb = readers.read_table(spark, SF, "embeddings")
+    path = str(tmp_path / "annidx")
+    ann_index.build_index(spark, emb, path, nlist=8, m=8, ncodes=16)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0)
+          .select("embedding").collect()[0][0]]
+
+    served = ann_index.search_index(spark, path, qv, k=5, nprobe=2,
+                                    shortlist=50)
+    # inline twin: same artifacts, same parameters
+    cent = ivf.seed_centroids(emb, 8)
+    assigned = ivf.assign_cells(emb, cent)
+    books = pq.seed_codebooks(emb, m=8, ncodes=16)
+    inline = pq.ivfpq_search(assigned, cent, books, qv, k=5, nprobe=2,
+                             shortlist=50)
+    assert [tuple(r) for r in served.collect()] == \
+           [tuple(r) for r in inline.collect()]
+
+    # partition pruning is in the physical plan of the served query
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    n_part_filters = plan.count("PartitionFilters: [")
+    assert n_part_filters >= 2  # codes scan AND re-rank vectors scan
+    for seg in plan.split("PartitionFilters: [")[1:]:
+        assert "cell" in seg.split("]", 1)[0]
+
+
+def test_upsert_index_touches_only_mapped_cells(spark, tmp_path):
+    """Incremental maintenance locality: upserting a small batch must
+    rewrite ONLY the cell partitions the batch maps into — untouched
+    cell directories stay byte-identical in both stores — and
+    post-upsert search finds the new vectors."""
+    import os
+
+    from msg_vector_search_spark.operators import ann_index
+
+    def _state(root):
+        out = {}
+        for dirpath, _, files in os.walk(root):
+            for fn in files:
+                p = os.path.join(dirpath, fn)
+                out[os.path.relpath(p, root)] = (
+                    os.path.getsize(p), os.path.getmtime(p))
+        return out
+
+    emb = readers.read_table(spark, SF, "embeddings")
+    base = emb.filter(F.col("vec_id") >= 5)
+    batch = emb.filter(F.col("vec_id") < 5)
+    path = str(tmp_path / "upsidx")
+    ann_index.build_index(spark, base, path, nlist=8, m=8, ncodes=16)
+    before_v = _state(os.path.join(path, "vectors"))
+    before_c = _state(os.path.join(path, "codes"))
+
+    touched = ann_index.upsert_index(spark, path, batch)
+    assert 0 < len(touched) < 8  # a small batch maps to FEW cells
+
+    for store, before in (("vectors", before_v), ("codes", before_c)):
+        after = _state(os.path.join(path, store))
+        changed = {rel.split("=")[1].split("/")[0]
+                   for rel, sig in before.items()
+                   if after.get(rel) != sig}
+        assert changed <= {str(t) for t in touched}
+
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 3)
+          .select("embedding").collect()[0][0]]
+    got = {r["vec_id"] for r in
+           ann_index.search_index(spark, path, qv, k=5, nprobe=2,
+                                  shortlist=50).collect()}
+    assert 3 in got  # the upserted vector is served
+
+
 def test_kmeans_centroids_drop_in(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     cents = ivf.kmeans_centroids(emb, nlist=4)
