@@ -325,19 +325,23 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("ann_ivfpq_trained")  # rows-only BY DESIGN: MLlib k-means||
 # centroids + Lloyd's codebooks are seed-deterministic but not
 # dialect-reproducible in DuckDB; the seed-picked twin ann_ivfpq_topk
-# carries the full oracle for the same plan, and recall (0.54 seed /
-# 0.58 trained at nprobe=4) is published by tools/scaling_check.py.
+# carries the full oracle for the same plan, and the operating point
+# (nprobe=8 x shortlist=400, recall@10 0.77) is the measured knee from
+# tools/scaling_check.py --knee (README table).
 def ann_ivfpq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The fully trained IVF x PQ serving path: MLlib k-means coarse
+    """The trained IVF x PQ BUILD-path check: MLlib k-means coarse
     centroids + Lloyd's-trained codebooks through the same
-    prune -> ADC -> re-rank composition as ann_ivfpq_topk."""
+    prune -> ADC -> re-rank composition as ann_ivfpq_topk, trained
+    inline so the whole build+serve chain runs in one query.  Serving
+    proper reads the persisted artifacts instead —
+    ann_ivfpq_materialized_trained."""
     emb = _t(spark, sf_dir, "embeddings")
     cent = ivf_ops.kmeans_centroids(emb, 16)
     assigned = ivf_ops.assign_cells(emb, cent)
     cb = pq_ops.kmeans_codebooks(emb, m=8, ncodes=16)
     return pq_ops.ivfpq_search(assigned, cent, cb,
                                _query_vec(spark, sf_dir),
-                               k=10, nprobe=4, shortlist=200)
+                               k=10, nprobe=8, shortlist=400)
 
 
 @register("zorder_clustered_scan", oracle="""
@@ -3145,7 +3149,7 @@ def ann_ivfpq_materialized_trained(spark: SparkSession,
     ann_ivfpq_trained (kept registered as the build-path check)."""
     path = _materialized_index(spark, sf_dir, trained=True)
     return ann_index.search_index(spark, path, _query_vec(spark, sf_dir),
-                                  k=10, nprobe=8, shortlist=200)
+                                  k=10, nprobe=8, shortlist=400)
 
 
 @register("ann_index_upsert", oracle=f"""

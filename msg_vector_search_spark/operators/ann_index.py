@@ -130,8 +130,8 @@ def load_codebooks(spark: SparkSession, path: str) -> np.ndarray:
 
 
 def search_index(spark: SparkSession, path: str, qvec: list[float],
-                 k: int = 10, nprobe: int = 4,
-                 shortlist: int = 200) -> DataFrame:
+                 k: int = 10, nprobe: int = 8,
+                 shortlist: int = 400) -> DataFrame:
     """Serve a query from the persisted index — no training, no
     assignment, no full scan.  The probed cell ids are collected
     driver-side (nlist-bounded) so the ``cell IN (...)`` filters below

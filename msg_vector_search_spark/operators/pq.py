@@ -200,7 +200,7 @@ def pq_rerank(embeddings: DataFrame, codes: DataFrame, table: np.ndarray,
 
 def ivfpq_search(assigned: DataFrame, centroids: DataFrame,
                  codebooks: np.ndarray, qvec: list[float], k: int = 10,
-                 nprobe: int = 4, shortlist: int = 50,
+                 nprobe: int = 8, shortlist: int = 400,
                  id_col: str = "vec_id",
                  vec_col: str = "embedding") -> DataFrame:
     """IVF x PQ — the composed 100 TB serving plan (FAISS's IVFPQ,
@@ -215,9 +215,17 @@ def ivfpq_search(assigned: DataFrame, centroids: DataFrame,
     ``assigned`` is the cell-assigned corpus (``ivf.assign_cells``).
     Encoding rides the query here so the DuckDB oracle can value-check
     the whole composition; a deployment encodes ONCE offline and
-    stores codes ``partitionBy(cell)`` (``pq_encode(...,
-    keep_cols=("cell",))`` + ``ivf.write_index``), making the probe's
-    semi join literal partition pruning over 64x-smaller files.
+    stores codes ``partitionBy(cell)`` (``operators/ann_index.py``
+    owns that materialized lifecycle), making the probe's semi join
+    literal partition pruning over 64x-smaller files.
+
+    The nprobe=8 x shortlist=400 default is the MEASURED knee of the
+    recall@10 table (``tools/scaling_check.py --knee``, README): the
+    smallest grid point clearing 0.75 on the fixture corpus (0.77
+    trained / 0.76 seed; composition recall is bounded by cell
+    pruning, so nprobe is the lever).  Oracle-checked registry rows
+    pass their own literals explicitly — the spec stays pinned while
+    the serving default follows the measurement.
     """
     from . import ivf
 

@@ -173,6 +173,69 @@ def measure_ivfpq_recall(spark, emb, nlist: int = 16, nprobe: int = 4,
     return out
 
 
+def measure_ivfpq_knee(spark, emb, nlist: int = 16, m: int = 8,
+                       ncodes: int = 16, k: int = 10,
+                       n_queries: int = 10,
+                       nprobes=(2, 4, 6, 8),
+                       shortlists=(200, 400)) -> list[dict]:
+    """The IVFPQ operating-point sweep: recall@k over the
+    nprobe x shortlist grid, trained and seed artifacts side by side,
+    with the corpus read fraction each point costs —
+    (nprobe/nlist) * (1/64) for the compressed code scan plus
+    shortlist raw rows for the re-rank.  The serving default must be
+    a measured knee on this table, not a guess."""
+    from msg_vector_search_spark.operators import ivf, pq, similarity
+
+    n_corpus = emb.count()
+    qrows = emb.orderBy(F.col("vec_id").desc()).limit(n_queries) \
+        .select("vec_id", "embedding").collect()
+    truth = {}
+    for r in qrows:
+        qv = [float(x) for x in r["embedding"]]
+        truth[r["vec_id"]] = {t["vec_id"] for t in
+                              similarity.knn_search(emb, qv, k=k)
+                              .select("vec_id").collect()}
+    rows = []
+    for kind, cent, cb in [
+        ("seed", ivf.seed_centroids(emb, nlist),
+         pq.seed_codebooks(emb, m=m, ncodes=ncodes)),
+        ("trained", ivf.kmeans_centroids(emb, nlist),
+         pq.kmeans_codebooks(emb, m=m, ncodes=ncodes)),
+    ]:
+        assigned = ivf.assign_cells(emb, cent).localCheckpoint()
+        for nprobe in nprobes:
+            for sl in shortlists:
+                hits = 0
+                for r in qrows:
+                    qv = [float(x) for x in r["embedding"]]
+                    got = {g["vec_id"] for g in
+                           pq.ivfpq_search(assigned, cent, cb, qv, k=k,
+                                           nprobe=nprobe, shortlist=sl)
+                           .select("vec_id").collect()}
+                    hits += len(got & truth[r["vec_id"]])
+                frac = (nprobe / nlist) * (1 / 64) + sl / n_corpus
+                rows.append({"kind": kind, "nprobe": nprobe,
+                             "shortlist": sl,
+                             "recall": hits / (k * len(qrows)),
+                             "read_frac": frac})
+    return rows
+
+
+def knee_main() -> None:
+    """python tools/scaling_check.py --knee  — print the operating
+    table the serving default is chosen from (sf0.1 corpus)."""
+    from msg_vector_search_spark.session import get_spark
+
+    spark = get_spark("ivfpq_knee")
+    emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    rows = measure_ivfpq_knee(spark, emb)
+    print(f"{'kind':>8} {'nprobe':>6} {'shortlist':>9} "
+          f"{'recall@10':>9} {'read_frac':>9}")
+    for r in rows:
+        print(f"{r['kind']:>8} {r['nprobe']:>6} {r['shortlist']:>9} "
+              f"{r['recall']:>9.2f} {r['read_frac']:>9.4f}", flush=True)
+
+
 def measure_pair_recall(spark, emb, nlist: int = 16,
                         k: int = 3) -> dict[str, float]:
     """Pair recall of the blocked similarity JOIN vs exact ground truth
@@ -297,4 +360,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--knee" in sys.argv:
+        knee_main()
+    else:
+        main()
