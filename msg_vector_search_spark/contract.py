@@ -4022,6 +4022,69 @@ def multimodal_dedup_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count(F.lit(1)).alias("dup_count")))
 
 
+@register("multimodal_dedup_near", oracle=f"""
+WITH media AS (
+  SELECT doc_id AS media_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 500000 AS media_id,
+         substring(text, 1, CAST(floor(length(text) * 0.8) AS INT)) AS text
+  FROM documents WHERE doc_id % 9 = 0
+), wins AS (
+  SELECT media_id, substring(text, CAST(i*4+1 AS INT), 8) AS win
+  FROM media, LATERAL unnest(range((length(text) - 8) // 4 + 1)) t(i)
+), hashed AS (
+  SELECT media_id, {analysis.duck_token_hash('win')} AS h FROM wins
+), votes AS (
+  SELECT media_id, b.bit,
+         sum(CASE WHEN (h >> CAST(b.bit AS INT)) % 2 = 1
+                  THEN 1 ELSE -1 END) AS v
+  FROM hashed CROSS JOIN (SELECT unnest(range(32)) AS bit) b
+  GROUP BY media_id, b.bit
+), fp AS (
+  SELECT m.media_id,
+         CAST(coalesce(sum(CASE WHEN v.v > 0
+                           THEN CAST(1 AS BIGINT) << CAST(v.bit AS INT)
+                           END), 0) AS BIGINT) AS fp
+  FROM media m LEFT JOIN votes v ON v.media_id = m.media_id
+  GROUP BY m.media_id
+)
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+FROM fp a JOIN fp b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.fp, b.fp)) <= 4
+""")
+def multimodal_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-dup multimodal dedup — the perceptual twin of
+    multimodal_dedup_bytes (which only catches byte-identical copies):
+    every 9th payload is re-injected TRUNCATED to 80% of its bytes
+    (the fixture's stand-in for a re-encode), fingerprinted with the
+    32-bit strided-window SimHash (multimodal.perceptual_simhash), and
+    paired at hamming distance <= 4 through the same bit-slice
+    blocking as text SimHash (dedup.hamming_pairs — 5 slices, never
+    all-pairs).  The oracle computes the identical fingerprint in SQL
+    (md5-prefix window hashes + integer votes) and verifies the pair
+    list ALL-PAIRS — proving the pigeonhole blocking loses nothing.
+    Plan: narrow fingerprint map riding the scan, one exchange on the
+    (block_idx, block_val) key; corrupted copies land within the
+    distance budget while unrelated payloads sit ~bits/2 apart."""
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(F.col("doc_id").alias("media_id"),
+                        F.encode("text", "UTF-8").alias("payload"))
+    dups = (docs.filter(F.col("doc_id") % 9 == 0)
+            .select((F.col("doc_id") + 500000).alias("media_id"),
+                    F.encode(F.expr(
+                        "substring(text, 1, "
+                        "cast(floor(length(text) * 0.8) as int))"),
+                        "UTF-8").alias("payload")))
+    fps = multimodal.perceptual_simhash(
+        readers.widen(media.unionByName(dups)),
+        bits=32, window=8, stride=4)
+    pairs = dedup_ops.hamming_pairs(fps, id_col="media_id",
+                                    fp_col="fp", bits=32,
+                                    max_distance=4)
+    return pairs.withColumn("hamming", F.col("hamming").cast("long"))
+
+
 @register("multimodal_resize", oracle="""
 SELECT doc_id AS media_id,
        CASE WHEN doc_id % 3 = 0 THEN 'image'

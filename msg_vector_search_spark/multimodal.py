@@ -106,6 +106,65 @@ def extract_features(media: DataFrame, bins: int = FEATURE_DIM) -> DataFrame:
     return media.mapInPandas(op, schema=FEATURES_SCHEMA)
 
 
+PERCEPTUAL_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("fp", T.LongType(), False),
+    T.StructField("n_bytes", T.LongType(), False),
+])
+
+
+def perceptual_simhash(media: DataFrame, bits: int = 32,
+                       window: int = 8, stride: int = 4) -> DataFrame:
+    """Perceptual fingerprint of an opaque media payload: SimHash over
+    strided byte windows — bit b of the fingerprint is the sign of the
+    vote sum, over every *window*-byte slice at offsets 0, stride,
+    2*stride, ..., of (+1 if bit b of the slice's 48-bit md5-prefix
+    hash else -1).
+
+    Truncation/re-encode resilience comes from the vote structure: a
+    corrupted copy shares most strided windows with its original, so
+    most bit majorities survive and the two fingerprints land within a
+    small hamming distance, while unrelated payloads get independent
+    window hashes and an expected distance of bits/2.  This is the
+    byte-stream analog of text SimHash (operators/dedup.py) and stands
+    in for a real perceptual hash (pHash/chromaprint) exactly like the
+    byte-histogram features stand in for CNN embeddings — same narrow
+    mapInPandas plan shape, no codec needed.
+
+    Integer-exact by construction (md5 prefix + integer votes), so a
+    DuckDB oracle reproduces it bit-for-bit on text-byte payloads —
+    contract.py multimodal_dedup_near value-checks the whole near-dup
+    pipeline end to end.  Scale: narrow map riding the scan (no
+    shuffle); downstream pairing is hamming-blocked
+    (dedup.hamming_pairs), never all-pairs."""
+    import hashlib
+
+    bit_w = np.arange(bits, dtype=np.int64)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fps, lens = [], []
+            for p in pdf["payload"]:
+                p = bytes(p) if p is not None else b""
+                lens.append(len(p))
+                n_wins = (len(p) - window) // stride + 1
+                votes = np.zeros(bits, dtype=np.int64)
+                for i in range(max(0, n_wins)):
+                    w = p[i * stride:i * stride + window]
+                    h = int(hashlib.md5(w).hexdigest()[:12], 16)
+                    votes += np.where((h >> bit_w) & 1 == 1, 1, -1)
+                fps.append(int(((votes > 0).astype(np.int64)
+                                << bit_w).sum()))
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "fp": pd.array(fps, dtype="int64"),
+                "n_bytes": pd.array(lens, dtype="int64"),
+            })
+
+    return media.select("media_id", "payload").mapInPandas(
+        op, schema=PERCEPTUAL_SCHEMA)
+
+
 RESIZED_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType(), False),
     T.StructField("media_type", T.StringType(), True),

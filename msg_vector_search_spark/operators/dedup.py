@@ -404,12 +404,30 @@ def simhash_hamming_pairs(df: DataFrame, text_col: str = "text",
     coarse — at 100 TB use 64-bit fingerprints (16-bit slices at d=3),
     which also shrinks true-collision clusters.
     """
-    fp = simhash(F.col(text_col), bits)
+    fps = (widen(df)
+           .select(F.col(id_col),
+                   simhash(F.col(text_col), bits).alias("fp")))
+    return hamming_pairs(fps, id_col=id_col, bits=bits,
+                         max_distance=max_distance)
+
+
+def hamming_pairs(fps: DataFrame, id_col: str = "doc_id",
+                  fp_col: str = "fp", bits: int = 16,
+                  max_distance: int = 2) -> DataFrame:
+    """All pairs within hamming distance *max_distance* of each other's
+    *fp_col* fingerprint, via bit-slice blocking (Manku et al.,
+    WWW'07): explode each fingerprint into its d+1 block values,
+    equi-join per (block_idx, block_val) — pigeonhole guarantees every
+    qualifying pair shares at least one block, so the blocked result
+    EQUALS the all-pairs result — then verify with one xor+popcount
+    per candidate.  Fingerprint-agnostic: text SimHash
+    (:func:`simhash_hamming_pairs`) and the multimodal perceptual hash
+    (multimodal.perceptual_simhash) both pair through here.  Returns
+    (id_a, id_b, hamming)."""
     block_vals = F.array(*[
         F.shiftright(F.col("fp"), shift).bitwiseAND(F.lit(mask))
         for shift, mask in simhash_blocks(bits, max_distance)])
-    banded = (widen(df)
-              .select(F.col(id_col), fp.alias("fp"))
+    banded = (fps.select(F.col(id_col), F.col(fp_col).alias("fp"))
               .select(id_col, "fp",
                       F.posexplode(block_vals)
                       .alias("block_idx", "block_val")))

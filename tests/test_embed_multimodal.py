@@ -117,3 +117,54 @@ def test_model_dir_env_resolution(monkeypatch, tmp_path):
         model = embed._load_model()
         assert isinstance(model, embed._DeterministicFakeModel)
         monkeypatch.setattr(embed, "_MODEL", None)
+
+
+def test_perceptual_simhash_near_dup_resilience(spark):
+    """The perceptual fingerprint's contract: a truncated copy lands
+    within a small hamming distance of its original; unrelated
+    payloads sit near bits/2 apart; and the bit-slice-blocked pairing
+    equals brute force (pigeonhole)."""
+    import random
+
+    from pyspark.sql import Row
+
+    from msg_vector_search_spark.operators import dedup
+
+    rng = random.Random(7)
+    # structured payloads (a per-payload 32-byte motif repeated 12x —
+    # the repetition real media bytes have): repeated windows give the
+    # vote sums wide margins, so truncation cannot flip many bits.
+    # (Uniform-random bytes are the adversarial case — margins ~sqrt(n)
+    # — which is why the contract row reports measured recall instead
+    # of asserting a universal bound.)
+    payloads = [bytes(rng.randrange(256) for _ in range(32)) * 12
+                for _ in range(20)]
+    rows = [Row(media_id=i, payload=p) for i, p in enumerate(payloads)]
+    # truncated copies of the first five payloads (80% of the bytes)
+    rows += [Row(media_id=100 + i, payload=payloads[i][:307])
+             for i in range(5)]
+    media = spark.createDataFrame(rows)
+    fps = {r["media_id"]: r["fp"]
+           for r in multimodal.perceptual_simhash(
+               media, bits=32, window=8, stride=4).collect()}
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    for i in range(5):
+        assert ham(fps[i], fps[100 + i]) <= 4  # copy stays close
+    unrelated = [ham(fps[a], fps[b])
+                 for a in range(20) for b in range(a + 1, 20)]
+    assert min(unrelated) > 4          # distinct payloads separate
+    assert sum(unrelated) / len(unrelated) > 10
+
+    fpdf = multimodal.perceptual_simhash(media, bits=32, window=8,
+                                         stride=4)
+    blocked = {(r["id_a"], r["id_b"])
+               for r in dedup.hamming_pairs(
+                   fpdf, id_col="media_id", bits=32,
+                   max_distance=4).collect()}
+    brute = {(a, b)
+             for a in sorted(fps) for b in sorted(fps) if a < b
+             and ham(fps[a], fps[b]) <= 4}
+    assert blocked == brute == {(i, 100 + i) for i in range(5)}
