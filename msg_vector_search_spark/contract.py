@@ -1083,6 +1083,36 @@ def kth_ts_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        k=100, tiebreak="event_id")
 
 
+@register("ts_quantile_cut", oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_total, TRUE AS within_tol
+FROM events
+""")
+def ts_quantile_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 at scale: kth_ts_offset's exact ordered-limit gives way to a
+    one-pass approx_percentile sketch when k is a FRACTION of an
+    unbounded table (the backfill cap probe a 100 TB deployment runs).
+    The sketch is mergeable (map-side partials, one 1-row reduce — no
+    sort, no window), but not dialect-reproducible in DuckDB, so the
+    driver value-checks the RANK-TOLERANCE INVARIANT instead of the
+    cut: the Spark side MEASURES the realized split (fraction of rows
+    above its own cut) and emits whether it lands within 2% of the
+    requested 20% — against events' 10k rows the sketch's default
+    accuracy (1e4) bounds rank error to ~1 row, so a sketch regression
+    or a wrong-tail bug flips the emitted verdict and the row goes
+    red.  n_total is the exact shared anchor both engines compute.
+    (Same invariant property-tested in tests/test_properties.py.)"""
+    events = _t(spark, sf_dir, "events")
+    cut = topk_ops.ts_quantile_cut(events, "ts", 0.2).head()[0]
+    stats = events.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("ts") > F.lit(cut), 1).otherwise(0))
+        .alias("n_above"))
+    return stats.select(
+        F.col("n_total").cast("long").alias("n_total"),
+        (F.abs(F.col("n_above") / F.col("n_total") - F.lit(0.2))
+         <= F.lit(0.02)).alias("within_tol"))
+
+
 @register("neighbor_limit1", oracle="""
 SELECT event_id, ts FROM events
 WHERE ts < (SELECT min(ts) + INTERVAL 5 DAYS FROM events)
