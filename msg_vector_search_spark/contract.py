@@ -5143,6 +5143,35 @@ def streaming_tumbling_availablenow(spark: SparkSession,
                       rnd(F.col("sum_value"), 3).alias("sum_value"))
 
 
+@register("streaming_append_finalized", oracle="""
+WITH wm AS (SELECT max(ts) - INTERVAL 2 HOURS AS w FROM events)
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n, (round(sum(value), 3) + 0) AS sum_value
+FROM events, wm
+WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm.w
+GROUP BY 1, 2
+""")
+def streaming_append_finalized(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """2.H live, APPEND mode — the production emission semantics the
+    complete-mode rows don't exercise: a window row is emitted exactly
+    once, when the event-time watermark (max ts - 2 h late allowance)
+    passes its end, and the trailing unfinalized windows stay in state
+    (AvailableNow's closing no-data micro-batch advances the watermark
+    so finalized windows flush).  The oracle is the batch twin
+    RESTRICTED to windows closed below the final watermark — the
+    append contract stated as SQL.  This is what a downstream consumer
+    of the stream actually sees: immutable finalized rows, an
+    append-only sink (files/Kafka), no in-place updates."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    name = f"ct_stream_append_{next(_STREAM_SEQ)}"
+    out = streaming_ops.run_stream_once(
+        spark, sf_dir, query_name=name, output_mode="append",
+        round_digits=None)
+    return out.select("window_start", "event_type", "n",
+                      rnd(F.col("sum_value"), 3).alias("sum_value"))
+
+
 @register("streaming_sliding_window", oracle="""
 WITH ks AS (SELECT unnest([0, 1]) AS k),
 exploded AS (
