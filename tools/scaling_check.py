@@ -236,6 +236,68 @@ def knee_main() -> None:
               f"{r['recall']:>9.2f} {r['read_frac']:>9.4f}", flush=True)
 
 
+def replicate_tpch(spark, mult: int, out_dir: str) -> None:
+    """Replicated TPC-H layout: the FACTS (lineitem, orders) grow
+    mult-x with consistent orderkey offsets so every replica's
+    lineitems join their own orders copy; the DIMENSIONS stay fixed —
+    the shape a real warehouse scales in (facts accrete, dims don't).
+    Non-replicated tables are symlinked from the base fixture."""
+    off = 10_000_000
+    li = spark.read.parquet(f"{BASE}/lineitem.parquet")
+    od = spark.read.parquet(f"{BASE}/orders.parquet")
+    li_copies = [li.withColumn("l_orderkey",
+                               F.col("l_orderkey") + F.lit(i * off))
+                 for i in range(mult)]
+    od_copies = [od.withColumn("o_orderkey",
+                               F.col("o_orderkey") + F.lit(i * off))
+                 for i in range(mult)]
+    li_out, od_out = li_copies[0], od_copies[0]
+    for c in li_copies[1:]:
+        li_out = li_out.unionByName(c)
+    for c in od_copies[1:]:
+        od_out = od_out.unionByName(c)
+    li_out.repartition(32).write.mode("overwrite") \
+        .parquet(f"{out_dir}/lineitem.parquet")
+    od_out.repartition(32).write.mode("overwrite") \
+        .parquet(f"{out_dir}/orders.parquet")
+    for t in ("customer", "nation", "part", "region", "supplier",
+              "documents", "embeddings", "events"):
+        os.symlink(f"{BASE}/{t}.parquet", f"{out_dir}/{t}.parquet")
+
+
+def tpch_main() -> None:
+    """python tools/scaling_check.py --tpch [mults ...] — time the
+    heavy TPC-H shapes (Q1 scan-agg, Q9 multi-join profit, Q21
+    aggregate-rewrite) at replicated lineitem/orders scale, so AQE has
+    real size/skew decisions to make.  Wall time must track the fact
+    growth ~linearly: a super-linear jump means a join shape degraded
+    (broadcast flipped to shuffle on the wrong side, or a skewed key
+    serialized a reducer)."""
+    from msg_vector_search_spark import contract
+    from msg_vector_search_spark.session import get_spark
+
+    mults = [int(a) for a in sys.argv[2:]] or [1, 4, 16]
+    queries = ["tpch_q1_pricing_summary", "tpch_q9_product_profit",
+               "tpch_q21_waiting_suppliers"]
+    spark = get_spark("tpch_scale")
+    print(f"{'xN':>4} {'lineitem':>10} " +
+          " ".join(f"{q.split('_')[1]:>8}" for q in queries))
+    for m in mults:
+        d = tempfile.mkdtemp(prefix=f"tpch_{m}x_")
+        try:
+            replicate_tpch(spark, m, d)
+            n = spark.read.parquet(f"{d}/lineitem.parquet").count()
+            times = []
+            for q in queries:
+                t0 = time.perf_counter()
+                contract.REGISTRY[q](spark, d).count()
+                times.append(time.perf_counter() - t0)
+            print(f"{m:>4} {n:>10} " +
+                  " ".join(f"{t:>8.2f}" for t in times), flush=True)
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def measure_pair_recall(spark, emb, nlist: int = 16,
                         k: int = 3) -> dict[str, float]:
     """Pair recall of the blocked similarity JOIN vs exact ground truth
@@ -362,5 +424,7 @@ def main() -> None:
 if __name__ == "__main__":
     if "--knee" in sys.argv:
         knee_main()
+    elif "--tpch" in sys.argv:
+        tpch_main()
     else:
         main()
