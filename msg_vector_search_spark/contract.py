@@ -3182,7 +3182,12 @@ def ann_ivfpq_materialized_trained(spark: SparkSession,
                                   k=10, nprobe=8, shortlist=400)
 
 
-@register("ann_index_upsert", oracle=f"""
+# Shared by ann_index_upsert and streaming_index_upsert: the final
+# index state after folding the vec_id%10==3 batch into the base-built
+# artifacts, replayed as one full-corpus assignment + encoding against
+# the BASE-derived centroids/codebooks.  Batch-split invariance is the
+# point: one upsert call or N micro-batches must land on the same rows.
+_INDEX_UPSERT_ORACLE = f"""
 WITH base AS (SELECT * FROM embeddings WHERE vec_id % 10 <> 3),
 cent AS (
   SELECT vec_id AS centroid_id, embedding AS cvec
@@ -3236,7 +3241,10 @@ SELECT c.vec_id, c.cell,
          AS sim
 FROM cand c JOIN short s ON s.vec_id = c.vec_id
 ORDER BY sim DESC, c.vec_id LIMIT 10
-""")
+"""
+
+
+@register("ann_index_upsert", oracle=_INDEX_UPSERT_ORACLE)
 def ann_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental index maintenance — the ANN side of the recurring
     crawl (pairs with dedup_incremental_new_docs): build the
@@ -3259,21 +3267,145 @@ def ann_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     batch = emb.filter(F.col("vec_id") % 10 == 3)
-    key = (sf_dir, "upsert_base")
-    if key not in _ANN_INDEX_CACHE:
-        base_path = os.path.join(tempfile.mkdtemp(prefix="annups_"),
-                                 "index")
-        base = emb.filter(F.col("vec_id") % 10 != 3)
-        ann_index.build_index(spark, base, base_path,
-                              nlist=16, m=8, ncodes=16)
-        _ANN_INDEX_CACHE[key] = base_path
-    path = os.path.join(tempfile.mkdtemp(prefix="annups_"), "index")
-    shutil.copytree(_ANN_INDEX_CACHE[key], path)
+    path = _upsert_base_copy(spark, sf_dir)
     ann_index.upsert_index(spark, path, batch)
     qrow = emb.filter(F.col("vec_id") == 3).select("embedding").head()
     qv = [float(x) for x in qrow[0]]
     return ann_index.search_index(spark, path, qv,
                                   k=10, nprobe=4, shortlist=50)
+
+
+def _upsert_base_copy(spark: SparkSession, sf_dir: str) -> str:
+    """A writable copy of the 90%-corpus base index (seed artifacts,
+    built once per fixture and cached — the offline build job).  Each
+    caller mutates its own copy, so the upsert rows stay independent."""
+    import shutil
+
+    key = (sf_dir, "upsert_base")
+    if key not in _ANN_INDEX_CACHE:
+        base_path = os.path.join(tempfile.mkdtemp(prefix="annups_"),
+                                 "index")
+        base = (_t(spark, sf_dir, "embeddings")
+                .filter(F.col("vec_id") % 10 != 3))
+        ann_index.build_index(spark, base, base_path,
+                              nlist=16, m=8, ncodes=16)
+        _ANN_INDEX_CACHE[key] = base_path
+    path = os.path.join(tempfile.mkdtemp(prefix="annups_"), "index")
+    shutil.copytree(_ANN_INDEX_CACHE[key], path)
+    return path
+
+
+@register("streaming_index_upsert", oracle=_INDEX_UPSERT_ORACLE)
+def streaming_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming vector ingestion into the materialized ANN index —
+    the live form of ann_index_upsert: the new-vector batch arrives as
+    a file stream (3 files, maxFilesPerTrigger=1, so THREE separate
+    micro-batches), and foreachBatch folds each one into the persisted
+    index via upsert_index.  Sharing ann_index_upsert's oracle proves
+    batch-split invariance: N incremental micro-batch upserts land the
+    index in exactly the state one bulk upsert (and the full-corpus
+    replay) produces — the property that makes continuous vector
+    ingest safe to retry and re-shard."""
+    emb = _t(spark, sf_dir, "embeddings")
+    batch = emb.filter(F.col("vec_id") % 10 == 3)
+    path = _upsert_base_copy(spark, sf_dir)
+
+    src = os.path.join(tempfile.mkdtemp(prefix="annstream_"), "incoming")
+    batch.repartition(3).write.parquet(src)
+    stream = (spark.readStream.schema(batch.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+
+    def fold(bdf: DataFrame, batch_id: int) -> None:
+        if bdf.isEmpty():
+            return
+        ann_index.upsert_index(bdf.sparkSession, path, bdf)
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt_annstream_")
+    q = (stream.writeStream.foreachBatch(fold)
+         .trigger(availableNow=True)
+         .option("checkpointLocation", ckpt).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    qrow = emb.filter(F.col("vec_id") == 3).select("embedding").head()
+    qv = [float(x) for x in qrow[0]]
+    return ann_index.search_index(spark, path, qv,
+                                  k=10, nprobe=4, shortlist=50)
+
+
+@register("ann_index_stats", oracle=f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT 16
+), cscored AS (
+  SELECT e.vec_id, c.centroid_id,
+         (round({V.duck_cosine('e.embedding', 'c.cvec')}, 9) + 0) AS cdist
+  FROM embeddings e CROSS JOIN cent c
+), celled AS (
+  SELECT vec_id, centroid_id AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cdist DESC, centroid_id) AS rn
+    FROM cscored) WHERE rn = 1
+)
+SELECT cell, count(*) AS n_vectors, count(*) AS n_codes
+FROM celled GROUP BY cell ORDER BY cell
+""")
+def ann_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index observability: per-cell occupancy of BOTH persisted stores
+    (raw vectors and PQ codes) read straight off the cell-partitioned
+    layout — the cell-balance signal that schedules a centroid retrain
+    (upsert_index deliberately never moves centroids; decay shows up
+    here first) and the stores-agree invariant (n_vectors == n_codes
+    per cell, or an upsert half-applied).  The oracle replays the seed
+    assignment, so a green row also proves the physical directory
+    layout holds exactly the rows the layout function assigns.  Cost:
+    two metadata-light scans of count(*) per partition — no vector
+    bytes read."""
+    path = _materialized_index(spark, sf_dir, trained=False)
+    v = (spark.read.parquet(os.path.join(path, "vectors"))
+         .groupBy("cell").agg(F.count(F.lit(1)).alias("n_vectors")))
+    c = (spark.read.parquet(os.path.join(path, "codes"))
+         .groupBy("cell").agg(F.count(F.lit(1)).alias("n_codes")))
+    return (v.join(c, "cell", "full")
+            .select(F.col("cell").cast("long").alias("cell"),
+                    "n_vectors", "n_codes")
+            .orderBy("cell"))
+
+
+_RANGE_STORE_CACHE: dict[str, str] = {}
+
+
+@register("store_bucket_stats", oracle="""
+SELECT CAST(floor(event_id / 4096) AS INT) AS bucket,
+       count(*) AS n_rows,
+       CAST(min(event_id) AS BIGINT) AS min_key,
+       CAST(max(event_id) AS BIGINT) AS max_key
+FROM events GROUP BY 1 ORDER BY 1
+""")
+def store_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Store observability: physical occupancy of the range-layout
+    upsert store, read off the _bkt partition directories themselves.
+    The oracle recomputes the layout function (key div 4096) from the
+    raw table, so a green row proves every key physically lives in the
+    directory the layout function maps it to — the invariant ALL
+    directory-pruned operations (incremental upsert, delete_keys,
+    watermark reads) silently rely on.  min/max per bucket double as
+    the contiguity evidence behind the range layout's O(batch/width)
+    touched-directory bound."""
+    if sf_dir not in _RANGE_STORE_CACHE:
+        store = os.path.join(tempfile.mkdtemp(prefix="rangestore_"),
+                             "store")
+        ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+        sinks.upsert_parquet(spark, ev, store, key="event_id",
+                             order_col="ts", layout="range")
+        _RANGE_STORE_CACHE[sf_dir] = store
+    raw = spark.read.parquet(_RANGE_STORE_CACHE[sf_dir])
+    return (raw.groupBy(F.col(sinks.BUCKET_COL).alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.min("event_id").alias("min_key"),
+                 F.max("event_id").alias("max_key"))
+            .orderBy("bucket"))
 
 
 _SIM_JOIN_IVF_SQL = f"""
