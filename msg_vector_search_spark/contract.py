@@ -2779,6 +2779,74 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         (analysis.quality_score(F.col("text")) + F.lit(0.0)).alias("quality"))
 
 
+@register("text_gopher_rules", oracle=f"""
+WITH t AS (
+  SELECT doc_id, text, {_DUCK_TOKENS} AS toks,
+         string_split(text, chr(10)) AS lines,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len({_DUCK_TOKENS}) END AS n_words
+  FROM documents
+), m AS (
+  SELECT doc_id, n_words,
+         CAST(greatest(n_words, 1) AS DOUBLE) AS nw,
+         CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+           AS nonspace,
+         len(regexp_extract_all(text, '#'))
+           + len(regexp_extract_all(text, '\\.\\.\\.')) AS n_sym,
+         CAST(len(lines) AS DOUBLE) AS n_lines,
+         len(list_filter(lines, x -> regexp_matches(x, '^\\s*[-*]')))
+           AS n_bullet,
+         len(list_filter(lines, x -> regexp_matches(x, '\\.\\.\\.\\s*$')))
+           AS n_ell,
+         len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+           AS n_alpha,
+         (CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(toks, 'be') THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(toks, 'to') THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(toks, 'of') THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(toks, 'and') THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(toks, 'that') THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(toks, 'have') THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(toks, 'with') THEN 1 ELSE 0 END)
+           AS n_stop
+  FROM t
+)
+SELECT doc_id,
+       (n_words >= 50 AND n_words <= 100000) AS ok_word_count,
+       (nonspace / nw >= 3.0 AND nonspace / nw <= 10.0)
+         AS ok_mean_word_len,
+       (n_sym / nw <= 0.1) AS ok_symbol_ratio,
+       (n_bullet / n_lines <= 0.9) AS ok_bullet_lines,
+       (n_ell / n_lines <= 0.3) AS ok_ellipsis_lines,
+       (n_alpha / nw >= 0.8) AS ok_alpha_words,
+       (n_stop >= 1) AS ok_stopwords,
+       ((n_words >= 50 AND n_words <= 100000)
+        AND (nonspace / nw >= 3.0 AND nonspace / nw <= 10.0)
+        AND (n_sym / nw <= 0.1)
+        AND (n_bullet / n_lines <= 0.9)
+        AND (n_ell / n_lines <= 0.3)
+        AND (n_alpha / nw >= 0.8)
+        AND (n_stop >= 1)) AS keep
+FROM m
+""")
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality-rule battery (Rae et al. 2021 §A.1.1): word
+    count, mean word length, symbol ratio, bullet/ellipsis line
+    fractions, alphabetic-word fraction, required-stopword presence —
+    per-rule booleans plus the conjunction, all pure Column
+    expressions riding the scan in one narrow shuffle-free stage (the
+    higher-order lambdas fall out of whole-stage codegen but stay
+    JVM-side).  The per-rule flags (not just `keep`) are the
+    operational form: a corpus report groups by failing rule to see
+    WHY documents wash out before committing to a filter threshold.
+    min_stopwords=1 here (the fixture vocabulary carries only 'the'
+    from the required set); the operator default is the paper's 2."""
+    docs = _t(spark, sf_dir, "documents")
+    flags = analysis.gopher_flags(F.col("text"), min_stopwords=1)
+    return docs.select("doc_id",
+                       *[c.alias(name) for name, c in flags.items()])
+
+
 @register("text_token_counts", oracle=f"""
 SELECT doc_id,
        CASE WHEN length(trim(text)) = 0 THEN 0

@@ -173,6 +173,69 @@ def duck_pii_scrub(expr: str) -> str:
     return f"regexp_replace({out}, '{RE_PII_LONG_DIGITS}', '{PII_TOKEN}', 'g')"
 
 
+# Gopher-style document quality rules (Rae et al. 2021, §A.1.1 — the
+# public heuristic battery most LLM corpus pipelines start from).  The
+# required-stopword set is the paper's.
+GOPHER_REQUIRED_STOPWORDS = ("the", "be", "to", "of", "and",
+                             "that", "have", "with")
+
+
+def gopher_flags(text: Column | str,
+                 min_words: int = 50, max_words: int = 100_000,
+                 min_mean_wl: float = 3.0, max_mean_wl: float = 10.0,
+                 max_symbol_ratio: float = 0.1,
+                 max_bullet_frac: float = 0.9,
+                 max_ellipsis_frac: float = 0.3,
+                 min_alpha_frac: float = 0.8,
+                 min_stopwords: int = 2) -> dict[str, Column]:
+    """The Gopher quality-rule battery as pure Column expressions —
+    one codegen'd pass over the scan, no UDF, each rule a boolean:
+
+    * word count within [min_words, max_words]
+    * mean word length within [min_mean_wl, max_mean_wl]
+    * symbol-to-word ratio (# and ... occurrences) <= max_symbol_ratio
+    * fraction of lines starting with a bullet <= max_bullet_frac
+    * fraction of lines ending in ellipsis <= max_ellipsis_frac
+    * fraction of words containing a letter >= min_alpha_frac
+    * at least min_stopwords distinct required stopwords present
+
+    Returns the per-rule flags plus ``keep`` (their conjunction).  All
+    ratios are count/count divisions, bit-identical across engines, so
+    the whole battery is DuckDB-oracle checkable."""
+    t = _c(text)
+    words = tokens(t)
+    n_words = whitespace_token_count(t)
+    nw = F.when(n_words == 0, F.lit(1)).otherwise(n_words).cast("double")
+    nonspace = F.length(F.regexp_replace(t, r"\s", ""))
+    mean_wl = nonspace.cast("double") / nw
+    n_sym = (F.size(F.regexp_extract_all(t, F.lit("#"), 0))
+             + F.size(F.regexp_extract_all(t, F.lit(r"\.\.\."), 0)))
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines).cast("double")
+    n_bullet = F.size(F.filter(lines, lambda x: x.rlike(r"^\s*[-*]")))
+    n_ell_end = F.size(F.filter(lines, lambda x: x.rlike(r"\.\.\.\s*$")))
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[a-z]")))
+    n_stop = sum(F.array_contains(words, F.lit(s)).cast("int")
+                 for s in GOPHER_REQUIRED_STOPWORDS)
+    flags = {
+        "ok_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "ok_mean_word_len": (mean_wl >= min_mean_wl)
+                            & (mean_wl <= max_mean_wl),
+        "ok_symbol_ratio": (n_sym.cast("double") / nw) <= max_symbol_ratio,
+        "ok_bullet_lines": (n_bullet.cast("double") / n_lines)
+                           <= max_bullet_frac,
+        "ok_ellipsis_lines": (n_ell_end.cast("double") / n_lines)
+                             <= max_ellipsis_frac,
+        "ok_alpha_words": (n_alpha.cast("double") / nw) >= min_alpha_frac,
+        "ok_stopwords": n_stop >= min_stopwords,
+    }
+    keep = F.lit(True)
+    for c in flags.values():
+        keep = keep & c
+    flags["keep"] = keep
+    return flags
+
+
 def stratified_keep(id_col: Column | str, rate_pct: Column) -> Column:
     """Deterministic stratified-sampling predicate: keep iff
     hash48(id) % 100 < rate_pct.  Reproducible across runs/retries
