@@ -50,10 +50,11 @@ SECTIONS = [
         "first_order_per_customer", "event_value_percentiles"]),
     ("Skew & scale patterns / physical layout", [
         "distinct_users_twophase", "join_salted_skew",
-        "zorder_clustered_scan", "bucketed_colocated_join"]),
+        "zorder_clustered_scan", "bucketed_colocated_join",
+        "store_bucket_stats"]),
     ("Sorts / limits / top-k (2.F)", [
         "topk_by_similarity", "sort_ts_pagination", "keyset_pagination",
-        "kth_ts_offset",
+        "kth_ts_offset", "ts_quantile_cut",
         "neighbor_limit1", "limit_candidates", "topk_per_group",
         "search_topk_enriched"]),
     ("Windows / sessions / streaming twins (2.G/2.H)", [
@@ -65,8 +66,9 @@ SECTIONS = [
         "window_rank_family"]),
     ("Structured Streaming live (2.H)", [
         "streaming_tumbling_availablenow", "streaming_sliding_window",
-        "streaming_sessionize_stateful",
-        "streaming_dedup_within_watermark", "streaming_upsert_store"]),
+        "streaming_append_finalized", "streaming_sessionize_stateful",
+        "streaming_dedup_within_watermark", "streaming_upsert_store",
+        "streaming_index_upsert"]),
     ("Analytics widening (round 4)", [
         "pivot_event_type_daily", "cube_order_priority",
         "event_value_histogram", "tpch_q19_disjunctive",
@@ -89,6 +91,8 @@ SECTIONS = [
         "ann_ivf_topk", "ann_ivf_filtered", "ann_lsh_topk",
         "ann_pq_topk", "ann_pq_rerank",
         "ann_pq_rerank_trained", "ann_ivfpq_topk", "ann_ivfpq_trained",
+        "ann_ivfpq_materialized", "ann_ivfpq_materialized_trained",
+        "ann_index_upsert", "streaming_index_upsert", "ann_index_stats",
         "sim_join_ivf",
         "sim_join_ivf_pandas", "sim_join_ivf_p2", "knn_join_pandas",
         "topk_quantized_int8", "topk_prenormalized",
@@ -99,10 +103,12 @@ SECTIONS = [
         "train_test_split", "stratified_sample", "text_pii_scrub",
         "decontaminate_ngram", "shard_assignment",
         "text_tfidf_topterms", "text_unigram_logprob",
+        "text_gopher_rules",
         "corpus_weighted_sample", "zscore_by_group"]),
     ("Training-data pipeline: multimodal", [
         "multimodal_features", "multimodal_resize",
-        "multimodal_frame_sample", "multimodal_dedup_bytes"]),
+        "multimodal_frame_sample", "multimodal_dedup_bytes",
+        "multimodal_dedup_near"]),
     ("Training-data pipeline: sequence packing", [
         "pack_sequences_budget", "pack_sequences_greedy",
         "pack_fill_stats", "pipeline_training_batches"]),
@@ -141,11 +147,11 @@ def main() -> None:
     lines += [
         "Beyond the registry, tested but non-queryable surfaces:",
         "",
-        "- Structured Streaming append-mode semantics (finalized-window"
-        " emission under watermark) — the complete-mode/stateful/dedup"
-        " paths are registry-visible since round 4 via the"
-        " `streaming_*` queries (`tests/test_streaming_incremental.py`"
-        " covers both modes).",
+        "- Structured Streaming is fully registry-visible: complete,"
+        " append (finalized-window, `streaming_append_finalized`),"
+        " stateful, dedup, store-upsert and ANN-index-upsert paths"
+        " (`tests/test_streaming_incremental.py` covers both output"
+        " modes at unit level).",
         "- Incremental ingest pipeline: watermark state, clamp guards,"
         " backfill caps, idempotent upsert (`plans/ingest.py`).",
         "- Physical layout: bucketed co-located joins and Z-order"
