@@ -2394,6 +2394,96 @@ def dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "fp", "batch_dups"))
 
 
+@register("streaming_incremental_dedup", oracle=f"""
+WITH fp AS (
+  SELECT doc_id, md5(array_to_string({_DUCK_TOKENS}, ' ')) AS fp
+  FROM documents
+), store AS (
+  SELECT DISTINCT fp FROM fp WHERE doc_id % 2 = 0
+), incoming AS (
+  SELECT doc_id, fp, doc_id % 3 AS batch FROM fp WHERE doc_id % 2 = 1
+), fresh AS (
+  SELECT i.* FROM incoming i
+  WHERE NOT EXISTS (SELECT 1 FROM store s WHERE s.fp = i.fp)
+), ranked AS (
+  SELECT doc_id, fp, batch,
+         row_number() OVER (PARTITION BY fp
+                            ORDER BY batch, doc_id) AS rn
+  FROM fresh
+)
+SELECT doc_id, fp, batch FROM ranked WHERE rn = 1
+""")
+def streaming_incremental_dedup(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """The recurring crawl LIVE: odd-id documents arrive as a file
+    stream in three micro-batches (one file per doc_id%3 slice,
+    mtime-ordered so batch order is deterministic), and each
+    foreachBatch admits only fingerprints seen in NEITHER the
+    persisted store (pre-seeded with the even-id half) NOR any earlier
+    micro-batch — admitting appends both the document row and its
+    fingerprint, so the store the next batch anti-joins against has
+    grown.  The oracle replays the whole stream as one SQL statement
+    (first batch wins per fingerprint, min doc_id within the batch):
+    a green row proves cross-batch admission converges to exactly the
+    batch-mode answer, i.e. re-sharding or re-batching a crawl never
+    changes what gets admitted.  Cost per batch stays
+    O(batch + store-probe) — the streaming form of
+    dedup_incremental_new_docs."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    fp = docs.select("doc_id",
+                     analysis.fingerprint_md5("text").alias("fp"))
+
+    root = tempfile.mkdtemp(prefix="streamdedup_")
+    fp_store = os.path.join(root, "fp_store")
+    admitted_store = os.path.join(root, "admitted")
+    src = os.path.join(root, "incoming")
+    os.makedirs(src)
+    (fp.filter(F.col("doc_id") % 2 == 0).select("fp").distinct()
+     .write.mode("overwrite").parquet(fp_store))
+
+    # three arrival files in deterministic order: doc_id%3 slices with
+    # strictly increasing mtimes (FileStreamSource processes oldest
+    # first; maxFilesPerTrigger=1 makes each file its own micro-batch)
+    odd = fp.filter(F.col("doc_id") % 2 == 1)
+    for b in range(3):
+        part_dir = os.path.join(root, f"stage_{b}")
+        (odd.filter(F.col("doc_id") % 3 == b).coalesce(1)
+         .write.mode("overwrite").parquet(part_dir))
+        part = next(f for f in os.listdir(part_dir)
+                    if f.endswith(".parquet"))
+        dst = os.path.join(src, f"batch_{b}.parquet")
+        os.rename(os.path.join(part_dir, part), dst)
+        os.utime(dst, (1_700_000_000 + b, 1_700_000_000 + b))
+
+    stream = (spark.readStream.schema(odd.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+
+    def admit(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sess = batch_df.sparkSession
+        store = sess.read.parquet(fp_store)
+        fresh = (batch_df.groupBy("fp")
+                 .agg(F.min("doc_id").alias("doc_id"))
+                 .join(store, "fp", "left_anti")
+                 .withColumn("batch", F.lit(batch_id).cast("long"))
+                 .select("doc_id", "fp", "batch")
+                 .localCheckpoint())
+        fresh.write.mode("append").parquet(admitted_store)
+        fresh.select("fp").write.mode("append").parquet(fp_store)
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt_streamdedup_")
+    q = (stream.writeStream.foreachBatch(admit)
+         .trigger(availableNow=True)
+         .option("checkpointLocation", ckpt).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(admitted_store) \
+        .select("doc_id", "fp", "batch")
+
+
 def _duck_shingles(n: int) -> str:
     """DuckDB twin of dedup.shingles: word n-grams with the short-doc
     fallback (1-indexed lists; range() is 0-based)."""
@@ -2845,6 +2935,88 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     flags = analysis.gopher_flags(F.col("text"), min_stopwords=1)
     return docs.select("doc_id",
                        *[c.alias(name) for name, c in flags.items()])
+
+
+@register("corpus_report", oracle=f"""
+WITH t AS (
+  SELECT doc_id, text, {_DUCK_TOKENS} AS toks,
+         md5(array_to_string({_DUCK_TOKENS}, ' ')) AS fp
+  FROM documents
+), m AS (
+  SELECT doc_id, fp,
+         CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END
+           AS n_words,
+         CASE WHEN (CASE WHEN len(toks) = 0 THEN 0.0
+               ELSE CAST(len(list_filter(toks,
+                      x -> list_contains(['the','a','an','and','is','to',
+                                          'of','in','it','you','that',
+                                          'for','on','with','as'], x)))
+                    AS DOUBLE) / len(toks) END) >= 0.08
+              THEN 1 ELSE 0 END AS is_en
+  FROM t
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS total_tokens,
+       CAST(sum(is_en) AS BIGINT) AS n_english,
+       CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct_docs,
+       (round(1.0 - CAST(count(DISTINCT fp) AS DOUBLE) / count(*), 6) + 0)
+         AS exact_dup_rate
+FROM m
+""")
+def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus dashboard row: document count, token volume,
+    language mix, exact-dup rate — the first query a pipeline owner
+    runs on a new crawl, composed from the same primitives the
+    filtering stages use (so the report numbers MATCH what the
+    filters will do).  One scan with map-side partial aggregation; the
+    distinct fingerprint count is the only keyed exchange."""
+    docs = _t(spark, sf_dir, "documents")
+    m = docs.select(
+        analysis.fingerprint_md5("text").alias("fp"),
+        analysis.whitespace_token_count(F.col("text")).alias("n_words"),
+        (analysis.lang_id(F.col("text")) == "en").cast("int")
+        .alias("is_en"))
+    return m.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("total_tokens"),
+        F.sum("is_en").alias("n_english"),
+        F.countDistinct("fp").alias("n_distinct_docs"),
+        (F.round(F.lit(1.0) - F.countDistinct("fp").cast("double")
+                 / F.count(F.lit(1)), 6) + F.lit(0.0))
+        .alias("exact_dup_rate"))
+
+
+@register("skew_report_events", oracle="""
+WITH k AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows
+  FROM events GROUP BY user_id
+), s AS (
+  SELECT CAST(sum(n_rows) AS DOUBLE) AS total,
+         avg(n_rows) AS mean_n FROM k
+)
+SELECT k.user_id, k.n_rows,
+       (round(k.n_rows / s.total, 6) + 0) AS share,
+       (round(k.n_rows / s.mean_n, 6) + 0) AS ratio_to_mean
+FROM k, s
+ORDER BY k.n_rows DESC, k.user_id LIMIT 10
+""")
+def skew_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew observability: the top hot keys with their row share
+    and ratio-to-mean — the measurement that DECIDES whether a join
+    or aggregation on this key needs salting (join_salted_skew) or
+    AQE skew handling, instead of guessing.  One keyed aggregation;
+    the global totals arrive back as a broadcast single row; the
+    top-10 is a bounded heap (TakeOrderedAndProject)."""
+    ev = _t(spark, sf_dir, "events")
+    k = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_rows"))
+    s = k.agg(F.sum("n_rows").cast("double").alias("total"),
+              F.avg("n_rows").alias("mean_n"))
+    return (k.crossJoin(F.broadcast(s))
+            .select("user_id", "n_rows",
+                    rnd(F.col("n_rows") / F.col("total"), 6).alias("share"),
+                    rnd(F.col("n_rows") / F.col("mean_n"), 6)
+                    .alias("ratio_to_mean"))
+            .orderBy(F.col("n_rows").desc(), "user_id").limit(10))
 
 
 @register("text_token_counts", oracle=f"""
