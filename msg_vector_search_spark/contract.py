@@ -3019,6 +3019,116 @@ def skew_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.col("n_rows").desc(), "user_id").limit(10))
 
 
+@register("vocab_coverage", oracle=f"""
+WITH toks AS (
+  SELECT unnest({_DUCK_TOKENS}) AS tok FROM documents
+), counts AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY tok
+), vocab AS (
+  SELECT tok FROM counts ORDER BY n DESC, tok LIMIT 16
+)
+SELECT CAST(16 AS BIGINT) AS vocab_size,
+       CAST(sum(c.n) AS BIGINT) AS total_tokens,
+       CAST(sum(CASE WHEN v.tok IS NOT NULL THEN c.n ELSE 0 END)
+            AS BIGINT) AS covered_tokens,
+       (round(CAST(sum(CASE WHEN v.tok IS NOT NULL THEN c.n ELSE 0 END)
+                   AS DOUBLE) / sum(c.n), 6) + 0) AS coverage
+FROM counts c LEFT JOIN vocab v ON v.tok = c.tok
+""")
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary planning: induce the top-V corpus tokens
+    by frequency and measure what fraction of all token occurrences
+    they cover — the corpus-side number a vocab-size decision rests
+    on (the real BPE merge loop starts from exactly this frequency
+    table).  Plan: explode -> one keyed count (map-side partials
+    absorb the token Zipf skew), top-V as a bounded heap, coverage as
+    a second pass over the COUNTS (vocab-sized, broadcast), never the
+    corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = (docs.select(F.explode(analysis.tokens(F.col("text")))
+                          .alias("tok"))
+              .groupBy("tok").agg(F.count(F.lit(1)).alias("n")))
+    vocab = (counts.orderBy(F.col("n").desc(), "tok").limit(16)
+             .select(F.col("tok").alias("vtok")))
+    joined = counts.join(F.broadcast(vocab),
+                         counts.tok == vocab.vtok, "left")
+    covered = F.sum(F.when(F.col("vtok").isNotNull(), F.col("n"))
+                    .otherwise(F.lit(0)))
+    return joined.agg(
+        F.lit(16).cast("long").alias("vocab_size"),
+        F.sum("n").alias("total_tokens"),
+        covered.alias("covered_tokens"),
+        rnd(covered.cast("double") / F.sum("n"), 6).alias("coverage"))
+
+
+@register("doc_length_histogram", oracle=f"""
+WITH t AS (
+  SELECT CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len({_DUCK_TOKENS}) END AS n_words
+  FROM documents
+), s AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM t)
+SELECT CAST(n_words // 10 AS INT) AS bucket,
+       CAST(min(n_words) AS BIGINT) AS min_words,
+       CAST(max(n_words) AS BIGINT) AS max_words,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       (round(count(*) / s.total, 6) + 0) AS share
+FROM t, s
+GROUP BY bucket, s.total ORDER BY bucket
+""")
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length distribution in 10-token bins — the histogram
+    a sequence-length / packing-budget decision reads (pack_fill_stats
+    measures the chosen budget's efficiency AFTER the fact; this is
+    the BEFORE view).  One narrow pass computes the bin, one keyed
+    aggregation builds the histogram; the doc total joins back as a
+    broadcast single row."""
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        (analysis.whitespace_token_count(F.col("text")) / 10)
+        .cast("int").alias("bucket"),
+        analysis.whitespace_token_count(F.col("text")).alias("n_words"))
+    s = t.agg(F.count(F.lit(1)).cast("double").alias("total"))
+    return (t.groupBy("bucket")
+            .agg(F.min("n_words").alias("min_words"),
+                 F.max("n_words").alias("max_words"),
+                 F.count(F.lit(1)).alias("n_docs"))
+            .crossJoin(F.broadcast(s))
+            .select("bucket", "min_words", "max_words", "n_docs",
+                    rnd(F.col("n_docs") / F.col("total"), 6).alias("share"))
+            .orderBy("bucket"))
+
+
+@register("integrity_orphans", oracle="""
+SELECT CAST(sum(CASE WHEN e.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_without_vec,
+       CAST(sum(CASE WHEN d.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS vecs_without_doc,
+       CAST(sum(CASE WHEN d.doc_id IS NOT NULL AND e.vec_id IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS matched
+FROM documents d FULL JOIN embeddings e ON e.vec_id = d.doc_id
+""")
+def integrity_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit between the document corpus and
+    its embedding store (doc_id <-> vec_id): documents that never got
+    embedded, embeddings whose document was deleted, and the matched
+    count — the invariant an ingest+embed pipeline must report on
+    before serving (a nonzero left column means the embed backlog; a
+    nonzero right column means erasure missed the vector side).  One
+    full outer join on the shared key, both sides pruned to the key
+    column at the scan."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    e = _t(spark, sf_dir, "embeddings").select("vec_id")
+    j = d.join(e, d.doc_id == e.vec_id, "full")
+    return j.agg(
+        F.sum(F.col("vec_id").isNull().cast("int"))
+        .alias("docs_without_vec"),
+        F.sum(F.col("doc_id").isNull().cast("int"))
+        .alias("vecs_without_doc"),
+        F.sum((F.col("doc_id").isNotNull()
+               & F.col("vec_id").isNotNull()).cast("int"))
+        .alias("matched"))
+
+
 @register("text_token_counts", oracle=f"""
 SELECT doc_id,
        CASE WHEN length(trim(text)) = 0 THEN 0

@@ -51,7 +51,8 @@ SECTIONS = [
     ("Skew & scale patterns / physical layout", [
         "distinct_users_twophase", "join_salted_skew",
         "zorder_clustered_scan", "bucketed_colocated_join",
-        "store_bucket_stats"]),
+        "store_bucket_stats", "skew_report_events",
+        "integrity_orphans"]),
     ("Sorts / limits / top-k (2.F)", [
         "topk_by_similarity", "sort_ts_pagination", "keyset_pagination",
         "kth_ts_offset", "ts_quantile_cut",
@@ -86,7 +87,7 @@ SECTIONS = [
         "dedup_embedding_cosine", "dedup_embedding_lsh",
         "dedup_repeated_chunks", "dedup_components",
         "dedup_keep_canonical", "pipeline_clean_corpus",
-        "dedup_incremental_new_docs"]),
+        "dedup_incremental_new_docs", "streaming_incremental_dedup"]),
     ("Training-data pipeline: similarity / ANN", [
         "ann_ivf_topk", "ann_ivf_filtered", "ann_lsh_topk",
         "ann_pq_topk", "ann_pq_rerank",
@@ -103,7 +104,8 @@ SECTIONS = [
         "train_test_split", "stratified_sample", "text_pii_scrub",
         "decontaminate_ngram", "shard_assignment",
         "text_tfidf_topterms", "text_unigram_logprob",
-        "text_gopher_rules",
+        "text_gopher_rules", "corpus_report", "vocab_coverage",
+        "doc_length_histogram",
         "corpus_weighted_sample", "zscore_by_group"]),
     ("Training-data pipeline: multimodal", [
         "multimodal_features", "multimodal_resize",
