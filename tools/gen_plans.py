@@ -196,6 +196,29 @@ SHOW = [
      "Dataloader capstone: mixture re-weighting (broadcast stats + "
      "scan-riding hash admission) into greedy 512-token packing — one "
      "shard exchange carries the whole chain."),
+    ("ann_ivfpq_materialized",
+     "IVF x PQ served from the PERSISTED index: probe the centroid "
+     "sidecar driver-side, then literal cell IN (...) filters become "
+     "PartitionFilters on BOTH the code scan and the re-rank scan — "
+     "no training, no assignment, files outside the probed cells are "
+     "never opened."),
+    ("text_gopher_rules",
+     "Gopher quality battery: every rule a Column expression riding "
+     "ONE narrow scan stage — no UDF, no shuffle; per-rule booleans "
+     "let a corpus report group by failing rule."),
+    ("vocab_coverage",
+     "Vocabulary induction: explode -> one keyed count with map-side "
+     "partials, top-V as a bounded heap, coverage measured over the "
+     "vocab-sized COUNTS via broadcast — the corpus is read once."),
+    ("corpus_report",
+     "Corpus dashboard row: fingerprint + token count + language flag "
+     "computed in the scan projection, one aggregation with map-side "
+     "partials; countDistinct(fp) is the only keyed exchange."),
+    ("store_bucket_stats",
+     "Range-store occupancy read off the _bkt partition directories "
+     "(partition-column groupBy, no data-column bytes); oracle "
+     "recomputes the layout function from the raw table — green "
+     "means every key lives where directory pruning assumes."),
 ]
 
 
