@@ -3004,11 +3004,14 @@ def skew_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-skew observability: the top hot keys with their row share
     and ratio-to-mean — the measurement that DECIDES whether a join
     or aggregation on this key needs salting (join_salted_skew) or
-    AQE skew handling, instead of guessing.  One keyed aggregation;
-    the global totals arrive back as a broadcast single row; the
-    top-10 is a bounded heap (TakeOrderedAndProject)."""
+    AQE skew handling, instead of guessing.  One keyed aggregation,
+    checkpointed at |keys| rows so the totals derivation re-reads the
+    key counts, not the corpus; the global totals arrive back as a
+    broadcast single row; the top-10 is a bounded heap
+    (TakeOrderedAndProject)."""
     ev = _t(spark, sf_dir, "events")
-    k = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_rows"))
+    k = (ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_rows"))
+         .localCheckpoint())
     s = k.agg(F.sum("n_rows").cast("double").alias("total"),
               F.avg("n_rows").alias("mean_n"))
     return (k.crossJoin(F.broadcast(s))
@@ -3043,11 +3046,15 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     table).  Plan: explode -> one keyed count (map-side partials
     absorb the token Zipf skew), top-V as a bounded heap, coverage as
     a second pass over the COUNTS (vocab-sized, broadcast), never the
-    corpus."""
+    corpus.  The counts table is checkpointed so both consumers (the
+    vocab cut and the coverage join) read the |vocab|-row
+    materialization — without it Spark re-derives the shared subplan
+    per consumer and the corpus is exploded and counted TWICE."""
     docs = _t(spark, sf_dir, "documents")
     counts = (docs.select(F.explode(analysis.tokens(F.col("text")))
                           .alias("tok"))
-              .groupBy("tok").agg(F.count(F.lit(1)).alias("n")))
+              .groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+              .localCheckpoint())
     vocab = (counts.orderBy(F.col("n").desc(), "tok").limit(16)
              .select(F.col("tok").alias("vtok")))
     joined = counts.join(F.broadcast(vocab),
@@ -3080,19 +3087,21 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     a sequence-length / packing-budget decision reads (pack_fill_stats
     measures the chosen budget's efficiency AFTER the fact; this is
     the BEFORE view).  One narrow pass computes the bin, one keyed
-    aggregation builds the histogram; the doc total joins back as a
-    broadcast single row."""
+    aggregation builds the histogram (checkpointed at |buckets| rows);
+    the doc total is DERIVED from the histogram, not a second corpus
+    scan, and joins back as a broadcast single row."""
     docs = _t(spark, sf_dir, "documents")
     t = docs.select(
         (analysis.whitespace_token_count(F.col("text")) / 10)
         .cast("int").alias("bucket"),
         analysis.whitespace_token_count(F.col("text")).alias("n_words"))
-    s = t.agg(F.count(F.lit(1)).cast("double").alias("total"))
-    return (t.groupBy("bucket")
+    hist = (t.groupBy("bucket")
             .agg(F.min("n_words").alias("min_words"),
                  F.max("n_words").alias("max_words"),
                  F.count(F.lit(1)).alias("n_docs"))
-            .crossJoin(F.broadcast(s))
+            .localCheckpoint())
+    s = hist.agg(F.sum("n_docs").cast("double").alias("total"))
+    return (hist.crossJoin(F.broadcast(s))
             .select("bucket", "min_words", "max_words", "n_docs",
                     rnd(F.col("n_docs") / F.col("total"), 6).alias("share"))
             .orderBy("bucket"))

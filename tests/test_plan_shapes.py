@@ -227,6 +227,51 @@ def test_bucketed_join_has_no_pre_join_exchange(spark):
     assert "Exchange hashpartitioning(o_orderkey" not in plan
 
 
+def test_gopher_rules_single_narrow_stage(spark):
+    """Every Gopher rule is a Column expression riding the scan: one
+    corpus read, zero exchanges."""
+    plan = plan_of(contract.REGISTRY["text_gopher_rules"](spark, SF))
+    assert "Exchange" not in plan
+    assert plan.count("documents.parquet") == 1
+
+
+def test_vocab_coverage_reads_corpus_once(spark):
+    """The counts table is checkpointed so the vocab cut and the
+    coverage join both read the |vocab|-row materialization — the
+    corpus explode+count must not run per consumer."""
+    plan = plan_of(contract.REGISTRY["vocab_coverage"](spark, SF))
+    assert plan.count("documents.parquet") == 0   # checkpoint feeds both
+    assert "TakeOrderedAndProject" in plan        # bounded vocab cut
+    assert "BroadcastHashJoin" in plan            # vocab joins broadcast
+
+
+def test_corpus_report_single_scan_two_phase_distinct(spark):
+    """One corpus scan; countDistinct(fp) plans as the partial
+    per-fp aggregate before the single-partition merge."""
+    plan = plan_of(contract.REGISTRY["corpus_report"](spark, SF))
+    assert plan.count("documents.parquet") == 1
+    assert plan.count("Exchange hashpartitioning(fp") == 1
+
+
+def test_skew_and_histogram_reports_no_second_corpus_scan(spark):
+    """Totals derive from the checkpointed key-count / histogram
+    tables, never a second pass over the fact table."""
+    plan = plan_of(contract.REGISTRY["skew_report_events"](spark, SF))
+    assert plan.count("events.parquet") == 0      # checkpoint feeds both
+    assert "TakeOrderedAndProject" in plan
+    plan_h = plan_of(contract.REGISTRY["doc_length_histogram"](spark, SF))
+    assert plan_h.count("documents.parquet") == 0
+
+
+def test_integrity_orphans_scans_pruned_to_keys(spark):
+    """The full outer join reads ONLY the key column from each side."""
+    plan = plan_of(contract.REGISTRY["integrity_orphans"](spark, SF))
+    for ln in plan.splitlines():
+        if "FileScan" in ln and "ReadSchema" in ln:
+            rs = ln.split("ReadSchema:", 1)[1]
+            assert "text" not in rs and "embedding" not in rs, ln
+
+
 def test_salted_join_key_carries_salt(spark):
     # the join condition must include the salt column — placement
     # control survives even when Catalyst picks broadcast locally
