@@ -2484,6 +2484,95 @@ def streaming_incremental_dedup(spark: SparkSession,
         .select("doc_id", "fp", "batch")
 
 
+@register("pipeline_crawl_admit_index", oracle=f"""
+WITH fp AS (
+  SELECT doc_id, text, md5(array_to_string({_DUCK_TOKENS}, ' ')) AS fp
+  FROM documents
+), store AS (
+  SELECT DISTINCT fp FROM fp WHERE doc_id % 2 = 0
+), admitted AS (
+  SELECT fp, min(doc_id) AS doc_id FROM fp
+  WHERE doc_id % 2 = 1 GROUP BY fp
+), fresh AS (
+  SELECT a.doc_id FROM admitted a
+  WHERE NOT EXISTS (SELECT 1 FROM store s WHERE s.fp = a.fp)
+), gm AS (
+  SELECT f.doc_id, t.text, {_DUCK_TOKENS.replace('text', 't.text')} AS toks
+  FROM fresh f JOIN documents t ON t.doc_id = f.doc_id
+), gated AS (
+  SELECT doc_id FROM gm
+  WHERE len(toks) BETWEEN 50 AND 100000
+    AND CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+        / greatest(len(toks), 1) BETWEEN 3.0 AND 10.0
+    AND (len(regexp_extract_all(text, '#'))
+         + len(regexp_extract_all(text, '\\.\\.\\.')))
+        / CAST(greatest(len(toks), 1) AS DOUBLE) <= 0.1
+    AND len(list_filter(string_split(text, chr(10)),
+            x -> regexp_matches(x, '^\\s*[-*]')))
+        / CAST(len(string_split(text, chr(10))) AS DOUBLE) <= 0.9
+    AND len(list_filter(string_split(text, chr(10)),
+            x -> regexp_matches(x, '\\.\\.\\.\\s*$')))
+        / CAST(len(string_split(text, chr(10))) AS DOUBLE) <= 0.3
+    AND len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+        / CAST(greatest(len(toks), 1) AS DOUBLE) >= 0.8
+    AND (CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END
+       + CASE WHEN list_contains(toks, 'be') THEN 1 ELSE 0 END
+       + CASE WHEN list_contains(toks, 'to') THEN 1 ELSE 0 END
+       + CASE WHEN list_contains(toks, 'of') THEN 1 ELSE 0 END
+       + CASE WHEN list_contains(toks, 'and') THEN 1 ELSE 0 END
+       + CASE WHEN list_contains(toks, 'that') THEN 1 ELSE 0 END
+       + CASE WHEN list_contains(toks, 'have') THEN 1 ELSE 0 END
+       + CASE WHEN list_contains(toks, 'with') THEN 1 ELSE 0 END) >= 1
+), cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec
+  FROM embeddings WHERE vec_id % 10 <> 3
+  ORDER BY vec_id LIMIT 16
+), cscored AS (
+  SELECT e.vec_id, c.centroid_id,
+         (round({V.duck_cosine('e.embedding', 'c.cvec')}, 9) + 0) AS cdist
+  FROM embeddings e
+  JOIN gated g ON g.doc_id = e.vec_id
+  CROSS JOIN cent c
+)
+SELECT vec_id AS doc_id, centroid_id AS cell FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY cdist DESC, centroid_id) AS rn
+  FROM cscored) WHERE rn = 1
+""")
+def pipeline_crawl_admit_index(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """The crawl-ingestion capstone, one declarative chain: the
+    incoming half of the corpus is deduped batch-internally and
+    anti-joined against the persisted fingerprint store (admission),
+    the admitted documents pass the Gopher quality battery (gating),
+    and the survivors' embeddings are assigned to the PERSISTED
+    index's coarse cells (the routing step of the ANN upsert) — the
+    data-shaping spine of dedup -> filter -> index that a recurring
+    crawl runs end to end, composed from the same operators the
+    standalone rows verify individually.  The full-oracle output
+    (doc_id, cell) value-checks every stage at once: a regression
+    anywhere in the chain moves the final assignment."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    fpd = docs.select("doc_id",
+                      analysis.fingerprint_md5("text").alias("fp"))
+    store = (fpd.filter(F.col("doc_id") % 2 == 0)
+             .select("fp").distinct())
+    admitted = (fpd.filter(F.col("doc_id") % 2 == 1)
+                .groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+                .join(store, "fp", "left_anti").select("doc_id"))
+    flags = analysis.gopher_flags(F.col("text"), min_stopwords=1)
+    gated = (admitted.join(docs, "doc_id")
+             .filter(flags["keep"]).select("doc_id"))
+    cent = ann_index.load_centroids(
+        spark, _upsert_base_path(spark, sf_dir))
+    emb = _t(spark, sf_dir, "embeddings")
+    routed = ivf_ops.assign_cells(
+        emb.join(gated, emb.vec_id == gated.doc_id).drop("doc_id"),
+        cent)
+    return routed.select(F.col("vec_id").alias("doc_id"),
+                         F.col("cell").cast("long").alias("cell"))
+
+
 def _duck_shingles(n: int) -> str:
     """DuckDB twin of dedup.shingles: word n-grams with the short-doc
     fallback (1-indexed lists; range() is 0-based)."""
@@ -3634,12 +3723,10 @@ def ann_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   k=10, nprobe=4, shortlist=50)
 
 
-def _upsert_base_copy(spark: SparkSession, sf_dir: str) -> str:
-    """A writable copy of the 90%-corpus base index (seed artifacts,
-    built once per fixture and cached — the offline build job).  Each
-    caller mutates its own copy, so the upsert rows stay independent."""
-    import shutil
-
+def _upsert_base_path(spark: SparkSession, sf_dir: str) -> str:
+    """The 90%-corpus base index (seed artifacts), built once per
+    fixture and cached — the offline build job.  Read-only; callers
+    that mutate take :func:`_upsert_base_copy`."""
     key = (sf_dir, "upsert_base")
     if key not in _ANN_INDEX_CACHE:
         base_path = os.path.join(tempfile.mkdtemp(prefix="annups_"),
@@ -3649,8 +3736,17 @@ def _upsert_base_copy(spark: SparkSession, sf_dir: str) -> str:
         ann_index.build_index(spark, base, base_path,
                               nlist=16, m=8, ncodes=16)
         _ANN_INDEX_CACHE[key] = base_path
+    return _ANN_INDEX_CACHE[key]
+
+
+def _upsert_base_copy(spark: SparkSession, sf_dir: str) -> str:
+    """A writable copy of the cached base index; each caller mutates
+    its own copy, so the upsert rows stay independent."""
+    import shutil
+
+    base = _upsert_base_path(spark, sf_dir)
     path = os.path.join(tempfile.mkdtemp(prefix="annups_"), "index")
-    shutil.copytree(_ANN_INDEX_CACHE[key], path)
+    shutil.copytree(base, path)
     return path
 
 
@@ -3733,6 +3829,42 @@ def ann_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _RANGE_STORE_CACHE: dict[str, str] = {}
+_DAY_PARTITIONED_CACHE: dict[str, str] = {}
+
+
+@register("partitioned_time_scan", oracle="""
+SELECT event_id, user_id, event_type, ts
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+  AND ts <  TIMESTAMP '2024-01-13 00:00:00'
+""")
+def partitioned_time_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style date partitioning — the third physical layout next
+    to Z-order clustering and bucketing: events written
+    partitionBy(day), then a 3-day range query FROM THE PARTITIONED
+    COPY.  The day predicate binds to the partition column, so
+    Catalyst plans it as PartitionFilters — directories outside the
+    window are never even LISTED, the dominant economics of every
+    time-series corpus at 100 TB (a day of a year-long table is
+    ~0.3% of the files).  The residual ts range finishes exactness
+    inside the kept days; the oracle is the same query on the raw
+    table, proving the partitioned rewrite is lossless.  Write once
+    per fixture (cached), query many."""
+    if sf_dir not in _DAY_PARTITIONED_CACHE:
+        out = os.path.join(tempfile.mkdtemp(prefix="daypart_"), "events")
+        ev = _t(spark, sf_dir, "events")
+        (ev.withColumn("day", F.to_date("ts"))
+         .repartition("day")
+         .write.partitionBy("day").parquet(out))
+        _DAY_PARTITIONED_CACHE[sf_dir] = out
+    part = spark.read.parquet(_DAY_PARTITIONED_CACHE[sf_dir])
+    lo, hi = "2024-01-10", "2024-01-13"
+    return (part
+            .filter((F.col("day") >= F.lit(lo).cast("date"))
+                    & (F.col("day") < F.lit(hi).cast("date")))
+            .filter((F.col("ts") >= F.lit(f"{lo} 00:00:00").cast("timestamp"))
+                    & (F.col("ts") < F.lit(f"{hi} 00:00:00").cast("timestamp")))
+            .select("event_id", "user_id", "event_type", "ts"))
 
 
 @register("store_bucket_stats", oracle="""

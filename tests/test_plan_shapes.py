@@ -272,6 +272,29 @@ def test_integrity_orphans_scans_pruned_to_keys(spark):
             assert "text" not in rs and "embedding" not in rs, ln
 
 
+def test_partitioned_time_scan_prunes_directories(spark):
+    """The day predicate must bind to the partition column: Catalyst
+    plans PartitionFilters on day, so directories outside the window
+    are never listed; the ts residual still reaches PushedFilters."""
+    plan = plan_of(contract.REGISTRY["partitioned_time_scan"](spark, SF))
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "day" in pf
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "ts" in pushed
+
+
+def test_crawl_capstone_admission_and_routing_shapes(spark):
+    """The capstone keeps each stage's scale shape: the admission is
+    a LEFT ANTI join on the fingerprint, the cell routing is a
+    broadcast against the centroid sidecar — never a cartesian
+    product against the corpus."""
+    plan = plan_of(
+        contract.REGISTRY["pipeline_crawl_admit_index"](spark, SF))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 16-row centroid build side
+
+
 def test_salted_join_key_carries_salt(spark):
     # the join condition must include the salt column — placement
     # control survives even when Catalyst picks broadcast locally
