@@ -114,3 +114,73 @@ def test_group_name_probe_fallbacks(spark):
                c='{"n": "' + "x" * 120 + '"}') is None
     assert one(spark, textops.group_name_probe(F.col("c")),
                c='{"n": ""}') is None
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules: the fixture corpus never exercises the
+# bullet / ellipsis / symbol / short-word paths (no newlines, no '#',
+# no '...'), so synthetic texts pin those rule branches here.
+# ---------------------------------------------------------------------------
+
+from msg_vector_search_spark.functions import analysis
+
+
+def _flags(spark, text, **kw):
+    df = spark.createDataFrame([(text,)], ["text"])
+    fl = analysis.gopher_flags(F.col("text"), **kw)
+    row = df.select(*[c.alias(k) for k, c in fl.items()]).head()
+    return row.asDict()
+
+
+def test_gopher_bullet_lines_rule(spark):
+    mostly_bullets = "\n".join(["- item %d" % i for i in range(10)])
+    assert _flags(spark, mostly_bullets)["ok_bullet_lines"] is False
+    mixed = "\n".join(["- item", "plain one", "plain two"])
+    assert _flags(spark, mixed)["ok_bullet_lines"] is True
+
+
+def test_gopher_ellipsis_lines_rule(spark):
+    trailing = "\n".join(["starts fine but trails off..."] * 5)
+    assert _flags(spark, trailing)["ok_ellipsis_lines"] is False
+    assert _flags(spark, "one...\nplain\nplain\nplain")[
+        "ok_ellipsis_lines"] is True
+
+
+def test_gopher_symbol_ratio_rule(spark):
+    hashy = "# " * 30 + "word"
+    assert _flags(spark, hashy)["ok_symbol_ratio"] is False
+    assert _flags(spark, "the plain words here")["ok_symbol_ratio"] is True
+
+
+def test_gopher_mean_word_length_rule(spark):
+    assert _flags(spark, "a b c d e f g")["ok_mean_word_len"] is False
+    longword = " ".join(["antidisestablishmentarian"] * 5)
+    assert _flags(spark, longword)["ok_mean_word_len"] is False
+    assert _flags(spark, "these words look normal")[
+        "ok_mean_word_len"] is True
+
+
+def test_gopher_alpha_and_stopword_rules(spark):
+    digits = " ".join(["123"] * 10)
+    assert _flags(spark, digits)["ok_alpha_words"] is False
+    assert _flags(spark, digits)["ok_stopwords"] is False
+    good = "the cat sat with 1 hat of be and that have to"
+    f = _flags(spark, good)
+    assert f["ok_alpha_words"] is True
+    assert f["ok_stopwords"] is True
+
+
+def test_gopher_word_count_and_keep_conjunction(spark):
+    n50 = " ".join(["the"] + ["word"] * 49)          # exactly 50 words
+    f = _flags(spark, n50, min_stopwords=1)
+    assert f["ok_word_count"] is True
+    assert f["keep"] is True
+    f49 = _flags(spark, " ".join(["word"] * 49), min_stopwords=1)
+    assert f49["ok_word_count"] is False
+    assert f49["keep"] is False
+
+
+def test_gopher_empty_text_no_division_error(spark):
+    f = _flags(spark, "")
+    assert f["ok_word_count"] is False
+    assert f["keep"] is False

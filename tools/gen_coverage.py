@@ -52,7 +52,7 @@ SECTIONS = [
         "distinct_users_twophase", "join_salted_skew",
         "zorder_clustered_scan", "bucketed_colocated_join",
         "store_bucket_stats", "skew_report_events",
-        "integrity_orphans"]),
+        "integrity_orphans", "partitioned_time_scan"]),
     ("Sorts / limits / top-k (2.F)", [
         "topk_by_similarity", "sort_ts_pagination", "keyset_pagination",
         "kth_ts_offset", "ts_quantile_cut",
@@ -87,7 +87,8 @@ SECTIONS = [
         "dedup_embedding_cosine", "dedup_embedding_lsh",
         "dedup_repeated_chunks", "dedup_components",
         "dedup_keep_canonical", "pipeline_clean_corpus",
-        "dedup_incremental_new_docs", "streaming_incremental_dedup"]),
+        "dedup_incremental_new_docs", "streaming_incremental_dedup",
+        "pipeline_crawl_admit_index"]),
     ("Training-data pipeline: similarity / ANN", [
         "ann_ivf_topk", "ann_ivf_filtered", "ann_lsh_topk",
         "ann_pq_topk", "ann_pq_rerank",
