@@ -3789,6 +3789,27 @@ def streaming_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   k=10, nprobe=4, shortlist=50)
 
 
+@register("ann_index_rebuild", oracle=_IVFPQ_SEED_ORACLE)
+def ann_index_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index maintenance closes the lifecycle loop: build on 90% of
+    the corpus, upsert the rest (centroids deliberately frozen — cell
+    balance drifts, which ann_index_stats observes), then REBUILD the
+    index from the store's own vectors — the scheduled job the decay
+    signal triggers.  The oracle is ann_ivfpq_topk's fresh-build
+    composition verbatim: after the rebuild, seed artifacts derive
+    from the full corpus exactly as a from-scratch build would, so
+    upsert-then-rebuild must converge bit-for-bit to the fresh-build
+    state — drift is maintenance debt, never permanent error."""
+    emb = _t(spark, sf_dir, "embeddings")
+    batch = emb.filter(F.col("vec_id") % 10 == 3)
+    path = _upsert_base_copy(spark, sf_dir)
+    ann_index.upsert_index(spark, path, batch)
+    ann_index.rebuild_index(spark, path)
+    return ann_index.search_index(spark, path,
+                                  _query_vec(spark, sf_dir),
+                                  k=10, nprobe=4, shortlist=50)
+
+
 @register("ann_index_stats", oracle=f"""
 WITH cent AS (
   SELECT vec_id AS centroid_id, embedding AS cvec

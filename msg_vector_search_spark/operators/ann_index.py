@@ -217,6 +217,36 @@ def _upsert_cells(spark: SparkSession, batch: DataFrame, store: str,
     return touched
 
 
+def rebuild_index(spark: SparkSession, path: str,
+                  trained: bool | None = None) -> dict:
+    """The scheduled maintenance job :func:`upsert_index` defers to —
+    the ACTION on the cell-balance decay that ``ann_index_stats``
+    surfaces (upserts never move centroids, so occupancy drifts as
+    the corpus distribution does).  Re-derives all four artifacts
+    from the CURRENT vectors store (raw vectors are the source of
+    truth; cells and codes are derived data), staged next to the live
+    index and swapped in whole — a query that started before the
+    swap finishes against the old directories.  ``trained=None``
+    keeps the index's recorded flavor; passing a value migrates
+    seed <-> trained in place.  After a rebuild the index is
+    bit-identical to a fresh :func:`build_index` over the same rows —
+    upsert-then-rebuild converges to the fresh-build state."""
+    from ..sources.sinks import _swap_dir
+
+    meta = read_meta(path)
+    if trained is None:
+        trained = meta["trained"]
+    vecs = (spark.read.parquet(_subdir(path, "vectors")).drop("cell")
+            .localCheckpoint())  # detach from the dirs the swap replaces
+    tmp = path + "._rebuild"
+    new_meta = build_index(spark, vecs, tmp, nlist=meta["nlist"],
+                           m=meta["m"], ncodes=meta["ncodes"],
+                           trained=trained, id_col=meta["id_col"],
+                           vec_col=meta["vec_col"])
+    _swap_dir(tmp, path)
+    return new_meta
+
+
 def upsert_index(spark: SparkSession, path: str,
                  new_vectors: DataFrame) -> list:
     """Incremental index maintenance: fold a batch of new/updated

@@ -132,3 +132,42 @@ def test_kmeans_centroids_drop_in(spark, sf_dir):
     assert assigned.select("cell").distinct().count() <= 4
     qv = [float(x) for x in emb.select("embedding").head()[0]]
     assert ivf.ivf_search(assigned, cents, qv, k=5, nprobe=2).count() == 5
+
+
+def test_rebuild_converges_to_fresh_build(spark, tmp_path):
+    """Upsert-then-rebuild must equal a from-scratch build over the
+    same rows: identical (vec_id, cell) assignments in the vectors
+    store, identical codes, and identical served answers — drift from
+    frozen-centroid upserts is maintenance debt the rebuild clears."""
+    import os
+
+    from msg_vector_search_spark.operators import ann_index
+
+    emb = readers.read_table(spark, SF, "embeddings")
+    base = emb.filter(F.col("vec_id") >= 5)
+    batch = emb.filter(F.col("vec_id") < 5)
+
+    drifted = str(tmp_path / "drifted")
+    ann_index.build_index(spark, base, drifted, nlist=8, m=8, ncodes=16)
+    ann_index.upsert_index(spark, drifted, batch)
+    meta = ann_index.rebuild_index(spark, drifted)
+    assert meta["trained"] is False  # flavor preserved
+
+    fresh = str(tmp_path / "fresh")
+    ann_index.build_index(spark, emb, fresh, nlist=8, m=8, ncodes=16)
+
+    def cells(path):
+        return sorted(
+            tuple(r) for r in spark.read.parquet(
+                os.path.join(path, "vectors"))
+            .select("vec_id", "cell").collect())
+
+    assert cells(drifted) == cells(fresh)
+
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0)
+          .select("embedding").collect()[0][0]]
+    a = ann_index.search_index(spark, drifted, qv, k=5, nprobe=2,
+                               shortlist=50).collect()
+    b = ann_index.search_index(spark, fresh, qv, k=5, nprobe=2,
+                               shortlist=50).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
