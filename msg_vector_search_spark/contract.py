@@ -4774,6 +4774,64 @@ def multimodal_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.withColumn("hamming", F.col("hamming").cast("long"))
 
 
+@register("multimodal_frame_dedup", oracle="""
+WITH media AS (
+  SELECT doc_id AS media_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 500000 AS media_id,
+         substring(text, 1, CAST(floor(length(text) * 0.8) AS INT)) AS text
+  FROM documents WHERE doc_id % 9 = 0
+), frames AS (
+  SELECT media_id,
+         md5(substring(text, CAST(i*64+1 AS INT), 64)) AS fh
+  FROM media, LATERAL unnest(
+    range(0, greatest(1, CAST(ceil(length(text) / 64.0) AS INT)), 2)
+  ) t(i)
+), f AS (SELECT DISTINCT media_id, fh FROM frames)
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       CAST(count(*) AS BIGINT) AS shared_frames
+FROM f a JOIN f b ON a.fh = b.fh AND a.media_id < b.media_id
+GROUP BY 1, 2
+""")
+def multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clip detection — the content-ID shape: videos sharing ANY
+    near-identical frame pair up through an inverted index on
+    per-frame fingerprints (here md5 of the stubbed 64-byte frame
+    slice; a deployment swaps in a perceptual frame hash and keeps
+    the plan).  The whole-payload SimHash (multimodal_dedup_near)
+    misses partial reuse — a clip embedded in a longer video moves
+    most payload windows — while the frame index finds it from one
+    surviving frame.  Plan: frame fan-out is a narrow mapInPandas
+    (rows out > rows in, no shuffle), then ONE equi-join on the frame
+    hash — candidates are only frame-hash collisions, never
+    all-pairs, exactly the MinHash-band economics at video scale.
+    Every 9th payload re-injected truncated to 80%: the copy shares
+    its surviving full frames with the original, unrelated videos
+    share none."""
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(F.col("doc_id").alias("media_id"),
+                        F.encode("text", "UTF-8").alias("payload"))
+    dups = (docs.filter(F.col("doc_id") % 9 == 0)
+            .select((F.col("doc_id") + 500000).alias("media_id"),
+                    F.encode(F.expr(
+                        "substring(text, 1, "
+                        "cast(floor(length(text) * 0.8) as int))"),
+                        "UTF-8").alias("payload")))
+    frames = multimodal.sample_frames(
+        readers.widen(media.unionByName(dups)),
+        frame_size=64, stride=2)
+    f = (frames.select("media_id", F.md5("frame_payload").alias("fh"))
+         .distinct())
+    a = f.select(F.col("media_id").alias("id_a"),
+                 F.col("fh").alias("fh_a"))
+    b = f.select(F.col("media_id").alias("id_b"),
+                 F.col("fh").alias("fh_b"))
+    return (a.join(b, (F.col("fh_a") == F.col("fh_b"))
+                   & (F.col("id_a") < F.col("id_b")))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("shared_frames")))
+
+
 @register("multimodal_resize", oracle="""
 SELECT doc_id AS media_id,
        CASE WHEN doc_id % 3 = 0 THEN 'image'

@@ -112,7 +112,7 @@ SECTIONS = [
     ("Training-data pipeline: multimodal", [
         "multimodal_features", "multimodal_resize",
         "multimodal_frame_sample", "multimodal_dedup_bytes",
-        "multimodal_dedup_near"]),
+        "multimodal_dedup_near", "multimodal_frame_dedup"]),
     ("Training-data pipeline: sequence packing", [
         "pack_sequences_budget", "pack_sequences_greedy",
         "pack_fill_stats", "pipeline_training_batches"]),
