@@ -41,6 +41,7 @@ from .operators import ivf as ivf_ops
 from .operators import lsh as lsh_ops
 from .operators import packing as packing_ops
 from .operators import pq as pq_ops
+from .operators import retrieval as retrieval_ops
 from .operators import similarity as sim_ops
 from .operators import topk as topk_ops
 from .sources import bucketed, layout, readers, sinks, state
@@ -5991,6 +5992,150 @@ def streaming_upsert_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming_ops.stream_upsert(spark, sf_dir, store, query_name=name)
     return sinks.read_store(spark, store).select(
         "event_id", "user_id", "event_type")
+
+
+# =========================================================================
+# Hybrid retrieval: BM25 keyword leg + reciprocal-rank fusion with the
+# vector leg (extension surface — the reference serves cosine only,
+# src/core/search/engine.py:105-183)
+# =========================================================================
+
+# Fixed keyword query for the lexical leg: two common terms + one rare
+# term ('dup' appears in ~5% of documents) so idf spreads the scores.
+_BM25_TERMS = ["spark", "query", "dup"]
+
+
+@register("text_bm25_topk", oracle=f"""
+WITH scored AS ({retrieval_ops.duck_bm25(_BM25_TERMS, _DUCK_TOKENS)})
+SELECT doc_id, CAST(dl AS BIGINT) AS dl, (round(bm25, 6) + 0) AS bm25
+FROM scored
+ORDER BY (round(bm25, 6) + 0) DESC, doc_id LIMIT 20
+""")
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 for a fixed 3-term keyword query — the lexical
+    retrieval mode the reference lacks (its search is cosine-only,
+    src/core/search/engine.py:105-183).
+
+    Plan: per-term tf as size(filter(tokens)) Column expressions (no
+    explode — the query IS the vocabulary, so the corpus-wide DF table
+    TF-IDF needs collapses to one broadcast stats row), one map-side-
+    partial aggregate for (N, Σdl, df per term), scoring rides a second
+    scan, TakeOrderedAndProject for the top-k.  Nothing shuffles on a
+    data-dependent key at any corpus size."""
+    docs = readers.widen(_t(spark, sf_dir, "documents"))
+    scored = retrieval_ops.bm25_scores(docs, _BM25_TERMS)
+    return (scored.select("doc_id",
+                          F.col("dl").cast("long").alias("dl"),
+                          rnd(F.col("bm25"), 6).alias("bm25"))
+            .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+            .limit(20))
+
+
+@register("hybrid_search_rrf", oracle=f"""
+WITH kw_scored AS ({retrieval_ops.duck_bm25(_BM25_TERMS, _DUCK_TOKENS)}),
+kw_top AS (
+  SELECT doc_id, (round(bm25, 6) + 0) AS s FROM kw_scored
+  ORDER BY s DESC, doc_id LIMIT 50
+), kw_rank AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INT)
+           AS rank_kw
+  FROM kw_top
+), v_scored AS (
+  SELECT e.vec_id AS doc_id,
+         (round({V.duck_cosine('e.embedding', 'q.qv')}, 6) + 0) AS s
+  FROM embeddings e,
+       (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+), v_top AS (
+  SELECT doc_id, s FROM v_scored ORDER BY s DESC, doc_id LIMIT 50
+), v_rank AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INT)
+           AS rank_vec
+  FROM v_top
+)
+SELECT COALESCE(k.doc_id, v.doc_id) AS doc_id, k.rank_kw, v.rank_vec,
+       (round(COALESCE(1.0::DOUBLE / (60 + k.rank_kw), 0.0)
+            + COALESCE(1.0::DOUBLE / (60 + v.rank_vec), 0.0), 6) + 0) AS rrf
+FROM kw_rank k FULL JOIN v_rank v ON k.doc_id = v.doc_id
+ORDER BY rrf DESC, doc_id LIMIT 10
+""")
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: BM25 keyword leg + cosine vector leg fused by
+    reciprocal-rank fusion (Cormack et al., SIGIR 2009) — the retrieval
+    shape every production vector store serves next to pure ANN.
+
+    Each leg's ranks come from operators.retrieval.bounded_rank: an
+    ordered limit(50) prefix (TakeOrderedAndProject) checkpointed at 50
+    rows, then a broadcast self-join rank count — NO unpartitioned
+    window anywhere (the registry-wide guard in test_window_guard.py
+    stays exemption-free), and the fusion join runs over two 50-row
+    frames regardless of corpus size."""
+    docs = readers.widen(_t(spark, sf_dir, "documents"))
+    kw = (retrieval_ops.bm25_scores(docs, _BM25_TERMS)
+          .select("doc_id", rnd(F.col("bm25"), 6).alias("s")))
+    kw_rank = retrieval_ops.bounded_rank(kw, "s", "doc_id", 50)
+    qv = _query_vec(spark, sf_dir)
+    vec = (sim_ops.similarity_to_query(_t(spark, sf_dir, "embeddings"), qv)
+           .select(F.col("vec_id").alias("doc_id"),
+                   rnd(F.col("sim"), 6).alias("s")))
+    vec_rank = retrieval_ops.bounded_rank(vec, "s", "doc_id", 50)
+    fused = retrieval_ops.rrf_fuse([kw_rank, vec_rank], topk=10)
+    return fused.select("doc_id",
+                        F.col("rank_0").alias("rank_kw"),
+                        F.col("rank_1").alias("rank_vec"),
+                        "rrf")
+
+
+@register("dedup_semdedup", oracle=f"""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(embedding, x -> CAST(x * 1.25 AS FLOAT))
+           AS embedding
+  FROM embeddings WHERE vec_id % 20 = 0
+), cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec
+  FROM corpus ORDER BY vec_id LIMIT 16
+), scored AS (
+  SELECT e.vec_id, e.embedding, c.centroid_id,
+         (round({V.duck_cosine('e.embedding', 'c.cvec')}, 9) + 0) AS cdist
+  FROM corpus e CROSS JOIN cent c
+), assigned AS (
+  SELECT vec_id, embedding, centroid_id AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cdist DESC, centroid_id) AS rn
+    FROM scored) WHERE rn = 1
+), dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE (round({V.duck_cosine('a.embedding', 'b.embedding')}, 6) + 0)
+          >= 0.99
+)
+SELECT a.vec_id, a.cell, (d.vec_id IS NULL) AS keep
+FROM assigned a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+""")
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al., 2023): cluster the embedding space, then
+    drop within-cluster cosine near-dups keeping the lowest id — the
+    semantic-level dedup a web-scale training pipeline runs AFTER exact
+    and MinHash passes (catches paraphrases and re-encodings that share
+    no n-grams).  Every 20th vector is re-injected scaled x1.25
+    (cosine 1.0 with its original, same cell by scale-invariance) and
+    must be dropped; output is every row's (cell, keep) verdict.
+
+    The IVF cells are the quadratic guard: pairwise cosine never
+    crosses a cell boundary, so cost is sum of cell^2, bounded by
+    nlist sizing — not corpus^2."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    scaled = (emb.filter(F.col("vec_id") % 20 == 0)
+              .withColumn("vec_id", F.col("vec_id") + 1000000)
+              .withColumn("embedding", F.transform(
+                  "embedding",
+                  lambda x: (x * F.lit(1.25)).cast("float"))))
+    corpus = emb.unionByName(scaled)
+    cent = ivf_ops.seed_centroids(corpus, 16)
+    return dedup_ops.semdedup(corpus, cent, threshold=0.99)
 
 
 # =========================================================================

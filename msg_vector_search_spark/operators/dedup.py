@@ -721,3 +721,49 @@ def embedding_near_dup(embeddings: DataFrame, block_col: str = "label",
         .filter(F.col("sim") >= threshold)
         .select("block", "id_a", "id_b", "sim")
     )
+
+
+def semdedup(embeddings: DataFrame, centroids: DataFrame,
+             threshold: float = 0.99, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup (Abbas et al., 2023): semantic dedup by clustering the
+    embedding space and dropping, within each cluster, every vector
+    whose cosine to a LOWER-id cluster-mate clears *threshold* — the
+    keep-first canonical rule, so exactly one representative of each
+    within-cell near-dup group survives.
+
+    The cells double as the quadratic guard: pairwise cosine runs only
+    inside a cell (the paper's recipe — k-means partitions the space so
+    cross-cell pairs are far by construction).  Output is EVERY input
+    row with its cell and a ``keep`` verdict, so the caller can filter,
+    audit drop rates per cell, or join the verdict back to documents.
+
+    Scale: assignment is the broadcast nested-loop from ivf.assign_cells
+    (corpus never shuffles for it); the pair join is an equi-join on
+    cell with norms hoisted per row; at 100 TB raise nlist so cells stay
+    bounded (cell size ~ corpus/nlist) — hot cells get the same grid-
+    salt treatment as sim_join_ivf.  One shuffle on cell, one broadcast
+    anti-join of the (small) dropped-id set back onto the assignment.
+    """
+    from . import ivf
+
+    assigned = ivf.assign_cells(embeddings, centroids, id_col=id_col,
+                                vec_col=vec_col)
+    a = assigned.select(F.col(id_col).alias("_ida"),
+                        F.col(vec_col).alias("_va"),
+                        V.norm(vec_col).alias("_na"), "cell")
+    b = assigned.select(F.col(id_col).alias("_idb"),
+                        F.col(vec_col).alias("_vb"),
+                        V.norm(vec_col).alias("_nb"), "cell")
+    nprod = F.col("_na") * F.col("_nb")
+    sim = F.when(nprod == 0.0, F.lit(0.0)).otherwise(
+        V.dot("_va", "_vb") / nprod)
+    dropped = (a.join(b, "cell")
+               .filter(F.col("_ida") < F.col("_idb"))
+               .filter((F.round(sim, 6) + F.lit(0.0)) >= threshold)
+               .select(F.col("_idb").alias(id_col))
+               .distinct())
+    return (assigned
+            .join(dropped.withColumn("_drop", F.lit(1)), id_col, "left")
+            .select(id_col, "cell",
+                    F.col("_drop").isNull().alias("keep")))

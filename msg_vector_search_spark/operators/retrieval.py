@@ -1,0 +1,171 @@
+"""Keyword (BM25) retrieval and hybrid rank fusion.
+
+The reference serves ONE retrieval mode: semantic cosine over stored
+embeddings (src/core/search/engine.py:105-183 -> embeddings/
+processor.py:489-525).  Production search over the same corpus is
+hybrid: a lexical leg (BM25) runs next to the vector leg and the two
+rankings fuse — reciprocal-rank fusion (Cormack et al., SIGIR 2009) is
+the standard score-free combiner.  This module adds that extension
+surface Spark-first:
+
+* :func:`bm25_scores` — Okapi BM25 for a FIXED query-term list as one
+  pure-Column pass: per-term tf via ``size(filter(tokens, ...))`` (no
+  explode, no vocabulary shuffle), corpus stats (N, Σdl, per-term df)
+  as ONE map-side-partial aggregate broadcast back.  Two scans of the
+  corpus total, both riding whole-stage codegen; the vocabulary-sized
+  DF table TF-IDF needs never materializes because the query is the
+  vocabulary.
+* :func:`bounded_rank` — dense ranks for a top-k WITHOUT a global
+  window: an ordered ``limit(k)`` prefix (TakeOrderedAndProject — per-
+  partition heaps) is checkpointed at k rows, then ranked by a
+  broadcast self-join count (k^2 comparisons of a driver-sized frame).
+  No ``Exchange SinglePartition`` ever sees corpus-sized input, so the
+  registry-wide window guard holds with no new exemption.
+* :func:`rrf_fuse` — full-outer-join the per-leg rank lists on the
+  document key, score 1/(k_rrf + rank) summed across legs.  Inputs are
+  k-row frames; the fuse is driver-sized regardless of corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import analysis
+
+K1 = 1.2
+B = 0.75
+
+
+def _tf(tok_col, term: str):
+    """Occurrences of *term* in the token array — a Column expression
+    (size-of-filter), so per-term counting rides the document scan."""
+    return F.size(F.filter(tok_col, lambda x: x == F.lit(term)))
+
+
+def bm25_scores(docs: DataFrame, terms: list[str], text_col: str = "text",
+                id_col: str = "doc_id", k1: float = K1,
+                b: float = B) -> DataFrame:
+    """Okapi BM25 of every document against the fixed *terms* list.
+
+    Returns ``(id_col, dl, bm25)`` for documents matching >= 1 term.
+    idf is the Lucene/Robertson form ``ln(1 + (N - df + 0.5)/(df +
+    0.5))`` — always positive, so a term matched can only add score.
+
+    Scale: stats pass reduces to ONE row (partial aggregation — every
+    executor ships 1 row), scoring pass is scan -> project -> filter.
+    Nothing shuffles on a text or term key; the plan survives any
+    corpus size because the only data-dependent structure is the
+    corpus scan itself.
+    """
+    toks = analysis.tokens(F.col(text_col))
+    base = (docs.select(F.col(id_col), toks.alias("_toks"))
+            .withColumn("dl", F.size("_toks")))
+    wtf = base.select(
+        id_col, "dl",
+        *[_tf(F.col("_toks"), t).alias(f"_tf_{i}")
+          for i, t in enumerate(terms)])
+    stats = wtf.agg(
+        F.count("*").alias("_n"),
+        F.sum("dl").alias("_sumdl"),
+        *[F.sum((F.col(f"_tf_{i}") > 0).cast("long")).alias(f"_df_{i}")
+          for i in range(len(terms))])
+    scored = wtf.crossJoin(F.broadcast(stats))
+    n = F.col("_n")
+    avgdl = F.col("_sumdl") / n
+    contribs = []
+    for i in range(len(terms)):
+        tf = F.col(f"_tf_{i}")
+        df = F.col(f"_df_{i}")
+        idf = F.log(F.lit(1.0) + (n - df + F.lit(0.5)) / (df + F.lit(0.5)))
+        norm = tf + F.lit(k1) * (F.lit(1.0) - F.lit(b)
+                                 + F.lit(b) * (F.col("dl") / avgdl))
+        contribs.append(idf * (tf * F.lit(k1 + 1.0)) / norm)
+    score = contribs[0]
+    for c in contribs[1:]:
+        score = score + c
+    matched = F.col("_tf_0")
+    for i in range(1, len(terms)):
+        matched = matched + F.col(f"_tf_{i}")
+    return (scored.filter(matched > 0)
+            .select(id_col, "dl", score.alias("bm25")))
+
+
+def duck_bm25(terms: list[str], duck_tokens: str,
+              from_table: str = "documents", id_col: str = "doc_id",
+              k1: float = K1, b: float = B) -> str:
+    """DuckDB rendering of :func:`bm25_scores` — identical expression
+    tree (same literals, same association order) so both engines emit
+    bit-identical doubles before the grid rounding."""
+    tf_cols = ", ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf_{i}"
+        for i, t in enumerate(terms))
+    df_cols = ", ".join(
+        f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(terms)))
+    contribs = " + ".join(
+        f"(ln(1.0 + (s.n - s.df_{i} + 0.5) / (s.df_{i} + 0.5))"
+        f" * (w.tf_{i} * {k1 + 1.0!r})"
+        f" / (w.tf_{i} + {k1!r} * (1.0 - {b!r}"
+        f" + {b!r} * (w.dl / (s.sumdl / s.n)))))"
+        for i in range(len(terms)))
+    matched = " + ".join(f"w.tf_{i}" for i in range(len(terms)))
+    return f"""
+WITH t AS (SELECT {id_col}, {duck_tokens} AS toks FROM {from_table}),
+w AS (SELECT {id_col}, len(toks) AS dl, {tf_cols} FROM t),
+s AS (SELECT count(*) AS n, sum(dl) AS sumdl, {df_cols} FROM w)
+SELECT w.{id_col}, w.dl, ({contribs}) AS bm25
+FROM w, s WHERE ({matched}) > 0
+"""
+
+
+def bounded_rank(df: DataFrame, score_col: str, id_col: str,
+                 k: int) -> DataFrame:
+    """Ranks 1..k of the top-*k* rows by ``(score desc, id asc)``
+    without an unpartitioned window.
+
+    The ordered ``limit(k)`` plans TakeOrderedAndProject (each map task
+    ships at most k rows); the k-row prefix is checkpointed so the two
+    self-join sides don't re-run the corpus scan; rank = 1 + count of
+    strictly-better rows via a broadcast nested-loop over k x k pairs —
+    driver-bounded work for any corpus size.
+    """
+    top = (df.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+           .limit(k).localCheckpoint())
+    a = top.select(F.col(id_col).alias("_id"), F.col(score_col).alias("_s"))
+    bside = top.select(F.col(id_col).alias("_bid"),
+                       F.col(score_col).alias("_bs"))
+    better = (F.col("_bs") > F.col("_s")) | (
+        (F.col("_bs") == F.col("_s")) & (F.col("_bid") < F.col("_id")))
+    return (a.join(F.broadcast(bside), better, "left")
+            .groupBy("_id")
+            .agg((F.count("_bid") + F.lit(1)).cast("int").alias("rank"))
+            .select(F.col("_id").alias(id_col), "rank"))
+
+
+def rrf_fuse(legs: list[DataFrame], id_col: str = "doc_id",
+             k_rrf: int = 60, topk: int = 10,
+             round_to: int | None = 6) -> DataFrame:
+    """Reciprocal-rank fusion of per-leg ``(id_col, rank)`` frames:
+    rrf = sum over legs of 1/(k_rrf + rank), absent legs contribute 0.
+    Output: ``(id_col, rank_0.., rrf)`` top-*topk* by (rrf desc, id),
+    the score grid-rounded BEFORE ordering (``round_to``) so an oracle
+    computing the same integer ranks orders identically.
+
+    Inputs are bounded (k rows each), so every join here is
+    driver-sized — the fusion cost is independent of the corpus."""
+    fused = legs[0].select(F.col(id_col), F.col("rank").alias("rank_0"))
+    for i, leg in enumerate(legs[1:], start=1):
+        fused = fused.join(
+            leg.select(F.col(id_col), F.col("rank").alias(f"rank_{i}")),
+            id_col, "full")
+    score = F.coalesce(F.lit(1.0) / (F.lit(k_rrf) + F.col("rank_0")),
+                       F.lit(0.0))
+    for i in range(1, len(legs)):
+        score = score + F.coalesce(
+            F.lit(1.0) / (F.lit(k_rrf) + F.col(f"rank_{i}")), F.lit(0.0))
+    if round_to is not None:
+        score = F.round(score, round_to) + F.lit(0.0)
+    return (fused.withColumn("rrf", score)
+            .orderBy(F.col("rrf").desc(), F.col(id_col).asc())
+            .limit(topk))

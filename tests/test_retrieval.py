@@ -1,0 +1,139 @@
+"""Unit tests for the hybrid-retrieval operators (BM25, bounded rank,
+RRF fusion, SemDeDup)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from msg_vector_search_spark.operators import dedup as dedup_ops
+from msg_vector_search_spark.operators import ivf as ivf_ops
+from msg_vector_search_spark.operators import retrieval
+
+
+# ---------------------------------------------------------------------------
+# BM25
+# ---------------------------------------------------------------------------
+
+def _bm25_ref(tf: int, df: int, n: int, dl: int, avgdl: float,
+              k1: float = 1.2, b: float = 0.75) -> float:
+    idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    return idf * (tf * (k1 + 1.0)) / (tf + k1 * (1 - b + b * (dl / avgdl)))
+
+
+def test_bm25_matches_hand_formula(spark):
+    rows = [(0, "cat dog cat"), (1, "dog dog dog dog"),
+            (2, "fish"), (3, "cat fish bird bird")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           retrieval.bm25_scores(docs, ["cat", "dog"]).collect()}
+    n, avgdl = 4, (3 + 4 + 1 + 4) / 4
+    # df(cat)=2, df(dog)=2
+    exp0 = (_bm25_ref(2, 2, n, 3, avgdl) + _bm25_ref(1, 2, n, 3, avgdl))
+    assert out[0]["bm25"] == pytest.approx(exp0, rel=1e-12)
+    exp1 = _bm25_ref(4, 2, n, 4, avgdl)
+    assert out[1]["bm25"] == pytest.approx(exp1, rel=1e-12)
+    # doc 2 matches no query term -> excluded
+    assert 2 not in out
+    exp3 = _bm25_ref(1, 2, n, 4, avgdl)
+    assert out[3]["bm25"] == pytest.approx(exp3, rel=1e-12)
+
+
+def test_bm25_rare_term_outscores_common(spark):
+    # one doc holds the rare term; all hold the common one, same dl
+    rows = [(i, "common filler " + ("rare" if i == 0 else "word"))
+            for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["bm25"] for r in
+           retrieval.bm25_scores(docs, ["common", "rare"]).collect()}
+    assert out[0] > max(v for k, v in out.items() if k != 0)
+
+
+# ---------------------------------------------------------------------------
+# bounded_rank: equals the window-rank definition, without the window
+# ---------------------------------------------------------------------------
+
+def test_bounded_rank_matches_window_rank(spark):
+    rows = [(i, float((i * 37) % 11)) for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, s double")
+    got = {r["id"]: r["rank"]
+           for r in retrieval.bounded_rank(df, "s", "id", 15).collect()}
+    exp_rows = sorted(rows, key=lambda r: (-r[1], r[0]))[:15]
+    exp = {rid: i + 1 for i, (rid, _) in enumerate(exp_rows)}
+    assert got == exp
+
+
+def test_bounded_rank_plans_no_unpartitioned_window(spark):
+    df = spark.createDataFrame([(i, float(i)) for i in range(10)],
+                               "id long, s double")
+    ranked = retrieval.bounded_rank(df, "s", "id", 5)
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "TakeOrderedAndProject" in \
+        df.orderBy(F.col("s").desc(), F.col("id")).limit(5) \
+        ._jdf.queryExecution().executedPlan().toString()
+
+
+# ---------------------------------------------------------------------------
+# RRF fusion
+# ---------------------------------------------------------------------------
+
+def test_rrf_fuse_scores_and_order(spark):
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)],
+                              "doc_id long, rank int")
+    b = spark.createDataFrame([(2, 1), (4, 2)], "doc_id long, rank int")
+    out = {r["doc_id"]: r for r in
+           retrieval.rrf_fuse([a, b], topk=10, round_to=None).collect()}
+    # doc 2 appears in both legs -> highest fused score
+    assert out[2]["rrf"] == pytest.approx(1 / 62 + 1 / 61, rel=1e-12)
+    assert out[1]["rrf"] == pytest.approx(1 / 61, rel=1e-12)
+    assert out[4]["rrf"] == pytest.approx(1 / 62, rel=1e-12)
+    assert out[4]["rank_0"] is None and out[4]["rank_1"] == 2
+    best = max(out.values(), key=lambda r: r["rrf"])
+    assert best["doc_id"] == 2
+
+
+def test_rrf_topk_truncates_deterministically(spark):
+    a = spark.createDataFrame([(i, i + 1) for i in range(20)],
+                              "doc_id long, rank int")
+    out = retrieval.rrf_fuse([a], topk=5, round_to=None).collect()
+    assert [r["doc_id"] for r in out] == [0, 1, 2, 3, 4]
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup
+# ---------------------------------------------------------------------------
+
+def test_semdedup_drops_scaled_copies_keeps_originals(spark, sf_dir):
+    from msg_vector_search_spark.sources import readers
+
+    emb = readers.read_table(spark, sf_dir, "embeddings") \
+        .select("vec_id", "embedding")
+    scaled = (emb.filter(F.col("vec_id") % 10 == 0)
+              .withColumn("vec_id", F.col("vec_id") + 1000000)
+              .withColumn("embedding", F.transform(
+                  "embedding", lambda x: (x * F.lit(2.0)).cast("float"))))
+    corpus = emb.unionByName(scaled)
+    cent = ivf_ops.seed_centroids(corpus, 8)
+    out = dedup_ops.semdedup(corpus, cent, threshold=0.999)
+    rows = {r["vec_id"]: r for r in out.collect()}
+    n_orig = emb.count()
+    # every original survives (it is the lowest id of its dup group)
+    assert all(rows[i]["keep"] for i in rows if i < 1000000)
+    # every scaled copy is dropped (cosine 1.0 with its original,
+    # same cell by scale invariance of cosine assignment)
+    clones = [i for i in rows if i >= 1000000]
+    assert clones and all(not rows[i]["keep"] for i in clones)
+    assert len(rows) == n_orig + len(clones)
+
+
+def test_semdedup_keep_is_per_cell_canonical(spark):
+    # two identical vectors in the same cell: lower id kept
+    rows = [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cent = ivf_ops.seed_centroids(emb, 2)
+    out = {r["vec_id"]: r["keep"] for r in
+           dedup_ops.semdedup(emb, cent, threshold=0.99).collect()}
+    assert out == {0: True, 1: False, 2: True}
