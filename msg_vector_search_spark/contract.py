@@ -6138,6 +6138,64 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.semdedup(corpus, cent, threshold=0.99)
 
 
+@register("ann_truncated_rerank", oracle=f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+hs AS (
+  SELECT e.vec_id,
+         (round({V.duck_cosine('e.embedding[1:16]', 'q.qv[1:16]')}, 6) + 0)
+           AS hsim
+  FROM embeddings e, q
+), short AS (
+  SELECT vec_id FROM hs ORDER BY hsim DESC, vec_id LIMIT 50
+)
+SELECT e.vec_id, e.label,
+       (round({V.duck_cosine('e.embedding', 'q.qv')}, 6) + 0) AS sim
+FROM embeddings e JOIN short USING (vec_id), q
+ORDER BY sim DESC, e.vec_id LIMIT 10
+""")
+def ann_truncated_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive retrieval by dimension truncation (Matryoshka, Kusupati
+    et al. 2022): shortlist-50 on the first 16 of 64 dimensions, exact
+    re-rank at full width — the train-nothing ANN sketch that reads a
+    quarter of the vector bytes when the head is a write-time column.
+    Completes the sketch family next to IVF (partition prune), LSH
+    (bucket prune) and PQ (byte-code scan)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim_ops.truncated_rerank_search(
+        emb, _query_vec(spark, sf_dir), k=10, head_dims=16, shortlist=50,
+        keep_cols=("label",))
+
+
+@register("streaming_enrich_dim", oracle="""
+SELECT e.event_id, e.user_id, c.c_mktsegment, e.value
+FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
+""")
+def streaming_enrich_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2.H live, stream-STATIC join — the enrichment shape of D1
+    (join_user_dim) under streaming execution: every arriving event
+    broadcast-joins the static customer dimension inside its
+    micro-batch, append mode, no state (a stream-static join holds
+    nothing between batches; the dimension is re-resolvable per batch,
+    which is exactly how a slowly-changing dim should be consumed).
+    Oracle = the batch left join, because append mode with no watermark
+    emits every input row exactly once."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    name = f"ct_stream_enrich_{next(_STREAM_SEQ)}"
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment"))
+
+    def enrich(events: DataFrame) -> DataFrame:
+        return (events
+                .join(F.broadcast(cust),
+                      events.user_id == cust.c_custkey, "left")
+                .select("event_id", "user_id", "c_mktsegment", "value"))
+
+    out = streaming_ops.run_stream_once(
+        spark, sf_dir, query_name=name, output_mode="append",
+        agg_fn=enrich)
+    return out.select("event_id", "user_id", "c_mktsegment", "value")
+
+
 # =========================================================================
 # Driver-verification ordering
 # =========================================================================

@@ -92,6 +92,45 @@ def knn_search(corpus: DataFrame, query_vec: list[float], k: int = 30,
     return threshold_filter(top_k(scored, k, tiebreak=tiebreak), threshold)
 
 
+def truncated_rerank_search(corpus: DataFrame, query_vec: list[float],
+                            k: int = 10, head_dims: int = 16,
+                            shortlist: int = 50,
+                            vec_col: str = "embedding",
+                            id_col: str = "vec_id",
+                            keep_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Adaptive retrieval via dimension truncation (the Matryoshka
+    trick, Kusupati et al., NeurIPS 2022): shortlist on the FIRST
+    *head_dims* dimensions, exact-re-rank the shortlist at full
+    dimension.  With MRL-trained embeddings the head carries most of
+    the signal; even without, it is the cheapest re-rankable sketch —
+    no codebooks to train, no index to build.
+
+    Scale: the shortlist scan reads head_dims/dim of the vector bytes
+    when the head is materialized as its own column at write time (the
+    topk_prenormalized pattern; computed here with ``slice`` so the
+    operator works on any store).  The shortlist is an ordered
+    ``limit`` (TakeOrderedAndProject), its ids broadcast back for the
+    re-rank join — the corpus never shuffles, and full-dimension math
+    touches only *shortlist* rows.
+    """
+    qhead = [float(x) for x in query_vec[:head_dims]]
+    head = corpus.withColumn("_head", F.slice(F.col(vec_col), 1, head_dims))
+    hscored = (similarity_to_query(head, qhead, vec_col="_head",
+                                   out_col="hsim")
+               .withColumn("hsim", F.round(F.col("hsim"), 6) + F.lit(0.0)))
+    short = (hscored
+             .orderBy(F.col("hsim").desc(), F.col(id_col).asc())
+             .limit(shortlist)
+             .select(id_col))
+    exact = (similarity_to_query(corpus, query_vec, vec_col)
+             .join(F.broadcast(short), id_col)
+             .withColumn("sim", F.round(F.col("sim"), 6) + F.lit(0.0)))
+    return (exact
+            .orderBy(F.col("sim").desc(), F.col(id_col).asc())
+            .limit(k)
+            .select(id_col, *keep_cols, "sim"))
+
+
 def knn_join(corpus: DataFrame, queries: DataFrame, k: int = 10,
              corpus_vec: str = "embedding", query_vec: str = "q_embedding",
              corpus_id: str = "vec_id", query_id: str = "q_id") -> DataFrame:

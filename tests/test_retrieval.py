@@ -137,3 +137,42 @@ def test_semdedup_keep_is_per_cell_canonical(spark):
     out = {r["vec_id"]: r["keep"] for r in
            dedup_ops.semdedup(emb, cent, threshold=0.99).collect()}
     assert out == {0: True, 1: False, 2: True}
+
+
+# ---------------------------------------------------------------------------
+# Truncated-head rerank (Matryoshka-style adaptive retrieval)
+# ---------------------------------------------------------------------------
+
+def test_truncated_rerank_exact_when_head_is_whole_vector(spark, sf_dir):
+    from msg_vector_search_spark.operators import similarity as sim_ops
+    from msg_vector_search_spark.sources import readers
+
+    emb = readers.read_table(spark, sf_dir, "embeddings")
+    q = [float(x) for x in
+         emb.filter(F.col("vec_id") == 1).head()["embedding"]]
+    # head = full dimension -> shortlist ordering == exact ordering,
+    # so the result must equal brute-force top-k exactly
+    full = sim_ops.truncated_rerank_search(emb, q, k=5, head_dims=64,
+                                           shortlist=50)
+    brute = sim_ops.knn_search(emb, q, k=5).select("vec_id", "sim")
+    assert [tuple(r) for r in full.collect()] == \
+        [tuple(r) for r in brute.collect()]
+
+
+def test_truncated_rerank_plan_has_no_shuffle(spark, sf_dir):
+    from msg_vector_search_spark.operators import similarity as sim_ops
+    from msg_vector_search_spark.sources import readers
+
+    emb = readers.read_table(spark, sf_dir, "embeddings")
+    q = [1.0] * 64
+    df = sim_ops.truncated_rerank_search(emb, q, k=5, head_dims=16,
+                                         shortlist=20)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("TakeOrderedAndProject") == 2
+    # broadcast of the 20-row shortlist is the ONLY exchange
+    import re
+    exchanges = [ln for ln in plan.splitlines()
+                 if re.search(r"\bExchange\b", ln)
+                 and "BroadcastExchange" not in ln]
+    assert exchanges == []
