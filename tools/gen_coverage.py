@@ -69,7 +69,7 @@ SECTIONS = [
         "streaming_tumbling_availablenow", "streaming_sliding_window",
         "streaming_append_finalized", "streaming_sessionize_stateful",
         "streaming_dedup_within_watermark", "streaming_upsert_store",
-        "streaming_index_upsert"]),
+        "streaming_index_upsert", "streaming_enrich_dim"]),
     ("Analytics widening (round 4)", [
         "pivot_event_type_daily", "cube_order_priority",
         "event_value_histogram", "tpch_q19_disjunctive",
@@ -88,7 +88,7 @@ SECTIONS = [
         "dedup_repeated_chunks", "dedup_components",
         "dedup_keep_canonical", "pipeline_clean_corpus",
         "dedup_incremental_new_docs", "streaming_incremental_dedup",
-        "pipeline_crawl_admit_index"]),
+        "pipeline_crawl_admit_index", "dedup_semdedup"]),
     ("Training-data pipeline: similarity / ANN", [
         "ann_ivf_topk", "ann_ivf_filtered", "ann_lsh_topk",
         "ann_pq_topk", "ann_pq_rerank",
@@ -99,7 +99,8 @@ SECTIONS = [
         "sim_join_ivf",
         "sim_join_ivf_pandas", "sim_join_ivf_p2", "knn_join_pandas",
         "topk_quantized_int8", "topk_prenormalized",
-        "group_centroids_pandas"]),
+        "group_centroids_pandas", "ann_truncated_rerank",
+        "text_bm25_topk", "hybrid_search_rrf"]),
     ("Training-data pipeline: text analysis", [
         "text_lang_id", "text_quality_score", "text_token_counts",
         "text_fingerprint", "text_repetition", "text_chunking",

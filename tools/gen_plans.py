@@ -219,6 +219,25 @@ SHOW = [
      "(partition-column groupBy, no data-column bytes); oracle "
      "recomputes the layout function from the raw table — green "
      "means every key lives where directory pruning assumes."),
+    ("text_bm25_topk",
+     "Okapi BM25 for a fixed term list: per-term tf as "
+     "size(filter(tokens)) in the scan projection (no explode), corpus "
+     "stats as ONE broadcast row, TakeOrderedAndProject top-k — no "
+     "data-dependent shuffle at any corpus size."),
+    ("hybrid_search_rrf",
+     "Hybrid retrieval: each leg's top-50 is a TakeOrderedAndProject "
+     "prefix ranked by a broadcast self-join (never an unpartitioned "
+     "window); the RRF fuse joins two 50-row frames — fusion cost is "
+     "corpus-independent."),
+    ("ann_truncated_rerank",
+     "Matryoshka-style adaptive retrieval: shortlist on the 16-dim "
+     "head (quarter of the vector bytes with a write-time head "
+     "column), broadcast the ids, exact re-rank at full width — two "
+     "bounded heaps, one broadcast, zero shuffles."),
+    ("dedup_semdedup",
+     "SemDeDup: IVF cells as the quadratic guard — pairwise cosine is "
+     "an equi-join on cell with per-row hoisted norms; the dropped-id "
+     "set broadcasts back onto the assignment for the keep verdict."),
 ]
 
 
