@@ -6196,6 +6196,28 @@ def streaming_enrich_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "c_mktsegment", "value")
 
 
+@register("streaming_interval_join", oracle="""
+SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+       CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS delay_s
+FROM events c JOIN events p ON p.user_id = c.user_id
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+""")
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2.H live, stream-STREAM interval join — the attribution query
+    (purchase within 1 h of a click, same user) with BOTH sides
+    streaming: watermarks on both legs plus the two-sided event-time
+    bound make buffered state evictable at the watermark horizon, and
+    inner-join rows emit as soon as both sides arrive, so the
+    availableNow replay equals the batch interval join (the oracle)
+    row-for-row.  Completes the streaming matrix: windowed agg,
+    sessionization, dedup, stream-static enrich, sinks — and now the
+    two-stream correlation shape."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    name = f"ct_stream_ivjoin_{next(_STREAM_SEQ)}"
+    return streaming_ops.stream_interval_join(spark, sf_dir, name)
+
+
 # =========================================================================
 # Driver-verification ordering
 # =========================================================================

@@ -106,6 +106,56 @@ def sliding_event_counts(events: DataFrame,
     )
 
 
+def stream_interval_join(spark: SparkSession, sf_dir: str,
+                         query_name: str,
+                         join_window: str = "1 hour",
+                         late: str = "2 hours") -> DataFrame:
+    """Stream-STREAM inner join with an event-time interval condition —
+    the hardest Structured Streaming shape: click events join purchase
+    events of the same user landing within *join_window* after the
+    click.  Both sides carry watermarks and the join condition bounds
+    event time in both directions, so each side's buffered state is
+    evictable the moment the other side's watermark passes the
+    interval — state is O(watermark horizon x arrival rate), never
+    O(stream).  Inner-join results emit as soon as both rows have
+    arrived (append mode needs no window finalization for inner
+    joins), so the availableNow replay of a bounded fixture equals the
+    batch interval join exactly — which is the oracle.
+    """
+    def leg(etype: str, id_alias: str, ts_alias: str,
+            user_alias: str) -> DataFrame:
+        return (read_event_stream(spark, sf_dir)
+                .filter(F.col("event_type") == etype)
+                .select(F.col("event_id").alias(id_alias),
+                        F.col("user_id").alias(user_alias),
+                        F.col("ts").alias(ts_alias))
+                .withWatermark(ts_alias, late))
+
+    clicks = leg("click", "click_id", "click_ts", "user_id")
+    purchases = leg("purchase", "purchase_id", "purchase_ts", "p_user")
+    joined = (clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts")
+           <= F.col("click_ts") + F.expr(f"INTERVAL {join_window}")),
+        "inner")
+        .select("click_id", "purchase_id", "user_id",
+                (F.unix_timestamp("purchase_ts")
+                 - F.unix_timestamp("click_ts")).alias("delay_s")))
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{query_name}_")
+    q = (joined.writeStream.outputMode("append")
+         .format("memory").queryName(query_name)
+         .trigger(availableNow=True)
+         .option("checkpointLocation", ckpt)
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
 def run_stream_once(spark: SparkSession, sf_dir: str,
                     query_name: str = "tumbling_counts",
                     output_mode: str = "append",

@@ -232,3 +232,34 @@ def test_check_timestamps_sanity(spark, tmp_path):
     assert rep["watermark_in_range"] is False
     assert rep["min_ts"] == dt.datetime(2026, 1, 1)
     assert rep["max_ts"] == dt.datetime(2026, 1, 10)
+
+
+def test_stream_interval_join_equals_batch_twin(spark):
+    """The stream-stream interval join over the bounded fixture must
+    equal the batch interval join row-for-row (inner-join emission
+    needs no finalization), and the physical execution must be the
+    symmetric stateful join, not a batch rewrite."""
+    import pyspark.sql.functions as F
+
+    from msg_vector_search_spark.sources import readers
+    from msg_vector_search_spark.streaming import stream as S
+
+    sd = "/root/testdata/sf0.001"
+    out = S.stream_interval_join(spark, sd, "t_ivjoin_unit")
+    ev = readers.read_table(spark, sd, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id",
+        F.col("ts").alias("cts"))
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts"))
+    batch = (c.join(p, (F.col("user_id") == F.col("pu"))
+                    & (F.col("pts") >= F.col("cts"))
+                    & (F.col("pts") <= F.col("cts")
+                       + F.expr("INTERVAL 1 HOUR")))
+             .select("click_id", "purchase_id", "user_id",
+                     (F.unix_timestamp("pts")
+                      - F.unix_timestamp("cts")).alias("delay_s")))
+    got = sorted(tuple(r) for r in out.collect())
+    exp = sorted(tuple(r) for r in batch.collect())
+    assert got == exp and len(got) > 0

@@ -69,7 +69,8 @@ SECTIONS = [
         "streaming_tumbling_availablenow", "streaming_sliding_window",
         "streaming_append_finalized", "streaming_sessionize_stateful",
         "streaming_dedup_within_watermark", "streaming_upsert_store",
-        "streaming_index_upsert", "streaming_enrich_dim"]),
+        "streaming_index_upsert", "streaming_enrich_dim",
+        "streaming_interval_join"]),
     ("Analytics widening (round 4)", [
         "pivot_event_type_daily", "cube_order_priority",
         "event_value_histogram", "tpch_q19_disjunctive",
