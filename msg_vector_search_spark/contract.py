@@ -6218,6 +6218,34 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_ops.stream_interval_join(spark, sf_dir, name)
 
 
+@register("quality_classifier_score", oracle=f"""
+WITH t AS (SELECT doc_id, text, {_DUCK_TOKENS} AS toks FROM documents)
+SELECT doc_id,
+       (round({analysis.duck_classifier_score('text', 'toks',
+                                              _DUCK_STOP_RATIO)}, 6) + 0)
+         AS cls_score,
+       ((round({analysis.duck_classifier_score('text', 'toks',
+                                               _DUCK_STOP_RATIO)}, 6) + 0)
+          >= 0.5) AS keep
+FROM t
+""")
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classifier-filter step of CCNet/DCLM-style pipelines: a
+    fastText-shape model (averaged per-token weights + dense features
+    through a logistic link) scored as pure Column math riding the
+    scan — no UDF, no shuffle; the keep verdict thresholds at 0.5.
+    Per-token weights are a deterministic hash-derived stand-in (a
+    deployment broadcast-joins trained weights; same plan), making the
+    row fully oracle-checkable.  Completes the quality family: rule
+    battery (text_gopher_rules), perplexity gate
+    (text_unigram_logprob), heuristic score (text_quality_score), and
+    now the learned-classifier shape."""
+    docs = readers.widen(_t(spark, sf_dir, "documents"))
+    score = rnd(analysis.classifier_score(F.col("text")), 6)
+    return docs.select("doc_id", score.alias("cls_score"),
+                       (score >= F.lit(0.5)).alias("keep"))
+
+
 # =========================================================================
 # Driver-verification ordering
 # =========================================================================

@@ -236,6 +236,51 @@ def gopher_flags(text: Column | str,
     return flags
 
 
+def classifier_score(text: Column | str, w_bow: float = 4.0,
+                     w_stop: float = 2.0, w_len: float = 1.0,
+                     bias: float = -0.5) -> Column:
+    """FastText-shape quality classifier as pure Column math: averaged
+    per-token weights (the bag-of-words leg) + dense features through a
+    logistic link.  The per-token weight is a deterministic stand-in
+    derived from the shared md5 token hash — in a deployment it is a
+    broadcast lookup of trained weights; the plan (token transform ->
+    left-fold average -> scalar sigmoid, all riding the scan) is
+    identical either way.  This is the classifier-filter step of
+    CCNet/DCLM-style pipelines, next to the rule battery
+    (:func:`gopher_flags`) and the perplexity gate."""
+    c = _c(text)
+    toks = tokens(c)
+    tw = F.transform(
+        toks,
+        lambda t: (token_hash(t) % 1000).cast("double") / F.lit(1000.0)
+        - F.lit(0.5))
+    bow = F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        F.aggregate(tw, F.lit(0.0), lambda a, x: a + x)
+        / F.size(toks).cast("double"))
+    len_feat = F.least(F.length(c).cast("double") / F.lit(400.0),
+                       F.lit(1.0))
+    z = (F.lit(bias) + F.lit(w_bow) * bow
+         + F.lit(w_stop) * stopword_ratio(c) + F.lit(w_len) * len_feat)
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def duck_classifier_score(text_expr: str, toks_expr: str,
+                          stop_ratio_expr: str, w_bow: float = 4.0,
+                          w_stop: float = 2.0, w_len: float = 1.0,
+                          bias: float = -0.5) -> str:
+    """DuckDB twin of :func:`classifier_score` (same hash, same fold
+    order, same literals)."""
+    h = duck_token_hash("t")
+    bow = (f"(CASE WHEN len({toks_expr}) = 0 THEN 0.0 ELSE "
+           f"list_sum(list_transform({toks_expr}, "
+           f"t -> CAST({h} % 1000 AS DOUBLE) / 1000.0 - 0.5)) "
+           f"/ CAST(len({toks_expr}) AS DOUBLE) END)")
+    len_feat = f"least(CAST(length({text_expr}) AS DOUBLE) / 400.0, 1.0)"
+    z = (f"({bias!r} + {w_bow!r} * {bow} + {w_stop!r} * {stop_ratio_expr}"
+         f" + {w_len!r} * {len_feat})")
+    return f"(1.0 / (1.0 + exp(-{z})))"
+
+
 def stratified_keep(id_col: Column | str, rate_pct: Column) -> Column:
     """Deterministic stratified-sampling predicate: keep iff
     hash48(id) % 100 < rate_pct.  Reproducible across runs/retries

@@ -184,3 +184,21 @@ def test_gopher_empty_text_no_division_error(spark):
     f = _flags(spark, "")
     assert f["ok_word_count"] is False
     assert f["keep"] is False
+
+
+def test_classifier_score_bounds_and_monotone_stopwords(spark):
+    import pyspark.sql.functions as F
+
+    from msg_vector_search_spark.functions import analysis
+
+    rows = [(0, "the a and is to of in it"),   # pure stopwords
+            (1, "xylophone quartz vortex"),    # none
+            (2, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["s"] for r in df.select(
+        "doc_id", analysis.classifier_score(F.col("text")).alias("s")
+    ).collect()}
+    assert all(0.0 < v < 1.0 for v in out.values())
+    # the stopword feature carries positive weight: all-stopword text
+    # must outscore no-stopword text of comparable length
+    assert out[0] > out[1]

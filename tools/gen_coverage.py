@@ -108,7 +108,8 @@ SECTIONS = [
         "train_test_split", "stratified_sample", "text_pii_scrub",
         "decontaminate_ngram", "shard_assignment",
         "text_tfidf_topterms", "text_unigram_logprob",
-        "text_gopher_rules", "corpus_report", "vocab_coverage",
+        "text_gopher_rules", "quality_classifier_score",
+        "corpus_report", "vocab_coverage",
         "doc_length_histogram",
         "corpus_weighted_sample", "zscore_by_group"]),
     ("Training-data pipeline: multimodal", [
