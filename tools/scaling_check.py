@@ -421,10 +421,45 @@ def main() -> None:
             shutil.rmtree(d, ignore_errors=True)
 
 
+def retrieval_main() -> None:
+    """python tools/scaling_check.py --retrieval [mults ...] — time the
+    hybrid-retrieval rows at replicated corpus scale.  All three plans
+    are bounded compositions (one-row broadcast stats + ordered-limit
+    heaps + k-row broadcast joins), so wall time must track the scan
+    ~linearly with NO shuffle growth: a super-linear jump means a
+    bounded frame stopped being bounded."""
+    from msg_vector_search_spark import contract
+    from msg_vector_search_spark.session import get_spark
+
+    mults = [int(a) for a in sys.argv[2:]] or [1, 4, 16]
+    queries = ["text_bm25_topk", "hybrid_search_rrf",
+               "ann_truncated_rerank"]
+    spark = get_spark("retrieval_scale")
+    print(f"{'xN':>4} {'docs':>8} " +
+          " ".join(f"{q[:18]:>20}" for q in queries))
+    for m in mults:
+        d = tempfile.mkdtemp(prefix=f"retr_{m}x_")
+        try:
+            replicate(spark, m, d)
+            replicate_embeddings(spark, m, d)
+            n = spark.read.parquet(f"{d}/documents.parquet").count()
+            times = []
+            for q in queries:
+                t0 = time.perf_counter()
+                contract.REGISTRY[q](spark, d).count()
+                times.append(time.perf_counter() - t0)
+            print(f"{m:>4} {n:>8} " +
+                  " ".join(f"{t:>20.2f}" for t in times), flush=True)
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+
 if __name__ == "__main__":
     if "--knee" in sys.argv:
         knee_main()
     elif "--tpch" in sys.argv:
         tpch_main()
+    elif "--retrieval" in sys.argv:
+        retrieval_main()
     else:
         main()
