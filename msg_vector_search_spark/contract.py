@@ -6142,11 +6142,11 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
 hs AS (
   SELECT e.vec_id,
-         (round({V.duck_cosine('e.embedding[1:16]', 'q.qv[1:16]')}, 6) + 0)
+         (round({V.duck_cosine('e.embedding[1:32]', 'q.qv[1:32]')}, 6) + 0)
            AS hsim
   FROM embeddings e, q
 ), short AS (
-  SELECT vec_id FROM hs ORDER BY hsim DESC, vec_id LIMIT 50
+  SELECT vec_id FROM hs ORDER BY hsim DESC, vec_id LIMIT 200
 )
 SELECT e.vec_id, e.label,
        (round({V.duck_cosine('e.embedding', 'q.qv')}, 6) + 0) AS sim
@@ -6155,14 +6155,20 @@ ORDER BY sim DESC, e.vec_id LIMIT 10
 """)
 def ann_truncated_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adaptive retrieval by dimension truncation (Matryoshka, Kusupati
-    et al. 2022): shortlist-50 on the first 16 of 64 dimensions, exact
-    re-rank at full width — the train-nothing ANN sketch that reads a
-    quarter of the vector bytes when the head is a write-time column.
+    et al. 2022): shortlist on the first 32 of 64 dimensions, exact
+    re-rank at full width — the train-nothing ANN sketch that reads
+    half the vector bytes when the head is a write-time column.
     Completes the sketch family next to IVF (partition prune), LSH
-    (bucket prune) and PQ (byte-code scan)."""
+    (bucket prune) and PQ (byte-code scan).
+
+    The head32 x shortlist200 default is MEASURED, not guessed
+    (tools/scaling_check.py --trunc, README table): recall@10 0.83 on
+    this corpus, where untrained embeddings spread signal uniformly so
+    the head carries only head/dim of it — MRL-trained embeddings
+    front-load variance and move the knee to smaller heads."""
     emb = _t(spark, sf_dir, "embeddings")
     return sim_ops.truncated_rerank_search(
-        emb, _query_vec(spark, sf_dir), k=10, head_dims=16, shortlist=50,
+        emb, _query_vec(spark, sf_dir), k=10, head_dims=32, shortlist=200,
         keep_cols=("label",))
 
 

@@ -133,6 +133,51 @@ def measure_pq_recall(spark, emb, m: int = 8, ncodes: int = 16,
     return out
 
 
+def measure_truncated_recall(spark, emb, k: int = 10,
+                             n_queries: int = 10) -> dict[str, float]:
+    """recall@k of the truncated-head rerank (ann_truncated_rerank)
+    against brute-force ground truth over the head_dims x shortlist
+    grid — the operating-point table for the train-nothing sketch,
+    alongside the PQ and IVFPQ knees."""
+    from msg_vector_search_spark.operators import similarity
+
+    qrows = emb.orderBy(F.col("vec_id").desc()).limit(n_queries) \
+        .select("vec_id", "embedding").collect()
+    truth = {}
+    for r in qrows:
+        qv = [float(x) for x in r["embedding"]]
+        truth[r["vec_id"]] = {t["vec_id"] for t in
+                              similarity.knn_search(emb, qv, k=k)
+                              .select("vec_id").collect()}
+    out: dict[str, float] = {}
+    for head in (8, 16, 32):
+        for sl in (50, 200):
+            hits = 0
+            for r in qrows:
+                qv = [float(x) for x in r["embedding"]]
+                got = {g["vec_id"] for g in
+                       similarity.truncated_rerank_search(
+                           emb, qv, k=k, head_dims=head, shortlist=sl)
+                       .select("vec_id").collect()}
+                hits += len(got & truth[r["vec_id"]])
+            out[f"head{head}_short{sl}"] = hits / (k * len(qrows))
+    return out
+
+
+def trunc_main() -> None:
+    """python tools/scaling_check.py --trunc — print the truncated-head
+    operating-point grid at sf0.1."""
+    from msg_vector_search_spark.session import get_spark
+
+    spark = get_spark("trunc_recall")
+    emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    rec = measure_truncated_recall(spark, emb)
+    print(f"{'head_dims':>10} {'shortlist':>10} {'recall@10':>10}")
+    for key, v in rec.items():
+        head, sl = key.replace("head", "").split("_short")
+        print(f"{head:>10} {sl:>10} {v:>10.2f}")
+
+
 def measure_ivfpq_recall(spark, emb, nlist: int = 16, nprobe: int = 4,
                          m: int = 8, ncodes: int = 16, k: int = 10,
                          shortlist: int = 200,
@@ -461,5 +506,7 @@ if __name__ == "__main__":
         tpch_main()
     elif "--retrieval" in sys.argv:
         retrieval_main()
+    elif "--trunc" in sys.argv:
+        trunc_main()
     else:
         main()
