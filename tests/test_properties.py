@@ -146,3 +146,63 @@ def test_ts_quantile_cut_splits_requested_fraction(spark):
         (F.col("ts") > F.least(F.lit(cut), F.lit(kth)))
         & (F.col("ts") <= F.greatest(F.lit(cut), F.lit(kth)))).count()
     assert between <= max(2, 0.01 * n)
+
+
+def test_incremental_agg_merge_batch_split_invariant(spark):
+    """Folding the corpus into per-group counter state must give the
+    same published stats for ANY batch split — 1 fold, 3 folds, or
+    10 — because the merge is algebraic (sum/sum/min/max).  This is
+    the invariant that makes the incremental stats refresh safe to
+    re-shard or replay."""
+    from msg_vector_search_spark.sources import readers
+
+    ev = readers.read_table(spark, "/root/testdata/sf0.001", "events")
+
+    def partials(df):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("sum_value"),
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"))
+
+    def merge(parts):
+        folded = parts[0]
+        for p in parts[1:]:
+            folded = folded.unionByName(p)
+        return (folded.groupBy("event_type")
+                .agg(F.sum("n").alias("n"),
+                     F.round(F.sum("sum_value"), 6).alias("s"),
+                     F.min("min_ts").alias("min_ts"),
+                     F.max("max_ts").alias("max_ts")))
+
+    def snap(df):
+        return {tuple(r) for r in df.collect()}
+
+    whole = snap(merge([partials(ev)]))
+    for nsplits in (3, 10):
+        parts = [partials(ev.filter(F.col("event_id") % nsplits == i))
+                 for i in range(nsplits)]
+        assert snap(merge(parts)) == whole
+
+
+def test_hll_union_equals_single_pass(spark):
+    """Datasketches HLL union is lossless wrt the registers: merging
+    per-slice sketches must produce bit-identical estimates to the
+    single-pass sketch, for every slicing."""
+    from msg_vector_search_spark.sources import readers
+
+    ev = readers.read_table(spark, "/root/testdata/sf0.001", "events")
+    single = (ev.groupBy("event_type")
+              .agg(F.hll_sketch_estimate(
+                  F.hll_sketch_agg("user_id")).alias("est")))
+    ref = {r["event_type"]: r["est"] for r in single.collect()}
+    for nsplits in (2, 5):
+        parts = ev.withColumn("slice",
+                              F.col("event_id") % nsplits)
+        merged = (parts.groupBy("event_type", "slice")
+                  .agg(F.hll_sketch_agg("user_id").alias("sk"))
+                  .groupBy("event_type")
+                  .agg(F.hll_sketch_estimate(
+                      F.hll_union_agg("sk")).alias("est")))
+        got = {r["event_type"]: r["est"] for r in merged.collect()}
+        assert got == ref
