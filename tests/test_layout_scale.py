@@ -397,3 +397,89 @@ def test_delete_keys_crash_recovery_rolls_forward(spark, tmp_path):
     assert not _os.path.exists(store + "._staged")
     assert not _os.path.exists(_os.path.join(store, sinks.DELETE_MANIFEST))
     _shutil.rmtree(store, ignore_errors=True)
+
+
+def _erasure_fixture(spark, tmp_path, name):
+    """A fresh 8-bucket store plus the doomed-key list."""
+    import os
+    from pyspark.sql import Row
+
+    store = str(tmp_path / name)
+    base = spark.createDataFrame(
+        [Row(k=i, v=f"v{i}", ord=1) for i in range(400)])
+    sinks.upsert_parquet(spark, base, store, key="k", order_col="ord",
+                         num_buckets=8)
+    doomed = spark.createDataFrame([Row(k=i) for i in range(0, 400, 7)])
+    return store, base, doomed
+
+
+def _store_rows(spark, store):
+    return {(r["k"], r["v"], r["ord"])
+            for r in sinks.read_store(spark, store)
+            .select("k", "v", "ord").collect()}
+
+
+def test_delete_keys_crash_before_commit_rolls_forward(
+        spark, tmp_path, monkeypatch):
+    """Crash injected AFTER the staged rewrite + manifest land but
+    BEFORE any bucket swap: the documented recovery path (re-run
+    delete_keys with the same key list) must leave the store identical
+    to a never-crashed erasure, and clear the manifest + staging."""
+    import os
+
+    store, base, doomed = _erasure_fixture(spark, tmp_path, "store")
+    clean, _, _ = _erasure_fixture(spark, tmp_path, "clean")
+    sinks.delete_keys(spark, clean, "k", doomed)
+    expected = _store_rows(spark, clean)
+
+    real = sinks._finish_pending_delete
+
+    def crash_at_commit(path):
+        if os.path.exists(os.path.join(path, sinks.DELETE_MANIFEST)):
+            raise RuntimeError("simulated crash before commit")
+        return real(path)
+
+    monkeypatch.setattr(sinks, "_finish_pending_delete", crash_at_commit)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        sinks.delete_keys(spark, store, "k", doomed)
+    monkeypatch.undo()
+    # the crash left a recorded in-flight erasure
+    assert os.path.exists(os.path.join(store, sinks.DELETE_MANIFEST))
+
+    sinks.delete_keys(spark, store, "k", doomed)
+    assert not os.path.exists(os.path.join(store, sinks.DELETE_MANIFEST))
+    assert not os.path.exists(store + "._staged")
+    assert _store_rows(spark, store) == expected
+
+
+def test_delete_keys_crash_mid_swap_rolls_forward(
+        spark, tmp_path, monkeypatch):
+    """Crash injected after the FIRST bucket swap of the commit loop:
+    some buckets new, some old, manifest still present.  Recovery must
+    finish the remaining swaps idempotently."""
+    import os
+
+    store, base, doomed = _erasure_fixture(spark, tmp_path, "store_mid")
+    clean, _, _ = _erasure_fixture(spark, tmp_path, "clean_mid")
+    sinks.delete_keys(spark, clean, "k", doomed)
+    expected = _store_rows(spark, clean)
+
+    real_swap = sinks._swap_dir
+    swaps = {"n": 0}
+
+    def crash_after_first(src, dst):
+        if swaps["n"] >= 1:
+            raise RuntimeError("simulated crash mid-swap")
+        swaps["n"] += 1
+        return real_swap(src, dst)
+
+    monkeypatch.setattr(sinks, "_swap_dir", crash_after_first)
+    with pytest.raises(RuntimeError, match="mid-swap"):
+        sinks.delete_keys(spark, store, "k", doomed)
+    monkeypatch.undo()
+    assert os.path.exists(os.path.join(store, sinks.DELETE_MANIFEST))
+
+    sinks.delete_keys(spark, store, "k", doomed)
+    assert not os.path.exists(os.path.join(store, sinks.DELETE_MANIFEST))
+    assert not os.path.exists(store + "._staged")
+    assert _store_rows(spark, store) == expected
