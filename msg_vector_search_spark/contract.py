@@ -6364,6 +6364,58 @@ def incremental_distinct_sketch(spark: SparkSession,
                     .alias("sketch_merge_consistent")))
 
 
+@register("store_changefeed", oracle="""
+WITH old AS (
+  SELECT vec_id, label FROM embeddings WHERE vec_id % 5 <> 0
+), new AS (
+  SELECT vec_id,
+         CASE WHEN vec_id % 3 = 0 THEN label + 10 ELSE label END AS label
+  FROM embeddings WHERE vec_id % 7 <> 0
+)
+SELECT COALESCE(o.vec_id, n.vec_id) AS vec_id,
+       CASE WHEN o.vec_id IS NULL THEN 'insert'
+            WHEN n.vec_id IS NULL THEN 'delete'
+            ELSE 'update' END AS action,
+       o.label AS old_label, n.label AS new_label
+FROM old o FULL OUTER JOIN new n ON n.vec_id = o.vec_id
+WHERE o.vec_id IS NULL OR n.vec_id IS NULL OR o.label <> n.label
+""")
+def store_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data capture between two store snapshots: the feed a
+    100 TB store's downstream consumers (index maintainers, caches,
+    replicas) subscribe to instead of re-reading the table.  Two
+    snapshots are written to parquet in-query (old = vec_id%5!=0;
+    new = vec_id%7!=0 with labels bumped on the %3==0 slice, so all
+    three action kinds occur), then diffed with ONE full-outer join on
+    the key: key only in new -> insert, only in old -> delete, payload
+    changed -> update, identical rows drop out.  On the bucketed store
+    both snapshots share the layout, so at scale the join co-locates
+    bucket-by-bucket with no wide exchange, and byte-identical bucket
+    directories can be skipped entirely before the join (file-level
+    pruning) — the diff costs O(changed buckets), not O(store)."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "label")
+    root = tempfile.mkdtemp(prefix="cdc_")
+    old_dir, new_dir = os.path.join(root, "old"), os.path.join(root, "new")
+    emb.filter(F.col("vec_id") % 5 != 0).write.parquet(old_dir)
+    (emb.filter(F.col("vec_id") % 7 != 0)
+     .withColumn("label",
+                 F.when(F.col("vec_id") % 3 == 0, F.col("label") + 10)
+                 .otherwise(F.col("label")))
+     .write.parquet(new_dir))
+    old = spark.read.parquet(old_dir).select(
+        F.col("vec_id").alias("o_id"), F.col("label").alias("old_label"))
+    new = spark.read.parquet(new_dir).select(
+        F.col("vec_id").alias("n_id"), F.col("label").alias("new_label"))
+    diff = old.join(new, old.o_id == new.n_id, "full_outer")
+    return (diff.filter(F.col("o_id").isNull() | F.col("n_id").isNull()
+                        | (F.col("old_label") != F.col("new_label")))
+            .select(F.coalesce("o_id", "n_id").alias("vec_id"),
+                    F.when(F.col("o_id").isNull(), F.lit("insert"))
+                    .when(F.col("n_id").isNull(), F.lit("delete"))
+                    .otherwise(F.lit("update")).alias("action"),
+                    "old_label", "new_label"))
+
+
 # =========================================================================
 # Driver-verification ordering
 # =========================================================================
