@@ -6364,6 +6364,46 @@ def incremental_distinct_sketch(spark: SparkSession,
                     .alias("sketch_merge_consistent")))
 
 
+_INVIDX_CACHE: dict[str, str] = {}
+
+
+def _inverted_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once cache for the persisted inverted index (the text twin
+    of _materialized_index): the fixture is immutable, so the offline
+    index build runs once per sf_dir and every query serves from it."""
+    if sf_dir not in _INVIDX_CACHE:
+        path = os.path.join(tempfile.mkdtemp(prefix="invidx_"), "index")
+        docs = readers.widen(_t(spark, sf_dir, "documents"))
+        retrieval_ops.build_inverted_index(docs, path)
+        _INVIDX_CACHE[sf_dir] = path
+    return _INVIDX_CACHE[sf_dir]
+
+
+@register("text_inverted_index_topk", oracle=f"""
+WITH scored AS ({retrieval_ops.duck_bm25(_BM25_TERMS, _DUCK_TOKENS)})
+SELECT doc_id, CAST(dl AS BIGINT) AS dl, (round(bm25, 6) + 0) AS bm25
+FROM scored
+ORDER BY (round(bm25, 6) + 0) DESC, doc_id LIMIT 20
+""")
+def text_inverted_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 served from the PERSISTED inverted index — the text-side
+    materialized-index lifecycle, mirroring ann_ivfpq_materialized on
+    the ANN side: postings partitioned by term bucket (query terms
+    prune to <= |terms| directories), doc lengths from the sidecar, NO
+    tokenization and NO corpus text read at query time.  The oracle is
+    text_bm25_topk's verbatim: integer inputs (tf, df, dl, N, Σdl) are
+    identical to the scan-side path and the scoring expression tree is
+    shared code (retrieval._bm25_score_col), so the index must
+    reproduce the scan bit-for-bit."""
+    path = _inverted_index(spark, sf_dir)
+    scored = retrieval_ops.search_inverted_index(spark, path, _BM25_TERMS)
+    return (scored.select("doc_id",
+                          F.col("dl").cast("long").alias("dl"),
+                          rnd(F.col("bm25"), 6).alias("bm25"))
+            .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+            .limit(20))
+
+
 @register("store_changefeed", oracle="""
 WITH old AS (
   SELECT vec_id, label FROM embeddings WHERE vec_id % 5 <> 0

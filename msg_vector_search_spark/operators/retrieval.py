@@ -28,6 +28,8 @@ surface Spark-first:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -71,10 +73,25 @@ def bm25_scores(docs: DataFrame, terms: list[str], text_col: str = "text",
         *[F.sum((F.col(f"_tf_{i}") > 0).cast("long")).alias(f"_df_{i}")
           for i in range(len(terms))])
     scored = wtf.crossJoin(F.broadcast(stats))
+    score = _bm25_score_col(len(terms), k1, b)
+    matched = F.col("_tf_0")
+    for i in range(1, len(terms)):
+        matched = matched + F.col(f"_tf_{i}")
+    return (scored.filter(matched > 0)
+            .select(id_col, "dl", score.alias("bm25")))
+
+
+def _bm25_score_col(n_terms: int, k1: float = K1, b: float = B):
+    """The BM25 scoring expression over the conventional column names
+    (``_tf_i``, ``_df_i``, ``dl``, ``_n``, ``_sumdl``).  Shared by the
+    scan-side path (:func:`bm25_scores`) and the index-served path
+    (:func:`search_inverted_index`) so both build the IDENTICAL
+    expression tree — same literals, same association order — and emit
+    bit-identical doubles from the same integer inputs."""
     n = F.col("_n")
     avgdl = F.col("_sumdl") / n
     contribs = []
-    for i in range(len(terms)):
+    for i in range(n_terms):
         tf = F.col(f"_tf_{i}")
         df = F.col(f"_df_{i}")
         idf = F.log(F.lit(1.0) + (n - df + F.lit(0.5)) / (df + F.lit(0.5)))
@@ -84,11 +101,85 @@ def bm25_scores(docs: DataFrame, terms: list[str], text_col: str = "text",
     score = contribs[0]
     for c in contribs[1:]:
         score = score + c
-    matched = F.col("_tf_0")
-    for i in range(1, len(terms)):
-        matched = matched + F.col(f"_tf_{i}")
-    return (scored.filter(matched > 0)
-            .select(id_col, "dl", score.alias("bm25")))
+    return score
+
+
+# ---------------------------------------------------------------------------
+# Materialized inverted index — the text-side twin of operators.ann_index
+# ---------------------------------------------------------------------------
+
+INDEX_BUCKETS = 64
+
+
+def build_inverted_index(docs: DataFrame, path: str,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         n_buckets: int = INDEX_BUCKETS) -> None:
+    """Build-once job for keyword serving: tokenize the corpus ONCE and
+    persist (a) a postings table ``(term, doc_id, tf)`` partitioned by
+    ``tb = pmod(xxhash64(term), n_buckets)`` — so a query's terms prune
+    to <= |terms| directories — and (b) a ``(doc_id, dl)`` doc-length
+    sidecar.  After the build, queries never touch text: no
+    tokenization, no corpus scan, only pruned postings + the length
+    table.  The explode shuffles once on the uniform (term, doc) pair
+    key with map-side partial counting; at 100 TB this is the classic
+    one-pass index build, and incremental batches can append with the
+    same bucket function (the layout is content-addressed, like the
+    ANN store's cells)."""
+    toks = analysis.tokens(F.col(text_col))
+    base = (docs.select(F.col(id_col), toks.alias("_toks"))
+            .withColumn("dl", F.size("_toks")))
+    base.select(id_col, "dl").write.mode("overwrite") \
+        .parquet(os.path.join(path, "doclen"))
+    postings = (base.select(id_col, F.explode("_toks").alias("term"))
+                .groupBy("term", id_col)
+                .agg(F.count(F.lit(1)).cast("int").alias("tf"))
+                .withColumn("tb", F.pmod(F.xxhash64("term"),
+                                         F.lit(n_buckets))))
+    postings.write.mode("overwrite").partitionBy("tb") \
+        .parquet(os.path.join(path, "postings"))
+
+
+def search_inverted_index(spark, path: str, terms: list[str],
+                          id_col: str = "doc_id", k1: float = K1,
+                          b: float = B,
+                          n_buckets: int = INDEX_BUCKETS) -> DataFrame:
+    """Serve BM25 from the PERSISTED index: prune postings to the query
+    terms' buckets (literal partition filter — only those directories
+    are listed or read), pivot the <= |terms| postings per doc to tf
+    columns, join the doc-length sidecar, and score with the exact
+    expression tree of :func:`bm25_scores` — integer inputs (tf, df,
+    dl, N, Σdl) are identical to the scan-side path, so the scores are
+    bit-identical and the scan-side oracle carries over verbatim.
+
+    Scale: the postings read is O(matching docs x terms), the stats
+    pass is one partial-aggregate row each over postings and doclen,
+    and the tf-doclen join co-locates when both sides are bucketed by
+    doc_id.  The corpus text is never read."""
+    # the bucket of each query term, via the SAME hash expression the
+    # build used (one 1-row driver job, no corpus work)
+    row = spark.range(1).select(*[
+        F.pmod(F.xxhash64(F.lit(t)), F.lit(n_buckets)).alias(f"b{i}")
+        for i, t in enumerate(terms)]).collect()[0]
+    tbs = sorted({int(v) for v in row})
+    postings = (spark.read.parquet(os.path.join(path, "postings"))
+                .filter(F.col("tb").isin(tbs))
+                .filter(F.col("term").isin(terms)))
+    doclen = spark.read.parquet(os.path.join(path, "doclen"))
+    wtf = (postings.groupBy(id_col).agg(*[
+        F.coalesce(F.sum(F.when(F.col("term") == t, F.col("tf"))),
+                   F.lit(0)).alias(f"_tf_{i}")
+        for i, t in enumerate(terms)])
+        .join(doclen, id_col))
+    dfs = postings.agg(*[
+        F.coalesce(F.sum(F.when(F.col("term") == t, F.lit(1))),
+                   F.lit(0)).cast("long").alias(f"_df_{i}")
+        for i, t in enumerate(terms)])
+    corpus = doclen.agg(F.count("*").alias("_n"),
+                        F.sum("dl").cast("long").alias("_sumdl"))
+    stats = corpus.crossJoin(dfs)
+    scored = wtf.crossJoin(F.broadcast(stats))
+    return scored.select(id_col, "dl",
+                         _bm25_score_col(len(terms), k1, b).alias("bm25"))
 
 
 def duck_bm25(terms: list[str], duck_tokens: str,

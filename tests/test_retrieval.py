@@ -176,3 +176,40 @@ def test_truncated_rerank_plan_has_no_shuffle(spark, sf_dir):
                  if re.search(r"\bExchange\b", ln)
                  and "BroadcastExchange" not in ln]
     assert exchanges == []
+
+
+def test_inverted_index_serves_scan_result_with_pruning(spark, tmp_path):
+    """The inverted-index path must reproduce the scan-side BM25
+    bit-for-bit, and the postings read must prune to the query terms'
+    tb partitions (literal PartitionFilters on the directory column)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from msg_vector_search_spark.operators import retrieval
+    from msg_vector_search_spark.sources import readers
+
+    docs = readers.read_table(spark, "/root/testdata/sf0.001",
+                              "documents")
+    terms = ["spark", "query", "dup"]
+    path = str(tmp_path / "invidx")
+    retrieval.build_inverted_index(docs, path)
+
+    scan = {(r["doc_id"], r["dl"], r["bm25"]) for r in
+            retrieval.bm25_scores(docs, terms).collect()}
+    served = {(r["doc_id"], r["dl"], r["bm25"]) for r in
+              retrieval.search_inverted_index(spark, path, terms)
+              .collect()}
+    assert served == scan
+
+    # partition pruning: the tb literal filter must reach the scan
+    row = spark.range(1).select(*[
+        F.pmod(F.xxhash64(F.lit(t)), F.lit(retrieval.INDEX_BUCKETS))
+        .alias(f"b{i}") for i, t in enumerate(terms)]).collect()[0]
+    tbs = sorted({int(v) for v in row})
+    pruned = (spark.read.parquet(os.path.join(path, "postings"))
+              .filter(F.col("tb").isin(tbs)))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "tb" in plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert pruned.select("tb").distinct().count() <= len(terms)
