@@ -13,10 +13,36 @@ schema; ``maxFilesPerTrigger`` is the input-rate cap (H4 analog).
 from __future__ import annotations
 
 import tempfile
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+# State-store partition count for the stateful queries below.  Sized to
+# the STATE, not the corpus: stateful-operator state is bounded by
+# (arrival rate x watermark horizon) — tens of thousands of rows here —
+# and every state partition pays per-batch store open/commit I/O (4
+# stores per stream-stream join), so partitions beyond the state volume
+# are pure overhead: 32 -> 8 cut the interval join from ~8 s to ~3 s at
+# sf0.1 with identical results.  The count is FROZEN into the
+# checkpoint at first batch (Spark refuses to change it on restart), so
+# a deployment sizes it from the horizon SLA up front; the non-state
+# shuffles of the surrounding plan keep the session-wide parallelism.
+STATE_PARTITIONS = 8
+
+
+@contextmanager
+def _state_partitions(spark: SparkSession, n: int = STATE_PARTITIONS):
+    """Pin spark.sql.shuffle.partitions (which seeds the state-store
+    partition count at a streaming query's FIRST batch) for the
+    duration of one query run, restoring the session value after."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 # streaming-source schema: a file stream needs its schema up front.
 # events.ts has shipped both as TIMESTAMP(MICROS) (reads natively) and
@@ -144,15 +170,16 @@ def stream_interval_join(spark: SparkSession, sf_dir: str,
                 (F.unix_timestamp("purchase_ts")
                  - F.unix_timestamp("click_ts")).alias("delay_s")))
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_{query_name}_")
-    q = (joined.writeStream.outputMode("append")
-         .format("memory").queryName(query_name)
-         .trigger(availableNow=True)
-         .option("checkpointLocation", ckpt)
-         .start())
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _state_partitions(spark):
+        q = (joined.writeStream.outputMode("append")
+             .format("memory").queryName(query_name)
+             .trigger(availableNow=True)
+             .option("checkpointLocation", ckpt)
+             .start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
@@ -178,15 +205,16 @@ def run_stream_once(spark: SparkSession, sf_dir: str,
     events = read_event_stream(spark, sf_dir)
     agg = (agg_fn(events) if agg_fn is not None
            else tumbling_event_counts(events, round_digits=round_digits))
-    q = (agg.writeStream.outputMode(output_mode)
-         .format("memory").queryName(query_name)
-         .trigger(availableNow=True)
-         .option("checkpointLocation", ckpt)
-         .start())
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _state_partitions(spark):
+        q = (agg.writeStream.outputMode(output_mode)
+             .format("memory").queryName(query_name)
+             .trigger(availableNow=True)
+             .option("checkpointLocation", ckpt)
+             .start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
@@ -213,14 +241,15 @@ def run_stream_dedup(spark: SparkSession, sf_dir: str,
     dedup = (events.withColumn("mid", F.expr("event_id div 2"))
              .withWatermark("ts", late)
              .dropDuplicatesWithinWatermark(["mid"]))
-    q = (dedup.writeStream.outputMode("append")
-         .format("memory").queryName(query_name)
-         .option("checkpointLocation", ckpt)
-         .start())
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _state_partitions(spark):
+        q = (dedup.writeStream.outputMode("append")
+             .format("memory").queryName(query_name)
+             .option("checkpointLocation", ckpt)
+             .start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
@@ -294,14 +323,15 @@ def run_stateful_sessions(spark: SparkSession, sf_dir: str,
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_{query_name}_")
     sessions = stateful_sessionize(read_event_stream(spark, sf_dir),
                                    gap_minutes=gap_minutes)
-    q = (sessions.writeStream.outputMode("append")
-         .format("memory").queryName(query_name)
-         .option("checkpointLocation", ckpt)
-         .start())
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _state_partitions(spark):
+        q = (sessions.writeStream.outputMode("append")
+             .format("memory").queryName(query_name)
+             .option("checkpointLocation", ckpt)
+             .start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
