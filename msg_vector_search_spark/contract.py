@@ -33,6 +33,7 @@ from .functions import analysis, textops, vector as V
 from .operators import aggregates as agg_ops
 from .operators import ann_index
 from .operators import asof as asof_ops
+from .operators import corpus as corpus_ops
 from .operators import dedup as dedup_ops
 from .operators import dims as dims_ops
 from .operators import enrich as enrich_ops
@@ -6454,6 +6455,201 @@ def store_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .when(F.col("n_id").isNull(), F.lit("delete"))
                     .otherwise(F.lit("update")).alias("action"),
                     "old_label", "new_label"))
+
+
+# =========================================================================
+# Corpus audits: cross-source overlap, snapshot drift, reservoirs, BPE
+# =========================================================================
+
+@register("corpus_overlap_matrix", oracle=f"""
+WITH toks AS (
+  SELECT source, {_DUCK_TOKENS} AS toks FROM documents
+), sh AS (
+  SELECT DISTINCT source AS src, unnest({_duck_shingles(3)}) AS shingle
+  FROM toks
+), per AS (
+  SELECT src, count(*) AS n_sh FROM sh GROUP BY src
+), inter AS (
+  SELECT a.src AS src_a, b.src AS src_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.src < b.src
+  GROUP BY 1, 2
+)
+SELECT i.src_a, i.src_b, pa.n_sh AS n_a, pb.n_sh AS n_b, i.n_inter,
+       (round(CAST(i.n_inter AS DOUBLE)
+              / (pa.n_sh + pb.n_sh - i.n_inter), 6) + 0) AS jaccard,
+       (round(CAST(i.n_inter AS DOUBLE)
+              / least(pa.n_sh, pb.n_sh), 6) + 0) AS containment
+FROM inter i
+JOIN per pa ON pa.src = i.src_a
+JOIN per pb ON pb.src = i.src_b
+ORDER BY jaccard DESC, src_a, src_b LIMIT 20
+""")
+def corpus_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination audit: exact shingle-set Jaccard and
+    containment for every source pair, top-20 by overlap.  The join key
+    is the shingle (one shuffle, vocabulary-bounded) — sources^2 counts
+    come out of map-side partials, never an all-pairs document join."""
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_ops.source_shingle_overlap(docs, shingle_n=3, top=20)
+
+
+@register("sample_fixed_k_per_group", oracle=f"""
+SELECT source, doc_id, n_chars FROM (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY {_DUCK_HASH48.format(x="CAST(doc_id AS VARCHAR)")},
+                    doc_id) AS rk
+  FROM documents
+) WHERE rk <= 5
+""")
+def sample_fixed_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-k reservoir per source: hash-order
+    row_number <= 5.  Same 5 docs every run under any partitioning —
+    the balanced-eval-set builder ``rand()`` sampling can't provide.
+    Window is partitioned by source (guard-compliant)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (corpus_ops.deterministic_group_sample(
+        docs, group_col="source", id_col="doc_id", k=5)
+        .select("source", "doc_id", "n_chars"))
+
+
+@register("grouping_sets_report", oracle="""
+SELECT event_type, day, count(*) AS n,
+       (round(sum(value), 3) + 0) AS sum_value
+FROM (SELECT event_type, date_trunc('day', ts) AS day, value FROM events)
+GROUP BY GROUPING SETS ((event_type, day), (event_type), (day), ())
+""")
+def grouping_sets_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS — the remaining member of the multi-granularity
+    aggregate family next to ``rollup_order_status`` / ``cube_order_
+    priority``: per (type, day), per type, per day, and grand total in
+    ONE pass (Spark expands then aggregates; partial aggregation still
+    applies per set).  At 100 TB this replaces four separate scans of
+    the fact table with one."""
+    ev = (_t(spark, sf_dir, "events")
+          .withColumn("day", F.date_trunc("day", "ts")))
+    return (ev.groupingSets([["event_type", "day"], ["event_type"],
+                             ["day"], []],
+                            "event_type", "day")
+            .agg(F.count("*").alias("n"),
+                 rnd(F.sum("value"), 3).alias("sum_value")))
+
+
+@register("bpe_pair_frequencies", oracle=f"""
+WITH toks AS (
+  SELECT unnest({_DUCK_TOKENS}) AS tok FROM documents
+), al AS (
+  SELECT tok FROM toks
+  WHERE regexp_full_match(tok, '[a-z]+') AND length(tok) >= 2
+), pairs AS (
+  SELECT unnest([tok[i + 1] || tok[i + 2]
+                 FOR i IN range(length(tok) - 1)]) AS pair
+  FROM al
+)
+SELECT pair, count(*) AS cnt FROM pairs
+GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20
+""")
+def bpe_pair_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent character-pair counts over alphabetic tokens —
+    the argmax of the first BPE merge (tokenizer vocabulary induction,
+    audit form).  Aggregate key domain is |alphabet|^2, so map-side
+    partials collapse the shuffle to a constant regardless of corpus
+    size."""
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_ops.bpe_pair_counts(docs, top=20)
+
+
+@register("embedding_centroid_drift", oracle="""
+WITH oldc AS (
+  SELECT label, i AS pos, (round(avg(embedding[i]), 6) + 0) AS c_old
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+  WHERE vec_id % 5 <> 0 GROUP BY label, i
+), newc AS (
+  SELECT label, i AS pos, (round(avg(embedding[i]), 6) + 0) AS c_new
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+  GROUP BY label, i
+), no AS (
+  SELECT label, count(*) AS n_old FROM embeddings
+  WHERE vec_id % 5 <> 0 GROUP BY label
+), nn AS (
+  SELECT label, count(*) AS n_new FROM embeddings GROUP BY label
+)
+SELECT o.label, no.n_old, nn.n_new,
+       (round(sqrt(sum(power(n.c_new - o.c_old, 2))), 6) + 0) AS drift
+FROM oldc o
+JOIN newc n ON n.label = o.label AND n.pos = o.pos
+JOIN no ON no.label = o.label
+JOIN nn ON nn.label = o.label
+GROUP BY o.label, no.n_old, nn.n_new
+""")
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid L2 shift between the previous snapshot (every
+    vec_id % 5 == 0 row absent — the last crawl's subset) and the
+    current store.  The drift monitor that decides which labels need
+    re-indexing after an ingest.  posexplode -> grouped avg on
+    (label, pos): one shuffle, labels x dim rows after partials."""
+    emb = _t(spark, sf_dir, "embeddings")
+    old = emb.filter(F.col("vec_id") % 5 != 0)
+    return corpus_ops.centroid_drift(old, emb)
+
+
+def _mmr_oracle(k: int = 10, shortlist: int = 50,
+                lam: float = 0.7) -> str:
+    """Unrolled greedy-MMR oracle: one CTE per selection step (greedy
+    argmax is not expressible in a DuckDB recursive CTE — the recursive
+    term can't aggregate over the accumulated set — so the k steps are
+    generated as chained CTEs; every sim is rounded to the same 6dp
+    grid the Spark side rounds to BEFORE any comparison)."""
+    mu = 1.0 - lam
+    parts = [f"""
+WITH short AS MATERIALIZED (
+  SELECT e.vec_id, e.embedding,
+         (round({V.duck_cosine('e.embedding', 'q.qv')}, 6) + 0) AS simq
+  FROM embeddings e,
+       (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+  ORDER BY simq DESC, e.vec_id LIMIT {shortlist}
+), pair AS MATERIALIZED (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         (round({V.duck_cosine('a.embedding', 'b.embedding')}, 6) + 0)
+           AS sim
+  FROM short a JOIN short b ON a.vec_id <> b.vec_id
+), sel1 AS (
+  SELECT vec_id, (round({lam} * simq, 6) + 0) AS mmr_score,
+         CAST(1 AS BIGINT) AS step
+  FROM short ORDER BY simq DESC, vec_id LIMIT 1
+), selu1 AS MATERIALIZED (SELECT * FROM sel1)"""]
+    for n in range(2, k + 1):
+        parts.append(f""", sel{n} AS MATERIALIZED (
+  SELECT vec_id, mmr_score, CAST({n} AS BIGINT) AS step FROM (
+    SELECT s.vec_id,
+           (round({lam} * s.simq - {mu} * max(p.sim), 6) + 0)
+             AS mmr_score
+    FROM short s JOIN pair p ON p.ia = s.vec_id
+         AND p.ib IN (SELECT vec_id FROM selu{n - 1})
+    WHERE s.vec_id NOT IN (SELECT vec_id FROM selu{n - 1})
+    GROUP BY s.vec_id, s.simq
+  ) ORDER BY mmr_score DESC, vec_id LIMIT 1
+), selu{n} AS MATERIALIZED (
+  SELECT vec_id, mmr_score, step FROM selu{n - 1}
+  UNION ALL SELECT vec_id, mmr_score, step FROM sel{n}
+)""")
+    parts.append(f"\nSELECT step, vec_id, mmr_score FROM selu{k}")
+    return "".join(parts)
+
+
+@register("topk_mmr_diverse", oracle=_mmr_oracle(10, 50, 0.7))
+def topk_mmr_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified top-10: greedy
+    ``0.7 * sim(q, d) - 0.3 * max_sim(d, selected)`` over a 50-row
+    brute-force shortlist.  The corpus contributes one
+    TakeOrderedAndProject pass; the sequential greedy loop runs over
+    the checkpointed 50-row frame in one applyInPandas group — corpus
+    size never reaches it.  Oracle = the same greedy unrolled as 10
+    chained argmax CTEs over identically-rounded sims."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim_ops.mmr_rerank(emb, _query_vec(spark, sf_dir),
+                              k=10, shortlist=50, lam=0.7)
 
 
 # =========================================================================

@@ -1,0 +1,177 @@
+"""Corpus-level audit operators: cross-source overlap, drift between
+embedding snapshots, deterministic per-group reservoirs, and BPE merge
+statistics.
+
+These are curation jobs a training-data pipeline runs over the whole
+corpus, not per-document transforms.  The reference has no analog (its
+corpus is a single SQLite store, src/core/database/connection.py); the
+operators exist because at 100 TB "is source A a re-crawl of source B"
+and "did the embedding distribution move since the last snapshot" are
+questions the pipeline must answer before spending GPU-hours.
+
+Scale notes per operator are in the docstrings; the common theme is
+that every one reduces to grouped aggregation on a uniform key (hash,
+shingle, (label, position)) — one shuffle each, map-side partials, no
+all-pairs stage anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import analysis
+from . import dedup
+
+
+def source_shingle_overlap(docs: DataFrame, shingle_n: int = 3,
+                           top: int = 20,
+                           source_col: str = "source",
+                           text_col: str = "text") -> DataFrame:
+    """Pairwise shingle-set overlap between sources: exact Jaccard and
+    containment over distinct word n-grams.
+
+    The cross-corpus contamination audit: a source pair with high
+    containment means one feed is (partially) a re-crawl or mirror of
+    the other, and the smaller side should be dropped before training.
+
+    Scale: the quadratic object is never materialized — the join key is
+    the *shingle*, so the plan is distinct(source, shingle) -> shuffle
+    on shingle -> per-pair counts via map-side partial aggregation.
+    Cost is bounded by vocabulary x sources, not documents^2; skew on
+    stop-shingles is capped because each (source, shingle) pair appears
+    once after the distinct.
+    """
+    sh = (docs
+          .select(F.col(source_col).alias("src"),
+                  F.explode(dedup.shingles(F.col(text_col), shingle_n))
+                  .alias("shingle"))
+          .distinct())
+    per = sh.groupBy("src").agg(F.count("*").alias("n_sh"))
+    inter = (sh.alias("a")
+             .join(sh.alias("b"), "shingle")
+             .filter(F.col("a.src") < F.col("b.src"))
+             .groupBy(F.col("a.src").alias("src_a"),
+                      F.col("b.src").alias("src_b"))
+             .agg(F.count("*").alias("n_inter")))
+    pa = per.select(F.col("src").alias("src_a"), F.col("n_sh").alias("n_a"))
+    pb = per.select(F.col("src").alias("src_b"), F.col("n_sh").alias("n_b"))
+    scored = (inter
+              .join(F.broadcast(pa), "src_a")
+              .join(F.broadcast(pb), "src_b")
+              .withColumn(
+                  "jaccard",
+                  F.round(F.col("n_inter")
+                          / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                          6) + F.lit(0.0))
+              .withColumn(
+                  "containment",
+                  F.round(F.col("n_inter")
+                          / F.least(F.col("n_a"), F.col("n_b")),
+                          6) + F.lit(0.0)))
+    return (scored
+            .select("src_a", "src_b", "n_a", "n_b", "n_inter",
+                    "jaccard", "containment")
+            .orderBy(F.col("jaccard").desc(), "src_a", "src_b")
+            .limit(top))
+
+
+def centroid_drift(old: DataFrame, new: DataFrame,
+                   label_col: str = "label",
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   round_n: int = 6) -> DataFrame:
+    """Per-label centroid shift between two embedding snapshots.
+
+    The drift monitor a recurring-crawl deployment runs after each
+    ingest: centroid(new) vs centroid(old) per label, L2 distance.  A
+    label whose centroid moved is a label whose incoming data changed
+    distribution — re-index (and maybe re-train quantizers) before
+    serving it.
+
+    Scale: ``posexplode`` turns each snapshot into (label, pos, val)
+    rows — dim x corpus, but the aggregate is a plain grouped avg on
+    the uniform (label, pos) key, map-side partialed down to
+    labels x dim rows before the shuffle.  The drift join then touches
+    only labels x dim rows.  No vector ever crosses the network whole.
+
+    Centroid components are rounded before the distance so both engines
+    (and successive runs under different partition orders) difference
+    identical doubles.
+    """
+    def comps(df: DataFrame, out: str) -> DataFrame:
+        return (df
+                .select(F.col(label_col).alias("label"),
+                        F.posexplode(F.col(vec_col)).alias("pos", "val"))
+                .groupBy("label", "pos")
+                .agg((F.round(F.avg("val"), round_n) + F.lit(0.0))
+                     .alias(out)))
+
+    o = comps(old, "c_old")
+    n = comps(new, "c_new")
+    diff = (o.join(n, ["label", "pos"])
+            .withColumn("d2", (F.col("c_new") - F.col("c_old")) ** 2))
+    counts_o = old.groupBy(F.col(label_col).alias("label")).agg(
+        F.count("*").alias("n_old"))
+    counts_n = new.groupBy(F.col(label_col).alias("label")).agg(
+        F.count("*").alias("n_new"))
+    return (diff.groupBy("label")
+            .agg((F.round(F.sqrt(F.sum("d2")), round_n) + F.lit(0.0))
+                 .alias("drift"))
+            .join(F.broadcast(counts_o), "label")
+            .join(F.broadcast(counts_n), "label")
+            .select("label", "n_old", "n_new", "drift"))
+
+
+def deterministic_group_sample(df: DataFrame, group_col: str,
+                               id_col: str, k: int) -> DataFrame:
+    """Fixed-k-per-group sample, deterministic across runs and
+    partitionings: order each group by the 48-bit md5 hash of the id
+    and keep the first *k*.
+
+    The balanced-eval-set builder: "give me exactly 5 docs from every
+    source, the same 5 every run, no matter how the cluster is laid
+    out".  ``rand()``-based sampling fails all three requirements;
+    hash-order row_number is a reshuffle-stable reservoir.
+
+    Scale: one shuffle on *group_col*; the window is partitioned (never
+    global), and within-group sort cost is bounded by the group size.
+    For pathologically hot groups, pre-filter ``hash % m < t`` with
+    t sized to overshoot k, then rank the survivors.
+    """
+    h = analysis.token_hash(F.col(id_col).cast("string"))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (df
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .drop("rk"))
+
+
+def bpe_pair_counts(docs: DataFrame, top: int = 20,
+                    text_col: str = "text") -> DataFrame:
+    """Top adjacent character-pair frequencies over alphabetic tokens —
+    the statistic the first BPE merge step maximizes (Sennrich et al.,
+    ACL 2016).  Run iteratively with a symbol-remap between rounds this
+    is tokenizer vocabulary induction; the single pass is the audit
+    form ("what would the tokenizer learn from THIS corpus").
+
+    Scale: explode(token) -> explode(pair) -> count.  The aggregate key
+    is a 2-char string (tiny domain), so map-side partials collapse
+    each partition to at most |alphabet|^2 rows before the shuffle —
+    the shuffle is effectively free regardless of corpus size.  Tokens
+    are gated to ``^[a-z]+$`` so code-point semantics agree across
+    engines (CJK grapheme handling differs between dialects).
+    """
+    toks = (docs
+            .select(F.explode(analysis.tokens(F.col(text_col)))
+                    .alias("tok"))
+            .filter(F.col("tok").rlike("^[a-z]+$"))
+            .filter(F.length("tok") >= 2))
+    pairs = toks.select(
+        F.explode(F.expr(
+            "transform(sequence(1, length(tok) - 1),"
+            " i -> substring(tok, i, 2))")).alias("pair"))
+    return (pairs.groupBy("pair")
+            .agg(F.count("*").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+            .limit(top))

@@ -401,3 +401,93 @@ def similarity_join_topk_pandas(assigned: DataFrame, block_col: str,
     return (deduped.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= k)
             .select("id_a", "id_b", block_col, "sim"))
+
+
+def mmr_shortlist(corpus: DataFrame, query_vec: list[float],
+                  shortlist: int, vec_col: str = "embedding",
+                  id_col: str = "vec_id") -> DataFrame:
+    """The corpus-facing stage of :func:`mmr_rerank`: rounded query
+    sims, ordered ``limit`` (plans as TakeOrderedAndProject — pinned in
+    tests/test_corpus_audits.py)."""
+    return (
+        similarity_to_query(corpus, query_vec, vec_col, out_col="simq")
+        .withColumn("simq", F.round(F.col("simq"), 6) + F.lit(0.0))
+        .orderBy(F.col("simq").desc(), F.col(id_col).asc())
+        .limit(shortlist)
+        .select(id_col, "simq", vec_col))
+
+
+def mmr_rerank(corpus: DataFrame, query_vec: list[float], k: int = 10,
+               shortlist: int = 50, lam: float = 0.7,
+               vec_col: str = "embedding",
+               id_col: str = "vec_id") -> DataFrame:
+    """Maximal Marginal Relevance diversification (Carbonell &
+    Goldstein, SIGIR 1998): greedily pick *k* results maximizing
+    ``lam * sim(query, d) - (1 - lam) * max_{s in S} sim(d, s)`` —
+    relevant results that are NOT near-duplicates of ones already
+    chosen.  The reference returns the raw cosine ranking
+    (src/core/embeddings/processor.py:528-529); redundant top-k lists
+    are the classic failure of that on deduplicated-but-still-similar
+    corpora, and MMR is the standard serving-side fix.
+
+    Plan shape at 100 TB: the corpus contributes ONE brute-force
+    shortlist pass (TakeOrderedAndProject — swap in the IVF/PQ probe
+    for an indexed store); everything after is bounded by *shortlist*:
+    a localCheckpoint pins the shortlist at `shortlist` rows, its
+    self-join (shortlist^2 pairs) broadcasts, and the inherently
+    sequential greedy loop runs over that bounded frame in a single
+    applyInPandas group.  Corpus size never touches the greedy stage.
+
+    Determinism: query sims and pairwise sims are rounded to 6dp IN
+    SPARK before the loop; the loop compares only those rounded doubles
+    (plus half-away-from-zero rounding of the combined score, matching
+    F.round / DuckDB round), ties broken by ascending id.
+    """
+    import math as _math
+
+    import pandas as pd
+
+    short = mmr_shortlist(corpus, query_vec, shortlist,
+                          vec_col, id_col).localCheckpoint()
+    a = short.select(F.col(id_col).alias("ia"), F.col("simq"),
+                     F.col(vec_col).alias("va"))
+    b = short.select(F.col(id_col).alias("ib"),
+                     F.col(vec_col).alias("vb"))
+    pairs = (a.join(F.broadcast(b), F.col("ia") != F.col("ib"))
+             .withColumn("sim", F.round(V.cosine("va", "vb"), 6)
+                         + F.lit(0.0))
+             .select("ia", "simq", "ib", "sim"))
+
+    def _round6(x: float) -> float:
+        # F.round / DuckDB round(): half away from zero at 6dp.
+        return _math.copysign(
+            _math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        simq = {int(r.ia): float(r.simq)
+                for r in pdf[["ia", "simq"]].drop_duplicates()
+                .itertuples()}
+        psim = {(int(r.ia), int(r.ib)): float(r.sim)
+                for r in pdf.itertuples()}
+        remaining = sorted(simq)
+        selected: list[int] = []
+        out = []
+        for step in range(1, min(k, len(remaining) + len(selected)) + 1):
+            best_id, best_score = None, None
+            for cid in remaining:
+                maxsim = max((psim.get((cid, s), 0.0) for s in selected),
+                             default=0.0)
+                score = _round6(lam * simq[cid] - (1.0 - lam) * maxsim)
+                if (best_id is None or score > best_score
+                        or (score == best_score and cid < best_id)):
+                    best_id, best_score = cid, score
+            out.append((step, best_id, best_score))
+            selected.append(best_id)
+            remaining.remove(best_id)
+        return pd.DataFrame(out,
+                            columns=["step", id_col, "mmr_score"])
+
+    return (pairs.groupBy(F.lit(1).alias("_g"))
+            .applyInPandas(greedy,
+                           schema=f"step long, {id_col} long, "
+                                  "mmr_score double"))

@@ -1,0 +1,139 @@
+"""Corpus-audit operators: cross-source overlap, drift, deterministic
+reservoirs, BPE pair stats, and MMR diversification."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from msg_vector_search_spark.operators import corpus as corpus_ops
+from msg_vector_search_spark.operators import similarity as sim_ops
+from msg_vector_search_spark.sources import readers
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return readers.read_table(spark, sf_dir, "documents")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return readers.read_table(spark, sf_dir, "embeddings")
+
+
+def test_overlap_bounds_and_ordering(docs):
+    rows = corpus_ops.source_shingle_overlap(docs, shingle_n=3,
+                                             top=10).collect()
+    assert rows, "fixture sources share at least some shingles"
+    for r in rows:
+        assert r.src_a < r.src_b
+        assert 0.0 <= r.jaccard <= r.containment <= 1.0
+        assert r.n_inter <= min(r.n_a, r.n_b)
+    jac = [r.jaccard for r in rows]
+    assert jac == sorted(jac, reverse=True)
+
+
+def test_overlap_self_is_total(spark):
+    # A source joined with an exact copy of itself: containment == 1.
+    df = spark.createDataFrame(
+        [("a", "the quick brown fox jumps high"),
+         ("b", "the quick brown fox jumps high")],
+        "source string, text string")
+    r = corpus_ops.source_shingle_overlap(df, shingle_n=3,
+                                          top=5).collect()[0]
+    assert r.containment == 1.0 and r.jaccard == 1.0
+
+
+def test_group_sample_exact_k_and_stable(docs):
+    out = corpus_ops.deterministic_group_sample(
+        docs, group_col="source", id_col="doc_id", k=3)
+    sizes = {r.source: r.n
+             for r in out.groupBy("source").agg(
+                 F.count("*").alias("n")).collect()}
+    per_group = {r.source: r.n
+                 for r in docs.groupBy("source").agg(
+                     F.count("*").alias("n")).collect()}
+    for src, n in sizes.items():
+        assert n == min(3, per_group[src])
+    # Stable under repartitioning: same ids either way.
+    ids_a = {r.doc_id for r in out.collect()}
+    ids_b = {r.doc_id
+             for r in corpus_ops.deterministic_group_sample(
+                 docs.repartition(7), "source", "doc_id", 3).collect()}
+    assert ids_a == ids_b
+
+
+def test_bpe_pairs_shape(docs):
+    rows = corpus_ops.bpe_pair_counts(docs, top=10).collect()
+    assert 0 < len(rows) <= 10
+    for r in rows:
+        assert len(r.pair) == 2 and r.pair.islower()
+        assert r.cnt > 0
+    cnts = [r.cnt for r in rows]
+    assert cnts == sorted(cnts, reverse=True)
+
+
+def test_centroid_drift_zero_on_identical(emb):
+    out = corpus_ops.centroid_drift(emb, emb).collect()
+    assert out
+    for r in out:
+        assert r.drift == 0.0 and r.n_old == r.n_new
+
+
+def test_centroid_drift_positive_on_shift(emb):
+    shifted = emb.withColumn(
+        "embedding",
+        F.transform("embedding", lambda x: x + F.lit(0.5)))
+    for r in corpus_ops.centroid_drift(emb, shifted).collect():
+        assert r.drift > 0.0
+
+
+def _qvec(emb):
+    row = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    return [float(x) for x in row[0]]
+
+
+def test_mmr_first_pick_is_argmax(emb):
+    qv = _qvec(emb)
+    mmr = sim_ops.mmr_rerank(emb, qv, k=5, shortlist=20).collect()
+    top = sim_ops.knn_search(emb, qv, k=1).collect()[0]
+    by_step = sorted(mmr, key=lambda r: r.step)
+    assert by_step[0].vec_id == top.vec_id
+    assert len({r.vec_id for r in mmr}) == 5
+    assert [r.step for r in by_step] == [1, 2, 3, 4, 5]
+
+
+def test_mmr_diversifies_vs_plain_topk(emb, spark):
+    """Mean pairwise similarity of the MMR set must not exceed the
+    plain top-k set's (that's the whole point of the operator)."""
+    qv = _qvec(emb)
+    k = 5
+    mmr_ids = [r.vec_id for r in sim_ops.mmr_rerank(
+        emb, qv, k=k, shortlist=20).collect()]
+    top_ids = [r.vec_id for r in sim_ops.knn_search(
+        emb, qv, k=k).collect()]
+
+    def mean_pairwise(ids):
+        sub = emb.filter(F.col("vec_id").isin(ids))
+        a = sub.select(F.col("vec_id").alias("ia"),
+                       F.col("embedding").alias("va"))
+        b = sub.select(F.col("vec_id").alias("ib"),
+                       F.col("embedding").alias("vb"))
+        from msg_vector_search_spark.functions import vector as V
+        pairs = (a.join(b, F.col("ia") < F.col("ib"))
+                 .select(V.cosine("va", "vb").alias("s")))
+        return pairs.agg(F.avg("s")).collect()[0][0]
+
+    assert mean_pairwise(mmr_ids) <= mean_pairwise(top_ids) + 1e-9
+
+
+def test_mmr_shortlist_plan_is_bounded(emb):
+    """The corpus-facing stage must be TakeOrderedAndProject (ordered
+    limit), not a global sort or window.  (The full mmr_rerank plan
+    starts from the localCheckpoint, so the shortlist subtree is pinned
+    here directly.)"""
+    qv = _qvec(emb)
+    plan = sim_ops.mmr_shortlist(emb, qv, 10)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "WindowExec" not in plan
