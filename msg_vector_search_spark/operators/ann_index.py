@@ -195,18 +195,21 @@ def _upsert_cells(spark: SparkSession, batch: DataFrame, store: str,
                          batch.select("cell").distinct().collect())
     if not touched:
         return []
+    # Last-writer-wins WITHOUT a corpus-wide window: dedupe the (small)
+    # batch on the key, broadcast its key set for an anti-join that
+    # filters shadowed rows out of the touched partitions map-side, and
+    # append the batch.  The old form (union + row_number window) paid
+    # a full shuffle+sort of every touched row; this plan moves only
+    # the batch over the network.  The write keeps the scan's
+    # per-cell-directory partitioning, so no repartition shuffle either
+    # (AQE coalesces small outputs at scale).
+    inc = batch.dropDuplicates([key])
     current = (spark.read.parquet(store)
                .filter(F.col("cell").isin(touched))
-               .withColumn("_new", F.lit(0)))
-    inc = batch.withColumn("_new", F.lit(1))
-    from pyspark.sql import Window
-    w = Window.partitionBy(key).orderBy(F.col("_new").desc())
-    merged = (current.unionByName(inc)
-              .withColumn("_rn", F.row_number().over(w))
-              .filter(F.col("_rn") == 1).drop("_rn", "_new"))
+               .join(F.broadcast(inc.select(key)), key, "left_anti"))
+    merged = current.unionByName(inc.select(*current.columns))
     tmp = store + "._staged"
-    merged.repartition("cell").write.mode("overwrite") \
-        .partitionBy("cell").parquet(tmp)
+    merged.write.mode("overwrite").partitionBy("cell").parquet(tmp)
     for c in touched:
         part = f"cell={c}"
         src = os.path.join(tmp, part)
