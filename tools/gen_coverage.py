@@ -119,6 +119,13 @@ SECTIONS = [
     ("Training-data pipeline: sequence packing", [
         "pack_sequences_budget", "pack_sequences_greedy",
         "pack_fill_stats", "pipeline_training_batches"]),
+    ("Corpus audits & serving diversification (round 6)", [
+        "corpus_overlap_matrix", "sample_fixed_k_per_group",
+        "grouping_sets_report", "bpe_pair_frequencies",
+        "embedding_centroid_drift", "topk_mmr_diverse"]),
+    ("Incremental state & materialized serving (round 6)", [
+        "incremental_agg_merge", "incremental_distinct_sketch",
+        "store_changefeed", "text_inverted_index_topk"]),
 ]
 
 
