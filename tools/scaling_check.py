@@ -499,6 +499,41 @@ def retrieval_main() -> None:
             shutil.rmtree(d, ignore_errors=True)
 
 
+def audits_main() -> None:
+    """python tools/scaling_check.py --audits [mults ...] — time the
+    corpus-audit rows at replicated corpus scale.  Expected shapes:
+    overlap grows ~linearly (shingle-keyed shuffle, vocabulary-bounded
+    tail); drift and reservoir grow ~linearly in the scan with constant
+    shuffle tails (labels x dim / sources x k rows); MMR must stay
+    ~FLAT past the shortlist scan — its greedy stage never sees the
+    corpus, so super-linear growth there means the bounded frame
+    leaked."""
+    from msg_vector_search_spark import contract
+    from msg_vector_search_spark.session import get_spark
+
+    mults = [int(a) for a in sys.argv[2:]] or [1, 4, 16]
+    queries = ["corpus_overlap_matrix", "embedding_centroid_drift",
+               "sample_fixed_k_per_group", "topk_mmr_diverse"]
+    spark = get_spark("audit_scale")
+    print(f"{'xN':>4} {'docs':>8} " +
+          " ".join(f"{q[:20]:>22}" for q in queries))
+    for m in mults:
+        d = tempfile.mkdtemp(prefix=f"audit_{m}x_")
+        try:
+            replicate(spark, m, d)
+            replicate_embeddings(spark, m, d)
+            n = spark.read.parquet(f"{d}/documents.parquet").count()
+            times = []
+            for q in queries:
+                t0 = time.perf_counter()
+                contract.REGISTRY[q](spark, d).count()
+                times.append(time.perf_counter() - t0)
+            print(f"{m:>4} {n:>8} " +
+                  " ".join(f"{t:>22.2f}" for t in times), flush=True)
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+
 if __name__ == "__main__":
     if "--knee" in sys.argv:
         knee_main()
@@ -508,5 +543,7 @@ if __name__ == "__main__":
         retrieval_main()
     elif "--trunc" in sys.argv:
         trunc_main()
+    elif "--audits" in sys.argv:
+        audits_main()
     else:
         main()
