@@ -6594,6 +6594,81 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_ops.centroid_drift(old, emb)
 
 
+@register("dedup_cluster_histogram", oracle=f"""
+WITH RECURSIVE pairs AS ({_MINHASH_PAIRS_SQL}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+walk(id, comp) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.id
+),
+comp AS (SELECT id, min(comp) AS component FROM walk GROUP BY id),
+full_docs AS (
+  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+),
+sizes AS (SELECT component, count(*) AS sz FROM full_docs GROUP BY component)
+SELECT sz AS cluster_size, count(*) AS n_clusters,
+       CAST(sum(sz) AS BIGINT) AS n_docs
+FROM sizes GROUP BY sz
+""")
+def dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dup-rate report every curation run ends with: distribution
+    of near-dup cluster sizes over the WHOLE corpus (size 1 =
+    singletons — docs in no candidate pair).  Composition: LSH pairs ->
+    star-contraction components -> left join back to documents ->
+    two tiny grouped counts.  The histogram key domain is cluster
+    sizes, so everything after the component step is effectively
+    free."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup_ops.dedup_minhash_lsh(docs, num_hashes=8, bands=4,
+                                        shingle_n=3)
+    comp = dedup_ops.connected_components_star(pairs)
+    full = (docs.select("doc_id")
+            .join(comp, docs.doc_id == comp.id, "left")
+            .select(F.coalesce("component", "doc_id").alias("component")))
+    sizes = full.groupBy("component").agg(F.count("*").alias("sz"))
+    return (sizes.groupBy(F.col("sz").alias("cluster_size"))
+            .agg(F.count("*").alias("n_clusters"),
+                 F.sum("sz").alias("n_docs")))
+
+
+@register("ann_index_compact", oracle=_INDEX_UPSERT_ORACLE)
+def ann_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction for the materialized ANN index — the
+    maintenance job the incremental upsert path creates the need for:
+    each ``upsert_index`` merge appends the batch's rows as extra files
+    in every touched cell directory (the shuffle-free merge trades a
+    corpus-wide exchange for exactly this accretion), so after the
+    batch arrives as THREE sub-batches every touched cell is
+    fragmented.  ``compact_store`` collapses the fragmented cell
+    directories of both the vectors and codes stores to one file each
+    — a rewrite of O(fragmented bytes), untouched cells never read —
+    and the post-compaction search must return exactly what the
+    one-shot-upsert oracle computes: compaction moves bytes, never
+    rows."""
+    emb = _t(spark, sf_dir, "embeddings")
+    path = _upsert_base_copy(spark, sf_dir)
+    for r in (3, 13, 23):
+        ann_index.upsert_index(spark, path,
+                               emb.filter(F.col("vec_id") % 30 == r))
+    stats_v = sinks.compact_store(spark, os.path.join(path, "vectors"),
+                                  part_col="cell")
+    sinks.compact_store(spark, os.path.join(path, "codes"),
+                        part_col="cell")
+    assert stats_v["compacted"], "upserts must fragment some cell"
+    assert stats_v["files_after"] < stats_v["files_before"]
+    qrow = emb.filter(F.col("vec_id") == 3).select("embedding").head()
+    return ann_index.search_index(spark, path,
+                                  [float(x) for x in qrow[0]],
+                                  k=10, nprobe=4, shortlist=50)
+
+
 def _mmr_oracle(k: int = 10, shortlist: int = 50,
                 lam: float = 0.7) -> str:
     """Unrolled greedy-MMR oracle: one CTE per selection step (greedy

@@ -402,6 +402,64 @@ def rebucket_store(spark: SparkSession, path: str,
     return meta
 
 
+def compact_store(spark: SparkSession, path: str,
+                  max_files_per_bucket: int = 1,
+                  part_col: str = BUCKET_COL) -> dict:
+    """Maintenance verb: collapse fragmented bucket directories back to
+    *max_files_per_bucket* files each, data unchanged.
+
+    Every incremental upsert appends one file per touched bucket, so a
+    store under continuous ingest accretes small files until scan task
+    count (and footer overhead) dominates read cost — the classic
+    small-files decay every table format schedules compaction against.
+    This is that job for the plain-Parquet store: LIST the bucket
+    directories (a filesystem operation, no data read), rewrite ONLY
+    the fragmented ones — each shrunk to one file via a shuffle keyed
+    on the bucket column that moves just the fragmented buckets'
+    rows — and swap directories per bucket.  Untouched buckets are
+    never read.  Cost: O(fragmented bytes), independent of store size;
+    contents are byte-for-byte the same rows (pinned by the
+    ``store_compact`` oracle).
+
+    Returns ``{"compacted": [bucket ids], "files_before": n,
+    "files_after": m}``.
+    """
+    if part_col == BUCKET_COL and _read_layout(path) is None:
+        raise ValueError(f"no layout metadata at {path}; not a store")
+
+    def _partfiles(d: str) -> list[str]:
+        return [f for f in os.listdir(d)
+                if f.endswith(".parquet") and not f.startswith(("_", "."))]
+
+    frag: dict[int, int] = {}
+    for entry in os.listdir(path):
+        if not entry.startswith(f"{part_col}="):
+            continue
+        n = len(_partfiles(os.path.join(path, entry)))
+        b = int(entry.split("=", 1)[1])
+        if n > max_files_per_bucket:
+            frag[b] = n
+    if not frag:
+        return {"compacted": [], "files_before": 0, "files_after": 0}
+    touched = sorted(frag)
+    current = spark.read.parquet(path).filter(
+        F.col(part_col).isin(touched))  # directory-level pruning
+    tmp = path + "._compact"
+    (current.repartition(len(touched), F.col(part_col))
+     .write.mode("overwrite").partitionBy(part_col).parquet(tmp))
+    after = 0
+    for b in touched:
+        part = f"{part_col}={b}"
+        src = os.path.join(tmp, part)
+        if os.path.exists(src):
+            _swap_dir(src, os.path.join(path, part))
+            after += len(_partfiles(os.path.join(path, part)))
+    shutil.rmtree(tmp, ignore_errors=True)
+    return {"compacted": touched,
+            "files_before": sum(frag.values()),
+            "files_after": after}
+
+
 def write_dimension(df: DataFrame, path: str, fmt: str = "parquet") -> None:
     """A6: persist a small dimension (the reference caches its user dim
     as a JSON file with a 24 h TTL, user_mapper.py:222-233).  Parquet by

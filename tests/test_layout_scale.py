@@ -483,3 +483,42 @@ def test_delete_keys_crash_mid_swap_rolls_forward(
     assert not os.path.exists(os.path.join(store, sinks.DELETE_MANIFEST))
     assert not os.path.exists(store + "._staged")
     assert _store_rows(spark, store) == expected
+
+
+def test_compact_store_collapses_only_fragmented(spark, tmp_path):
+    """compact_store: fragmented partition dirs collapse to one file,
+    content identical, non-fragmented dirs untouched (byte-identical
+    files — never rewritten)."""
+    import os
+
+    store = str(tmp_path / "fragstore")
+    emb = readers.read_table(spark, SF, "embeddings") \
+        .select("vec_id", "label")
+    # A partitioned store where part p0 is written twice (two files)
+    # and p1 once (one file) — mimicking the index upsert accretion.
+    base = emb.withColumn("cell", (F.col("vec_id") % 2).cast("int"))
+    base.coalesce(1).write.partitionBy("cell").parquet(store)
+    extra = (emb.filter(F.col("vec_id") % 2 == 0)
+             .withColumn("label", F.col("label"))
+             .withColumn("cell", F.lit(0)))
+    extra.coalesce(1).write.mode("append").partitionBy("cell") \
+        .parquet(store)
+
+    def files(cell):
+        d = os.path.join(store, f"cell={cell}")
+        return sorted(f for f in os.listdir(d)
+                      if f.endswith(".parquet"))
+
+    assert len(files(0)) == 2 and len(files(1)) == 1
+    before_rows = spark.read.parquet(store).count()
+    untouched_before = files(1)
+
+    stats = sinks.compact_store(spark, store, part_col="cell")
+    assert stats["compacted"] == [0]
+    assert stats["files_before"] == 2 and stats["files_after"] == 1
+    assert len(files(0)) == 1
+    assert files(1) == untouched_before  # same file names, not rewritten
+    assert spark.read.parquet(store).count() == before_rows
+    # idempotent: second call is a no-op
+    assert sinks.compact_store(spark, store,
+                               part_col="cell")["compacted"] == []
