@@ -88,6 +88,7 @@ SECTIONS = [
         "dedup_embedding_cosine", "dedup_embedding_lsh",
         "dedup_repeated_chunks", "dedup_components",
         "dedup_keep_canonical", "pipeline_clean_corpus",
+        "dedup_cluster_histogram",
         "dedup_incremental_new_docs", "streaming_incremental_dedup",
         "pipeline_crawl_admit_index", "dedup_semdedup"]),
     ("Training-data pipeline: similarity / ANN", [
@@ -125,7 +126,8 @@ SECTIONS = [
         "embedding_centroid_drift", "topk_mmr_diverse"]),
     ("Incremental state & materialized serving (round 6)", [
         "incremental_agg_merge", "incremental_distinct_sketch",
-        "store_changefeed", "text_inverted_index_topk"]),
+        "store_changefeed", "text_inverted_index_topk",
+        "ann_index_compact"]),
 ]
 
 
