@@ -238,6 +238,21 @@ SHOW = [
      "SemDeDup: IVF cells as the quadratic guard — pairwise cosine is "
      "an equi-join on cell with per-row hoisted norms; the dropped-id "
      "set broadcasts back onto the assignment for the keep verdict."),
+    ("corpus_overlap_matrix",
+     "Cross-source contamination: the join key is the SHINGLE "
+     "(vocabulary-bounded shuffle), source-pair counts come out of "
+     "map-side partials — documents^2 never materializes."),
+    ("topk_mmr_diverse",
+     "MMR diversification: corpus contributes one TakeOrderedAndProject "
+     "shortlist; the localCheckpoint pins it at 50 rows, the pairwise "
+     "stage is a broadcast self-join of that frame, and the sequential "
+     "greedy loop is one applyInPandas group — corpus size never "
+     "reaches the greedy stage."),
+    ("embedding_centroid_drift",
+     "Snapshot drift monitor: posexplode -> grouped avg on the uniform "
+     "(label, pos) key; partials collapse each partition to labels x "
+     "dim rows before the shuffle, and the drift join touches only "
+     "that reduced frame."),
 ]
 
 
