@@ -6638,6 +6638,71 @@ def dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("sz").alias("n_docs")))
 
 
+@register("dedup_components_incremental", oracle=f"""
+WITH RECURSIVE pairs AS ({_MINHASH_PAIRS_SQL}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+walk(id, comp) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.id
+)
+SELECT id, min(comp) AS component FROM walk GROUP BY id
+""")
+def dedup_components_incremental(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Incremental dup-graph maintenance — the CC side of the
+    recurring crawl (pairs with ``dedup_incremental_new_docs`` and
+    ``ann_index_upsert``): the previous crawl's components are a
+    PERSISTED artifact; a new batch contributes only (a) its band-join
+    edges against the corpus (at 100 TB the join target is the
+    persisted band-posting store, so edge generation is O(batch x
+    bucket), never a re-band of the corpus) and (b) one star edge per
+    previously-clustered doc (id -> component).  Star contraction then
+    runs over new edges + star edges — the old graph enters
+    pre-contracted, so iteration cost tracks the BATCH's connectivity,
+    not the corpus's.  The oracle is the from-scratch recursive CTE
+    over the full pair set: incremental maintenance must converge to
+    exactly the fresh-build labeling (the same invariant
+    ann_index_rebuild pins for the ANN index)."""
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 4 != 0)
+    new = docs.filter(F.col("doc_id") % 4 == 0)
+
+    # the previous crawl's artifact (persisted, read back)
+    comp_store = os.path.join(tempfile.mkdtemp(prefix="ccstore_"), "comp")
+    dedup_ops.connected_components_star(
+        dedup_ops.dedup_minhash_lsh(old, num_hashes=8, bands=4,
+                                    shingle_n=3)).write.parquet(comp_store)
+    comp_old = spark.read.parquet(comp_store)
+
+    # band the BATCH only; the full banded corpus stands in for the
+    # persisted posting store a deployment maintains incrementally
+    def banded(df: DataFrame) -> DataFrame:
+        arr = dedup_ops.lsh_band_hashes(
+            dedup_ops.shingles(F.col("text"), 3), 8, 4)
+        return dedup_ops.widen(df).select(
+            F.col("doc_id"),
+            F.posexplode(arr).alias("band_idx", "band_hash"))
+
+    new_edges = (banded(new).select(F.col("doc_id").alias("id_n"),
+                                    "band_idx", "band_hash")
+                 .join(banded(docs), ["band_idx", "band_hash"])
+                 .filter(F.col("id_n") != F.col("doc_id"))
+                 .select(F.least("id_n", "doc_id").alias("id_a"),
+                         F.greatest("id_n", "doc_id").alias("id_b"))
+                 .distinct())
+    star_edges = (comp_old.filter(F.col("id") != F.col("component"))
+                  .select(F.col("component").alias("id_a"),
+                          F.col("id").alias("id_b")))
+    return dedup_ops.connected_components_star(
+        new_edges.unionByName(star_edges))
+
+
 @register("ann_index_compact", oracle=_INDEX_UPSERT_ORACLE)
 def ann_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-files compaction for the materialized ANN index — the

@@ -148,3 +148,33 @@ def test_repeated_chunks_kill_both_copies_and_keep_unique(spark):
     assert set(out) == {3}
     assert out[3].kept_chunks == 2
     assert out[3].clean_text == uniq
+
+
+def test_incremental_components_match_fresh(spark):
+    """Incremental CC (star edges from the persisted prior labeling +
+    batch band-join edges) must converge to exactly the from-scratch
+    labeling, and the edge set entering the contraction must be
+    SMALLER than the full pair graph when the batch is small."""
+    from pyspark.sql import functions as F
+
+    from msg_vector_search_spark import contract
+    from msg_vector_search_spark.operators import dedup as d
+    from msg_vector_search_spark.sources import readers
+
+    docs = readers.read_table(spark, "/root/testdata/sf0.01", "documents")
+    fresh = {(r.id, r.component)
+             for r in d.connected_components_star(
+                 d.dedup_minhash_lsh(docs)).collect()}
+    inc = {(r.id, r.component)
+           for r in contract.REGISTRY["dedup_components_incremental"](
+               spark, "/root/testdata/sf0.01").collect()}
+    assert inc == fresh
+
+    # Scale shape: with the old graph entering pre-contracted, the
+    # incremental contraction's input edges (star + batch edges) stay
+    # well under the full candidate-pair count.
+    full_pairs = d.dedup_minhash_lsh(docs).count()
+    old = docs.filter(F.col("doc_id") % 4 != 0)
+    star = (d.connected_components_star(d.dedup_minhash_lsh(old))
+            .filter(F.col("id") != F.col("component")).count())
+    assert star < full_pairs

@@ -90,6 +90,7 @@ SECTIONS = [
         "dedup_keep_canonical", "pipeline_clean_corpus",
         "dedup_cluster_histogram",
         "dedup_incremental_new_docs", "streaming_incremental_dedup",
+        "dedup_components_incremental",
         "pipeline_crawl_admit_index", "dedup_semdedup"]),
     ("Training-data pipeline: similarity / ANN", [
         "ann_ivf_topk", "ann_ivf_filtered", "ann_lsh_topk",
