@@ -35,24 +35,31 @@ def source_shingle_overlap(docs: DataFrame, shingle_n: int = 3,
     containment means one feed is (partially) a re-crawl or mirror of
     the other, and the smaller side should be dropped before training.
 
-    Scale: the quadratic object is never materialized — the join key is
-    the *shingle*, so the plan is distinct(source, shingle) -> shuffle
-    on shingle -> per-pair counts via map-side partial aggregation.
-    Cost is bounded by vocabulary x sources, not documents^2; skew on
-    stop-shingles is capped because each (source, shingle) pair appears
-    once after the distinct.
+    Scale: neither the quadratic document object nor a shingle-keyed
+    self-join ever materializes — ONE shuffle keyed on the shingle
+    builds each shingle's sorted source-set (map-side-partialed
+    ``collect_set``, bounded by |sources|), and both the per-source
+    distinct counts and the per-pair intersections are derived from
+    that frame by exploding source-bounded arrays into aggregation
+    domains of at most |sources| and |sources|^2 rows.  A stop-shingle
+    shared by every source costs one |sources|-entry array, never a
+    quadratic row blowup on a hot join key.
     """
-    sh = (docs
-          .select(F.col(source_col).alias("src"),
-                  F.explode(dedup.shingles(F.col(text_col), shingle_n))
-                  .alias("shingle"))
-          .distinct())
-    per = sh.groupBy("src").agg(F.count("*").alias("n_sh"))
-    inter = (sh.alias("a")
-             .join(sh.alias("b"), "shingle")
-             .filter(F.col("a.src") < F.col("b.src"))
-             .groupBy(F.col("a.src").alias("src_a"),
-                      F.col("b.src").alias("src_b"))
+    sets = (docs
+            .select(F.col(source_col).alias("src"),
+                    F.explode(dedup.shingles(F.col(text_col), shingle_n))
+                    .alias("shingle"))
+            .groupBy("shingle")
+            .agg(F.array_sort(F.collect_set("src")).alias("srcs")))
+    per = (sets.select(F.explode("srcs").alias("src"))
+           .groupBy("src").agg(F.count("*").alias("n_sh")))
+    pair_structs = F.expr(
+        "flatten(transform(srcs, (a, i) -> "
+        " transform(slice(srcs, i + 2, size(srcs)), "
+        "  b -> struct(a AS src_a, b AS src_b))))")
+    inter = (sets.select(F.explode(pair_structs).alias("p"))
+             .select("p.src_a", "p.src_b")
+             .groupBy("src_a", "src_b")
              .agg(F.count("*").alias("n_inter")))
     pa = per.select(F.col("src").alias("src_a"), F.col("n_sh").alias("n_a"))
     pb = per.select(F.col("src").alias("src_b"), F.col("n_sh").alias("n_b"))
