@@ -6745,27 +6745,16 @@ def ann_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   k=10, nprobe=4, shortlist=50)
 
 
-def _mmr_oracle(k: int = 10, shortlist: int = 50,
-                lam: float = 0.7) -> str:
-    """Unrolled greedy-MMR oracle: one CTE per selection step (greedy
+def _mmr_steps(k: int, lam: float) -> str:
+    """Unrolled greedy-MMR selection steps: one CTE per step (greedy
     argmax is not expressible in a DuckDB recursive CTE — the recursive
-    term can't aggregate over the accumulated set — so the k steps are
-    generated as chained CTEs; every sim is rounded to the same 6dp
-    grid the Spark side rounds to BEFORE any comparison)."""
+    term can't aggregate over the accumulated set).  Assumes CTEs
+    ``short(vec_id, simq, embedding)`` (simq rounded to 6dp) and
+    ``pair(ia, ib, sim)`` (sim rounded to 6dp) are already defined —
+    any shortlist provider composes (brute force in topk_mmr_diverse,
+    the materialized-index serving path in ann_mmr_materialized)."""
     mu = 1.0 - lam
-    parts = [f"""
-WITH short AS MATERIALIZED (
-  SELECT e.vec_id, e.embedding,
-         (round({V.duck_cosine('e.embedding', 'q.qv')}, 6) + 0) AS simq
-  FROM embeddings e,
-       (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
-  ORDER BY simq DESC, e.vec_id LIMIT {shortlist}
-), pair AS MATERIALIZED (
-  SELECT a.vec_id AS ia, b.vec_id AS ib,
-         (round({V.duck_cosine('a.embedding', 'b.embedding')}, 6) + 0)
-           AS sim
-  FROM short a JOIN short b ON a.vec_id <> b.vec_id
-), sel1 AS (
+    parts = [f""", sel1 AS (
   SELECT vec_id, (round({lam} * simq, 6) + 0) AS mmr_score,
          CAST(1 AS BIGINT) AS step
   FROM short ORDER BY simq DESC, vec_id LIMIT 1
@@ -6787,6 +6776,66 @@ WITH short AS MATERIALIZED (
 )""")
     parts.append(f"\nSELECT step, vec_id, mmr_score FROM selu{k}")
     return "".join(parts)
+
+
+def _mmr_pair_cte() -> str:
+    """Pairwise rounded cosines over the ``short`` CTE."""
+    return f""", pair AS MATERIALIZED (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         (round({V.duck_cosine('a.embedding', 'b.embedding')}, 6) + 0)
+           AS sim
+  FROM short a JOIN short b ON a.vec_id <> b.vec_id
+)"""
+
+
+def _mmr_oracle(k: int = 10, shortlist: int = 50,
+                lam: float = 0.7) -> str:
+    """Brute-force-shortlist MMR oracle: every sim rounded to the same
+    6dp grid the Spark side rounds to BEFORE any comparison."""
+    prefix = f"""
+WITH short AS MATERIALIZED (
+  SELECT e.vec_id, e.embedding,
+         (round({V.duck_cosine('e.embedding', 'q.qv')}, 6) + 0) AS simq
+  FROM embeddings e,
+       (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+  ORDER BY simq DESC, e.vec_id LIMIT {shortlist}
+)"""
+    return prefix + _mmr_pair_cte() + _mmr_steps(k, lam)
+
+
+_ANN_MMR_ORACLE = (
+    _IVFPQ_SEED_ORACLE.rsplit("), short AS", 1)[0]
+    + f"""), adcshort AS (
+  SELECT vec_id FROM adc ORDER BY adc_sim DESC, vec_id LIMIT 50
+), short AS MATERIALIZED (
+  SELECT c.vec_id, c.embedding,
+         (round({V.duck_cosine('c.embedding', '(SELECT qv FROM q)')}, 6)
+          + 0) AS simq
+  FROM cand c JOIN adcshort s ON s.vec_id = c.vec_id
+  ORDER BY simq DESC, c.vec_id LIMIT 30
+)"""
+    + _mmr_pair_cte() + _mmr_steps(10, 0.7))
+
+
+@register("ann_mmr_materialized", oracle=_ANN_MMR_ORACLE)
+def ann_mmr_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full production serving stack composed: persisted IVFPQ
+    index (cell-pruned probe -> ADC -> exact re-rank, NO training or
+    assignment at query time) feeds its top-30 exact-scored candidates
+    into MMR diversification — index serving and result-set
+    diversification in one bounded plan.  The corpus-facing work is
+    the pruned index read; everything after is bounded by 30 rows.
+    Oracle = the seed IVFPQ composition's shortlist spliced into the
+    unrolled greedy CTEs (the same _mmr_steps the brute-force row
+    uses) — both layers value-checked end-to-end."""
+    path = _materialized_index(spark, sf_dir, trained=False)
+    served = ann_index.search_index(spark, path,
+                                    _query_vec(spark, sf_dir),
+                                    k=30, nprobe=4, shortlist=50,
+                                    keep_vec=True)
+    short = served.select("vec_id", F.col("sim").alias("simq"),
+                          "embedding")
+    return sim_ops.mmr_select(short, k=10, lam=0.7)
 
 
 @register("topk_mmr_diverse", oracle=_mmr_oracle(10, 50, 0.7))

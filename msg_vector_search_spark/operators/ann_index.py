@@ -149,7 +149,7 @@ def load_codebooks(spark: SparkSession, path: str) -> np.ndarray:
 
 def search_index(spark: SparkSession, path: str, qvec: list[float],
                  k: int = 10, nprobe: int = 8,
-                 shortlist: int = 400) -> DataFrame:
+                 shortlist: int = 400, keep_vec: bool = False) -> DataFrame:
     """Serve a query from the persisted index — no training, no
     assignment, no full scan.  The probed cell ids are collected
     driver-side (nlist-bounded) so the ``cell IN (...)`` filters below
@@ -171,10 +171,11 @@ def search_index(spark: SparkSession, path: str, qvec: list[float],
                .filter(F.col("cell").isin(cells)))
     q = F.array(*[F.lit(float(v)) for v in qvec])
     exact = V.cosine(F.col(vec_col), q)
+    extra = (vec_col,) if keep_vec else ()
     return (vectors.join(F.broadcast(short.select(id_col)), id_col)
             .withColumn("sim", F.round(exact, 6) + F.lit(0.0))
             .select(id_col, F.col("cell").cast("long").alias("cell"),
-                    "sim")
+                    "sim", *extra)
             .orderBy(F.col("sim").desc(), id_col)
             .limit(k))
 

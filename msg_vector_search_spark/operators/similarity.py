@@ -443,12 +443,26 @@ def mmr_rerank(corpus: DataFrame, query_vec: list[float], k: int = 10,
     (plus half-away-from-zero rounding of the combined score, matching
     F.round / DuckDB round), ties broken by ascending id.
     """
+    short = mmr_shortlist(corpus, query_vec, shortlist,
+                          vec_col, id_col)
+    return mmr_select(short, k=k, lam=lam, vec_col=vec_col,
+                      id_col=id_col)
+
+
+def mmr_select(short: DataFrame, k: int = 10, lam: float = 0.7,
+               vec_col: str = "embedding",
+               id_col: str = "vec_id") -> DataFrame:
+    """The bounded half of :func:`mmr_rerank`, reusable over ANY
+    shortlist provider (brute force, the materialized IVFPQ index, a
+    hybrid fuse): *short* carries (*id_col*, ``simq`` rounded to 6dp,
+    *vec_col*); everything here is bounded by its row count —
+    localCheckpoint pin, broadcast self-join for the pairwise sims,
+    one applyInPandas group for the sequential greedy loop."""
     import math as _math
 
     import pandas as pd
 
-    short = mmr_shortlist(corpus, query_vec, shortlist,
-                          vec_col, id_col).localCheckpoint()
+    short = short.localCheckpoint()
     a = short.select(F.col(id_col).alias("ia"), F.col("simq"),
                      F.col(vec_col).alias("va"))
     b = short.select(F.col(id_col).alias("ib"),

@@ -124,7 +124,8 @@ SECTIONS = [
     ("Corpus audits & serving diversification (round 6)", [
         "corpus_overlap_matrix", "sample_fixed_k_per_group",
         "grouping_sets_report", "bpe_pair_frequencies",
-        "embedding_centroid_drift", "topk_mmr_diverse"]),
+        "embedding_centroid_drift", "topk_mmr_diverse",
+        "ann_mmr_materialized"]),
     ("Incremental state & materialized serving (round 6)", [
         "incremental_agg_merge", "incremental_distinct_sketch",
         "store_changefeed", "text_inverted_index_topk",
