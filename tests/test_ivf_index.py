@@ -171,3 +171,40 @@ def test_rebuild_converges_to_fresh_build(spark, tmp_path):
     b = ann_index.search_index(spark, fresh, qv, k=5, nprobe=2,
                                shortlist=50).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_mmr_over_materialized_index_is_bounded(spark, tmp_path):
+    """ann_mmr_materialized's composition at unit level: the shortlist
+    comes from the persisted index with keep_vec=True, and mmr_select
+    over it (a) returns k distinct ids drawn from the served set, (b)
+    agrees with mmr_select over the identical shortlist built in
+    memory — the index layer must not leak into the greedy stage."""
+    from msg_vector_search_spark.operators import ann_index
+    from msg_vector_search_spark.operators import similarity as sim
+
+    emb = readers.read_table(spark, SF, "embeddings")
+    path = str(tmp_path / "annidx_mmr")
+    ann_index.build_index(spark, emb, path, nlist=8, m=8, ncodes=16)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0)
+          .select("embedding").collect()[0][0]]
+
+    served = ann_index.search_index(spark, path, qv, k=20, nprobe=2,
+                                    shortlist=50, keep_vec=True)
+    short = served.select("vec_id", F.col("sim").alias("simq"),
+                          "embedding")
+    out = sim.mmr_select(short, k=5, lam=0.7).collect()
+    served_ids = {r.vec_id for r in served.collect()}
+    assert len(out) == 5
+    assert len({r.vec_id for r in out}) == 5
+    assert {r.vec_id for r in out} <= served_ids
+    # steps are 1..5 and step 1 is the served argmax
+    by_step = sorted(out, key=lambda r: r.step)
+    assert [r.step for r in by_step] == [1, 2, 3, 4, 5]
+    top = sorted(served.collect(),
+                 key=lambda r: (-r.sim, r.vec_id))[0]
+    assert by_step[0].vec_id == top.vec_id
+
+    # mem twin over the same rows gives the same selection
+    mem = sim.mmr_select(short, k=5, lam=0.7).collect()
+    assert {(r.step, r.vec_id) for r in mem} == \
+           {(r.step, r.vec_id) for r in out}
