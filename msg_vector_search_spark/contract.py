@@ -6638,6 +6638,39 @@ def dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("sz").alias("n_docs")))
 
 
+@register("dpp_dim_filtered_scan", oracle="""
+WITH dim AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day FROM events
+  WHERE CAST(ts AS DATE) >= DATE '2024-01-10'
+    AND CAST(ts AS DATE) <  DATE '2024-01-12'
+)
+SELECT e.event_id, e.user_id, e.event_type
+FROM events e JOIN dim d ON CAST(e.ts AS DATE) = d.day
+""")
+def dpp_dim_filtered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning — the runtime counterpart of
+    ``partitioned_time_scan``'s static pruning: the fact side is the
+    day-partitioned store, the dimension's day filter is only known at
+    RUN time (it arrives through a join, not a literal), and Catalyst
+    injects the broadcast dim's day set into the fact scan as
+    ``dynamicpruningexpression(day IN dynamicpruning#N)`` inside
+    PartitionFilters (pinned in tests/test_plan_shapes.py) — at 100 TB
+    the fact table lists only the dimension-selected day directories,
+    the mechanism every star-schema time filter rides in a warehouse.
+    The oracle runs the same join on the raw table: the partitioned
+    rewrite plus runtime pruning is lossless."""
+    if sf_dir not in _DAY_PARTITIONED_CACHE:
+        # partitioned_time_scan owns the cache; reuse its layout
+        REGISTRY["partitioned_time_scan"](spark, sf_dir).count()
+    part = spark.read.parquet(_DAY_PARTITIONED_CACHE[sf_dir])
+    ev = _t(spark, sf_dir, "events")
+    dim = (ev.select(F.to_date("ts").alias("day")).distinct()
+           .filter((F.col("day") >= F.lit("2024-01-10").cast("date"))
+                   & (F.col("day") < F.lit("2024-01-12").cast("date"))))
+    return (part.join(dim, "day")
+            .select("event_id", "user_id", "event_type"))
+
+
 # session-lifetime cache of the "previous crawl" component store per
 # sf_dir (immutable fixture, read-only artifact)
 _CC_BASE_CACHE: dict[str, str] = {}

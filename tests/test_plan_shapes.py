@@ -302,3 +302,13 @@ def test_salted_join_key_carries_salt(spark):
     join_lines = [ln for ln in plan.splitlines()
                   if "HashJoin" in ln or "SortMergeJoin" in ln]
     assert any("_salt" in ln for ln in join_lines)
+
+
+def test_dpp_scan_prunes_at_runtime(spark):
+    """dpp_dim_filtered_scan: the day-partitioned fact scan must carry
+    a dynamicpruningexpression in PartitionFilters — runtime partition
+    pruning driven by the broadcast dimension, not a static literal."""
+    plan = plan_of(contract.REGISTRY["dpp_dim_filtered_scan"](spark, SF))
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "dynamicpruning" in pf, pf

@@ -52,7 +52,8 @@ SECTIONS = [
         "distinct_users_twophase", "join_salted_skew",
         "zorder_clustered_scan", "bucketed_colocated_join",
         "store_bucket_stats", "skew_report_events",
-        "integrity_orphans", "partitioned_time_scan"]),
+        "integrity_orphans", "partitioned_time_scan",
+        "dpp_dim_filtered_scan"]),
     ("Sorts / limits / top-k (2.F)", [
         "topk_by_similarity", "sort_ts_pagination", "keyset_pagination",
         "kth_ts_offset", "ts_quantile_cut",
