@@ -312,3 +312,51 @@ def test_dpp_scan_prunes_at_runtime(spark):
     assert "PartitionFilters: [" in plan
     pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
     assert "dynamicpruning" in pf, pf
+
+
+def test_runtime_bloom_filter_injects_on_selective_dim_join(spark):
+    """Runtime bloom-filter join (SPARK-32268): with a selective dim
+    side and a shuffle join, Catalyst injects a bloom_filter_agg on
+    the dim keys and a might_contain probe on the FACT scan — rows
+    that can't join are dropped before the exchange.  The size
+    thresholds exist for exactly the reason this test must lower
+    them: at fixture scale the fact side is far below the 10 GB
+    application-side default, while at warehouse scale the defaults
+    fire on their own.  Results must equal the plain join (the filter
+    is a pure reduction, never a semantics change)."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.expectedNumItems":
+            "1000",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        orders = (spark.read.parquet(f"{SF}/orders.parquet")
+                  .filter(F.col("o_orderpriority") == "1-URGENT"))
+        j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+             .select("l_orderkey", "l_quantity"))
+        plan = plan_of(j)
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+        filtered = {tuple(r) for r in j.collect()}
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    plain = {tuple(r) for r in
+             (spark.read.parquet(f"{SF}/lineitem.parquet")
+              .join(spark.read.parquet(f"{SF}/orders.parquet")
+                    .filter(F.col("o_orderpriority") == "1-URGENT")
+                    .select("o_orderkey"),
+                    F.col("l_orderkey") == F.col("o_orderkey"))
+              .select("l_orderkey", "l_quantity")).collect()}
+    assert filtered == plain
