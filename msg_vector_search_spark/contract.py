@@ -6850,6 +6850,56 @@ _ANN_MMR_ORACLE = (
     + _mmr_pair_cte() + _mmr_steps(10, 0.7))
 
 
+_ANN_RECALL_ORACLE = (
+    _IVFPQ_SEED_ORACLE.rsplit("), short AS", 1)[0]
+    + f"""), adcshort AS (
+  SELECT vec_id FROM adc ORDER BY adc_sim DESC, vec_id LIMIT 50
+), served AS (
+  SELECT c.vec_id,
+         (round({V.duck_cosine('c.embedding', '(SELECT qv FROM q)')}, 6)
+          + 0) AS sim
+  FROM cand c JOIN adcshort s ON s.vec_id = c.vec_id
+  ORDER BY sim DESC, c.vec_id LIMIT 10
+), truth AS (
+  SELECT e.vec_id,
+         (round({V.duck_cosine('e.embedding', 'q.qv')}, 6) + 0) AS sim
+  FROM embeddings e, q
+  ORDER BY sim DESC, e.vec_id LIMIT 10
+)
+SELECT CAST(10 AS BIGINT) AS k, count(*) AS n_hits,
+       (round(count(*) / 10.0, 6) + 0) AS recall
+FROM served s JOIN truth t ON t.vec_id = s.vec_id""")
+
+
+@register("ann_recall_audit", oracle=_ANN_RECALL_ORACLE)
+def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index quality as a first-class query: recall@10 of the seed
+    IVFPQ composition against brute-force ground truth, in ONE plan —
+    the per-deployment audit that decides when nprobe/shortlist (or a
+    retrain, see ann_index_stats) must move.  Ground truth costs one
+    full codegen scan + TakeOrderedAndProject (k rows); the join of
+    two 10-row frames is free.  At 100 TB the same query runs over a
+    held-out query SAMPLE — the plan shape is per-query identical.
+    Both legs and the intersection are value-checked by the oracle
+    (the knee table in tools/scaling_check.py measures the same
+    quantity over 10 held-out queries and picks the serving
+    default)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    cent = ivf_ops.seed_centroids(emb, 16)
+    assigned = ivf_ops.assign_cells(emb, cent)
+    cb = pq_ops.seed_codebooks(emb, m=8, ncodes=16)
+    served = pq_ops.ivfpq_search(assigned, cent, cb, qv,
+                                 k=10, nprobe=4, shortlist=50)
+    truth = sim_ops.knn_search(emb, qv, k=10)
+    return (served.select("vec_id")
+            .join(truth.select("vec_id"), "vec_id")
+            .agg(F.lit(10).cast("long").alias("k"),
+                 F.count("*").alias("n_hits"))
+            .withColumn("recall",
+                        rnd(F.col("n_hits") / F.lit(10.0), 6)))
+
+
 @register("ann_mmr_materialized", oracle=_ANN_MMR_ORACLE)
 def ann_mmr_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full production serving stack composed: persisted IVFPQ

@@ -99,7 +99,7 @@ SECTIONS = [
         "ann_pq_rerank_trained", "ann_ivfpq_topk", "ann_ivfpq_trained",
         "ann_ivfpq_materialized", "ann_ivfpq_materialized_trained",
         "ann_index_upsert", "streaming_index_upsert", "ann_index_rebuild",
-        "ann_index_stats",
+        "ann_index_stats", "ann_recall_audit",
         "sim_join_ivf",
         "sim_join_ivf_pandas", "sim_join_ivf_p2", "knn_join_pandas",
         "topk_quantized_int8", "topk_prenormalized",
