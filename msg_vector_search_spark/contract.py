@@ -6032,6 +6032,42 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(20))
 
 
+@register("rerank_cross_encoder", oracle=f"""
+WITH scored AS ({retrieval_ops.duck_bm25(_BM25_TERMS, _DUCK_TOKENS)}),
+cand AS (
+  SELECT doc_id FROM scored
+  ORDER BY (round(bm25, 6) + 0) DESC, doc_id LIMIT 20
+), tk AS (
+  SELECT d.doc_id, {_DUCK_TOKENS} AS toks
+  FROM documents d JOIN cand c ON c.doc_id = d.doc_id
+), ce AS (
+  SELECT doc_id,
+         (round(CAST(list_sum(list_transform(toks, d ->
+            ((('0x' || substr(md5('spark#' || d), 1, 12))::BIGINT) % 1000)
+          + ((('0x' || substr(md5('query#' || d), 1, 12))::BIGINT) % 1000)
+          + ((('0x' || substr(md5('dup#' || d), 1, 12))::BIGINT) % 1000)
+         )) AS DOUBLE) / (500.0 * 3 * (len(toks) + 1)), 6) + 0)
+           AS ce_score
+  FROM tk
+)
+SELECT doc_id, ce_score FROM ce
+ORDER BY ce_score DESC, doc_id LIMIT 10
+""")
+def rerank_cross_encoder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval, second stage: BM25 shortlists 20
+    candidates, an Arrow-batched pandas UDF scores each (query,
+    candidate) PAIR jointly, top-10 by pair score.  Inference cost is
+    bounded by the candidate count at any corpus size — the economics
+    that make cross-encoders deployable at all.  The scorer here is
+    the deterministic md5 interaction fake (term x token weights,
+    length-normalized) so the oracle value-checks the whole two-stage
+    plan; sentence-transformers' CrossEncoder drops into the same UDF
+    when importable (scorer="model", the embed.py gating pattern)."""
+    docs = readers.widen(_t(spark, sf_dir, "documents"))
+    return retrieval_ops.cross_encoder_rerank(
+        docs, _BM25_TERMS, candidates=20, k=10)
+
+
 @register("hybrid_search_rrf", oracle=f"""
 WITH kw_scored AS ({retrieval_ops.duck_bm25(_BM25_TERMS, _DUCK_TOKENS)}),
 kw_top AS (

@@ -29,7 +29,9 @@ surface Spark-first:
 from __future__ import annotations
 
 import os
+from collections.abc import Iterator
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -260,3 +262,89 @@ def rrf_fuse(legs: list[DataFrame], id_col: str = "doc_id",
     return (fused.withColumn("rrf", score)
             .orderBy(F.col("rrf").desc(), F.col(id_col).asc())
             .limit(topk))
+
+
+def cross_encoder_rerank(docs: DataFrame, terms: list[str],
+                         candidates: int = 20, k: int = 10,
+                         text_col: str = "text",
+                         id_col: str = "doc_id",
+                         scorer: str = "deterministic") -> DataFrame:
+    """Second-stage re-ranking — the layer a production retrieval stack
+    runs between candidate generation and serving: a cross-encoder
+    scores each (query, candidate) PAIR jointly, which first-stage
+    scorers (BM25, bi-encoder cosine) can't express because they score
+    query and document independently.
+
+    Plan shape: BM25 shortlists *candidates* rows (ordered limit —
+    TakeOrderedAndProject, one broadcast stats row, no vocabulary
+    shuffle), the candidate texts join back by id (broadcast of a
+    k-row frame), and the pair scorer runs as an Arrow-batched pandas
+    UDF over ONLY those rows — model inference cost is bounded by the
+    candidate count at any corpus size, which is the entire economics
+    of the two-stage design.
+
+    ``scorer="model"`` uses sentence-transformers' CrossEncoder when
+    importable (lazy per-worker load, the embed.py pattern) and falls
+    back to the deterministic scorer; ``"deterministic"`` (default)
+    always uses the md5 pairwise-interaction fake — term x token
+    interaction weights ``hash48(term # token) % 1000`` summed over
+    the doc and length-normalized — which a SQL oracle reproduces
+    exactly, so the registry row stays value-checked in every
+    environment (the model path's output is checked rows-only at unit
+    level, like the embedding UDF's)."""
+    from pyspark.sql import types as _T
+
+    fixed_terms = [str(t) for t in terms]
+
+    @F.pandas_udf(_T.DoubleType())
+    def _ce_score(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import hashlib
+        import re as _re
+
+        model = None
+        if scorer == "model":  # pragma: no cover - model not in image
+            try:
+                from sentence_transformers import CrossEncoder
+                model = CrossEncoder("cross-encoder/ms-marco-MiniLM-L-6-v2")
+            except ImportError:
+                model = None
+        query = " ".join(fixed_terms)
+        denom_base = 500.0 * len(fixed_terms)
+        # Java-regex-compatible ASCII whitespace class (Spark's \s);
+        # Python's \s is unicode-aware and would tokenize differently
+        ws = _re.compile(r"[ \t\n\x0b\f\r]+")
+        for s in batches:
+            if model is not None:  # pragma: no cover
+                yield pd.Series(
+                    model.predict([(query, t or "") for t in s],
+                                  batch_size=64).astype("float64"))
+                continue
+            out = []
+            for text in s:
+                # strip(' ') not strip(): Spark/DuckDB trim() remove
+                # only the space character, and tokenization must match
+                # the SQL twin token-for-token
+                toks = ws.split((text or "").strip(" ").lower())
+                tot = 0
+                for d in toks:
+                    for t in fixed_terms:
+                        h = int(hashlib.md5(
+                            f"{t}#{d}".encode("utf-8")).hexdigest()[:12],
+                            16)
+                        tot += h % 1000
+                out.append(tot / (denom_base * (len(toks) + 1)))
+            yield pd.Series(out, dtype="float64")
+
+    scored = bm25_scores(docs, fixed_terms, text_col=text_col,
+                         id_col=id_col)
+    cand = (scored
+            .orderBy((F.round(F.col("bm25"), 6) + F.lit(0.0)).desc(),
+                     F.col(id_col).asc())
+            .limit(candidates)
+            .select(id_col))
+    texts = docs.select(id_col, text_col).join(F.broadcast(cand), id_col)
+    ce = texts.withColumn(
+        "ce_score", F.round(_ce_score(F.col(text_col)), 6) + F.lit(0.0))
+    return (ce.select(id_col, "ce_score")
+            .orderBy(F.col("ce_score").desc(), F.col(id_col).asc())
+            .limit(k))

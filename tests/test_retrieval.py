@@ -213,3 +213,44 @@ def test_inverted_index_serves_scan_result_with_pruning(spark, tmp_path):
     assert "PartitionFilters: [" in plan
     assert "tb" in plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
     assert pruned.select("tb").distinct().count() <= len(terms)
+
+
+def test_cross_encoder_rerank_bounded_and_deterministic(spark):
+    """Two-stage re-rank: result bounded by k, ids drawn from the BM25
+    candidate set, identical across runs (deterministic scorer), and
+    the 'model' scorer falls back to the deterministic path when
+    sentence-transformers is absent (this image)."""
+    from pyspark.sql import functions as F
+
+    from msg_vector_search_spark.operators import retrieval
+    from msg_vector_search_spark.sources import readers
+
+    docs = readers.read_table(spark, "/root/testdata/sf0.01",
+                              "documents")
+    terms = ["spark", "query", "dup"]
+    out = retrieval.cross_encoder_rerank(docs, terms,
+                                         candidates=15, k=5).collect()
+    assert len(out) == 5
+    scores = [r.ce_score for r in out]
+    # hash weights are U[0,999] per (term, token): mean ~0.5 x
+    # n/(n+1), hard ceiling 999/500 x n/(n+1) < 2
+    assert all(0.0 <= s < 2.0 for s in scores)
+
+    cand = {r.doc_id for r in
+            (retrieval.bm25_scores(docs, terms)
+             .orderBy((F.round("bm25", 6) + F.lit(0.0)).desc(),
+                      F.col("doc_id").asc())
+             .limit(15).collect())}
+    assert {r.doc_id for r in out} <= cand
+
+    again = retrieval.cross_encoder_rerank(docs, terms,
+                                           candidates=15, k=5).collect()
+    assert [(r.doc_id, r.ce_score) for r in again] == \
+           [(r.doc_id, r.ce_score) for r in out]
+
+    # model path: CrossEncoder import fails here -> deterministic
+    # fallback, same rows
+    gated = retrieval.cross_encoder_rerank(docs, terms, candidates=15,
+                                           k=5, scorer="model").collect()
+    assert [(r.doc_id, r.ce_score) for r in gated] == \
+           [(r.doc_id, r.ce_score) for r in out]
