@@ -253,6 +253,16 @@ SHOW = [
      "(label, pos) key; partials collapse each partition to labels x "
      "dim rows before the shuffle, and the drift join touches only "
      "that reduced frame."),
+    ("rerank_cross_encoder",
+     "Two-stage retrieval: BM25 ordered-limit shortlist, candidate "
+     "texts broadcast back by id, the pair scorer an Arrow-batched "
+     "pandas UDF over ONLY those rows — inference cost bounded by the "
+     "candidate count at any corpus size."),
+    ("dpp_dim_filtered_scan",
+     "Dynamic partition pruning: the broadcast dim's day set reaches "
+     "the fact scan as dynamicpruningexpression inside "
+     "PartitionFilters — runtime directory pruning, no literal "
+     "needed."),
 ]
 
 
