@@ -252,13 +252,24 @@ def rebuild_index(spark: SparkSession, path: str,
 
 
 def upsert_index(spark: SparkSession, path: str,
-                 new_vectors: DataFrame) -> list:
+                 new_vectors: DataFrame,
+                 auto_compact_files: int | None = 8) -> list:
     """Incremental index maintenance: fold a batch of new/updated
     vectors into the persisted index.  Assignment uses the PERSISTED
     centroids (broadcast nested-loop, corpus never shuffled), encoding
     the PERSISTED codebooks, and the merge rewrites only the cell
     partitions the batch maps into — O(batch + touched cells)
-    regardless of index size.  Returns the touched cell ids."""
+    regardless of index size.  Returns the touched cell ids.
+
+    The shuffle-free merge appends the batch's rows as extra files in
+    each touched cell, so continuous ingestion accretes small files;
+    *auto_compact_files* makes the store self-maintaining — any
+    touched cell whose file count exceeds it is collapsed back to one
+    file right after the merge (``sinks.compact_store``, fragmented
+    cells only, a rewrite of O(fragmented bytes)).  None disables the
+    sweep (schedule ``ann_index_compact`` manually instead)."""
+    from ..sources.sinks import compact_store
+
     meta = read_meta(path)
     id_col, vec_col = meta["id_col"], meta["vec_col"]
     cent = load_centroids(spark, path)
@@ -273,4 +284,9 @@ def upsert_index(spark: SparkSession, path: str,
                             _subdir(path, "vectors"), id_col)
     _upsert_cells(spark, codes, _subdir(path, "codes"), id_col,
                   touched=touched)
+    if auto_compact_files is not None:
+        for store in ("vectors", "codes"):
+            compact_store(spark, _subdir(path, store),
+                          max_files_per_bucket=auto_compact_files,
+                          part_col="cell")
     return touched

@@ -208,3 +208,43 @@ def test_mmr_over_materialized_index_is_bounded(spark, tmp_path):
     mem = sim.mmr_select(short, k=5, lam=0.7).collect()
     assert {(r.step, r.vec_id) for r in mem} == \
            {(r.step, r.vec_id) for r in out}
+
+
+def test_upsert_auto_compact_bounds_file_count(spark, tmp_path):
+    """Continuous ingestion self-maintains: with auto_compact_files=2,
+    five successive upserts never leave a cell directory above 2
+    files, and the store still serves the same results as an
+    uncompacted twin."""
+    import os
+
+    from msg_vector_search_spark.operators import ann_index
+
+    emb = readers.read_table(spark, SF, "embeddings")
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 1)
+          .select("embedding").collect()[0][0]]
+
+    auto = str(tmp_path / "auto")
+    manual = str(tmp_path / "manual")
+    ann_index.build_index(spark, base, auto, nlist=4, m=8, ncodes=16)
+    ann_index.build_index(spark, base, manual, nlist=4, m=8, ncodes=16)
+    for r in range(5):
+        batch = emb.filter(F.col("vec_id") % 10 == 2 * r + 1)
+        ann_index.upsert_index(spark, auto, batch, auto_compact_files=2)
+        ann_index.upsert_index(spark, manual, batch,
+                               auto_compact_files=None)
+
+    for store in ("vectors", "codes"):
+        root = os.path.join(auto, store)
+        for entry in os.listdir(root):
+            if not entry.startswith("cell="):
+                continue
+            n = len([f for f in os.listdir(os.path.join(root, entry))
+                     if f.endswith(".parquet")])
+            assert n <= 2, f"{store}/{entry} has {n} files"
+
+    got_a = {tuple(r) for r in ann_index.search_index(
+        spark, auto, qv, k=5, nprobe=2, shortlist=50).collect()}
+    got_m = {tuple(r) for r in ann_index.search_index(
+        spark, manual, qv, k=5, nprobe=2, shortlist=50).collect()}
+    assert got_a == got_m
