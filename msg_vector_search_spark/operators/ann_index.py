@@ -189,8 +189,9 @@ def _upsert_cells(spark: SparkSession, batch: DataFrame, store: str,
     IVF cell as the bucket.  *touched* lets a caller that already
     knows the batch's cell set (the codes store mirrors the vectors
     store's) skip the distinct-collect job."""
-    from ..sources.sinks import _swap_dir
+    from ..sources.sinks import _swap_dir, heal_partial_swaps
 
+    heal_partial_swaps(store)  # crashed prior swap: restore before read
     if touched is None:
         touched = sorted(r[0] for r in
                          batch.select("cell").distinct().collect())

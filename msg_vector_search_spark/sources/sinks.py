@@ -164,11 +164,39 @@ def _swap_dir(src: str, dst: str) -> None:
     """Atomic-ish directory replace (rename old out, rename new in)."""
     if os.path.exists(dst):
         old = dst + "._old"
+        if os.path.exists(old):  # stale leftover of a crashed swap
+            shutil.rmtree(old)
         os.rename(dst, old)
         os.rename(src, dst)
         shutil.rmtree(old)
     else:
         os.rename(src, dst)
+
+
+def heal_partial_swaps(store: str) -> list:
+    """Roll back directories stranded mid-:func:`_swap_dir` by a crash:
+    a ``<part>._old`` whose base directory is MISSING means the crash
+    hit between the two renames — the live data is in ``._old``, and a
+    subsequent read of the store would silently drop that partition
+    (the merge paths read the store as input, so the loss would
+    propagate into the rewrite).  Restore those; delete ``._old``
+    dirs whose base EXISTS (crash after the second rename — the swap
+    completed, the leftover is stale).  Called by every store-merging
+    verb before it reads; returns the restored partition names."""
+    restored = []
+    if not os.path.isdir(store):
+        return restored
+    for entry in os.listdir(store):
+        if not entry.endswith("._old"):
+            continue
+        base = os.path.join(store, entry[:-len("._old")])
+        old = os.path.join(store, entry)
+        if os.path.exists(base):
+            shutil.rmtree(old, ignore_errors=True)
+        else:
+            os.rename(old, base)
+            restored.append(entry[:-len("._old")])
+    return restored
 
 
 def read_store(spark: SparkSession, path: str) -> DataFrame:
@@ -231,6 +259,8 @@ def upsert_parquet(spark: SparkSession, incoming: DataFrame, path: str,
     below, which re-maps everything and records the layout.
     """
     exists = os.path.exists(path)
+    if exists:
+        heal_partial_swaps(path)
     meta = _read_layout(path) if exists else None
     incoming = incoming.filter(F.col(key).isNotNull())
     if meta is None:
@@ -354,6 +384,7 @@ def delete_keys(spark: SparkSession, path: str, key: str,
         # no pending erasure: sweep staging orphaned by a crash that
         # predates its manifest (the store itself is untouched then)
         shutil.rmtree(path + "._staged", ignore_errors=True)
+    heal_partial_swaps(path)  # strays from crashed upsert/compact swaps
     keyed = (keys.select(key).filter(F.col(key).isNotNull()).distinct()
              .withColumn(BUCKET_COL, _bucket_expr(key, meta)))
     touched = sorted(
@@ -426,6 +457,7 @@ def compact_store(spark: SparkSession, path: str,
     """
     if part_col == BUCKET_COL and _read_layout(path) is None:
         raise ValueError(f"no layout metadata at {path}; not a store")
+    heal_partial_swaps(path)
 
     def _partfiles(d: str) -> list[str]:
         return [f for f in os.listdir(d)

@@ -248,3 +248,94 @@ def test_upsert_auto_compact_bounds_file_count(spark, tmp_path):
     got_m = {tuple(r) for r in ann_index.search_index(
         spark, manual, qv, k=5, nprobe=2, shortlist=50).collect()}
     assert got_a == got_m
+
+
+def test_upsert_index_rerun_recovers_partial_swap(spark, tmp_path,
+                                                  monkeypatch):
+    """Crash semantics of the incremental index upsert: each cell swap
+    is atomic-ish, so a crash mid-loop leaves some cells merged and
+    some stale — every cell internally consistent — and RE-RUNNING the
+    same upsert is the recovery path (last-writer-wins is idempotent).
+    Simulated by failing _swap_dir after the first cell; the re-run
+    must land the index in the exact state a crash-free run
+    produces."""
+    from msg_vector_search_spark.operators import ann_index
+    from msg_vector_search_spark.sources import sinks as sinks_mod
+
+    emb = readers.read_table(spark, SF, "embeddings")
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    batch = emb.filter(F.col("vec_id") % 2 == 1)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 1)
+          .select("embedding").collect()[0][0]]
+
+    crashed = str(tmp_path / "crashed")
+    clean = str(tmp_path / "clean")
+    ann_index.build_index(spark, base, crashed, nlist=4, m=8, ncodes=16)
+    ann_index.build_index(spark, base, clean, nlist=4, m=8, ncodes=16)
+
+    real_swap = sinks_mod._swap_dir
+    calls = {"n": 0}
+
+    def failing_swap(src, dst):
+        calls["n"] += 1
+        if calls["n"] > 1:
+            raise RuntimeError("simulated crash mid-swap")
+        real_swap(src, dst)
+
+    monkeypatch.setattr(
+        "msg_vector_search_spark.operators.ann_index._swap_dir",
+        failing_swap, raising=False)
+    import msg_vector_search_spark.sources.sinks as s
+    monkeypatch.setattr(s, "_swap_dir", failing_swap)
+    try:
+        ann_index.upsert_index(spark, crashed, batch)
+        raise AssertionError("crash did not fire")
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(s, "_swap_dir", real_swap)
+
+    # recovery = re-run the same upsert
+    ann_index.upsert_index(spark, crashed, batch)
+    ann_index.upsert_index(spark, clean, batch)
+
+    got = {tuple(r) for r in ann_index.search_index(
+        spark, crashed, qv, k=5, nprobe=2, shortlist=50).collect()}
+    want = {tuple(r) for r in ann_index.search_index(
+        spark, clean, qv, k=5, nprobe=2, shortlist=50).collect()}
+    assert got == want
+    # stores fully merged: every batch id present exactly once
+    vec = spark.read.parquet(f"{crashed}/vectors")
+    assert vec.count() == emb.count()
+    assert vec.groupBy("vec_id").count().filter("count > 1").count() == 0
+
+
+def test_upsert_index_heals_crash_inside_swap(spark, tmp_path):
+    """The nastier crash point: INSIDE _swap_dir, after the live cell
+    dir was renamed to ._old but before the staged dir renamed in —
+    the cell is MISSING from the store.  Without healing, the next
+    merge would read the store minus that cell and silently drop its
+    rows into the rewrite.  heal_partial_swaps (called by every merge
+    verb) must restore the cell before any read."""
+    import os
+
+    from msg_vector_search_spark.operators import ann_index
+
+    emb = readers.read_table(spark, SF, "embeddings")
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    batch = emb.filter(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "swapcrash")
+    ann_index.build_index(spark, base, path, nlist=4, m=8, ncodes=16)
+
+    # simulate the mid-swap crash on one cell of the vectors store
+    vec = os.path.join(path, "vectors")
+    cells = [e for e in os.listdir(vec) if e.startswith("cell=")]
+    victim = os.path.join(vec, cells[0])
+    os.rename(victim, victim + "._old")
+    assert not os.path.exists(victim)
+
+    ann_index.upsert_index(spark, path, batch)
+
+    stored = spark.read.parquet(vec)
+    assert stored.count() == emb.count()  # nothing lost
+    assert stored.groupBy("vec_id").count() \
+        .filter("count > 1").count() == 0
