@@ -6957,6 +6957,73 @@ def ann_mmr_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.mmr_select(short, k=10, lam=0.7)
 
 
+_SERVE_CAPSTONE_ORACLE = (f"""
+WITH kw_scored AS ({retrieval_ops.duck_bm25(_BM25_TERMS, _DUCK_TOKENS)}),
+kw_top AS (
+  SELECT doc_id, (round(bm25, 6) + 0) AS s FROM kw_scored
+  ORDER BY s DESC, doc_id LIMIT 50
+), kw_rank AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INT)
+           AS rank_kw
+  FROM kw_top
+), v_scored AS (
+  SELECT e.vec_id AS doc_id,
+         (round({V.duck_cosine('e.embedding', 'q.qv')}, 6) + 0) AS s
+  FROM embeddings e,
+       (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+), v_top AS (
+  SELECT doc_id, s FROM v_scored ORDER BY s DESC, doc_id LIMIT 50
+), v_rank AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INT)
+           AS rank_vec
+  FROM v_top
+), fused AS (
+  SELECT COALESCE(k.doc_id, v.doc_id) AS doc_id,
+         (round(COALESCE(1.0::DOUBLE / (60 + k.rank_kw), 0.0)
+              + COALESCE(1.0::DOUBLE / (60 + v.rank_vec), 0.0), 6) + 0)
+           AS rrf
+  FROM kw_rank k FULL JOIN v_rank v ON k.doc_id = v.doc_id
+  ORDER BY rrf DESC, doc_id LIMIT 20
+), short AS MATERIALIZED (
+  SELECT e.vec_id, e.embedding,
+         (round({V.duck_cosine('e.embedding', 'q.qv')}, 6) + 0) AS simq
+  FROM embeddings e,
+       (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+  WHERE e.vec_id IN (SELECT doc_id FROM fused)
+)"""
+    + _mmr_pair_cte() + _mmr_steps(8, 0.7))
+
+
+@register("pipeline_serving_capstone", oracle=_SERVE_CAPSTONE_ORACLE)
+def pipeline_serving_capstone(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """The COMPLETE serving stack as one declarative plan: hybrid
+    candidate generation (BM25 keyword leg + cosine vector leg, RRF
+    fusion over two 50-row rank frames), exact-cosine re-scoring of
+    the fused top-20, then MMR diversification to 8 results.  Corpus
+    cost = the two leg scans; every later stage is bounded by the
+    candidate count.  Every stage value-checked end-to-end: the hybrid
+    CTEs feed the spliced greedy-MMR CTEs in the oracle exactly as the
+    Spark stages feed mmr_select."""
+    docs = readers.widen(_t(spark, sf_dir, "documents"))
+    kw = (retrieval_ops.bm25_scores(docs, _BM25_TERMS)
+          .select("doc_id", rnd(F.col("bm25"), 6).alias("s")))
+    kw_rank = retrieval_ops.bounded_rank(kw, "s", "doc_id", 50)
+    qv = _query_vec(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    vec = (sim_ops.similarity_to_query(emb, qv)
+           .select(F.col("vec_id").alias("doc_id"),
+                   rnd(F.col("sim"), 6).alias("s")))
+    vec_rank = retrieval_ops.bounded_rank(vec, "s", "doc_id", 50)
+    fused = retrieval_ops.rrf_fuse([kw_rank, vec_rank], topk=20)
+    cand = fused.select(F.col("doc_id").alias("vec_id"))
+    short = (sim_ops.similarity_to_query(emb, qv, out_col="simq")
+             .join(F.broadcast(cand), "vec_id")
+             .select("vec_id", rnd(F.col("simq"), 6).alias("simq"),
+                     "embedding"))
+    return sim_ops.mmr_select(short, k=8, lam=0.7)
+
+
 @register("topk_mmr_diverse", oracle=_mmr_oracle(10, 50, 0.7))
 def topk_mmr_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal-Marginal-Relevance diversified top-10: greedy

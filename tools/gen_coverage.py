@@ -127,7 +127,7 @@ SECTIONS = [
         "corpus_overlap_matrix", "sample_fixed_k_per_group",
         "grouping_sets_report", "bpe_pair_frequencies",
         "embedding_centroid_drift", "topk_mmr_diverse",
-        "ann_mmr_materialized"]),
+        "ann_mmr_materialized", "pipeline_serving_capstone"]),
     ("Incremental state & materialized serving (round 6)", [
         "incremental_agg_merge", "incremental_distinct_sketch",
         "store_changefeed", "text_inverted_index_topk",
