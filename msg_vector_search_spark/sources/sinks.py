@@ -260,6 +260,10 @@ def upsert_parquet(spark: SparkSession, incoming: DataFrame, path: str,
     """
     exists = os.path.exists(path)
     if exists:
+        # roll any in-flight erasure FORWARD first: healing around its
+        # half-applied swaps would resurrect rows the manifest replay
+        # later deletes again — over data written in between
+        _finish_pending_delete(path)
         heal_partial_swaps(path)
     meta = _read_layout(path) if exists else None
     incoming = incoming.filter(F.col(key).isNotNull())
@@ -457,6 +461,8 @@ def compact_store(spark: SparkSession, path: str,
     """
     if part_col == BUCKET_COL and _read_layout(path) is None:
         raise ValueError(f"no layout metadata at {path}; not a store")
+    if part_col == BUCKET_COL:
+        _finish_pending_delete(path)  # erasure first, then swap healing
     heal_partial_swaps(path)
 
     def _partfiles(d: str) -> list[str]:

@@ -522,3 +522,54 @@ def test_compact_store_collapses_only_fragmented(spark, tmp_path):
     # idempotent: second call is a no-op
     assert sinks.compact_store(spark, store,
                                part_col="cell")["compacted"] == []
+
+
+def test_upsert_rolls_forward_crashed_erasure_first(spark, tmp_path):
+    """A crashed delete (manifest written, one bucket mid-swap) followed
+    by an UPSERT: the upsert must commit the erasure BEFORE merging —
+    healing around it would restore doomed rows that the manifest
+    replay would later delete again, clobbering anything written in
+    between.  Final state == delete fully applied, then upsert
+    applied."""
+    import json as _json
+    import os as _os
+
+    store = str(tmp_path / "interleave_store")
+    base = (spark.range(3_000)
+            .select(F.col("id").cast("string").alias("k"),
+                    F.lit("x").alias("v"), F.lit(1).alias("ord")))
+    sinks.upsert_parquet(spark, base, store, key="k", order_col="ord",
+                         layout="range", range_width=1000)
+    doomed = (spark.range(500, 1_500)
+              .select(F.col("id").cast("string").alias("k")))
+
+    # stage the erasure exactly as delete_keys would, then crash
+    # mid-swap on bucket 0 (old renamed out, staged not renamed in)
+    meta = sinks._read_layout(store)
+    keyed = doomed.withColumn(
+        sinks.BUCKET_COL, sinks._bucket_expr("k", meta))
+    current = spark.read.parquet(store).filter(
+        F.col(sinks.BUCKET_COL).isin([0, 1]))
+    kept = current.join(F.broadcast(keyed.select("k")), "k", "left_anti")
+    tmp = store + "._staged"
+    kept.write.mode("overwrite").partitionBy(sinks.BUCKET_COL).parquet(tmp)
+    with open(_os.path.join(store, sinks.DELETE_MANIFEST), "w") as f:
+        _json.dump({"touched": [0, 1], "emptied": []}, f)
+    part0 = _os.path.join(store, f"{sinks.BUCKET_COL}=0")
+    _os.rename(part0, part0 + "._old")
+
+    # now an unrelated upsert arrives: re-add k=600 with a newer value
+    batch = (spark.range(600, 601)
+             .select(F.col("id").cast("string").alias("k"),
+                     F.lit("NEW").alias("v"), F.lit(2).alias("ord")))
+    sinks.upsert_parquet(spark, batch, store, key="k", order_col="ord")
+
+    final = sinks.read_store(spark, store)
+    # erasure applied: 500..1499 gone EXCEPT the re-upserted 600
+    assert final.count() == 2_001
+    assert final.filter(F.col("k") == "600").collect()[0]["v"] == "NEW"
+    assert final.filter((F.col("k").cast("long") >= 500)
+                        & (F.col("k").cast("long") < 1_500)
+                        & (F.col("k") != "600")).count() == 0
+    # no manifest or staging left behind
+    assert not _os.path.exists(_os.path.join(store, sinks.DELETE_MANIFEST))
