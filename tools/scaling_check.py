@@ -478,7 +478,8 @@ def retrieval_main() -> None:
 
     mults = [int(a) for a in sys.argv[2:]] or [1, 4, 16]
     queries = ["text_bm25_topk", "hybrid_search_rrf",
-               "ann_truncated_rerank"]
+               "ann_truncated_rerank", "rerank_cross_encoder",
+               "pipeline_serving_capstone"]
     spark = get_spark("retrieval_scale")
     print(f"{'xN':>4} {'docs':>8} " +
           " ".join(f"{q[:18]:>20}" for q in queries))
