@@ -573,3 +573,30 @@ def test_upsert_rolls_forward_crashed_erasure_first(spark, tmp_path):
                         & (F.col("k") != "600")).count() == 0
     # no manifest or staging left behind
     assert not _os.path.exists(_os.path.join(store, sinks.DELETE_MANIFEST))
+
+
+def test_heal_partial_swaps_three_cases(tmp_path):
+    """Pure-directory unit of the heal pass: (a) base missing + ._old
+    present -> restored; (b) base present + ._old present -> stale
+    ._old removed, base untouched; (c) nothing to do -> no-op."""
+    import os
+
+    store = str(tmp_path / "healstore")
+    os.makedirs(os.path.join(store, "cell=0._old"))
+    open(os.path.join(store, "cell=0._old", "a.parquet"), "w").write("x")
+    os.makedirs(os.path.join(store, "cell=1"))
+    open(os.path.join(store, "cell=1", "live.parquet"), "w").write("y")
+    os.makedirs(os.path.join(store, "cell=1._old"))
+    open(os.path.join(store, "cell=1._old", "stale.parquet"), "w").write("z")
+    os.makedirs(os.path.join(store, "cell=2"))
+
+    restored = sinks.heal_partial_swaps(store)
+    assert restored == ["cell=0"]
+    assert os.path.exists(os.path.join(store, "cell=0", "a.parquet"))
+    assert not os.path.exists(os.path.join(store, "cell=0._old"))
+    assert os.path.exists(os.path.join(store, "cell=1", "live.parquet"))
+    assert not os.path.exists(os.path.join(store, "cell=1._old"))
+    # idempotent / no-op second pass
+    assert sinks.heal_partial_swaps(store) == []
+    # missing store: no-op, no error
+    assert sinks.heal_partial_swaps(str(tmp_path / "absent")) == []
