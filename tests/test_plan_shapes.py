@@ -360,3 +360,30 @@ def test_runtime_bloom_filter_injects_on_selective_dim_join(spark):
                     F.col("l_orderkey") == F.col("o_orderkey"))
               .select("l_orderkey", "l_quantity")).collect()}
     assert filtered == plain
+
+
+def test_serving_capstone_has_no_unbounded_join(spark):
+    """pipeline_serving_capstone: the only joins are broadcasts of
+    candidate-bounded frames — no cartesian product, no sort-merge of
+    two corpus-sized sides; the corpus-facing stages are ordered
+    limits (TakeOrderedAndProject via bounded_rank's prefix)."""
+    plan = plan_of(
+        contract.REGISTRY["pipeline_serving_capstone"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    # the greedy stage's input is the checkpointed candidate frame, not
+    # any corpus-sized scan (the legs' TakeOrderedAndProject shapes are
+    # pinned by the hybrid/bounded_rank tests; checkpoints hide them
+    # from this final plan)
+    assert "Scan ExistingRDD" in plan
+
+
+def test_cross_encoder_candidates_stay_broadcast(spark):
+    """rerank_cross_encoder: the candidate id set joins back to the
+    texts as a broadcast; the pair-scoring UDF therefore sees only
+    candidate rows, never the corpus."""
+    plan = plan_of(
+        contract.REGISTRY["rerank_cross_encoder"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" in plan or "BatchEvalPython" in plan
