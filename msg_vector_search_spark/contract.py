@@ -7049,6 +7049,29 @@ def topk_mmr_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
 # every operator accrues one across rounds. Purely a presentation
 # order — REGISTRY itself keeps source order.
 DRIVER_VERIFIED = frozenset({
+    # round 6 (CORRECTNESS_r06.json — 49 full-oracle + 1 rows-only by
+    # design, zero errs; re-verified names already listed under earlier
+    # rounds are not repeated)
+    "ts_quantile_cut", "streaming_incremental_dedup",
+    "pipeline_crawl_admit_index", "text_gopher_rules", "corpus_report",
+    "skew_report_events", "vocab_coverage", "doc_length_histogram",
+    "integrity_orphans", "ann_ivfpq_materialized",
+    "ann_ivfpq_materialized_trained", "ann_index_upsert",
+    "streaming_index_upsert", "ann_index_rebuild", "ann_index_stats",
+    "partitioned_time_scan", "store_bucket_stats",
+    "multimodal_dedup_near", "multimodal_frame_dedup",
+    "streaming_append_finalized", "text_bm25_topk",
+    "rerank_cross_encoder", "hybrid_search_rrf", "dedup_semdedup",
+    "ann_truncated_rerank", "streaming_enrich_dim",
+    "streaming_interval_join", "quality_classifier_score",
+    "incremental_agg_merge", "incremental_distinct_sketch",
+    "text_inverted_index_topk", "store_changefeed",
+    "corpus_overlap_matrix", "sample_fixed_k_per_group",
+    "grouping_sets_report", "bpe_pair_frequencies",
+    "embedding_centroid_drift", "dedup_cluster_histogram",
+    "dpp_dim_filtered_scan", "dedup_components_incremental",
+    "ann_index_compact", "ann_recall_audit", "ann_mmr_materialized",
+    "pipeline_serving_capstone", "topk_mmr_diverse",
     # round 5 (CORRECTNESS_r05.json — re-verified names already listed
     # under earlier rounds are not repeated)
     "bucketed_colocated_join", "ann_ivfpq_trained",
