@@ -6824,9 +6824,10 @@ def _mmr_steps(k: int, lam: float) -> str:
     the materialized-index serving path in ann_mmr_materialized)."""
     mu = 1.0 - lam
     parts = [f""", sel1 AS (
-  SELECT vec_id, (round({lam} * simq, 6) + 0) AS mmr_score,
-         CAST(1 AS BIGINT) AS step
-  FROM short ORDER BY simq DESC, vec_id LIMIT 1
+  SELECT vec_id, mmr_score, CAST(1 AS BIGINT) AS step FROM (
+    SELECT vec_id, (round({lam} * simq, 6) + 0) AS mmr_score
+    FROM short
+  ) ORDER BY mmr_score DESC, vec_id LIMIT 1
 ), selu1 AS MATERIALIZED (SELECT * FROM sel1)"""]
     for n in range(2, k + 1):
         parts.append(f""", sel{n} AS MATERIALIZED (

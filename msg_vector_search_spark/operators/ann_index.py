@@ -155,6 +155,14 @@ def search_index(spark: SparkSession, path: str, qvec: list[float],
     driver-side (nlist-bounded) so the ``cell IN (...)`` filters below
     are literals Catalyst turns into PartitionFilters on both the code
     scan and the re-rank's raw-vector scan."""
+    from ..sources.sinks import heal_partial_swaps
+
+    # serving self-heals too: a crash mid-swap in a maintenance verb
+    # strands a cell as 'cell=N._old', which a raw read would silently
+    # omit from results until the next merge job ran — a listdir-cheap
+    # check per query closes that window
+    heal_partial_swaps(_subdir(path, "vectors"))
+    heal_partial_swaps(_subdir(path, "codes"))
     meta = read_meta(path)
     id_col, vec_col = meta["id_col"], meta["vec_col"]
     cent = load_centroids(spark, path)

@@ -200,7 +200,16 @@ def heal_partial_swaps(store: str) -> list:
 
 
 def read_store(spark: SparkSession, path: str) -> DataFrame:
-    """Read an upsert store, hiding the internal bucket layout column."""
+    """Read an upsert store, hiding the internal bucket layout column.
+
+    Reads self-heal first: a crash mid-:func:`_swap_dir` strands a
+    partition as ``<part>._old`` (silently missing from a raw read)
+    and a crash mid-erasure leaves the recorded swap plan half
+    applied — both are rolled forward here, not just in the merge
+    verbs, so the window between a crash and the next maintenance
+    job never serves a store with a dropped partition."""
+    _finish_pending_delete(path)
+    heal_partial_swaps(path)
     df = spark.read.parquet(path)
     return df.drop(BUCKET_COL) if BUCKET_COL in df.columns else df
 
@@ -464,6 +473,10 @@ def compact_store(spark: SparkSession, path: str,
     if part_col == BUCKET_COL:
         _finish_pending_delete(path)  # erasure first, then swap healing
     heal_partial_swaps(path)
+    # a crash mid-compaction orphans the staging sibling; the store
+    # itself is intact (swaps happen only after the full staged write),
+    # so the leftover is dead bytes — sweep it before staging anew
+    shutil.rmtree(path + "._compact", ignore_errors=True)
 
     def _partfiles(d: str) -> list[str]:
         return [f for f in os.listdir(d)
@@ -474,9 +487,17 @@ def compact_store(spark: SparkSession, path: str,
         if not entry.startswith(f"{part_col}="):
             continue
         n = len(_partfiles(os.path.join(path, entry)))
-        b = int(entry.split("=", 1)[1])
-        if n > max_files_per_bucket:
-            frag[b] = n
+        if n <= max_files_per_bucket:
+            continue
+        try:
+            b = int(entry.split("=", 1)[1])
+        except ValueError:
+            # non-integer partition value (__HIVE_DEFAULT_PARTITION__
+            # from a null key, or a string-partitioned store): not
+            # addressable by the integer isin filter below — leave it
+            # as-is rather than fail the whole sweep
+            continue
+        frag[b] = n
     if not frag:
         return {"compacted": [], "files_before": 0, "files_after": 0}
     touched = sorted(frag)
