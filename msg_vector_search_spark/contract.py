@@ -3812,6 +3812,108 @@ def ann_index_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   k=10, nprobe=4, shortlist=50)
 
 
+def _full_index_copy(spark: SparkSession, sf_dir: str) -> str:
+    """A writable copy of the cached FULL-corpus seed index (the
+    _materialized_index artifact); mutating rows (erase, changefeed
+    apply) each take their own copy so the cached build stays
+    immutable."""
+    import shutil
+
+    base = _materialized_index(spark, sf_dir, trained=False)
+    path = os.path.join(tempfile.mkdtemp(prefix="annerase_"), "index")
+    shutil.copytree(base, path)
+    return path
+
+
+# Erasure replay: the index was BUILT on the full corpus (so centroids
+# and PQ codebooks are full-corpus seed artifacts and do NOT move on
+# erase — artifact movement is rebuild's job), then the vec_id%10==3
+# slice was erased; serving sees only survivors under the unchanged
+# layout.  The query vector is itself a victim's (vec_id=3): a green
+# row proves an erased vector can no longer be returned even when the
+# query is exactly that vector.
+_INDEX_ERASE_ORACLE = f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT 16
+), q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 3),
+surv AS (SELECT * FROM embeddings WHERE vec_id % 10 <> 3),
+cscored AS (
+  SELECT e.vec_id, e.embedding, c.centroid_id,
+         (round({V.duck_cosine('e.embedding', 'c.cvec')}, 9) + 0) AS cdist
+  FROM surv e CROSS JOIN cent c
+), celled AS (
+  SELECT vec_id, embedding, centroid_id AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cdist DESC, centroid_id) AS rn
+    FROM cscored) WHERE rn = 1
+), probe AS (
+  SELECT centroid_id AS cell
+  FROM cent, q
+  ORDER BY {V.duck_cosine('cvec', 'qv')} DESC, centroid_id LIMIT 4
+), cand AS (
+  SELECT * FROM celled WHERE cell IN (SELECT cell FROM probe)
+), seeds AS (
+  SELECT embedding AS sv, row_number() OVER (ORDER BY vec_id) - 1 AS cw
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)
+), js AS (SELECT unnest(range(8)) AS j),
+cb AS (
+  SELECT js.j, seeds.cw, seeds.sv[(js.j*8+1):(js.j*8+8)] AS cv
+  FROM seeds CROSS JOIN js
+), ev AS (
+  SELECT c.vec_id, js.j, c.embedding[(js.j*8+1):(js.j*8+8)] AS xv
+  FROM cand c CROSS JOIN js
+), coded AS (
+  SELECT vec_id, j, cw FROM (
+    SELECT ev.vec_id, ev.j, cb.cw,
+           row_number() OVER (
+             PARTITION BY ev.vec_id, ev.j
+             ORDER BY (round({V.duck_dot('ev.xv', 'cb.cv')}, 9) + 0) DESC,
+                      cb.cw) AS rn
+    FROM ev JOIN cb ON cb.j = ev.j) WHERE rn = 1
+), qtab AS (
+  SELECT cb.j, cb.cw,
+         (round({V.duck_dot('(SELECT qv FROM q)[(cb.j*8+1):(cb.j*8+8)]',
+                            'cb.cv')}, 9) + 0) AS d
+  FROM cb
+), adc AS (
+  SELECT a.vec_id, (round(sum(t.d), 6) + 0) AS adc_sim
+  FROM coded a JOIN qtab t ON t.j = a.j AND t.cw = a.cw
+  GROUP BY a.vec_id
+), short AS (SELECT vec_id FROM adc ORDER BY adc_sim DESC, vec_id LIMIT 50)
+SELECT c.vec_id, c.cell,
+       (round({V.duck_cosine('c.embedding', '(SELECT qv FROM q)')}, 6) + 0)
+         AS sim
+FROM cand c JOIN short s ON s.vec_id = c.vec_id
+ORDER BY sim DESC, c.vec_id LIMIT 10
+"""
+
+
+@register("ann_index_erase", oracle=_INDEX_ERASE_ORACLE)
+def ann_index_erase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Erasure propagation into the materialized ANN index — the
+    missing store verb's index twin (delete_keys erases the primary
+    store; this erases the serving artifact, closing the GDPR loop
+    without an O(corpus) rebuild): build the full-corpus index once
+    (cached), delete the vec_id%10==3 key set via
+    ann_index.delete_index_keys — victims' cells found by a
+    column-pruned id scan, both cell-partitioned stores rewritten only
+    in those cells through the staged-manifest commit — then query
+    with an ERASED vector's own embedding.  The oracle replays the
+    composition over survivors under the unchanged full-corpus
+    artifacts: erased rows must be unreachable, surviving rows must
+    score exactly as before."""
+    emb = _t(spark, sf_dir, "embeddings")
+    path = _full_index_copy(spark, sf_dir)
+    victims = emb.filter(F.col("vec_id") % 10 == 3).select("vec_id")
+    qrow = emb.filter(F.col("vec_id") == 3).select("embedding").head()
+    touched = ann_index.delete_index_keys(spark, path, victims)
+    assert touched, "erasure must touch at least one cell"
+    return ann_index.search_index(spark, path,
+                                  [float(x) for x in qrow[0]],
+                                  k=10, nprobe=4, shortlist=50)
+
+
 @register("ann_index_stats", oracle=f"""
 WITH cent AS (
   SELECT vec_id AS centroid_id, embedding AS cvec

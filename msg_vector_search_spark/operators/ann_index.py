@@ -155,14 +155,17 @@ def search_index(spark: SparkSession, path: str, qvec: list[float],
     driver-side (nlist-bounded) so the ``cell IN (...)`` filters below
     are literals Catalyst turns into PartitionFilters on both the code
     scan and the re-rank's raw-vector scan."""
-    from ..sources.sinks import heal_partial_swaps
+    from ..sources.sinks import _finish_pending_delete, heal_partial_swaps
 
     # serving self-heals too: a crash mid-swap in a maintenance verb
-    # strands a cell as 'cell=N._old', which a raw read would silently
-    # omit from results until the next merge job ran — a listdir-cheap
-    # check per query closes that window
-    heal_partial_swaps(_subdir(path, "vectors"))
-    heal_partial_swaps(_subdir(path, "codes"))
+    # strands a cell as 'cell=N._old' (silently omitted by a raw read),
+    # and a crash mid-erasure leaves its recorded swap plan half
+    # applied (erased rows still served from un-swapped cells) — both
+    # are rolled forward here at listdir cost, closing the window
+    # between a crash and the next maintenance job
+    for store in (_subdir(path, "vectors"), _subdir(path, "codes")):
+        _finish_pending_delete(store)
+        heal_partial_swaps(store)
     meta = read_meta(path)
     id_col, vec_col = meta["id_col"], meta["vec_col"]
     cent = load_centroids(spark, path)
@@ -227,6 +230,64 @@ def _upsert_cells(spark: SparkSession, batch: DataFrame, store: str,
             _swap_dir(src, os.path.join(store, part))
     import shutil
     shutil.rmtree(tmp, ignore_errors=True)
+    return touched
+
+
+def delete_index_keys(spark: SparkSession, path: str, keys: DataFrame,
+                      vectors: DataFrame | None = None) -> list:
+    """Erasure propagation into the materialized index — the index
+    twin of the store's GDPR verb (``sinks.delete_keys``): remove
+    every vector whose id appears in *keys* from BOTH cell-partitioned
+    stores, touching only the cells that hold victims.  Centroids and
+    codebooks deliberately do NOT move (same contract as
+    :func:`upsert_index`: artifact movement is :func:`rebuild_index`'s
+    job), so post-erasure search serves the surviving rows under the
+    unchanged layout.
+
+    Finding the victims' cells: with *vectors* (the victims' CURRENT
+    store rows, e.g. read bucket-pruned from the primary store or fed
+    by ``store_changefeed``) the cells come from assignment against
+    the PERSISTED centroids — O(batch), no index scan, because the
+    cell is a pure function of (vector, persisted centroids) and that
+    is exactly how every row got its cell at build/upsert time.
+    Without *vectors* the fallback is a column-pruned scan of the
+    vectors store's id column semi-joined with the broadcast key set —
+    reads only id pages plus directory names, never vector bytes.
+
+    Crash safety: both store rewrites go through the staged-manifest
+    commit (``sinks.erase_partitions``) — a crash at any point is
+    rolled forward by the next maintenance verb or self-healing read,
+    and re-running with the same key list is the documented recovery
+    path.  Cost: O(touched cells + key list), independent of index
+    size.  Returns the touched cell ids."""
+    from ..sources.sinks import (_finish_pending_delete, erase_partitions,
+                                 heal_partial_swaps)
+
+    meta = read_meta(path)
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    vstore, cstore = _subdir(path, "vectors"), _subdir(path, "codes")
+    for store in (vstore, cstore):
+        _finish_pending_delete(store)
+        heal_partial_swaps(store)
+    keyed = (keys.select(id_col).filter(F.col(id_col).isNotNull())
+             .distinct().localCheckpoint())
+    if vectors is not None:
+        cent = load_centroids(spark, path)
+        assigned = ivf.assign_cells(
+            vectors.join(F.broadcast(keyed), id_col, "semi"),
+            cent, id_col=id_col, vec_col=vec_col)
+        cells = assigned.select("cell")
+    else:
+        cells = (spark.read.parquet(vstore)
+                 .join(F.broadcast(keyed), id_col, "semi")
+                 .select("cell"))
+    touched = sorted(r[0] for r in cells.distinct().collect())
+    if not touched:
+        return []
+    erase_partitions(spark, vstore, id_col, keyed, touched,
+                     part_col="cell")
+    erase_partitions(spark, cstore, id_col, keyed, touched,
+                     part_col="cell")
     return touched
 
 

@@ -341,10 +341,14 @@ def _finish_pending_delete(path: str) -> bool:
         return False
     with open(mpath) as f:
         manifest = json.load(f)
+    # the manifest records its own partition column, so recovery needs
+    # no caller knowledge of the store's layout (the ANN index erasure
+    # records "cell"; stores predating the field read as BUCKET_COL)
+    part_col = manifest.get("part_col", BUCKET_COL)
     tmp = path + "._staged"
     emptied = set(manifest.get("emptied", []))
     for b in manifest["touched"]:
-        part = f"{BUCKET_COL}={b}"
+        part = f"{part_col}={b}"
         src = os.path.join(tmp, part)
         dst = os.path.join(path, part)
         old = dst + "._old"
@@ -404,14 +408,34 @@ def delete_keys(spark: SparkSession, path: str, key: str,
         r[0] for r in keyed.select(BUCKET_COL).distinct().collect())
     if not touched:
         return []
+    return erase_partitions(spark, path, key, keyed.select(key), touched,
+                            part_col=BUCKET_COL)
+
+
+def erase_partitions(spark: SparkSession, path: str, key: str,
+                     keys: DataFrame, touched: list,
+                     part_col: str = BUCKET_COL) -> list:
+    """The staged anti-join erasure shared by :func:`delete_keys` and
+    the materialized-index erase verbs (ANN cells, postings term
+    buckets): read ONLY the *touched* partition directories, anti-join
+    the broadcast key set, stage the rewrite, record the swap plan in
+    the manifest (carrying *part_col* so recovery is layout-blind),
+    then commit via :func:`_finish_pending_delete` — every crash point
+    is recoverable by re-running, and a partition left empty has its
+    directory removed rather than silently resurrecting rows on the
+    next overwrite.  Callers must have healed/rolled-forward the store
+    first (the public verbs do)."""
+    if not touched:
+        return []
     current = spark.read.parquet(path).filter(
-        F.col(BUCKET_COL).isin(touched))  # directory-level pruning
-    kept = current.join(F.broadcast(keyed.select(key)), key, "left_anti")
+        F.col(part_col).isin(touched))  # directory-level pruning
+    kept = current.join(F.broadcast(keys.select(key)), key, "left_anti")
     tmp = path + "._staged"
-    kept.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp)
+    kept.write.mode("overwrite").partitionBy(part_col).parquet(tmp)
     emptied = [b for b in touched
-               if not os.path.exists(os.path.join(tmp, f"{BUCKET_COL}={b}"))]
-    manifest = {"touched": touched, "emptied": emptied}
+               if not os.path.exists(os.path.join(tmp, f"{part_col}={b}"))]
+    manifest = {"touched": touched, "emptied": emptied,
+                "part_col": part_col}
     mpath = os.path.join(path, DELETE_MANIFEST)
     with open(mpath, "w") as f:
         json.dump(manifest, f)

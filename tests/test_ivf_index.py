@@ -339,3 +339,125 @@ def test_upsert_index_heals_crash_inside_swap(spark, tmp_path):
     assert stored.count() == emb.count()  # nothing lost
     assert stored.groupBy("vec_id").count() \
         .filter("count > 1").count() == 0
+
+
+def test_delete_index_keys_erases_both_stores_cell_locally(spark, tmp_path):
+    """Erasure touches ONLY the victims' cells: pick victims from a
+    single cell, erase, and check (a) both stores dropped exactly
+    those rows, (b) untouched cell directories are byte-identical
+    after the erase — the O(touched cells) cost claim made literal."""
+    import os
+
+    from msg_vector_search_spark.operators import ann_index
+
+    emb = readers.read_table(spark, SF, "embeddings")
+    path = str(tmp_path / "erase_idx")
+    ann_index.build_index(spark, emb, path, nlist=4, m=8, ncodes=16)
+    vec_dir = os.path.join(path, "vectors")
+
+    stored = spark.read.parquet(vec_dir)
+    victim_cell = stored.groupBy("cell").count() \
+        .orderBy(F.col("count").desc()).head()["cell"]
+    victims = (stored.filter(F.col("cell") == victim_cell)
+               .select("vec_id").limit(5).localCheckpoint())
+    victim_ids = {r["vec_id"] for r in victims.collect()}
+
+    def _bytes(store, cell):
+        d = os.path.join(store, f"cell={cell}")
+        return {f: os.path.getsize(os.path.join(d, f))
+                for f in os.listdir(d) if f.endswith(".parquet")}
+
+    other_cells = [r["cell"] for r in stored.select("cell").distinct()
+                   .collect() if r["cell"] != victim_cell]
+    before = {(s, c): _bytes(os.path.join(path, s), c)
+              for s in ("vectors", "codes") for c in other_cells}
+
+    touched = ann_index.delete_index_keys(spark, path, victims)
+    assert touched == [victim_cell]
+
+    for s in ("vectors", "codes"):
+        store = spark.read.parquet(os.path.join(path, s))
+        got = {r["vec_id"] for r in store.select("vec_id").collect()}
+        assert got.isdisjoint(victim_ids)
+        assert len(got) == emb.count() - len(victim_ids)
+    after = {(s, c): _bytes(os.path.join(path, s), c)
+             for s in ("vectors", "codes") for c in other_cells}
+    assert after == before  # untouched cells never rewritten
+
+
+def test_delete_index_keys_fast_path_matches_scan_path(spark, tmp_path):
+    """The O(batch) fast path (victims' vectors provided, cells from
+    assignment against the persisted centroids) must erase exactly
+    what the fallback id-column scan erases."""
+    import os
+
+    from msg_vector_search_spark.operators import ann_index
+
+    emb = readers.read_table(spark, SF, "embeddings")
+    scan_idx = str(tmp_path / "scan_idx")
+    fast_idx = str(tmp_path / "fast_idx")
+    for p in (scan_idx, fast_idx):
+        ann_index.build_index(spark, emb, p, nlist=4, m=8, ncodes=16)
+    victims = emb.filter(F.col("vec_id") % 9 == 0)
+
+    t_scan = ann_index.delete_index_keys(spark, scan_idx,
+                                         victims.select("vec_id"))
+    t_fast = ann_index.delete_index_keys(spark, fast_idx,
+                                         victims.select("vec_id"),
+                                         vectors=victims)
+    assert t_scan == t_fast
+    for s in ("vectors", "codes"):
+        a = {tuple(r) for r in spark.read.parquet(
+            os.path.join(scan_idx, s)).select("vec_id", "cell").collect()}
+        b = {tuple(r) for r in spark.read.parquet(
+            os.path.join(fast_idx, s)).select("vec_id", "cell").collect()}
+        assert a == b
+
+
+def test_delete_index_keys_crash_mid_commit_heals_on_search(
+        spark, tmp_path):
+    """Crash inside the erasure commit (manifest written, one cell
+    renamed out, staged not renamed in): a plain search_index — no
+    maintenance verb — must roll the erasure forward before reading,
+    so erased rows are unreachable the moment the manifest exists."""
+    import json as _json
+    import os
+
+    from msg_vector_search_spark.operators import ann_index
+
+    emb = readers.read_table(spark, SF, "embeddings")
+    path = str(tmp_path / "crash_idx")
+    ann_index.build_index(spark, emb, path, nlist=4, m=8, ncodes=16)
+    vec_dir = os.path.join(path, "vectors")
+
+    stored = spark.read.parquet(vec_dir)
+    victim_cell = stored.groupBy("cell").count() \
+        .orderBy(F.col("count").desc()).head()["cell"]
+    victims = (stored.filter(F.col("cell") == victim_cell)
+               .select("vec_id").limit(5).localCheckpoint())
+    victim_ids = {r["vec_id"] for r in victims.collect()}
+    qrow = emb.filter(F.col("vec_id") == sorted(victim_ids)[0]) \
+        .select("embedding").head()
+
+    # stage the vectors-store rewrite exactly as erase_partitions
+    # would, then crash mid-_swap_dir (old renamed out, staged not in)
+    kept = (stored.filter(F.col("cell") == victim_cell)
+            .join(F.broadcast(victims), "vec_id", "left_anti"))
+    tmp = vec_dir + "._staged"
+    kept.write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    with open(os.path.join(vec_dir, "_delete_pending.json"), "w") as f:
+        _json.dump({"touched": [victim_cell], "emptied": [],
+                    "part_col": "cell"}, f)
+    part = os.path.join(vec_dir, f"cell={victim_cell}")
+    os.rename(part, part + "._old")
+
+    got = ann_index.search_index(spark, path,
+                                 [float(x) for x in qrow[0]],
+                                 k=10, nprobe=4, shortlist=50)
+    ids = {r["vec_id"] for r in got.collect()}
+    assert ids.isdisjoint(victim_ids)
+    assert not os.path.exists(part + "._old")
+    assert not os.path.exists(os.path.join(vec_dir,
+                                           "_delete_pending.json"))
+    stored_after = spark.read.parquet(vec_dir)
+    assert stored_after.count() == emb.count() - len(victim_ids)
