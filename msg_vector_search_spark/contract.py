@@ -6543,6 +6543,138 @@ def text_inverted_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(20))
 
 
+def _invidx_copy(spark: SparkSession, sf_dir: str,
+                 base90: bool = False) -> str:
+    """A writable copy of a cached inverted-index build: the full
+    corpus (default) or the 90% base (``base90`` — the pre-crawl state
+    the upsert row folds the held-out slice into).  Builds are offline
+    jobs, cached per fixture; mutating rows each take a copy."""
+    import shutil
+
+    key = (sf_dir, "base90") if base90 else sf_dir
+    if key not in _INVIDX_CACHE:
+        path = os.path.join(tempfile.mkdtemp(prefix="invidx_"), "index")
+        docs = readers.widen(_t(spark, sf_dir, "documents"))
+        if base90:
+            docs = docs.filter(F.col("doc_id") % 10 != 3)
+        retrieval_ops.build_inverted_index(docs, path)
+        _INVIDX_CACHE[key] = path
+    out = os.path.join(tempfile.mkdtemp(prefix="invidx_mut_"), "index")
+    shutil.copytree(_INVIDX_CACHE[key], out)
+    return out
+
+
+def _invidx_top20(spark: SparkSession, path: str) -> DataFrame:
+    scored = retrieval_ops.search_inverted_index(spark, path, _BM25_TERMS)
+    return (scored.select("doc_id",
+                          F.col("dl").cast("long").alias("dl"),
+                          rnd(F.col("bm25"), 6).alias("bm25"))
+            .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+            .limit(20))
+
+
+@register("text_index_upsert", oracle=f"""
+WITH scored AS ({retrieval_ops.duck_bm25(_BM25_TERMS, _DUCK_TOKENS)})
+SELECT doc_id, CAST(dl AS BIGINT) AS dl, (round(bm25, 6) + 0) AS bm25
+FROM scored
+ORDER BY (round(bm25, 6) + 0) DESC, doc_id LIMIT 20
+""")
+def text_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of the persisted inverted index — the
+    text twin of ann_index_upsert, closing the crawl loop's BM25 leg
+    (pipeline_crawl_admit_index admits documents whose keyword serving
+    would otherwise go stale): build on 90% of the corpus (cached
+    offline job), fold the held-out 10% in via upsert_inverted_index —
+    postings/doclen APPEND at a fresh generation touching only the
+    batch's term buckets, prior versions tombstoned, O(batch) always —
+    then serve.  The oracle is the full-corpus scan-side BM25
+    verbatim: build-then-upsert must equal the single-shot build
+    bit-for-bit, integer inputs and all."""
+    docs = readers.widen(_t(spark, sf_dir, "documents"))
+    path = _invidx_copy(spark, sf_dir, base90=True)
+    retrieval_ops.upsert_inverted_index(
+        docs.filter(F.col("doc_id") % 10 == 3), path)
+    return _invidx_top20(spark, path)
+
+
+_TEXT_ERASE_ORACLE = f"""
+WITH scored AS ({retrieval_ops.duck_bm25(
+    _BM25_TERMS, _DUCK_TOKENS,
+    from_table="(SELECT * FROM documents WHERE doc_id % 10 <> 3)")})
+SELECT doc_id, CAST(dl AS BIGINT) AS dl, (round(bm25, 6) + 0) AS bm25
+FROM scored
+ORDER BY (round(bm25, 6) + 0) DESC, doc_id LIMIT 20
+"""
+
+
+@register("text_index_erase", oracle=_TEXT_ERASE_ORACLE)
+def text_index_erase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Erasure in the text index — the GDPR verb's keyword twin,
+    O(batch) and touching NO postings: delete_inverted_docs appends
+    tombstones that kill every stored version of the victim ids, and
+    serving filters through the (compaction-bounded) tombstone
+    broadcast with corpus stats (N, Σdl, df) recounted over live rows
+    only.  The oracle is the scan-side BM25 over the surviving
+    documents: erased docs must be unreachable AND absent from the
+    statistics — a tombstone that hid rows but left them in the stats
+    would shift every idf and fail the value check."""
+    docs = readers.widen(_t(spark, sf_dir, "documents"))
+    path = _invidx_copy(spark, sf_dir)
+    retrieval_ops.delete_inverted_docs(
+        docs.filter(F.col("doc_id") % 10 == 3).select("doc_id"), path)
+    return _invidx_top20(spark, path)
+
+
+@register("text_index_compact", oracle=_TEXT_ERASE_ORACLE)
+def text_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scheduled job that bounds the tombstone set: after the
+    erasure, compact_inverted_index physically drops dead rows from
+    postings and doclen (staged rewrite, swap, tombstones cleared) —
+    and serving the compacted index must return exactly what the
+    tombstone-filtered index served (same oracle as text_index_erase):
+    compaction moves bytes, never results."""
+    import os as _os
+
+    docs = readers.widen(_t(spark, sf_dir, "documents"))
+    path = _invidx_copy(spark, sf_dir)
+    retrieval_ops.delete_inverted_docs(
+        docs.filter(F.col("doc_id") % 10 == 3).select("doc_id"), path)
+    stats = retrieval_ops.compact_inverted_index(spark, path)
+    assert stats["postings_after"] < stats["postings_before"]
+    assert stats["doclen_after"] < stats["doclen_before"]
+    assert not _os.path.isdir(_os.path.join(path, "tombstones"))
+    return _invidx_top20(spark, path)
+
+
+@register("text_index_stats", oracle=f"""
+WITH t AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS toks
+  FROM documents WHERE doc_id % 10 <> 3
+), p AS (SELECT doc_id, unnest(toks) AS term FROM t)
+SELECT (SELECT count(*) FROM t) AS n_docs,
+       (SELECT CAST(sum(len(toks)) AS BIGINT) FROM t) AS sum_dl,
+       (SELECT count(DISTINCT term) FROM p) AS n_terms,
+       (SELECT count(*) FROM (SELECT DISTINCT doc_id, term FROM p))
+         AS n_postings,
+       (SELECT count(*) FROM documents WHERE doc_id % 10 = 3)
+         AS n_tombstoned
+""")
+def text_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-index observability — the twin of ann_index_stats: live
+    doc count, Σdl, vocabulary size and postings rows (metadata-light
+    partial aggregates, no text read) plus the tombstone backlog, the
+    signal that schedules compact_inverted_index exactly as cell-
+    balance decay schedules the ANN rebuild.  Computed here after
+    erasing the doc_id%10==3 slice, so the oracle checks both the
+    live-side invariants and the backlog count against the raw
+    corpus."""
+    docs = readers.widen(_t(spark, sf_dir, "documents"))
+    path = _invidx_copy(spark, sf_dir)
+    retrieval_ops.delete_inverted_docs(
+        docs.filter(F.col("doc_id") % 10 == 3).select("doc_id"), path)
+    return retrieval_ops.inverted_index_stats(spark, path)
+
+
 @register("store_changefeed", oracle="""
 WITH old AS (
   SELECT vec_id, label FROM embeddings WHERE vec_id % 5 <> 0

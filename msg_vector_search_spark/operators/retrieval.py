@@ -109,36 +109,232 @@ def _bm25_score_col(n_terms: int, k1: float = K1, b: float = B):
 # ---------------------------------------------------------------------------
 # Materialized inverted index — the text-side twin of operators.ann_index
 # ---------------------------------------------------------------------------
+#
+# Lifecycle design (the LSM/Lucene shape, because postings for a doc
+# scatter across term buckets and a doc's OLD terms are unknowable
+# from its id alone — physical per-doc deletion would need a full
+# postings sweep per request):
+#
+# * every postings/doclen row carries a generation number ``gen``
+#   (monotonic per maintenance batch, persisted in the meta sidecar);
+# * ``tombstones/`` holds ``(doc_id, upto_gen)`` rows meaning "all
+#   versions of doc_id with gen <= upto_gen are dead";
+# * upsert = tombstone the batch ids at the old generation + APPEND
+#   new rows at the new one (O(batch), touches only the batch's term
+#   buckets); erase = append tombstones alone (O(batch), touches no
+#   postings at all);
+# * queries keep a row iff gen > its doc's max tombstone (a broadcast
+#   join against the tombstone set, which stays dimension-sized
+#   between compactions);
+# * compaction physically drops dead rows and clears the tombstones —
+#   the scheduled O(index) job that keeps the query-time filter cheap.
 
 INDEX_BUCKETS = 64
+TEXT_META = "_text_index_meta.json"
+
+
+def _read_text_meta(path: str, id_col: str = "doc_id",
+                    n_buckets: int = INDEX_BUCKETS) -> dict:
+    """Meta sidecar, tolerating indexes written before it existed
+    (gen 0, caller-supplied layout)."""
+    import json
+
+    try:
+        with open(os.path.join(path, TEXT_META)) as f:
+            return json.load(f)
+    except (FileNotFoundError, NotADirectoryError, ValueError):
+        return {"n_buckets": n_buckets, "gen": 0, "id_col": id_col}
+
+
+def _write_text_meta(path: str, meta: dict) -> None:
+    import json
+
+    with open(os.path.join(path, TEXT_META), "w") as f:
+        json.dump(meta, f)
+
+
+def _tombstone_frame(spark, path: str, id_col: str):
+    """The per-doc kill threshold ``(id_col, _upto)``, or None when no
+    tombstones exist.  Bounded by deletes since the last compaction —
+    the broadcast-side economics every query relies on."""
+    tdir = os.path.join(path, "tombstones")
+    if not os.path.isdir(tdir) or not any(
+            f.endswith(".parquet") for f in os.listdir(tdir)):
+        return None
+    return (spark.read.parquet(tdir)
+            .groupBy(id_col).agg(F.max("upto_gen").alias("_upto")))
+
+
+def _live(df: DataFrame, tomb, id_col: str) -> DataFrame:
+    """Filter *df* (carrying ``gen``) to rows alive under *tomb*."""
+    if tomb is None:
+        return df
+    return (df.join(F.broadcast(tomb), id_col, "left")
+            .filter(F.col("_upto").isNull()
+                    | (F.col("gen") > F.col("_upto")))
+            .drop("_upto"))
+
+
+def _tokenized(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    toks = analysis.tokens(F.col(text_col))
+    return (docs.select(F.col(id_col), toks.alias("_toks"))
+            .withColumn("dl", F.size("_toks")))
+
+
+def _postings_of(base: DataFrame, id_col: str, gen: int,
+                 n_buckets: int) -> DataFrame:
+    return (base.select(id_col, F.explode("_toks").alias("term"))
+            .groupBy("term", id_col)
+            .agg(F.count(F.lit(1)).cast("int").alias("tf"))
+            .withColumn("gen", F.lit(gen).cast("long"))
+            .withColumn("tb", F.pmod(F.xxhash64("term"),
+                                     F.lit(n_buckets))))
 
 
 def build_inverted_index(docs: DataFrame, path: str,
                          text_col: str = "text", id_col: str = "doc_id",
                          n_buckets: int = INDEX_BUCKETS) -> None:
     """Build-once job for keyword serving: tokenize the corpus ONCE and
-    persist (a) a postings table ``(term, doc_id, tf)`` partitioned by
-    ``tb = pmod(xxhash64(term), n_buckets)`` — so a query's terms prune
-    to <= |terms| directories — and (b) a ``(doc_id, dl)`` doc-length
-    sidecar.  After the build, queries never touch text: no
-    tokenization, no corpus scan, only pruned postings + the length
+    persist (a) a postings table ``(term, doc_id, tf, gen)``
+    partitioned by ``tb = pmod(xxhash64(term), n_buckets)`` — so a
+    query's terms prune to <= |terms| directories — and (b) a
+    ``(doc_id, dl, gen)`` doc-length sidecar, plus the generation/
+    layout meta sidecar.  After the build, queries never touch text:
+    no tokenization, no corpus scan, only pruned postings + the length
     table.  The explode shuffles once on the uniform (term, doc) pair
     key with map-side partial counting; at 100 TB this is the classic
-    one-pass index build, and incremental batches can append with the
-    same bucket function (the layout is content-addressed, like the
-    ANN store's cells)."""
-    toks = analysis.tokens(F.col(text_col))
-    base = (docs.select(F.col(id_col), toks.alias("_toks"))
-            .withColumn("dl", F.size("_toks")))
-    base.select(id_col, "dl").write.mode("overwrite") \
-        .parquet(os.path.join(path, "doclen"))
-    postings = (base.select(id_col, F.explode("_toks").alias("term"))
-                .groupBy("term", id_col)
-                .agg(F.count(F.lit(1)).cast("int").alias("tf"))
-                .withColumn("tb", F.pmod(F.xxhash64("term"),
-                                         F.lit(n_buckets))))
-    postings.write.mode("overwrite").partitionBy("tb") \
+    one-pass index build, and incremental batches append with the same
+    bucket function (:func:`upsert_inverted_index` — the layout is
+    content-addressed, like the ANN store's cells)."""
+    base = _tokenized(docs, text_col, id_col)
+    base.select(id_col, "dl") \
+        .withColumn("gen", F.lit(0).cast("long")) \
+        .write.mode("overwrite").parquet(os.path.join(path, "doclen"))
+    _postings_of(base, id_col, 0, n_buckets) \
+        .write.mode("overwrite").partitionBy("tb") \
         .parquet(os.path.join(path, "postings"))
+    _write_text_meta(path, {"n_buckets": int(n_buckets), "gen": 0,
+                            "id_col": id_col})
+
+
+def upsert_inverted_index(docs: DataFrame, path: str,
+                          text_col: str = "text",
+                          id_col: str | None = None) -> int:
+    """Incremental maintenance — the text twin of
+    ``ann_index.upsert_index``: fold a document batch into the
+    persisted index in O(batch).  New postings/doclen rows APPEND at a
+    fresh generation (touching only the batch's term buckets — the
+    same bounded-touch argument as the ANN cell merge); prior versions
+    of the batch's ids are killed by a tombstone at the old
+    generation, so re-ingesting a changed document atomically shadows
+    its old postings wherever they live WITHOUT sweeping the store
+    for them.
+
+    Crash safety: the meta generation is bumped FIRST, so a re-run of
+    the same batch (the documented recovery path, as for the ANN
+    upsert) tombstones any half-appended rows of the crashed attempt
+    and lands the batch whole at the next generation — convergent
+    under every crash point.  Returns the batch's generation."""
+    spark = docs.sparkSession
+    meta = _read_text_meta(path)
+    if id_col is None:
+        id_col = meta["id_col"]
+    g_old, g_new = int(meta["gen"]), int(meta["gen"]) + 1
+    meta["gen"] = g_new
+    _write_text_meta(path, meta)
+    base = (_tokenized(docs.dropDuplicates([id_col]), text_col, id_col)
+            .localCheckpoint())  # one tokenize pass feeds all three writes
+    (base.select(id_col)
+     .withColumn("upto_gen", F.lit(g_old).cast("long"))
+     .write.mode("append").parquet(os.path.join(path, "tombstones")))
+    (base.select(id_col, "dl")
+     .withColumn("gen", F.lit(g_new).cast("long"))
+     .write.mode("append").parquet(os.path.join(path, "doclen")))
+    _postings_of(base, id_col, g_new, int(meta["n_buckets"])) \
+        .write.mode("append").partitionBy("tb") \
+        .parquet(os.path.join(path, "postings"))
+    return g_new
+
+
+def delete_inverted_docs(doc_ids: DataFrame, path: str,
+                         id_col: str | None = None) -> None:
+    """Erasure verb for the text index — O(batch), touches NO postings:
+    append tombstones at the current generation, killing every stored
+    version of the given ids.  Idempotent (duplicate tombstones
+    collapse under the query-time max), and physical removal is
+    :func:`compact_inverted_index`'s job, exactly as in every
+    LSM-structured store."""
+    meta = _read_text_meta(path)
+    if id_col is None:
+        id_col = meta["id_col"]
+    (doc_ids.select(id_col).filter(F.col(id_col).isNotNull()).distinct()
+     .withColumn("upto_gen", F.lit(int(meta["gen"])).cast("long"))
+     .write.mode("append").parquet(os.path.join(path, "tombstones")))
+
+
+def compact_inverted_index(spark, path: str) -> dict:
+    """Scheduled maintenance: physically drop dead rows (shadowed
+    generations and erased docs) from postings and doclen, then clear
+    the tombstones — bounding the query-time tombstone broadcast back
+    to zero.  Whole-store rewrite by design (O(live index), like the
+    ANN rebuild); each store is staged then swapped, and a leftover
+    tombstone after a crash re-filters already-live rows harmlessly
+    until the next compaction removes it.  Returns before/after row
+    counts."""
+    import shutil
+
+    from ..sources.sinks import _swap_dir, heal_partial_swaps
+
+    heal_partial_swaps(path)
+    meta = _read_text_meta(path)
+    id_col = meta["id_col"]
+    tomb = _tombstone_frame(spark, path, id_col)
+    out = {}
+    for sub, part in (("postings", "tb"), ("doclen", None)):
+        store = os.path.join(path, sub)
+        cur = spark.read.parquet(store)
+        out[f"{sub}_before"] = cur.count()
+        live = _live(cur, tomb, id_col)
+        tmp = store + "._compacted"
+        shutil.rmtree(tmp, ignore_errors=True)
+        if part:
+            # keep one file per partition dir, not tasks x dirs shards
+            (live.repartition(F.col(part)).write.mode("overwrite")
+             .partitionBy(part).parquet(tmp))
+        else:
+            live.write.mode("overwrite").parquet(tmp)
+        _swap_dir(tmp, store)
+        out[f"{sub}_after"] = spark.read.parquet(store).count()
+    shutil.rmtree(os.path.join(path, "tombstones"), ignore_errors=True)
+    return out
+
+
+def inverted_index_stats(spark, path: str) -> DataFrame:
+    """Index observability (the text twin of ``ann_index_stats``):
+    one row of live-corpus invariants — doc count, Σdl, distinct
+    terms, postings rows — plus the tombstone backlog that schedules
+    compaction.  Aggregates ride partial aggregation (one row per
+    executor); no text is read."""
+    from ..sources.sinks import heal_partial_swaps
+
+    heal_partial_swaps(path)
+    meta = _read_text_meta(path)
+    id_col = meta["id_col"]
+    tomb = _tombstone_frame(spark, path, id_col)
+    doclen = _live(spark.read.parquet(os.path.join(path, "doclen")),
+                   tomb, id_col)
+    postings = _live(spark.read.parquet(os.path.join(path, "postings")),
+                     tomb, id_col)
+    d = doclen.agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.sum("dl").cast("long").alias("sum_dl"))
+    p = postings.agg(
+        F.count(F.lit(1)).alias("n_postings"),
+        F.countDistinct("term").alias("n_terms"))
+    n_tomb = tomb.count() if tomb is not None else 0
+    return (d.crossJoin(p)
+            .withColumn("n_tombstoned", F.lit(n_tomb).cast("long"))
+            .select("n_docs", "sum_dl", "n_terms", "n_postings",
+                    "n_tombstoned"))
 
 
 def search_inverted_index(spark, path: str, terms: list[str],
@@ -153,25 +349,41 @@ def search_inverted_index(spark, path: str, terms: list[str],
     dl, N, Σdl) are identical to the scan-side path, so the scores are
     bit-identical and the scan-side oracle carries over verbatim.
 
+    Lifecycle-aware: rows shadowed by an upsert or erased by a
+    tombstone are filtered by a broadcast join against the (compaction-
+    bounded) tombstone set, and corpus stats (N, Σdl, df) count only
+    live rows — so post-maintenance serving equals a fresh scan of the
+    merged truth.  Reads self-heal stranded swap leftovers first.
+
     Scale: the postings read is O(matching docs x terms), the stats
     pass is one partial-aggregate row each over postings and doclen,
     and the tf-doclen join co-locates when both sides are bucketed by
     doc_id.  The corpus text is never read."""
+    from ..sources.sinks import heal_partial_swaps
+
+    heal_partial_swaps(path)
+    meta = _read_text_meta(path, id_col=id_col, n_buckets=n_buckets)
+    id_col = meta["id_col"]
+    n_buckets = int(meta["n_buckets"])
+    tomb = _tombstone_frame(spark, path, id_col)
     # the bucket of each query term, via the SAME hash expression the
     # build used (one 1-row driver job, no corpus work)
     row = spark.range(1).select(*[
         F.pmod(F.xxhash64(F.lit(t)), F.lit(n_buckets)).alias(f"b{i}")
         for i, t in enumerate(terms)]).collect()[0]
     tbs = sorted({int(v) for v in row})
-    postings = (spark.read.parquet(os.path.join(path, "postings"))
-                .filter(F.col("tb").isin(tbs))
-                .filter(F.col("term").isin(terms)))
-    doclen = spark.read.parquet(os.path.join(path, "doclen"))
+    postings = _live(
+        spark.read.parquet(os.path.join(path, "postings"))
+        .filter(F.col("tb").isin(tbs))
+        .filter(F.col("term").isin(terms)),
+        tomb, id_col)
+    doclen = _live(spark.read.parquet(os.path.join(path, "doclen")),
+                   tomb, id_col)
     wtf = (postings.groupBy(id_col).agg(*[
         F.coalesce(F.sum(F.when(F.col("term") == t, F.col("tf"))),
                    F.lit(0)).alias(f"_tf_{i}")
         for i, t in enumerate(terms)])
-        .join(doclen, id_col))
+        .join(doclen.select(id_col, "dl"), id_col))
     dfs = postings.agg(*[
         F.coalesce(F.sum(F.when(F.col("term") == t, F.lit(1))),
                    F.lit(0)).cast("long").alias(f"_df_{i}")

@@ -254,3 +254,136 @@ def test_cross_encoder_rerank_bounded_and_deterministic(spark):
                                            k=5, scorer="model").collect()
     assert [(r.doc_id, r.ce_score) for r in gated] == \
            [(r.doc_id, r.ce_score) for r in out]
+
+
+# ---------------------------------------------------------------------------
+# Inverted-index lifecycle: upsert / erase / compact / stats
+# ---------------------------------------------------------------------------
+
+def _mini_corpus(spark, rows):
+    from pyspark.sql import Row
+    return spark.createDataFrame([Row(doc_id=i, text=t)
+                                  for i, t in rows])
+
+
+def _scores(df):
+    return {r["doc_id"]: (r["dl"], round(r["bm25"], 9))
+            for r in df.collect()}
+
+
+def test_upsert_index_equals_fresh_build(spark, tmp_path):
+    """build(90%) + upsert(10%) must serve exactly what build(100%)
+    serves — same docs, same dl, same scores (stats recounted over the
+    merged truth)."""
+    rows = [(i, f"alpha beta doc{i} " + ("gamma " * (i % 3)))
+            for i in range(40)]
+    full = _mini_corpus(spark, rows)
+    part = full.filter(F.col("doc_id") % 10 != 3)
+    batch = full.filter(F.col("doc_id") % 10 == 3)
+
+    p_full = str(tmp_path / "full")
+    p_inc = str(tmp_path / "inc")
+    retrieval.build_inverted_index(full, p_full, n_buckets=8)
+    retrieval.build_inverted_index(part, p_inc, n_buckets=8)
+    retrieval.upsert_inverted_index(batch, p_inc)
+
+    terms = ["alpha", "gamma"]
+    assert _scores(retrieval.search_inverted_index(
+        spark, p_inc, terms)) == _scores(
+        retrieval.search_inverted_index(spark, p_full, terms))
+
+
+def test_upsert_shadows_changed_document(spark, tmp_path):
+    """Re-ingesting a CHANGED document must atomically shadow its old
+    postings everywhere — including terms the new version no longer
+    contains."""
+    path = str(tmp_path / "idx")
+    retrieval.build_inverted_index(
+        _mini_corpus(spark, [(1, "alpha beta"), (2, "alpha alpha")]),
+        path, n_buckets=8)
+    retrieval.upsert_inverted_index(
+        _mini_corpus(spark, [(1, "gamma gamma gamma")]), path)
+
+    got = _scores(retrieval.search_inverted_index(spark, path, ["beta"]))
+    assert got == {}  # old version's 'beta' posting is dead
+    got = _scores(retrieval.search_inverted_index(spark, path, ["gamma"]))
+    assert set(got) == {1} and got[1][0] == 3  # new dl = 3
+
+
+def test_delete_touches_no_postings_and_recounts_stats(spark, tmp_path):
+    """Erase is O(batch): the postings store's files are byte-identical
+    after the delete (only a tombstone file appears), yet served
+    scores equal a fresh build over the survivors — so N, Σdl and df
+    all dropped the victims."""
+    import os
+
+    rows = [(i, f"alpha beta doc{i}") for i in range(30)]
+    full = _mini_corpus(spark, rows)
+    path = str(tmp_path / "idx")
+    retrieval.build_inverted_index(full, path, n_buckets=8)
+
+    pdir = os.path.join(path, "postings")
+    def _files(d):
+        out = {}
+        for root, _, fs in os.walk(d):
+            for f in fs:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    out[p] = os.path.getsize(p)
+        return out
+    before = _files(pdir)
+
+    retrieval.delete_inverted_docs(
+        full.filter(F.col("doc_id") % 3 == 0).select("doc_id"), path)
+    assert _files(pdir) == before  # no postings rewritten
+
+    clean = str(tmp_path / "clean")
+    retrieval.build_inverted_index(
+        full.filter(F.col("doc_id") % 3 != 0), clean, n_buckets=8)
+    assert _scores(retrieval.search_inverted_index(
+        spark, path, ["alpha"])) == _scores(
+        retrieval.search_inverted_index(spark, clean, ["alpha"]))
+
+
+def test_compact_drops_dead_rows_and_preserves_serving(spark, tmp_path):
+    """Compaction physically removes shadowed generations + erased
+    docs, clears tombstones, and serves identically."""
+    import os
+
+    full = _mini_corpus(spark, [(i, f"alpha doc{i}") for i in range(20)])
+    path = str(tmp_path / "idx")
+    retrieval.build_inverted_index(full, path, n_buckets=8)
+    retrieval.upsert_inverted_index(
+        _mini_corpus(spark, [(5, "alpha alpha rewritten")]), path)
+    retrieval.delete_inverted_docs(
+        _mini_corpus(spark, [(7, "x")]).select("doc_id"), path)
+
+    want = _scores(retrieval.search_inverted_index(spark, path, ["alpha"]))
+    stats = retrieval.compact_inverted_index(spark, path)
+    assert stats["doclen_after"] == 19      # 20 - erased + shadowed dedup
+    assert stats["doclen_before"] == 21     # 20 + upsert generation
+    assert not os.path.isdir(os.path.join(path, "tombstones"))
+    assert _scores(retrieval.search_inverted_index(
+        spark, path, ["alpha"])) == want
+
+    st = retrieval.inverted_index_stats(spark, path).head()
+    assert st["n_docs"] == 19 and st["n_tombstoned"] == 0
+
+
+def test_text_search_heals_stranded_swap(spark, tmp_path):
+    """A crash mid-compaction swap strands 'postings._old' with the
+    live directory missing; a plain search must restore it before
+    reading instead of serving an index with no postings."""
+    import os
+
+    full = _mini_corpus(spark, [(i, f"alpha doc{i}") for i in range(10)])
+    path = str(tmp_path / "idx")
+    retrieval.build_inverted_index(full, path, n_buckets=8)
+    want = _scores(retrieval.search_inverted_index(spark, path, ["alpha"]))
+
+    pdir = os.path.join(path, "postings")
+    os.rename(pdir, pdir + "._old")
+    assert not os.path.isdir(pdir)
+    assert _scores(retrieval.search_inverted_index(
+        spark, path, ["alpha"])) == want
+    assert os.path.isdir(pdir)
