@@ -6675,6 +6675,279 @@ def text_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval_ops.inverted_index_stats(spark, path)
 
 
+@register("pipeline_forget_and_serve", oracle=f"""
+WITH base AS (SELECT * FROM embeddings WHERE vec_id % 10 <> 3),
+surv AS (SELECT * FROM embeddings WHERE vec_id % 10 <> 7),
+cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec
+  FROM base ORDER BY vec_id LIMIT 16
+), q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+cscored AS (
+  SELECT e.vec_id, e.embedding, c.centroid_id,
+         (round({V.duck_cosine('e.embedding', 'c.cvec')}, 9) + 0) AS cdist
+  FROM surv e CROSS JOIN cent c
+), celled AS (
+  SELECT vec_id, embedding, centroid_id AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cdist DESC, centroid_id) AS rn
+    FROM cscored) WHERE rn = 1
+), probe AS (
+  SELECT centroid_id AS cell
+  FROM cent, q
+  ORDER BY {V.duck_cosine('cvec', 'qv')} DESC, centroid_id LIMIT 4
+), cand AS (
+  SELECT * FROM celled WHERE cell IN (SELECT cell FROM probe)
+), seeds AS (
+  SELECT embedding AS sv, row_number() OVER (ORDER BY vec_id) - 1 AS cw
+  FROM (SELECT vec_id, embedding FROM base ORDER BY vec_id LIMIT 16)
+), js AS (SELECT unnest(range(8)) AS j),
+cb AS (
+  SELECT js.j, seeds.cw, seeds.sv[(js.j*8+1):(js.j*8+8)] AS cv
+  FROM seeds CROSS JOIN js
+), ev AS (
+  SELECT c.vec_id, js.j, c.embedding[(js.j*8+1):(js.j*8+8)] AS xv
+  FROM cand c CROSS JOIN js
+), coded AS (
+  SELECT vec_id, j, cw FROM (
+    SELECT ev.vec_id, ev.j, cb.cw,
+           row_number() OVER (
+             PARTITION BY ev.vec_id, ev.j
+             ORDER BY (round({V.duck_dot('ev.xv', 'cb.cv')}, 9) + 0) DESC,
+                      cb.cw) AS rn
+    FROM ev JOIN cb ON cb.j = ev.j) WHERE rn = 1
+), qtab AS (
+  SELECT cb.j, cb.cw,
+         (round({V.duck_dot('(SELECT qv FROM q)[(cb.j*8+1):(cb.j*8+8)]',
+                            'cb.cv')}, 9) + 0) AS d
+  FROM cb
+), adc AS (
+  SELECT a.vec_id, (round(sum(t.d), 6) + 0) AS adc_sim
+  FROM coded a JOIN qtab t ON t.j = a.j AND t.cw = a.cw
+  GROUP BY a.vec_id
+), short AS (SELECT vec_id FROM adc ORDER BY adc_sim DESC, vec_id LIMIT 50),
+v_top AS (
+  SELECT c.vec_id AS doc_id,
+         (round({V.duck_cosine('c.embedding', '(SELECT qv FROM q)')}, 6)
+          + 0) AS s
+  FROM cand c JOIN short sh ON sh.vec_id = c.vec_id
+  ORDER BY s DESC, doc_id LIMIT 50
+), v_rank AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INT)
+           AS rank_vec
+  FROM v_top
+), kw_scored AS ({retrieval_ops.duck_bm25(
+    _BM25_TERMS, _DUCK_TOKENS,
+    from_table="(SELECT * FROM documents WHERE doc_id % 10 <> 7)")}),
+kw_top AS (
+  SELECT doc_id, (round(bm25, 6) + 0) AS s FROM kw_scored
+  ORDER BY s DESC, doc_id LIMIT 50
+), kw_rank AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INT)
+           AS rank_kw
+  FROM kw_top
+)
+SELECT COALESCE(k.doc_id, v.doc_id) AS doc_id, k.rank_kw, v.rank_vec,
+       (round(COALESCE(1.0::DOUBLE / (60 + k.rank_kw), 0.0)
+            + COALESCE(1.0::DOUBLE / (60 + v.rank_vec), 0.0), 6) + 0) AS rrf
+FROM kw_rank k FULL JOIN v_rank v ON k.doc_id = v.doc_id
+ORDER BY rrf DESC, doc_id LIMIT 10
+""")
+def pipeline_forget_and_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed index lifecycle a deployment actually runs —
+    forget, admit, serve, in one flow: (1) the primary store erases a
+    key set (delete_keys) and upserts a crawl batch (upsert_parquet);
+    (2) BOTH serving indexes are maintained incrementally — the ANN
+    store via delete_index_keys (victims' cells from the O(batch) fast
+    path: their current rows are read bucket-pruned from the store
+    BEFORE the erase and assigned against the persisted centroids) +
+    upsert_index, the text index via tombstones + generation append;
+    (3) hybrid search serves the merged truth with both legs reading
+    the MAINTAINED indexes — BM25 from pruned postings, vectors from
+    the cell-pruned IVFPQ store — fused by RRF over two 50-row rank
+    frames.  The oracle replays the whole composition over the merged
+    corpus (base minus erased plus admitted) under the base-build
+    artifacts: a stale leg, a resurrected victim, or a missed
+    admission all shift ranks and fail the value check.  Every stage
+    is O(batch) or candidate-bounded except the two index-serving
+    reads, which prune to probed cells / query-term buckets."""
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = readers.widen(_t(spark, sf_dir, "documents"))
+    erase_ids = (emb.filter(F.col("vec_id") % 10 == 7)
+                 .select("vec_id").localCheckpoint())
+    batch_emb = emb.filter(F.col("vec_id") % 10 == 3)
+
+    # source-of-truth store: base corpus, then the two verbs
+    store = os.path.join(tempfile.mkdtemp(prefix="forget_"), "store")
+    sinks.upsert_parquet(spark, emb.filter(F.col("vec_id") % 10 != 3),
+                         store, key="vec_id", order_col="vec_id")
+    # the victims' current rows, read BEFORE the store erase — the
+    # O(batch) cell-lookup input for the ANN-side erasure
+    victim_rows = (sinks.read_store(spark, store)
+                   .join(F.broadcast(erase_ids), "vec_id", "semi")
+                   .localCheckpoint())
+    sinks.delete_keys(spark, store, "vec_id", erase_ids)
+    sinks.upsert_parquet(spark, batch_emb, store,
+                         key="vec_id", order_col="vec_id")
+
+    ann_path = _upsert_base_copy(spark, sf_dir)
+    ann_index.delete_index_keys(spark, ann_path, erase_ids,
+                                vectors=victim_rows)
+    ann_index.upsert_index(spark, ann_path, batch_emb)
+
+    txt_path = _invidx_copy(spark, sf_dir, base90=True)
+    retrieval_ops.delete_inverted_docs(
+        docs.filter(F.col("doc_id") % 10 == 7).select("doc_id"), txt_path)
+    retrieval_ops.upsert_inverted_index(
+        docs.filter(F.col("doc_id") % 10 == 3), txt_path)
+
+    kw = (retrieval_ops.search_inverted_index(spark, txt_path,
+                                              _BM25_TERMS)
+          .select("doc_id", rnd(F.col("bm25"), 6).alias("s")))
+    kw_rank = retrieval_ops.bounded_rank(kw, "s", "doc_id", 50)
+    vec = (ann_index.search_index(spark, ann_path,
+                                  _query_vec(spark, sf_dir),
+                                  k=50, nprobe=4, shortlist=50)
+           .select(F.col("vec_id").alias("doc_id"),
+                   F.col("sim").alias("s")))
+    vec_rank = retrieval_ops.bounded_rank(vec, "s", "doc_id", 50)
+    fused = retrieval_ops.rrf_fuse([kw_rank, vec_rank], topk=10)
+    return fused.select("doc_id",
+                        F.col("rank_0").alias("rank_kw"),
+                        F.col("rank_1").alias("rank_vec"),
+                        "rrf")
+
+
+def _cfeed_old_copy(spark: SparkSession, sf_dir: str) -> str:
+    """Writable copy of the index built on the changefeed row's OLD
+    snapshot (vec_id%5<>0, embeddings cast to double so the update
+    payloads union cleanly); cached like the other build jobs."""
+    import shutil
+
+    key = (sf_dir, "cfeed_old")
+    if key not in _ANN_INDEX_CACHE:
+        base_path = os.path.join(tempfile.mkdtemp(prefix="cfeed_"),
+                                 "index")
+        old = (_t(spark, sf_dir, "embeddings")
+               .filter(F.col("vec_id") % 5 != 0)
+               .select("vec_id",
+                       F.transform("embedding",
+                                   lambda x: x.cast("double"))
+                       .alias("embedding")))
+        ann_index.build_index(spark, old, base_path,
+                              nlist=16, m=8, ncodes=16)
+        _ANN_INDEX_CACHE[key] = base_path
+    path = os.path.join(tempfile.mkdtemp(prefix="cfeed_"), "index")
+    shutil.copytree(_ANN_INDEX_CACHE[key], path)
+    return path
+
+
+@register("changefeed_apply_index", oracle=f"""
+WITH oldc AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 <> 0
+), newc AS (
+  SELECT vec_id,
+         CASE WHEN vec_id % 3 = 0
+              THEN list_transform(embedding,
+                                  x -> CAST(x AS DOUBLE) + 0.5)
+              ELSE list_transform(embedding, x -> CAST(x AS DOUBLE))
+         END AS embedding
+  FROM embeddings WHERE vec_id % 7 <> 0
+), cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec
+  FROM oldc ORDER BY vec_id LIMIT 16
+), q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+cscored AS (
+  SELECT e.vec_id, e.embedding, c.centroid_id,
+         (round({V.duck_cosine('e.embedding', 'c.cvec')}, 9) + 0) AS cdist
+  FROM newc e CROSS JOIN cent c
+), celled AS (
+  SELECT vec_id, embedding, centroid_id AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cdist DESC, centroid_id) AS rn
+    FROM cscored) WHERE rn = 1
+), probe AS (
+  SELECT centroid_id AS cell
+  FROM cent, q
+  ORDER BY {V.duck_cosine('cvec', 'qv')} DESC, centroid_id LIMIT 4
+), cand AS (
+  SELECT * FROM celled WHERE cell IN (SELECT cell FROM probe)
+), seeds AS (
+  SELECT embedding AS sv, row_number() OVER (ORDER BY vec_id) - 1 AS cw
+  FROM (SELECT vec_id, embedding FROM oldc ORDER BY vec_id LIMIT 16)
+), js AS (SELECT unnest(range(8)) AS j),
+cb AS (
+  SELECT js.j, seeds.cw, seeds.sv[(js.j*8+1):(js.j*8+8)] AS cv
+  FROM seeds CROSS JOIN js
+), ev AS (
+  SELECT c.vec_id, js.j, c.embedding[(js.j*8+1):(js.j*8+8)] AS xv
+  FROM cand c CROSS JOIN js
+), coded AS (
+  SELECT vec_id, j, cw FROM (
+    SELECT ev.vec_id, ev.j, cb.cw,
+           row_number() OVER (
+             PARTITION BY ev.vec_id, ev.j
+             ORDER BY (round({V.duck_dot('ev.xv', 'cb.cv')}, 9) + 0) DESC,
+                      cb.cw) AS rn
+    FROM ev JOIN cb ON cb.j = ev.j) WHERE rn = 1
+), qtab AS (
+  SELECT cb.j, cb.cw,
+         (round({V.duck_dot('(SELECT qv FROM q)[(cb.j*8+1):(cb.j*8+8)]',
+                            'cb.cv')}, 9) + 0) AS d
+  FROM cb
+), adc AS (
+  SELECT a.vec_id, (round(sum(t.d), 6) + 0) AS adc_sim
+  FROM coded a JOIN qtab t ON t.j = a.j AND t.cw = a.cw
+  GROUP BY a.vec_id
+), short AS (SELECT vec_id FROM adc ORDER BY adc_sim DESC, vec_id LIMIT 50)
+SELECT c.vec_id, c.cell,
+       (round({V.duck_cosine('c.embedding', '(SELECT qv FROM q)')}, 6) + 0)
+         AS sim
+FROM cand c JOIN short s ON s.vec_id = c.vec_id
+ORDER BY sim DESC, c.vec_id LIMIT 10
+""")
+def changefeed_apply_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changefeed-driven index maintenance — the wiring that makes the
+    index a DERIVED artifact of the store: two snapshots are diffed
+    exactly as store_changefeed does (full-outer join on the key; here
+    the payload is the embedding itself, with the %3==0 slice of the
+    new snapshot perturbed so all three action kinds occur AND updates
+    genuinely move vectors), and the resulting feed is applied by
+    ann_index.apply_changefeed_index — deletes and updates erase first
+    through the O(batch) fast path (the feed's OLD payloads locate
+    their cells by centroid assignment, no index scan; erase-first is
+    what keeps a cell-moving update from stranding its stale copy),
+    then inserts and updates merge their NEW payloads.  The oracle
+    replays the IVFPQ composition over the NEW snapshot under the
+    OLD snapshot's artifacts — exactly the state apply must converge
+    to, whatever the diff contained."""
+    emb = _t(spark, sf_dir, "embeddings")
+    as_double = F.transform("embedding", lambda x: x.cast("double"))
+    perturbed = F.transform("embedding",
+                            lambda x: x.cast("double") + F.lit(0.5))
+    old = (emb.filter(F.col("vec_id") % 5 != 0)
+           .select("vec_id", as_double.alias("old_embedding")))
+    new = (emb.filter(F.col("vec_id") % 7 != 0)
+           .select(F.col("vec_id").alias("n_id"),
+                   F.when(F.col("vec_id") % 3 == 0, perturbed)
+                   .otherwise(as_double).alias("new_embedding")))
+    diff = old.join(new, old.vec_id == new.n_id, "full_outer")
+    feed = (diff.filter(F.col("vec_id").isNull()
+                        | F.col("n_id").isNull()
+                        | (F.col("old_embedding")
+                           != F.col("new_embedding")))
+            .select(F.coalesce("vec_id", "n_id").alias("vec_id"),
+                    F.when(F.col("vec_id").isNull(), F.lit("insert"))
+                    .when(F.col("n_id").isNull(), F.lit("delete"))
+                    .otherwise(F.lit("update")).alias("action"),
+                    "old_embedding", "new_embedding"))
+    path = _cfeed_old_copy(spark, sf_dir)
+    stats = ann_index.apply_changefeed_index(spark, path, feed)
+    assert stats["erased_cells"] and stats["merged_cells"]
+    return ann_index.search_index(spark, path,
+                                  _query_vec(spark, sf_dir),
+                                  k=10, nprobe=4, shortlist=50)
+
+
 @register("store_changefeed", oracle="""
 WITH old AS (
   SELECT vec_id, label FROM embeddings WHERE vec_id % 5 <> 0

@@ -291,6 +291,39 @@ def delete_index_keys(spark: SparkSession, path: str, keys: DataFrame,
     return touched
 
 
+def apply_changefeed_index(spark: SparkSession, path: str,
+                           feed: DataFrame, action_col: str = "action",
+                           old_vec_col: str = "old_embedding",
+                           new_vec_col: str = "new_embedding") -> dict:
+    """Index maintenance DERIVED from the store diff: apply a
+    changefeed (``store_changefeed`` shape — one row per changed key
+    with ``action`` in insert/update/delete plus old/new payloads) to
+    the materialized index, so the caller never tracks batches — the
+    store diff IS the maintenance plan.
+
+    Order matters for updates: an updated vector may move cells, and
+    the cell-local merge alone would strand the stale copy in its old
+    cell.  So deletes AND updates erase first — the feed's OLD
+    payloads drive :func:`delete_index_keys`'s O(batch) fast path
+    (assignment against the persisted centroids finds exactly the
+    cells the old versions sit in, no index scan) — then inserts and
+    updates merge their NEW payloads via :func:`upsert_index`.  Total
+    cost O(changed keys + touched cells), independent of index size.
+    Returns the touched-cell lists per phase."""
+    meta = read_meta(path)
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    feed = feed.localCheckpoint()  # dimension-sized; read three times
+    doomed = feed.filter(F.col(action_col).isin("delete", "update"))
+    erased = delete_index_keys(
+        spark, path, doomed.select(id_col),
+        vectors=doomed.select(id_col,
+                              F.col(old_vec_col).alias(vec_col)))
+    incoming = (feed.filter(F.col(action_col).isin("insert", "update"))
+                .select(id_col, F.col(new_vec_col).alias(vec_col)))
+    merged = upsert_index(spark, path, incoming)
+    return {"erased_cells": erased, "merged_cells": merged}
+
+
 def rebuild_index(spark: SparkSession, path: str,
                   trained: bool | None = None) -> dict:
     """The scheduled maintenance job :func:`upsert_index` defers to —
@@ -337,7 +370,15 @@ def upsert_index(spark: SparkSession, path: str,
     touched cell whose file count exceeds it is collapsed back to one
     file right after the merge (``sinks.compact_store``, fragmented
     cells only, a rewrite of O(fragmented bytes)).  None disables the
-    sweep (schedule ``ann_index_compact`` manually instead)."""
+    sweep (schedule ``ann_index_compact`` manually instead).
+
+    Caveat for UPDATES (keys already indexed): the merge shadows a
+    prior version only within the cells the batch maps to — an updated
+    vector that MOVES cell leaves its stale copy behind.  Route
+    updates through :func:`apply_changefeed_index` (erase-first with
+    the old payload's O(batch) cell lookup) or call
+    :func:`delete_index_keys` on the batch keys before upserting;
+    plain upsert is for new keys and same-cell refreshes."""
     from ..sources.sinks import compact_store
 
     meta = read_meta(path)

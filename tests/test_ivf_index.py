@@ -461,3 +461,67 @@ def test_delete_index_keys_crash_mid_commit_heals_on_search(
                                            "_delete_pending.json"))
     stored_after = spark.read.parquet(vec_dir)
     assert stored_after.count() == emb.count() - len(victim_ids)
+
+
+def test_apply_changefeed_converges_to_rebuild(spark, tmp_path):
+    """Changefeed-driven maintenance: mutate the corpus (inserts +
+    cell-moving updates + deletes), apply the store diff to the index
+    built on the OLD snapshot, and search must equal an index REBUILT
+    from scratch on the NEW snapshot.  Compared under a full probe
+    (nprobe=nlist, corpus-sized shortlist), where IVFPQ serving is
+    exact top-k by cosine — so the equality is artifact-independent
+    and pins that apply left exactly the new snapshot's rows, no
+    stale copies, no survivors of the deletes."""
+    from msg_vector_search_spark.operators import ann_index
+
+    emb = readers.read_table(spark, SF, "embeddings")
+    as_double = F.transform("embedding", lambda x: x.cast("double"))
+    perturbed = F.transform("embedding",
+                            lambda x: x.cast("double") + F.lit(0.5))
+    old = (emb.filter(F.col("vec_id") % 5 != 0)
+           .select("vec_id", as_double.alias("embedding")))
+    new = (emb.filter(F.col("vec_id") % 7 != 0)
+           .select("vec_id",
+                   F.when(F.col("vec_id") % 3 == 0, perturbed)
+                   .otherwise(as_double).alias("embedding")))
+
+    applied = str(tmp_path / "applied")
+    rebuilt = str(tmp_path / "rebuilt")
+    ann_index.build_index(spark, old, applied, nlist=4, m=8, ncodes=16)
+    ann_index.build_index(spark, new, rebuilt, nlist=4, m=8, ncodes=16)
+
+    o = old.select("vec_id", F.col("embedding").alias("old_embedding"))
+    n = new.select(F.col("vec_id").alias("n_id"),
+                   F.col("embedding").alias("new_embedding"))
+    j = o.join(n, o.vec_id == n.n_id, "full_outer")
+    feed = (j.filter(F.col("vec_id").isNull() | F.col("n_id").isNull()
+                     | (F.col("old_embedding") != F.col("new_embedding")))
+            .select(F.coalesce("vec_id", "n_id").alias("vec_id"),
+                    F.when(F.col("vec_id").isNull(), F.lit("insert"))
+                    .when(F.col("n_id").isNull(), F.lit("delete"))
+                    .otherwise(F.lit("update")).alias("action"),
+                    "old_embedding", "new_embedding"))
+    kinds = {r["action"] for r in feed.select("action").distinct()
+             .collect()}
+    assert kinds == {"insert", "update", "delete"}
+    ann_index.apply_changefeed_index(spark, applied, feed)
+
+    # rows identical (the strongest form, before any serving)
+    got = {(r["vec_id"], tuple(r["embedding"])) for r in
+           spark.read.parquet(f"{applied}/vectors")
+           .select("vec_id", "embedding").collect()}
+    want = {(r["vec_id"], tuple(r["embedding"])) for r in
+            spark.read.parquet(f"{rebuilt}/vectors")
+            .select("vec_id", "embedding").collect()}
+    assert got == want
+
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0)
+          .select("embedding").head()[0]]
+    corpus_n = new.count()
+    a = [tuple(r) for r in ann_index.search_index(
+        spark, applied, qv, k=10, nprobe=4,
+        shortlist=corpus_n).drop("cell").collect()]
+    b = [tuple(r) for r in ann_index.search_index(
+        spark, rebuilt, qv, k=10, nprobe=4,
+        shortlist=corpus_n).drop("cell").collect()]
+    assert a == b
