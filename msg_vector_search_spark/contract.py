@@ -7137,6 +7137,67 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_ops.centroid_drift(old, emb)
 
 
+@register("streaming_centroid_drift", oracle="""
+WITH oldc AS (
+  SELECT label, i AS pos, (round(avg(embedding[i]), 6) + 0) AS c_old
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+  WHERE vec_id % 5 <> 0 GROUP BY label, i
+), newc AS (
+  SELECT label, i AS pos, (round(avg(embedding[i]), 6) + 0) AS c_new
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+  GROUP BY label, i
+), no AS (
+  SELECT label, count(*) AS n_old FROM embeddings
+  WHERE vec_id % 5 <> 0 GROUP BY label
+), nn AS (
+  SELECT label, count(*) AS n_new FROM embeddings GROUP BY label
+)
+SELECT o.label, no.n_old, nn.n_new,
+       (round(sqrt(sum(power(n.c_new - o.c_old, 2))), 6) + 0) AS drift
+FROM oldc o
+JOIN newc n ON n.label = o.label AND n.pos = o.pos
+JOIN no ON no.label = o.label
+JOIN nn ON nn.label = o.label
+GROUP BY o.label, no.n_old, nn.n_new
+""")
+def streaming_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drift monitor fed by LIVE ingest — embedding_centroid_drift
+    with the current crawl arriving as a file stream: the vec_id%5==0
+    slice lands in THREE separate micro-batches (maxFilesPerTrigger=1)
+    appended into the snapshot store by foreachBatch, and after the
+    stream drains the monitor diffs the prior snapshot against the
+    accreted store.  Sharing the batch row's oracle proves the
+    composition: N micro-batch appends produce exactly the monitored
+    state one bulk ingest produces, so a deployment can hang the
+    re-index trigger off the stream without a reconciliation pass."""
+    emb = _t(spark, sf_dir, "embeddings")
+    old = emb.filter(F.col("vec_id") % 5 != 0)
+    batch = emb.filter(F.col("vec_id") % 5 == 0)
+
+    root = tempfile.mkdtemp(prefix="driftstream_")
+    store = os.path.join(root, "store")
+    src = os.path.join(root, "incoming")
+    old.write.parquet(store)
+    batch.repartition(3).write.parquet(src)
+    stream = (spark.readStream.schema(batch.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+
+    def fold(bdf: DataFrame, batch_id: int) -> None:
+        if bdf.isEmpty():
+            return
+        bdf.write.mode("append").parquet(store)
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt_drift_")
+    q = (stream.writeStream.foreachBatch(fold)
+         .trigger(availableNow=True)
+         .option("checkpointLocation", ckpt).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return corpus_ops.centroid_drift(old, spark.read.parquet(store))
+
+
 @register("dedup_cluster_histogram", oracle=f"""
 WITH RECURSIVE pairs AS ({_MINHASH_PAIRS_SQL}),
 edges AS (
@@ -7212,6 +7273,60 @@ def dpp_dim_filtered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                    & (F.col("day") < F.lit("2024-01-12").cast("date"))))
     return (part.join(dim, "day")
             .select("event_id", "user_id", "event_type"))
+
+
+@register("bloom_filter_join_agg", oracle="""
+SELECT l.l_returnflag, CAST(count(*) AS BIGINT) AS n_items,
+       (round(sum(l.l_quantity), 6) + 0) AS sum_qty
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+GROUP BY l.l_returnflag
+""")
+def bloom_filter_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join (SPARK-32268) — the third runtime
+    pruning mechanism next to DPP and static partition filters: with a
+    selective dimension side and a shuffle join, Catalyst builds a
+    bloom_filter_agg over the dim keys and injects a might_contain
+    probe into the FACT scan, dropping rows that cannot join BEFORE
+    the exchange — at 100 TB that is most of the shuffle for a
+    selective dim filter.  The size thresholds exist for exactly the
+    reason this row lowers them: the fixture fact side is far below
+    the 10 GB application-side default, while at warehouse scale the
+    defaults fire on their own.  The injection happens at optimization
+    time, so the row materializes INSIDE the conf scope, asserts both
+    bloom operators in the executed plan, restores the confs (they
+    must not leak into the rest of the driver's sweep), and returns
+    the dimension-sized aggregate.  The oracle is the plain join: the
+    bloom filter is a pure reduction, never a semantics change."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.expectedNumItems":
+            "1000",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = _t(spark, sf_dir, "lineitem")
+        orders = (_t(spark, sf_dir, "orders")
+                  .filter(F.col("o_orderpriority") == "1-URGENT"))
+        j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+             .groupBy("l_returnflag")
+             .agg(F.count(F.lit(1)).alias("n_items"),
+                  rnd(F.sum("l_quantity"), 6).alias("sum_qty")))
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, "bloom build side missing"
+        assert "might_contain" in plan, "bloom probe missing"
+        rows = j.collect()
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return spark.createDataFrame(rows, j.schema)
 
 
 # session-lifetime cache of the "previous crawl" component store per

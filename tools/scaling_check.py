@@ -536,9 +536,71 @@ def audits_main() -> None:
             shutil.rmtree(d, ignore_errors=True)
 
 
+def erase_main() -> None:
+    """Erase-path scaling: delete a FIXED 20-key batch from indexes
+    built over 1x/4x/16x corpora.  nlist scales with the corpus (the
+    production sizing — cells stay ~constant-size), so the fast path
+    (victims' vectors provided, cells by centroid assignment) must
+    stay ~flat: rewritten bytes are bounded by batch x cell_size —
+    touched cells <= batch however large the corpus, so the REWRITTEN
+    FRACTION of the index falls as the corpus grows (the number the
+    README table reports).  The fallback id-column scan adds a term linear in
+    corpus ids — visible but tiny (id pages only).  The text-index
+    tombstone append is O(batch) flat by construction."""
+    from msg_vector_search_spark.operators import ann_index, retrieval
+    from msg_vector_search_spark.session import get_spark
+
+    mults = [int(a) for a in sys.argv[1:] if a.isdigit()] or [1, 4, 16]
+    spark = get_spark("erase_scaling")
+    print(f"{'xN':>4} {'vecs':>7} {'nlist':>6} {'fast_s':>7} "
+          f"{'fcells':>7} {'scan_s':>7} {'scells':>7} {'text_s':>7}")
+    for m in mults:
+        d = tempfile.mkdtemp(prefix=f"erase_{m}x_")
+        try:
+            replicate_embeddings(spark, m, d)
+            replicate(spark, m, d)
+            emb = spark.read.parquet(f"{d}/embeddings.parquet")
+            docs = spark.read.parquet(f"{d}/documents.parquet")
+            n = emb.count()
+            nlist = 16 * m
+            idx = os.path.join(d, "index")
+            ann_index.build_index(spark, emb, idx, nlist=nlist,
+                                  m=8, ncodes=16)
+            tidx = os.path.join(d, "tindex")
+            retrieval.build_inverted_index(docs, tidx)
+
+            fast_keys = emb.filter(F.col("vec_id") < 20)
+            t0 = time.perf_counter()
+            fcells = ann_index.delete_index_keys(
+                spark, idx, fast_keys.select("vec_id"),
+                vectors=fast_keys)
+            t_fast = time.perf_counter() - t0
+
+            scan_keys = emb.filter((F.col("vec_id") >= 20)
+                                   & (F.col("vec_id") < 40))
+            t0 = time.perf_counter()
+            scells = ann_index.delete_index_keys(
+                spark, idx, scan_keys.select("vec_id"))
+            t_scan = time.perf_counter() - t0
+
+            t0 = time.perf_counter()
+            retrieval.delete_inverted_docs(
+                docs.filter(F.col("doc_id") < 500).select("doc_id"),
+                tidx)
+            t_text = time.perf_counter() - t0
+
+            print(f"{m:>4} {n:>7} {nlist:>6} {t_fast:>7.2f} "
+                  f"{len(fcells):>7} {t_scan:>7.2f} {len(scells):>7} "
+                  f"{t_text:>7.2f}")
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+
 if __name__ == "__main__":
     if "--knee" in sys.argv:
         knee_main()
+    elif "--erase" in sys.argv:
+        erase_main()
     elif "--tpch" in sys.argv:
         tpch_main()
     elif "--retrieval" in sys.argv:
