@@ -3914,6 +3914,45 @@ def ann_index_erase(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   k=10, nprobe=4, shortlist=50)
 
 
+@register("streaming_index_erase", oracle=_INDEX_ERASE_ORACLE)
+def streaming_index_erase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Erasure requests arriving LIVE — the streaming twin of
+    ann_index_erase, mirroring streaming_index_upsert on the forget
+    side: the victim key set reaches the index as a file stream in
+    THREE separate micro-batches (maxFilesPerTrigger=1), each folded
+    by foreachBatch into delete_index_keys.  Sharing the batch row's
+    oracle proves batch-split invariance for the GDPR verb: N partial
+    erasures land the index in exactly the state one bulk erasure
+    produces, so a deletion queue can be re-sharded and re-tried
+    freely — the property that makes forget-on-stream deployable."""
+    emb = _t(spark, sf_dir, "embeddings")
+    path = _full_index_copy(spark, sf_dir)
+    victims = emb.filter(F.col("vec_id") % 10 == 3).select("vec_id")
+    qrow = emb.filter(F.col("vec_id") == 3).select("embedding").head()
+
+    src = os.path.join(tempfile.mkdtemp(prefix="erasestream_"), "keys")
+    victims.repartition(3).write.parquet(src)
+    stream = (spark.readStream.schema(victims.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+
+    def forget(bdf: DataFrame, batch_id: int) -> None:
+        if bdf.isEmpty():
+            return
+        ann_index.delete_index_keys(bdf.sparkSession, path, bdf)
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt_erasestream_")
+    q = (stream.writeStream.foreachBatch(forget)
+         .trigger(availableNow=True)
+         .option("checkpointLocation", ckpt).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return ann_index.search_index(spark, path,
+                                  [float(x) for x in qrow[0]],
+                                  k=10, nprobe=4, shortlist=50)
+
+
 @register("ann_index_stats", oracle=f"""
 WITH cent AS (
   SELECT vec_id AS centroid_id, embedding AS cvec
@@ -7101,6 +7140,53 @@ def bpe_pair_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     size."""
     docs = _t(spark, sf_dir, "documents")
     return corpus_ops.bpe_pair_counts(docs, top=20)
+
+
+def _bpe_rounds_sql(k: int) -> str:
+    """Unrolled K-round BPE training oracle: one (pair-count argmax,
+    rewrite) CTE pair per round — the DuckDB rendering of the Spark
+    driver loop, merge-for-merge (greedy sequential training is not
+    expressible in a recursive CTE for the same reason as greedy MMR:
+    the recursive term can't aggregate over its own accumulation)."""
+    parts = [f"""
+WITH t0 AS (
+  SELECT trim(regexp_replace(tok, '(.)', '\\1 ', 'g')) AS s FROM (
+    SELECT unnest({_DUCK_TOKENS}) AS tok FROM documents
+  ) WHERE regexp_full_match(tok, '[a-z]+') AND length(tok) >= 2
+)"""]
+    for r in range(1, k + 1):
+        parts.append(f""", b{r} AS MATERIALIZED (
+  SELECT pair, count(*) AS cnt FROM (
+    SELECT unnest([l[i+1] || ' ' || l[i+2]
+                   FOR i IN range(len(l) - 1)]) AS pair
+    FROM (SELECT string_split(s, ' ') AS l FROM t{r - 1})
+  ) GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1
+), t{r} AS (
+  SELECT replace(s, (SELECT pair FROM b{r}),
+                 replace((SELECT pair FROM b{r}), ' ', '')) AS s
+  FROM t{r - 1}
+)""")
+    selects = [f"SELECT CAST({r} AS INT) AS round, pair, "
+               f"replace(pair, ' ', '') AS merged, cnt FROM b{r}"
+               for r in range(1, k + 1)]
+    parts.append("\n" + "\nUNION ALL ".join(selects))
+    return "".join(parts)
+
+
+@register("bpe_merge_rounds", oracle=_bpe_rounds_sql(3))
+def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, the actual iterative loop (3 merge
+    rounds) — the sequential algorithm bpe_pair_frequencies is the
+    first step of: each round counts adjacent-symbol pairs (one
+    map-side-partial aggregate), merges the argmax pair (1-row driver
+    decision), and rewrites the corpus symbol sequences with a
+    scan-riding literal replace, checkpointed so K rounds cost K
+    scans.  The oracle unrolls the identical rounds in SQL; matching
+    all three (pair, count) rows proves the merge RESULTS feed the
+    next round's statistics correctly — the inter-round dependency a
+    single-pass audit can't see."""
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_ops.bpe_merge_rounds(docs, rounds=3)
 
 
 @register("embedding_centroid_drift", oracle="""

@@ -182,3 +182,52 @@ def bpe_pair_counts(docs: DataFrame, top: int = 20,
             .agg(F.count("*").alias("cnt"))
             .orderBy(F.col("cnt").desc(), F.col("pair").asc())
             .limit(top))
+
+
+def bpe_merge_rounds(docs: DataFrame, rounds: int = 3,
+                     text_col: str = "text") -> DataFrame:
+    """Iterative BPE vocabulary induction (Sennrich et al., ACL 2016) —
+    the sequential training loop :func:`bpe_pair_counts` is one round
+    of: count adjacent-SYMBOL pairs over the corpus, merge the argmax
+    pair, rewrite the symbol sequences, repeat.  Returns one row per
+    round: ``(round, pair, merged, cnt)``.
+
+    The loop is inherently sequential (round r's counts depend on
+    round r-1's merge — why tokenizer training is a scheduled job, not
+    a query), but each round's WORK is fully distributed: one
+    map-side-partial aggregate for the pair counts (key domain is the
+    growing-but-tiny symbol-pair vocabulary), a 1-row driver argmax,
+    and a scan-riding literal ``replace`` for the rewrite.  Symbol
+    sequences are spaced strings (``'b p e'``) so a merge is a plain
+    left-to-right non-overlapping string replace — identical semantics
+    in Spark and the unrolled DuckDB oracle.  Each round's rewrite is
+    checkpointed, so K rounds cost K corpus scans, not K^2 (at
+    warehouse scale: a reliable-storage checkpoint per round, exactly
+    how iterative MLlib jobs persist between passes)."""
+    spark = docs.sparkSession
+    toks = (docs
+            .select(F.explode(analysis.tokens(F.col(text_col)))
+                    .alias("tok"))
+            .filter(F.col("tok").rlike("^[a-z]+$"))
+            .filter(F.length("tok") >= 2))
+    spaced = toks.select(
+        F.trim(F.regexp_replace("tok", "(.)", "$1 ")).alias("s")) \
+        .localCheckpoint()
+    out = []
+    for r in range(1, rounds + 1):
+        arr = F.split(F.col("s"), " ")
+        pairs = F.transform(
+            F.sequence(F.lit(0), F.size(arr) - 2),
+            lambda i: F.concat(F.get(arr, i), F.lit(" "),
+                               F.get(arr, i + 1)))
+        best = (spaced.select(F.explode(pairs).alias("pair"))
+                .groupBy("pair").agg(F.count("*").alias("cnt"))
+                .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+                .head())
+        merged = best["pair"].replace(" ", "")
+        out.append((r, best["pair"], merged, int(best["cnt"])))
+        spaced = spaced.select(
+            F.replace(F.col("s"), F.lit(best["pair"]),
+                      F.lit(merged)).alias("s")).localCheckpoint()
+    return spark.createDataFrame(
+        out, "round int, pair string, merged string, cnt long")

@@ -132,6 +132,12 @@ SECTIONS = [
         "incremental_agg_merge", "incremental_distinct_sketch",
         "store_changefeed", "text_inverted_index_topk",
         "ann_index_compact"]),
+    ("Index lifecycle closure: erasure, text maintenance, changefeed "
+     "wiring (round 7)", [
+        "ann_index_erase", "text_index_upsert", "text_index_erase",
+        "text_index_compact", "text_index_stats",
+        "pipeline_forget_and_serve", "changefeed_apply_index",
+        "bloom_filter_join_agg", "streaming_centroid_drift"]),
 ]
 
 
