@@ -263,6 +263,23 @@ SHOW = [
      "the fact scan as dynamicpruningexpression inside "
      "PartitionFilters — runtime directory pruning, no literal "
      "needed."),
+    ("text_index_upsert",
+     "BM25 served after an incremental index upsert: postings pruned "
+     "to the query terms' buckets (partition filter), the tombstone "
+     "set enters as a broadcast join, stats recount live rows — the "
+     "serving plan is unchanged by maintenance, which is the point of "
+     "the generation design."),
+    ("ann_index_erase",
+     "Post-erasure serving: the same cell-pruned materialized-index "
+     "plan as ann_ivfpq_materialized — erasure rewrote victim cells "
+     "in place, so the query path carries zero erasure artifacts (no "
+     "anti-join, no filter): forgotten rows are physically gone."),
+    ("pipeline_forget_and_serve",
+     "The composed lifecycle capstone: both legs read MAINTAINED "
+     "indexes (pruned postings + tombstone broadcast; cell-pruned "
+     "IVFPQ), each ranked by ordered-limit + broadcast self-join, "
+     "fused over two 50-row frames — maintenance never adds a "
+     "corpus-sized stage to serving."),
 ]
 
 
