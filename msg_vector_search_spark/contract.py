@@ -7415,6 +7415,81 @@ def bloom_filter_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, j.schema)
 
 
+@register("aqe_skew_join_agg", oracle="""
+WITH f AS (
+  SELECT e.user_id,
+         md5(CAST(e.event_id AS VARCHAR) || '-' || CAST(t.i AS VARCHAR))
+           AS payload
+  FROM events e
+  CROSS JOIN LATERAL unnest(generate_series(1,
+        CASE WHEN e.user_id = 1 THEN 400 ELSE 1 END)) AS t(i)
+), d AS (SELECT DISTINCT user_id, user_id % 7 AS grp FROM events)
+SELECT d.grp, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(length(f.payload)) AS BIGINT) AS payload_bytes
+FROM f JOIN d ON d.user_id = f.user_id
+GROUP BY d.grp
+""")
+def aqe_skew_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE skew-join — the RUNTIME answer to key skew, next to the
+    compile-time salting of join_salted_skew (same disease, the two
+    production cures): one user's rows are amplified x400 so its hash
+    partition dwarfs the rest, and with the size thresholds lowered to
+    fixture scale (the exact reason they're confs: at warehouse scale
+    the 256 MB default fires on its own) AQE's OptimizeSkewedJoin
+    splits the hot partition across PartialReducerPartitionSpec ranges
+    — the plan is asserted to carry ``SortMergeJoin(skew=true)`` with
+    a skewed AQEShuffleRead.  Two shapes this row pins because both
+    silently veto the optimization when absent: the fact side must
+    arrive from MULTIPLE mappers (a skewed reduce partition splits by
+    map-output ranges, so a single-split scan can never split — hence
+    the widen), and the rule's pattern wants the shuffle directly
+    under the join's Sort (an aggregate between them breaks the match
+    — hence the dim is materialized first).  The payload is md5 text
+    so column-pruned shuffle compression can't erase the skew the
+    thresholds measure.  Materialized inside the conf scope (AQE
+    decides at run time), confs restored after; the oracle is the
+    plain join — skew handling is pure partitioning, never semantics.
+    """
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1KB",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        ev = _t(spark, sf_dir, "events").select("event_id", "user_id")
+        fact = (readers.widen(ev)
+                .withColumn("_r", F.explode(F.sequence(
+                    F.lit(1),
+                    F.when(F.col("user_id") == 1, F.lit(400))
+                    .otherwise(F.lit(1)))))
+                .withColumn("payload",
+                            F.md5(F.concat_ws("-", "event_id", "_r"))))
+        dim = (ev.select("user_id").distinct()
+               .withColumn("grp", F.col("user_id") % 7)
+               .localCheckpoint())
+        j = (fact.join(dim, "user_id")
+             .groupBy("grp")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum(F.length("payload")).cast("long")
+                  .alias("payload_bytes")))
+        rows = j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, "AQE skew-join did not engage"
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return spark.createDataFrame(rows, j.schema)
+
+
 # session-lifetime cache of the "previous crawl" component store per
 # sf_dir (immutable fixture, read-only artifact)
 _CC_BASE_CACHE: dict[str, str] = {}
