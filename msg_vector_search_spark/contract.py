@@ -7162,8 +7162,10 @@ WITH t0 AS (
     FROM (SELECT string_split(s, ' ') AS l FROM t{r - 1})
   ) GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1
 ), t{r} AS (
-  SELECT replace(s, (SELECT pair FROM b{r}),
-                 replace((SELECT pair FROM b{r}), ' ', '')) AS s
+  SELECT trim(replace(' ' || s || ' ',
+                      ' ' || (SELECT pair FROM b{r}) || ' ',
+                      ' ' || replace((SELECT pair FROM b{r}), ' ', '')
+                          || ' ')) AS s
   FROM t{r - 1}
 )""")
     selects = [f"SELECT CAST({r} AS INT) AS round, pair, "

@@ -272,11 +272,21 @@ def delete_index_keys(spark: SparkSession, path: str, keys: DataFrame,
     keyed = (keys.select(id_col).filter(F.col(id_col).isNotNull())
              .distinct().localCheckpoint())
     if vectors is not None:
+        # fast path, made total: keys whose CURRENT row is missing from
+        # (or null in) the supplied frame fall back to the id-scan —
+        # otherwise a stale feed would silently leave survivors while
+        # the call still reported success
+        present = (vectors.filter(F.col(vec_col).isNotNull())
+                   .join(F.broadcast(keyed), id_col, "semi"))
         cent = load_centroids(spark, path)
-        assigned = ivf.assign_cells(
-            vectors.join(F.broadcast(keyed), id_col, "semi"),
-            cent, id_col=id_col, vec_col=vec_col)
-        cells = assigned.select("cell")
+        cells = ivf.assign_cells(present, cent, id_col=id_col,
+                                 vec_col=vec_col).select("cell")
+        missing = keyed.join(present.select(id_col), id_col, "left_anti")
+        if missing.limit(1).count():
+            cells = cells.unionByName(
+                spark.read.parquet(vstore)
+                .join(F.broadcast(missing), id_col, "semi")
+                .select("cell"))
     else:
         cells = (spark.read.parquet(vstore)
                  .join(F.broadcast(keyed), id_col, "semi")
@@ -284,9 +294,15 @@ def delete_index_keys(spark: SparkSession, path: str, keys: DataFrame,
     touched = sorted(r[0] for r in cells.distinct().collect())
     if not touched:
         return []
-    erase_partitions(spark, vstore, id_col, keyed, touched,
-                     part_col="cell")
+    # codes FIRST, then vectors: the re-run recovery derives victim
+    # cells from the vectors store, so victims must stay discoverable
+    # there until the codes-side erase has committed — with this order
+    # a crash at any point re-converges, and a half-erased index can
+    # never SERVE a victim either (serving = codes shortlist joined
+    # back to vectors; erased codes keep victims out of the shortlist)
     erase_partitions(spark, cstore, id_col, keyed, touched,
+                     part_col="cell")
+    erase_partitions(spark, vstore, id_col, keyed, touched,
                      part_col="cell")
     return touched
 

@@ -220,14 +220,26 @@ def bpe_merge_rounds(docs: DataFrame, rounds: int = 3,
             F.sequence(F.lit(0), F.size(arr) - 2),
             lambda i: F.concat(F.get(arr, i), F.lit(" "),
                                F.get(arr, i + 1)))
-        best = (spaced.select(F.explode(pairs).alias("pair"))
+        # fully-merged sequences (one symbol left) contribute no pairs;
+        # without the guard, size-2 = -1 makes sequence(0,-1) emit a
+        # DESCENDING [0,-1] whose out-of-bounds gets are null pairs
+        best = (spaced.filter(F.size(arr) >= 2)
+                .select(F.explode(pairs).alias("pair"))
                 .groupBy("pair").agg(F.count("*").alias("cnt"))
                 .orderBy(F.col("cnt").desc(), F.col("pair").asc())
                 .head())
         merged = best["pair"].replace(" ", "")
         out.append((r, best["pair"], merged, int(best["cnt"])))
-        spaced = spaced.select(
-            F.replace(F.col("s"), F.lit(best["pair"]),
-                      F.lit(merged)).alias("s")).localCheckpoint()
+        # space-sentinel replace so a merge fires only on WHOLE-SYMBOL
+        # boundaries: ' x y ' cannot match the tail of a multi-char
+        # symbol ('th e' does not contain ' h e ') — a BPE pair is two
+        # SYMBOLS, not two substrings.  Leftmost-first non-overlapping
+        # literal replace (identical semantics in DuckDB) is BPE's
+        # greedy application order, the re-inserted spaces chaining
+        # adjacent matches.
+        spaced = spaced.select(F.trim(F.replace(
+            F.concat(F.lit(" "), F.col("s"), F.lit(" ")),
+            F.lit(f" {best['pair']} "),
+            F.lit(f" {merged} "))).alias("s")).localCheckpoint()
     return spark.createDataFrame(
         out, "round int, pair string, merged string, cnt long")

@@ -135,22 +135,32 @@ TEXT_META = "_text_index_meta.json"
 
 def _read_text_meta(path: str, id_col: str = "doc_id",
                     n_buckets: int = INDEX_BUCKETS) -> dict:
-    """Meta sidecar, tolerating indexes written before it existed
-    (gen 0, caller-supplied layout)."""
+    """Meta sidecar.  A MISSING file means an index written before the
+    sidecar existed (gen 0, caller-supplied layout) — tolerated.  An
+    UNPARSEABLE file is raised, never defaulted: the atomic write below
+    makes corruption impossible from this code, and silently resetting
+    the generation to 0 would make every existing tombstone a no-op
+    and every new delete ineffective (rows at gen>0 would all pass the
+    gen > upto_gen filter) — a data-integrity failure worth stopping
+    on, not guessing through."""
     import json
 
     try:
         with open(os.path.join(path, TEXT_META)) as f:
             return json.load(f)
-    except (FileNotFoundError, NotADirectoryError, ValueError):
+    except (FileNotFoundError, NotADirectoryError):
         return {"n_buckets": n_buckets, "gen": 0, "id_col": id_col}
+    except ValueError as e:
+        raise ValueError(
+            f"corrupt text-index meta at {path}: {e}; refusing to "
+            "default the generation counter (it would silently disarm "
+            "tombstones) — restore or rebuild the index") from e
 
 
 def _write_text_meta(path: str, meta: dict) -> None:
-    import json
+    from ..sources.sinks import _atomic_write_json
 
-    with open(os.path.join(path, TEXT_META), "w") as f:
-        json.dump(meta, f)
+    _atomic_write_json(os.path.join(path, TEXT_META), meta)
 
 
 def _tombstone_frame(spark, path: str, id_col: str):
@@ -206,6 +216,12 @@ def build_inverted_index(docs: DataFrame, path: str,
     one-pass index build, and incremental batches append with the same
     bucket function (:func:`upsert_inverted_index` — the layout is
     content-addressed, like the ANN store's cells)."""
+    import shutil
+
+    # an in-place REBUILD over a previously-maintained index must not
+    # inherit its tombstones: fresh gen-0 rows of a once-erased doc
+    # would fail gen > upto_gen and silently vanish from the new index
+    shutil.rmtree(os.path.join(path, "tombstones"), ignore_errors=True)
     base = _tokenized(docs, text_col, id_col)
     base.select(id_col, "dl") \
         .withColumn("gen", F.lit(0).cast("long")) \

@@ -116,9 +116,18 @@ def _read_layout(path: str) -> dict | None:
         return None
 
 
+def _atomic_write_json(target: str, payload: dict) -> None:
+    """Write-then-rename so a crash mid-write can never leave truncated
+    JSON where a marker file is expected — readers see the old file or
+    the new one, never garbage (rename is atomic within a directory)."""
+    tmp = target + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+    os.replace(tmp, target)
+
+
 def _write_layout(path: str, meta: dict) -> None:
-    with open(os.path.join(path, LAYOUT_META), "w") as f:
-        json.dump(meta, f)
+    _atomic_write_json(os.path.join(path, LAYOUT_META), meta)
 
 
 def _dedup_last_wins_bucketed(df: DataFrame, key: str,
@@ -339,8 +348,17 @@ def _finish_pending_delete(path: str) -> bool:
     mpath = os.path.join(path, DELETE_MANIFEST)
     if not os.path.exists(mpath):
         return False
-    with open(mpath) as f:
-        manifest = json.load(f)
+    try:
+        with open(mpath) as f:
+            manifest = json.load(f)
+    except ValueError:
+        # unreadable manifest = a crash BEFORE the (atomic) manifest
+        # write could have committed anything — the store directories
+        # are intact and only staging exists.  Discard both instead of
+        # bricking every read path that now calls this first.
+        os.remove(mpath)
+        shutil.rmtree(path + "._staged", ignore_errors=True)
+        return False
     # the manifest records its own partition column, so recovery needs
     # no caller knowledge of the store's layout (the ANN index erasure
     # records "cell"; stores predating the field read as BUCKET_COL)
@@ -406,8 +424,6 @@ def delete_keys(spark: SparkSession, path: str, key: str,
              .withColumn(BUCKET_COL, _bucket_expr(key, meta)))
     touched = sorted(
         r[0] for r in keyed.select(BUCKET_COL).distinct().collect())
-    if not touched:
-        return []
     return erase_partitions(spark, path, key, keyed.select(key), touched,
                             part_col=BUCKET_COL)
 
@@ -436,9 +452,7 @@ def erase_partitions(spark: SparkSession, path: str, key: str,
                if not os.path.exists(os.path.join(tmp, f"{part_col}={b}"))]
     manifest = {"touched": touched, "emptied": emptied,
                 "part_col": part_col}
-    mpath = os.path.join(path, DELETE_MANIFEST)
-    with open(mpath, "w") as f:
-        json.dump(manifest, f)
+    _atomic_write_json(os.path.join(path, DELETE_MANIFEST), manifest)
     _finish_pending_delete(path)  # the commit IS the recovery routine
     return touched
 

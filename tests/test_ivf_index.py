@@ -525,3 +525,68 @@ def test_apply_changefeed_converges_to_rebuild(spark, tmp_path):
         spark, rebuilt, qv, k=10, nprobe=4,
         shortlist=corpus_n).drop("cell").collect()]
     assert a == b
+
+
+def test_delete_index_keys_crash_between_stores_rerun_converges(
+        spark, tmp_path, monkeypatch):
+    """The nastiest erase crash point: the codes-store erase COMMITTED
+    (manifest gone) but the vectors-store erase never ran.  Because
+    the re-run recovery derives victim cells from the VECTORS store,
+    codes must erase first — this test pins that order by crashing
+    between the two commits and asserting (a) the half-erased index
+    cannot serve a victim even before recovery, and (b) re-running the
+    same delete (the documented recovery path) lands both stores in
+    the crash-free state."""
+    import os
+
+    from msg_vector_search_spark.operators import ann_index
+    from msg_vector_search_spark.sources import sinks as sinks_mod
+
+    emb = readers.read_table(spark, SF, "embeddings")
+    path = str(tmp_path / "crash2_idx")
+    ann_index.build_index(spark, emb, path, nlist=4, m=8, ncodes=16)
+    victims = emb.filter(F.col("vec_id") % 9 == 0).select("vec_id") \
+        .localCheckpoint()
+    victim_ids = {r["vec_id"] for r in victims.collect()}
+
+    real = sinks_mod.erase_partitions
+    calls = {"n": 0}
+
+    def crash_on_second(spark_, store, key, keys, touched, part_col):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("simulated crash between store erasures")
+        return real(spark_, store, key, keys, touched, part_col=part_col)
+
+    monkeypatch.setattr(sinks_mod, "erase_partitions", crash_on_second)
+    import msg_vector_search_spark.operators.ann_index as ai
+    # ann_index imports erase_partitions inside the function body from
+    # sinks, so patching the sinks module attribute is sufficient
+    try:
+        ai.delete_index_keys(spark, path, victims)
+        raise AssertionError("crash did not fire")
+    except RuntimeError:
+        pass
+    monkeypatch.undo()
+
+    # half-erased: codes gone, vectors still hold victims — but serving
+    # cannot return a victim (shortlist comes from the erased codes)
+    codes_ids = {r["vec_id"] for r in spark.read.parquet(
+        f"{path}/codes").select("vec_id").collect()}
+    assert codes_ids.isdisjoint(victim_ids)
+    qrow = emb.filter(F.col("vec_id") == sorted(victim_ids)[0]) \
+        .select("embedding").head()
+    served = {r["vec_id"] for r in ann_index.search_index(
+        spark, path, [float(x) for x in qrow[0]], k=10, nprobe=4,
+        shortlist=100).collect()}
+    assert served.isdisjoint(victim_ids)
+
+    # recovery: the same delete again — victims still discoverable in
+    # the vectors store, so the re-run re-derives the full cell set
+    touched = ann_index.delete_index_keys(spark, path, victims)
+    assert touched
+    for s in ("vectors", "codes"):
+        ids = {r["vec_id"] for r in spark.read.parquet(
+            f"{path}/{s}").select("vec_id").collect()}
+        assert ids.isdisjoint(victim_ids)
+        assert len(ids) == emb.count() - len(victim_ids)
