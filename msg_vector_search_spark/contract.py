@@ -7418,17 +7418,21 @@ def bloom_filter_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("aqe_skew_join_agg", oracle="""
-WITH f AS (
-  SELECT e.user_id,
-         md5(CAST(e.event_id AS VARCHAR) || '-' || CAST(t.i AS VARCHAR))
+WITH k AS (
+  SELECT event_id,
+         CASE WHEN event_id % 100 = 0 THEN 1 ELSE user_id END AS uid
+  FROM events
+), f AS (
+  SELECT k.uid,
+         md5(CAST(k.event_id AS VARCHAR) || '-' || CAST(t.i AS VARCHAR))
            AS payload
-  FROM events e
+  FROM k
   CROSS JOIN LATERAL unnest(generate_series(1,
-        CASE WHEN e.user_id = 1 THEN 400 ELSE 1 END)) AS t(i)
-), d AS (SELECT DISTINCT user_id, user_id % 7 AS grp FROM events)
+        CASE WHEN k.event_id % 100 = 0 THEN 200 ELSE 1 END)) AS t(i)
+), d AS (SELECT DISTINCT uid, uid % 7 AS grp FROM k)
 SELECT d.grp, CAST(count(*) AS BIGINT) AS n,
        CAST(sum(length(f.payload)) AS BIGINT) AS payload_bytes
-FROM f JOIN d ON d.user_id = f.user_id
+FROM f JOIN d ON d.uid = f.uid
 GROUP BY d.grp
 """)
 def aqe_skew_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7455,8 +7459,8 @@ def aqe_skew_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     confs = {
         "spark.sql.autoBroadcastJoinThreshold": "-1",
         "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
-            "64KB",
-        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+            "24KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "24KB",
         "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
         "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1KB",
     }
@@ -7464,18 +7468,28 @@ def aqe_skew_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         for k, v in confs.items():
             spark.conf.set(k, v)
+        # the hot key is MANUFACTURED, not found: 1% of events remap to
+        # uid 1 and amplify x200, so the hot partition carries ~2x the
+        # rest of the corpus at EVERY fixture sf (a natural "hot user"
+        # stops being hot once the user count scales with the corpus —
+        # at sf0.1 the busiest of 1,498 users is only ~4x the median,
+        # and the optimizer rightly leaves that alone)
         ev = _t(spark, sf_dir, "events").select("event_id", "user_id")
-        fact = (readers.widen(ev)
+        keyed = readers.widen(ev.withColumn(
+            "uid", F.when(F.col("event_id") % 100 == 0,
+                          F.lit(1).cast("long"))
+            .otherwise(F.col("user_id"))))
+        fact = (keyed
                 .withColumn("_r", F.explode(F.sequence(
                     F.lit(1),
-                    F.when(F.col("user_id") == 1, F.lit(400))
+                    F.when(F.col("event_id") % 100 == 0, F.lit(200))
                     .otherwise(F.lit(1)))))
                 .withColumn("payload",
                             F.md5(F.concat_ws("-", "event_id", "_r"))))
-        dim = (ev.select("user_id").distinct()
-               .withColumn("grp", F.col("user_id") % 7)
+        dim = (keyed.select("uid").distinct()
+               .withColumn("grp", F.col("uid") % 7)
                .localCheckpoint())
-        j = (fact.join(dim, "user_id")
+        j = (fact.join(dim, "uid")
              .groupBy("grp")
              .agg(F.count(F.lit(1)).alias("n"),
                   F.sum(F.length("payload")).cast("long")
