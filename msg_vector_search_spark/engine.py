@@ -21,6 +21,7 @@ from __future__ import annotations
 import time
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from .plans import ingest as ingest_plan
 from .plans import search as search_plan
@@ -82,6 +83,13 @@ class Engine:
         count is the dominant cost of the gate)."""
         if self.gate.should_update(self._freshness_gap, force=force_update):
             self.update_embeddings()
+        elif not self._store_exists():
+            # cold start below the gate threshold: a corpus smaller
+            # than the warmup gap never triggers the gate, and reading
+            # a store that was never written would throw — bootstrap
+            # the first ingest instead (the reference's first search
+            # does the same through its inline-update path)
+            self.update_embeddings()
         corpus = self._store()
         return search_plan.search_with_envelope(
             corpus, query, limit=limit, threshold=threshold,
@@ -90,31 +98,53 @@ class Engine:
     # -- 3.3 stats path ---------------------------------------------------
     def get_database_stats(self) -> dict:
         """One union-of-aggregates query (reference: engine.py:228-284
-        runs three serial round-trips)."""
+        runs three serial round-trips).  Before the first ingest the
+        embedded side is an empty frame, not a crash — the reference
+        reports zero embedded on an empty store."""
         msgs = ingest_plan.messages_from_events(
             readers.read_table(self.spark, self.sf_dir, "events"))
-        row = stats_plan.database_stats(msgs, self._store()).collect()[0]
+        if self._store_exists():
+            embedded = self._store()
+        else:
+            embedded = self.spark.range(0).select(
+                F.lit(None).cast("string").alias("message_id"))
+        row = stats_plan.database_stats(msgs, embedded).collect()[0]
         return row.asDict()
 
     # -- internals ---------------------------------------------------------
-    def _store(self):
+    def _store_path(self) -> str:
         import os
-        path = os.path.join(self.store_dir, "message_embeddings.parquet")
-        return sinks.read_store(self.spark, path)
+        return os.path.join(self.store_dir, "message_embeddings.parquet")
+
+    def _store_exists(self) -> bool:
+        import os
+        return os.path.exists(self._store_path())
+
+    def _store(self):
+        return sinks.read_store(self.spark, self._store_path())
+
+    def _embedded_count(self) -> int:
+        if not self._store_exists():
+            return 0  # store not initialized yet (first run)
+        return self._store().count()
 
     def _freshness_gap(self) -> int:
+        """Pending-ingest gap measured against the WATERMARK: rows of
+        the source strictly newer than the last consumed instant.  The
+        raw count-minus-count form never converges when some rows are
+        consumed but not stored (empty cleaned text — the watermark
+        advances over them, the store doesn't), which left the gate
+        re-triggering a no-op ingest at every cooldown forever; the
+        watermark form also rides a pushed-down predicate instead of a
+        full-table count."""
         now = self._clock()
         if self._gap_cache is not None and now - self._gap_cache[0] <= self.GAP_TTL_S:
             return self._gap_cache[1]
-        gap = self._message_count() - self._embedded_count()
+        from .operators import filters
+        from .sources import state
+
+        events = readers.read_table(self.spark, self.sf_dir, "events")
+        wm = state.read_watermark(self.spark, self.store_dir)
+        gap = filters.since_ts(events, wm).count()
         self._gap_cache = (now, gap)
         return gap
-
-    def _message_count(self) -> int:
-        return readers.read_table(self.spark, self.sf_dir, "events").count()
-
-    def _embedded_count(self) -> int:
-        try:
-            return self._store().count()
-        except Exception:
-            return 0  # store not initialized yet (first run)

@@ -8,7 +8,6 @@ for B3) — the reference hand-writes the same predicates into SQL strings
 
 from __future__ import annotations
 
-import calendar
 from datetime import datetime
 
 from pyspark.sql import Column, DataFrame
@@ -38,10 +37,17 @@ def since_ts(df: DataFrame, watermark: datetime | str,
     exact = (F.col(ts_col) >= F.lit(watermark) if inclusive
              else F.col(ts_col) > F.lit(watermark))
     if "_ts_nanos" in df.columns and isinstance(watermark, datetime):
-        wm_nanos = (calendar.timegm(watermark.utctimetuple()) * 10**9
-                    + watermark.microsecond * 1_000)
-        coarse = (F.col("_ts_nanos") >= F.lit(wm_nanos) if inclusive
-                  else F.col("_ts_nanos") > F.lit(wm_nanos))
+        # derive the raw-domain bound from the SAME timestamp literal
+        # the exact predicate binds — a naive datetime is interpreted
+        # by PySpark's literal conversion (driver OS timezone), and a
+        # Python-side utc conversion here would disagree with it on any
+        # non-UTC driver, silently dropping the rows in the offset
+        # window.  unix_micros(lit)*1000 constant-folds to a plain long
+        # literal, so the twin still reaches PushedFilters (pinned in
+        # tests/test_plan_shapes.py).
+        wm_nanos = F.unix_micros(F.lit(watermark)) * F.lit(1000)
+        coarse = (F.col("_ts_nanos") >= wm_nanos if inclusive
+                  else F.col("_ts_nanos") > wm_nanos)
         return df.filter(coarse & exact)
     return df.filter(exact)
 

@@ -126,7 +126,13 @@ def ingest_batch(spark: SparkSession, sf_dir: str, store_dir: str,
     msgs = enrich.context_prev_next(
         msgs, "session_id", "ts", "message_text")
 
-    user_dim = build_user_dim(readers.read_table(spark, sf_dir, "events"))
+    # the dimension derives from the BATCH's users, not a second full
+    # source scan: the display name is a pure function of user_id, so
+    # batch-restricted derivation enriches identically — and the full
+    # scan would dominate the watermark-pruned incremental read at
+    # scale (the reference caches this dim for 24h, user_mapper.py:
+    # 222-233; here it needs no cache because it costs O(batch))
+    user_dim = build_user_dim(scanned)
     msgs = enrich.join_user_dim(msgs, user_dim)
 
     msgs = embed.with_embeddings(msgs, "message_text")
@@ -135,9 +141,19 @@ def ingest_batch(spark: SparkSession, sf_dir: str, store_dir: str,
     # message_id is the arrival-ordered event id: the range layout puts
     # an incremental batch in O(batch/width) partition dirs however big
     # the store has grown (sinks.py module docstring has the cost model)
-    sinks.upsert_parquet(spark, msgs, out_path, key="message_id",
-                         order_col="ts", layout="range")
-    stored = sinks.read_store(spark, out_path)
+    store_exists = os.path.exists(out_path)
+    if msgs.limit(1).count() > 0:
+        sinks.upsert_parquet(spark, msgs, out_path, key="message_id",
+                             order_col="ts", layout="range")
+        store_exists = True
+    if store_exists:
+        stored = sinks.read_store(spark, out_path)
+    else:
+        # nothing storable yet (empty source, or every row's cleaned
+        # text is empty): report an empty result instead of writing a
+        # data-less store directory that read_store can't infer a
+        # schema from
+        stored = msgs.limit(0)
 
     if new_wm is not None:
         state.write_watermark(spark, store_dir, new_wm)

@@ -85,14 +85,15 @@ def search(corpus: DataFrame, query: str, limit: int = 30,
     qvec = embed.embed_query_vector(query)
     df = filters.dynamic_conjunction(
         corpus, conversation_type=conversation_type, session_id=session_id)
-    scored = (
-        similarity.similarity_to_query(df, qvec, vec_col)
-        .withColumn("sim", (F.round(F.col("sim"), 6) + F.lit(0.0)))
-    )
-    return similarity.top_k(
-        filters.sim_threshold(scored, threshold), limit,
-        tiebreak=id_col,
-    ).withColumn("similarity_score", (F.round(F.col("sim"), 3) + F.lit(0.0)))
+    # knn_search owns the score -> top-k -> threshold composition (and
+    # deliberately orders top-k BEFORE the threshold: a pushed-down
+    # threshold would inline the cosine expression into the filter and
+    # evaluate it twice per corpus row — similarity.py:87-91)
+    return (similarity.knn_search(df, qvec, k=limit,
+                                  threshold=threshold, vec_col=vec_col,
+                                  tiebreak=id_col)
+            .withColumn("similarity_score",
+                        (F.round(F.col("sim"), 3) + F.lit(0.0))))
 
 
 def search_with_envelope(corpus: DataFrame, query: str, **kwargs) -> dict:

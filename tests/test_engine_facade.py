@@ -52,3 +52,33 @@ def test_engine_force_update_and_gate(spark, tmp_path):
     res = eng.search("hello", limit=3, threshold=-1.0, force_update=True)
     assert res["status"] == "success"
     assert eng._embedded_count() == n
+
+
+def test_cold_start_stats_and_gated_search_bootstrap(spark, tmp_path):
+    """Before any ingest: stats reports zero embedded instead of
+    throwing on the missing store, and a search whose freshness gate
+    does NOT fire (threshold above the corpus size) bootstraps the
+    first ingest rather than crashing on a store that was never
+    written."""
+    eng = Engine(spark, SF, str(tmp_path / "store"),
+                 update_threshold=10 ** 9)
+
+    stats = eng.get_database_stats()
+    assert stats["embedded_messages"] == 0
+    assert stats["total_messages"] > 0
+    assert stats["coverage_pct"] == 0.0
+
+    res = eng.search("test message", limit=5, threshold=-1.0)
+    assert res["status"] == "success"
+    assert len(res["results"]) > 0
+    assert eng._embedded_count() > 0  # the bootstrap ingest ran
+
+
+def test_freshness_gap_converges_with_unstorable_rows(spark, tmp_path):
+    """The gate's gap is watermark-based: after one full ingest the gap
+    is zero even though some scanned rows (empty cleaned text) were
+    consumed but never stored — the count-minus-count form would stay
+    permanently positive and re-trigger a no-op ingest forever."""
+    eng = Engine(spark, SF, str(tmp_path / "store"))
+    eng.update_embeddings()
+    assert eng._freshness_gap() == 0

@@ -263,3 +263,21 @@ def test_stream_interval_join_equals_batch_twin(spark):
     got = sorted(tuple(r) for r in out.collect())
     exp = sorted(tuple(r) for r in batch.collect())
     assert got == exp and len(got) > 0
+
+
+def test_ingest_empty_batch_on_fresh_store_is_graceful(spark, tmp_path):
+    """First-ever ingest that scans zero rows (watermark already past
+    the source's max ts) must return an empty frame — not write a
+    data-less store directory that read_store can't infer a schema
+    from, and not crash."""
+    import os
+
+    store = str(tmp_path / "empty_store")
+    future = dt.datetime(2030, 1, 1)
+    out = ingest.ingest_batch(spark, SF, store, watermark=future)
+    assert out.count() == 0
+    assert not os.path.exists(
+        os.path.join(store, "message_embeddings.parquet"))
+    # and the run is repeatable (still nothing new, still no crash)
+    out2 = ingest.ingest_batch(spark, SF, store, watermark=future)
+    assert out2.count() == 0
