@@ -291,16 +291,28 @@ def stateful_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             start = last = None
             n = 0
         closed = []
-        for pdf in pdf_iter:
-            for ts in pdf["ts"].sort_values():
-                ts = pd.Timestamp(ts)
-                if start is None:
-                    start, last, n = ts, ts, 1
-                elif ts - last > gap:
-                    closed.append((user_id, start, last, n))
-                    start, last, n = ts, ts, 1
-                else:
-                    last, n = ts, n + 1
+        # the iterator delivers the group in ARROW-CHUNK order (shuffle
+        # read order, not time order) — a group larger than one Arrow
+        # batch would otherwise be gap-scanned per chunk, regressing
+        # session_end backwards whenever a later chunk starts earlier.
+        # Concatenate then sort ONCE; memory is bounded by the user's
+        # rows in the micro-batch, the same bound any per-group sort
+        # implies.
+        chunks = [pdf["ts"] for pdf in pdf_iter]
+        all_ts = (pd.concat(chunks).sort_values() if chunks
+                  else pd.Series([], dtype="datetime64[ns]"))
+        for ts in all_ts:
+            ts = pd.Timestamp(ts)
+            if start is None:
+                start, last, n = ts, ts, 1
+            elif ts - last > gap:
+                closed.append((user_id, start, last, n))
+                start, last, n = ts, ts, 1
+            else:
+                # max(): a late event older than the state's last (but
+                # within the gap) folds into the open session without
+                # moving its end backwards
+                last, n = max(last, ts), n + 1
         if start is not None:
             state.update((start.to_pydatetime(), last.to_pydatetime(), int(n)))
         if closed:

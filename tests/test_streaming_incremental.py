@@ -281,3 +281,54 @@ def test_ingest_empty_batch_on_fresh_store_is_graceful(spark, tmp_path):
     # and the run is repeatable (still nothing new, still no crash)
     out2 = ingest.ingest_batch(spark, SF, store, watermark=future)
     assert out2.count() == 0
+
+
+def test_stateful_sessionize_group_spanning_arrow_chunks(spark, tmp_path):
+    """A group larger than one Arrow batch reaches the stateful
+    sessionizer as MULTIPLE chunks in shuffle-read order, not time
+    order.  With rows arriving newest-first and maxRecordsPerBatch
+    tiny, a per-chunk gap scan would regress session_end backwards and
+    mis-assemble sessions; the operator must sort the whole group
+    once.  Two true sessions an hour apart: the earlier closes, the
+    later stays open in state."""
+    import datetime as _dt
+    import tempfile as _tf
+
+    from pyspark.sql import Row
+
+    base = _dt.datetime(2024, 1, 1, 10, 0, 0)
+    early = [base + _dt.timedelta(minutes=i) for i in range(10)]
+    late = [base + _dt.timedelta(hours=3, minutes=i) for i in range(10)]
+    rows = [Row(user_id=7, ts=t) for t in (early + late)]
+    rows.reverse()  # newest-first file order -> descending chunks
+
+    src = str(tmp_path / "chunk_src")
+    spark.createDataFrame(rows).coalesce(1).write.parquet(src)
+
+    old_arrow = spark.conf.get(
+        "spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "5")
+    try:
+        schema = "user_id long, ts timestamp"
+        src_stream = spark.readStream.schema(schema).parquet(src)
+        sessions = stream.stateful_sessionize(src_stream,
+                                              gap_minutes=30)
+        ckpt = _tf.mkdtemp(prefix="ckpt_chunks_")
+        with stream._state_partitions(spark):
+            q = (sessions.writeStream.outputMode("append")
+                 .format("memory").queryName("chunk_sessions")
+                 .option("checkpointLocation", ckpt).start())
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                       old_arrow)
+
+    got = spark.sql("SELECT * FROM chunk_sessions").collect()
+    assert len(got) == 1  # exactly the earlier session closed
+    (s,) = got
+    assert s["session_start"] == early[0]
+    assert s["session_end"] == early[-1]
+    assert s["n_events"] == 10
