@@ -88,6 +88,103 @@ def build_user_dim(events: DataFrame) -> DataFrame:
     )
 
 
+#: Per-store ingest-run counter (next to the watermark state): the
+#: upsert's order column, so a later run's version of a key
+#: DETERMINISTICALLY wins — ts ties between a re-read row and its
+#: stored copy made the winner arbitrary, which could replace correct
+#: boundary context with nulls.
+GEN_FILE = "_ingest_gen.json"
+
+
+def _next_gen(store_dir: str) -> int:
+    import json
+
+    from ..sources.sinks import _atomic_write_json
+
+    path = os.path.join(store_dir, GEN_FILE)
+    try:
+        with open(path) as f:
+            gen = int(json.load(f)["gen"])
+    except (FileNotFoundError, NotADirectoryError, KeyError,
+            TypeError, ValueError):
+        gen = 0
+    gen += 1
+    os.makedirs(store_dir, exist_ok=True)
+    _atomic_write_json(path, {"gen": gen})
+    return gen
+
+
+def _stitch_boundary_context(spark: SparkSession, msgs: DataFrame,
+                             out_path: str, gen: int,
+                             truncate: int = 100) -> DataFrame:
+    """Repair the incremental batch's SESSION-BOUNDARY context.
+
+    The lag/lead window sees only the batch, so each session's first
+    batch row lacks its true predecessor (it was stored by an earlier
+    run) and the stored predecessor's ``next_text`` is stale — the
+    reference never has this seam because it runs per-row point
+    queries over the full table (processor.py:266-318).  Stitch both
+    sides declaratively:
+
+    * the stored TAIL row per batch session (latest (ts, text) before
+      the batch's first row — the same (ts, text) ordering the window
+      uses) supplies ``prev_text`` for that first row;
+    * those tail rows are re-emitted with ``next_text`` = the batch's
+      first text, at THIS run's generation so they deterministically
+      shadow their stored copies.
+
+    Cost: the tail lookup joins the store against a broadcast frame of
+    one row per batch session (batch-bounded); the store read prunes
+    to the four context columns plus the join key.  Batch rows that
+    already have in-batch context are untouched."""
+    from pyspark.sql import Window
+
+    from ..functions import textops
+    from ..sources import sinks
+
+    stored = sinks.read_store(spark, out_path)
+    if "_gen" not in stored.columns:
+        stored = stored.withColumn("_gen", F.lit(0).cast("long"))
+
+    wfirst = Window.partitionBy("session_id").orderBy("ts",
+                                                     "message_text")
+    firsts = (msgs.withColumn("_rn", F.row_number().over(wfirst))
+              .filter(F.col("_rn") == 1)
+              .select(F.col("session_id").alias("_sid"),
+                      F.col("ts").alias("_fts"),
+                      F.col("message_text").alias("_ftext"),
+                      F.col("message_id").alias("_fid")))
+    before_first = (
+        (stored["ts"] < F.col("_fts"))
+        | ((stored["ts"] == F.col("_fts"))
+           & (stored["message_text"] < F.col("_ftext"))))
+    cand = stored.join(F.broadcast(firsts),
+                       (stored["session_id"] == F.col("_sid"))
+                       & before_first)
+    wtail = (Window.partitionBy("session_id")
+             .orderBy(F.col("ts").desc(), F.col("message_text").desc()))
+    tail = (cand.withColumn("_rn", F.row_number().over(wtail))
+            .filter(F.col("_rn") == 1).drop("_rn"))
+
+    prevfix = tail.select(
+        F.col("_fid").alias("_pfid"),
+        textops.truncate_ellipsis(F.col("message_text"),
+                                  truncate).alias("_ptext"))
+    stitched = (msgs.join(F.broadcast(prevfix),
+                          msgs["message_id"] == F.col("_pfid"), "left")
+                .withColumn("prev_text",
+                            F.coalesce("prev_text", "_ptext"))
+                .drop("_pfid", "_ptext"))
+
+    updates = (tail
+               .withColumn("next_text",
+                           textops.truncate_ellipsis(F.col("_ftext"),
+                                                     truncate))
+               .withColumn("_gen", F.lit(gen).cast("long"))
+               .select(*stitched.columns))
+    return stitched.unionByName(updates)
+
+
 def ingest_batch(spark: SparkSession, sf_dir: str, store_dir: str,
                  watermark: dt.datetime | None = None,
                  max_messages: int | None = None) -> DataFrame:
@@ -142,9 +239,17 @@ def ingest_batch(spark: SparkSession, sf_dir: str, store_dir: str,
     # an incremental batch in O(batch/width) partition dirs however big
     # the store has grown (sinks.py module docstring has the cost model)
     store_exists = os.path.exists(out_path)
+    gen = _next_gen(store_dir)
+    msgs = msgs.withColumn("_gen", F.lit(gen).cast("long"))
+    if store_exists:
+        msgs = _stitch_boundary_context(spark, msgs, out_path, gen)
     if msgs.limit(1).count() > 0:
+        # order_col=_gen: within one batch a key appears once, so
+        # last-wins only ever arbitrates ACROSS runs — and there the
+        # newer run must win (ts ties with a stored copy would make
+        # the winner arbitrary and could regress boundary context)
         sinks.upsert_parquet(spark, msgs, out_path, key="message_id",
-                             order_col="ts", layout="range")
+                             order_col="_gen", layout="range")
         store_exists = True
     if store_exists:
         stored = sinks.read_store(spark, out_path)

@@ -87,6 +87,12 @@ def test_ingest_backfill_cap_then_catch_up(spark, tmp_path):
     full = ingest.ingest_batch(spark, SF, full_store)
     assert rest.count() == full.count()
     assert as_set(rest, ["message_id"]) == as_set(full, ["message_id"])
+    # the strong form: capped-then-catch-up must equal the single full
+    # ingest INCLUDING the lag/lead context — the batch-boundary rows'
+    # prev/next are stitched from the store, and the stored boundary
+    # rows' stale next_text is repaired by the catch-up run
+    ctx = ["message_id", "prev_text", "next_text", "user_name"]
+    assert as_set(rest, ctx) == as_set(full, ctx)
 
 
 def test_watermark_clamp_guards(spark):
