@@ -76,11 +76,11 @@ class Engine:
         envelope.
 
         The gap is passed LAZILY: the gate's cooldown pre-check runs
-        first and the two corpus counts only execute when it passes —
-        and even then a recent result (<= GAP_TTL_S old, invalidated by
-        any ingest) is reused, so N back-to-back searches pay for at
-        most one pair of count jobs instead of N (at 100 TB the source
-        count is the dominant cost of the gate)."""
+        first and the watermark-pruned count only executes when it
+        passes — and even then a recent result (<= GAP_TTL_S old,
+        invalidated by any ingest) is reused, so N back-to-back
+        searches pay for at most one count job instead of N (at 100 TB
+        even the pruned scan is the dominant cost of the gate)."""
         if self.gate.should_update(self._freshness_gap, force=force_update):
             self.update_embeddings()
         elif not self._store_exists():
