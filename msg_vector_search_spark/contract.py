@@ -4864,6 +4864,10 @@ WITH media AS (
 ), wins AS (
   SELECT media_id, substring(text, CAST(i*4+1 AS INT), 8) AS win
   FROM media, LATERAL unnest(range((length(text) - 8) // 4 + 1)) t(i)
+  WHERE length(text) >= 8
+  UNION ALL
+  SELECT media_id, text AS win FROM media
+  WHERE length(text) > 0 AND length(text) < 8
 ), hashed AS (
   SELECT media_id, {analysis.duck_token_hash('win')} AS h FROM wins
 ), votes AS (

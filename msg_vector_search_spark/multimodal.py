@@ -54,17 +54,6 @@ def decode_media(payload: bytes, media_type: str):  # pragma: no cover
         "plug PIL/soundfile/pyav into decode_media()")
 
 
-def _byte_histogram(payload: bytes, bins: int = FEATURE_DIM) -> np.ndarray:
-    """Deterministic fake feature extractor: normalized histogram over
-    byte values — stands in for CNN/audio embeddings with the same
-    shape/dtype contract."""
-    if not payload:
-        return np.zeros(bins, dtype=np.float32)
-    arr = np.frombuffer(payload, dtype=np.uint8)
-    hist, _ = np.histogram(arr, bins=bins, range=(0, 256))
-    return (hist / max(len(arr), 1)).astype(np.float32)
-
-
 def _byte_histograms_batch(payloads: list[bytes], bins: int) -> np.ndarray:
     """All rows of one Arrow batch in a single vectorized pass: flatten
     every payload into one uint8 buffer, bin with integer arithmetic
@@ -147,10 +136,21 @@ def perceptual_simhash(media: DataFrame, bits: int = 32,
             for p in pdf["payload"]:
                 p = bytes(p) if p is not None else b""
                 lens.append(len(p))
-                n_wins = (len(p) - window) // stride + 1
+                if len(p) >= window:
+                    n_wins = (len(p) - window) // stride + 1
+                    wins = [p[i * stride:i * stride + window]
+                            for i in range(n_wins)]
+                elif p:
+                    # a sub-window payload still gets a non-degenerate
+                    # fingerprint: ONE window spanning the whole
+                    # payload — zero windows would vote fp=0 for every
+                    # short payload, pairing unrelated media at
+                    # hamming 0 (the empty payload alone keeps fp 0)
+                    wins = [p]
+                else:
+                    wins = []
                 votes = np.zeros(bits, dtype=np.int64)
-                for i in range(max(0, n_wins)):
-                    w = p[i * stride:i * stride + window]
+                for w in wins:
                     h = int(hashlib.md5(w).hexdigest()[:12], 16)
                     votes += np.where((h >> bit_w) & 1 == 1, 1, -1)
                 fps.append(int(((votes > 0).astype(np.int64)

@@ -24,12 +24,23 @@ from ..functions import vector as V
 from ..session import widen
 
 
-def dedup_last_wins(df: DataFrame, key: str, order_col: str) -> DataFrame:
+def dedup_last_wins(df: DataFrame, key: str, order_col: str,
+                    tiebreak: str | None = None) -> DataFrame:
     """D7/A5 ``dedup_last_wins``: keep the newest row per key — the
     relational form of ``INSERT OR REPLACE`` (reference:
-    embeddings/processor.py:382-388).  Deterministic: ties on
-    *order_col* broken by the key itself."""
-    w = Window.partitionBy(key).orderBy(F.col(order_col).desc(), F.col(key))
+    embeddings/processor.py:382-388).
+
+    Rows tied on *order_col* are kept ARBITRARILY unless *tiebreak*
+    names a distinguishing column — the same semantics as the
+    reference's last-arrival REPLACE and the store's bucketed dedup
+    (sinks._dedup_last_wins_bucketed).  Callers for whom tied versions
+    differ in payload should either pass *tiebreak* or use a
+    strictly-monotonic order column (the ingest plan's per-run
+    generation, plans/ingest.py)."""
+    order = [F.col(order_col).desc()]
+    if tiebreak is not None:
+        order.append(F.col(tiebreak).desc())
+    w = Window.partitionBy(key).orderBy(*order)
     return (df.withColumn("_rn", F.row_number().over(w))
               .filter(F.col("_rn") == 1).drop("_rn"))
 
@@ -109,6 +120,14 @@ def lsh_band_hashes(shingle_col: Column, num_hashes: int, bands: int) -> Column:
     single aggregate as the signature: the ``finish`` lambda binds the
     signature ONCE (lambda variables are values, not re-evaluated
     expressions) and concatenates each band's rows."""
+    if bands < 1 or num_hashes % bands != 0:
+        # a remainder would silently drop hash functions, and
+        # bands > num_hashes would make every band hash the empty
+        # string — one global bucket, i.e. the O(n^2) all-pairs
+        # explosion this operator exists to avoid
+        raise ValueError(
+            f"bands ({bands}) must evenly divide num_hashes "
+            f"({num_hashes})")
     rows_per_band = num_hashes // bands
     seeds = F.array(*[
         F.struct(F.lit(MINHASH_A[i]).cast("long").alias("a"),
@@ -131,8 +150,16 @@ def lsh_band_hashes(shingle_col: Column, num_hashes: int, bands: int) -> Column:
 def _grid_salted_self_pairs(keyed: DataFrame, block_cols: list[str],
                             id_col: str, max_block: int) -> DataFrame:
     """EXACT skew-safe self-join of *keyed* on *block_cols*: emits the
-    identical (id_a, id_b) row set as a plain self-join, but a block of
-    n rows is spread over ceil(n / max_block) reducers instead of one.
+    identical (id_a, id_b) row set as a plain self-join, but a hot
+    block's PAIR COMPUTE is divided over ceil(n / max_block) reducers
+    instead of landing on one.  Per-reducer cost, stated precisely:
+    compute is |A_block| x |B_sub| = n x max_block (vs n^2 unsalted);
+    the BUFFERED join side is the sub-bucketed B group (O(max_block)
+    rows) while A's replicas stream through — reducer memory stays
+    bounded even though each salt reducer reads the block once from A
+    (inherent: an exact all-pairs emission moves O(n x nsub) rows
+    however it is parallelized; capping OUTPUT instead is what
+    lsh_star_pairs is for).
 
     Grid salting: side B gets a deterministic sub-bucket ``hash48(id) %
     nsub``; side A is replicated once per sub-bucket, so every original
@@ -554,17 +581,7 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     "Connected Components in MapReduce and Beyond", SoCC'14), which
     converges in O(log^2 n) rounds with the same per-round plan shape.
     """
-    def _free(ckpt_df: DataFrame) -> None:
-        # localCheckpoint pins its blocks in the block manager for the
-        # session's lifetime; superseded iterations must release them or
-        # a long-lived driver accumulates one pinned RDD per round per
-        # call.  The blocks belong to the LogicalRDD's underlying RDD —
-        # unpersisting queryExecution().toRdd() (a fresh derived RDD)
-        # would be a silent no-op.
-        try:
-            ckpt_df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-        except Exception:
-            pass  # best-effort: plan wasn't a bare LogicalRDD
+    _free = _cc_free  # shared release helper (defined below)
 
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
@@ -601,9 +618,13 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
 
 
 def _cc_free(ckpt_df: DataFrame) -> None:
-    """Release a superseded localCheckpoint's pinned blocks (see
-    :func:`connected_components` for why unpersisting the analyzed
-    plan's own RDD is required)."""
+    """Release a superseded localCheckpoint's pinned blocks.
+    localCheckpoint pins them in the block manager for the session's
+    lifetime; superseded iterations must release them or a long-lived
+    driver accumulates one pinned RDD per round per call.  The blocks
+    belong to the LogicalRDD's underlying RDD — unpersisting
+    queryExecution().toRdd() (a fresh derived RDD) would be a silent
+    no-op."""
     try:
         ckpt_df._jdf.queryExecution().analyzed().rdd().unpersist(False)
     except Exception:

@@ -76,7 +76,13 @@ def assign_cells(embeddings: DataFrame, centroids: DataFrame,
                  keep_cols: tuple[str, ...] = ()) -> DataFrame:
     """Assign every vector to its nearest centroid by cosine (ties to
     the smallest centroid id).  Broadcast nested-loop against the tiny
-    centroid table — the corpus is never shuffled.  ``keep_cols`` pass
+    centroid table, argmax as a GROUPED ``max_by`` — map-side partial
+    aggregation collapses each vector's nlist candidate rows inside
+    their own partition, so the one exchange carries ~one row per
+    vector (id + vector + cell).  The previous row_number-window form
+    shuffled the crossJoin output whole: corpus x nlist rows WITH the
+    embedding arrays — 16x the bytes at nlist=16, growing with nlist
+    at exactly the scale where nlist must grow.  ``keep_cols`` pass
     through (metadata the index stores next to each vector, e.g. the
     filter columns of a hybrid filtered-ANN query)."""
     emb_n = embeddings.withColumn("_vn", V.norm(F.col(vec_col)))
@@ -86,13 +92,18 @@ def assign_cells(embeddings: DataFrame, centroids: DataFrame,
         V.dot(F.col(vec_col), F.col("centroid_vec")) / nprod)
     scored = emb_n.crossJoin(F.broadcast(cent_n)).withColumn(
         "cdist", (F.round(cos, 9) + F.lit(0.0)))
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("cdist").desc(), F.col("centroid_id").asc())
+    # max over struct(cdist, -centroid_id): highest cosine, ties to
+    # the SMALLEST centroid id — identical to the window ordering
+    best = F.max_by(
+        "centroid_id",
+        F.struct(F.col("cdist").alias("d"),
+                 (-F.col("centroid_id")).alias("nid")))
     return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(id_col, vec_col, *keep_cols,
-                F.col("centroid_id").alias("cell"))
+        scored.groupBy(id_col)
+        .agg(F.any_value(F.col(vec_col)).alias(vec_col),
+             *[F.any_value(F.col(c)).alias(c) for c in keep_cols],
+             best.alias("cell"))
+        .select(id_col, vec_col, *keep_cols, "cell")
     )
 
 
@@ -106,7 +117,13 @@ def assign_cells_multi(embeddings: DataFrame, centroids: DataFrame,
     is the other's first.  Corpus is replicated nprobe x — the standard
     IVF write-amplification trade (FAISS's IVF multi-assignment) — and
     downstream pair emission must dedup (a pair can share up to nprobe
-    cells)."""
+    cells).
+
+    Top-nprobe via grouped collect-sort-slice rather than a window:
+    map-side partials fold each vector's nlist candidates into ONE row
+    (an nlist-entry array of (cdist, id) pairs — the embedding itself
+    ships once via any_value, not nlist times), so the exchange is
+    ~corpus-sized instead of corpus x nlist rows of full vectors."""
     emb_n = embeddings.withColumn("_vn", V.norm(F.col(vec_col)))
     cent_n = centroids.withColumn("_cn", V.norm(F.col("centroid_vec")))
     nprod = F.col("_vn") * F.col("_cn")
@@ -114,12 +131,20 @@ def assign_cells_multi(embeddings: DataFrame, centroids: DataFrame,
         V.dot(F.col(vec_col), F.col("centroid_vec")) / nprod)
     scored = emb_n.crossJoin(F.broadcast(cent_n)).withColumn(
         "cdist", (F.round(cos, 9) + F.lit(0.0)))
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("cdist").desc(), F.col("centroid_id").asc())
+    # array_sort on struct(-cdist, centroid_id) ascending = cosine
+    # descending with ties to the smallest id — the window's ordering
+    ranked = F.slice(
+        F.array_sort(F.collect_list(
+            F.struct((-F.col("cdist")).alias("nd"),
+                     F.col("centroid_id").alias("cid")))),
+        1, nprobe)
     return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= nprobe)
-        .select(id_col, vec_col, F.col("centroid_id").alias("cell"))
+        scored.groupBy(id_col)
+        .agg(F.any_value(F.col(vec_col)).alias(vec_col),
+             ranked.alias("_top"))
+        .select(id_col, vec_col,
+                F.explode(F.transform("_top", lambda x: x.cid))
+                .alias("cell"))
     )
 
 

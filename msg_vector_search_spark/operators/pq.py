@@ -243,7 +243,12 @@ def ivfpq_search(assigned: DataFrame, centroids: DataFrame,
     from ..functions import vector as V
     q = F.array(*[F.lit(float(v)) for v in qvec])
     exact = V.cosine(F.col(vec_col), q)
-    return (assigned.join(F.broadcast(short.select(id_col)), id_col)
+    # re-rank against the CELL-PRUNED frame, not the full corpus: every
+    # shortlist id came from cand, so the result is identical, but on a
+    # partitionBy(cell) store the pruned join keeps the final stage
+    # inside the probed cells' files — joining `assigned` would re-open
+    # every cell and break the bytes-read contract above
+    return (cand.join(F.broadcast(short.select(id_col)), id_col)
             .withColumn("sim", F.round(exact, 6) + F.lit(0.0))
             .select(id_col, "cell", "sim")
             .orderBy(F.col("sim").desc(), id_col)

@@ -168,3 +168,24 @@ def test_perceptual_simhash_near_dup_resilience(spark):
              for a in sorted(fps) for b in sorted(fps) if a < b
              and ham(fps[a], fps[b]) <= 4}
     assert blocked == brute == {(i, 100 + i) for i in range(5)}
+
+
+def test_perceptual_simhash_short_payloads_not_degenerate(spark):
+    """Payloads shorter than the window get ONE whole-payload window,
+    not zero — zero windows voted fp=0 for every short payload, which
+    paired unrelated media at hamming distance 0."""
+    from pyspark.sql import Row
+
+    from msg_vector_search_spark import multimodal
+
+    rows = [Row(media_id=1, payload=bytearray(b"cat")),
+            Row(media_id=2, payload=bytearray(b"dog")),
+            Row(media_id=3, payload=bytearray(b"")),
+            Row(media_id=4, payload=bytearray(b"cat"))]
+    fps = {r["media_id"]: r["fp"] for r in
+           multimodal.perceptual_simhash(
+               spark.createDataFrame(rows)).collect()}
+    assert fps[1] != 0 and fps[2] != 0  # non-degenerate
+    assert fps[1] != fps[2]             # unrelated shorts differ
+    assert fps[1] == fps[4]             # identical shorts agree
+    assert fps[3] == 0                  # only the EMPTY payload is 0
