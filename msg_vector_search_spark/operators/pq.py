@@ -104,6 +104,18 @@ def pq_encode(embeddings: DataFrame, codebooks: np.ndarray,
     product per subspace, ties to the lowest code — matching the
     oracle's ``ORDER BY dot DESC, code`` row_number pick).
 
+    Encode-rule note: classic PQ assigns by MIN L2 (best
+    reconstruction), and the two rules diverge when codeword norms
+    vary.  Measured at sf0.1 (recall@10, re-rank-200): with TRAINED
+    codebooks — the serving path — dot 0.83 vs L2 0.82 (Lloyd's
+    codewords take the data's own norms, so the rules nearly
+    coincide); only the seed-codebook SPEC twin differs (0.69 vs
+    0.76), and it exists for oracle checkability, not recall.  The
+    dot rule is kept because the whole SQL-replayed oracle family
+    pins it; swap ``dots.argmax`` for an L2 argmin here AND in the
+    oracles together if a corpus with wildly varying codeword norms
+    ever makes the gap material.
+
     One Arrow-batched GEMM per (batch, subspace): X_j @ C_j^T is
     (batch x dsub)(dsub x ncodes) — vectorized C, no per-row Python.
     Narrow map, no shuffle; at scale this is the one-off index build.
