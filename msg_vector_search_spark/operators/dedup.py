@@ -147,6 +147,44 @@ def lsh_band_hashes(shingle_col: Column, num_hashes: int, bands: int) -> Column:
                 for r in range(rows_per_band)])))
 
 
+def band_hashes_of_sig(sig_col: Column, num_hashes: int,
+                       bands: int) -> Column:
+    """Band hashes derived from an ALREADY-COMPUTED signature column —
+    the reuse path for consumers that need the signature AND its bands
+    (:func:`minhash_estimate_pairs`): one md5 scan feeds both, where
+    the self-contained :func:`lsh_band_hashes` aggregate would re-hash
+    every shingle.  Identical arithmetic and validation."""
+    if bands < 1 or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must evenly divide num_hashes "
+            f"({num_hashes})")
+    rows_per_band = num_hashes // bands
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.concat_ws("_", *[
+            F.element_at(sig_col, b * rows_per_band + r + 1)
+            .cast("string") for r in range(rows_per_band)]))
+
+
+def _banded_pairs(banded: DataFrame, id_col: str,
+                  max_block: int | None) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) from an exploded
+    (id, band_idx, band_hash) frame — the per-(band, bucket) self-join
+    shared by :func:`dedup_minhash_lsh` and
+    :func:`minhash_estimate_pairs`, with the grid-salted variant when
+    *max_block* caps reducer blocks."""
+    if max_block is not None:
+        return _grid_salted_self_pairs(
+            banded, ["band_idx", "band_hash"], id_col, max_block)
+    a = banded.select(F.col(id_col).alias("id_a"), "band_idx",
+                      "band_hash")
+    b = banded.select(F.col(id_col).alias("id_b"), "band_idx",
+                      "band_hash")
+    return (a.join(b, ["band_idx", "band_hash"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+
+
 def _grid_salted_self_pairs(keyed: DataFrame, block_cols: list[str],
                             id_col: str, max_block: int) -> DataFrame:
     """EXACT skew-safe self-join of *keyed* on *block_cols*: emits the
@@ -215,16 +253,7 @@ def dedup_minhash_lsh(df: DataFrame, text_col: str = "text",
         F.col(id_col),
         F.posexplode(band_arr).alias("band_idx", "band_hash"),
     )
-    if max_block is not None:
-        return _grid_salted_self_pairs(
-            banded, ["band_idx", "band_hash"], id_col, max_block)
-    a = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
-    b = banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
-    return (
-        a.join(b, ["band_idx", "band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b").distinct()
-    )
+    return _banded_pairs(banded, id_col, max_block)
 
 
 def lsh_star_pairs(df: DataFrame, text_col: str = "text",
@@ -319,10 +348,11 @@ def minhash_estimate_pairs(df: DataFrame, text_col: str = "text",
     classic property E[match_i] = J(A,B).
 
     This is the cheap middle stage between candidate generation and
-    exact verification: the signatures already exist from the LSH pass
-    (num_hashes longs per doc), so scoring a pair costs num_hashes
-    integer compares instead of re-shingling both documents the way
-    exact n-gram Jaccard (:func:`ngram_jaccard_pairs`) must.  At 100 TB
+    exact verification: the signature is computed ONCE (num_hashes
+    longs per doc), the band buckets derive from it, and scoring a
+    pair costs num_hashes integer compares instead of re-shingling
+    both documents the way exact n-gram Jaccard
+    (:func:`ngram_jaccard_pairs`) must.  At 100 TB
     run estimate -> prune -> exact-verify survivors only.
 
     Join shape: the pair list (two narrow long columns) joins the
@@ -330,12 +360,23 @@ def minhash_estimate_pairs(df: DataFrame, text_col: str = "text",
     uniform ids; the signature table is corpus-sized but narrow
     (id + num_hashes longs).
     """
-    sigs = widen(df).select(
+    # ONE md5 scan: the signature is materialized once (id + num_hashes
+    # longs — narrow; at warehouse scale a persisted signature table)
+    # and feeds the band derivation AND both join sides.  Routing
+    # through dedup_minhash_lsh would re-shingle and re-hash the corpus
+    # a second (and, with the two unmaterialized join references, a
+    # third) time for an identical result.
+    sigs = (widen(df).select(
         F.col(id_col),
         minhash_signature(shingles(F.col(text_col), shingle_n),
                           num_hashes).alias("sig"))
-    pairs = dedup_minhash_lsh(df, text_col, id_col, num_hashes, bands,
-                              shingle_n, max_block=max_block)
+        .localCheckpoint())
+    banded = sigs.select(
+        F.col(id_col),
+        F.posexplode(band_hashes_of_sig(F.col("sig"), num_hashes,
+                                        bands))
+        .alias("band_idx", "band_hash"))
+    pairs = _banded_pairs(banded, id_col, max_block)
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
     matches = F.aggregate(
