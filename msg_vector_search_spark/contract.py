@@ -7871,6 +7871,14 @@ def topk_mmr_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
 # every operator accrues one across rounds. Purely a presentation
 # order — REGISTRY itself keeps source order.
 DRIVER_VERIFIED = frozenset({
+    # round 7 (CORRECTNESS_r07.json — 49 full-oracle + 1 rows-only by
+    # design, zero errs; re-verified names already listed under earlier
+    # rounds are not repeated)
+    "ann_index_erase", "streaming_index_erase", "text_index_upsert",
+    "text_index_erase", "text_index_compact", "text_index_stats",
+    "pipeline_forget_and_serve", "changefeed_apply_index",
+    "bpe_merge_rounds", "streaming_centroid_drift",
+    "bloom_filter_join_agg", "aqe_skew_join_agg",
     # round 6 (CORRECTNESS_r06.json — 49 full-oracle + 1 rows-only by
     # design, zero errs; re-verified names already listed under earlier
     # rounds are not repeated)
