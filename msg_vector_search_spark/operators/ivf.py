@@ -93,17 +93,26 @@ def assign_cells(embeddings: DataFrame, centroids: DataFrame,
     scored = emb_n.crossJoin(F.broadcast(cent_n)).withColumn(
         "cdist", (F.round(cos, 9) + F.lit(0.0)))
     # max over struct(cdist, -centroid_id): highest cosine, ties to
-    # the SMALLEST centroid id — identical to the window ordering
+    # the SMALLEST centroid id — identical to the window ordering.
+    # The WHOLE winning row (cell + vector + keep_cols) rides in one
+    # max_by payload struct: with duplicate ids in the input, a split
+    # any_value(vec)/max_by(cell) pair could mix fields from two
+    # different duplicate rows, storing a (vector, cell) pair whose
+    # re-assignment lands elsewhere — which would defeat
+    # delete_index_keys' assignment-based cell pruning.
     best = F.max_by(
-        "centroid_id",
+        F.struct(F.col("centroid_id").alias("cell"),
+                 F.col(vec_col).alias("vec"),
+                 *[F.col(c).alias(c) for c in keep_cols]),
         F.struct(F.col("cdist").alias("d"),
                  (-F.col("centroid_id")).alias("nid")))
     return (
         scored.groupBy(id_col)
-        .agg(F.any_value(F.col(vec_col)).alias(vec_col),
-             *[F.any_value(F.col(c)).alias(c) for c in keep_cols],
-             best.alias("cell"))
-        .select(id_col, vec_col, *keep_cols, "cell")
+        .agg(best.alias("_w"))
+        .select(id_col,
+                F.col("_w.vec").alias(vec_col),
+                *[F.col(f"_w.{c}").alias(c) for c in keep_cols],
+                F.col("_w.cell").alias("cell"))
     )
 
 
@@ -124,26 +133,40 @@ def assign_cells_multi(embeddings: DataFrame, centroids: DataFrame,
     (an nlist-entry array of (cdist, id) pairs — the embedding itself
     ships once via any_value, not nlist times), so the exchange is
     ~corpus-sized instead of corpus x nlist rows of full vectors."""
-    emb_n = embeddings.withColumn("_vn", V.norm(F.col(vec_col)))
+    emb_n = embeddings.withColumn("_vn", V.norm(F.col(vec_col))) \
+                      .withColumn("_disc", F.monotonically_increasing_id())
     cent_n = centroids.withColumn("_cn", V.norm(F.col("centroid_vec")))
     nprod = F.col("_vn") * F.col("_cn")
     cos = F.when(nprod == 0.0, F.lit(0.0)).otherwise(
         V.dot(F.col(vec_col), F.col("centroid_vec")) / nprod)
     scored = emb_n.crossJoin(F.broadcast(cent_n)).withColumn(
         "cdist", (F.round(cos, 9) + F.lit(0.0)))
-    # array_sort on struct(-cdist, centroid_id) ascending = cosine
-    # descending with ties to the smallest id — the window's ordering
-    ranked = F.slice(
-        F.array_sort(F.collect_list(
-            F.struct((-F.col("cdist")).alias("nd"),
-                     F.col("centroid_id").alias("cid")))),
+    # array_sort on struct(-cdist, centroid_id, disc) ascending =
+    # cosine descending with ties to the smallest id — the window's
+    # ordering.  The per-input-row discriminator makes duplicate ids
+    # safe: candidates from ALL duplicate rows merge into one list,
+    # so we keep only the entries of the row that owns the globally
+    # best candidate, and take the vector from that same row via an
+    # identically-keyed max_by — (vector, cells) stay a consistent
+    # pair instead of mixing fields across duplicates.
+    entries = F.array_sort(F.collect_list(
+        F.struct((-F.col("cdist")).alias("nd"),
+                 F.col("centroid_id").alias("cid"),
+                 F.col("_disc").alias("disc"))))
+    vec_win = F.max_by(
+        F.col(vec_col),
+        F.struct(F.col("cdist").alias("d"),
+                 (-F.col("centroid_id")).alias("nid"),
+                 (-F.col("_disc")).alias("ndisc")))
+    win_disc = F.element_at(F.col("_all"), 1)["disc"]
+    top = F.slice(
+        F.filter(F.col("_all"), lambda x: x["disc"] == win_disc),
         1, nprobe)
     return (
         scored.groupBy(id_col)
-        .agg(F.any_value(F.col(vec_col)).alias(vec_col),
-             ranked.alias("_top"))
+        .agg(vec_win.alias(vec_col), entries.alias("_all"))
         .select(id_col, vec_col,
-                F.explode(F.transform("_top", lambda x: x.cid))
+                F.explode(F.transform(top, lambda x: x.cid))
                 .alias("cell"))
     )
 

@@ -590,3 +590,47 @@ def test_delete_index_keys_crash_between_stores_rerun_converges(
             f"{path}/{s}").select("vec_id").collect()}
         assert ids.isdisjoint(victim_ids)
         assert len(ids) == emb.count() - len(victim_ids)
+
+
+def test_assign_cells_duplicate_ids_store_consistent_pair(spark):
+    """With duplicate ids, the stored (vector, cell) pair must come
+    from ONE duplicate row: a mixed pair (vector of dup A, cell of
+    dup B) would defeat delete_index_keys' assignment fast path —
+    re-assigning the stored vector would land in a different cell
+    than where the row actually sits."""
+    # two far-apart clusters so the duplicates' cells provably differ
+    rows = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.9, 0.1, 0.0, 0.0]),
+            (2, [0.0, 0.0, 0.0, 1.0]), (3, [0.0, 0.0, 0.1, 0.9]),
+            # id 7 duplicated: one vector per cluster
+            (7, [1.0, 0.05, 0.0, 0.0]), (7, [0.0, 0.05, 0.0, 1.0])]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>")
+    cent = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 0.0, 0.0, 1.0])],
+        "centroid_id bigint, centroid_vec array<float>")
+
+    out = ivf.assign_cells(emb, cent).collect()
+    assert len(out) == 5  # one row per id
+    row7 = [r for r in out if r["vec_id"] == 7][0]
+    # whichever duplicate won, its OWN re-assignment must equal the
+    # stored cell
+    solo = spark.createDataFrame(
+        [(7, [float(x) for x in row7["embedding"]])],
+        "vec_id bigint, embedding array<float>")
+    recell = ivf.assign_cells(solo, cent).head()["cell"]
+    assert recell == row7["cell"]
+
+    # multi-probe: every emitted cell for id 7 must come from the SAME
+    # duplicate row as the emitted vector (its own top-2 ranking)
+    multi = ivf.assign_cells_multi(emb, cent, nprobe=2).collect()
+    m7 = [r for r in multi if r["vec_id"] == 7]
+    assert len(m7) == 2
+    vecs = {tuple(float(x) for x in r["embedding"]) for r in m7}
+    assert len(vecs) == 1  # one consistent vector
+    own_rank = ivf.assign_cells_multi(
+        spark.createDataFrame(
+            [(7, [float(x) for x in next(iter(vecs))])],
+            "vec_id bigint, embedding array<float>"),
+        cent, nprobe=2)
+    assert {r["cell"] for r in m7} == \
+           {r["cell"] for r in own_rank.collect()}
