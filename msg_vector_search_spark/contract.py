@@ -7871,12 +7871,22 @@ def topk_mmr_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
 # every operator accrues one across rounds. Purely a presentation
 # order — REGISTRY itself keeps source order.
 DRIVER_VERIFIED = frozenset({
+    # round 9: the IVF-path names are deliberately ABSENT from this
+    # set (removed from their original round blocks below) — the r8
+    # assign_cells/assign_cells_multi rewrite (operators/ivf.py:73-170)
+    # changed the plan every one of them executes, and none got a
+    # full-oracle driver row since.  Dropping them puts them
+    # pending-first in the r9 window: ann_ivf_topk, ann_ivf_filtered,
+    # sim_join_ivf, sim_join_ivf_p2, sim_join_ivf_pandas,
+    # ann_index_upsert, ann_index_erase, ann_index_rebuild,
+    # ann_index_compact, changefeed_apply_index, ann_ivfpq_topk,
+    # ann_ivfpq_materialized.
     # round 7 (CORRECTNESS_r07.json — 49 full-oracle + 1 rows-only by
     # design, zero errs; re-verified names already listed under earlier
     # rounds are not repeated)
-    "ann_index_erase", "streaming_index_erase", "text_index_upsert",
+    "streaming_index_erase", "text_index_upsert",
     "text_index_erase", "text_index_compact", "text_index_stats",
-    "pipeline_forget_and_serve", "changefeed_apply_index",
+    "pipeline_forget_and_serve",
     "bpe_merge_rounds", "streaming_centroid_drift",
     "bloom_filter_join_agg", "aqe_skew_join_agg",
     # round 6 (CORRECTNESS_r06.json — 49 full-oracle + 1 rows-only by
@@ -7885,9 +7895,9 @@ DRIVER_VERIFIED = frozenset({
     "ts_quantile_cut", "streaming_incremental_dedup",
     "pipeline_crawl_admit_index", "text_gopher_rules", "corpus_report",
     "skew_report_events", "vocab_coverage", "doc_length_histogram",
-    "integrity_orphans", "ann_ivfpq_materialized",
-    "ann_ivfpq_materialized_trained", "ann_index_upsert",
-    "streaming_index_upsert", "ann_index_rebuild", "ann_index_stats",
+    "integrity_orphans",
+    "ann_ivfpq_materialized_trained",
+    "streaming_index_upsert", "ann_index_stats",
     "partitioned_time_scan", "store_bucket_stats",
     "multimodal_dedup_near", "multimodal_frame_dedup",
     "streaming_append_finalized", "text_bm25_topk",
@@ -7900,7 +7910,7 @@ DRIVER_VERIFIED = frozenset({
     "grouping_sets_report", "bpe_pair_frequencies",
     "embedding_centroid_drift", "dedup_cluster_histogram",
     "dpp_dim_filtered_scan", "dedup_components_incremental",
-    "ann_index_compact", "ann_recall_audit", "ann_mmr_materialized",
+    "ann_recall_audit", "ann_mmr_materialized",
     "pipeline_serving_capstone", "topk_mmr_diverse",
     # round 5 (CORRECTNESS_r05.json — re-verified names already listed
     # under earlier rounds are not repeated)
@@ -7911,7 +7921,7 @@ DRIVER_VERIFIED = frozenset({
     "tpch_q10_returned_items", "tpch_q11_important_stock",
     "tpch_q12_shipping_priority_class", "tpch_q13_customer_distribution",
     "tpch_q20_part_promotion", "dedup_incremental_new_docs",
-    "ann_ivf_filtered", "ann_pq_rerank_trained", "ann_ivfpq_topk",
+    "ann_pq_rerank_trained",
     "pack_sequences_budget", "pack_fill_stats",
     "pipeline_training_batches", "pack_sequences_greedy",
     "multimodal_dedup_bytes", "corpus_weighted_sample",
@@ -7924,7 +7934,7 @@ DRIVER_VERIFIED = frozenset({
     "tpch_q2_min_cost_supplier", "tpch_q4_order_priority",
     "tpch_q15_top_supplier", "tpch_q17_small_quantity_revenue",
     "distinct_users_twophase", "join_salted_skew", "dedup_edit_distance",
-    "ann_pq_topk", "ann_pq_rerank", "sim_join_ivf_p2",
+    "ann_pq_topk", "ann_pq_rerank",
     "text_unigram_logprob", "pivot_event_type_daily",
     "cube_order_priority", "event_value_histogram",
     "scd2_customer_status", "tpch_q19_disjunctive",
@@ -7945,7 +7955,7 @@ DRIVER_VERIFIED = frozenset({
     "dedup_minhash_estimate", "dedup_embedding_lsh",
     "dedup_ngram_jaccard", "dedup_embedding_cosine", "text_lang_id",
     "text_quality_score", "text_token_counts", "text_fingerprint",
-    "ann_ivf_topk", "ann_lsh_topk", "sim_join_ivf", "sim_join_ivf_pandas",
+    "ann_lsh_topk",
     "topk_quantized_int8", "dedup_components", "dedup_keep_canonical",
     "dedup_repeated_chunks", "pipeline_clean_corpus", "stratified_sample",
     "text_tfidf_topterms", "decontaminate_ngram", "shard_assignment",

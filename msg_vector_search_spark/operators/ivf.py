@@ -85,6 +85,14 @@ def assign_cells(embeddings: DataFrame, centroids: DataFrame,
     at exactly the scale where nlist must grow.  ``keep_cols`` pass
     through (metadata the index stores next to each vector, e.g. the
     filter columns of a hybrid filtered-ANN query)."""
+    reserved = {"vec", "cell"} & set(keep_cols)
+    if reserved:
+        # 'vec'/'cell' are the payload struct's own field names — a
+        # keep_cols entry shadowing them would make _w.vec/_w.cell
+        # ambiguous and fail analysis with an opaque error
+        raise ValueError(
+            f"keep_cols may not contain reserved names {sorted(reserved)}; "
+            "rename the column(s) before assignment")
     emb_n = embeddings.withColumn("_vn", V.norm(F.col(vec_col)))
     cent_n = centroids.withColumn("_cn", V.norm(F.col("centroid_vec")))
     nprod = F.col("_vn") * F.col("_cn")
@@ -100,12 +108,17 @@ def assign_cells(embeddings: DataFrame, centroids: DataFrame,
     # different duplicate rows, storing a (vector, cell) pair whose
     # re-assignment lands elsewhere — which would defeat
     # delete_index_keys' assignment-based cell pruning.
+    # final key component: content hash of the vector, so when
+    # duplicate-id rows tie exactly on (cdist, centroid) the winning
+    # duplicate is the same on every run (smallest hash wins) — not
+    # whichever partition layout fed max_by first
     best = F.max_by(
         F.struct(F.col("centroid_id").alias("cell"),
                  F.col(vec_col).alias("vec"),
                  *[F.col(c).alias(c) for c in keep_cols]),
         F.struct(F.col("cdist").alias("d"),
-                 (-F.col("centroid_id")).alias("nid")))
+                 (-F.col("centroid_id")).alias("nid"),
+                 (-F.xxhash64(F.col(vec_col))).alias("nh")))
     return (
         scored.groupBy(id_col)
         .agg(best.alias("_w"))
@@ -133,8 +146,14 @@ def assign_cells_multi(embeddings: DataFrame, centroids: DataFrame,
     (an nlist-entry array of (cdist, id) pairs — the embedding itself
     ships once via any_value, not nlist times), so the exchange is
     ~corpus-sized instead of corpus x nlist rows of full vectors."""
+    # content-derived discriminator: duplicate-id rows with DIFFERENT
+    # vectors separate deterministically (same content -> same hash on
+    # every run), unlike monotonically_increasing_id whose winner-among-
+    # exact-ties depended on partition layout.  Identical duplicate rows
+    # hash equal — their merged candidate lists interleave identical
+    # structs, deduped below.
     emb_n = embeddings.withColumn("_vn", V.norm(F.col(vec_col))) \
-                      .withColumn("_disc", F.monotonically_increasing_id())
+                      .withColumn("_disc", F.xxhash64(F.col(vec_col)))
     cent_n = centroids.withColumn("_cn", V.norm(F.col("centroid_vec")))
     nprod = F.col("_vn") * F.col("_cn")
     cos = F.when(nprod == 0.0, F.lit(0.0)).otherwise(
@@ -159,8 +178,12 @@ def assign_cells_multi(embeddings: DataFrame, centroids: DataFrame,
                  (-F.col("centroid_id")).alias("nid"),
                  (-F.col("_disc")).alias("ndisc")))
     win_disc = F.element_at(F.col("_all"), 1)["disc"]
+    # array_distinct: fully identical duplicate rows share a hash, so
+    # the winning row's candidate list appears twice interleaved —
+    # identical structs, collapsed before the slice
     top = F.slice(
-        F.filter(F.col("_all"), lambda x: x["disc"] == win_disc),
+        F.array_distinct(
+            F.filter(F.col("_all"), lambda x: x["disc"] == win_disc)),
         1, nprobe)
     return (
         scored.groupBy(id_col)
