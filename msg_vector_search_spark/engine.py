@@ -90,6 +90,21 @@ class Engine:
             # the first ingest instead (the reference's first search
             # does the same through its inline-update path)
             self.update_embeddings()
+        if not self._store_exists():
+            # the bootstrap ingest stored NOTHING (empty source, or
+            # every cleaned text empty — ingest deliberately skips the
+            # write then): an empty corpus is an empty result set, not
+            # a crash reading a store that was never created
+            return {
+                "status": "success",
+                "results": [],
+                "metadata": {
+                    "total_results": 0,
+                    "query": query,
+                    "threshold": threshold,
+                    "search_time_ms": 0.0,
+                },
+            }
         corpus = self._store()
         return search_plan.search_with_envelope(
             corpus, query, limit=limit, threshold=threshold,

@@ -291,8 +291,11 @@ def delete_index_keys(spark: SparkSession, path: str, keys: DataFrame,
         cells = (spark.read.parquet(vstore)
                  .join(F.broadcast(keyed), id_col, "semi")
                  .select("cell"))
+    from .dedup import _cc_free
+
     touched = sorted(r[0] for r in cells.distinct().collect())
     if not touched:
+        _cc_free(keyed)
         return []
     # codes FIRST, then vectors: the re-run recovery derives victim
     # cells from the vectors store, so victims must stay discoverable
@@ -304,6 +307,9 @@ def delete_index_keys(spark: SparkSession, path: str, keys: DataFrame,
                      part_col="cell")
     erase_partitions(spark, vstore, id_col, keyed, touched,
                      part_col="cell")
+    # both erases committed — release the key list's pinned blocks
+    # instead of leaving them in the block manager for the session
+    _cc_free(keyed)
     return touched
 
 
@@ -337,6 +343,8 @@ def apply_changefeed_index(spark: SparkSession, path: str,
     incoming = (feed.filter(F.col(action_col).isin("insert", "update"))
                 .select(id_col, F.col(new_vec_col).alias(vec_col)))
     merged = upsert_index(spark, path, incoming)
+    from .dedup import _cc_free
+    _cc_free(feed)  # erase + merge both committed; release the pin
     return {"erased_cells": erased, "merged_cells": merged}
 
 
@@ -367,6 +375,8 @@ def rebuild_index(spark: SparkSession, path: str,
                            trained=trained, id_col=meta["id_col"],
                            vec_col=meta["vec_col"])
     _swap_dir(tmp, path)
+    from .dedup import _cc_free
+    _cc_free(vecs)  # the staged build is on disk; drop the pinned copy
     return new_meta
 
 
@@ -416,4 +426,6 @@ def upsert_index(spark: SparkSession, path: str,
             compact_store(spark, _subdir(path, store),
                           max_files_per_bucket=auto_compact_files,
                           part_col="cell")
+    from .dedup import _cc_free
+    _cc_free(assigned)  # both store merges committed; release the pin
     return touched

@@ -237,9 +237,16 @@ def bpe_merge_rounds(docs: DataFrame, rounds: int = 3,
         # literal replace (identical semantics in DuckDB) is BPE's
         # greedy application order, the re-inserted spaces chaining
         # adjacent matches.
+        prev = spaced
         spaced = spaced.select(F.trim(F.replace(
             F.concat(F.lit(" "), F.col("s"), F.lit(" ")),
             F.lit(f" {best['pair']} "),
             F.lit(f" {merged} "))).alias("s")).localCheckpoint()
+        # the new checkpoint supersedes the old one — release the old
+        # round's pinned blocks, or K rounds pin K corpus copies for
+        # the session's lifetime (the _cc_free contract from the
+        # connected-components loop)
+        dedup._cc_free(prev)
+    dedup._cc_free(spaced)  # output is the driver-side rounds list
     return spark.createDataFrame(
         out, "round int, pair string, merged string, cnt long")

@@ -366,11 +366,17 @@ def minhash_estimate_pairs(df: DataFrame, text_col: str = "text",
     # through dedup_minhash_lsh would re-shingle and re-hash the corpus
     # a second (and, with the two unmaterialized join references, a
     # third) time for an identical result.
+    # persist, NOT localCheckpoint: the returned frame references this
+    # three times lazily, so the materialization must outlive the call
+    # — a checkpoint would pin corpus-sized blocks in the block manager
+    # until session death, while a persisted RDD keeps its lineage
+    # (evictable under memory pressure, recomputable, and reclaimed by
+    # the ContextCleaner once the result frame is dropped)
     sigs = (widen(df).select(
         F.col(id_col),
         minhash_signature(shingles(F.col(text_col), shingle_n),
                           num_hashes).alias("sig"))
-        .localCheckpoint())
+        .persist())
     banded = sigs.select(
         F.col(id_col),
         F.posexplode(band_hashes_of_sig(F.col("sig"), num_hashes,

@@ -176,12 +176,18 @@ def _tombstone_frame(spark, path: str, id_col: str):
 
 
 def _live(df: DataFrame, tomb, id_col: str) -> DataFrame:
-    """Filter *df* (carrying ``gen``) to rows alive under *tomb*."""
+    """Filter *df* (carrying ``gen``) to rows alive under *tomb*.
+
+    A pre-generation-sidecar index (built before the LSM lifecycle
+    landed) has no ``gen`` column; its rows are all generation 0 —
+    exactly what a fresh build writes today — so default it rather
+    than let the first post-migration delete brick every subsequent
+    search with an unresolved-column AnalysisException."""
     if tomb is None:
         return df
+    gen = F.col("gen") if "gen" in df.columns else F.lit(0).cast("long")
     return (df.join(F.broadcast(tomb), id_col, "left")
-            .filter(F.col("_upto").isNull()
-                    | (F.col("gen") > F.col("_upto")))
+            .filter(F.col("_upto").isNull() | (gen > F.col("_upto")))
             .drop("_upto"))
 
 
@@ -233,9 +239,38 @@ def build_inverted_index(docs: DataFrame, path: str,
                             "id_col": id_col})
 
 
+def _ensure_gen_layout(spark, path: str) -> None:
+    """One-time migration for a pre-generation-sidecar index: stamp
+    ``gen = 0`` onto any store still lacking the column, staged and
+    swapped whole.  Without this, an incremental append would mix
+    gen-carrying files into a gen-less directory and the un-merged
+    parquet schema read could silently drop (or null) the column the
+    tombstone filter keys on.  Cost when already migrated: one footer
+    read per store."""
+    import shutil
+
+    from ..sources.sinks import _swap_dir
+
+    for sub, part in (("doclen", None), ("postings", "tb")):
+        store = os.path.join(path, sub)
+        cur = spark.read.parquet(store)
+        if "gen" in cur.columns:
+            continue
+        tmp = store + "._genmigrate"
+        shutil.rmtree(tmp, ignore_errors=True)
+        migrated = cur.withColumn("gen", F.lit(0).cast("long"))
+        if part and part in cur.columns:
+            (migrated.repartition(F.col(part)).write.mode("overwrite")
+             .partitionBy(part).parquet(tmp))
+        else:
+            migrated.write.mode("overwrite").parquet(tmp)
+        _swap_dir(tmp, store)
+
+
 def upsert_inverted_index(docs: DataFrame, path: str,
                           text_col: str = "text",
-                          id_col: str | None = None) -> int:
+                          id_col: str | None = None,
+                          auto_compact_tombstones: int | None = 8) -> int:
     """Incremental maintenance — the text twin of
     ``ann_index.upsert_index``: fold a document batch into the
     persisted index in O(batch).  New postings/doclen rows APPEND at a
@@ -251,16 +286,19 @@ def upsert_inverted_index(docs: DataFrame, path: str,
     upsert) tombstones any half-appended rows of the crashed attempt
     and lands the batch whole at the next generation — convergent
     under every crash point.  Returns the batch's generation."""
+    from .dedup import _cc_free
+
     spark = docs.sparkSession
     meta = _read_text_meta(path)
     if id_col is None:
         id_col = meta["id_col"]
+    _ensure_gen_layout(spark, path)
     g_old, g_new = int(meta["gen"]), int(meta["gen"]) + 1
     meta["gen"] = g_new
     _write_text_meta(path, meta)
     base = (_tokenized(docs.dropDuplicates([id_col]), text_col, id_col)
             .localCheckpoint())  # one tokenize pass feeds all three writes
-    (base.select(id_col)
+    (base.select(id_col).coalesce(1)
      .withColumn("upto_gen", F.lit(g_old).cast("long"))
      .write.mode("append").parquet(os.path.join(path, "tombstones")))
     (base.select(id_col, "dl")
@@ -269,23 +307,54 @@ def upsert_inverted_index(docs: DataFrame, path: str,
     _postings_of(base, id_col, g_new, int(meta["n_buckets"])) \
         .write.mode("append").partitionBy("tb") \
         .parquet(os.path.join(path, "postings"))
+    # all three writes consumed the checkpoint — release its pinned
+    # blocks now instead of at session death
+    _cc_free(base)
+    # same backlog bound as delete_inverted_docs: one tombstone file
+    # per op, compact when the op count since last compaction exceeds
+    # the threshold
+    if (auto_compact_tombstones is not None
+            and _tombstone_file_count(path) > auto_compact_tombstones):
+        compact_inverted_index(spark, path)
     return g_new
 
 
+def _tombstone_file_count(path: str) -> int:
+    tdir = os.path.join(path, "tombstones")
+    if not os.path.isdir(tdir):
+        return 0
+    return sum(1 for f in os.listdir(tdir) if f.endswith(".parquet"))
+
+
 def delete_inverted_docs(doc_ids: DataFrame, path: str,
-                         id_col: str | None = None) -> None:
+                         id_col: str | None = None,
+                         auto_compact_tombstones: int | None = 8) -> None:
     """Erasure verb for the text index — O(batch), touches NO postings:
     append tombstones at the current generation, killing every stored
     version of the given ids.  Idempotent (duplicate tombstones
     collapse under the query-time max), and physical removal is
     :func:`compact_inverted_index`'s job, exactly as in every
-    LSM-structured store."""
+    LSM-structured store.
+
+    *auto_compact_tombstones* bounds the backlog the same way the ANN
+    store's ``auto_compact_files`` does: each maintenance op lands ONE
+    tombstone file (the key list is batch-sized, coalesced before the
+    append), so the file count IS the op count since the last
+    compaction — when it exceeds the threshold, compaction runs right
+    here and the query-time tombstone broadcast snaps back to zero.
+    Without it the broadcast grows without bound on a store that is
+    deleted from but never manually compacted.  None disables the
+    sweep (schedule ``text_index_compact`` instead)."""
     meta = _read_text_meta(path)
     if id_col is None:
         id_col = meta["id_col"]
     (doc_ids.select(id_col).filter(F.col(id_col).isNotNull()).distinct()
+     .coalesce(1)
      .withColumn("upto_gen", F.lit(int(meta["gen"])).cast("long"))
      .write.mode("append").parquet(os.path.join(path, "tombstones")))
+    if (auto_compact_tombstones is not None
+            and _tombstone_file_count(path) > auto_compact_tombstones):
+        compact_inverted_index(doc_ids.sparkSession, path)
 
 
 def compact_inverted_index(spark, path: str) -> dict:
