@@ -6587,19 +6587,24 @@ def text_inverted_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _invidx_copy(spark: SparkSession, sf_dir: str,
-                 base90: bool = False) -> str:
+                 base90: bool = False, old5: bool = False) -> str:
     """A writable copy of a cached inverted-index build: the full
-    corpus (default) or the 90% base (``base90`` — the pre-crawl state
-    the upsert row folds the held-out slice into).  Builds are offline
-    jobs, cached per fixture; mutating rows each take a copy."""
+    corpus (default), the 90% base (``base90`` — the pre-crawl state
+    the upsert row folds the held-out slice into), or the doc_id%5!=0
+    old snapshot (``old5`` — the pre-diff state the changefeed row
+    applies a feed to).  Builds are offline jobs, cached per fixture;
+    mutating rows each take a copy."""
     import shutil
 
-    key = (sf_dir, "base90") if base90 else sf_dir
+    key = ((sf_dir, "base90") if base90
+           else (sf_dir, "old5") if old5 else sf_dir)
     if key not in _INVIDX_CACHE:
         path = os.path.join(tempfile.mkdtemp(prefix="invidx_"), "index")
         docs = readers.widen(_t(spark, sf_dir, "documents"))
         if base90:
             docs = docs.filter(F.col("doc_id") % 10 != 3)
+        elif old5:
+            docs = docs.filter(F.col("doc_id") % 5 != 0)
         retrieval_ops.build_inverted_index(docs, path)
         _INVIDX_CACHE[key] = path
     out = os.path.join(tempfile.mkdtemp(prefix="invidx_mut_"), "index")
@@ -6716,6 +6721,57 @@ def text_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     retrieval_ops.delete_inverted_docs(
         docs.filter(F.col("doc_id") % 10 == 3).select("doc_id"), path)
     return retrieval_ops.inverted_index_stats(spark, path)
+
+
+@register("changefeed_apply_text_index", oracle=f"""
+WITH scored AS ({retrieval_ops.duck_bm25(
+    _BM25_TERMS, _DUCK_TOKENS,
+    from_table="(SELECT doc_id, CASE WHEN doc_id % 3 = 0 "
+               "THEN text || ' spark query' ELSE text END AS text "
+               "FROM documents WHERE doc_id % 7 <> 0)")})
+SELECT doc_id, CAST(dl AS BIGINT) AS dl, (round(bm25, 6) + 0) AS bm25
+FROM scored
+ORDER BY (round(bm25, 6) + 0) DESC, doc_id LIMIT 20
+""")
+def changefeed_apply_text_index(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Changefeed-driven TEXT-index maintenance — the wiring that ends
+    the serving tier's last manual leg (the ANN index already self-
+    maintains from store_changefeed deltas; this is the inverted
+    index's twin): two corpus snapshots are diffed exactly as
+    store_changefeed does (full-outer join on the key; old =
+    doc_id%5!=0, new = doc_id%7!=0 with the %3==0 slice's text
+    appended ' spark query', so all three action kinds occur AND
+    updates genuinely change postings, df and dl for the query
+    terms), and the feed is applied by
+    retrieval.apply_changefeed_text_index — deletes append tombstones
+    (O(batch), no postings touched); inserts and updates fold in via
+    upsert_inverted_index, whose tombstone-at-old-generation shadows
+    every prior posting of an updated doc wherever its old terms
+    scattered.  The oracle is the scan-side BM25 over the NEW snapshot
+    — the state apply must converge to, whatever the diff contained —
+    bit-for-bit, stats (N, Σdl, df) included."""
+    docs = readers.widen(_t(spark, sf_dir, "documents"))
+    perturbed = F.concat(F.col("text"), F.lit(" spark query"))
+    old = (docs.filter(F.col("doc_id") % 5 != 0)
+           .select("doc_id", F.col("text").alias("old_text")))
+    new = (docs.filter(F.col("doc_id") % 7 != 0)
+           .select(F.col("doc_id").alias("n_id"),
+                   F.when(F.col("doc_id") % 3 == 0, perturbed)
+                   .otherwise(F.col("text")).alias("new_text")))
+    diff = old.join(new, old.doc_id == new.n_id, "full_outer")
+    feed = (diff.filter(F.col("doc_id").isNull()
+                        | F.col("n_id").isNull()
+                        | (F.col("old_text") != F.col("new_text")))
+            .select(F.coalesce("doc_id", "n_id").alias("doc_id"),
+                    F.when(F.col("doc_id").isNull(), F.lit("insert"))
+                    .when(F.col("n_id").isNull(), F.lit("delete"))
+                    .otherwise(F.lit("update")).alias("action"),
+                    "old_text", "new_text"))
+    path = _invidx_copy(spark, sf_dir, old5=True)
+    stats = retrieval_ops.apply_changefeed_text_index(spark, path, feed)
+    assert stats["deleted"] and stats["upserted"]
+    return _invidx_top20(spark, path)
 
 
 @register("pipeline_forget_and_serve", oracle=f"""
@@ -7871,22 +7927,27 @@ def topk_mmr_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
 # every operator accrues one across rounds. Purely a presentation
 # order — REGISTRY itself keeps source order.
 DRIVER_VERIFIED = frozenset({
-    # round 9: the IVF-path names are deliberately ABSENT from this
-    # set (removed from their original round blocks below) — the r8
-    # assign_cells/assign_cells_multi rewrite (operators/ivf.py:73-170)
-    # changed the plan every one of them executes, and none got a
-    # full-oracle driver row since.  Dropping them puts them
-    # pending-first in the r9 window: ann_ivf_topk, ann_ivf_filtered,
-    # sim_join_ivf, sim_join_ivf_p2, sim_join_ivf_pandas,
-    # ann_index_upsert, ann_index_erase, ann_index_rebuild,
-    # ann_index_compact, changefeed_apply_index, ann_ivfpq_topk,
-    # ann_ivfpq_materialized.
+    # round 10: the text-index path names are deliberately ABSENT from
+    # this set (removed from their round-6/7 blocks below) — round 9
+    # changed operators/retrieval.py materially (_ensure_gen_layout
+    # migration, _live's gen-default semantics, coalesce(1) tombstone
+    # writes, auto_compact_tombstones) without a fresh oracle row.
+    # Dropping them puts them pending-first in the r10 window, exactly
+    # as r9 did for the IVF path: text_index_upsert, text_index_erase,
+    # text_index_compact, text_index_stats, text_inverted_index_topk,
+    # hybrid_search_rrf, pipeline_forget_and_serve,
+    # streaming_index_upsert, streaming_index_erase.
+    # (r9 re-verified the IVF-path names full-oracle — CORRECTNESS_r09:
+    # ann_ivf_topk, ann_ivf_filtered, sim_join_ivf(_p2)(_pandas),
+    # ann_index_upsert/erase/rebuild/compact, changefeed_apply_index,
+    # ann_ivfpq_topk, ann_ivfpq_materialized all green.)
+    "ann_ivf_topk", "ann_ivf_filtered", "sim_join_ivf",
+    "sim_join_ivf_p2", "sim_join_ivf_pandas", "ann_index_upsert",
+    "ann_index_erase", "ann_index_rebuild", "ann_index_compact",
+    "changefeed_apply_index", "ann_ivfpq_topk", "ann_ivfpq_materialized",
     # round 7 (CORRECTNESS_r07.json — 49 full-oracle + 1 rows-only by
     # design, zero errs; re-verified names already listed under earlier
     # rounds are not repeated)
-    "streaming_index_erase", "text_index_upsert",
-    "text_index_erase", "text_index_compact", "text_index_stats",
-    "pipeline_forget_and_serve",
     "bpe_merge_rounds", "streaming_centroid_drift",
     "bloom_filter_join_agg", "aqe_skew_join_agg",
     # round 6 (CORRECTNESS_r06.json — 49 full-oracle + 1 rows-only by
@@ -7897,15 +7958,15 @@ DRIVER_VERIFIED = frozenset({
     "skew_report_events", "vocab_coverage", "doc_length_histogram",
     "integrity_orphans",
     "ann_ivfpq_materialized_trained",
-    "streaming_index_upsert", "ann_index_stats",
+    "ann_index_stats",
     "partitioned_time_scan", "store_bucket_stats",
     "multimodal_dedup_near", "multimodal_frame_dedup",
     "streaming_append_finalized", "text_bm25_topk",
-    "rerank_cross_encoder", "hybrid_search_rrf", "dedup_semdedup",
+    "rerank_cross_encoder", "dedup_semdedup",
     "ann_truncated_rerank", "streaming_enrich_dim",
     "streaming_interval_join", "quality_classifier_score",
     "incremental_agg_merge", "incremental_distinct_sketch",
-    "text_inverted_index_topk", "store_changefeed",
+    "store_changefeed",
     "corpus_overlap_matrix", "sample_fixed_k_per_group",
     "grouping_sets_report", "bpe_pair_frequencies",
     "embedding_centroid_drift", "dedup_cluster_histogram",

@@ -81,6 +81,9 @@ class Engine:
         invalidated by any ingest) is reused, so N back-to-back
         searches pay for at most one count job instead of N (at 100 TB
         even the pruned scan is the dominant cost of the gate)."""
+        t0 = time.time()  # the envelope times the WHOLE call, any
+        # bootstrap ingest included (reference: engine.py start_time
+        # captured before update_embeddings)
         if self.gate.should_update(self._freshness_gap, force=force_update):
             self.update_embeddings()
         elif not self._store_exists():
@@ -102,7 +105,7 @@ class Engine:
                     "total_results": 0,
                     "query": query,
                     "threshold": threshold,
-                    "search_time_ms": 0.0,
+                    "search_time_ms": round((time.time() - t0) * 1000, 1),
                 },
             }
         corpus = self._store()

@@ -365,18 +365,18 @@ def minhash_estimate_pairs(df: DataFrame, text_col: str = "text",
     # and feeds the band derivation AND both join sides.  Routing
     # through dedup_minhash_lsh would re-shingle and re-hash the corpus
     # a second (and, with the two unmaterialized join references, a
-    # third) time for an identical result.
-    # persist, NOT localCheckpoint: the returned frame references this
-    # three times lazily, so the materialization must outlive the call
-    # — a checkpoint would pin corpus-sized blocks in the block manager
-    # until session death, while a persisted RDD keeps its lineage
-    # (evictable under memory pressure, recomputable, and reclaimed by
-    # the ContextCleaner once the result frame is dropped)
+    # third) time for an identical result.  The checkpoint is RELEASED
+    # before returning (the result below is materialized first) — a
+    # persist() here would register the corpus-sized signature table in
+    # the session CacheManager, which holds SQL cache entries until an
+    # explicit unpersist or session end (the ContextCleaner GC-reclaims
+    # only raw RDD persists), so repeated calls would accumulate pinned
+    # disk blocks.
     sigs = (widen(df).select(
         F.col(id_col),
         minhash_signature(shingles(F.col(text_col), shingle_n),
                           num_hashes).alias("sig"))
-        .persist())
+        .localCheckpoint(eager=True))
     banded = sigs.select(
         F.col(id_col),
         F.posexplode(band_hashes_of_sig(F.col("sig"), num_hashes,
@@ -389,10 +389,18 @@ def minhash_estimate_pairs(df: DataFrame, text_col: str = "text",
         F.zip_with("sig_a", "sig_b",
                    lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0))),
         F.lit(0), lambda acc, m: acc + m)
-    return (pairs.join(sa, "id_a").join(sb, "id_b")
-            .select("id_a", "id_b",
-                    (F.round(matches.cast("double") / num_hashes, 6)
-                     + F.lit(0.0)).alias("est_jaccard")))
+    # materialize the candidate-pair output (three narrow columns,
+    # banding-bounded — the frame the exact-verify stage consumes
+    # anyway), then release the corpus-sized signature checkpoint.
+    # The caller may _cc_free the returned frame once consumed; until
+    # then only output-sized blocks stay pinned, never the signatures.
+    out = (pairs.join(sa, "id_a").join(sb, "id_b")
+           .select("id_a", "id_b",
+                   (F.round(matches.cast("double") / num_hashes, 6)
+                    + F.lit(0.0)).alias("est_jaccard"))
+           .localCheckpoint(eager=True))
+    _cc_free(sigs)
+    return out
 
 
 def simhash(text: Column | str, bits: int = 16) -> Column:

@@ -160,6 +160,9 @@ def _read_text_meta(path: str, id_col: str = "doc_id",
 def _write_text_meta(path: str, meta: dict) -> None:
     from ..sources.sinks import _atomic_write_json
 
+    # bootstrap path: upsert on a never-built store bumps the meta
+    # generation BEFORE the first parquet write creates the directory
+    os.makedirs(path, exist_ok=True)
     _atomic_write_json(os.path.join(path, TEXT_META), meta)
 
 
@@ -253,6 +256,11 @@ def _ensure_gen_layout(spark, path: str) -> None:
 
     for sub, part in (("doclen", None), ("postings", "tb")):
         store = os.path.join(path, sub)
+        if not os.path.isdir(store):
+            # never-built store: the append-mode writes below bootstrap
+            # it (and _read_text_meta already tolerates missing meta) —
+            # reading here would throw and narrow the upsert contract
+            continue
         cur = spark.read.parquet(store)
         if "gen" in cur.columns:
             continue
@@ -357,6 +365,55 @@ def delete_inverted_docs(doc_ids: DataFrame, path: str,
         compact_inverted_index(doc_ids.sparkSession, path)
 
 
+def apply_changefeed_text_index(spark, path: str, feed: DataFrame,
+                                action_col: str = "action",
+                                new_text_col: str = "new_text",
+                                id_col: str | None = None,
+                                auto_compact_tombstones: int | None = 8,
+                                ) -> dict:
+    """Text-index maintenance DERIVED from the store diff — the
+    inverted-index twin of ``ann_index.apply_changefeed_index``, closing
+    the last manual maintenance leg of the serving tier: apply a
+    changefeed (``store_changefeed`` shape — one row per changed key
+    with ``action`` in insert/update/delete plus old/new payloads) so
+    the caller never tracks batches against EITHER index.
+
+    Delete rows append tombstones (:func:`delete_inverted_docs`,
+    O(batch), no postings touched); insert and update rows fold in via
+    :func:`upsert_inverted_index`, whose own tombstone-at-old-generation
+    already shadows every prior posting of an updated doc WHEREVER its
+    old terms scattered — the text index needs no erase-first pass for
+    updates (unlike the ANN twin, where a cell-moving update would
+    strand a stale copy: postings shadowing is by generation, store-
+    wide).  Total cost O(changed keys + touched term buckets),
+    independent of index size; each phase lands one tombstone file, so
+    the *auto_compact_tombstones* backlog bound applies unchanged.
+    Returns ``{"deleted": n_deleted, "upserted": n_upserted, "gen":
+    batch_generation_or_None}``."""
+    from .dedup import _cc_free
+
+    meta = _read_text_meta(path)
+    if id_col is None:
+        id_col = meta["id_col"]
+    feed = feed.localCheckpoint()  # dimension-sized; read twice
+    doomed = feed.filter(F.col(action_col) == "delete").select(id_col)
+    n_del = doomed.count()
+    if n_del:
+        delete_inverted_docs(doomed, path, id_col=id_col,
+                             auto_compact_tombstones=auto_compact_tombstones)
+    incoming = (feed.filter(F.col(action_col).isin("insert", "update"))
+                .select(F.col(id_col),
+                        F.col(new_text_col).alias("_feed_text")))
+    n_up = incoming.count()
+    gen = None
+    if n_up:
+        gen = upsert_inverted_index(
+            incoming, path, text_col="_feed_text", id_col=id_col,
+            auto_compact_tombstones=auto_compact_tombstones)
+    _cc_free(feed)  # both phases committed; release the pin
+    return {"deleted": n_del, "upserted": n_up, "gen": gen}
+
+
 def compact_inverted_index(spark, path: str) -> dict:
     """Scheduled maintenance: physically drop dead rows (shadowed
     generations and erased docs) from postings and doclen, then clear
@@ -365,7 +422,17 @@ def compact_inverted_index(spark, path: str) -> dict:
     ANN rebuild); each store is staged then swapped, and a leftover
     tombstone after a crash re-filters already-live rows harmlessly
     until the next compaction removes it.  Returns before/after row
-    counts."""
+    counts.
+
+    Deployment note (applies to every maintenance verb here): the
+    tombstone-file counting and directory swaps use ``os``/``shutil``
+    — a POSIX store directory, consistent with the sandbox-local
+    design.  The DataFrame plans themselves are cluster-agnostic; on
+    an object store, swap these for the filesystem client and count
+    maintenance ops via a meta counter instead of file count (the
+    ``coalesce(1)`` on tombstone batches — fine for dimension-sized
+    GDPR lists, a single-task funnel for a bulk purge — then goes
+    too)."""
     import shutil
 
     from ..sources.sinks import _swap_dir, heal_partial_swaps

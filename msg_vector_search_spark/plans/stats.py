@@ -23,8 +23,13 @@ def database_stats(messages: DataFrame, embedded: DataFrame) -> DataFrame:
     return (
         t.crossJoin(e)
         .withColumn("coverage_pct",
-                    textops.coverage_pct(F.col("embedded_messages"),
-                                         F.col("total_messages")))
+                    # empty corpus: 0/0 coverage is 0.0, not an ANSI
+                    # divide-by-zero (the reference reports zeros on an
+                    # empty store, engine.py:228-284)
+                    F.when(F.col("total_messages") == 0, F.lit(0.0))
+                    .otherwise(textops.coverage_pct(
+                        F.col("embedded_messages"),
+                        F.col("total_messages"))))
         .select("total_messages", "embedded_messages", "coverage_pct",
                 "min_ts", "max_ts")
     )

@@ -36,6 +36,14 @@ With Delta/Iceberg on the classpath this whole function is a
 format-level MERGE with file-level pruning; the jars are not in this
 environment so the bucket-partitioned dedup-rewrite is the
 implementation and the MERGE path is documented.
+
+Deployment note: the maintenance verbs here (directory swaps, swap
+healing, file counting, manifest staging) use ``os``/``shutil`` — a
+POSIX store directory, matching the sandbox-local design.  The
+DataFrame read/merge/write plans are cluster-agnostic; on HDFS or an
+object store the same verbs run against the filesystem client (Hadoop
+FileSystem API / S3 list+copy), or disappear entirely under
+Delta/Iceberg where the transaction log plays the manifest's role.
 """
 
 from __future__ import annotations

@@ -82,3 +82,31 @@ def test_freshness_gap_converges_with_unstorable_rows(spark, tmp_path):
     eng = Engine(spark, SF, str(tmp_path / "store"))
     eng.update_embeddings()
     assert eng._freshness_gap() == 0
+
+
+def test_empty_source_search_returns_empty_envelope(spark, tmp_path):
+    """An all-empty text source: the bootstrap ingest stores nothing
+    (ingest skips the write when every cleaned text is empty), and the
+    search must return the empty success envelope — not crash reading
+    a store that was never created — with search_time_ms covering the
+    WHOLE call including the bootstrap attempt (the reference captures
+    start_time before its inline update)."""
+    from pyspark.sql import functions as F
+
+    sf = str(tmp_path / "sf")
+    ev = spark.read.parquet(SF + "/events.parquet").filter(F.lit(False))
+    ev.write.parquet(sf + "/events.parquet")
+
+    eng = Engine(spark, sf, str(tmp_path / "store"))
+    res = eng.search("anything", limit=5, threshold=-1.0)
+    assert res["status"] == "success"
+    assert res["results"] == []
+    md = res["metadata"]
+    assert md["total_results"] == 0
+    assert md["query"] == "anything"
+    assert md["search_time_ms"] > 0.0  # bootstrap attempt is timed
+
+    # stats on the same empty engine: zero everywhere, no crash
+    stats = eng.get_database_stats()
+    assert stats["embedded_messages"] == 0
+    assert stats["total_messages"] == 0

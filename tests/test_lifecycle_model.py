@@ -133,3 +133,94 @@ def test_ann_index_lifecycle_matches_model(spark, tmp_path):
         assert _served_topk(spark, path, len(model), qv) == \
             _model_topk(spark, model, qv), \
             f"diverged after step {step} ({op})"
+
+
+def test_ann_erase_crash_between_codes_and_vectors_converges(
+        spark, tmp_path, monkeypatch):
+    """Enumerate the codes-before-vectors erase invariant
+    (ann_index.delete_index_keys): a crash injected BETWEEN the codes
+    erase and the vectors erase must leave an index that (a) never
+    serves a victim — serving joins the codes shortlist back to
+    vectors, and erased codes keep victims out of the shortlist — and
+    (b) re-converges when the same delete re-runs (the documented
+    recovery path: victims stay discoverable in the vectors store
+    until the codes side committed, so the re-run re-derives their
+    cells).  Driven through a >=3-op interleaving (upsert, crashed
+    erase, re-run erase, upsert, clean erase) with the model compared
+    after every completed op."""
+    from msg_vector_search_spark.sources import sinks as sinks_mod
+
+    emb = readers.read_table(spark, SF, "embeddings")
+    base_rows = emb.limit(120).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double"))
+        .alias("embedding")).collect()
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]]
+            for r in base_rows}
+    qv = vecs[min(vecs)]
+    model = dict(sorted(vecs.items())[:100])
+    fresh = {k: v for k, v in vecs.items() if k not in model}
+    path = str(tmp_path / "aindex")
+    ann_index.build_index(spark, _vec_df(spark, model), path,
+                          nlist=4, m=8, ncodes=16)
+
+    # op 1: upsert half the held-out rows
+    batch = dict(sorted(fresh.items())[:10])
+    model.update(batch)
+    ann_index.upsert_index(spark, path, _vec_df(spark, batch))
+    assert _served_topk(spark, path, len(model), qv) == \
+        _model_topk(spark, model, qv)
+
+    # op 2: erase that CRASHES after the codes store committed, before
+    # the vectors store is touched
+    victims = sorted(model)[:8]
+    real_erase = sinks_mod.erase_partitions
+
+    class _Boom(RuntimeError):
+        pass
+
+    calls = {"n": 0}
+
+    def crashing_erase(spark_, store, id_col, keys, touched, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:  # first call = codes, second = vectors
+            raise _Boom("injected crash between codes and vectors")
+        return real_erase(spark_, store, id_col, keys, touched, **kw)
+
+    monkeypatch.setattr(sinks_mod, "erase_partitions", crashing_erase)
+    try:
+        ann_index.delete_index_keys(
+            spark, path,
+            spark.createDataFrame([Row(vec_id=v) for v in victims]))
+        raise AssertionError("injected crash did not fire")
+    except _Boom:
+        pass
+    monkeypatch.setattr(sinks_mod, "erase_partitions", real_erase)
+
+    # invariant (a): the half-erased index serves NO victim
+    served_ids = {vid for vid, _ in
+                  _served_topk(spark, path, len(model), qv, k=len(model))}
+    assert not served_ids & set(victims), \
+        "half-erased index served a victim"
+
+    # invariant (b): re-running the same delete converges to the model
+    for v in victims:
+        model.pop(v)
+    ann_index.delete_index_keys(
+        spark, path,
+        spark.createDataFrame([Row(vec_id=v) for v in victims]))
+    assert _served_topk(spark, path, len(model), qv) == \
+        _model_topk(spark, model, qv)
+
+    # op 4/5: further maintenance on the recovered index stays exact
+    batch2 = {k: v for k, v in sorted(fresh.items())[10:20]}
+    model.update(batch2)
+    ann_index.upsert_index(spark, path, _vec_df(spark, batch2))
+    victims2 = sorted(model)[-5:]
+    for v in victims2:
+        model.pop(v)
+    ann_index.delete_index_keys(
+        spark, path,
+        spark.createDataFrame([Row(vec_id=v) for v in victims2]))
+    assert _served_topk(spark, path, len(model), qv) == \
+        _model_topk(spark, model, qv)

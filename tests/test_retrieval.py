@@ -387,3 +387,174 @@ def test_text_search_heals_stranded_swap(spark, tmp_path):
     assert _scores(retrieval.search_inverted_index(
         spark, path, ["alpha"])) == want
     assert os.path.isdir(pdir)
+
+
+# ---------------------------------------------------------------------------
+# r9/r10 lifecycle branches: gen-layout migration, never-built bootstrap,
+# tombstone-backlog auto-compaction
+# ---------------------------------------------------------------------------
+
+def _strip_gen(spark, path):
+    """Rewrite a built index WITHOUT the gen column and meta sidecar —
+    the on-disk shape of an index written before the LSM lifecycle
+    landed, the input _ensure_gen_layout exists to migrate."""
+    import os
+    import shutil
+
+    for sub, part in (("doclen", None), ("postings", "tb")):
+        store = os.path.join(path, sub)
+        cur = spark.read.parquet(store).drop("gen")
+        tmp = store + "._nogen"
+        if part:
+            (cur.repartition(F.col(part)).write.mode("overwrite")
+             .partitionBy(part).parquet(tmp))
+        else:
+            cur.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(store)
+        os.rename(tmp, store)
+    meta = os.path.join(path, retrieval.TEXT_META)
+    if os.path.exists(meta):
+        os.remove(meta)
+
+
+def test_genless_index_delete_then_upsert_migrates(spark, tmp_path):
+    """A pre-generation-sidecar index (no gen column, no meta) must
+    survive the full lifecycle: delete works immediately (rows default
+    to gen 0 in the query-time filter), and the first upsert stamps
+    gen=0 onto both stores via _ensure_gen_layout before appending its
+    gen=1 rows — afterwards serving equals a fresh build of the final
+    corpus."""
+    import os
+
+    # default bucket layout throughout: a pre-sidecar index carries
+    # no meta, so every verb falls back to the default layout — the
+    # documented tolerance contract of _read_text_meta
+    rows = [(i, f"alpha beta doc{i}") for i in range(20)]
+    full = _mini_corpus(spark, rows)
+    path = str(tmp_path / "idx")
+    retrieval.build_inverted_index(full, path)
+    _strip_gen(spark, path)
+    assert "gen" not in spark.read.parquet(
+        os.path.join(path, "doclen")).columns
+
+    # delete on the gen-less store: tombstone at gen 0 kills the
+    # defaulted-gen-0 rows — no AnalysisException, victims gone
+    retrieval.delete_inverted_docs(
+        full.filter(F.col("doc_id") % 4 == 0).select("doc_id"), path,
+        auto_compact_tombstones=None)
+    survivors = {i: t for i, t in rows if i % 4 != 0}
+    clean = str(tmp_path / "clean1")
+    retrieval.build_inverted_index(_mini_corpus(spark, survivors.items()),
+                                   clean)
+    assert _scores(retrieval.search_inverted_index(
+        spark, path, ["alpha"])) == _scores(
+        retrieval.search_inverted_index(spark, clean, ["alpha"]))
+
+    # first upsert migrates the layout (gen stamped on BOTH stores,
+    # never a mixed-schema read) then lands the batch at gen 1
+    batch = {3: "gamma gamma", 50: "alpha gamma"}
+    retrieval.upsert_inverted_index(_mini_corpus(spark, batch.items()),
+                                    path)
+    survivors.update(batch)
+    for sub in ("doclen", "postings"):
+        cols = spark.read.parquet(os.path.join(path, sub)).columns
+        assert "gen" in cols, f"{sub} not migrated"
+    clean2 = str(tmp_path / "clean2")
+    retrieval.build_inverted_index(_mini_corpus(spark, survivors.items()),
+                                   clean2)
+    for terms in (["alpha"], ["gamma"], ["beta", "gamma"]):
+        assert _scores(retrieval.search_inverted_index(
+            spark, path, terms)) == _scores(
+            retrieval.search_inverted_index(spark, clean2, terms))
+
+
+def test_upsert_bootstraps_never_built_store(spark, tmp_path):
+    """upsert_inverted_index on a path with NO prior build must
+    bootstrap the store (the append-mode writes create it; the
+    missing-store guard keeps _ensure_gen_layout from throwing) and
+    serve the batch as if it had been built fresh."""
+    path = str(tmp_path / "fresh")
+    batch = [(1, "alpha beta"), (2, "alpha alpha gamma")]
+    gen = retrieval.upsert_inverted_index(_mini_corpus(spark, batch), path)
+    assert gen == 1
+    clean = str(tmp_path / "clean")
+    retrieval.build_inverted_index(_mini_corpus(spark, batch), clean,
+                                   n_buckets=retrieval.INDEX_BUCKETS)
+    assert _scores(retrieval.search_inverted_index(
+        spark, path, ["alpha", "gamma"])) == _scores(
+        retrieval.search_inverted_index(spark, clean, ["alpha", "gamma"]))
+
+
+def test_tombstone_backlog_bounded_by_auto_compaction(spark, tmp_path):
+    """Each maintenance op lands ONE tombstone file, so the file count
+    is the op count since the last compaction; with
+    auto_compact_tombstones=2 the observed backlog must never exceed 2
+    across a 12-op mixed sequence, and serving must track the model
+    throughout (compaction moves bytes, never results)."""
+    import random
+
+    rng = random.Random(13)
+    model = {i: f"alpha doc{i} " + "beta " * (i % 3) for i in range(25)}
+    path = str(tmp_path / "idx")
+    retrieval.build_inverted_index(_mini_corpus(spark, model.items()),
+                                   path, n_buckets=8)
+    next_id = 100
+    for step in range(12):
+        if rng.random() < 0.5 and model:
+            victims = rng.sample(sorted(model), k=min(2, len(model)))
+            for v in victims:
+                model.pop(v)
+            retrieval.delete_inverted_docs(
+                _mini_corpus(spark, [(v, "") for v in victims])
+                .select("doc_id"),
+                path, auto_compact_tombstones=2)
+        else:
+            batch = {next_id: "alpha gamma", next_id + 1: "beta beta"}
+            next_id += 2
+            model.update(batch)
+            retrieval.upsert_inverted_index(
+                _mini_corpus(spark, batch.items()), path,
+                auto_compact_tombstones=2)
+        backlog = retrieval._tombstone_file_count(path)
+        assert backlog <= 2, f"backlog {backlog} after step {step}"
+        clean = str(tmp_path / f"clean{step}")
+        retrieval.build_inverted_index(
+            _mini_corpus(spark, model.items()), clean, n_buckets=8)
+        assert _scores(retrieval.search_inverted_index(
+            spark, path, ["alpha", "beta"])) == _scores(
+            retrieval.search_inverted_index(spark, clean,
+                                            ["alpha", "beta"])), \
+            f"serving diverged after step {step}"
+
+
+def test_changefeed_apply_text_index_converges(spark, tmp_path):
+    """Apply a mixed insert/update/delete feed to a built index; serving
+    must equal a fresh build of the post-feed corpus — including an
+    update that REMOVES a term (its old posting must die wherever it
+    scattered) and stats recounted over the merged truth."""
+    from pyspark.sql import Row
+
+    old = {1: "alpha beta", 2: "alpha alpha", 3: "beta gamma",
+           4: "gamma gamma"}
+    new = {1: "alpha beta",            # unchanged -> not in feed
+           2: "gamma",                 # update: loses 'alpha' entirely
+           4: "gamma gamma",           # unchanged
+           5: "alpha gamma"}           # insert; 3 deleted
+    path = str(tmp_path / "idx")
+    retrieval.build_inverted_index(_mini_corpus(spark, old.items()), path,
+                                   n_buckets=8)
+    feed_rows = [
+        Row(doc_id=2, action="update", old_text=old[2], new_text=new[2]),
+        Row(doc_id=3, action="delete", old_text=old[3], new_text=None),
+        Row(doc_id=5, action="insert", old_text=None, new_text=new[5]),
+    ]
+    stats = retrieval.apply_changefeed_text_index(
+        spark, path, spark.createDataFrame(feed_rows))
+    assert stats == {"deleted": 1, "upserted": 2, "gen": 1}
+    clean = str(tmp_path / "clean")
+    retrieval.build_inverted_index(_mini_corpus(spark, new.items()), clean,
+                                   n_buckets=8)
+    for terms in (["alpha"], ["beta"], ["alpha", "gamma"]):
+        assert _scores(retrieval.search_inverted_index(
+            spark, path, terms)) == _scores(
+            retrieval.search_inverted_index(spark, clean, terms))
