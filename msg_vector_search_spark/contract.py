@@ -3632,6 +3632,102 @@ def ann_ivfpq_materialized_trained(spark: SparkSession,
                                   k=10, nprobe=8, shortlist=400)
 
 
+_MANY_QIDS = [0, 7, 13, 21, 34]
+
+_IVFPQ_MANY_ORACLE = f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT 16
+), qs AS (
+  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+  WHERE vec_id IN ({", ".join(str(q) for q in _MANY_QIDS)})
+), cscored AS (
+  SELECT e.vec_id, e.embedding, c.centroid_id,
+         (round({V.duck_cosine('e.embedding', 'c.cvec')}, 9) + 0) AS cdist
+  FROM embeddings e CROSS JOIN cent c
+), celled AS (
+  SELECT vec_id, embedding, centroid_id AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cdist DESC, centroid_id) AS rn
+    FROM cscored) WHERE rn = 1
+), probe AS (
+  SELECT q.qid, c.centroid_id AS cell
+  FROM qs q CROSS JOIN cent c
+  QUALIFY row_number() OVER (
+    PARTITION BY q.qid
+    ORDER BY {V.duck_cosine('c.cvec', 'q.qv')} DESC, c.centroid_id) <= 4
+), cand AS (
+  SELECT * FROM celled
+  WHERE cell IN (SELECT DISTINCT cell FROM probe)
+), seeds AS (
+  SELECT embedding AS sv, row_number() OVER (ORDER BY vec_id) - 1 AS cw
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)
+), js AS (SELECT unnest(range(8)) AS j),
+cb AS (
+  SELECT js.j, seeds.cw, seeds.sv[(js.j*8+1):(js.j*8+8)] AS cv
+  FROM seeds CROSS JOIN js
+), ev AS (
+  SELECT c.vec_id, c.cell, js.j, c.embedding[(js.j*8+1):(js.j*8+8)] AS xv
+  FROM cand c CROSS JOIN js
+), coded AS (
+  SELECT vec_id, cell, j, cw FROM (
+    SELECT ev.vec_id, ev.cell, ev.j, cb.cw,
+           row_number() OVER (
+             PARTITION BY ev.vec_id, ev.j
+             ORDER BY (round({V.duck_dot('ev.xv', 'cb.cv')}, 9) + 0) DESC,
+                      cb.cw) AS rn
+    FROM ev JOIN cb ON cb.j = ev.j) WHERE rn = 1
+), qtab AS (
+  SELECT q.qid, cb.j, cb.cw,
+         (round({V.duck_dot('q.qv[(cb.j*8+1):(cb.j*8+8)]', 'cb.cv')}, 9)
+          + 0) AS d
+  FROM qs q CROSS JOIN cb
+), adc AS (
+  SELECT p.qid, a.vec_id, (round(sum(t.d), 6) + 0) AS adc_sim
+  FROM coded a
+  JOIN probe p ON p.cell = a.cell
+  JOIN qtab t ON t.qid = p.qid AND t.j = a.j AND t.cw = a.cw
+  GROUP BY p.qid, a.vec_id
+), short AS (
+  SELECT qid, vec_id FROM adc
+  QUALIFY row_number() OVER (PARTITION BY qid
+                             ORDER BY adc_sim DESC, vec_id) <= 50
+)
+SELECT s.qid, c.vec_id, c.cell,
+       (round({V.duck_cosine('c.embedding', 'q.qv')}, 6) + 0) AS sim
+FROM short s
+JOIN cand c ON c.vec_id = s.vec_id
+JOIN qs q ON q.qid = s.qid
+QUALIFY row_number() OVER (PARTITION BY s.qid
+                           ORDER BY sim DESC, c.vec_id) <= 10
+ORDER BY s.qid, sim DESC, c.vec_id
+"""
+
+
+@register("search_index_many", oracle=_IVFPQ_MANY_ORACLE)
+def search_index_many(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched multi-query serving from the persisted IVFPQ index —
+    the high-QPS path: five queries in ONE plan.  The probed cells of
+    every query union into a single literal partition filter, the
+    pruned code scan runs once, each query's ADC column (own distance
+    table, gated to its own probed cells) is evaluated per row of the
+    shared scan, per-query shortlists come from a qid-partitioned
+    window, and the exact re-rank joins the broadcast (qid, id)
+    shortlist plus the broadcast query dim against the pruned raw
+    vectors.  Per-query results are bit-identical to five separate
+    search_index calls (pinned in tests/test_ivf_index.py); the
+    oracle replays the full seed-IVFPQ composition per query with
+    QUALIFY windows over a shared candidate set — exactly the batched
+    plan's sharing structure."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qrows = {int(r["vec_id"]): [float(x) for x in r["embedding"]]
+             for r in emb.filter(F.col("vec_id").isin(_MANY_QIDS))
+             .select("vec_id", "embedding").collect()}
+    path = _materialized_index(spark, sf_dir, trained=False)
+    return ann_index.search_index_many(spark, path, qrows, k=10,
+                                       nprobe=4, shortlist=50)
+
+
 # Shared by ann_index_upsert and streaming_index_upsert: the final
 # index state after folding the vec_id%10==3 batch into the base-built
 # artifacts, replayed as one full-corpus assignment + encoding against
@@ -7214,12 +7310,15 @@ def bpe_pair_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_ops.bpe_pair_counts(docs, top=20)
 
 
-def _bpe_rounds_sql(k: int) -> str:
-    """Unrolled K-round BPE training oracle: one (pair-count argmax,
-    rewrite) CTE pair per round — the DuckDB rendering of the Spark
-    driver loop, merge-for-merge (greedy sequential training is not
-    expressible in a recursive CTE for the same reason as greedy MMR:
-    the recursive term can't aggregate over its own accumulation)."""
+def _bpe_round_ctes(k: int) -> str:
+    """The shared K-round BPE training CTE chain (t0, b1, t1 ... tK):
+    one (pair-count argmax, rewrite) CTE pair per round — the DuckDB
+    rendering of the Spark driver loop, merge-for-merge (greedy
+    sequential training is not expressible in a recursive CTE for the
+    same reason as greedy MMR: the recursive term can't aggregate over
+    its own accumulation).  Composed by BOTH the training oracle
+    (_bpe_rounds_sql) and the encode oracle (_bpe_encode_sql) so the
+    two agree on every merge by construction."""
     parts = [f"""
 WITH t0 AS (
   SELECT trim(regexp_replace(tok, '(.)', '\\1 ', 'g')) AS s FROM (
@@ -7240,11 +7339,58 @@ WITH t0 AS (
                           || ' ')) AS s
   FROM t{r - 1}
 )""")
+    return "".join(parts)
+
+
+def _bpe_rounds_sql(k: int) -> str:
+    """Unrolled K-round BPE training oracle over the shared round
+    CTEs: one (round, pair, merged, cnt) row per round."""
     selects = [f"SELECT CAST({r} AS INT) AS round, pair, "
                f"replace(pair, ' ', '') AS merged, cnt FROM b{r}"
                for r in range(1, k + 1)]
-    parts.append("\n" + "\nUNION ALL ".join(selects))
-    return "".join(parts)
+    return _bpe_round_ctes(k) + "\n" + "\nUNION ALL ".join(selects)
+
+
+def _bpe_encode_sql(k: int) -> str:
+    """Encode-the-corpus oracle: derive the K merges with the shared
+    training CTEs, then re-apply them per document — space out each
+    gated token's characters, chain the K space-sentinel replaces in
+    training order, split to symbols, and map each symbol to its
+    1-based position in the sorted (alphabet + merged symbols)
+    vocabulary — the exact construction of corpus_ops.bpe_encode.
+    DuckDB forbids subqueries inside lambda bodies, so the merge
+    strings and the vocab list are hoisted into row scope via
+    one-row cross joins (mrg, vocab) and referenced as columns."""
+    letters = ", ".join(f"'{c}'" for c in "abcdefghijklmnopqrstuvwxyz")
+    pair_cols = ", ".join(
+        f"(SELECT pair FROM b{r}) AS p{r}, "
+        f"(SELECT replace(pair, ' ', '') FROM b{r}) AS m{r}"
+        for r in range(1, k + 1))
+    enc = "' ' || trim(regexp_replace(t, '(.)', '\\1 ', 'g')) || ' '"
+    for r in range(1, k + 1):
+        enc = (f"replace({enc}, ' ' || p{r} || ' ', "
+               f"' ' || m{r} || ' ')")
+    merged_cols = ", ".join(f"m{r}" for r in range(1, k + 1))
+    return _bpe_round_ctes(k) + f""", mrg AS MATERIALIZED (
+  SELECT {pair_cols}
+), vocab AS MATERIALIZED (
+  SELECT list_sort([{letters}, {merged_cols}]) AS v FROM mrg
+), dtoks AS (
+  SELECT doc_id,
+         list_filter({_DUCK_TOKENS},
+                     t -> regexp_full_match(t, '[a-z]+')) AS toks
+  FROM documents
+), enc AS (
+  SELECT doc_id,
+         flatten(list_transform(toks,
+                 t -> string_split(trim({enc}), ' '))) AS syms
+  FROM dtoks, mrg
+)
+SELECT doc_id, CAST(len(syms) AS BIGINT) AS n_tokens,
+       list_transform(syms,
+           s -> CAST(list_position(v, s) AS INT)) AS token_ids
+FROM enc, vocab
+"""
 
 
 @register("bpe_merge_rounds", oracle=_bpe_rounds_sql(3))
@@ -7261,6 +7407,27 @@ def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-pass audit can't see."""
     docs = _t(spark, sf_dir, "documents")
     return corpus_ops.bpe_merge_rounds(docs, rounds=3)
+
+
+@register("bpe_encode_corpus", oracle=_bpe_encode_sql(3))
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE encode/apply — the step that makes the trained tokenizer
+    USABLE: train 3 merge rounds (bpe_merge_rounds), then tokenize the
+    whole corpus with them, emitting per-document token-id arrays (the
+    frames pack_sequences_* packs and vocab_coverage audits — the
+    pipeline's GPU-facing output).  Encoding is one narrow projection
+    riding the corpus scan: per-token higher-order expressions apply
+    the merges in training order as the training rewrite's own
+    space-sentinel replace, and symbols map to ids by position in the
+    sorted (alphabet + merged symbols) vocabulary — defined by the
+    tokenizer, not the corpus, so any two corpora agree on every id.
+    The oracle re-derives the merges with the shared round CTEs and
+    re-applies them per document, so merge DERIVATION and APPLICATION
+    are both value-checked end-to-end."""
+    docs = _t(spark, sf_dir, "documents")
+    rounds = sorted(corpus_ops.bpe_merge_rounds(docs, rounds=3).collect(),
+                    key=lambda r: r["round"])
+    return corpus_ops.bpe_encode(docs, [r["pair"] for r in rounds])
 
 
 @register("embedding_centroid_drift", oracle="""

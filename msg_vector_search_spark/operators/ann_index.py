@@ -191,6 +191,102 @@ def search_index(spark: SparkSession, path: str, qvec: list[float],
             .limit(k))
 
 
+def search_index_many(spark: SparkSession, path: str,
+                      queries: dict, k: int = 10, nprobe: int = 8,
+                      shortlist: int = 400) -> DataFrame:
+    """Serve a BATCH of queries from the persisted index in ONE plan —
+    the high-QPS path :func:`search_index` can't reach: a single call
+    carries ~0.2 s of local scheduler overhead, so Q sequential calls
+    pay Q scans and Q round trips for work whose data-touching cost is
+    nearly shared.  Here the probed cells of every query union into
+    ONE literal ``cell IN (...)`` partition filter, the pruned code
+    scan runs ONCE, and each query's ADC column (its own distance
+    table, gated to its own probed cells) is evaluated per row of that
+    shared scan — per-query results are bit-identical to Q separate
+    :func:`search_index` calls with the same parameters.
+
+    *queries* maps ``qid -> qvec``.  Returns ``(qid, vec_id, cell,
+    sim)``, top-*k* per query by (sim desc, id).
+
+    Plan shape at 100 TB: one probe job (Q x nlist rows, driver-
+    bounded), one pruned scan of codes and one of vectors (bytes =
+    union-of-probes fraction, at most Q x nprobe/nlist of the stores),
+    per-query shortlists via a qid-partitioned window over the
+    ADC-scored candidates — the only shuffle, on narrow (qid, id,
+    score) rows hash-partitioned across Q keys; for very large Q
+    salt the qid or pre-aggregate partition-local top-k first.  The
+    exact re-rank joins the broadcast (qid, id) shortlist and the
+    broadcast Q-row query dim against the pruned vectors."""
+    from pyspark.sql import Window
+
+    from ..sources.sinks import _finish_pending_delete, heal_partial_swaps
+
+    for store in (_subdir(path, "vectors"), _subdir(path, "codes")):
+        _finish_pending_delete(store)
+        heal_partial_swaps(store)
+    meta = read_meta(path)
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    cent = load_centroids(spark, path)
+    books = load_codebooks(spark, path)
+    qitems = sorted(queries.items())
+
+    # ONE probe job for the whole batch: Q tiny subplans unioned, one
+    # collect (Q x nprobe rows) — the per-call scheduler round trip is
+    # paid once, and each subplan is probe_cells' exact expression so
+    # per-query cell sets match the single-query path bit-for-bit
+    probe_frames = [
+        ivf.probe_cells(cent, qv, nprobe)
+        .withColumn("qid", F.lit(qid).cast("long"))
+        for qid, qv in qitems]
+    probe_all = probe_frames[0]
+    for pf in probe_frames[1:]:
+        probe_all = probe_all.unionByName(pf)
+    cells_by_q: dict = {}
+    for r in probe_all.collect():
+        cells_by_q.setdefault(r["qid"], []).append(r["cell"])
+    union_cells = sorted({c for cs in cells_by_q.values() for c in cs})
+
+    codes = (spark.read.parquet(_subdir(path, "codes"))
+             .filter(F.col("cell").isin(union_cells)))
+    entries = []
+    for qid, qv in qitems:
+        table = pq.adc_table(qv, books)
+        sc = F.round(pq.adc_score_col(table), 6) + F.lit(0.0)
+        entries.append(F.struct(
+            F.lit(int(qid)).cast("long").alias("qid"),
+            F.when(F.col("cell").isin(cells_by_q[int(qid)]), sc)
+            .alias("adc_sim")))
+    scored = (codes
+              .select(id_col, "cell",
+                      F.explode(F.array(*entries)).alias("_e"))
+              .select(id_col, "cell",
+                      F.col("_e.qid").alias("qid"),
+                      F.col("_e.adc_sim").alias("adc_sim"))
+              .filter(F.col("adc_sim").isNotNull()))
+    w_short = Window.partitionBy("qid").orderBy(
+        F.col("adc_sim").desc(), F.col(id_col).asc())
+    short = (scored.withColumn("_rn", F.row_number().over(w_short))
+             .filter(F.col("_rn") <= shortlist)
+             .select("qid", id_col))
+
+    vectors = (spark.read.parquet(_subdir(path, "vectors"))
+               .filter(F.col("cell").isin(union_cells)))
+    qdim = spark.createDataFrame(
+        [(int(qid), [float(x) for x in qv]) for qid, qv in qitems],
+        "qid long, _qv array<double>")
+    exact = V.cosine(F.col(vec_col), F.col("_qv"))
+    w_k = Window.partitionBy("qid").orderBy(
+        F.col("sim").desc(), F.col(id_col).asc())
+    return (vectors.join(F.broadcast(short), id_col)
+            .join(F.broadcast(qdim), "qid")
+            .withColumn("sim", F.round(exact, 6) + F.lit(0.0))
+            .withColumn("_rn", F.row_number().over(w_k))
+            .filter(F.col("_rn") <= k)
+            .select("qid", id_col,
+                    F.col("cell").cast("long").alias("cell"), "sim")
+            .orderBy("qid", F.col("sim").desc(), F.col(id_col).asc()))
+
+
 def _upsert_cells(spark: SparkSession, batch: DataFrame, store: str,
                   key: str, touched: list | None = None) -> list:
     """Merge *batch* (carrying a ``cell`` column) into a

@@ -250,3 +250,67 @@ def bpe_merge_rounds(docs: DataFrame, rounds: int = 3,
     dedup._cc_free(spaced)  # output is the driver-side rounds list
     return spark.createDataFrame(
         out, "round int, pair string, merged string, cnt long")
+
+
+BPE_ALPHABET = "abcdefghijklmnopqrstuvwxyz"
+
+
+def bpe_vocab(merges: list[str], alphabet: str = BPE_ALPHABET) -> list[str]:
+    """The tokenizer's vocabulary: base alphabet plus each merge's
+    merged symbol, sorted lexicographically.  Token id = 1-based
+    position in this list — defined by the TOKENIZER (alphabet +
+    trained merges), never by the corpus being encoded, so two corpora
+    encoded with the same merges agree on every id.  Kept as a plain
+    sorted list (no dedup) so an oracle building the same list gets
+    identical positions."""
+    return sorted(list(alphabet) + [m.replace(" ", "") for m in merges])
+
+
+def bpe_encode(docs: DataFrame, merges: list[str],
+               text_col: str = "text", id_col: str = "doc_id",
+               alphabet: str = BPE_ALPHABET) -> DataFrame:
+    """Apply a trained BPE merge list to tokenize a corpus — the
+    encode/apply step :func:`bpe_merge_rounds` trains for, emitting the
+    token-id arrays a training run consumes (the frames
+    ``pack_sequences_*`` packs and ``vocab_coverage`` audits).
+
+    *merges* is the ordered list of trained pair strings (``'t h'``,
+    ``bpe_merge_rounds``'s ``pair`` column, in round order).  Encoding
+    a token = space out its characters, then apply each merge in
+    training order as the same space-sentinel whole-symbol replace the
+    training rewrite uses (leftmost-first non-overlapping literal
+    replace — BPE's greedy application order — with re-inserted spaces
+    chaining adjacent matches), so encode(corpus) under K trained
+    merges reproduces the training loop's round-K symbol state exactly.
+    Symbols map to ids by position in :func:`bpe_vocab`.
+
+    Returns ``(id_col, n_tokens, token_ids)``.  Tokens are gated to
+    ``^[a-z]+$`` exactly as training gates them (cross-engine
+    code-point agreement); other tokens contribute no ids.
+
+    Scale: the whole encode is ONE narrow projection riding the corpus
+    scan — per-token higher-order expressions (transform / filter /
+    flatten) with a literal replace chain and a literal vocab array
+    (|alphabet| + K entries, driver-side), no UDF, no join, no shuffle
+    of any kind.  K corpus scans during training, ONE corpus scan per
+    encode."""
+    vocab = F.array(*[F.lit(v) for v in bpe_vocab(merges, alphabet)])
+
+    def encode_tok(tok):
+        # ' c h a r s ' spaced form, then the training-order merges
+        s = F.concat(F.lit(" "),
+                     F.trim(F.regexp_replace(tok, "(.)", "$1 ")),
+                     F.lit(" "))
+        for m in merges:
+            s = F.replace(s, F.lit(f" {m} "),
+                          F.lit(f" {m.replace(' ', '')} "))
+        return F.split(F.trim(s), " ")
+
+    gated = F.filter(analysis.tokens(F.col(text_col)),
+                     lambda t: t.rlike("^[a-z]+$") & (F.length(t) >= 1))
+    symbols = F.flatten(F.transform(gated, encode_tok))
+    ids = F.transform(symbols, lambda sym: F.array_position(vocab, sym)
+                      .cast("int"))
+    return (docs.select(F.col(id_col), ids.alias("token_ids"))
+            .withColumn("n_tokens", F.size("token_ids").cast("long"))
+            .select(id_col, "n_tokens", "token_ids"))

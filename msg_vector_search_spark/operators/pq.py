@@ -160,22 +160,32 @@ def adc_table(qvec: list[float], codebooks: np.ndarray) -> np.ndarray:
                      for j, cb_j in enumerate(codebooks)])
 
 
+def adc_score_col(table: np.ndarray, codes_col: str = "codes"):
+    """The ADC scoring expression for one query's distance table: the
+    table is folded in as an array literal, so scoring is a pure
+    codegen expression (m lookups + adds per row) — no UDF, no join,
+    no shuffle.  Shared by the single-query top-k
+    (:func:`pq_search`) and the batched multi-query serve
+    (``ann_index.search_index_many``), which evaluates one such column
+    per query over a SINGLE pruned code scan."""
+    m, ncodes = table.shape
+    flat = [float(v) for v in table.ravel()]  # row-major: j*ncodes + c
+    tbl = F.array(*[F.lit(v) for v in flat])
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)), F.lit(0.0),
+        lambda acc, j: acc + F.element_at(
+            tbl, (j * ncodes + F.element_at(codes_col, j + 1) + 1)
+            .cast("int")))
+
+
 def pq_search(codes: DataFrame, table: np.ndarray, k: int = 10,
               id_col: str = "vec_id") -> DataFrame:
     """ADC top-k over the encoded corpus.
 
-    The distance table is folded in as an array literal, so scoring is
-    a pure codegen expression (m lookups + adds per row): no UDF, no
-    join, no shuffle — and the final top-k is TakeOrderedAndProject.
+    Scoring rides :func:`adc_score_col` (whole-stage codegen) and the
+    final top-k is TakeOrderedAndProject.
     """
-    m, ncodes = table.shape
-    flat = [float(v) for v in table.ravel()]  # row-major: j*ncodes + c
-    tbl = F.array(*[F.lit(v) for v in flat])
-    score = F.aggregate(
-        F.sequence(F.lit(0), F.lit(m - 1)), F.lit(0.0),
-        lambda acc, j: acc + F.element_at(
-            tbl, (j * ncodes + F.element_at("codes", j + 1) + 1)
-            .cast("int")))
+    score = adc_score_col(table)
     return (codes
             .withColumn("adc_sim", F.round(score, 6) + F.lit(0.0))
             .select(id_col, "adc_sim")

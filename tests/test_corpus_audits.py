@@ -137,3 +137,59 @@ def test_mmr_shortlist_plan_is_bounded(emb):
         .queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "WindowExec" not in plan
+
+
+def test_bpe_encode_applies_merges_in_training_order(spark):
+    """Hand-checked encode: after merges ['h e', 't he'] the token
+    'the' is ONE symbol, 'theme' is the+m+e, 'thesis' is the+s+i+s —
+    and ids are 1-based positions in the sorted vocab.  Non-[a-z]
+    tokens contribute nothing."""
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="the theme thesis"),
+         Row(doc_id=2, text="xx 123 a")])
+    merges = ["h e", "t he"]
+    vocab = corpus_ops.bpe_vocab(merges)
+    assert vocab.index("the") + 1 == 22 and vocab.index("he") + 1 == 9
+    out = {r["doc_id"]: (r["n_tokens"], list(r["token_ids"]))
+           for r in corpus_ops.bpe_encode(docs, merges).collect()}
+    i = {sym: vocab.index(sym) + 1 for sym in
+         ("the", "m", "e", "s", "i", "x", "a")}
+    assert out[1] == (8, [i["the"], i["the"], i["m"], i["e"],
+                          i["the"], i["s"], i["i"], i["s"]])
+    assert out[2] == (3, [i["x"], i["x"], i["a"]])
+
+
+def test_bpe_encode_matches_training_round_state(spark, docs):
+    """encode under the first 2 trained merges must reproduce the
+    training loop's round-2 symbol state: counting adjacent symbol
+    pairs over the encoded tokens (one doc per token, so token
+    boundaries are preserved exactly as training preserves them)
+    yields the same argmax pair/count that training recorded for
+    round 3 — merge APPLICATION feeds the next round's statistics
+    correctly."""
+    rounds = sorted(corpus_ops.bpe_merge_rounds(docs, rounds=3).collect(),
+                    key=lambda r: r["round"])
+    merges = [r["pair"] for r in rounds[:2]]
+    vocab = corpus_ops.bpe_vocab(merges)
+    varr = F.array(*[F.lit(v) for v in vocab])
+
+    # one row per gated token (training's unit of pair counting)
+    toks = (docs.select(F.explode(F.split(F.trim(F.lower("text")),
+                                          r"\s+")).alias("text"))
+            .filter(F.col("text").rlike("^[a-z]+$"))
+            .filter(F.length("text") >= 2)
+            .withColumn("doc_id", F.monotonically_increasing_id()))
+    enc = corpus_ops.bpe_encode(toks, merges)
+    syms = F.transform("token_ids", lambda t: F.element_at(varr, t))
+    pair = F.transform(
+        F.sequence(F.lit(0), F.size("token_ids") - 2),
+        lambda i: F.concat(F.get(syms, i), F.lit(" "), F.get(syms, i + 1)))
+    best = (enc.filter(F.size("token_ids") >= 2)
+            .select(F.explode(pair).alias("pair"))
+            .groupBy("pair").agg(F.count("*").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+            .head())
+    assert (best["pair"], best["cnt"]) == \
+        (rounds[2]["pair"], rounds[2]["cnt"])

@@ -634,3 +634,44 @@ def test_assign_cells_duplicate_ids_store_consistent_pair(spark):
         cent, nprobe=2)
     assert {r["cell"] for r in m7} == \
            {r["cell"] for r in own_rank.collect()}
+
+
+def test_search_index_many_matches_per_query_serving(spark, tmp_path):
+    """The batched multi-query serve must be bit-identical, per query,
+    to Q separate search_index calls with the same parameters — same
+    ids, same cells, same rounded sims, same order — while reading the
+    stores once (the union-of-probes literal filter must reach the
+    code scan as PartitionFilters)."""
+    from msg_vector_search_spark.operators import ann_index
+
+    emb = readers.read_table(spark, SF, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double"))
+        .alias("embedding"))
+    path = str(tmp_path / "index")
+    ann_index.build_index(spark, emb, path, nlist=8, m=8, ncodes=16)
+
+    qrows = {r["vec_id"]: [float(x) for x in r["embedding"]]
+             for r in emb.filter(F.col("vec_id").isin([0, 7, 13, 21, 34]))
+             .collect()}
+    batched = ann_index.search_index_many(spark, path, qrows, k=5,
+                                          nprobe=3, shortlist=40)
+    got = [tuple(r) for r in batched.collect()]
+    want = []
+    for qid in sorted(qrows):
+        single = ann_index.search_index(spark, path, qrows[qid], k=5,
+                                        nprobe=3, shortlist=40)
+        want += [(qid, r["vec_id"], r["cell"], r["sim"])
+                 for r in single.collect()]
+    assert got == want
+
+    # the union-cell literal must prune the code scan's partitions
+    cells = set()
+    cent = ann_index.load_centroids(spark, path)
+    for qv in qrows.values():
+        cells |= {r["cell"] for r in ivf.probe_cells(cent, qv, 3).collect()}
+    pruned = (spark.read.parquet(path + "/codes")
+              .filter(F.col("cell").isin(sorted(cells))))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "cell" in plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
