@@ -6682,6 +6682,41 @@ def text_inverted_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(20))
 
 
+_MANY_TERMSETS = {"q1": ["spark", "query", "dup"],
+                  "q2": ["data", "join"],
+                  "q3": ["the", "vector"]}
+
+
+def _text_many_oracle() -> str:
+    subs = []
+    for qid, terms in sorted(_MANY_TERMSETS.items()):
+        subs.append(f"""
+SELECT '{qid}' AS qid, doc_id, CAST(dl AS BIGINT) AS dl,
+       (round(bm25, 6) + 0) AS bm25
+FROM ({retrieval_ops.duck_bm25(terms, _DUCK_TOKENS)})
+QUALIFY row_number() OVER (
+  ORDER BY (round(bm25, 6) + 0) DESC, doc_id) <= 20""")
+    return "\nUNION ALL\n".join(subs)
+
+
+@register("text_search_many", oracle=_text_many_oracle())
+def text_search_many(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched multi-query BM25 from the persisted inverted index —
+    the text twin of search_index_many and the keyword leg's high-QPS
+    path: three term-set queries in ONE plan.  The union of all query
+    terms prunes the postings once (term-bucket partition filter,
+    checkpointed at the matching-postings working set), doclen
+    contributes one corpus-stats row plus one matching-docs dl join,
+    and each query's scoring subplan reuses the single-query path's
+    exact BM25 expression tree over those shared checkpoints — scores
+    are bit-identical to three separate index serves, which is why
+    the oracle is simply the per-query scan-side BM25 stacked with
+    QUALIFY top-20s."""
+    path = _inverted_index(spark, sf_dir)
+    return retrieval_ops.search_inverted_index_many(
+        spark, path, _MANY_TERMSETS, k=20)
+
+
 def _invidx_copy(spark: SparkSession, sf_dir: str,
                  base90: bool = False, old5: bool = False) -> str:
     """A writable copy of a cached inverted-index build: the full

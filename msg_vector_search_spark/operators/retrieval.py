@@ -548,6 +548,100 @@ def search_inverted_index(spark, path: str, terms: list[str],
                          _bm25_score_col(len(terms), k1, b).alias("bm25"))
 
 
+def search_inverted_index_many(spark, path: str, queries: dict,
+                               k: int = 20, k1: float = K1,
+                               b: float = B,
+                               n_buckets: int = INDEX_BUCKETS) -> DataFrame:
+    """Serve a BATCH of BM25 queries from the persisted index in ONE
+    plan — the text twin of ``ann_index.search_index_many`` and the
+    high-QPS path for the keyword leg: Q sequential
+    :func:`search_inverted_index` calls pay Q postings reads, Q doclen
+    scans and Q scheduler round trips for work whose I/O is nearly
+    shared.  Here the union of every query's terms prunes the postings
+    ONCE (tb partition filter + term filter, checkpointed at the
+    matching-postings working set), the doclen sidecar contributes one
+    corpus-stats row and one matching-docs dl join, and each query's
+    scoring is a pure expression subplan over those checkpoints —
+    built by the same ``_bm25_score_col`` tree as the single-query
+    path, from the same integer inputs, so per-query scores are
+    bit-identical to Q separate calls.
+
+    *queries* maps ``qid -> [terms]``.  Returns ``(qid, id_col, dl,
+    bm25)``, top-*k* per query by the 6dp-rounded score (desc, id asc
+    — the serving grid order).
+
+    Scale: one pruned postings read (O(Σ df(term)) rows — the
+    index-serving working set), one doclen scan for stats + the
+    matching-docs join, then Q expression-only subplans and a single
+    qid-partitioned window over their k-bounded union.  The
+    checkpoints are released before returning; only the k x Q result
+    rows stay pinned."""
+    from pyspark.sql import Window
+
+    from ..sources.sinks import heal_partial_swaps
+    from .dedup import _cc_free
+
+    heal_partial_swaps(path)
+    meta = _read_text_meta(path, n_buckets=n_buckets)
+    id_col = meta["id_col"]
+    n_buckets = int(meta["n_buckets"])
+    tomb = _tombstone_frame(spark, path, id_col)
+    qitems = sorted(queries.items())
+    union_terms = sorted({t for _, ts in qitems for t in ts})
+    row = spark.range(1).select(*[
+        F.pmod(F.xxhash64(F.lit(t)), F.lit(n_buckets)).alias(f"b{i}")
+        for i, t in enumerate(union_terms)]).collect()[0]
+    tbs = sorted({int(v) for v in row})
+    postings = _live(
+        spark.read.parquet(os.path.join(path, "postings"))
+        .filter(F.col("tb").isin(tbs))
+        .filter(F.col("term").isin(union_terms)),
+        tomb, id_col).localCheckpoint(eager=True)
+    doclen = _live(spark.read.parquet(os.path.join(path, "doclen")),
+                   tomb, id_col)
+    # corpus stats once (1 row) and dl for the matching docs once —
+    # each query subplan reuses these instead of re-scanning doclen
+    corpus = doclen.agg(
+        F.count("*").alias("_n"),
+        F.sum("dl").cast("long").alias("_sumdl")).localCheckpoint(eager=True)
+    docdl = (doclen.select(id_col, "dl")
+             .join(postings.select(id_col).distinct(), id_col)
+             .localCheckpoint(eager=True))
+
+    outs = []
+    for qid, terms in qitems:
+        terms = list(terms)
+        sub = postings.filter(F.col("term").isin(terms))
+        wtf = (sub.groupBy(id_col).agg(*[
+            F.coalesce(F.sum(F.when(F.col("term") == t, F.col("tf"))),
+                       F.lit(0)).alias(f"_tf_{i}")
+            for i, t in enumerate(terms)])
+            .join(docdl, id_col))
+        dfs = sub.agg(*[
+            F.coalesce(F.sum(F.when(F.col("term") == t, F.lit(1))),
+                       F.lit(0)).cast("long").alias(f"_df_{i}")
+            for i, t in enumerate(terms)])
+        stats = corpus.crossJoin(dfs)
+        scored = wtf.crossJoin(F.broadcast(stats))
+        outs.append(scored.select(
+            F.lit(qid).alias("qid"), F.col(id_col),
+            F.col("dl").cast("long").alias("dl"),
+            (F.round(_bm25_score_col(len(terms), k1, b), 6)
+             + F.lit(0.0)).alias("bm25")))
+    allq = outs[0]
+    for o in outs[1:]:
+        allq = allq.unionByName(o)
+    w = Window.partitionBy("qid").orderBy(
+        F.col("bm25").desc(), F.col(id_col).asc())
+    result = (allq.withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") <= k).drop("_rn")
+              .orderBy("qid", F.col("bm25").desc(), F.col(id_col).asc())
+              .localCheckpoint(eager=True))
+    for ckpt in (postings, corpus, docdl):
+        _cc_free(ckpt)
+    return result
+
+
 def duck_bm25(terms: list[str], duck_tokens: str,
               from_table: str = "documents", id_col: str = "doc_id",
               k1: float = K1, b: float = B) -> str:

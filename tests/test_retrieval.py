@@ -558,3 +558,39 @@ def test_changefeed_apply_text_index_converges(spark, tmp_path):
         assert _scores(retrieval.search_inverted_index(
             spark, path, terms)) == _scores(
             retrieval.search_inverted_index(spark, clean, terms))
+
+
+def test_search_inverted_index_many_matches_per_query(spark, tmp_path):
+    """The batched BM25 serve must be bit-identical, per query, to Q
+    separate search_inverted_index calls: same docs, same dl, same
+    6dp-rounded scores, top-k per qid in grid order — including after
+    maintenance (an upsert and a delete), so the shared checkpoints
+    respect the tombstone filter exactly as the single path does."""
+    rows = [(i, ("alpha beta " if i % 2 else "alpha gamma ") + f"doc{i}")
+            for i in range(30)]
+    path = str(tmp_path / "idx")
+    retrieval.build_inverted_index(_mini_corpus(spark, rows), path,
+                                   n_buckets=8)
+    retrieval.upsert_inverted_index(
+        _mini_corpus(spark, [(2, "gamma gamma"), (50, "alpha beta")]),
+        path)
+    retrieval.delete_inverted_docs(
+        _mini_corpus(spark, [(5, "x"), (7, "x")]).select("doc_id"), path)
+
+    qsets = {"a": ["alpha", "beta"], "b": ["gamma"],
+             "c": ["beta", "gamma"]}
+    batched = retrieval.search_inverted_index_many(spark, path, qsets,
+                                                   k=10, n_buckets=8)
+    got = [tuple(r) for r in batched.collect()]
+    want = []
+    for qid in sorted(qsets):
+        single = retrieval.search_inverted_index(spark, path, qsets[qid],
+                                                 n_buckets=8)
+        ranked = (single
+                  .select("doc_id", F.col("dl").cast("long").alias("dl"),
+                          (F.round("bm25", 6) + F.lit(0.0)).alias("bm25"))
+                  .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+                  .limit(10))
+        want += [(qid, r["doc_id"], r["dl"], r["bm25"])
+                 for r in ranked.collect()]
+    assert got == want

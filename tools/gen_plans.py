@@ -280,6 +280,25 @@ SHOW = [
      "IVFPQ), each ranked by ordered-limit + broadcast self-join, "
      "fused over two 50-row frames — maintenance never adds a "
      "corpus-sized stage to serving."),
+    ("search_index_many",
+     "Batched multi-query IVFPQ serving: the union of all probes is "
+     "ONE literal cell filter (PartitionFilters on both stores), each "
+     "query's ADC column rides the single pruned code scan, and the "
+     "only exchange is the qid-partitioned shortlist window over "
+     "narrow (qid, id, score) rows — Q queries, one scan, one "
+     "scheduler pass."),
+    ("bpe_encode_corpus",
+     "Tokenizer apply (after driver-side merge training): the whole "
+     "encode is one narrow projection — the trained merges as a "
+     "literal replace chain inside per-token higher-order functions, "
+     "ids from a literal vocab array — zero exchanges at any corpus "
+     "size."),
+    ("text_search_many",
+     "Batched multi-query BM25: the union of all query terms prunes "
+     "the postings once (checkpointed working set), doclen yields one "
+     "stats row + one matching-docs join, each query's scoring is an "
+     "expression-only subplan over the shared checkpoints, and the "
+     "qid-partitioned window ranks a k-bounded union."),
 ]
 
 
