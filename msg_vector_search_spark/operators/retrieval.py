@@ -570,12 +570,16 @@ def search_inverted_index_many(spark, path: str, queries: dict,
     bm25)``, top-*k* per query by the 6dp-rounded score (desc, id asc
     — the serving grid order).
 
-    Scale: one pruned postings read (O(Σ df(term)) rows — the
-    index-serving working set), one doclen scan for stats + the
-    matching-docs join, then Q expression-only subplans and a single
-    qid-partitioned window over their k-bounded union.  The
-    checkpoints are released before returning; only the k x Q result
-    rows stay pinned."""
+    Scale: one pruned postings read pivoted to per-UNION-term tf
+    columns in a SINGLE aggregation (O(matching docs) rows — the
+    index-serving working set), one doclen pass for corpus stats +
+    the matching-docs dl join, then each query is a PURE PROJECTION
+    over that checkpoint (its terms' tf/df columns renamed into the
+    shared scoring tree, its match gate a Column filter) — zero
+    per-query aggregations, zero per-query joins, so the job count is
+    constant in Q.  A single qid-partitioned window ranks the
+    k-bounded union.  The checkpoints are released before returning;
+    only the k x Q result rows stay pinned."""
     from pyspark.sql import Window
 
     from ..sources.sinks import heal_partial_swaps
@@ -588,6 +592,7 @@ def search_inverted_index_many(spark, path: str, queries: dict,
     tomb = _tombstone_frame(spark, path, id_col)
     qitems = sorted(queries.items())
     union_terms = sorted({t for _, ts in qitems for t in ts})
+    uidx = {t: i for i, t in enumerate(union_terms)}
     row = spark.range(1).select(*[
         F.pmod(F.xxhash64(F.lit(t)), F.lit(n_buckets)).alias(f"b{i}")
         for i, t in enumerate(union_terms)]).collect()[0]
@@ -596,34 +601,45 @@ def search_inverted_index_many(spark, path: str, queries: dict,
         spark.read.parquet(os.path.join(path, "postings"))
         .filter(F.col("tb").isin(tbs))
         .filter(F.col("term").isin(union_terms)),
-        tomb, id_col).localCheckpoint(eager=True)
+        tomb, id_col)
     doclen = _live(spark.read.parquet(os.path.join(path, "doclen")),
                    tomb, id_col)
-    # corpus stats once (1 row) and dl for the matching docs once —
-    # each query subplan reuses these instead of re-scanning doclen
-    corpus = doclen.agg(
+    # ONE aggregation pivots every union term's tf per matching doc;
+    # the dl join happens once; every query reads this checkpoint
+    wtf_all = (postings.groupBy(id_col).agg(*[
+        F.coalesce(F.sum(F.when(F.col("term") == t, F.col("tf"))),
+                   F.lit(0)).alias(f"_utf_{i}")
+        for i, t in enumerate(union_terms)])
+        .join(doclen.select(id_col, "dl"), id_col)
+        .localCheckpoint(eager=True))
+    # per-union-term df + corpus stats: ONE broadcastable row
+    stats_all = (doclen.agg(
         F.count("*").alias("_n"),
-        F.sum("dl").cast("long").alias("_sumdl")).localCheckpoint(eager=True)
-    docdl = (doclen.select(id_col, "dl")
-             .join(postings.select(id_col).distinct(), id_col)
-             .localCheckpoint(eager=True))
+        F.sum("dl").cast("long").alias("_sumdl"))
+        .crossJoin(postings.agg(*[
+            F.coalesce(F.sum(F.when(F.col("term") == t, F.lit(1))),
+                       F.lit(0)).cast("long").alias(f"_udf_{i}")
+            for i, t in enumerate(union_terms)]))
+        .localCheckpoint(eager=True))
 
     outs = []
+    base = wtf_all.crossJoin(F.broadcast(stats_all))
     for qid, terms in qitems:
         terms = list(terms)
-        sub = postings.filter(F.col("term").isin(terms))
-        wtf = (sub.groupBy(id_col).agg(*[
-            F.coalesce(F.sum(F.when(F.col("term") == t, F.col("tf"))),
-                       F.lit(0)).alias(f"_tf_{i}")
-            for i, t in enumerate(terms)])
-            .join(docdl, id_col))
-        dfs = sub.agg(*[
-            F.coalesce(F.sum(F.when(F.col("term") == t, F.lit(1))),
-                       F.lit(0)).cast("long").alias(f"_df_{i}")
-            for i, t in enumerate(terms)])
-        stats = corpus.crossJoin(dfs)
-        scored = wtf.crossJoin(F.broadcast(stats))
-        outs.append(scored.select(
+        # rename this query's union columns into the conventional
+        # _tf_i/_df_i names so _bm25_score_col builds the IDENTICAL
+        # expression tree (same literals, same association order) as
+        # the single-query path — bit-identical doubles
+        sel = base.select(
+            F.col(id_col), F.col("dl"), F.col("_n"), F.col("_sumdl"),
+            *[F.col(f"_utf_{uidx[t]}").alias(f"_tf_{i}")
+              for i, t in enumerate(terms)],
+            *[F.col(f"_udf_{uidx[t]}").alias(f"_df_{i}")
+              for i, t in enumerate(terms)])
+        matched = F.col("_tf_0")
+        for i in range(1, len(terms)):
+            matched = matched + F.col(f"_tf_{i}")
+        outs.append(sel.filter(matched > 0).select(
             F.lit(qid).alias("qid"), F.col(id_col),
             F.col("dl").cast("long").alias("dl"),
             (F.round(_bm25_score_col(len(terms), k1, b), 6)
@@ -637,7 +653,7 @@ def search_inverted_index_many(spark, path: str, queries: dict,
               .filter(F.col("_rn") <= k).drop("_rn")
               .orderBy("qid", F.col("bm25").desc(), F.col(id_col).asc())
               .localCheckpoint(eager=True))
-    for ckpt in (postings, corpus, docdl):
+    for ckpt in (wtf_all, stats_all):
         _cc_free(ckpt)
     return result
 

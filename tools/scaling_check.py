@@ -596,9 +596,81 @@ def erase_main() -> None:
             shutil.rmtree(d, ignore_errors=True)
 
 
+def batch_main() -> None:
+    """python tools/scaling_check.py --batch [Q ...] — measure the
+    batched-serving amortization: Q single search_index calls vs ONE
+    search_index_many(Q), and Q single search_inverted_index calls vs
+    ONE search_inverted_index_many(Q), on materialized sf0.1 indexes.
+    The batched paths share the pruned scans and pay the per-call
+    scheduler round trip once, so the ratio should grow toward Q for
+    cheap queries (overhead-dominated) and toward the shared-I/O
+    fraction for expensive ones."""
+    from pyspark.sql import SparkSession
+
+    from msg_vector_search_spark.operators import ann_index, retrieval
+
+    qs = [int(a) for a in sys.argv[2:] if a.isdigit()] or [2, 5, 10]
+    spark = (SparkSession.builder.master("local[32]")
+             .config("spark.sql.shuffle.partitions", "32")
+             .config("spark.driver.memory", "48g").getOrCreate())
+    emb = spark.read.parquet(f"{BASE}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double"))
+        .alias("embedding"))
+    d = tempfile.mkdtemp(prefix="batchprobe_")
+    try:
+        apath = os.path.join(d, "ann")
+        ann_index.build_index(spark, emb, apath, nlist=16, m=8, ncodes=16)
+        docs = spark.read.parquet(f"{BASE}/documents.parquet")
+        tpath = os.path.join(d, "text")
+        retrieval.build_inverted_index(docs, tpath)
+        qvecs = {r["vec_id"]: [float(x) for x in r["embedding"]]
+                 for r in emb.limit(max(qs)).collect()}
+        base_terms = [["spark", "query", "dup"], ["data", "join"],
+                      ["the", "vector"], ["spark", "data"],
+                      ["query", "join"], ["vector", "dup"],
+                      ["the", "spark"], ["data", "query"],
+                      ["join", "vector"], ["the", "dup"]]
+        # warmup both paths
+        ann_index.search_index(spark, apath, next(iter(qvecs.values())),
+                               k=10, nprobe=4, shortlist=50).count()
+        retrieval.search_inverted_index(spark, tpath,
+                                        base_terms[0]).count()
+        print("Q  ann_single_sum  ann_batched  ann_x | "
+              "text_single_sum  text_batched  text_x")
+        for q in qs:
+            sub = dict(list(sorted(qvecs.items()))[:q])
+            t0 = time.time()
+            for qv in sub.values():
+                ann_index.search_index(spark, apath, qv, k=10, nprobe=4,
+                                       shortlist=50).count()
+            t_single = time.time() - t0
+            t0 = time.time()
+            ann_index.search_index_many(spark, apath, sub, k=10,
+                                        nprobe=4, shortlist=50).count()
+            t_batch = time.time() - t0
+            tsets = {f"q{i}": base_terms[i % len(base_terms)]
+                     for i in range(q)}
+            t0 = time.time()
+            for ts in tsets.values():
+                retrieval.search_inverted_index(spark, tpath, ts).count()
+            x_single = time.time() - t0
+            t0 = time.time()
+            retrieval.search_inverted_index_many(spark, tpath, tsets,
+                                                 k=20).count()
+            x_batch = time.time() - t0
+            print(f"{q:<3d}{t_single:>13.2f}s{t_batch:>12.2f}s"
+                  f"{t_single / t_batch:>6.1f}x |{x_single:>14.2f}s"
+                  f"{x_batch:>13.2f}s{x_single / x_batch:>7.1f}x")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 if __name__ == "__main__":
     if "--knee" in sys.argv:
         knee_main()
+    elif "--batch" in sys.argv:
+        batch_main()
     elif "--erase" in sys.argv:
         erase_main()
     elif "--tpch" in sys.argv:
