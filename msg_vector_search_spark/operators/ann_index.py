@@ -206,7 +206,11 @@ def search_index_many(spark: SparkSession, path: str,
     :func:`search_index` calls with the same parameters.
 
     *queries* maps ``qid -> qvec``.  Returns ``(qid, vec_id, cell,
-    sim)``, top-*k* per query by (sim desc, id).
+    sim)``, top-*k* per query by (sim desc, id).  Measured crossover
+    (tools/scaling_check.py --batch, sf0.1 local[32]): the batch's
+    fixed window/broadcast cost loses below Q~3, wins 1.9x at Q=5 and
+    2.3x at Q=10, growing with Q — route single queries through
+    :func:`search_index`.
 
     Plan shape at 100 TB: one probe job (Q x nlist rows, driver-
     bounded), one pruned scan of codes and one of vectors (bytes =

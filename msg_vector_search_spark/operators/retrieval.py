@@ -568,7 +568,11 @@ def search_inverted_index_many(spark, path: str, queries: dict,
 
     *queries* maps ``qid -> [terms]``.  Returns ``(qid, id_col, dl,
     bm25)``, top-*k* per query by the 6dp-rounded score (desc, id asc
-    — the serving grid order).
+    — the serving grid order).  Measured crossover
+    (tools/scaling_check.py --batch, sf0.1 local[32]): the batch's
+    fixed checkpoint + window cost loses below Q~3, wins 1.3x at Q=5
+    and 1.8x at Q=10, growing with Q — route single lookups through
+    :func:`search_inverted_index`.
 
     Scale: one pruned postings read pivoted to per-UNION-term tf
     columns in a SINGLE aggregation (O(matching docs) rows — the

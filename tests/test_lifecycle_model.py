@@ -57,7 +57,7 @@ def test_text_index_lifecycle_matches_model(spark, tmp_path):
                                    n_buckets=8)
 
     for step in range(8):
-        op = rng.choice(["upsert", "delete", "compact"])
+        op = rng.choice(["upsert", "delete", "compact", "changefeed"])
         if op == "upsert":
             # mix of brand-new ids and REWRITES of existing docs (the
             # case where stale postings must be shadowed everywhere)
@@ -65,6 +65,28 @@ def test_text_index_lifecycle_matches_model(spark, tmp_path):
                      for _ in range(rng.randint(1, 5))}
             model.update(batch)
             retrieval.upsert_inverted_index(_docs_df(spark, batch), path)
+        elif op == "changefeed":
+            # the derived-maintenance verb: one feed carrying an
+            # insert, an update of an existing doc, and a delete
+            ins_id = max(model, default=0) + 100 + step
+            upd_pool = sorted(model)
+            feed = [Row(doc_id=ins_id, action="insert",
+                        old_text=None, new_text=doc())]
+            if upd_pool:
+                u = rng.choice(upd_pool)
+                feed.append(Row(doc_id=u, action="update",
+                                old_text=model[u], new_text=doc()))
+                d = rng.choice(upd_pool)
+                if d != u:
+                    feed.append(Row(doc_id=d, action="delete",
+                                    old_text=model[d], new_text=None))
+            for r in feed:
+                if r.action == "delete":
+                    model.pop(r.doc_id, None)
+                else:
+                    model[r.doc_id] = r.new_text
+            retrieval.apply_changefeed_text_index(
+                spark, path, spark.createDataFrame(feed))
         elif op == "delete" and model:
             pool = sorted(model) + [999]  # 999: deleting a ghost id
             victims = rng.sample(pool, k=min(3, len(pool)))
