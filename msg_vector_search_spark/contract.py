@@ -6825,6 +6825,87 @@ def text_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _invidx_top20(spark, path)
 
 
+@register("streaming_text_index_upsert", oracle=f"""
+WITH scored AS ({retrieval_ops.duck_bm25(_BM25_TERMS, _DUCK_TOKENS)})
+SELECT doc_id, CAST(dl AS BIGINT) AS dl, (round(bm25, 6) + 0) AS bm25
+FROM scored
+ORDER BY (round(bm25, 6) + 0) DESC, doc_id LIMIT 20
+""")
+def streaming_text_index_upsert(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Streaming document ingestion into the persisted inverted index
+    — the text twin of streaming_index_upsert, closing the live-crawl
+    loop's keyword leg: the held-out 10% of the corpus arrives as a
+    file stream (3 files, maxFilesPerTrigger=1, so THREE separate
+    micro-batches), and foreachBatch folds each one in via
+    upsert_inverted_index — every micro-batch lands at its own
+    generation, touching only its term buckets.  Sharing
+    text_index_upsert's full-corpus oracle proves batch-split
+    invariance: N micro-batch generations serve bit-identically to
+    one bulk upsert and to the single-shot build — what makes
+    continuous keyword ingest safe to retry and re-shard."""
+    docs = readers.widen(_t(spark, sf_dir, "documents"))
+    batch = docs.filter(F.col("doc_id") % 10 == 3).select("doc_id", "text")
+    path = _invidx_copy(spark, sf_dir, base90=True)
+
+    src = os.path.join(tempfile.mkdtemp(prefix="txtstream_"), "incoming")
+    batch.repartition(3).write.parquet(src)
+    stream = (spark.readStream.schema(batch.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+
+    def fold(bdf: DataFrame, batch_id: int) -> None:
+        if bdf.isEmpty():
+            return
+        retrieval_ops.upsert_inverted_index(bdf, path)
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt_txtstream_")
+    q = (stream.writeStream.foreachBatch(fold)
+         .trigger(availableNow=True)
+         .option("checkpointLocation", ckpt).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return _invidx_top20(spark, path)
+
+
+@register("streaming_text_index_erase", oracle=_TEXT_ERASE_ORACLE)
+def streaming_text_index_erase(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Streaming erasure of the inverted index — the text twin of
+    streaming_index_erase (the live GDPR feed): victim ids arrive as a
+    3-file id stream, foreachBatch appends tombstones via
+    delete_inverted_docs (O(batch), no postings touched), and serving
+    filters through the tombstone broadcast with stats recounted over
+    live rows.  Same oracle as text_index_erase: N micro-batch
+    tombstone appends must serve exactly like one bulk delete — the
+    idempotent-under-resharding property a retryable forget pipeline
+    needs."""
+    docs = readers.widen(_t(spark, sf_dir, "documents"))
+    victims = docs.filter(F.col("doc_id") % 10 == 3).select("doc_id")
+    path = _invidx_copy(spark, sf_dir)
+
+    src = os.path.join(tempfile.mkdtemp(prefix="txterase_"), "victims")
+    victims.repartition(3).write.parquet(src)
+    stream = (spark.readStream.schema(victims.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+
+    def forget(bdf: DataFrame, batch_id: int) -> None:
+        if bdf.isEmpty():
+            return
+        retrieval_ops.delete_inverted_docs(bdf, path)
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt_txterase_")
+    q = (stream.writeStream.foreachBatch(forget)
+         .trigger(availableNow=True)
+         .option("checkpointLocation", ckpt).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return _invidx_top20(spark, path)
+
+
 @register("text_index_stats", oracle=f"""
 WITH t AS (
   SELECT doc_id, {_DUCK_TOKENS} AS toks
