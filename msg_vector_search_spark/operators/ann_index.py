@@ -233,6 +233,9 @@ def search_index_many(spark: SparkSession, path: str,
     cent = load_centroids(spark, path)
     books = load_codebooks(spark, path)
     qitems = sorted(queries.items())
+    if not qitems:
+        return spark.createDataFrame(
+            [], f"qid long, {id_col} long, cell long, sim double")
 
     # ONE probe job for the whole batch: Q tiny subplans unioned, one
     # collect (Q x nprobe rows) — the per-call scheduler round trip is

@@ -596,6 +596,9 @@ def search_inverted_index_many(spark, path: str, queries: dict,
     tomb = _tombstone_frame(spark, path, id_col)
     qitems = sorted(queries.items())
     union_terms = sorted({t for _, ts in qitems for t in ts})
+    if not union_terms:
+        return spark.createDataFrame(
+            [], f"qid string, {id_col} long, dl long, bm25 double")
     uidx = {t: i for i, t in enumerate(union_terms)}
     row = spark.range(1).select(*[
         F.pmod(F.xxhash64(F.lit(t)), F.lit(n_buckets)).alias(f"b{i}")

@@ -594,3 +594,23 @@ def test_search_inverted_index_many_matches_per_query(spark, tmp_path):
         want += [(qid, r["doc_id"], r["dl"], r["bm25"])
                  for r in ranked.collect()]
     assert got == want
+
+
+def test_batched_serves_handle_empty_and_no_match(spark, tmp_path):
+    """Degenerate batches: an empty query dict returns an empty typed
+    frame (not a crash), and a query whose terms match no document
+    contributes zero rows while other queries in the batch still
+    serve."""
+    path = str(tmp_path / "idx")
+    retrieval.build_inverted_index(
+        _mini_corpus(spark, [(1, "alpha beta"), (2, "alpha")]), path,
+        n_buckets=8)
+    empty = retrieval.search_inverted_index_many(spark, path, {},
+                                                 n_buckets=8)
+    assert empty.count() == 0
+    assert empty.columns == ["qid", "doc_id", "dl", "bm25"]
+    mixed = retrieval.search_inverted_index_many(
+        spark, path, {"hit": ["alpha"], "miss": ["zzz"]}, n_buckets=8)
+    rows = mixed.collect()
+    assert {r["qid"] for r in rows} == {"hit"}
+    assert {r["doc_id"] for r in rows} == {1, 2}
