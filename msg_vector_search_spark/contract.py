@@ -7563,6 +7563,48 @@ def _bpe_merges(spark: SparkSession, sf_dir: str, rounds: int = 3) -> list:
     return _BPE_MERGES_CACHE[key]
 
 
+@register("pipeline_tokenize_and_pack", oracle=f"""
+WITH enc AS (SELECT doc_id, n_tokens FROM ({_bpe_encode_sql(3)})),
+t AS (
+  SELECT doc_id, n_tokens AS n_tok,
+         CAST({analysis.duck_token_hash("CAST(doc_id AS VARCHAR)")} % 16
+           AS BIGINT) AS shard
+  FROM enc
+), packed AS (
+  SELECT shard, n_tok,
+         CAST(floor((sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - n_tok) / 512.0) AS BIGINT) AS pack_id
+  FROM t
+)
+SELECT shard, pack_id, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS pack_tokens
+FROM packed GROUP BY shard, pack_id
+""")
+def pipeline_tokenize_and_pack(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Tokenizer-to-dataloader capstone: the packing rows above count
+    whitespace tokens; a real training run packs by the TOKENIZER's
+    counts, which only exist once bpe_encode_corpus runs.  This row
+    composes the chain — trained-merge BPE encode (cached merges, one
+    narrow scan), hash-shard, 512-token stream packing (partitioned
+    window cumsum, one shard exchange), per-pack fill stats — so the
+    pipeline's GPU-facing unit (packs of real token ids) is
+    value-checked end-to-end: the oracle re-derives the merges,
+    re-encodes, and re-packs in SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    enc = corpus_ops.bpe_encode(docs, _bpe_merges(spark, sf_dir))
+    inp = enc.select(
+        "doc_id", F.col("n_tokens").alias("n_tok"),
+        (analysis.token_hash(F.col("doc_id").cast("string")) % 16)
+        .cast("long").alias("shard"))
+    packed = packing_ops.pack_sequential(inp, 512, "shard", "doc_id",
+                                         "n_tok")
+    return packing_ops.pack_stats(packed, "shard", "n_tok")
+
+
+
+
 @register("embedding_centroid_drift", oracle="""
 WITH oldc AS (
   SELECT label, i AS pos, (round(avg(embedding[i]), 6) + 0) AS c_old
