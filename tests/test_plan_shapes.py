@@ -387,3 +387,31 @@ def test_cross_encoder_candidates_stay_broadcast(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "ArrowEvalPython" in plan or "BatchEvalPython" in plan
+
+
+def test_batched_ann_serve_reads_each_store_once(spark):
+    """search_index_many's whole point is I/O sharing: exactly ONE
+    codes FileScan and ONE vectors FileScan (each carrying a literal
+    cell PartitionFilter), no unpartitioned window anywhere."""
+    import re
+
+    df = contract.REGISTRY["search_index_many"](spark, SF)
+    plan = plan_of(df)
+    assert len(re.findall(r"FileScan parquet.*?/codes", plan)) == 1
+    assert len(re.findall(r"FileScan parquet.*?/vectors", plan)) == 1
+    for line in plan.splitlines():
+        if "FileScan parquet" in line and "/codes" in line:
+            pf = line.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+            assert "cell" in pf
+    assert "windowspecdefinition()" not in plan  # every window has qid
+
+
+def test_batched_bm25_serve_reads_checkpoints_not_postings(spark):
+    """search_inverted_index_many materializes the union-term pivot
+    once; the returned frame is checkpoint-backed (k x Q rows) with no
+    postings FileScan left in its plan, and the qid window in the
+    pre-checkpoint plan is partitioned."""
+    df = contract.REGISTRY["text_search_many"](spark, SF)
+    plan = plan_of(df)
+    assert "FileScan parquet" not in plan  # result is the checkpoint
+    assert df.count() > 0
