@@ -3728,6 +3728,143 @@ def search_index_many(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        nprobe=4, shortlist=50)
 
 
+_HYBRID_TERMS = {0: ["spark", "query", "dup"],
+                 7: ["data", "join"],
+                 13: ["the", "vector"]}
+
+
+def _hybrid_many_oracle() -> str:
+    """Batched-hybrid oracle: the seed-IVFPQ composition per qid
+    (shared candidate CTEs, per-qid QUALIFY windows — the
+    _IVFPQ_MANY_ORACLE construction at leg depth 50) for the vector
+    leg, the scan-side BM25 per term set for the keyword leg (the
+    index-served path is bit-identical, proven by the text rows), and
+    reciprocal-rank fusion with per-qid QUALIFY top-10."""
+    qids = sorted(_HYBRID_TERMS)
+    kw_blocks = []
+    for qid in qids:
+        kw_blocks.append(f"""
+SELECT CAST({qid} AS BIGINT) AS qid, doc_id,
+       CAST(row_number() OVER (
+         ORDER BY (round(bm25, 6) + 0) DESC, doc_id) AS INT) AS rank_kw
+FROM ({retrieval_ops.duck_bm25(_HYBRID_TERMS[qid], _DUCK_TOKENS)})
+QUALIFY row_number() OVER (
+  ORDER BY (round(bm25, 6) + 0) DESC, doc_id) <= 50""")
+    kwrank = "\nUNION ALL\n".join(kw_blocks)
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT 16
+), qs AS (
+  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+  WHERE vec_id IN ({", ".join(str(q) for q in qids)})
+), cscored AS (
+  SELECT e.vec_id, e.embedding, c.centroid_id,
+         (round({V.duck_cosine('e.embedding', 'c.cvec')}, 9) + 0) AS cdist
+  FROM embeddings e CROSS JOIN cent c
+), celled AS (
+  SELECT vec_id, embedding, centroid_id AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cdist DESC, centroid_id) AS rn
+    FROM cscored) WHERE rn = 1
+), probe AS (
+  SELECT q.qid, c.centroid_id AS cell
+  FROM qs q CROSS JOIN cent c
+  QUALIFY row_number() OVER (
+    PARTITION BY q.qid
+    ORDER BY {V.duck_cosine('c.cvec', 'q.qv')} DESC, c.centroid_id) <= 4
+), cand AS (
+  SELECT * FROM celled
+  WHERE cell IN (SELECT DISTINCT cell FROM probe)
+), seeds AS (
+  SELECT embedding AS sv, row_number() OVER (ORDER BY vec_id) - 1 AS cw
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)
+), js AS (SELECT unnest(range(8)) AS j),
+cb AS (
+  SELECT js.j, seeds.cw, seeds.sv[(js.j*8+1):(js.j*8+8)] AS cv
+  FROM seeds CROSS JOIN js
+), ev AS (
+  SELECT c.vec_id, c.cell, js.j, c.embedding[(js.j*8+1):(js.j*8+8)] AS xv
+  FROM cand c CROSS JOIN js
+), coded AS (
+  SELECT vec_id, cell, j, cw FROM (
+    SELECT ev.vec_id, ev.cell, ev.j, cb.cw,
+           row_number() OVER (
+             PARTITION BY ev.vec_id, ev.j
+             ORDER BY (round({V.duck_dot('ev.xv', 'cb.cv')}, 9) + 0) DESC,
+                      cb.cw) AS rn
+    FROM ev JOIN cb ON cb.j = ev.j) WHERE rn = 1
+), qtab AS (
+  SELECT q.qid, cb.j, cb.cw,
+         (round({V.duck_dot('q.qv[(cb.j*8+1):(cb.j*8+8)]', 'cb.cv')}, 9)
+          + 0) AS d
+  FROM qs q CROSS JOIN cb
+), adc AS (
+  SELECT p.qid, a.vec_id, (round(sum(t.d), 6) + 0) AS adc_sim
+  FROM coded a
+  JOIN probe p ON p.cell = a.cell
+  JOIN qtab t ON t.qid = p.qid AND t.j = a.j AND t.cw = a.cw
+  GROUP BY p.qid, a.vec_id
+), vshort AS (
+  SELECT qid, vec_id FROM adc
+  QUALIFY row_number() OVER (PARTITION BY qid
+                             ORDER BY adc_sim DESC, vec_id) <= 50
+), vrank AS (
+  SELECT s.qid, c.vec_id AS doc_id,
+         CAST(row_number() OVER (
+           PARTITION BY s.qid
+           ORDER BY (round({V.duck_cosine('c.embedding', 'q.qv')}, 6) + 0)
+                      DESC, c.vec_id) AS INT) AS rank_vec
+  FROM vshort s
+  JOIN cand c ON c.vec_id = s.vec_id
+  JOIN qs q ON q.qid = s.qid
+), kwrank AS ({kwrank}
+)
+SELECT COALESCE(k.qid, v.qid) AS qid,
+       COALESCE(k.doc_id, v.doc_id) AS doc_id,
+       k.rank_kw, v.rank_vec,
+       (round(COALESCE(1.0::DOUBLE / (60 + k.rank_kw), 0.0)
+            + COALESCE(1.0::DOUBLE / (60 + v.rank_vec), 0.0), 6) + 0)
+         AS rrf
+FROM kwrank k FULL JOIN vrank v
+  ON k.qid = v.qid AND k.doc_id = v.doc_id
+QUALIFY row_number() OVER (
+  PARTITION BY COALESCE(k.qid, v.qid)
+  ORDER BY (round(COALESCE(1.0::DOUBLE / (60 + k.rank_kw), 0.0)
+               + COALESCE(1.0::DOUBLE / (60 + v.rank_vec), 0.0), 6) + 0)
+             DESC,
+           COALESCE(k.doc_id, v.doc_id)) <= 10
+ORDER BY 1, rrf DESC, 2
+"""
+
+
+@register("hybrid_serve_many", oracle=_hybrid_many_oracle())
+def hybrid_serve_many(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched HYBRID serving — the serving tier's capstone over the
+    two batched index serves: three (term-set, query-vector) pairs
+    answered with ONE pruned postings read (search_inverted_index_many)
+    and ONE pruned code + vector scan (search_index_many), each leg
+    ranked by a qid-partitioned window over its 50-row-per-query
+    output, fused by reciprocal-rank fusion over two (Q x 50)-row
+    frames, per-qid top-10.  Q hybrid queries cost two index reads
+    total; everything after the legs is bounded by Q x leg_k.  The
+    oracle composes the proven per-leg constructions — scan-side BM25
+    (the index-served path is bit-identical) and the shared-candidate
+    seed-IVFPQ replay — and fuses them with the same 6dp-grid RRF."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qids = sorted(_HYBRID_TERMS)
+    qv = {int(r["vec_id"]): [float(x) for x in r["embedding"]]
+          for r in emb.filter(F.col("vec_id").isin(qids))
+          .select("vec_id", "embedding").collect()}
+    queries = {qid: {"terms": _HYBRID_TERMS[qid], "qvec": qv[qid]}
+               for qid in qids}
+    tpath = _inverted_index(spark, sf_dir)
+    apath = _materialized_index(spark, sf_dir, trained=False)
+    return retrieval_ops.hybrid_serve_many(spark, tpath, apath, queries,
+                                           leg_k=50, k=10, nprobe=4,
+                                           shortlist=50)
+
+
 # Shared by ann_index_upsert and streaming_index_upsert: the final
 # index state after folding the vec_id%10==3 batch into the base-built
 # artifacts, replayed as one full-corpus assignment + encoding against

@@ -665,6 +665,60 @@ def search_inverted_index_many(spark, path: str, queries: dict,
     return result
 
 
+def hybrid_serve_many(spark, text_path: str, ann_path: str,
+                      queries: dict, leg_k: int = 50, k: int = 10,
+                      k_rrf: int = 60, nprobe: int = 4,
+                      shortlist: int = 50) -> DataFrame:
+    """Batched HYBRID serving — the capstone of the two batched
+    serves: Q (term-set, query-vector) pairs answered in one pass per
+    index.  The keyword leg is :func:`search_inverted_index_many`
+    (one pruned postings read for all queries), the vector leg is
+    ``ann_index.search_index_many`` (one pruned code scan + one
+    vector scan), each leg's per-query ranks come from a
+    qid-partitioned window over its k-bounded output, and
+    reciprocal-rank fusion joins two (Q x leg_k)-row frames — so Q
+    hybrid queries cost TWO index reads total, with every stage after
+    the legs bounded by Q x leg_k regardless of corpus size.
+
+    *queries* maps an integer ``qid -> {"terms": [...], "qvec":
+    [...]}``.  Returns ``(qid, doc_id, rank_kw, rank_vec, rrf)``,
+    top-*k* per query by (rrf desc, doc_id), rrf on the 6dp grid."""
+    from pyspark.sql import Window
+
+    from . import ann_index
+
+    kw_q = {qid: spec["terms"] for qid, spec in queries.items()}
+    vec_q = {qid: spec["qvec"] for qid, spec in queries.items()}
+    kw = search_inverted_index_many(spark, text_path, kw_q, k=leg_k)
+    vec = ann_index.search_index_many(spark, ann_path, vec_q, k=leg_k,
+                                      nprobe=nprobe, shortlist=shortlist)
+    id_col = kw.columns[1]  # the index's id column (qid is first)
+    w_kw = Window.partitionBy("qid").orderBy(
+        F.col("bm25").desc(), F.col(id_col).asc())
+    kw_rank = (kw.withColumn("rank_kw",
+                             F.row_number().over(w_kw).cast("int"))
+               .select(F.col("qid").cast("long").alias("qid"),
+                       F.col(id_col).alias("_id"), "rank_kw"))
+    w_v = Window.partitionBy("qid").orderBy(
+        F.col("sim").desc(), F.col("vec_id").asc())
+    vec_rank = (vec.withColumn("rank_vec",
+                               F.row_number().over(w_v).cast("int"))
+                .select("qid", F.col("vec_id").alias("_id"), "rank_vec"))
+    fused = kw_rank.join(vec_rank, ["qid", "_id"], "full_outer")
+    rrf = (F.coalesce(F.lit(1.0) / (F.lit(k_rrf) + F.col("rank_kw")),
+                      F.lit(0.0))
+           + F.coalesce(F.lit(1.0) / (F.lit(k_rrf) + F.col("rank_vec")),
+                        F.lit(0.0)))
+    w_out = Window.partitionBy("qid").orderBy(
+        F.col("rrf").desc(), F.col("_id").asc())
+    return (fused.withColumn("rrf", F.round(rrf, 6) + F.lit(0.0))
+            .withColumn("_rn", F.row_number().over(w_out))
+            .filter(F.col("_rn") <= k)
+            .select("qid", F.col("_id").alias("doc_id"),
+                    "rank_kw", "rank_vec", "rrf")
+            .orderBy("qid", F.col("rrf").desc(), F.col("doc_id").asc()))
+
+
 def duck_bm25(terms: list[str], duck_tokens: str,
               from_table: str = "documents", id_col: str = "doc_id",
               k1: float = K1, b: float = B) -> str:

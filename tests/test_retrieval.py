@@ -614,3 +614,36 @@ def test_batched_serves_handle_empty_and_no_match(spark, tmp_path):
     rows = mixed.collect()
     assert {r["qid"] for r in rows} == {"hit"}
     assert {r["doc_id"] for r in rows} == {1, 2}
+
+
+def test_hybrid_serve_many_batch_independence(spark, tmp_path):
+    """Batching must not leak across queries: the Q-query hybrid serve
+    equals the union of Q singleton-batch serves (each query's cell
+    gating, term gating, ranks and fusion computed as if alone)."""
+    from msg_vector_search_spark.operators import ann_index
+
+    rows = [(i, ("alpha beta " if i % 2 else "gamma delta ") + f"doc{i}")
+            for i in range(40)]
+    tpath = str(tmp_path / "text")
+    retrieval.build_inverted_index(_mini_corpus(spark, rows), tpath,
+                                   n_buckets=8)
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet").limit(40).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double"))
+        .alias("embedding"))
+    apath = str(tmp_path / "ann")
+    ann_index.build_index(spark, emb, apath, nlist=4, m=8, ncodes=16)
+    qv = {r["vec_id"]: [float(x) for x in r["embedding"]]
+          for r in emb.filter(F.col("vec_id").isin([0, 3])).collect()}
+    queries = {0: {"terms": ["alpha", "beta"], "qvec": qv[0]},
+               3: {"terms": ["gamma"], "qvec": qv[3]}}
+    got = [tuple(r) for r in retrieval.hybrid_serve_many(
+        spark, tpath, apath, queries, leg_k=20, k=5,
+        nprobe=2, shortlist=20).collect()]
+    want = []
+    for qid in sorted(queries):
+        want += [tuple(r) for r in retrieval.hybrid_serve_many(
+            spark, tpath, apath, {qid: queries[qid]}, leg_k=20, k=5,
+            nprobe=2, shortlist=20).collect()]
+    assert got == want and len(got) > 0
