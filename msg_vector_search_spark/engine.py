@@ -113,6 +113,38 @@ class Engine:
             corpus, query, limit=limit, threshold=threshold,
             conversation_type=conversation_type, session_id=session_id)
 
+    def search_many(self, queries: dict, limit: int = 30,
+                    threshold: float = 0.3,
+                    conversation_type: str | None = None,
+                    session_id: str | None = None,
+                    force_update: bool = False) -> dict:
+        """Batched flagship search (extension — the reference serves
+        one query per call): Q query strings against ONE corpus scan
+        via the broadcast-KNN plan, with the freshness gate paid once
+        for the whole batch.  *queries* maps a caller key -> query
+        string; returns ``{key: envelope}`` where each envelope is
+        exactly :meth:`search`'s shape and each query's results equal
+        a separate :meth:`search` call (pinned in
+        tests/test_engine_facade.py)."""
+        t0 = time.time()
+        if self.gate.should_update(self._freshness_gap,
+                                   force=force_update):
+            self.update_embeddings()
+        elif not self._store_exists():
+            self.update_embeddings()
+        if not self._store_exists():
+            ms = round((time.time() - t0) * 1000, 1)
+            return {key: {
+                "status": "success",
+                "results": [],
+                "metadata": {"total_results": 0, "query": q,
+                             "threshold": threshold,
+                             "search_time_ms": ms},
+            } for key, q in queries.items()}
+        return search_plan.search_many_with_envelopes(
+            self._store(), queries, limit=limit, threshold=threshold,
+            conversation_type=conversation_type, session_id=session_id)
+
     # -- 3.3 stats path ---------------------------------------------------
     def get_database_stats(self) -> dict:
         """One union-of-aggregates query (reference: engine.py:228-284

@@ -96,6 +96,67 @@ def search(corpus: DataFrame, query: str, limit: int = 30,
                         (F.round(F.col("sim"), 3) + F.lit(0.0))))
 
 
+def search_many_with_envelopes(corpus: DataFrame, queries: dict,
+                               limit: int = 30, threshold: float = 0.3,
+                               conversation_type: str | None = None,
+                               session_id: str | None = None,
+                               vec_col: str = "embedding",
+                               id_col: str = "message_id") -> dict:
+    """Batched flagship search — Q query strings against ONE corpus
+    scan (the facade twin of the batched index serves): the shared
+    predicates push into the single scan, the Q query vectors travel
+    as a broadcast frame through a per-query-heap KNN
+    (``similarity.knn_join`` — the corpus is never shuffled; the rank
+    window sees k x Q-bounded survivors), the thresholds filter the
+    k-row results exactly as the single path does (top-k first), and
+    the Q x k payload rows come back via one broadcast id join and ONE
+    collect.  Per-query results are identical to Q
+    :func:`search_with_envelope` calls — pinned in
+    tests/test_engine_facade.py — at one scan and one scheduler pass.
+
+    *queries* maps a caller key -> query string.  Returns ``{key:
+    envelope}`` with each envelope in the single-search shape; every
+    envelope reports the SHARED wall time (the batch is one call)."""
+    t0 = time.time()
+    keys = sorted(queries)
+    df = filters.dynamic_conjunction(
+        corpus, conversation_type=conversation_type,
+        session_id=session_id)
+    qrows = [(i, embed.embed_query_vector(queries[key]))
+             for i, key in enumerate(keys)]
+    spark = corpus.sparkSession
+    qframe = spark.createDataFrame(qrows,
+                                   "q_id long, q_embedding array<double>")
+    top = (similarity.knn_join(df, qframe, k=limit,
+                               corpus_vec=vec_col, corpus_id=id_col)
+           .filter(F.col("sim") >= threshold))
+    payload = (df.join(F.broadcast(top.select("q_id", id_col, "sim")),
+                       id_col)
+               .withColumn("similarity_score",
+                           (F.round(F.col("sim"), 3) + F.lit(0.0))))
+    collected = payload.collect()
+    ms = round((time.time() - t0) * 1000, 1)
+    by_q: dict[int, list] = {i: [] for i in range(len(keys))}
+    for r in collected:
+        d = r.asDict(recursive=True)
+        by_q[d.pop("q_id")].append(d)
+    out = {}
+    for i, key in enumerate(keys):
+        rows = sorted(by_q[i],
+                      key=lambda d: (-d["sim"], d[id_col]))
+        out[key] = {
+            "status": "success",
+            "results": rows,
+            "metadata": {
+                "total_results": len(rows),
+                "query": queries[key],
+                "threshold": threshold,
+                "search_time_ms": ms,
+            },
+        }
+    return out
+
+
 def search_with_envelope(corpus: DataFrame, query: str, **kwargs) -> dict:
     """3.1 step 7: the reference's response envelope
     (engine.py:192-226) around the collected top-k."""

@@ -110,3 +110,39 @@ def test_empty_source_search_returns_empty_envelope(spark, tmp_path):
     stats = eng.get_database_stats()
     assert stats["embedded_messages"] == 0
     assert stats["total_messages"] == 0
+
+
+def test_search_many_matches_per_query_search(spark, tmp_path):
+    """The batched facade must return, per query, exactly what a
+    separate search() call returns — same result dicts, same order,
+    same envelope shape — while running one corpus scan for the whole
+    batch.  The gate is paid once (huge threshold keeps it quiet after
+    the explicit ingest)."""
+    eng = Engine(spark, SF, str(tmp_path / "store"),
+                 update_threshold=10 ** 9)
+    eng.update_embeddings()
+    queries = {"a": "test message", "b": "hello world", "c": "deep"}
+    batched = eng.search_many(queries, limit=5, threshold=-1.0)
+    assert sorted(batched) == ["a", "b", "c"]
+    for key, q in queries.items():
+        single = eng.search(q, limit=5, threshold=-1.0)
+        env = batched[key]
+        assert env["status"] == "success"
+        assert env["metadata"]["query"] == q
+        assert env["metadata"]["total_results"] == \
+            single["metadata"]["total_results"]
+        assert env["results"] == single["results"]
+
+
+def test_search_many_empty_source_envelopes(spark, tmp_path):
+    """All-empty source: every key gets the empty success envelope."""
+    from pyspark.sql import functions as F
+
+    sf = str(tmp_path / "sf")
+    ev = spark.read.parquet(SF + "/events.parquet").filter(F.lit(False))
+    ev.write.parquet(sf + "/events.parquet")
+    eng = Engine(spark, sf, str(tmp_path / "store"))
+    out = eng.search_many({"x": "anything", "y": "else"}, limit=3)
+    assert set(out) == {"x", "y"}
+    for env in out.values():
+        assert env["status"] == "success" and env["results"] == []
