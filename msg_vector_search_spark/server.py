@@ -5,7 +5,10 @@ two tools and one resource (reference: src/server.py:140-258, run loop
 :262): ``search_messages(query, limit, threshold, force_update)``,
 ``update_embeddings(batch_size, max_messages)`` and
 ``resource://database_stats``.  This module exposes the same three
-entry points over :class:`~msg_vector_search_spark.engine.Engine`:
+entry points over :class:`~msg_vector_search_spark.engine.Engine`,
+plus one clearly-marked extension tool (``search_messages_many`` —
+batched search, Q queries per corpus scan; the reference has no
+analog):
 
 - :meth:`ServingShim.handle` — one request dict in, one response dict
   out; the transport-agnostic core.
@@ -58,10 +61,26 @@ class ServingShim:
         """Resource (reference: server.py:140-160)."""
         return self.engine.get_database_stats()
 
+    # -- EXTENSION endpoint (no reference analog) -----------------------
+    def search_messages_many(self, queries: dict, limit: int = 30,
+                             threshold: float = 0.3,
+                             force_update: bool = False) -> dict:
+        """Batched search — Q queries, one corpus scan, one freshness
+        gate (Engine.search_many).  Marked extension: the reference
+        serves one query per tool call; a high-QPS deployment batches.
+        Returns ``{"status": "success", "envelopes": {key: envelope}}``
+        so the error envelope contract of :meth:`handle` still has a
+        top-level status."""
+        return {"status": "success",
+                "envelopes": self.engine.search_many(
+                    queries, limit=limit, threshold=threshold,
+                    force_update=force_update)}
+
     TOOLS = {
         "search_messages": search_messages,
         "update_embeddings": update_embeddings,
         "database_stats": database_stats,
+        "search_messages_many": search_messages_many,
     }
 
     # -- transport-agnostic dispatch ------------------------------------

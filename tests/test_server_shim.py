@@ -57,3 +57,25 @@ def test_shim_stdio_loop(spark, tmp_path):
     assert lines[0]["embedded_messages"] > 0
     assert lines[1]["status"] == "error" and "bad json" in lines[1]["error"]
     assert lines[2]["status"] == "success" and len(lines[2]["results"]) == 2
+
+
+def test_shim_batched_search_extension(spark, tmp_path):
+    """The extension tool answers a batch through the same dispatch:
+    per-query envelopes inside a status-carrying wrapper, each equal
+    to a single search_messages call's envelope results."""
+    from msg_vector_search_spark.engine import Engine
+    from msg_vector_search_spark.server import ServingShim
+
+    eng = Engine(spark, "/root/testdata/sf0.001",
+                 str(tmp_path / "store"), update_threshold=10 ** 9)
+    eng.update_embeddings()
+    shim = ServingShim(eng)
+    resp = shim.handle({"tool": "search_messages_many",
+                        "args": {"queries": {"a": "test", "b": "hello"},
+                                 "limit": 3, "threshold": -1.0}})
+    assert resp["status"] == "success"
+    assert set(resp["envelopes"]) == {"a", "b"}
+    single = shim.handle({"tool": "search_messages",
+                          "args": {"query": "test", "limit": 3,
+                                   "threshold": -1.0}})
+    assert resp["envelopes"]["a"]["results"] == single["results"]
