@@ -299,6 +299,12 @@ SHOW = [
      "stats row + one matching-docs join, each query's scoring is an "
      "expression-only subplan over the shared checkpoints, and the "
      "qid-partitioned window ranks a k-bounded union."),
+    ("hybrid_serve_many",
+     "Batched hybrid capstone: Q (terms, vector) pairs cost TWO index "
+     "reads total — the batched BM25 serve and the batched IVFPQ "
+     "serve feed qid-partitioned rank windows over 50-row-per-query "
+     "leg outputs, and the RRF fusion join + per-qid top-10 run on "
+     "(Q x 50)-row frames regardless of corpus size."),
 ]
 
 
