@@ -153,4 +153,12 @@ def build_mcp(engine: Engine):
     def database_stats() -> dict:
         return shim.database_stats()
 
+    @srv.tool()  # pragma: no cover — extension, no reference analog
+    def search_messages_many(queries: dict, limit: int = 30,
+                             threshold: float = 0.3,
+                             force_update: bool = False) -> dict:
+        return shim.search_messages_many(queries, limit=limit,
+                                         threshold=threshold,
+                                         force_update=force_update)
+
     return srv  # pragma: no cover

@@ -637,7 +637,7 @@ def batch_main() -> None:
         retrieval.search_inverted_index(spark, tpath,
                                         base_terms[0]).count()
         print("Q  ann_single_sum  ann_batched  ann_x | "
-              "text_single_sum  text_batched  text_x")
+              "text_single_sum  text_batched  text_x | hybrid_batched")
         for q in qs:
             sub = dict(list(sorted(qvecs.items()))[:q])
             t0 = time.time()
@@ -659,9 +659,18 @@ def batch_main() -> None:
             retrieval.search_inverted_index_many(spark, tpath, tsets,
                                                  k=20).count()
             x_batch = time.time() - t0
+            hq = {qid: {"terms": base_terms[i % len(base_terms)],
+                        "qvec": qv}
+                  for i, (qid, qv) in enumerate(sorted(sub.items()))}
+            t0 = time.time()
+            retrieval.hybrid_serve_many(spark, tpath, apath, hq,
+                                        leg_k=50, k=10, nprobe=4,
+                                        shortlist=50).count()
+            h_batch = time.time() - t0
             print(f"{q:<3d}{t_single:>13.2f}s{t_batch:>12.2f}s"
                   f"{t_single / t_batch:>6.1f}x |{x_single:>14.2f}s"
-                  f"{x_batch:>13.2f}s{x_single / x_batch:>7.1f}x")
+                  f"{x_batch:>13.2f}s{x_single / x_batch:>7.1f}x |"
+                  f"{h_batch:>9.2f}s")
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
