@@ -647,3 +647,46 @@ def test_hybrid_serve_many_batch_independence(spark, tmp_path):
             spark, tpath, apath, {qid: queries[qid]}, leg_k=20, k=5,
             nprobe=2, shortlist=20).collect()]
     assert got == want and len(got) > 0
+
+
+def test_text_upsert_rerun_recovers_half_appended_batch(spark, tmp_path):
+    """upsert_inverted_index's documented crash recovery: the meta
+    generation bumps FIRST, so a crash after some appends (here:
+    doclen rows landed at the new generation, postings did not) is
+    healed by re-running the same batch — the re-run's tombstone at
+    the crashed generation kills the half-appended rows and the batch
+    lands whole at the next generation.  Serving must equal a fresh
+    build of the final corpus."""
+    import os
+
+    rows = [(i, f"alpha beta doc{i}") for i in range(20)]
+    path = str(tmp_path / "idx")
+    retrieval.build_inverted_index(_mini_corpus(spark, rows), path,
+                                   n_buckets=8)
+    batch = {3: "gamma gamma", 50: "alpha gamma"}
+
+    # simulate the crash point: gen bumped to 1, the batch's doclen
+    # rows appended at gen 1, postings and tombstones never written
+    meta = retrieval._read_text_meta(path)
+    meta["gen"] = 1
+    retrieval._write_text_meta(path, meta)
+    bdf = _mini_corpus(spark, batch.items())
+    (bdf.select("doc_id",
+                F.size(F.split(F.trim(F.lower("text")), r"\s+"))
+                .alias("dl"))
+     .withColumn("gen", F.lit(1).cast("long"))
+     .write.mode("append").parquet(os.path.join(path, "doclen")))
+
+    # the recovery path: re-run the SAME batch
+    gen = retrieval.upsert_inverted_index(bdf, path)
+    assert gen == 2  # crashed attempt was gen 1; re-run lands at 2
+
+    final = {i: t for i, t in rows}
+    final.update(batch)
+    clean = str(tmp_path / "clean")
+    retrieval.build_inverted_index(_mini_corpus(spark, final.items()),
+                                   clean, n_buckets=8)
+    for terms in (["alpha"], ["gamma"], ["beta", "gamma"]):
+        assert _scores(retrieval.search_inverted_index(
+            spark, path, terms)) == _scores(
+            retrieval.search_inverted_index(spark, clean, terms))
