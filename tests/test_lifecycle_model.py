@@ -138,13 +138,37 @@ def test_ann_index_lifecycle_matches_model(spark, tmp_path):
     ann_index.build_index(spark, _vec_df(spark, model), path,
                           nlist=4, m=8, ncodes=16)
 
-    for step in range(5):
-        op = rng.choice(["upsert", "erase", "erase"])
+    for step in range(6):
+        op = rng.choice(["upsert", "erase", "erase", "changefeed"])
         if op == "upsert" and fresh:
             picks = rng.sample(sorted(fresh), k=min(10, len(fresh)))
             batch = {k: fresh.pop(k) for k in picks}
             model.update(batch)
             ann_index.upsert_index(spark, path, _vec_df(spark, batch))
+        elif op == "changefeed" and model:
+            # derived maintenance with a CELL-MOVING update (+0.5 on
+            # every coordinate shifts the cosine cell), an insert from
+            # the held-out pool, and a delete — the interleaving where
+            # plain upsert would strand a stale copy
+            feed = []
+            u = rng.choice(sorted(model))
+            moved = [x + 0.5 for x in model[u]]
+            feed.append(Row(vec_id=u, action="update",
+                            old_embedding=model[u], new_embedding=moved))
+            model[u] = moved
+            if fresh:
+                ins = sorted(fresh)[0]
+                feed.append(Row(vec_id=ins, action="insert",
+                                old_embedding=None,
+                                new_embedding=fresh.pop(ins)))
+                model[ins] = feed[-1].new_embedding
+            d = rng.choice(sorted(model))
+            if d != u:
+                feed.append(Row(vec_id=d, action="delete",
+                                old_embedding=model.pop(d),
+                                new_embedding=None))
+            ann_index.apply_changefeed_index(
+                spark, path, spark.createDataFrame(feed))
         elif model:
             victims = rng.sample(sorted(model), k=min(8, len(model)))
             for v in victims:
