@@ -3632,6 +3632,96 @@ def ann_ivfpq_materialized_trained(spark: SparkSession,
                                   k=10, nprobe=8, shortlist=400)
 
 
+_LABELED_INDEX_CACHE: dict[str, str] = {}
+
+
+def _labeled_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once cache for the metadata-carrying materialized index
+    (meta_cols=("label",)): both stores carry the label column, so a
+    where-predicate at serve time is a PRE-filter on the code scan."""
+    if sf_dir not in _LABELED_INDEX_CACHE:
+        path = os.path.join(tempfile.mkdtemp(prefix="annidxlab_"),
+                            "index")
+        ann_index.build_index(spark, _t(spark, sf_dir, "embeddings"),
+                              path, nlist=16, m=8, ncodes=16,
+                              meta_cols=("label",))
+        _LABELED_INDEX_CACHE[sf_dir] = path
+    return _LABELED_INDEX_CACHE[sf_dir]
+
+
+@register("ann_ivfpq_filtered_materialized", oracle=f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT 16
+), q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+cscored AS (
+  SELECT e.vec_id, e.embedding, e.label, c.centroid_id,
+         (round({V.duck_cosine('e.embedding', 'c.cvec')}, 9) + 0) AS cdist
+  FROM embeddings e CROSS JOIN cent c
+), celled AS (
+  SELECT vec_id, embedding, label, centroid_id AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cdist DESC, centroid_id) AS rn
+    FROM cscored) WHERE rn = 1
+), probe AS (
+  SELECT centroid_id AS cell
+  FROM cent, q
+  ORDER BY {V.duck_cosine('cvec', 'qv')} DESC, centroid_id LIMIT 4
+), cand AS (
+  SELECT * FROM celled
+  WHERE cell IN (SELECT cell FROM probe) AND label % 2 = 0
+), seeds AS (
+  SELECT embedding AS sv, row_number() OVER (ORDER BY vec_id) - 1 AS cw
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)
+), js AS (SELECT unnest(range(8)) AS j),
+cb AS (
+  SELECT js.j, seeds.cw, seeds.sv[(js.j*8+1):(js.j*8+8)] AS cv
+  FROM seeds CROSS JOIN js
+), ev AS (
+  SELECT c.vec_id, js.j, c.embedding[(js.j*8+1):(js.j*8+8)] AS xv
+  FROM cand c CROSS JOIN js
+), coded AS (
+  SELECT vec_id, j, cw FROM (
+    SELECT ev.vec_id, ev.j, cb.cw,
+           row_number() OVER (
+             PARTITION BY ev.vec_id, ev.j
+             ORDER BY (round({V.duck_dot('ev.xv', 'cb.cv')}, 9) + 0) DESC,
+                      cb.cw) AS rn
+    FROM ev JOIN cb ON cb.j = ev.j) WHERE rn = 1
+), qtab AS (
+  SELECT cb.j, cb.cw,
+         (round({V.duck_dot('(SELECT qv FROM q)[(cb.j*8+1):(cb.j*8+8)]',
+                            'cb.cv')}, 9) + 0) AS d
+  FROM cb
+), adc AS (
+  SELECT a.vec_id, (round(sum(t.d), 6) + 0) AS adc_sim
+  FROM coded a JOIN qtab t ON t.j = a.j AND t.cw = a.cw
+  GROUP BY a.vec_id
+), short AS (SELECT vec_id FROM adc ORDER BY adc_sim DESC, vec_id LIMIT 50)
+SELECT c.vec_id, c.cell,
+       (round({V.duck_cosine('c.embedding', '(SELECT qv FROM q)')}, 6) + 0)
+         AS sim
+FROM cand c JOIN short s ON s.vec_id = c.vec_id
+ORDER BY sim DESC, c.vec_id LIMIT 10
+""")
+def ann_ivfpq_filtered_materialized(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Filtered ANN from the PERSISTED index — the production hybrid-
+    filter shape ann_ivf_filtered inlines, now index-served: the build
+    stored the label column in BOTH stores (meta_cols), so the
+    ``label % 2 = 0`` predicate PRE-filters the code scan (stacking
+    with the cell partition filter — ADC scores eligible rows only,
+    and the shortlist is drawn from eligible rows, no post-filter
+    recall loss) and the re-rank scan alike.  The oracle replays the
+    seed-IVFPQ composition with the candidate set label-filtered
+    before encoding — exactly the pre-filter semantics."""
+    path = _labeled_index(spark, sf_dir)
+    return ann_index.search_index(spark, path,
+                                  _query_vec(spark, sf_dir),
+                                  k=10, nprobe=4, shortlist=50,
+                                  where="label % 2 = 0")
+
+
 _MANY_QIDS = [0, 7, 13, 21, 34]
 
 _IVFPQ_MANY_ORACLE = f"""
@@ -8426,10 +8516,13 @@ DRIVER_VERIFIED = frozenset({
     # ann_ivfpq_topk, ann_ivfpq_materialized — and dedup.py's
     # minhash_estimate_pairs switched from persist to released
     # checkpoints, so dedup_minhash_estimate re-verifies too.
+    # r10 late addendum: build_index/search_index/upsert_index/
+    # rebuild_index gained meta_cols + where (filtered serving), so
+    # every materialized-lifecycle row re-verifies in the r10 window:
+    # ann_index_upsert/erase/rebuild/compact, changefeed_apply_index,
+    # ann_recall_audit, ann_mmr_materialized dropped below.
     "ann_ivf_topk", "ann_ivf_filtered", "sim_join_ivf",
-    "sim_join_ivf_p2", "sim_join_ivf_pandas", "ann_index_upsert",
-    "ann_index_erase", "ann_index_rebuild", "ann_index_compact",
-    "changefeed_apply_index",
+    "sim_join_ivf_p2", "sim_join_ivf_pandas",
     # round 7 (CORRECTNESS_r07.json — 49 full-oracle + 1 rows-only by
     # design, zero errs; re-verified names already listed under earlier
     # rounds are not repeated)
@@ -8456,7 +8549,6 @@ DRIVER_VERIFIED = frozenset({
     "grouping_sets_report", "bpe_pair_frequencies",
     "embedding_centroid_drift", "dedup_cluster_histogram",
     "dpp_dim_filtered_scan", "dedup_components_incremental",
-    "ann_recall_audit", "ann_mmr_materialized",
     "pipeline_serving_capstone", "topk_mmr_diverse",
     # round 5 (CORRECTNESS_r05.json — re-verified names already listed
     # under earlier rounds are not repeated)

@@ -60,14 +60,23 @@ def _subdir(path: str, name: str) -> str:
 def build_index(spark: SparkSession, embeddings: DataFrame, path: str,
                 nlist: int = 16, m: int = 8, ncodes: int = 16,
                 trained: bool = False, id_col: str = "vec_id",
-                vec_col: str = "embedding") -> dict:
+                vec_col: str = "embedding",
+                meta_cols: tuple = ()) -> dict:
     """The index-build job (offline; at 100 TB a scheduled batch run):
     train-or-seed centroids and codebooks, assign every vector to its
     cell, encode, and persist all four artifacts.  ``trained=False``
     uses the deterministic seed picks, making every downstream read
     DuckDB-oracle-checkable; ``trained=True`` swaps in MLlib k-means
     centroids + Lloyd's codebooks (same artifact contract, better
-    recall — measured in tools/scaling_check.py)."""
+    recall — measured in tools/scaling_check.py).
+
+    ``meta_cols`` stores metadata columns next to the vectors AND the
+    codes, which is what makes FILTERED serving a PRE-filter: a
+    ``where`` predicate at query time reaches the code scan itself
+    (stacking with the cell partition filter), so ADC only scores
+    eligible rows — the production hybrid-filter shape, not a
+    recall-losing post-filter of the top-k.  Incremental upserts and
+    rebuilds carry the recorded columns automatically."""
     if trained:
         cent = ivf.kmeans_centroids(embeddings, nlist, vec_col=vec_col)
         books = pq.kmeans_codebooks(embeddings, m=m, ncodes=ncodes,
@@ -81,12 +90,13 @@ def build_index(spark: SparkSession, embeddings: DataFrame, path: str,
     # clustered by cell so each partitionBy(cell) write emits one file
     # per cell instead of tasks x cells shards
     assigned = (ivf.assign_cells(embeddings, cent, id_col=id_col,
-                                 vec_col=vec_col)
+                                 vec_col=vec_col,
+                                 keep_cols=tuple(meta_cols))
                 .repartition("cell").localCheckpoint())
     assigned.write.mode("overwrite").partitionBy("cell") \
         .parquet(_subdir(path, "vectors"))
     codes = pq.pq_encode(assigned, books, id_col=id_col, vec_col=vec_col,
-                         keep_cols=("cell",))
+                         keep_cols=("cell", *meta_cols))
     codes.write.mode("overwrite").partitionBy("cell") \
         .parquet(_subdir(path, "codes"))
     cent.coalesce(1).write.mode("overwrite") \
@@ -96,7 +106,7 @@ def build_index(spark: SparkSession, embeddings: DataFrame, path: str,
     dim = m * books.shape[2]
     meta = {"m": m, "ncodes": ncodes, "nlist": nlist, "dim": dim,
             "trained": bool(trained), "id_col": id_col,
-            "vec_col": vec_col}
+            "vec_col": vec_col, "meta_cols": list(meta_cols)}
     with open(os.path.join(path, META_FILE), "w") as f:
         json.dump(meta, f)
     return meta
@@ -149,12 +159,19 @@ def load_codebooks(spark: SparkSession, path: str) -> np.ndarray:
 
 def search_index(spark: SparkSession, path: str, qvec: list[float],
                  k: int = 10, nprobe: int = 8,
-                 shortlist: int = 400, keep_vec: bool = False) -> DataFrame:
+                 shortlist: int = 400, keep_vec: bool = False,
+                 where: str | None = None) -> DataFrame:
     """Serve a query from the persisted index — no training, no
     assignment, no full scan.  The probed cell ids are collected
     driver-side (nlist-bounded) so the ``cell IN (...)`` filters below
     are literals Catalyst turns into PartitionFilters on both the code
-    scan and the re-rank's raw-vector scan."""
+    scan and the re-rank's raw-vector scan.
+
+    *where* (a SQL predicate over the index's recorded ``meta_cols``)
+    PRE-filters both scans: metadata selectivity stacks with cell
+    pruning before any ADC work, and the shortlist is drawn from
+    eligible rows only — filtered ANN without the recall loss of
+    post-filtering a top-k."""
     from ..sources.sinks import _finish_pending_delete, heal_partial_swaps
 
     # serving self-heals too: a crash mid-swap in a maintenance verb
@@ -175,11 +192,15 @@ def search_index(spark: SparkSession, path: str, qvec: list[float],
 
     codes = (spark.read.parquet(_subdir(path, "codes"))
              .filter(F.col("cell").isin(cells)))
+    if where is not None:
+        codes = codes.filter(F.expr(where))
     table = pq.adc_table(qvec, books)
     short = pq.pq_search(codes, table, k=shortlist, id_col=id_col)
 
     vectors = (spark.read.parquet(_subdir(path, "vectors"))
                .filter(F.col("cell").isin(cells)))
+    if where is not None:
+        vectors = vectors.filter(F.expr(where))
     q = F.array(*[F.lit(float(v)) for v in qvec])
     exact = V.cosine(F.col(vec_col), q)
     extra = (vec_col,) if keep_vec else ()
@@ -193,7 +214,8 @@ def search_index(spark: SparkSession, path: str, qvec: list[float],
 
 def search_index_many(spark: SparkSession, path: str,
                       queries: dict, k: int = 10, nprobe: int = 8,
-                      shortlist: int = 400) -> DataFrame:
+                      shortlist: int = 400,
+                      where: str | None = None) -> DataFrame:
     """Serve a BATCH of queries from the persisted index in ONE plan —
     the high-QPS path :func:`search_index` can't reach: a single call
     carries ~0.2 s of local scheduler overhead, so Q sequential calls
@@ -255,6 +277,10 @@ def search_index_many(spark: SparkSession, path: str,
 
     codes = (spark.read.parquet(_subdir(path, "codes"))
              .filter(F.col("cell").isin(union_cells)))
+    if where is not None:
+        # shared PRE-filter (recorded meta_cols): stacks with the
+        # union-cell partition filter before any per-query ADC work
+        codes = codes.filter(F.expr(where))
     entries = []
     for qid, qv in qitems:
         table = pq.adc_table(qv, books)
@@ -278,6 +304,8 @@ def search_index_many(spark: SparkSession, path: str,
 
     vectors = (spark.read.parquet(_subdir(path, "vectors"))
                .filter(F.col("cell").isin(union_cells)))
+    if where is not None:
+        vectors = vectors.filter(F.expr(where))
     qdim = spark.createDataFrame(
         [(int(qid), [float(x) for x in qv]) for qid, qv in qitems],
         "qid long, _qv array<double>")
@@ -476,7 +504,8 @@ def rebuild_index(spark: SparkSession, path: str,
     new_meta = build_index(spark, vecs, tmp, nlist=meta["nlist"],
                            m=meta["m"], ncodes=meta["ncodes"],
                            trained=trained, id_col=meta["id_col"],
-                           vec_col=meta["vec_col"])
+                           vec_col=meta["vec_col"],
+                           meta_cols=tuple(meta.get("meta_cols", ())))
     _swap_dir(tmp, path)
     from .dedup import _cc_free
     _cc_free(vecs)  # the staged build is on disk; drop the pinned copy
@@ -512,14 +541,16 @@ def upsert_index(spark: SparkSession, path: str,
 
     meta = read_meta(path)
     id_col, vec_col = meta["id_col"], meta["vec_col"]
+    meta_cols = tuple(meta.get("meta_cols", ()))
     cent = load_centroids(spark, path)
     books = load_codebooks(spark, path)
     assigned = ivf.assign_cells(new_vectors, cent, id_col=id_col,
-                                vec_col=vec_col)
+                                vec_col=vec_col, keep_cols=meta_cols)
     # stage the batch once: both stores consume the same tiny frame
     assigned = assigned.localCheckpoint()
     codes = pq.pq_encode(assigned, books, id_col=id_col,
-                         vec_col=vec_col, keep_cols=("cell",))
+                         vec_col=vec_col,
+                         keep_cols=("cell", *meta_cols))
     touched = _upsert_cells(spark, assigned,
                             _subdir(path, "vectors"), id_col)
     _upsert_cells(spark, codes, _subdir(path, "codes"), id_col,

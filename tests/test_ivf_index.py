@@ -675,3 +675,60 @@ def test_search_index_many_matches_per_query_serving(spark, tmp_path):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan
     assert "cell" in plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+
+
+def test_filtered_materialized_serve_prefilters_both_stores(spark, tmp_path):
+    """A labeled index serves a where-predicate as a PRE-filter: with
+    full probe + corpus-sized shortlist the result equals brute-force
+    cosine top-k over ONLY the eligible rows; the predicate reaches
+    the code scan as a pushed filter next to the cell partition
+    filter; and an upsert carries the label so maintenance keeps the
+    filter servable."""
+    from msg_vector_search_spark.operators import ann_index
+    from msg_vector_search_spark.operators import similarity as sim_ops
+
+    emb = readers.read_table(spark, SF, "embeddings").select(
+        "vec_id", "label",
+        F.transform("embedding", lambda x: x.cast("double"))
+        .alias("embedding"))
+    base = emb.filter(F.col("vec_id") < 150)
+    batch = emb.filter((F.col("vec_id") >= 150) & (F.col("vec_id") < 180))
+    path = str(tmp_path / "idx")
+    ann_index.build_index(spark, base, path, nlist=4, m=8, ncodes=16,
+                          meta_cols=("label",))
+    ann_index.upsert_index(spark, path, batch)
+    assert "label" in spark.read.parquet(path + "/codes").columns
+    assert "label" in spark.read.parquet(path + "/vectors").columns
+
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    n = base.count() + batch.count()
+    got = [(r["vec_id"], r["sim"]) for r in ann_index.search_index(
+        spark, path, qv, k=5, nprobe=4, shortlist=n,
+        where="label % 2 = 0").collect()]
+    want = [(r["vec_id"], r["sim"]) for r in sim_ops.knn_search(
+        emb.filter((F.col("vec_id") < 180) & (F.col("label") % 2 == 0)),
+        qv, k=5, threshold=-2.0).collect()]
+    assert got == want
+
+    # the predicate must be pushed into the code scan
+    codes = (spark.read.parquet(path + "/codes")
+             .filter(F.col("cell").isin([0, 1]))
+             .filter(F.expr("label % 2 = 0")))
+    plan = codes._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "label" in plan  # data filter on the label column present
+
+    # batched filtered serve agrees with per-query filtered serves
+    qrows = {r["vec_id"]: [float(x) for x in r["embedding"]]
+             for r in emb.filter(F.col("vec_id").isin([0, 7])).collect()}
+    batched = [tuple(r) for r in ann_index.search_index_many(
+        spark, path, qrows, k=5, nprobe=3, shortlist=40,
+        where="label % 2 = 0").collect()]
+    singles = []
+    for qid in sorted(qrows):
+        singles += [(qid, r["vec_id"], r["cell"], r["sim"])
+                    for r in ann_index.search_index(
+                        spark, path, qrows[qid], k=5, nprobe=3,
+                        shortlist=40, where="label % 2 = 0").collect()]
+    assert batched == singles
