@@ -7052,6 +7052,53 @@ def text_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _invidx_top20(spark, path)
 
 
+_SRC_SLICE = "('src1', 'src3', 'src5', 'src7')"
+
+
+@register("text_index_filtered_search", oracle=f"""
+WITH scored AS ({retrieval_ops.duck_bm25(
+    _BM25_TERMS, _DUCK_TOKENS,
+    from_table=f"(SELECT doc_id, text FROM documents "
+               f"WHERE source IN {_SRC_SLICE})")})
+SELECT doc_id, CAST(dl AS BIGINT) AS dl, (round(bm25, 6) + 0) AS bm25
+FROM scored
+ORDER BY (round(bm25, 6) + 0) DESC, doc_id LIMIT 20
+""")
+def text_index_filtered_search(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Filtered keyword serving from the persisted inverted index —
+    the text twin of the label-filtered ANN serve: the build stored
+    the source column in the doclen sidecar (meta_cols), so a
+    ``where`` predicate serves the query WITHIN a corpus slice —
+    eligibility gates through the doclen join, and every statistic
+    (N, Σdl, per-term df) is recounted over eligible docs only.  The
+    oracle is the scan-side BM25 over the slice: filtered serving
+    must be bit-identical to an index built on the slice alone."""
+    path = _src_inverted_index(spark, sf_dir)
+    scored = retrieval_ops.search_inverted_index(
+        spark, path, _BM25_TERMS,
+        where=f"source IN {_SRC_SLICE}")
+    return (scored.select("doc_id",
+                          F.col("dl").cast("long").alias("dl"),
+                          rnd(F.col("bm25"), 6).alias("bm25"))
+            .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+            .limit(20))
+
+
+def _src_inverted_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once cache for the metadata-carrying inverted index
+    (meta_cols=("source",))."""
+    key = (sf_dir, "src")
+    if key not in _INVIDX_CACHE:
+        path = os.path.join(tempfile.mkdtemp(prefix="invidxsrc_"),
+                            "index")
+        docs = readers.widen(_t(spark, sf_dir, "documents"))
+        retrieval_ops.build_inverted_index(docs, path,
+                                           meta_cols=("source",))
+        _INVIDX_CACHE[key] = path
+    return _INVIDX_CACHE[key]
+
+
 @register("streaming_text_index_upsert", oracle=f"""
 WITH scored AS ({retrieval_ops.duck_bm25(_BM25_TERMS, _DUCK_TOKENS)})
 SELECT doc_id, CAST(dl AS BIGINT) AS dl, (round(bm25, 6) + 0) AS bm25

@@ -194,9 +194,11 @@ def _live(df: DataFrame, tomb, id_col: str) -> DataFrame:
             .drop("_upto"))
 
 
-def _tokenized(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def _tokenized(docs: DataFrame, text_col: str, id_col: str,
+               meta_cols: tuple = ()) -> DataFrame:
     toks = analysis.tokens(F.col(text_col))
-    return (docs.select(F.col(id_col), toks.alias("_toks"))
+    return (docs.select(F.col(id_col), toks.alias("_toks"),
+                        *[F.col(c) for c in meta_cols])
             .withColumn("dl", F.size("_toks")))
 
 
@@ -212,7 +214,8 @@ def _postings_of(base: DataFrame, id_col: str, gen: int,
 
 def build_inverted_index(docs: DataFrame, path: str,
                          text_col: str = "text", id_col: str = "doc_id",
-                         n_buckets: int = INDEX_BUCKETS) -> None:
+                         n_buckets: int = INDEX_BUCKETS,
+                         meta_cols: tuple = ()) -> None:
     """Build-once job for keyword serving: tokenize the corpus ONCE and
     persist (a) a postings table ``(term, doc_id, tf, gen)``
     partitioned by ``tb = pmod(xxhash64(term), n_buckets)`` — so a
@@ -224,22 +227,31 @@ def build_inverted_index(docs: DataFrame, path: str,
     key with map-side partial counting; at 100 TB this is the classic
     one-pass index build, and incremental batches append with the same
     bucket function (:func:`upsert_inverted_index` — the layout is
-    content-addressed, like the ANN store's cells)."""
+    content-addressed, like the ANN store's cells).
+
+    ``meta_cols`` stores metadata columns in the doclen sidecar, which
+    makes FILTERED keyword serving possible: a ``where`` predicate at
+    query time gates eligibility through the doclen join and recounts
+    every corpus statistic (N, Σdl, per-term df) over eligible docs
+    only — "search within a slice" semantics, identical to building
+    the index on the slice.  Upserts carry the recorded columns
+    (batches must include them)."""
     import shutil
 
     # an in-place REBUILD over a previously-maintained index must not
     # inherit its tombstones: fresh gen-0 rows of a once-erased doc
     # would fail gen > upto_gen and silently vanish from the new index
     shutil.rmtree(os.path.join(path, "tombstones"), ignore_errors=True)
-    base = _tokenized(docs, text_col, id_col)
-    base.select(id_col, "dl") \
+    base = _tokenized(docs, text_col, id_col, tuple(meta_cols))
+    base.select(id_col, "dl", *meta_cols) \
         .withColumn("gen", F.lit(0).cast("long")) \
         .write.mode("overwrite").parquet(os.path.join(path, "doclen"))
     _postings_of(base, id_col, 0, n_buckets) \
         .write.mode("overwrite").partitionBy("tb") \
         .parquet(os.path.join(path, "postings"))
     _write_text_meta(path, {"n_buckets": int(n_buckets), "gen": 0,
-                            "id_col": id_col})
+                            "id_col": id_col,
+                            "meta_cols": list(meta_cols)})
 
 
 def _ensure_gen_layout(spark, path: str) -> None:
@@ -304,12 +316,14 @@ def upsert_inverted_index(docs: DataFrame, path: str,
     g_old, g_new = int(meta["gen"]), int(meta["gen"]) + 1
     meta["gen"] = g_new
     _write_text_meta(path, meta)
-    base = (_tokenized(docs.dropDuplicates([id_col]), text_col, id_col)
+    meta_cols = tuple(meta.get("meta_cols", ()))
+    base = (_tokenized(docs.dropDuplicates([id_col]), text_col, id_col,
+                       meta_cols)
             .localCheckpoint())  # one tokenize pass feeds all three writes
     (base.select(id_col).coalesce(1)
      .withColumn("upto_gen", F.lit(g_old).cast("long"))
      .write.mode("append").parquet(os.path.join(path, "tombstones")))
-    (base.select(id_col, "dl")
+    (base.select(id_col, "dl", *meta_cols)
      .withColumn("gen", F.lit(g_new).cast("long"))
      .write.mode("append").parquet(os.path.join(path, "doclen")))
     _postings_of(base, id_col, g_new, int(meta["n_buckets"])) \
@@ -492,7 +506,8 @@ def inverted_index_stats(spark, path: str) -> DataFrame:
 def search_inverted_index(spark, path: str, terms: list[str],
                           id_col: str = "doc_id", k1: float = K1,
                           b: float = B,
-                          n_buckets: int = INDEX_BUCKETS) -> DataFrame:
+                          n_buckets: int = INDEX_BUCKETS,
+                          where: str | None = None) -> DataFrame:
     """Serve BM25 from the PERSISTED index: prune postings to the query
     terms' buckets (literal partition filter — only those directories
     are listed or read), pivot the <= |terms| postings per doc to tf
@@ -510,7 +525,13 @@ def search_inverted_index(spark, path: str, terms: list[str],
     Scale: the postings read is O(matching docs x terms), the stats
     pass is one partial-aggregate row each over postings and doclen,
     and the tf-doclen join co-locates when both sides are bucketed by
-    doc_id.  The corpus text is never read."""
+    doc_id.  The corpus text is never read.
+
+    *where* (a SQL predicate over the index's recorded ``meta_cols``)
+    serves the query WITHIN a corpus slice: eligibility gates through
+    the doclen join and every statistic (N, Σdl, per-term df) is
+    recounted over eligible docs only — bit-identical to serving an
+    index built on the slice."""
     from ..sources.sinks import heal_partial_swaps
 
     heal_partial_swaps(path)
@@ -531,6 +552,11 @@ def search_inverted_index(spark, path: str, terms: list[str],
         tomb, id_col)
     doclen = _live(spark.read.parquet(os.path.join(path, "doclen")),
                    tomb, id_col)
+    if where is not None:
+        doclen = doclen.filter(F.expr(where))
+        # df must count ELIGIBLE docs only — gate the postings through
+        # the eligible id set before any per-term statistic
+        postings = postings.join(doclen.select(id_col), id_col, "semi")
     wtf = (postings.groupBy(id_col).agg(*[
         F.coalesce(F.sum(F.when(F.col("term") == t, F.col("tf"))),
                    F.lit(0)).alias(f"_tf_{i}")
@@ -551,7 +577,8 @@ def search_inverted_index(spark, path: str, terms: list[str],
 def search_inverted_index_many(spark, path: str, queries: dict,
                                k: int = 20, k1: float = K1,
                                b: float = B,
-                               n_buckets: int = INDEX_BUCKETS) -> DataFrame:
+                               n_buckets: int = INDEX_BUCKETS,
+                               where: str | None = None) -> DataFrame:
     """Serve a BATCH of BM25 queries from the persisted index in ONE
     plan — the text twin of ``ann_index.search_index_many`` and the
     high-QPS path for the keyword leg: Q sequential
@@ -611,6 +638,11 @@ def search_inverted_index_many(spark, path: str, queries: dict,
         tomb, id_col)
     doclen = _live(spark.read.parquet(os.path.join(path, "doclen")),
                    tomb, id_col)
+    if where is not None:
+        # shared slice gate (recorded meta_cols): stats AND candidates
+        # recount over eligible docs only, exactly as the single path
+        doclen = doclen.filter(F.expr(where))
+        postings = postings.join(doclen.select(id_col), id_col, "semi")
     # ONE aggregation pivots every union term's tf per matching doc;
     # the dl join happens once; every query reads this checkpoint
     wtf_all = (postings.groupBy(id_col).agg(*[

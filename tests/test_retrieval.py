@@ -690,3 +690,64 @@ def test_text_upsert_rerun_recovers_half_appended_batch(spark, tmp_path):
         assert _scores(retrieval.search_inverted_index(
             spark, path, terms)) == _scores(
             retrieval.search_inverted_index(spark, clean, terms))
+
+
+def test_filtered_serving_equals_slice_built_index(spark, tmp_path):
+    """where-filtered serving from a meta_cols index must be
+    bit-identical to an index built on the slice alone: the predicate
+    gates candidates through the doclen join AND every corpus
+    statistic (N, avgdl, per-term df) recounts over eligible docs
+    only.  The batched serve shares the same gate, and upserts carry
+    the recorded meta columns so post-maintenance filtered serving
+    stays exact."""
+    from pyspark.sql import Row
+
+    rows = [(i, ("alpha beta " if i % 3 else "alpha alpha ") + f"doc{i}",
+             f"src{i % 4}") for i in range(40)]
+    corpus = spark.createDataFrame(
+        [Row(doc_id=i, text=t, source=s) for i, t, s in rows])
+    path = str(tmp_path / "idx")
+    retrieval.build_inverted_index(corpus, path, n_buckets=8,
+                                   meta_cols=("source",))
+    pred = "source IN ('src1', 'src3')"
+    sliced = corpus.filter(pred)
+    slice_path = str(tmp_path / "slice")
+    retrieval.build_inverted_index(sliced.drop("source"), slice_path,
+                                   n_buckets=8)
+    for terms in (["alpha"], ["alpha", "beta"]):
+        assert _scores(retrieval.search_inverted_index(
+            spark, path, terms, n_buckets=8, where=pred)) == _scores(
+            retrieval.search_inverted_index(spark, slice_path, terms,
+                                            n_buckets=8))
+
+    # the batched serve applies the same slice gate
+    qsets = {"a": ["alpha"], "b": ["beta", "alpha"]}
+    batched = retrieval.search_inverted_index_many(
+        spark, path, qsets, k=10, n_buckets=8, where=pred)
+    got = [tuple(r) for r in batched.collect()]
+    want = []
+    for qid in sorted(qsets):
+        ranked = (retrieval.search_inverted_index(
+            spark, slice_path, qsets[qid], n_buckets=8)
+            .select("doc_id", F.col("dl").cast("long").alias("dl"),
+                    (F.round("bm25", 6) + F.lit(0.0)).alias("bm25"))
+            .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+            .limit(10))
+        want += [(qid, r["doc_id"], r["dl"], r["bm25"])
+                 for r in ranked.collect()]
+    assert got == want and len(got) > 0
+
+    # upsert carries meta_cols: doc 1 leaves the slice, doc 100 joins
+    batch = spark.createDataFrame([
+        Row(doc_id=1, text="alpha gamma", source="src0"),
+        Row(doc_id=100, text="gamma gamma alpha", source="src3")])
+    retrieval.upsert_inverted_index(batch, path)
+    final = (sliced.filter("doc_id != 1")
+             .unionByName(batch.filter("doc_id = 100")).drop("source"))
+    clean2 = str(tmp_path / "clean2")
+    retrieval.build_inverted_index(final, clean2, n_buckets=8)
+    for terms in (["alpha"], ["gamma"]):
+        assert _scores(retrieval.search_inverted_index(
+            spark, path, terms, n_buckets=8, where=pred)) == _scores(
+            retrieval.search_inverted_index(spark, clean2, terms,
+                                            n_buckets=8))
