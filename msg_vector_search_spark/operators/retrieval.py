@@ -700,7 +700,9 @@ def search_inverted_index_many(spark, path: str, queries: dict,
 def hybrid_serve_many(spark, text_path: str, ann_path: str,
                       queries: dict, leg_k: int = 50, k: int = 10,
                       k_rrf: int = 60, nprobe: int = 4,
-                      shortlist: int = 50) -> DataFrame:
+                      shortlist: int = 50,
+                      where_text: str | None = None,
+                      where_ann: str | None = None) -> DataFrame:
     """Batched HYBRID serving — the capstone of the two batched
     serves: Q (term-set, query-vector) pairs answered in one pass per
     index.  The keyword leg is :func:`search_inverted_index_many`
@@ -714,16 +716,24 @@ def hybrid_serve_many(spark, text_path: str, ann_path: str,
 
     *queries* maps an integer ``qid -> {"terms": [...], "qvec":
     [...]}``.  Returns ``(qid, doc_id, rank_kw, rank_vec, rrf)``,
-    top-*k* per query by (rrf desc, doc_id), rrf on the 6dp grid."""
+    top-*k* per query by (rrf desc, doc_id), rrf on the 6dp grid.
+
+    *where_text* / *where_ann* forward to each leg's slice gate
+    (predicates over that index's recorded ``meta_cols``), making the
+    whole batch a FILTERED hybrid serve — still two index reads, each
+    leg pre-filtered before any scoring, statistics recounted over the
+    slice (never a recall-losing post-filter of fused top-k)."""
     from pyspark.sql import Window
 
     from . import ann_index
 
     kw_q = {qid: spec["terms"] for qid, spec in queries.items()}
     vec_q = {qid: spec["qvec"] for qid, spec in queries.items()}
-    kw = search_inverted_index_many(spark, text_path, kw_q, k=leg_k)
+    kw = search_inverted_index_many(spark, text_path, kw_q, k=leg_k,
+                                    where=where_text)
     vec = ann_index.search_index_many(spark, ann_path, vec_q, k=leg_k,
-                                      nprobe=nprobe, shortlist=shortlist)
+                                      nprobe=nprobe, shortlist=shortlist,
+                                      where=where_ann)
     id_col = kw.columns[1]  # the index's id column (qid is first)
     w_kw = Window.partitionBy("qid").orderBy(
         F.col("bm25").desc(), F.col(id_col).asc())

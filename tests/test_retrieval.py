@@ -751,3 +751,57 @@ def test_filtered_serving_equals_slice_built_index(spark, tmp_path):
             spark, path, terms, n_buckets=8, where=pred)) == _scores(
             retrieval.search_inverted_index(spark, clean2, terms,
                                             n_buckets=8))
+
+
+def test_filtered_hybrid_equals_forget_then_serve(spark, tmp_path):
+    """Filter-at-serve must equal forget-then-serve: a hybrid batch
+    with where_text/where_ann slice gates serves EXACTLY what the same
+    batch serves from indexes whose out-of-slice docs were erased.
+    Erasure keeps the trained artifacts (centroids, codebooks, corpus
+    layout) in place, so any divergence isolates the filter gates —
+    probe sets, candidate sets, and recounted statistics must all
+    agree with the tombstone path."""
+    from pyspark.sql import Row
+
+    from msg_vector_search_spark.operators import ann_index
+
+    rows = [Row(doc_id=i,
+                text=("alpha beta " if i % 2 else "gamma delta ")
+                + f"doc{i}",
+                source=f"src{i % 4}") for i in range(40)]
+    corpus = spark.createDataFrame(rows)
+    emb = (spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet").limit(40)
+        .select(F.col("vec_id"),
+                F.transform("embedding", lambda x: x.cast("double"))
+                .alias("embedding"),
+                (F.col("vec_id") % 4).alias("label")))
+
+    tpath, apath = str(tmp_path / "text"), str(tmp_path / "ann")
+    retrieval.build_inverted_index(corpus, tpath, n_buckets=8,
+                                   meta_cols=("source",))
+    ann_index.build_index(spark, emb, apath, nlist=4, m=8, ncodes=16,
+                          meta_cols=("label",))
+
+    # the slice: odd ids (src1/src3 <=> label % 2 = 1)
+    qv = {r["vec_id"]: [float(x) for x in r["embedding"]]
+          for r in emb.filter(F.col("vec_id").isin([0, 3])).collect()}
+    queries = {0: {"terms": ["alpha", "beta"], "qvec": qv[0]},
+               3: {"terms": ["gamma"], "qvec": qv[3]}}
+    filtered = [tuple(r) for r in retrieval.hybrid_serve_many(
+        spark, tpath, apath, queries, leg_k=20, k=5, nprobe=2,
+        shortlist=20, where_text="source IN ('src1', 'src3')",
+        where_ann="label % 2 = 1").collect()]
+
+    # forget the evens from BOTH indexes, serve unfiltered
+    evens = spark.createDataFrame(
+        [Row(doc_id=i) for i in range(0, 40, 2)])
+    retrieval.delete_inverted_docs(evens, tpath)
+    ann_index.delete_index_keys(
+        spark, apath, evens.select(F.col("doc_id").alias("vec_id")))
+    forgot = [tuple(r) for r in retrieval.hybrid_serve_many(
+        spark, tpath, apath, queries, leg_k=20, k=5, nprobe=2,
+        shortlist=20).collect()]
+
+    assert filtered == forgot and len(filtered) > 0
+    assert all(r[1] % 2 == 1 for r in filtered)  # doc_id in slice

@@ -305,6 +305,18 @@ SHOW = [
      "serve feed qid-partitioned rank windows over 50-row-per-query "
      "leg outputs, and the RRF fusion join + per-qid top-10 run on "
      "(Q x 50)-row frames regardless of corpus size."),
+    ("ann_ivfpq_filtered_materialized",
+     "Metadata-filtered ANN serve: the where predicate PRE-filters the "
+     "pruned code scan (pushed alongside the cell PartitionFilters), "
+     "so metadata selectivity stacks with partition pruning before any "
+     "ADC work — a true hybrid filter, not a recall-losing post-filter "
+     "of the top-k."),
+    ("text_index_filtered_search",
+     "Metadata-filtered BM25 serve: the predicate gates the doclen "
+     "sidecar, a semi join confines postings to eligible docs, and "
+     "every corpus statistic (N, avgdl, df) recounts over the slice — "
+     "bit-identical to an index built on the slice, at the cost of one "
+     "dimension-sized semi join."),
 ]
 
 
