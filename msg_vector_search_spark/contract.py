@@ -3823,21 +3823,32 @@ _HYBRID_TERMS = {0: ["spark", "query", "dup"],
                  13: ["the", "vector"]}
 
 
-def _hybrid_many_oracle() -> str:
+def _hybrid_many_oracle(doc_from: str = "documents",
+                        vec_pred: str | None = None) -> str:
     """Batched-hybrid oracle: the seed-IVFPQ composition per qid
     (shared candidate CTEs, per-qid QUALIFY windows — the
     _IVFPQ_MANY_ORACLE construction at leg depth 50) for the vector
     leg, the scan-side BM25 per term set for the keyword leg (the
     index-served path is bit-identical, proven by the text rows), and
-    reciprocal-rank fusion with per-qid QUALIFY top-10."""
+    reciprocal-rank fusion with per-qid QUALIFY top-10.
+
+    *doc_from* / *vec_pred* render the FILTERED variant: the keyword
+    leg scores over a document slice, the vector leg's candidate set
+    is label-gated before ADC (pre-filter, exactly the serve path's
+    semantics).  With the defaults both fragments render empty and the
+    string is the unfiltered oracle, byte-identical to before."""
     qids = sorted(_HYBRID_TERMS)
+    lbl_sel = "e.label, " if vec_pred else ""
+    lbl_out = "label, " if vec_pred else ""
+    cand_pred = f" AND ({vec_pred})" if vec_pred else ""
     kw_blocks = []
     for qid in qids:
         kw_blocks.append(f"""
 SELECT CAST({qid} AS BIGINT) AS qid, doc_id,
        CAST(row_number() OVER (
          ORDER BY (round(bm25, 6) + 0) DESC, doc_id) AS INT) AS rank_kw
-FROM ({retrieval_ops.duck_bm25(_HYBRID_TERMS[qid], _DUCK_TOKENS)})
+FROM ({retrieval_ops.duck_bm25(_HYBRID_TERMS[qid], _DUCK_TOKENS,
+                               from_table=doc_from)})
 QUALIFY row_number() OVER (
   ORDER BY (round(bm25, 6) + 0) DESC, doc_id) <= 50""")
     kwrank = "\nUNION ALL\n".join(kw_blocks)
@@ -3849,11 +3860,11 @@ WITH cent AS (
   SELECT vec_id AS qid, embedding AS qv FROM embeddings
   WHERE vec_id IN ({", ".join(str(q) for q in qids)})
 ), cscored AS (
-  SELECT e.vec_id, e.embedding, c.centroid_id,
+  SELECT e.vec_id, e.embedding, {lbl_sel}c.centroid_id,
          (round({V.duck_cosine('e.embedding', 'c.cvec')}, 9) + 0) AS cdist
   FROM embeddings e CROSS JOIN cent c
 ), celled AS (
-  SELECT vec_id, embedding, centroid_id AS cell FROM (
+  SELECT vec_id, embedding, {lbl_out}centroid_id AS cell FROM (
     SELECT *, row_number() OVER (PARTITION BY vec_id
                                  ORDER BY cdist DESC, centroid_id) AS rn
     FROM cscored) WHERE rn = 1
@@ -3865,7 +3876,7 @@ WITH cent AS (
     ORDER BY {V.duck_cosine('c.cvec', 'q.qv')} DESC, c.centroid_id) <= 4
 ), cand AS (
   SELECT * FROM celled
-  WHERE cell IN (SELECT DISTINCT cell FROM probe)
+  WHERE cell IN (SELECT DISTINCT cell FROM probe){cand_pred}
 ), seeds AS (
   SELECT embedding AS sv, row_number() OVER (ORDER BY vec_id) - 1 AS cw
   FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)
@@ -7097,6 +7108,37 @@ def _src_inverted_index(spark: SparkSession, sf_dir: str) -> str:
                                            meta_cols=("source",))
         _INVIDX_CACHE[key] = path
     return _INVIDX_CACHE[key]
+
+
+@register("hybrid_filtered_serve", oracle=_hybrid_many_oracle(
+    doc_from=f"(SELECT doc_id, text FROM documents "
+             f"WHERE source IN {_SRC_SLICE})",
+    vec_pred="label % 2 = 0"))
+def hybrid_filtered_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED batched hybrid serving — the full production shape in
+    one row: Q (term-set, query-vector) pairs answered inside a corpus
+    slice, the keyword leg gated by a source predicate over the text
+    index's recorded meta_cols (statistics recounted over the slice),
+    the vector leg label-gated BEFORE any ADC work (pre-filter
+    stacking with cell pruning), fused with the same 6dp-grid RRF.
+    Still two index reads for the whole batch.  The oracle is the
+    proven batched-hybrid construction with the keyword leg scored
+    over the document slice and the vector candidate set label-gated
+    before encoding — filter-at-serve must equal slice semantics end
+    to end."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qids = sorted(_HYBRID_TERMS)
+    qv = {int(r["vec_id"]): [float(x) for x in r["embedding"]]
+          for r in emb.filter(F.col("vec_id").isin(qids))
+          .select("vec_id", "embedding").collect()}
+    queries = {qid: {"terms": _HYBRID_TERMS[qid], "qvec": qv[qid]}
+               for qid in qids}
+    tpath = _src_inverted_index(spark, sf_dir)
+    apath = _labeled_index(spark, sf_dir)
+    return retrieval_ops.hybrid_serve_many(
+        spark, tpath, apath, queries, leg_k=50, k=10, nprobe=4,
+        shortlist=50, where_text=f"source IN {_SRC_SLICE}",
+        where_ann="label % 2 = 0")
 
 
 @register("streaming_text_index_upsert", oracle=f"""

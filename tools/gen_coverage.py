@@ -141,6 +141,7 @@ SECTIONS = [
         "streaming_centroid_drift", "bpe_merge_rounds"]),
     ("Batched serving, filtered serving, tokenizer closure (round 10)", [
         "search_index_many", "text_search_many", "hybrid_serve_many",
+        "hybrid_filtered_serve",
         "ann_ivfpq_filtered_materialized", "text_index_filtered_search",
         "changefeed_apply_text_index", "streaming_text_index_upsert",
         "streaming_text_index_erase", "bpe_encode_corpus",
