@@ -7841,7 +7841,11 @@ def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_ops.bpe_merge_rounds(docs, rounds=3)
 
 
-@register("bpe_encode_corpus", oracle=_bpe_encode_sql(3))
+@register("bpe_encode_corpus", oracle=f"""
+SELECT doc_id, n_tokens,
+       coalesce(array_to_string(token_ids, ' '), '') AS token_ids
+FROM ({_bpe_encode_sql(3)})
+""")
 def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE encode/apply — the step that makes the trained tokenizer
     USABLE: train 3 merge rounds (bpe_merge_rounds), then tokenize the
@@ -7855,9 +7859,22 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenizer, not the corpus, so any two corpora agree on every id.
     The oracle re-derives the merges with the shared round CTEs and
     re-applies them per document, so merge DERIVATION and APPLICATION
-    are both value-checked end-to-end."""
+    are both value-checked end-to-end.
+
+    The registered ROW projects the id array to a space-joined string
+    (every id, in order — no information dropped): the driver's
+    canonicalizer sorts columns through pandas, which cannot hash a
+    list-typed cell (r10's TypeError).  The library API
+    (corpus_ops.bpe_encode) still returns the real array<int> column;
+    only this registration flattens it.  Spark's array_join on an
+    empty array yields '' while DuckDB's array_to_string yields NULL,
+    hence the coalesce in the oracle."""
     docs = _t(spark, sf_dir, "documents")
-    return corpus_ops.bpe_encode(docs, _bpe_merges(spark, sf_dir))
+    enc = corpus_ops.bpe_encode(docs, _bpe_merges(spark, sf_dir))
+    return enc.select(
+        "doc_id", "n_tokens",
+        F.array_join(F.col("token_ids").cast("array<string>"), " ")
+        .alias("token_ids"))
 
 
 _BPE_MERGES_CACHE: dict[str, list] = {}

@@ -193,3 +193,83 @@ def test_bpe_encode_matches_training_round_state(spark, docs):
             .head())
     assert (best["pair"], best["cnt"]) == \
         (rounds[2]["pair"], rounds[2]["cnt"])
+
+
+def test_bpe_encode_empty_merge_list(spark):
+    """Zero trained merges = pure character tokenizer: every gated
+    token splits to single letters and ids are 1-based alphabet
+    positions (vocab == the 26 letters)."""
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame([Row(doc_id=1, text="ab ba")])
+    vocab = corpus_ops.bpe_vocab([])
+    assert vocab == list(corpus_ops.BPE_ALPHABET)
+    row = corpus_ops.bpe_encode(docs, []).head()
+    assert row["n_tokens"] == 4
+    assert list(row["token_ids"]) == [1, 2, 2, 1]
+
+
+def test_bpe_encode_zero_gated_tokens(spark):
+    """A doc whose every token misses the ^[a-z]+$ gate (digits,
+    punctuation, mixed-case-with-digits, empty text) must yield
+    n_tokens=0 and an EMPTY (not null) id array — the shape the
+    registered row flattens to '' and the packer drops as a 0-length
+    sequence."""
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="123 ?! a1b2"),
+         Row(doc_id=2, text="   ")])
+    out = {r["doc_id"]: r for r in
+           corpus_ops.bpe_encode(docs, ["a b"]).collect()}
+    for did in (1, 2):
+        assert out[did]["n_tokens"] == 0
+        assert out[did]["token_ids"] is not None
+        assert list(out[did]["token_ids"]) == []
+
+
+def test_bpe_encode_single_char_token(spark):
+    """Training gates tokens to length >= 2 (a 1-char token has no
+    pair to count) but ENCODE must still tokenize them — 'a' is one
+    symbol, id = its alphabet position — or the packer undercounts
+    real corpus tokens."""
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame([Row(doc_id=1, text="a z")])
+    row = corpus_ops.bpe_encode(docs, ["t h"]).head()
+    assert row["n_tokens"] == 2
+    assert list(row["token_ids"]) == [1, 27]  # 'a'=1; 'z' after 'th'? no:
+    # vocab = sorted(26 letters + ['th']) -> 'th' sorts after 't', so
+    # 'z' is position 27.
+
+
+def test_bpe_encode_duplicate_merged_symbol(spark):
+    """A repeated merge (same pair twice) is a no-op on the second
+    application, and the no-dedup vocab holds the merged symbol twice;
+    array_position returns the FIRST position — exactly what DuckDB's
+    list_position does — so ids stay deterministic and engine-agreed."""
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame([Row(doc_id=1, text="ab")])
+    merges = ["a b", "a b"]
+    vocab = corpus_ops.bpe_vocab(merges)
+    assert vocab.count("ab") == 2
+    first_pos = vocab.index("ab") + 1
+    row = corpus_ops.bpe_encode(docs, merges).head()
+    assert row["n_tokens"] == 1
+    assert list(row["token_ids"]) == [first_pos]
+
+
+def test_bpe_encode_merge_chain_through_prior_merge(spark):
+    """A round-2 merge whose left side IS round 1's merged symbol
+    ('h e' then 't he') applies only where round 1 actually fired:
+    'tha' has no 'he' so stays t+h+a — the space-sentinel replace
+    cannot match across symbol boundaries."""
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame([Row(doc_id=1, text="tha")])
+    merges = ["h e", "t he"]
+    vocab = corpus_ops.bpe_vocab(merges)
+    i = {s: vocab.index(s) + 1 for s in ("t", "h", "a")}
+    row = corpus_ops.bpe_encode(docs, merges).head()
+    assert list(row["token_ids"]) == [i["t"], i["h"], i["a"]]
