@@ -3723,14 +3723,17 @@ def ann_ivfpq_filtered_materialized(spark: SparkSession,
 
 
 _MANY_QIDS = [0, 7, 13, 21, 34]
+_MANY_QIDS_LARGE = [0, 3, 7, 13, 21, 34, 55, 89]
 
-_IVFPQ_MANY_ORACLE = f"""
+
+def _ivfpq_many_oracle(qids: list) -> str:
+    return f"""
 WITH cent AS (
   SELECT vec_id AS centroid_id, embedding AS cvec
   FROM embeddings ORDER BY vec_id LIMIT 16
 ), qs AS (
   SELECT vec_id AS qid, embedding AS qv FROM embeddings
-  WHERE vec_id IN ({", ".join(str(q) for q in _MANY_QIDS)})
+  WHERE vec_id IN ({", ".join(str(q) for q in qids)})
 ), cscored AS (
   SELECT e.vec_id, e.embedding, c.centroid_id,
          (round({V.duck_cosine('e.embedding', 'c.cvec')}, 9) + 0) AS cdist
@@ -3794,6 +3797,9 @@ ORDER BY s.qid, sim DESC, c.vec_id
 """
 
 
+_IVFPQ_MANY_ORACLE = _ivfpq_many_oracle(_MANY_QIDS)
+
+
 @register("search_index_many", oracle=_IVFPQ_MANY_ORACLE)
 def search_index_many(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batched multi-query serving from the persisted IVFPQ index —
@@ -3816,6 +3822,32 @@ def search_index_many(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _materialized_index(spark, sf_dir, trained=False)
     return ann_index.search_index_many(spark, path, qrows, k=10,
                                        nprobe=4, shortlist=50)
+
+
+@register("search_index_many_large",
+          oracle=_ivfpq_many_oracle(_MANY_QIDS_LARGE))
+def search_index_many_large(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched IVFPQ serving on the LARGE-Q strategy — the
+    constant-plan path search_index_many switches to above
+    ``literal_max`` queries (forced here with literal_max=0 so the
+    driver value-verifies it directly): the per-query ADC tables move
+    from plan literals into a broadcast (qid, table) frame, a
+    broadcast (qid, cell) probe frame replicates each code row to
+    exactly the queries that probed its cell, and ONE shared
+    element_at fold scores every pair — plan size, analysis time and
+    codegen constant in Q, per-row work sum_q |rows in q's cells| (the
+    same bytes Q single calls would touch).  Same doubles as the
+    literal strategy by construction (identical table values, lookup
+    indices and summation order — pinned in tests/test_ivf_index.py);
+    the oracle is the seed-IVFPQ per-query replay at Q=8."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qrows = {int(r["vec_id"]): [float(x) for x in r["embedding"]]
+             for r in emb.filter(F.col("vec_id").isin(_MANY_QIDS_LARGE))
+             .select("vec_id", "embedding").collect()}
+    path = _materialized_index(spark, sf_dir, trained=False)
+    return ann_index.search_index_many(spark, path, qrows, k=10,
+                                       nprobe=4, shortlist=50,
+                                       literal_max=0)
 
 
 _HYBRID_TERMS = {0: ["spark", "query", "dup"],
@@ -6924,10 +6956,17 @@ _MANY_TERMSETS = {"q1": ["spark", "query", "dup"],
                   "q2": ["data", "join"],
                   "q3": ["the", "vector"]}
 
+_MANY_TERMSETS_LARGE = {"q1": ["spark", "query", "dup"],
+                        "q2": ["data", "join"],
+                        "q3": ["the", "vector"],
+                        "q4": ["spark"],
+                        "q5": ["join", "vector", "query"],
+                        "q6": ["data"]}
 
-def _text_many_oracle() -> str:
+
+def _text_many_oracle(termsets: dict | None = None) -> str:
     subs = []
-    for qid, terms in sorted(_MANY_TERMSETS.items()):
+    for qid, terms in sorted((termsets or _MANY_TERMSETS).items()):
         subs.append(f"""
 SELECT '{qid}' AS qid, doc_id, CAST(dl AS BIGINT) AS dl,
        (round(bm25, 6) + 0) AS bm25
@@ -6953,6 +6992,28 @@ def text_search_many(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _inverted_index(spark, sf_dir)
     return retrieval_ops.search_inverted_index_many(
         spark, path, _MANY_TERMSETS, k=20)
+
+
+@register("text_search_many_large",
+          oracle=_text_many_oracle(_MANY_TERMSETS_LARGE))
+def text_search_many_large(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched BM25 serving on the LARGE-Q strategy — the
+    constant-plan path search_inverted_index_many switches to above
+    ``literal_max`` queries (forced here with literal_max=0 so the
+    driver value-verifies it directly): the term sets move from Q
+    unioned projection subplans into a broadcast (qid, term, qpos,
+    df) frame that replicates each pruned posting to exactly the
+    queries containing its term, ONE (qid, doc) aggregation pivots
+    tf/df per query-term position, and one gated scoring fold ranks
+    every query — plan size constant in Q, per-row work sum_q
+    |postings matching q's terms| (the same postings Q single calls
+    would touch).  Same doubles as the literal strategy (identical
+    per-term contribution tree from identical integer inputs, padding
+    terms exact zeros — pinned in tests/test_retrieval.py); the
+    oracle stacks per-query scan-side BM25 top-20s at Q=6."""
+    path = _inverted_index(spark, sf_dir)
+    return retrieval_ops.search_inverted_index_many(
+        spark, path, _MANY_TERMSETS_LARGE, k=20, literal_max=0)
 
 
 def _invidx_copy(spark: SparkSession, sf_dir: str,

@@ -215,7 +215,8 @@ def search_index(spark: SparkSession, path: str, qvec: list[float],
 def search_index_many(spark: SparkSession, path: str,
                       queries: dict, k: int = 10, nprobe: int = 8,
                       shortlist: int = 400,
-                      where: str | None = None) -> DataFrame:
+                      where: str | None = None,
+                      literal_max: int = 16) -> DataFrame:
     """Serve a BATCH of queries from the persisted index in ONE plan —
     the high-QPS path :func:`search_index` can't reach: a single call
     carries ~0.2 s of local scheduler overhead, so Q sequential calls
@@ -238,11 +239,32 @@ def search_index_many(spark: SparkSession, path: str,
     bounded), one pruned scan of codes and one of vectors (bytes =
     union-of-probes fraction, at most Q x nprobe/nlist of the stores),
     per-query shortlists via a qid-partitioned window over the
-    ADC-scored candidates — the only shuffle, on narrow (qid, id,
-    score) rows hash-partitioned across Q keys; for very large Q
-    salt the qid or pre-aggregate partition-local top-k first.  The
+    ADC-scored candidates — Spark plans the row_number+filter as a
+    WindowGroupLimit, whose PARTIAL mode keeps only the top
+    ``shortlist`` rows per qid per map partition BEFORE the exchange
+    (pinned in tests/test_ivf_index.py), so the only shuffle carries
+    <= partitions x Q x shortlist narrow (qid, id, score) rows.  The
     exact re-rank joins the broadcast (qid, id) shortlist and the
-    broadcast Q-row query dim against the pruned vectors."""
+    broadcast Q-row query dim against the pruned vectors.
+
+    Two scoring strategies, switched on ``literal_max`` (same doubles
+    either way — the ADC table values, lookup indices and summation
+    order are identical, only WHERE the table lives differs):
+
+    - Q <= literal_max (default 16): each query's distance table is a
+      LITERAL array folded into its own whole-stage-codegen ADC column
+      over the shared scan — zero joins, but the plan text and the
+      per-row work both grow O(Q) (every row materializes Q gated
+      structs before the null filter).
+    - Q > literal_max: the tables move from the PLAN into DATA — one
+      broadcast (qid, cell) probe frame replicates each code row to
+      exactly the queries that probed its cell (sum_q |rows in q's
+      cells|, the same work Q single-query calls would do — NOT
+      O(rows x Q)), one broadcast (qid, table) frame delivers the
+      2 KB-per-query ADC table, and ONE element_at expression scores
+      every (row, qid) pair.  Plan size, analysis time and codegen
+      are all CONSTANT in Q; measured at Q=50/100 in
+      tools/scaling_check.py --batch (see README bench notes)."""
     from pyspark.sql import Window
 
     from ..sources.sinks import _finish_pending_delete, heal_partial_swaps
@@ -281,21 +303,46 @@ def search_index_many(spark: SparkSession, path: str,
         # shared PRE-filter (recorded meta_cols): stacks with the
         # union-cell partition filter before any per-query ADC work
         codes = codes.filter(F.expr(where))
-    entries = []
-    for qid, qv in qitems:
-        table = pq.adc_table(qv, books)
-        sc = F.round(pq.adc_score_col(table), 6) + F.lit(0.0)
-        entries.append(F.struct(
-            F.lit(int(qid)).cast("long").alias("qid"),
-            F.when(F.col("cell").isin(cells_by_q[int(qid)]), sc)
-            .alias("adc_sim")))
-    scored = (codes
-              .select(id_col, "cell",
-                      F.explode(F.array(*entries)).alias("_e"))
-              .select(id_col, "cell",
-                      F.col("_e.qid").alias("qid"),
-                      F.col("_e.adc_sim").alias("adc_sim"))
-              .filter(F.col("adc_sim").isNotNull()))
+    if len(qitems) <= literal_max:
+        entries = []
+        for qid, qv in qitems:
+            table = pq.adc_table(qv, books)
+            sc = F.round(pq.adc_score_col(table), 6) + F.lit(0.0)
+            entries.append(F.struct(
+                F.lit(int(qid)).cast("long").alias("qid"),
+                F.when(F.col("cell").isin(cells_by_q[int(qid)]), sc)
+                .alias("adc_sim")))
+        scored = (codes
+                  .select(id_col, "cell",
+                          F.explode(F.array(*entries)).alias("_e"))
+                  .select(id_col, "cell",
+                          F.col("_e.qid").alias("qid"),
+                          F.col("_e.adc_sim").alias("adc_sim"))
+                  .filter(F.col("adc_sim").isNotNull()))
+    else:
+        # large-Q: tables as DATA, not plan literals — constant plan
+        m, ncodes = books.shape[0], books.shape[1]
+        pairs = spark.createDataFrame(
+            [(int(qid), int(c)) for qid in cells_by_q
+             for c in cells_by_q[qid]], "qid long, cell int")
+        qtbl = spark.createDataFrame(
+            [(int(qid), [float(v) for v in
+                         pq.adc_table(qv, books).ravel()])
+             for qid, qv in qitems], "qid long, _tbl array<double>")
+        # same fold as pq.adc_score_col: j = 0..m-1, index
+        # j*ncodes + codes[j] into the row-major table — identical
+        # float64 values and summation order, so identical doubles
+        sc = F.aggregate(
+            F.sequence(F.lit(0), F.lit(m - 1)), F.lit(0.0),
+            lambda acc, j: acc + F.element_at(
+                F.col("_tbl"),
+                (j * ncodes + F.element_at("codes", j + 1) + 1)
+                .cast("int")))
+        scored = (codes
+                  .join(F.broadcast(pairs), "cell")
+                  .join(F.broadcast(qtbl), "qid")
+                  .withColumn("adc_sim", F.round(sc, 6) + F.lit(0.0))
+                  .select(id_col, "cell", "qid", "adc_sim"))
     w_short = Window.partitionBy("qid").orderBy(
         F.col("adc_sim").desc(), F.col(id_col).asc())
     short = (scored.withColumn("_rn", F.row_number().over(w_short))

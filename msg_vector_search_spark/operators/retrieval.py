@@ -578,7 +578,8 @@ def search_inverted_index_many(spark, path: str, queries: dict,
                                k: int = 20, k1: float = K1,
                                b: float = B,
                                n_buckets: int = INDEX_BUCKETS,
-                               where: str | None = None) -> DataFrame:
+                               where: str | None = None,
+                               literal_max: int = 16) -> DataFrame:
     """Serve a BATCH of BM25 queries from the persisted index in ONE
     plan — the text twin of ``ann_index.search_index_many`` and the
     high-QPS path for the keyword leg: Q sequential
@@ -601,16 +602,40 @@ def search_inverted_index_many(spark, path: str, queries: dict,
     and 1.8x at Q=10, growing with Q — route single lookups through
     :func:`search_inverted_index`.
 
-    Scale: one pruned postings read pivoted to per-UNION-term tf
-    columns in a SINGLE aggregation (O(matching docs) rows — the
-    index-serving working set), one doclen pass for corpus stats +
-    the matching-docs dl join, then each query is a PURE PROJECTION
-    over that checkpoint (its terms' tf/df columns renamed into the
-    shared scoring tree, its match gate a Column filter) — zero
-    per-query aggregations, zero per-query joins, so the job count is
-    constant in Q.  A single qid-partitioned window ranks the
-    k-bounded union.  The checkpoints are released before returning;
-    only the k x Q result rows stay pinned."""
+    Scale — two strategies, switched on ``literal_max`` (bit-identical
+    scores either way: the per-term contribution expression is the
+    same tree from the same integer inputs, and the padding terms the
+    large-Q fold adds are EXACT zeros, which preserve a non-negative
+    double sum):
+
+    - Q <= literal_max (default 16): one pruned postings read pivoted
+      to per-UNION-term tf columns in a SINGLE aggregation
+      (O(matching docs) rows — the index-serving working set), one
+      doclen pass for corpus stats + the matching-docs dl join, then
+      each query is a PURE PROJECTION over that checkpoint.  Zero
+      per-query aggregations or joins, but the pivot width (union
+      terms), the plan text (Q unioned projection subplans) and the
+      per-row work (every query's subplan scans every checkpointed
+      doc) all grow O(Q).
+    - Q > literal_max: the term sets move from the PLAN into DATA —
+      one broadcast (qid, term, qpos, df) frame replicates each
+      pruned posting to exactly the queries containing its term
+      (sum_q |postings matching q's terms| rows — the same work Q
+      single calls would do, NOT O(docs x Q)), ONE (qid, doc)
+      aggregation pivots tf/df per query-term POSITION (max |terms|
+      wide — bounded by the longest query, not the union), and one
+      shared gated scoring fold ranks every query.  Plan size,
+      analysis time and codegen are CONSTANT in Q; per-term df values
+      ride the broadcast frame from a dimension-bounded driver
+      collect (|union terms| rows — the term-bucket probe
+      discipline).  Measured at Q=50/100 in tools/scaling_check.py
+      --batch (see README bench notes).
+
+    Both strategies end in the same qid-partitioned row_number window,
+    which Spark plans as a WindowGroupLimit — partial mode keeps only
+    top-k per qid per map partition before the exchange.  Checkpoints
+    are released before returning; only the k x Q result rows stay
+    pinned."""
     from pyspark.sql import Window
 
     from ..sources.sinks import heal_partial_swaps
@@ -643,57 +668,116 @@ def search_inverted_index_many(spark, path: str, queries: dict,
         # recount over eligible docs only, exactly as the single path
         doclen = doclen.filter(F.expr(where))
         postings = postings.join(doclen.select(id_col), id_col, "semi")
-    # ONE aggregation pivots every union term's tf per matching doc;
-    # the dl join happens once; every query reads this checkpoint
-    wtf_all = (postings.groupBy(id_col).agg(*[
-        F.coalesce(F.sum(F.when(F.col("term") == t, F.col("tf"))),
-                   F.lit(0)).alias(f"_utf_{i}")
-        for i, t in enumerate(union_terms)])
-        .join(doclen.select(id_col, "dl"), id_col)
-        .localCheckpoint(eager=True))
-    # per-union-term df + corpus stats: ONE broadcastable row
-    stats_all = (doclen.agg(
-        F.count("*").alias("_n"),
-        F.sum("dl").cast("long").alias("_sumdl"))
-        .crossJoin(postings.agg(*[
-            F.coalesce(F.sum(F.when(F.col("term") == t, F.lit(1))),
-                       F.lit(0)).cast("long").alias(f"_udf_{i}")
-            for i, t in enumerate(union_terms)]))
-        .localCheckpoint(eager=True))
+    ckpts: list = []
+    if len(qitems) <= literal_max:
+        # ONE aggregation pivots every union term's tf per matching
+        # doc; the dl join happens once; every query reads this
+        # checkpoint
+        wtf_all = (postings.groupBy(id_col).agg(*[
+            F.coalesce(F.sum(F.when(F.col("term") == t, F.col("tf"))),
+                       F.lit(0)).alias(f"_utf_{i}")
+            for i, t in enumerate(union_terms)])
+            .join(doclen.select(id_col, "dl"), id_col)
+            .localCheckpoint(eager=True))
+        # per-union-term df + corpus stats: ONE broadcastable row
+        stats_all = (doclen.agg(
+            F.count("*").alias("_n"),
+            F.sum("dl").cast("long").alias("_sumdl"))
+            .crossJoin(postings.agg(*[
+                F.coalesce(F.sum(F.when(F.col("term") == t, F.lit(1))),
+                           F.lit(0)).cast("long").alias(f"_udf_{i}")
+                for i, t in enumerate(union_terms)]))
+            .localCheckpoint(eager=True))
+        ckpts = [wtf_all, stats_all]
 
-    outs = []
-    base = wtf_all.crossJoin(F.broadcast(stats_all))
-    for qid, terms in qitems:
-        terms = list(terms)
-        # rename this query's union columns into the conventional
-        # _tf_i/_df_i names so _bm25_score_col builds the IDENTICAL
-        # expression tree (same literals, same association order) as
-        # the single-query path — bit-identical doubles
-        sel = base.select(
-            F.col(id_col), F.col("dl"), F.col("_n"), F.col("_sumdl"),
-            *[F.col(f"_utf_{uidx[t]}").alias(f"_tf_{i}")
-              for i, t in enumerate(terms)],
-            *[F.col(f"_udf_{uidx[t]}").alias(f"_df_{i}")
-              for i, t in enumerate(terms)])
-        matched = F.col("_tf_0")
-        for i in range(1, len(terms)):
-            matched = matched + F.col(f"_tf_{i}")
-        outs.append(sel.filter(matched > 0).select(
-            F.lit(qid).alias("qid"), F.col(id_col),
+        outs = []
+        base = wtf_all.crossJoin(F.broadcast(stats_all))
+        for qid, terms in qitems:
+            terms = list(terms)
+            # rename this query's union columns into the conventional
+            # _tf_i/_df_i names so _bm25_score_col builds the
+            # IDENTICAL expression tree (same literals, same
+            # association order) as the single-query path —
+            # bit-identical doubles
+            sel = base.select(
+                F.col(id_col), F.col("dl"), F.col("_n"),
+                F.col("_sumdl"),
+                *[F.col(f"_utf_{uidx[t]}").alias(f"_tf_{i}")
+                  for i, t in enumerate(terms)],
+                *[F.col(f"_udf_{uidx[t]}").alias(f"_df_{i}")
+                  for i, t in enumerate(terms)])
+            matched = F.col("_tf_0")
+            for i in range(1, len(terms)):
+                matched = matched + F.col(f"_tf_{i}")
+            outs.append(sel.filter(matched > 0).select(
+                F.lit(qid).alias("qid"), F.col(id_col),
+                F.col("dl").cast("long").alias("dl"),
+                (F.round(_bm25_score_col(len(terms), k1, b), 6)
+                 + F.lit(0.0)).alias("bm25")))
+        allq = outs[0]
+        for o in outs[1:]:
+            allq = allq.unionByName(o)
+    else:
+        # large-Q: term sets as DATA, not plan literals — constant
+        # plan.  Per-union-term df from ONE dimension-bounded driver
+        # collect (term-bucket probe discipline) rides the broadcast
+        # frame; a posting joins only the queries containing its term.
+        max_t = max(len(ts) for _, ts in qitems)
+        qid_t = "string" if isinstance(qitems[0][0], str) else "int"
+        dfmap = {r["term"]: int(r["cnt"]) for r in
+                 postings.groupBy("term")
+                 .agg(F.count("*").alias("cnt")).collect()}
+        qtd = spark.createDataFrame(
+            [(qid, t, i, dfmap.get(t, 0))
+             for qid, ts in qitems for i, t in enumerate(list(ts))],
+            f"qid {qid_t}, term string, qpos int, _dfv long")
+        corp = doclen.agg(F.count("*").alias("_n"),
+                          F.sum("dl").cast("long").alias("_sumdl"))
+        # ONE (qid, doc) aggregation pivots tf/df per query-term
+        # POSITION (max |terms| wide — the longest query, not the
+        # union); a (qid, doc) group exists iff >= 1 posting matched,
+        # which is exactly the literal path's matched > 0 gate
+        grp = (postings.join(F.broadcast(qtd), "term")
+               .groupBy("qid", id_col)
+               .agg(*[F.sum(F.when(F.col("qpos") == i, F.col("tf")))
+                      .alias(f"_tf_{i}") for i in range(max_t)],
+                    *[F.max(F.when(F.col("qpos") == i, F.col("_dfv")))
+                      .alias(f"_df_{i}") for i in range(max_t)])
+               .join(doclen.select(id_col, "dl"), id_col)
+               .crossJoin(F.broadcast(corp)))
+        # the single-query contribution tree per position, gated to
+        # positions this query actually has (absent -> EXACT 0.0,
+        # which is also what the literal tree emits for tf = 0, and
+        # adding 0.0 to a non-negative double is exact)
+        n = F.col("_n")
+        avgdl = F.col("_sumdl") / n
+        score = F.lit(0.0)
+        for i in range(max_t):
+            tf = F.col(f"_tf_{i}")
+            df = F.col(f"_df_{i}")
+            idf = F.log(F.lit(1.0)
+                        + (n - df + F.lit(0.5)) / (df + F.lit(0.5)))
+            norm = tf + F.lit(k1) * (F.lit(1.0) - F.lit(b)
+                                     + F.lit(b) * (F.col("dl") / avgdl))
+            contrib = idf * (tf * F.lit(k1 + 1.0)) / norm
+            gated = F.when(tf.isNotNull(), contrib).otherwise(F.lit(0.0))
+            score = gated if i == 0 else score + gated
+        allq = grp.select(
+            "qid", F.col(id_col),
             F.col("dl").cast("long").alias("dl"),
-            (F.round(_bm25_score_col(len(terms), k1, b), 6)
-             + F.lit(0.0)).alias("bm25")))
-    allq = outs[0]
-    for o in outs[1:]:
-        allq = allq.unionByName(o)
+            (F.round(score, 6) + F.lit(0.0)).alias("bm25"))
     w = Window.partitionBy("qid").orderBy(
         F.col("bm25").desc(), F.col(id_col).asc())
     result = (allq.withColumn("_rn", F.row_number().over(w))
               .filter(F.col("_rn") <= k).drop("_rn")
-              .orderBy("qid", F.col("bm25").desc(), F.col(id_col).asc())
-              .localCheckpoint(eager=True))
-    for ckpt in (wtf_all, stats_all):
-        _cc_free(ckpt)
+              .orderBy("qid", F.col("bm25").desc(), F.col(id_col).asc()))
+    if ckpts:
+        # the k x Q result must outlive the released parent
+        # checkpoints, so pin it before freeing them (joined strategy
+        # has no parents — its result stays a live, inspectable plan)
+        result = result.localCheckpoint(eager=True)
+        for ckpt in ckpts:
+            _cc_free(ckpt)
     return result
 
 
@@ -702,7 +786,8 @@ def hybrid_serve_many(spark, text_path: str, ann_path: str,
                       k_rrf: int = 60, nprobe: int = 4,
                       shortlist: int = 50,
                       where_text: str | None = None,
-                      where_ann: str | None = None) -> DataFrame:
+                      where_ann: str | None = None,
+                      literal_max: int = 16) -> DataFrame:
     """Batched HYBRID serving — the capstone of the two batched
     serves: Q (term-set, query-vector) pairs answered in one pass per
     index.  The keyword leg is :func:`search_inverted_index_many`
@@ -722,7 +807,11 @@ def hybrid_serve_many(spark, text_path: str, ann_path: str,
     (predicates over that index's recorded ``meta_cols``), making the
     whole batch a FILTERED hybrid serve — still two index reads, each
     leg pre-filtered before any scoring, statistics recounted over the
-    slice (never a recall-losing post-filter of fused top-k)."""
+    slice (never a recall-losing post-filter of fused top-k).
+    *literal_max* forwards to both legs' strategy switch (literal
+    per-query subplans vs the constant-plan broadcast-data path for
+    large Q — see each leg's docstring); either strategy yields
+    bit-identical leg scores, so fusion is strategy-agnostic."""
     from pyspark.sql import Window
 
     from . import ann_index
@@ -730,10 +819,12 @@ def hybrid_serve_many(spark, text_path: str, ann_path: str,
     kw_q = {qid: spec["terms"] for qid, spec in queries.items()}
     vec_q = {qid: spec["qvec"] for qid, spec in queries.items()}
     kw = search_inverted_index_many(spark, text_path, kw_q, k=leg_k,
-                                    where=where_text)
+                                    where=where_text,
+                                    literal_max=literal_max)
     vec = ann_index.search_index_many(spark, ann_path, vec_q, k=leg_k,
                                       nprobe=nprobe, shortlist=shortlist,
-                                      where=where_ann)
+                                      where=where_ann,
+                                      literal_max=literal_max)
     id_col = kw.columns[1]  # the index's id column (qid is first)
     w_kw = Window.partitionBy("qid").orderBy(
         F.col("bm25").desc(), F.col(id_col).asc())

@@ -732,3 +732,47 @@ def test_filtered_materialized_serve_prefilters_both_stores(spark, tmp_path):
                         spark, path, qrows[qid], k=5, nprobe=3,
                         shortlist=40, where="label % 2 = 0").collect()]
     assert batched == singles
+
+
+def test_ann_many_large_q_path_equals_literal(spark, tmp_path):
+    """The large-Q strategy (ADC tables as broadcast DATA joined on
+    probed cell, one shared element_at scoring fold) must be
+    bit-identical to the literal strategy (per-query codegen ADC
+    columns) on the same store — plain and where-filtered — while
+    keeping the plan CONSTANT in Q: no Q-struct explode (Generate
+    node), and the shortlist window planned as a map-side
+    WindowGroupLimit."""
+    from msg_vector_search_spark.operators import ann_index
+
+    emb = readers.read_table(spark, SF, "embeddings").select(
+        "vec_id", "label",
+        F.transform("embedding", lambda x: x.cast("double"))
+        .alias("embedding"))
+    path = str(tmp_path / "index")
+    ann_index.build_index(spark, emb, path, nlist=8, m=8, ncodes=16,
+                          meta_cols=("label",))
+
+    qrows = {r["vec_id"]: [float(x) for x in r["embedding"]]
+             for r in emb.filter(F.col("vec_id").isin(
+                 [0, 3, 7, 13, 21, 34, 55, 89])).collect()}
+    for where in (None, "label % 2 = 0"):
+        lit = ann_index.search_index_many(
+            spark, path, qrows, k=5, nprobe=3, shortlist=40,
+            where=where, literal_max=1000)
+        jnd = ann_index.search_index_many(
+            spark, path, qrows, k=5, nprobe=3, shortlist=40,
+            where=where, literal_max=0)
+        assert [(f.name, f.dataType) for f in lit.schema.fields] == \
+               [(f.name, f.dataType) for f in jnd.schema.fields]
+        assert [tuple(r) for r in lit.collect()] == \
+               [tuple(r) for r in jnd.collect()]
+
+    jplan = ann_index.search_index_many(
+        spark, path, qrows, k=5, nprobe=3, shortlist=40,
+        literal_max=0)._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in jplan          # no explode of Q structs
+    assert "WindowGroupLimit" in jplan
+    lplan = ann_index.search_index_many(
+        spark, path, qrows, k=5, nprobe=3, shortlist=40,
+        literal_max=1000)._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" in lplan              # the literal path DOES explode

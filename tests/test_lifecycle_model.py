@@ -270,3 +270,143 @@ def test_ann_erase_crash_between_codes_and_vectors_converges(
         spark.createDataFrame([Row(vec_id=v) for v in victims2]))
     assert _served_topk(spark, path, len(model), qv) == \
         _model_topk(spark, model, qv)
+
+
+def _model_hybrid(spark, docs_model: dict, vecs_model: dict,
+                  queries: dict, leg_k: int, k: int,
+                  where_src: str, where_lbl) -> list:
+    """Trivially-correct hybrid model: per query, BM25-rank the doc
+    slice and exact-cosine-rank the vector slice (both on the 6dp
+    grid with id tiebreaks, leg-truncated at leg_k), RRF-fuse in
+    plain Python, top-k by (rrf desc, id)."""
+    doc_slice = {i: t for i, (t, s) in docs_model.items()
+                 if s == where_src}
+    vec_slice = {i: v for i, (v, l) in vecs_model.items()
+                 if l % 2 == 0}
+    out = []
+    for qid in sorted(queries):
+        spec = queries[qid]
+        kw_rank, vec_rank = {}, {}
+        if doc_slice:
+            scored = retrieval.bm25_scores(
+                _docs_df(spark, doc_slice), spec["terms"])
+            ranked = sorted(
+                ((round(r["bm25"], 6) + 0.0, r["doc_id"])
+                 for r in scored.collect()),
+                key=lambda x: (-x[0], x[1]))[:leg_k]
+            kw_rank = {i: n + 1 for n, (_, i) in enumerate(ranked)}
+        if vec_slice:
+            got = similarity.knn_search(
+                _vec_df(spark, vec_slice), spec["qvec"],
+                k=leg_k, threshold=-2.0).collect()
+            vec_rank = {r["vec_id"]: n + 1 for n, r in enumerate(got)}
+        fused = []
+        for i in sorted(set(kw_rank) | set(vec_rank)):
+            rrf = ((1.0 / (60 + kw_rank[i]) if i in kw_rank else 0.0)
+                   + (1.0 / (60 + vec_rank[i]) if i in vec_rank else 0.0))
+            fused.append((round(rrf, 6) + 0.0, i,
+                          kw_rank.get(i), vec_rank.get(i)))
+        fused.sort(key=lambda x: (-x[0], x[1]))
+        out += [(qid, i, rk, rv, s) for s, i, rk, rv in fused[:k]]
+    return out
+
+
+def test_hybrid_batched_filtered_lifecycle_matches_model(spark, tmp_path):
+    """The full serving envelope under maintenance: a BATCH of hybrid
+    queries with WHERE slices on both legs, served after every op of
+    a seeded upsert/erase/compact interleaving, on BOTH batch
+    strategies (literal subplans and the constant-plan broadcast-data
+    path) — each must equal a trivially-correct in-memory model
+    (slice-filtered BM25 + exact cosine, RRF-fused in Python).  This
+    is the batched x filtered x maintenance cross-product the
+    single-axis tests can't see."""
+    rng = random.Random(23)
+
+    def doc() -> str:
+        return " ".join(rng.choice(WORDS)
+                        for _ in range(rng.randint(2, 8)))
+
+    emb = readers.read_table(spark, SF, "embeddings")
+    pool = {r["vec_id"]: [float(x) for x in r["embedding"]]
+            for r in emb.limit(80).select(
+                "vec_id",
+                F.transform("embedding", lambda x: x.cast("double"))
+                .alias("embedding")).collect()}
+
+    # shared ids: doc i <-> vector i; meta: src on docs, label on vecs
+    docs_model = {i: (doc(), f"src{i % 2}") for i in range(60)}
+    vecs_model = {i: (pool[i], i % 3) for i in sorted(pool)[:60]}
+    fresh = {i: pool[i] for i in sorted(pool)[60:]}
+
+    tpath = str(tmp_path / "text")
+    retrieval.build_inverted_index(
+        spark.createDataFrame([Row(doc_id=i, text=t, src=s)
+                               for i, (t, s) in sorted(docs_model.items())]),
+        tpath, n_buckets=8, meta_cols=("src",))
+    apath = str(tmp_path / "ann")
+    ann_index.build_index(
+        spark,
+        spark.createDataFrame([Row(vec_id=i, embedding=v, label=l)
+                               for i, (v, l) in sorted(vecs_model.items())]),
+        apath, nlist=4, m=8, ncodes=16, meta_cols=("label",))
+
+    queries = {1: {"terms": ["alpha", "gamma"], "qvec": pool[0]},
+               2: {"terms": ["beta"], "qvec": pool[1]},
+               3: {"terms": ["delta", "zeta", "alpha"], "qvec": pool[3]}}
+
+    def check(step, op):
+        n = max(len(vecs_model), 1)
+        want = _model_hybrid(spark, docs_model, vecs_model, queries,
+                             leg_k=200, k=5, where_src="src1",
+                             where_lbl=None)
+        for lm in (16, 0):   # literal strategy, then broadcast-data
+            got = [tuple(r) for r in retrieval.hybrid_serve_many(
+                spark, tpath, apath, queries, leg_k=200, k=5,
+                nprobe=4, shortlist=n,
+                where_text="src = 'src1'", where_ann="label % 2 = 0",
+                literal_max=lm).collect()]
+            want_t = [(q, i, rk, rv, s) for q, i, rk, rv, s in want]
+            assert got == want_t, \
+                f"diverged after step {step} ({op}, literal_max={lm})"
+
+    check(-1, "build")
+    for step in range(4):
+        op = rng.choice(["upsert", "erase", "compact"])
+        if op == "upsert":
+            ids = rng.sample(sorted(set(docs_model) | set(fresh)), k=4)
+            dbatch, vbatch = [], []
+            for i in ids:
+                t, s = doc(), f"src{rng.randint(0, 1)}"
+                docs_model[i] = (t, s)
+                dbatch.append(Row(doc_id=i, text=t, src=s))
+                # vector rewrites stay IN PLACE (same vector, new
+                # label): plain upsert shadows per (vec_id, cell) —
+                # cell-MOVING updates need the changefeed verb, which
+                # test_ann_index_lifecycle_matches_model covers
+                if i in fresh:
+                    v = fresh.pop(i)
+                elif i in vecs_model:
+                    v = vecs_model[i][0]
+                else:
+                    v = pool[i]
+                lbl = rng.randint(0, 2)
+                vecs_model[i] = (v, lbl)
+                vbatch.append(Row(vec_id=i, embedding=v, label=lbl))
+            retrieval.upsert_inverted_index(
+                spark.createDataFrame(dbatch), tpath)
+            ann_index.upsert_index(spark, apath,
+                                   spark.createDataFrame(vbatch))
+        elif op == "erase":
+            pool_ids = sorted(set(docs_model) & set(vecs_model))
+            victims = rng.sample(pool_ids, k=min(5, len(pool_ids)))
+            for v in victims:
+                docs_model.pop(v, None)
+                vecs_model.pop(v, None)
+            keys = spark.createDataFrame([Row(doc_id=v) for v in victims])
+            retrieval.delete_inverted_docs(keys, tpath)
+            ann_index.delete_index_keys(
+                spark, apath, keys.select(F.col("doc_id")
+                                          .alias("vec_id")))
+        else:
+            retrieval.compact_inverted_index(spark, tpath)
+        check(step, op)

@@ -805,3 +805,49 @@ def test_filtered_hybrid_equals_forget_then_serve(spark, tmp_path):
 
     assert filtered == forgot and len(filtered) > 0
     assert all(r[1] % 2 == 1 for r in filtered)  # doc_id in slice
+
+
+def test_text_many_large_q_path_equals_literal(spark, tmp_path):
+    """The large-Q strategy (term sets as broadcast DATA, one (qid,
+    doc) aggregation, gated scoring fold) must be bit-identical to the
+    literal strategy (per-query projection subplans) on the same
+    store — including after maintenance, for duplicate in-query terms,
+    no-match queries, and under a where slice — while keeping the plan
+    CONSTANT in Q: no per-query Union subplans, and the top-k window
+    planned as a map-side WindowGroupLimit."""
+    path = str(tmp_path / "idx")
+    rows = [(i, ("alpha beta " if i % 2 else "alpha gamma ") + f"doc{i}")
+            for i in range(30)]
+    retrieval.build_inverted_index(_mini_corpus(spark, rows), path,
+                                   n_buckets=8)
+    retrieval.upsert_inverted_index(
+        _mini_corpus(spark, [(2, "gamma gamma"), (50, "alpha beta")]),
+        path)
+    retrieval.delete_inverted_docs(
+        _mini_corpus(spark, [(5, "x"), (7, "x")]).select("doc_id"), path)
+
+    qsets = {"a": ["alpha", "beta"], "b": ["gamma"],
+             "c": ["beta", "gamma"], "d": ["alpha"],
+             "e": ["alpha", "alpha"],          # duplicate in-query term
+             "f": ["zzz"],                     # no-match query
+             "g": ["gamma", "beta", "alpha"],  # longest query
+             "h": ["beta"]}
+    for where in (None, "doc_id % 3 != 1"):
+        lit = retrieval.search_inverted_index_many(
+            spark, path, qsets, k=10, n_buckets=8, where=where,
+            literal_max=1000)
+        jnd = retrieval.search_inverted_index_many(
+            spark, path, qsets, k=10, n_buckets=8, where=where,
+            literal_max=0)
+        assert [(f.name, f.dataType) for f in lit.schema.fields] == \
+               [(f.name, f.dataType) for f in jnd.schema.fields]
+        assert [tuple(r) for r in lit.collect()] == \
+               [tuple(r) for r in jnd.collect()]
+
+    # constant plan: the joined strategy unions nothing per query and
+    # pre-limits the window map-side
+    plan = retrieval.search_inverted_index_many(
+        spark, path, qsets, k=10, n_buckets=8, literal_max=0) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Union" not in plan
+    assert "WindowGroupLimit" in plan

@@ -636,8 +636,8 @@ def batch_main() -> None:
                                k=10, nprobe=4, shortlist=50).count()
         retrieval.search_inverted_index(spark, tpath,
                                         base_terms[0]).count()
-        print("Q  ann_single_sum  ann_batched  ann_x | "
-              "text_single_sum  text_batched  text_x | hybrid_batched")
+        print("Q  ann_single_sum  ann_lit  ann_joined | "
+              "text_single_sum  text_lit  text_joined | hybrid_batched")
         for q in qs:
             sub = dict(list(sorted(qvecs.items()))[:q])
             t0 = time.time()
@@ -647,8 +647,14 @@ def batch_main() -> None:
             t_single = time.time() - t0
             t0 = time.time()
             ann_index.search_index_many(spark, apath, sub, k=10,
-                                        nprobe=4, shortlist=50).count()
-            t_batch = time.time() - t0
+                                        nprobe=4, shortlist=50,
+                                        literal_max=10**9).count()
+            t_lit = time.time() - t0
+            t0 = time.time()
+            ann_index.search_index_many(spark, apath, sub, k=10,
+                                        nprobe=4, shortlist=50,
+                                        literal_max=0).count()
+            t_join = time.time() - t0
             tsets = {f"q{i}": base_terms[i % len(base_terms)]
                      for i in range(q)}
             t0 = time.time()
@@ -656,9 +662,13 @@ def batch_main() -> None:
                 retrieval.search_inverted_index(spark, tpath, ts).count()
             x_single = time.time() - t0
             t0 = time.time()
-            retrieval.search_inverted_index_many(spark, tpath, tsets,
-                                                 k=20).count()
-            x_batch = time.time() - t0
+            retrieval.search_inverted_index_many(
+                spark, tpath, tsets, k=20, literal_max=10**9).count()
+            x_lit = time.time() - t0
+            t0 = time.time()
+            retrieval.search_inverted_index_many(
+                spark, tpath, tsets, k=20, literal_max=0).count()
+            x_join = time.time() - t0
             hq = {qid: {"terms": base_terms[i % len(base_terms)],
                         "qvec": qv}
                   for i, (qid, qv) in enumerate(sorted(sub.items()))}
@@ -667,10 +677,9 @@ def batch_main() -> None:
                                         leg_k=50, k=10, nprobe=4,
                                         shortlist=50).count()
             h_batch = time.time() - t0
-            print(f"{q:<3d}{t_single:>13.2f}s{t_batch:>12.2f}s"
-                  f"{t_single / t_batch:>6.1f}x |{x_single:>14.2f}s"
-                  f"{x_batch:>13.2f}s{x_single / x_batch:>7.1f}x |"
-                  f"{h_batch:>9.2f}s")
+            print(f"{q:<3d}{t_single:>13.2f}s{t_lit:>8.2f}s"
+                  f"{t_join:>10.2f}s |{x_single:>14.2f}s"
+                  f"{x_lit:>9.2f}s{x_join:>11.2f}s |{h_batch:>9.2f}s")
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
