@@ -40,8 +40,15 @@ class Engine:
     #: seconds a computed freshness gap stays valid when no ingest ran
     GAP_TTL_S = 60.0
 
+    #: metadata columns recorded into the ANN index so the MCP tool's
+    #: optional filters serve as index PRE-filters (reference
+    #: server.py:202-258 exposes exactly these two)
+    INDEX_META_COLS = ("conversation_type", "session_id")
+
     def __init__(self, spark: SparkSession, sf_dir: str, store_dir: str,
-                 update_threshold: int = 50, clock=time.time):
+                 update_threshold: int = 50, clock=time.time,
+                 index_dir: str | None = None, nlist: int = 16,
+                 nprobe: int = 8, shortlist: int = 400):
         self.spark = spark
         self.sf_dir = sf_dir
         self.store_dir = store_dir
@@ -49,21 +56,92 @@ class Engine:
         self.gate = search_plan.FreshnessGate(threshold=update_threshold,
                                               clock=clock)
         self._gap_cache: tuple[float, int] | None = None
+        #: optional IVFPQ serving index over the store (extension — the
+        #: reference brute-scans per query, engine.py:105-226; at scale
+        #: a serving path reads a persisted index instead).  When set,
+        #: search/search_many serve from the index (ANN semantics:
+        #: recall bounded by nprobe/shortlist — exact when nprobe =
+        #: nlist and shortlist >= corpus) and every ingest upserts it.
+        self.index_dir = index_dir
+        self.nlist = nlist
+        self.nprobe = nprobe
+        self.shortlist = shortlist
 
     # -- 3.2 write path ---------------------------------------------------
     def update_embeddings(self, max_messages: int | None = 10_000) -> dict:
         """Incremental ingest run (reference: engine.py:57-103): returns
-        the reference's ``{status, new_messages, update_time_ms}``."""
+        the reference's ``{status, new_messages, update_time_ms}``.
+
+        In index mode, the ingested batch ALSO upserts the serving
+        index (ann_index.upsert_index: assignment against persisted
+        centroids, O(batch + touched cells)) — the store and the index
+        advance together, so indexed serving stays fresh without
+        rebuilds.  message_id is append-unique, so upserts never move
+        a vector's cell (the changefeed verb exists for stores where
+        updates move embeddings)."""
         t0 = time.time()
         before = self._embedded_count()
-        ingest_plan.run_incremental(self.spark, self.sf_dir, self.store_dir,
-                                    max_messages=max_messages)
+        batch = ingest_plan.run_incremental(self.spark, self.sf_dir,
+                                            self.store_dir,
+                                            max_messages=max_messages)
         self._gap_cache = None  # the store changed; cached gap is stale
+        if (self.index_dir and self._index_ready()
+                and batch is not None and batch.take(1)):
+            from .operators import ann_index
+            ann_index.upsert_index(
+                self.spark, self.index_dir,
+                batch.select("message_id", "embedding",
+                             *self.INDEX_META_COLS))
         return {
             "status": "success",
             "new_messages": self._embedded_count() - before,
             "update_time_ms": round((time.time() - t0) * 1000, 1),
         }
+
+    # -- optional serving index -------------------------------------------
+    def _index_ready(self) -> bool:
+        import os
+        return bool(self.index_dir) and os.path.exists(
+            os.path.join(self.index_dir, "_index_meta.json"))
+
+    def ensure_index(self, force: bool = False) -> bool:
+        """Build the IVFPQ serving index from the current store (the
+        offline build job — at 100 TB a scheduled batch run, here an
+        explicit or first-search bootstrap).  Records conversation_type
+        and session_id as meta_cols so the MCP tool's optional filters
+        PRE-filter the index scans (stats and candidates gated to the
+        slice) instead of post-filtering results.  After the build,
+        every ingest upserts the index incrementally — rebuilds are
+        maintenance (cell-balance decay), not freshness."""
+        if not self.index_dir:
+            return False
+        if self._index_ready() and not force:
+            return True
+        if not self._store_exists():
+            return False
+        from .operators import ann_index
+        ann_index.build_index(
+            self.spark,
+            self._store().select("message_id", "embedding",
+                                 *self.INDEX_META_COLS),
+            self.index_dir, nlist=self.nlist, m=8, ncodes=16,
+            id_col="message_id", meta_cols=self.INDEX_META_COLS)
+        return True
+
+    @staticmethod
+    def _index_where(conversation_type: str | None,
+                     session_id: str | None) -> str | None:
+        """The optional filters as ONE SQL predicate over the index's
+        recorded meta_cols (values quoted with '' doubling — they are
+        data, not SQL)."""
+        def q(v: str) -> str:
+            return "'" + v.replace("'", "''") + "'"
+        preds = []
+        if conversation_type is not None:
+            preds.append(f"conversation_type = {q(conversation_type)}")
+        if session_id is not None:
+            preds.append(f"session_id = {q(session_id)}")
+        return " AND ".join(preds) or None
 
     # -- 3.1 read path ----------------------------------------------------
     def search(self, query: str, limit: int = 30, threshold: float = 0.3,
@@ -108,6 +186,10 @@ class Engine:
                     "search_time_ms": round((time.time() - t0) * 1000, 1),
                 },
             }
+        if self.index_dir and self.ensure_index():
+            return self._indexed_envelopes(
+                {0: query}, limit, threshold, conversation_type,
+                session_id)[0]
         corpus = self._store()
         return search_plan.search_with_envelope(
             corpus, query, limit=limit, threshold=threshold,
@@ -141,9 +223,71 @@ class Engine:
                              "threshold": threshold,
                              "search_time_ms": ms},
             } for key, q in queries.items()}
+        if self.index_dir and self.ensure_index():
+            keys = sorted(queries)
+            by_i = self._indexed_envelopes(
+                {i: queries[k] for i, k in enumerate(keys)}, limit,
+                threshold, conversation_type, session_id)
+            return {k: by_i[i] for i, k in enumerate(keys)}
         return search_plan.search_many_with_envelopes(
             self._store(), queries, limit=limit, threshold=threshold,
             conversation_type=conversation_type, session_id=session_id)
+
+    def _indexed_envelopes(self, queries: dict, limit: int,
+                           threshold: float,
+                           conversation_type: str | None,
+                           session_id: str | None) -> dict:
+        """Serve int-keyed query strings from the persisted IVFPQ
+        index: ONE batched index serve (search_index_many — the
+        optional filters PRE-filter the pruned code and vector scans
+        via the recorded meta_cols, so statistics and shortlists are
+        drawn from the slice, never post-filtered), threshold on the
+        6dp grid exactly as the brute path (top-k first), then one
+        broadcast id join back to the store for the payload columns
+        and ONE collect for all Q envelopes."""
+        from pyspark.sql import functions as SF  # noqa: N812
+
+        from . import embed
+        from .operators import ann_index
+
+        if not queries:
+            return {}
+        t0 = time.time()
+        qvecs = {i: embed.embed_query_vector(q)
+                 for i, q in queries.items()}
+        top = (ann_index.search_index_many(
+            self.spark, self.index_dir, qvecs, k=limit,
+            nprobe=self.nprobe, shortlist=self.shortlist,
+            where=self._index_where(conversation_type, session_id))
+            .filter(SF.col("sim") >= threshold))
+        payload = (self._store()
+                   .join(SF.broadcast(top.select("qid", "message_id",
+                                                 "sim")),
+                         "message_id")
+                   .withColumn("similarity_score",
+                               (SF.round(SF.col("sim"), 3)
+                                + SF.lit(0.0))))
+        collected = payload.collect()
+        ms = round((time.time() - t0) * 1000, 1)
+        by_q: dict[int, list] = {i: [] for i in queries}
+        for r in collected:
+            d = r.asDict(recursive=True)
+            by_q[d.pop("qid")].append(d)
+        out = {}
+        for i, q in queries.items():
+            rows = sorted(by_q[i],
+                          key=lambda d: (-d["sim"], d["message_id"]))
+            out[i] = {
+                "status": "success",
+                "results": rows,
+                "metadata": {
+                    "total_results": len(rows),
+                    "query": q,
+                    "threshold": threshold,
+                    "search_time_ms": ms,
+                },
+            }
+        return out
 
     # -- 3.3 stats path ---------------------------------------------------
     def get_database_stats(self) -> dict:

@@ -216,7 +216,7 @@ def search_index_many(spark: SparkSession, path: str,
                       queries: dict, k: int = 10, nprobe: int = 8,
                       shortlist: int = 400,
                       where: str | None = None,
-                      literal_max: int = 16) -> DataFrame:
+                      literal_max: int = 4) -> DataFrame:
     """Serve a BATCH of queries from the persisted index in ONE plan —
     the high-QPS path :func:`search_index` can't reach: a single call
     carries ~0.2 s of local scheduler overhead, so Q sequential calls
@@ -229,11 +229,13 @@ def search_index_many(spark: SparkSession, path: str,
     :func:`search_index` calls with the same parameters.
 
     *queries* maps ``qid -> qvec``.  Returns ``(qid, vec_id, cell,
-    sim)``, top-*k* per query by (sim desc, id).  Measured crossover
-    (tools/scaling_check.py --batch, sf0.1 local[32]): the batch's
-    fixed window/broadcast cost loses below Q~3, wins 1.9x at Q=5 and
-    2.3x at Q=10, growing with Q — route single queries through
-    :func:`search_index`.
+    sim)``, top-*k* per query by (sim desc, id).  Measured
+    (tools/scaling_check.py --batch, sf0.1 local[32], 600k vectors,
+    r11): Q x single calls take 7.6/12.3/44/115 s at Q=5/10/50/100;
+    the literal strategy 7.4/5.4/15/40 s; the joined strategy
+    4.2/3.1/2.7/3.4 s — ~FLAT in Q (34x over singles at Q=100), which
+    is why it is the default above literal_max=4.  Route single
+    queries through :func:`search_index`.
 
     Plan shape at 100 TB: one probe job (Q x nlist rows, driver-
     bounded), one pruned scan of codes and one of vectors (bytes =
@@ -251,7 +253,7 @@ def search_index_many(spark: SparkSession, path: str,
     either way — the ADC table values, lookup indices and summation
     order are identical, only WHERE the table lives differs):
 
-    - Q <= literal_max (default 16): each query's distance table is a
+    - Q <= literal_max (default 4): each query's distance table is a
       LITERAL array folded into its own whole-stage-codegen ADC column
       over the shared scan — zero joins, but the plan text and the
       per-row work both grow O(Q) (every row materializes Q gated
@@ -281,17 +283,38 @@ def search_index_many(spark: SparkSession, path: str,
         return spark.createDataFrame(
             [], f"qid long, {id_col} long, cell long, sim double")
 
-    # ONE probe job for the whole batch: Q tiny subplans unioned, one
-    # collect (Q x nprobe rows) — the per-call scheduler round trip is
-    # paid once, and each subplan is probe_cells' exact expression so
-    # per-query cell sets match the single-query path bit-for-bit
-    probe_frames = [
-        ivf.probe_cells(cent, qv, nprobe)
-        .withColumn("qid", F.lit(qid).cast("long"))
-        for qid, qv in qitems]
-    probe_all = probe_frames[0]
-    for pf in probe_frames[1:]:
-        probe_all = probe_all.unionByName(pf)
+    # ONE probe job for the whole batch either way: one collect of
+    # Q x nprobe rows — the per-call scheduler round trip is paid once
+    if len(qitems) <= literal_max:
+        # ONE probe job: Q tiny subplans unioned — each is
+        # probe_cells' exact expression, so per-query cell sets match
+        # the single-query path bit-for-bit
+        probe_frames = [
+            ivf.probe_cells(cent, qv, nprobe)
+            .withColumn("qid", F.lit(qid).cast("long"))
+            for qid, qv in qitems]
+        probe_all = probe_frames[0]
+        for pf in probe_frames[1:]:
+            probe_all = probe_all.unionByName(pf)
+    else:
+        # large-Q probe as DATA: centroids x broadcast query frame
+        # (nlist x Q rows, driver-bounded) with probe_cells' exact
+        # ordering as a per-qid window — constant plan in Q, same
+        # cosine doubles, same (qdist desc, centroid_id asc) tiebreak
+        from pyspark.sql import Window
+
+        qdim_p = spark.createDataFrame(
+            [(int(qid), [float(x) for x in qv]) for qid, qv in qitems],
+            "qid long, _qv array<double>")
+        w_p = Window.partitionBy("qid").orderBy(
+            F.col("qdist").desc(), F.col("centroid_id").asc())
+        probe_all = (cent.crossJoin(F.broadcast(qdim_p))
+                     .withColumn("qdist",
+                                 V.cosine(F.col("centroid_vec"),
+                                          F.col("_qv")))
+                     .withColumn("_rn", F.row_number().over(w_p))
+                     .filter(F.col("_rn") <= nprobe)
+                     .select("qid", F.col("centroid_id").alias("cell")))
     cells_by_q: dict = {}
     for r in probe_all.collect():
         cells_by_q.setdefault(r["qid"], []).append(r["cell"])

@@ -579,7 +579,7 @@ def search_inverted_index_many(spark, path: str, queries: dict,
                                b: float = B,
                                n_buckets: int = INDEX_BUCKETS,
                                where: str | None = None,
-                               literal_max: int = 16) -> DataFrame:
+                               literal_max: int = 4) -> DataFrame:
     """Serve a BATCH of BM25 queries from the persisted index in ONE
     plan — the text twin of ``ann_index.search_index_many`` and the
     high-QPS path for the keyword leg: Q sequential
@@ -596,10 +596,12 @@ def search_inverted_index_many(spark, path: str, queries: dict,
 
     *queries* maps ``qid -> [terms]``.  Returns ``(qid, id_col, dl,
     bm25)``, top-*k* per query by the 6dp-rounded score (desc, id asc
-    — the serving grid order).  Measured crossover
-    (tools/scaling_check.py --batch, sf0.1 local[32]): the batch's
-    fixed checkpoint + window cost loses below Q~3, wins 1.3x at Q=5
-    and 1.8x at Q=10, growing with Q — route single lookups through
+    — the serving grid order).  Measured (tools/scaling_check.py
+    --batch, sf0.1 local[32], 60k docs, r11): Q x single calls take
+    4.5/6.8/27/60 s at Q=5/10/50/100; the literal strategy
+    3.3/3.6/14/22 s; the joined strategy 2.0/1.9/3.0/3.1 s — ~FLAT in
+    Q (19x over singles at Q=100), which is why it is the default
+    above literal_max=4.  Route single lookups through
     :func:`search_inverted_index`.
 
     Scale — two strategies, switched on ``literal_max`` (bit-identical
@@ -608,7 +610,7 @@ def search_inverted_index_many(spark, path: str, queries: dict,
     large-Q fold adds are EXACT zeros, which preserve a non-negative
     double sum):
 
-    - Q <= literal_max (default 16): one pruned postings read pivoted
+    - Q <= literal_max (default 4): one pruned postings read pivoted
       to per-UNION-term tf columns in a SINGLE aggregation
       (O(matching docs) rows — the index-serving working set), one
       doclen pass for corpus stats + the matching-docs dl join, then
@@ -787,7 +789,7 @@ def hybrid_serve_many(spark, text_path: str, ann_path: str,
                       shortlist: int = 50,
                       where_text: str | None = None,
                       where_ann: str | None = None,
-                      literal_max: int = 16) -> DataFrame:
+                      literal_max: int = 4) -> DataFrame:
     """Batched HYBRID serving — the capstone of the two batched
     serves: Q (term-set, query-vector) pairs answered in one pass per
     index.  The keyword leg is :func:`search_inverted_index_many`

@@ -64,16 +64,24 @@ class ServingShim:
     # -- EXTENSION endpoint (no reference analog) -----------------------
     def search_messages_many(self, queries: dict, limit: int = 30,
                              threshold: float = 0.3,
+                             conversation_type: str | None = None,
+                             session_id: str | None = None,
                              force_update: bool = False) -> dict:
         """Batched search — Q queries, one corpus scan, one freshness
         gate (Engine.search_many).  Marked extension: the reference
         serves one query per tool call; a high-QPS deployment batches.
-        Returns ``{"status": "success", "envelopes": {key: envelope}}``
-        so the error envelope contract of :meth:`handle` still has a
-        top-level status."""
+        The optional filters are the single-search tool's
+        (reference: server.py:202-258) and follow the same path: a
+        pushed-down scan predicate on the brute engine, a recorded
+        meta_cols PRE-filter on an index-backed engine — never a
+        post-filter of results.  Returns ``{"status": "success",
+        "envelopes": {key: envelope}}`` so the error envelope contract
+        of :meth:`handle` still has a top-level status."""
         return {"status": "success",
                 "envelopes": self.engine.search_many(
                     queries, limit=limit, threshold=threshold,
+                    conversation_type=conversation_type,
+                    session_id=session_id,
                     force_update=force_update)}
 
     TOOLS = {
@@ -140,9 +148,13 @@ def build_mcp(engine: Engine):
     @srv.tool()  # pragma: no cover
     def search_messages(query: str, limit: int = 30,
                         threshold: float = 0.3,
+                        conversation_type: str | None = None,
+                        session_id: str | None = None,
                         force_update: bool = False) -> dict:
         return shim.search_messages(query, limit=limit,
                                     threshold=threshold,
+                                    conversation_type=conversation_type,
+                                    session_id=session_id,
                                     force_update=force_update)
 
     @srv.tool()  # pragma: no cover
@@ -156,9 +168,13 @@ def build_mcp(engine: Engine):
     @srv.tool()  # pragma: no cover — extension, no reference analog
     def search_messages_many(queries: dict, limit: int = 30,
                              threshold: float = 0.3,
+                             conversation_type: str | None = None,
+                             session_id: str | None = None,
                              force_update: bool = False) -> dict:
         return shim.search_messages_many(queries, limit=limit,
                                          threshold=threshold,
+                                         conversation_type=conversation_type,
+                                         session_id=session_id,
                                          force_update=force_update)
 
     return srv  # pragma: no cover

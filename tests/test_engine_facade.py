@@ -146,3 +146,94 @@ def test_search_many_empty_source_envelopes(spark, tmp_path):
     assert set(out) == {"x", "y"}
     for env in out.values():
         assert env["status"] == "success" and env["results"] == []
+
+
+def test_index_where_quoting():
+    """The optional filters become one SQL predicate with data-safe
+    quoting (values are data, not SQL)."""
+    w = Engine._index_where
+    assert w(None, None) is None
+    assert w("dm", None) == "conversation_type = 'dm'"
+    assert w(None, "s-1") == "session_id = 's-1'"
+    assert w("a'b", "s") == \
+        "conversation_type = 'a''b' AND session_id = 's'"
+
+
+def test_indexed_engine_matches_brute_engine(spark, tmp_path):
+    """An index-backed engine in EXACT mode (nprobe = nlist, corpus
+    shortlist) must return the brute engine's envelopes verbatim —
+    plain, meta-filtered (the filters hit the index's recorded
+    meta_cols as PRE-filters), and batched past the literal_max
+    strategy switch."""
+    brute = Engine(spark, SF, str(tmp_path / "b"),
+                   update_threshold=10 ** 9)
+    brute.update_embeddings()
+    idx = Engine(spark, SF, str(tmp_path / "i"),
+                 update_threshold=10 ** 9,
+                 index_dir=str(tmp_path / "idx"), nlist=4, nprobe=4,
+                 shortlist=10 ** 6)
+    idx.update_embeddings()
+    assert idx.ensure_index()
+
+    store = brute._store()
+    ctype = store.select("conversation_type").orderBy(
+        "conversation_type").head()["conversation_type"]
+    sid = store.select("session_id").orderBy("session_id") \
+        .head()["session_id"]
+
+    def strip(env):
+        md = dict(env["metadata"])
+        md.pop("search_time_ms")
+        return {"status": env["status"], "results": env["results"],
+                "metadata": md}
+
+    for kw in ({}, {"conversation_type": ctype},
+               {"session_id": sid},
+               {"conversation_type": ctype, "session_id": sid}):
+        for thr in (-1.0, 0.3):
+            a = brute.search("test message", limit=5, threshold=thr,
+                             **kw)
+            b = idx.search("test message", limit=5, threshold=thr,
+                           **kw)
+            assert strip(a) == strip(b), (kw, thr)
+
+    # batched, Q = 20 > literal_max: the joined strategy serves the
+    # facade; per-query envelopes equal the brute batch
+    queries = {f"k{i:02d}": f"probe query {i}" for i in range(20)}
+    got = idx.search_many(queries, limit=5, threshold=-1.0,
+                          conversation_type=ctype)
+    want = brute.search_many(queries, limit=5, threshold=-1.0,
+                             conversation_type=ctype)
+    assert sorted(got) == sorted(want)
+    for k in queries:
+        assert strip(got[k]) == strip(want[k]), k
+
+
+def test_indexed_engine_ingest_upserts_index(spark, tmp_path):
+    """Index freshness through the facade: build the index on a
+    PARTIAL store, ingest the rest (update_embeddings upserts the
+    index with the new batch), and exact-mode indexed serving must
+    equal brute serving over the FULL corpus — no rebuild, no stale
+    rows."""
+    idx = Engine(spark, SF, str(tmp_path / "i"),
+                 update_threshold=10 ** 9,
+                 index_dir=str(tmp_path / "idx"), nlist=4, nprobe=4,
+                 shortlist=10 ** 6)
+    first = idx.update_embeddings(max_messages=400)
+    assert first["new_messages"] > 0
+    assert idx.ensure_index()
+    second = idx.update_embeddings(max_messages=None)
+    assert second["new_messages"] > 0
+
+    # brute twin ingests in the SAME two phases: context enrichment
+    # (prev/next text) is per-batch, so identical stores require
+    # identical batch boundaries
+    brute = Engine(spark, SF, str(tmp_path / "b"),
+                   update_threshold=10 ** 9)
+    brute.update_embeddings(max_messages=400)
+    brute.update_embeddings(max_messages=None)
+    assert idx._embedded_count() == brute._embedded_count()
+
+    a = brute.search("test message", limit=8, threshold=-1.0)
+    b = idx.search("test message", limit=8, threshold=-1.0)
+    assert a["results"] == b["results"]
