@@ -3632,6 +3632,39 @@ def ann_ivfpq_materialized_trained(spark: SparkSession,
                                   k=10, nprobe=8, shortlist=400)
 
 
+@register("ann_trained_store_exhaustive", oracle=f"""
+SELECT vec_id,
+       (round({V.duck_cosine('e.embedding', 'q.qv')}, 6) + 0) AS sim
+FROM embeddings e,
+     (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+ORDER BY sim DESC, vec_id ASC LIMIT 10
+""")
+def ann_trained_store_exhaustive(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Full-oracle verification of the TRAINED store build — the one
+    lifecycle leg the seed twins cannot reach (ann_ivfpq_materialized
+    value-checks the same serving plan over SEED artifacts; the
+    trained row is rows-only because k-means|| centroids are not
+    DuckDB-reproducible).  Served in EXHAUSTIVE mode (nprobe = nlist,
+    shortlist = corpus), the result is independent of WHERE the
+    trained centroids put each vector: every cell is probed and every
+    candidate survives the ADC shortlist into the exact re-rank, so
+    the top-10 must equal brute-force cosine over the raw table.  A
+    vector lost, duplicated, or corrupted anywhere in the trained
+    build chain (k-means assign -> Lloyd's PQ encode ->
+    partitionBy(cell) write -> pruned read) breaks the match — the
+    store's CONTENT is value-verified even though the trained
+    artifacts themselves cannot be.  The ``cell`` column is dropped:
+    cell ids are a property of the trained centroids, not of the
+    corpus."""
+    path = _materialized_index(spark, sf_dir, trained=True)
+    n = _t(spark, sf_dir, "embeddings").count()
+    return (ann_index.search_index(spark, path,
+                                   _query_vec(spark, sf_dir),
+                                   k=10, nprobe=16, shortlist=n)
+            .select("vec_id", "sim"))
+
+
 _LABELED_INDEX_CACHE: dict[str, str] = {}
 
 
@@ -8663,6 +8696,31 @@ def topk_mmr_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
 # every operator accrues one across rounds. Purely a presentation
 # order — REGISTRY itself keeps source order.
 DRIVER_VERIFIED = frozenset({
+    # round 11 rotation discipline: (a) never-verified rows are
+    # pending by construction (bpe_encode_corpus — red in r10, now
+    # re-registered with a hashable token_ids projection;
+    # search_index_many_large / text_search_many_large /
+    # ann_trained_store_exhaustive — new this round); (b) rows whose
+    # serving code CHANGED in the r11 diff are deliberately absent so
+    # they verify pending-first: search_index_many, text_search_many,
+    # hybrid_serve_many, hybrid_filtered_serve (the batched strategy
+    # switch + joined default), and per VERDICT r10 item 2 the
+    # r10-refactored single-query serve rows text_inverted_index_topk,
+    # text_index_stats, text_bm25_topk, hybrid_search_rrf (removed
+    # from their earlier blocks), plus pipeline_serving_capstone
+    # (VERDICT item 5 asks for a re-run after the facade change).
+    # round 10 (CORRECTNESS_r10.json — 48 full-oracle green; the
+    # re-verified lifecycle and serve rows):
+    "dedup_minhash_estimate", "ann_pq_topk", "ann_pq_rerank",
+    "ann_ivfpq_topk", "ann_ivfpq_materialized",
+    "ann_ivfpq_filtered_materialized", "ann_index_upsert",
+    "streaming_index_upsert", "ann_index_rebuild", "ann_index_erase",
+    "streaming_index_erase", "text_index_upsert", "text_index_erase",
+    "text_index_compact", "text_index_filtered_search",
+    "streaming_text_index_upsert", "streaming_text_index_erase",
+    "changefeed_apply_text_index", "pipeline_forget_and_serve",
+    "changefeed_apply_index", "pipeline_tokenize_and_pack",
+    "ann_index_compact", "ann_recall_audit", "ann_mmr_materialized",
     # round 10: the text-index path names are deliberately ABSENT from
     # this set (removed from their round-6/7 blocks below) — round 9
     # changed operators/retrieval.py materially (_ensure_gen_layout
@@ -8706,7 +8764,7 @@ DRIVER_VERIFIED = frozenset({
     "ann_index_stats",
     "partitioned_time_scan", "store_bucket_stats",
     "multimodal_dedup_near", "multimodal_frame_dedup",
-    "streaming_append_finalized", "text_bm25_topk",
+    "streaming_append_finalized",
     "rerank_cross_encoder", "dedup_semdedup",
     "ann_truncated_rerank", "streaming_enrich_dim",
     "streaming_interval_join", "quality_classifier_score",
@@ -8716,7 +8774,7 @@ DRIVER_VERIFIED = frozenset({
     "grouping_sets_report", "bpe_pair_frequencies",
     "embedding_centroid_drift", "dedup_cluster_histogram",
     "dpp_dim_filtered_scan", "dedup_components_incremental",
-    "pipeline_serving_capstone", "topk_mmr_diverse",
+    "topk_mmr_diverse",
     # round 5 (CORRECTNESS_r05.json — re-verified names already listed
     # under earlier rounds are not repeated)
     "bucketed_colocated_join", "ann_ivfpq_trained",
