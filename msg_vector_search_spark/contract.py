@@ -3889,7 +3889,8 @@ _HYBRID_TERMS = {0: ["spark", "query", "dup"],
 
 
 def _hybrid_many_oracle(doc_from: str = "documents",
-                        vec_pred: str | None = None) -> str:
+                        vec_pred: str | None = None,
+                        termsets: dict | None = None) -> str:
     """Batched-hybrid oracle: the seed-IVFPQ composition per qid
     (shared candidate CTEs, per-qid QUALIFY windows — the
     _IVFPQ_MANY_ORACLE construction at leg depth 50) for the vector
@@ -3901,8 +3902,10 @@ def _hybrid_many_oracle(doc_from: str = "documents",
     leg scores over a document slice, the vector leg's candidate set
     is label-gated before ADC (pre-filter, exactly the serve path's
     semantics).  With the defaults both fragments render empty and the
-    string is the unfiltered oracle, byte-identical to before."""
-    qids = sorted(_HYBRID_TERMS)
+    string is the unfiltered oracle, byte-identical to before.
+    *termsets* overrides the qid -> terms map (the large-Q row)."""
+    termsets = termsets or _HYBRID_TERMS
+    qids = sorted(termsets)
     lbl_sel = "e.label, " if vec_pred else ""
     lbl_out = "label, " if vec_pred else ""
     cand_pred = f" AND ({vec_pred})" if vec_pred else ""
@@ -3912,7 +3915,7 @@ def _hybrid_many_oracle(doc_from: str = "documents",
 SELECT CAST({qid} AS BIGINT) AS qid, doc_id,
        CAST(row_number() OVER (
          ORDER BY (round(bm25, 6) + 0) DESC, doc_id) AS INT) AS rank_kw
-FROM ({retrieval_ops.duck_bm25(_HYBRID_TERMS[qid], _DUCK_TOKENS,
+FROM ({retrieval_ops.duck_bm25(termsets[qid], _DUCK_TOKENS,
                                from_table=doc_from)})
 QUALIFY row_number() OVER (
   ORDER BY (round(bm25, 6) + 0) DESC, doc_id) <= 50""")
@@ -4029,6 +4032,41 @@ def hybrid_serve_many(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval_ops.hybrid_serve_many(spark, tpath, apath, queries,
                                            leg_k=50, k=10, nprobe=4,
                                            shortlist=50)
+
+
+_HYBRID_TERMS_LARGE = {0: ["spark", "query", "dup"],
+                       7: ["data", "join"],
+                       13: ["the", "vector"],
+                       21: ["spark", "data"],
+                       34: ["query", "join", "vector"],
+                       55: ["the", "dup"]}
+
+
+@register("hybrid_serve_many_large",
+          oracle=_hybrid_many_oracle(termsets=_HYBRID_TERMS_LARGE))
+def hybrid_serve_many_large(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Batched hybrid serving with BOTH legs on the LARGE-Q strategy
+    (forced with literal_max=0): the keyword leg's term sets and the
+    vector leg's ADC tables travel as broadcast DATA through
+    constant-size plans, ranks fuse exactly as the literal-strategy
+    row — fusion is strategy-agnostic because each leg's scores are
+    bit-identical either way (pinned per leg in tests/).  Six queries
+    so the driver value-verifies the strategy the serving tier
+    actually uses at load (literal_max=4 default); the oracle is the
+    same per-leg composition at Q=6."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qids = sorted(_HYBRID_TERMS_LARGE)
+    qv = {int(r["vec_id"]): [float(x) for x in r["embedding"]]
+          for r in emb.filter(F.col("vec_id").isin(qids))
+          .select("vec_id", "embedding").collect()}
+    queries = {qid: {"terms": _HYBRID_TERMS_LARGE[qid], "qvec": qv[qid]}
+               for qid in qids}
+    tpath = _inverted_index(spark, sf_dir)
+    apath = _materialized_index(spark, sf_dir, trained=False)
+    return retrieval_ops.hybrid_serve_many(spark, tpath, apath, queries,
+                                           leg_k=50, k=10, nprobe=4,
+                                           shortlist=50, literal_max=0)
 
 
 # Shared by ann_index_upsert and streaming_index_upsert: the final
