@@ -317,6 +317,22 @@ SHOW = [
      "every corpus statistic (N, avgdl, df) recounts over the slice — "
      "bit-identical to an index built on the slice, at the cost of one "
      "dimension-sized semi join."),
+    ("search_index_many_large",
+     "Large-Q batched IVFPQ serving (the broadcast-data strategy): "
+     "the per-query ADC tables are DATA in a broadcast (qid, table) "
+     "frame, a broadcast (qid, cell) probe frame replicates each code "
+     "row to exactly the queries that probed its cell, one element_at "
+     "fold scores every pair, and the shortlist window plans as a "
+     "WindowGroupLimit (map-side partial top-k before the exchange) — "
+     "plan size constant in Q, ~flat wall time through Q=100."),
+    ("text_search_many_large",
+     "Large-Q batched BM25 (the broadcast-data strategy): a broadcast "
+     "(qid, term, qpos, df) frame replicates each pruned posting to "
+     "the queries containing its term, ONE (qid, doc) aggregation "
+     "pivots tf/df per query-term position, a gated scoring fold "
+     "ranks every query, and the top-k window plans as a "
+     "WindowGroupLimit — no per-query subplans, no Union, plan "
+     "constant in Q."),
 ]
 
 
