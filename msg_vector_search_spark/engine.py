@@ -204,9 +204,16 @@ class Engine:
         one query per call): Q query strings against ONE corpus scan
         via the broadcast-KNN plan, with the freshness gate paid once
         for the whole batch.  *queries* maps a caller key -> query
-        string; returns ``{key: envelope}`` where each envelope is
-        exactly :meth:`search`'s shape and each query's results equal
-        a separate :meth:`search` call (pinned in
+        string OR ``{"query": str, "conversation_type": ...,
+        "session_id": ...}`` for PER-QUERY filters (a multi-tenant
+        batch: different callers, different slices, one gate).  Keys
+        sharing a filter serve together — one scan (brute) or one
+        batched index serve with that slice's ``where`` (indexed) per
+        DISTINCT filter, so a batch with F distinct filters costs F
+        serves, not Q.  Per-key filters override the shared kwargs.
+        Returns ``{key: envelope}`` where each envelope is exactly
+        :meth:`search`'s shape and each query's results equal a
+        separate :meth:`search` call (pinned in
         tests/test_engine_facade.py)."""
         t0 = time.time()
         if self.gate.should_update(self._freshness_gap,
@@ -214,6 +221,15 @@ class Engine:
             self.update_embeddings()
         elif not self._store_exists():
             self.update_embeddings()
+
+        def spec(v):  # (query, ctype, sid) with shared-kwarg defaults
+            if isinstance(v, dict):
+                return (v["query"],
+                        v.get("conversation_type", conversation_type),
+                        v.get("session_id", session_id))
+            return (v, conversation_type, session_id)
+
+        specs = {k: spec(v) for k, v in queries.items()}
         if not self._store_exists():
             ms = round((time.time() - t0) * 1000, 1)
             return {key: {
@@ -222,16 +238,25 @@ class Engine:
                 "metadata": {"total_results": 0, "query": q,
                              "threshold": threshold,
                              "search_time_ms": ms},
-            } for key, q in queries.items()}
-        if self.index_dir and self.ensure_index():
-            keys = sorted(queries)
-            by_i = self._indexed_envelopes(
-                {i: queries[k] for i, k in enumerate(keys)}, limit,
-                threshold, conversation_type, session_id)
-            return {k: by_i[i] for i, k in enumerate(keys)}
-        return search_plan.search_many_with_envelopes(
-            self._store(), queries, limit=limit, threshold=threshold,
-            conversation_type=conversation_type, session_id=session_id)
+            } for key, (q, _, _) in specs.items()}
+        groups: dict[tuple, list] = {}
+        for k in sorted(specs):
+            q, ct, sid = specs[k]
+            groups.setdefault((ct, sid), []).append(k)
+        use_index = bool(self.index_dir) and self.ensure_index()
+        out: dict = {}
+        for (ct, sid), keys in groups.items():
+            if use_index:
+                by_i = self._indexed_envelopes(
+                    {i: specs[k][0] for i, k in enumerate(keys)},
+                    limit, threshold, ct, sid)
+                out.update({k: by_i[i] for i, k in enumerate(keys)})
+            else:
+                out.update(search_plan.search_many_with_envelopes(
+                    self._store(), {k: specs[k][0] for k in keys},
+                    limit=limit, threshold=threshold,
+                    conversation_type=ct, session_id=sid))
+        return out
 
     def _indexed_envelopes(self, queries: dict, limit: int,
                            threshold: float,

@@ -237,3 +237,50 @@ def test_indexed_engine_ingest_upserts_index(spark, tmp_path):
     a = brute.search("test message", limit=8, threshold=-1.0)
     b = idx.search("test message", limit=8, threshold=-1.0)
     assert a["results"] == b["results"]
+
+
+def test_search_many_per_query_filters(spark, tmp_path):
+    """A multi-tenant batch: per-key filter specs group into one serve
+    per DISTINCT filter, and every key's envelope equals a separate
+    search() call with that key's filter — on the brute engine and on
+    the index-backed engine in exact mode."""
+    brute = Engine(spark, SF, str(tmp_path / "b"),
+                   update_threshold=10 ** 9)
+    brute.update_embeddings()
+    idx = Engine(spark, SF, str(tmp_path / "i"),
+                 update_threshold=10 ** 9,
+                 index_dir=str(tmp_path / "idx"), nlist=4, nprobe=4,
+                 shortlist=10 ** 6)
+    idx.update_embeddings()
+    assert idx.ensure_index()
+
+    store = brute._store()
+    cts = [r["conversation_type"] for r in
+           store.select("conversation_type").distinct()
+           .orderBy("conversation_type").collect()][:2]
+    batch = {
+        "plain": "test message",
+        "t0": {"query": "test message", "conversation_type": cts[0]},
+        "t0b": {"query": "hello world", "conversation_type": cts[0]},
+        "t1": {"query": "test message", "conversation_type": cts[-1]},
+    }
+
+    def strip(env):
+        md = dict(env["metadata"])
+        md.pop("search_time_ms")
+        return {"status": env["status"], "results": env["results"],
+                "metadata": md}
+
+    for eng in (brute, idx):
+        got = eng.search_many(batch, limit=5, threshold=-1.0)
+        assert sorted(got) == sorted(batch)
+        for key, v in batch.items():
+            q = v["query"] if isinstance(v, dict) else v
+            ct = v.get("conversation_type") if isinstance(v, dict) \
+                else None
+            single = eng.search(q, limit=5, threshold=-1.0,
+                                conversation_type=ct)
+            assert strip(got[key]) == strip(single), (key, type(eng))
+            if ct is not None:
+                assert all(r["conversation_type"] == ct
+                           for r in got[key]["results"])
