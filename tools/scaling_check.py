@@ -638,18 +638,26 @@ def batch_main() -> None:
                                         base_terms[0]).count()
         print("Q  ann_single_sum  ann_lit  ann_joined | "
               "text_single_sum  text_lit  text_joined | hybrid_batched")
+        # above this Q, skip the O(Q)-cost comparison arms (Q
+        # sequential singles and the O(Q)-plan literal strategy) —
+        # only the joined strategy and the hybrid are measured
+        joined_only_above = 100
         for q in qs:
+            full = q <= joined_only_above
             sub = dict(list(sorted(qvecs.items()))[:q])
-            t0 = time.time()
-            for qv in sub.values():
-                ann_index.search_index(spark, apath, qv, k=10, nprobe=4,
-                                       shortlist=50).count()
-            t_single = time.time() - t0
-            t0 = time.time()
-            ann_index.search_index_many(spark, apath, sub, k=10,
-                                        nprobe=4, shortlist=50,
-                                        literal_max=10**9).count()
-            t_lit = time.time() - t0
+            t_single = t_lit = float("nan")
+            if full:
+                t0 = time.time()
+                for qv in sub.values():
+                    ann_index.search_index(spark, apath, qv, k=10,
+                                           nprobe=4,
+                                           shortlist=50).count()
+                t_single = time.time() - t0
+                t0 = time.time()
+                ann_index.search_index_many(spark, apath, sub, k=10,
+                                            nprobe=4, shortlist=50,
+                                            literal_max=10**9).count()
+                t_lit = time.time() - t0
             t0 = time.time()
             ann_index.search_index_many(spark, apath, sub, k=10,
                                         nprobe=4, shortlist=50,
@@ -657,14 +665,18 @@ def batch_main() -> None:
             t_join = time.time() - t0
             tsets = {f"q{i}": base_terms[i % len(base_terms)]
                      for i in range(q)}
-            t0 = time.time()
-            for ts in tsets.values():
-                retrieval.search_inverted_index(spark, tpath, ts).count()
-            x_single = time.time() - t0
-            t0 = time.time()
-            retrieval.search_inverted_index_many(
-                spark, tpath, tsets, k=20, literal_max=10**9).count()
-            x_lit = time.time() - t0
+            x_single = x_lit = float("nan")
+            if full:
+                t0 = time.time()
+                for ts in tsets.values():
+                    retrieval.search_inverted_index(spark, tpath,
+                                                    ts).count()
+                x_single = time.time() - t0
+                t0 = time.time()
+                retrieval.search_inverted_index_many(
+                    spark, tpath, tsets, k=20,
+                    literal_max=10**9).count()
+                x_lit = time.time() - t0
             t0 = time.time()
             retrieval.search_inverted_index_many(
                 spark, tpath, tsets, k=20, literal_max=0).count()
