@@ -7035,13 +7035,15 @@ _MANY_TERMSETS_LARGE = {"q1": ["spark", "query", "dup"],
                         "q6": ["data"]}
 
 
-def _text_many_oracle(termsets: dict | None = None) -> str:
+def _text_many_oracle(termsets: dict | None = None,
+                      doc_from: str = "documents") -> str:
     subs = []
     for qid, terms in sorted((termsets or _MANY_TERMSETS).items()):
         subs.append(f"""
 SELECT '{qid}' AS qid, doc_id, CAST(dl AS BIGINT) AS dl,
        (round(bm25, 6) + 0) AS bm25
-FROM ({retrieval_ops.duck_bm25(terms, _DUCK_TOKENS)})
+FROM ({retrieval_ops.duck_bm25(terms, _DUCK_TOKENS,
+                               from_table=doc_from)})
 QUALIFY row_number() OVER (
   ORDER BY (round(bm25, 6) + 0) DESC, doc_id) <= 20""")
     return "\nUNION ALL\n".join(subs)
@@ -7240,6 +7242,29 @@ def _src_inverted_index(spark: SparkSession, sf_dir: str) -> str:
                                            meta_cols=("source",))
         _INVIDX_CACHE[key] = path
     return _INVIDX_CACHE[key]
+
+
+@register("text_filtered_many_large", oracle=_text_many_oracle(
+    _MANY_TERMSETS_LARGE,
+    doc_from=f"(SELECT doc_id, text FROM documents "
+             f"WHERE source IN {_SRC_SLICE})"))
+def text_filtered_many_large(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Batched + FILTERED + large-Q BM25 in one driver row — the
+    serving-envelope cross-product the per-axis rows pin separately:
+    six term-set queries on the broadcast-data strategy
+    (literal_max=0) served WITHIN a source slice of the meta_cols
+    index.  The slice gate must compose with the strategy exactly as
+    it does with the literal one: eligibility flows through the
+    doclen semi join BEFORE the (qid, doc) aggregation, and every
+    statistic — N, Σdl, and the per-union-term df values that ride
+    the broadcast frame from the dimension-bounded collect — recounts
+    over eligible docs only, so the oracle is simply the scan-side
+    BM25 of the SLICED corpus stacked per query."""
+    path = _src_inverted_index(spark, sf_dir)
+    return retrieval_ops.search_inverted_index_many(
+        spark, path, _MANY_TERMSETS_LARGE, k=20, literal_max=0,
+        where=f"source IN {_SRC_SLICE}")
 
 
 @register("hybrid_filtered_serve", oracle=_hybrid_many_oracle(
