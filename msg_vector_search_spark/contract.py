@@ -4934,6 +4934,43 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("avg_neg_logprob")))
 
 
+@register("dsir_importance_sample", oracle=f"""
+WITH tok AS (
+  SELECT doc_id, (source IN ('src1', 'src3')) AS tgt,
+         unnest({_DUCK_TOKENS}) AS term
+  FROM documents
+), ca AS (SELECT term, count(*) AS c_all FROM tok GROUP BY 1),
+ct AS (SELECT term, count(*) AS c_t FROM tok WHERE tgt GROUP BY 1),
+vv AS (SELECT count(*) AS v, sum(c_all) AS n_all FROM ca),
+tt AS (SELECT count(*) AS n_t FROM tok WHERE tgt),
+r AS (
+  SELECT ca.term,
+         (ln(CAST(coalesce(ct.c_t, 0) + 1 AS DOUBLE) / (tt.n_t + vv.v))
+          - ln(CAST(ca.c_all + 1 AS DOUBLE) / (vv.n_all + vv.v))) AS lr
+  FROM ca LEFT JOIN ct USING (term), vv, tt
+)
+SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+       (round(avg(r.lr), 6) + 0) AS avg_log_ratio
+FROM tok t JOIN r USING (term) WHERE NOT t.tgt
+GROUP BY t.doc_id
+ORDER BY avg_log_ratio DESC, doc_id LIMIT 100
+""")
+def dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): rank candidate documents
+    by the mean per-token log importance ratio between a target-slice
+    unigram model (source in src1/src3 — the held-out quality proxy)
+    and the raw-corpus model, add-one smoothed over the shared vocab.
+    The keep-the-target-lookalikes primitive a pretraining pipeline
+    runs after dedup and before packing.  Scale notes in
+    corpus.dsir_importance: vocabulary-sized count tables co-partition
+    on the token key (never broadcast), the two scalar totals do
+    broadcast, per-doc means are map-side partial, top-k is
+    TakeOrderedAndProject."""
+    docs = readers.widen(_t(spark, sf_dir, "documents"))
+    return corpus_ops.dsir_importance(
+        docs, F.col("source").isin("src1", "src3"))
+
+
 @register("decontaminate_ngram", oracle=f"""
 WITH toks AS (
   SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents

@@ -314,3 +314,57 @@ def bpe_encode(docs: DataFrame, merges: list[str],
     return (docs.select(F.col(id_col), ids.alias("token_ids"))
             .withColumn("n_tokens", F.size("token_ids").cast("long"))
             .select(id_col, "n_tokens", "token_ids"))
+
+
+def dsir_importance(docs: DataFrame, target_pred,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    k: int = 100) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al., NeurIPS
+    2023, arXiv:2302.03169): score every candidate document (rows
+    where *target_pred* is false) by the mean per-token log importance
+    ratio between a unigram model of the TARGET slice (rows where it
+    is true) and a unigram model of the whole corpus — the hashed-
+    n-gram DSIR estimator with n=1 and add-one smoothing over the
+    shared corpus vocabulary.  High scores = candidates that look like
+    the target distribution; a pipeline keeps the top slice as extra
+    target-like training data.
+
+    Returns ``(id_col, n_toks, avg_log_ratio)``, top-*k* candidates by
+    (score desc, id).
+
+    Scale shape (the text_unigram_logprob twin, doubled): two term
+    aggregates build the vocabulary-sized count tables — too big to
+    broadcast at 100 TB, so the per-token scoring join CO-PARTITIONS
+    on the uniform token key instead; the two scalar totals (target
+    token count; corpus vocab size + token count) ARE broadcast
+    (one-row frames); the per-doc mean is a map-side-partial
+    aggregate; the final top-k is TakeOrderedAndProject.  The target
+    model would come from a held-out reference corpus at production
+    scale — the plan is identical, only the left side of the count
+    aggregate changes."""
+    tok = docs.select(F.col(id_col), target_pred.alias("_tgt"),
+                      F.explode(analysis.tokens(F.col(text_col)))
+                      .alias("term"))
+    cnt_all = tok.groupBy("term").agg(F.count("*").alias("_c_all"))
+    cnt_t = (tok.filter(F.col("_tgt"))
+             .groupBy("term").agg(F.count("*").alias("_c_t")))
+    corpus_tot = cnt_all.agg(F.count("*").alias("_v"),
+                             F.sum("_c_all").alias("_n_all"))
+    target_tot = (tok.filter(F.col("_tgt"))
+                  .agg(F.count("*").alias("_n_t")))
+    lr = (F.log((F.coalesce(F.col("_c_t"), F.lit(0)) + F.lit(1))
+                .cast("double") / (F.col("_n_t") + F.col("_v")))
+          - F.log((F.col("_c_all") + F.lit(1)).cast("double")
+                  / (F.col("_n_all") + F.col("_v"))))
+    ratios = (cnt_all.join(cnt_t, "term", "left")
+              .crossJoin(F.broadcast(corpus_tot))
+              .crossJoin(F.broadcast(target_tot))
+              .select("term", lr.alias("_lr")))
+    return (tok.filter(~F.col("_tgt"))
+            .join(ratios, "term")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_toks"),
+                 (F.round(F.avg("_lr"), 6) + F.lit(0.0))
+                 .alias("avg_log_ratio"))
+            .orderBy(F.col("avg_log_ratio").desc(), F.col(id_col))
+            .limit(k))

@@ -3,6 +3,8 @@ reservoirs, BPE pair stats, and MMR diversification."""
 
 from __future__ import annotations
 
+import math
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -273,3 +275,29 @@ def test_bpe_encode_merge_chain_through_prior_merge(spark):
     i = {s: vocab.index(s) + 1 for s in ("t", "h", "a")}
     row = corpus_ops.bpe_encode(docs, merges).head()
     assert list(row["token_ids"]) == [i["t"], i["h"], i["a"]]
+
+
+def test_dsir_ranks_target_lookalikes_first(spark):
+    """DSIR sanity on a hand-built corpus: the target slice is pure
+    'alpha'; among candidates, score must fall monotonically with
+    alpha density, n_toks counts the candidate's own tokens, and
+    target rows never appear in the output."""
+    from pyspark.sql import Row
+
+    rows = [Row(doc_id=1, text="alpha alpha alpha", tgt=True),
+            Row(doc_id=2, text="alpha alpha alpha alpha", tgt=True),
+            Row(doc_id=10, text="alpha alpha alpha beta", tgt=False),
+            Row(doc_id=11, text="alpha alpha beta beta", tgt=False),
+            Row(doc_id=12, text="beta beta beta gamma", tgt=False)]
+    docs = spark.createDataFrame(rows)
+    out = corpus_ops.dsir_importance(docs, F.col("tgt"), k=10).collect()
+    assert [r["doc_id"] for r in out] == [10, 11, 12]
+    assert [r["n_toks"] for r in out] == [4, 4, 4]
+    scores = [r["avg_log_ratio"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+    # hand computation (add-one over v=3, n_t=7, n_all=19):
+    # lr(alpha) = ln(8/10) - ln(13/22), lr(beta) = ln(1/10) - ln(7/22)
+    lr_a = math.log(8 / 10) - math.log(13 / 22)
+    lr_b = math.log(1 / 10) - math.log(7 / 22)
+    assert scores[0] == pytest.approx((3 * lr_a + lr_b) / 4, abs=1e-6)
+    assert scores[2] < scores[1] < scores[0]  # falls with alpha density
