@@ -8130,6 +8130,53 @@ def pipeline_tokenize_and_pack(spark: SparkSession,
     return packing_ops.pack_stats(packed, "shard", "n_tok")
 
 
+@register("tokenizer_fertility_by_source", oracle=f"""
+WITH enc AS (SELECT doc_id, n_tokens FROM ({_bpe_encode_sql(3)})),
+words AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter({_DUCK_TOKENS},
+                  t -> regexp_full_match(t, '[a-z]+'))) AS BIGINT)
+           AS n_words
+  FROM documents
+)
+SELECT w.source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(e.n_tokens) AS BIGINT) AS n_tokens,
+       CAST(sum(w.n_words) AS BIGINT) AS n_words,
+       (round(CAST(sum(e.n_tokens) AS DOUBLE) / sum(w.n_words), 6) + 0)
+         AS fertility
+FROM words w JOIN enc e USING (doc_id)
+GROUP BY w.source HAVING sum(w.n_words) > 0
+""")
+def tokenizer_fertility_by_source(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit — BPE tokens per gated word, by
+    source: the metric that decides whether a trained tokenizer fits a
+    corpus slice (high fertility = the merges don't cover that
+    slice's vocabulary, so its documents cost more sequence budget per
+    word; the standard go/no-go check before committing a tokenizer
+    to a pretraining mix).  Rides the SAME cached trained merges and
+    scan-riding encode as the packing capstone — one corpus scan for
+    the token counts, one for the gated word counts, one
+    partial-aggregated groupBy(source).  The oracle re-derives the
+    merges and re-encodes through the shared CTE chain, so fertility
+    is value-checked against the actual trained tokenizer, not a
+    proxy count."""
+    docs = readers.widen(_t(spark, sf_dir, "documents"))
+    enc = corpus_ops.bpe_encode(docs, _bpe_merges(spark, sf_dir))
+    words = docs.select(
+        "doc_id", "source",
+        F.size(F.filter(analysis.tokens(F.col("text")),
+                        lambda t: t.rlike("^[a-z]+$")))
+        .cast("long").alias("n_words"))
+    return (words.join(enc.select("doc_id", "n_tokens"), "doc_id")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("n_tokens"),
+                 F.sum("n_words").alias("n_words"),
+                 (F.round(F.sum("n_tokens").cast("double")
+                          / F.sum("n_words"), 6) + F.lit(0.0))
+                 .alias("fertility"))
+            .filter(F.col("n_words") > 0))
 
 
 @register("embedding_centroid_drift", oracle="""
