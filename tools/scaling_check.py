@@ -515,7 +515,8 @@ def audits_main() -> None:
     mults = [int(a) for a in sys.argv[2:]] or [1, 4, 16]
     queries = ["corpus_overlap_matrix", "embedding_centroid_drift",
                "sample_fixed_k_per_group", "topk_mmr_diverse",
-               "dedup_cluster_histogram", "dedup_components_incremental"]
+               "dedup_cluster_histogram", "dedup_components_incremental",
+               "dsir_importance_sample", "tokenizer_fertility_by_source"]
     spark = get_spark("audit_scale")
     print(f"{'xN':>4} {'docs':>8} " +
           " ".join(f"{q[:20]:>22}" for q in queries))
