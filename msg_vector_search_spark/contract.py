@@ -3838,14 +3838,17 @@ def search_index_many(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batched multi-query serving from the persisted IVFPQ index —
     the high-QPS path: five queries in ONE plan.  The probed cells of
     every query union into a single literal partition filter, the
-    pruned code scan runs once, each query's ADC column (own distance
-    table, gated to its own probed cells) is evaluated per row of the
-    shared scan, per-query shortlists come from a qid-partitioned
-    window, and the exact re-rank joins the broadcast (qid, id)
-    shortlist plus the broadcast query dim against the pruned raw
-    vectors.  Per-query results are bit-identical to five separate
-    search_index calls (pinned in tests/test_ivf_index.py); the
-    oracle replays the full seed-IVFPQ composition per query with
+    pruned code scan runs once, per-query scoring follows the
+    strategy switch (Q=5 > literal_max=4, so this row serves on the
+    broadcast-data path — tables joined on probed cell, constant
+    plan; the small-batch literal path is value-verified by the same
+    oracle through r10's windows and by the equivalence pins),
+    per-query shortlists come from a qid-partitioned
+    WindowGroupLimit, and the exact re-rank joins the broadcast
+    (qid, id) shortlist plus the broadcast query dim against the
+    pruned raw vectors.  Per-query results are bit-identical to five
+    separate search_index calls (pinned in tests/test_ivf_index.py);
+    the oracle replays the full seed-IVFPQ composition per query with
     QUALIFY windows over a shared candidate set — exactly the batched
     plan's sharing structure."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -7333,6 +7336,38 @@ def hybrid_filtered_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, tpath, apath, queries, leg_k=50, k=10, nprobe=4,
         shortlist=50, where_text=f"source IN {_SRC_SLICE}",
         where_ann="label % 2 = 0")
+
+
+@register("hybrid_filtered_many_large", oracle=_hybrid_many_oracle(
+    doc_from=f"(SELECT doc_id, text FROM documents "
+             f"WHERE source IN {_SRC_SLICE})",
+    vec_pred="label % 2 = 0",
+    termsets=_HYBRID_TERMS_LARGE))
+def hybrid_filtered_many_large(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """The COMPLETE serving envelope as one driver row: six hybrid
+    queries, BOTH legs on the broadcast-data strategy (literal_max=0),
+    BOTH legs slice-gated (source predicate on the text index's
+    recorded meta_cols with statistics recounted over the slice;
+    label pre-filter stacking with cell pruning on the vector leg),
+    fused on the 6dp RRF grid — batched x filtered x large-Q x hybrid
+    in a single value-checked plan.  The lifecycle model test drives
+    this cross-product under maintenance; this row gives the driver
+    the static-corpus value check with the fully parameterized
+    batched-hybrid oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qids = sorted(_HYBRID_TERMS_LARGE)
+    qv = {int(r["vec_id"]): [float(x) for x in r["embedding"]]
+          for r in emb.filter(F.col("vec_id").isin(qids))
+          .select("vec_id", "embedding").collect()}
+    queries = {qid: {"terms": _HYBRID_TERMS_LARGE[qid], "qvec": qv[qid]}
+               for qid in qids}
+    tpath = _src_inverted_index(spark, sf_dir)
+    apath = _labeled_index(spark, sf_dir)
+    return retrieval_ops.hybrid_serve_many(
+        spark, tpath, apath, queries, leg_k=50, k=10, nprobe=4,
+        shortlist=50, where_text=f"source IN {_SRC_SLICE}",
+        where_ann="label % 2 = 0", literal_max=0)
 
 
 @register("streaming_text_index_upsert", oracle=f"""
