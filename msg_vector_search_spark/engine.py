@@ -76,25 +76,32 @@ class Engine:
         index (ann_index.upsert_index: assignment against persisted
         centroids, O(batch + touched cells)) — the store and the index
         advance together, so indexed serving stays fresh without
-        rebuilds.  message_id is append-unique, so upserts never move
-        a vector's cell (the changefeed verb exists for stores where
-        updates move embeddings)."""
+        rebuilds.  ingest returns the whole merged store, so the
+        upsert prunes it to THIS run's generation (the new batch plus
+        the O(boundary) context-restitched rows, whose text and
+        therefore vector are unchanged) and skips no-op runs entirely
+        — index maintenance stays O(batch), never O(store).
+        message_id is append-unique, so upserts never move a vector's
+        cell (the changefeed verb exists for stores where updates move
+        embeddings)."""
         t0 = time.time()
         before = self._embedded_count()
-        batch = ingest_plan.run_incremental(self.spark, self.sf_dir,
-                                            self.store_dir,
-                                            max_messages=max_messages)
+        merged = ingest_plan.run_incremental(self.spark, self.sf_dir,
+                                             self.store_dir,
+                                             max_messages=max_messages)
         self._gap_cache = None  # the store changed; cached gap is stale
-        if (self.index_dir and self._index_ready()
-                and batch is not None and batch.take(1)):
+        after = self._embedded_count()
+        if self.index_dir and self._index_ready() and after != before:
             from .operators import ann_index
+            gen = merged.agg(F.max("_gen")).collect()[0][0]
             ann_index.upsert_index(
                 self.spark, self.index_dir,
-                batch.select("message_id", "embedding",
-                             *self.INDEX_META_COLS))
+                merged.filter(F.col("_gen") == gen)
+                .select("message_id", "embedding",
+                        *self.INDEX_META_COLS))
         return {
             "status": "success",
-            "new_messages": self._embedded_count() - before,
+            "new_messages": after - before,
             "update_time_ms": round((time.time() - t0) * 1000, 1),
         }
 

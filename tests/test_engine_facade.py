@@ -284,3 +284,41 @@ def test_search_many_per_query_filters(spark, tmp_path):
             if ct is not None:
                 assert all(r["conversation_type"] == ct
                            for r in got[key]["results"])
+
+
+def test_index_maintenance_is_batch_bounded(spark, tmp_path, monkeypatch):
+    """Index upkeep through the facade must be O(batch), never
+    O(store): a no-op ingest (no new rows) must not touch the index at
+    all, and an incremental ingest must upsert only this run's
+    generation (the new batch plus the O(boundary) restitched rows) —
+    not the whole merged store that ingest returns."""
+    from msg_vector_search_spark.operators import ann_index
+
+    calls = []
+    real = ann_index.upsert_index
+
+    def spy(spark_, path, batch, **kw):
+        calls.append(batch.count())
+        return real(spark_, path, batch, **kw)
+
+    monkeypatch.setattr(ann_index, "upsert_index", spy)
+
+    idx = Engine(spark, SF, str(tmp_path / "i"),
+                 update_threshold=10 ** 9,
+                 index_dir=str(tmp_path / "idx"), nlist=4, nprobe=4,
+                 shortlist=10 ** 6)
+    first = idx.update_embeddings(max_messages=600)
+    assert idx.ensure_index()
+    assert calls == []  # build, not upsert, creates the index
+
+    second = idx.update_embeddings(max_messages=None)
+    assert second["new_messages"] > 0
+    assert len(calls) == 1
+    # this run's generation only: the increment plus restitched
+    # boundary rows (one session boundary's worth), NOT the store
+    assert calls[0] < first["new_messages"]
+    assert calls[0] <= second["new_messages"] + 50
+
+    noop = idx.update_embeddings()
+    assert noop["new_messages"] == 0
+    assert len(calls) == 1  # untouched on a no-op run
