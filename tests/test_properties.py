@@ -206,3 +206,87 @@ def test_hll_union_equals_single_pass(spark):
                       F.hll_union_agg("sk")).alias("est")))
         got = {r["event_type"]: r["est"] for r in merged.collect()}
         assert got == ref
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.text(alphabet="abcdef", min_size=0, max_size=6),
+                min_size=1, max_size=20),
+       st.integers(0, 2))
+def test_bpe_encode_against_reference_encoder(spark, tokens, n_merges):
+    """bpe_encode vs an independent per-token Python BPE: space the
+    characters, apply each merge left-to-right as whole-symbol
+    replaces in training order, map to sorted-vocab positions.  Checks
+    gating (^[a-z]+$ only), n_tokens == len(ids), and every id."""
+    from msg_vector_search_spark.operators import corpus as corpus_ops
+
+    merges = [["a b", "c d", "ab c"][i] for i in range(n_merges)]
+    text = " ".join(tokens) or "x"
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = corpus_ops.bpe_encode(docs, merges).head()
+
+    vocab = corpus_ops.bpe_vocab(merges)
+
+    def ref_encode(tok: str) -> list[int]:
+        s = " " + " ".join(tok) + " "
+        for m in merges:
+            s = s.replace(f" {m} ", f" {m.replace(' ', '')} ")
+        return [vocab.index(sym) + 1 for sym in s.split()]
+
+    want: list[int] = []
+    for t in text.lower().split():
+        if t and all(c in "abcdefghijklmnopqrstuvwxyz" for c in t):
+            want += ref_encode(t)
+    assert row["n_tokens"] == len(want)
+    assert list(row["token_ids"]) == want
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.tuples(st.booleans(),
+                          st.lists(st.sampled_from("abc"),
+                                   min_size=1, max_size=5)),
+                min_size=2, max_size=15).filter(
+                    lambda rows: any(t for t, _ in rows)
+                    and any(not t for t, _ in rows)))
+def test_dsir_matches_reference_model(spark, rows):
+    """dsir_importance vs an independent Python unigram-ratio model on
+    random corpora: same smoothing, same candidate set, scores equal
+    on the 6dp grid, ordering (score desc, id) exact."""
+    import math as m
+
+    from msg_vector_search_spark.operators import corpus as corpus_ops
+
+    data = [(i, " ".join(toks), tgt)
+            for i, (tgt, toks) in enumerate(rows)]
+    docs = spark.createDataFrame(
+        data, "doc_id long, text string, tgt boolean")
+    got = [(r["doc_id"], r["n_toks"], r["avg_log_ratio"]) for r in
+           corpus_ops.dsir_importance(docs, F.col("tgt"), k=100)
+           .collect()]
+
+    c_all: dict[str, int] = {}
+    c_t: dict[str, int] = {}
+    for _, text, tgt in data:
+        for t in text.split():
+            c_all[t] = c_all.get(t, 0) + 1
+            if tgt:
+                c_t[t] = c_t.get(t, 0) + 1
+    v, n_all, n_t = len(c_all), sum(c_all.values()), sum(c_t.values())
+    lr = {t: (m.log((c_t.get(t, 0) + 1) / (n_t + v))
+              - m.log((c + 1) / (n_all + v))) for t, c in c_all.items()}
+    want = []
+    for i, text, tgt in data:
+        if tgt:
+            continue
+        toks = text.split()
+        score = round(sum(lr[t] for t in toks) / len(toks), 6) + 0.0
+        want.append((score, i, len(toks)))
+    gd = {i: (n, sc) for i, n, sc in got}
+    wd = {i: (n, sc) for sc, i, n in want}
+    assert set(gd) == set(wd)
+    for i in gd:
+        assert gd[i][0] == wd[i][0]
+        # summation order differs (Spark partial aggregate vs Python
+        # left fold), so compare on the grid with one-ulp-of-grid slack
+        assert abs(gd[i][1] - wd[i][1]) <= 2e-6, i
+    scores = [sc for _, _, sc in got]
+    assert scores == sorted(scores, reverse=True)
