@@ -139,10 +139,13 @@ class Engine:
     def _index_where(conversation_type: str | None,
                      session_id: str | None) -> str | None:
         """The optional filters as ONE SQL predicate over the index's
-        recorded meta_cols (values quoted with '' doubling — they are
-        data, not SQL)."""
+        recorded meta_cols — the values are DATA, not SQL, so both
+        metacharacters of a Spark SQL string literal are escaped:
+        backslash (C-style escapes are on by default in expr literals)
+        and the single quote (doubled)."""
         def q(v: str) -> str:
-            return "'" + v.replace("'", "''") + "'"
+            return ("'" + v.replace("\\", "\\\\").replace("'", "''")
+                    + "'")
         preds = []
         if conversation_type is not None:
             preds.append(f"conversation_type = {q(conversation_type)}")

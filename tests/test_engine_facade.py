@@ -157,6 +157,8 @@ def test_index_where_quoting():
     assert w(None, "s-1") == "session_id = 's-1'"
     assert w("a'b", "s") == \
         "conversation_type = 'a''b' AND session_id = 's'"
+    # backslash is a literal-escape metachar in Spark SQL expr strings
+    assert w(None, "a\\b") == "session_id = 'a\\\\b'"
 
 
 def test_indexed_engine_matches_brute_engine(spark, tmp_path):
