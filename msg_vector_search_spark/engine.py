@@ -68,9 +68,18 @@ class Engine:
         self.shortlist = shortlist
 
     # -- 3.2 write path ---------------------------------------------------
-    def update_embeddings(self, max_messages: int | None = 10_000) -> dict:
+    def update_embeddings(self, max_messages: int | None = 10_000,
+                          batch_size: int | None = None) -> dict:
         """Incremental ingest run (reference: engine.py:57-103): returns
         the reference's ``{status, new_messages, update_time_ms}``.
+
+        *batch_size* is the reference tool's second knob
+        (engine.py:57 ``batch_size=1000`` — the per-batch row chunk
+        its processor loop embeds at a time).  Spark's analog is the
+        Arrow record-batch size feeding the embed UDF
+        (``spark.sql.execution.arrow.maxRecordsPerBatch`` — the
+        model.encode unit per executor), set for this run and
+        restored after; None keeps the session's tuning.
 
         In index mode, the ingested batch ALSO upserts the serving
         index (ann_index.upsert_index: assignment against persisted
@@ -86,9 +95,20 @@ class Engine:
         embeddings)."""
         t0 = time.time()
         before = self._embedded_count()
-        merged = ingest_plan.run_incremental(self.spark, self.sf_dir,
-                                             self.store_dir,
-                                             max_messages=max_messages)
+        arrow_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+        old_batch = self.spark.conf.get(arrow_key, None)
+        if batch_size is not None:
+            self.spark.conf.set(arrow_key, str(int(batch_size)))
+        try:
+            merged = ingest_plan.run_incremental(
+                self.spark, self.sf_dir, self.store_dir,
+                max_messages=max_messages)
+        finally:
+            if batch_size is not None:
+                if old_batch is None:
+                    self.spark.conf.unset(arrow_key)
+                else:
+                    self.spark.conf.set(arrow_key, old_batch)
         self._gap_cache = None  # the store changed; cached gap is stale
         after = self._embedded_count()
         if self.index_dir and self._index_ready() and after != before:

@@ -53,9 +53,13 @@ class ServingShim:
             conversation_type=conversation_type, session_id=session_id,
             force_update=force_update)
 
-    def update_embeddings(self, max_messages: int | None = 10_000) -> dict:
-        """Tool 2 (reference: server.py:162-200): manual refresh."""
-        return self.engine.update_embeddings(max_messages=max_messages)
+    def update_embeddings(self, max_messages: int | None = 10_000,
+                          batch_size: int | None = None) -> dict:
+        """Tool 2 (reference: server.py:162-200): manual refresh.
+        batch_size = the reference's per-batch embed chunk, mapped to
+        the Arrow record-batch size for this run (Engine docstring)."""
+        return self.engine.update_embeddings(max_messages=max_messages,
+                                             batch_size=batch_size)
 
     def database_stats(self) -> dict:
         """Resource (reference: server.py:140-160)."""
@@ -158,8 +162,10 @@ def build_mcp(engine: Engine):
                                     force_update=force_update)
 
     @srv.tool()  # pragma: no cover
-    def update_embeddings(max_messages: int = 10_000) -> dict:
-        return shim.update_embeddings(max_messages=max_messages)
+    def update_embeddings(max_messages: int = 10_000,
+                          batch_size: int | None = None) -> dict:
+        return shim.update_embeddings(max_messages=max_messages,
+                                      batch_size=batch_size)
 
     @srv.resource("resource://database_stats")  # pragma: no cover
     def database_stats() -> dict:

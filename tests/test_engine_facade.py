@@ -324,3 +324,25 @@ def test_index_maintenance_is_batch_bounded(spark, tmp_path, monkeypatch):
     noop = idx.update_embeddings()
     assert noop["new_messages"] == 0
     assert len(calls) == 1  # untouched on a no-op run
+
+
+def test_update_embeddings_batch_size_sets_and_restores_arrow(
+        spark, tmp_path):
+    """The reference tool's batch_size knob maps to the Arrow
+    record-batch size for THAT run only: the ingest result is
+    identical, and the session conf is restored afterwards."""
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key, None)
+    eng = Engine(spark, SF, str(tmp_path / "s"),
+                 update_threshold=10 ** 9)
+    up = eng.update_embeddings(batch_size=128)
+    assert up["new_messages"] > 0
+    assert spark.conf.get(key, None) == old
+    twin = Engine(spark, SF, str(tmp_path / "t"),
+                  update_threshold=10 ** 9)
+    twin.update_embeddings()
+    a = {r["message_id"]: r["embedding"]
+         for r in eng._store().collect()}
+    b = {r["message_id"]: r["embedding"]
+         for r in twin._store().collect()}
+    assert a == b  # batch size is a throughput knob, not a semantic one
