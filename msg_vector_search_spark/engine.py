@@ -125,6 +125,24 @@ class Engine:
             "update_time_ms": round((time.time() - t0) * 1000, 1),
         }
 
+    def preload_model(self) -> None:
+        """Reference parity: the server preloads the embedding model
+        at startup so the first search doesn't pay model-load latency
+        (reference server.py:96 ``search_engine.preload_model()``).
+        Spark's equivalents are per-executor: one tiny embed job with
+        a row on every core warms the Python workers (interpreter
+        spawn + numpy/pandas import) AND the lazy per-executor model
+        singleton in embed._load_model."""
+        from pyspark.sql import functions as SF  # noqa: N812
+
+        from . import embed
+
+        n = self.spark.sparkContext.defaultParallelism
+        warm = (self.spark.range(n).repartition(n)
+                .select(SF.concat(SF.lit("warm "), SF.col("id"))
+                        .alias("message_text")))
+        embed.with_embeddings(warm, "message_text").count()
+
     # -- optional serving index -------------------------------------------
     def _index_ready(self) -> bool:
         import os
