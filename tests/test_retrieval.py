@@ -609,11 +609,18 @@ def test_batched_serves_handle_empty_and_no_match(spark, tmp_path):
                                                  n_buckets=8)
     assert empty.count() == 0
     assert empty.columns == ["qid", "doc_id", "dl", "bm25"]
-    mixed = retrieval.search_inverted_index_many(
-        spark, path, {"hit": ["alpha"], "miss": ["zzz"]}, n_buckets=8)
-    rows = mixed.collect()
-    assert {r["qid"] for r in rows} == {"hit"}
-    assert {r["doc_id"] for r in rows} == {1, 2}
+    for lm in (16, 0):   # literal strategy, then broadcast-data
+        mixed = retrieval.search_inverted_index_many(
+            spark, path, {"hit": ["alpha"], "miss": ["zzz"]},
+            n_buckets=8, literal_max=lm)
+        rows = mixed.collect()
+        assert {r["qid"] for r in rows} == {"hit"}, lm
+        assert {r["doc_id"] for r in rows} == {1, 2}, lm
+    # all-miss batch on the broadcast-data strategy: empty, no crash
+    nohit = retrieval.search_inverted_index_many(
+        spark, path, {"a": ["zzz"], "b": ["yyy"]}, n_buckets=8,
+        literal_max=0)
+    assert nohit.count() == 0
 
 
 def test_hybrid_serve_many_batch_independence(spark, tmp_path):
