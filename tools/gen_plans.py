@@ -325,6 +325,17 @@ SHOW = [
      "fold scores every pair, and the shortlist window plans as a "
      "WindowGroupLimit (map-side partial top-k before the exchange) — "
      "plan size constant in Q, ~flat wall time through Q=100."),
+    ("dsir_importance_sample",
+     "DSIR data selection: the vocabulary-sized log-ratio table "
+     "CO-PARTITIONS on the uniform token key (never broadcast); the "
+     "two scalar totals broadcast as one-row frames; the per-doc mean "
+     "is a map-side-partial aggregate and the final top-k is "
+     "TakeOrderedAndProject — no corpus-sized sort or window."),
+    ("tokenizer_fertility_by_source",
+     "Tokenizer fertility audit: the trained-merge encode rides the "
+     "corpus scan as pure higher-order expressions, word counts ride "
+     "a second narrow scan, and the per-source report is one "
+     "partial-aggregated groupBy."),
     ("text_search_many_large",
      "Large-Q batched BM25 (the broadcast-data strategy): a broadcast "
      "(qid, term, qpos, df) frame replicates each pruned posting to "
