@@ -253,13 +253,20 @@ class Engine:
         via the broadcast-KNN plan, with the freshness gate paid once
         for the whole batch.  *queries* maps a caller key -> query
         string OR ``{"query": str, "conversation_type": ...,
-        "session_id": ...}`` for PER-QUERY filters (a multi-tenant
-        batch: different callers, different slices, one gate).  Keys
+        "session_id": ..., "limit": ..., "threshold": ...}`` for
+        PER-QUERY filters and bounds (a multi-tenant batch: different
+        callers, different slices and result budgets, one gate).  Keys
         sharing a filter serve together — one scan (brute) or one
         batched index serve with that slice's ``where`` (indexed) per
         DISTINCT filter, so a batch with F distinct filters costs F
-        serves, not Q.  Per-key filters override the shared kwargs.
-        Returns ``{key: envelope}`` where each envelope is exactly
+        serves, not Q.  Per-key limit/threshold cost NOTHING extra:
+        each group serves once at its widest bound (max limit, min
+        threshold) and per-key bounds apply as a driver-side TRIM of
+        that key's ordered k-row result — exact, because a smaller
+        limit is a prefix of the same ordering and a higher threshold
+        only removes rows (the single path also thresholds AFTER
+        top-k).  Per-key values override the shared kwargs.  Returns
+        ``{key: envelope}`` where each envelope is exactly
         :meth:`search`'s shape and each query's results equal a
         separate :meth:`search` call (pinned in
         tests/test_engine_facade.py)."""
@@ -270,12 +277,14 @@ class Engine:
         elif not self._store_exists():
             self.update_embeddings()
 
-        def spec(v):  # (query, ctype, sid) with shared-kwarg defaults
+        def spec(v):  # (query, ctype, sid, limit, threshold)
             if isinstance(v, dict):
                 return (v["query"],
                         v.get("conversation_type", conversation_type),
-                        v.get("session_id", session_id))
-            return (v, conversation_type, session_id)
+                        v.get("session_id", session_id),
+                        int(v.get("limit", limit)),
+                        float(v.get("threshold", threshold)))
+            return (v, conversation_type, session_id, limit, threshold)
 
         specs = {k: spec(v) for k, v in queries.items()}
         if not self._store_exists():
@@ -284,26 +293,39 @@ class Engine:
                 "status": "success",
                 "results": [],
                 "metadata": {"total_results": 0, "query": q,
-                             "threshold": threshold,
+                             "threshold": thr,
                              "search_time_ms": ms},
-            } for key, (q, _, _) in specs.items()}
+            } for key, (q, _, _, _, thr) in specs.items()}
         groups: dict[tuple, list] = {}
         for k in sorted(specs):
-            q, ct, sid = specs[k]
+            _, ct, sid, _, _ = specs[k]
             groups.setdefault((ct, sid), []).append(k)
         use_index = bool(self.index_dir) and self.ensure_index()
         out: dict = {}
         for (ct, sid), keys in groups.items():
+            g_limit = max(specs[k][3] for k in keys)
+            g_thr = min(specs[k][4] for k in keys)
             if use_index:
-                by_i = self._indexed_envelopes(
+                served = self._indexed_envelopes(
                     {i: specs[k][0] for i, k in enumerate(keys)},
-                    limit, threshold, ct, sid)
-                out.update({k: by_i[i] for i, k in enumerate(keys)})
+                    g_limit, g_thr, ct, sid)
+                served = {keys[i]: env for i, env in served.items()}
             else:
-                out.update(search_plan.search_many_with_envelopes(
+                served = search_plan.search_many_with_envelopes(
                     self._store(), {k: specs[k][0] for k in keys},
-                    limit=limit, threshold=threshold,
-                    conversation_type=ct, session_id=sid))
+                    limit=g_limit, threshold=g_thr,
+                    conversation_type=ct, session_id=sid)
+            for k in keys:
+                _, _, _, k_limit, k_thr = specs[k]
+                env = served[k]
+                if k_limit != g_limit or k_thr != g_thr:
+                    rows = [r for r in env["results"]
+                            if r["sim"] >= k_thr][:k_limit]
+                    env = {"status": env["status"], "results": rows,
+                           "metadata": {**env["metadata"],
+                                        "total_results": len(rows),
+                                        "threshold": k_thr}}
+                out[k] = env
         return out
 
     def _indexed_envelopes(self, queries: dict, limit: int,

@@ -346,3 +346,43 @@ def test_update_embeddings_batch_size_sets_and_restores_arrow(
     b = {r["message_id"]: r["embedding"]
          for r in twin._store().collect()}
     assert a == b  # batch size is a throughput knob, not a semantic one
+
+
+def test_search_many_per_query_limits_and_thresholds(spark, tmp_path):
+    """Per-key limit/threshold specs serve once per filter group at
+    the widest bound and trim per key — every key's envelope must
+    equal a separate search() call with that key's exact bounds, on
+    both engines."""
+    brute = Engine(spark, SF, str(tmp_path / "b"),
+                   update_threshold=10 ** 9)
+    brute.update_embeddings()
+    idx = Engine(spark, SF, str(tmp_path / "i"),
+                 update_threshold=10 ** 9,
+                 index_dir=str(tmp_path / "idx"), nlist=4, nprobe=4,
+                 shortlist=10 ** 6)
+    idx.update_embeddings()
+    assert idx.ensure_index()
+
+    batch = {
+        "wide": {"query": "test message", "limit": 8,
+                 "threshold": -1.0},
+        "narrow": {"query": "test message", "limit": 2,
+                   "threshold": -1.0},
+        "strict": {"query": "hello world", "threshold": 0.2,
+                   "limit": 8},
+    }
+
+    def strip(env):
+        md = dict(env["metadata"])
+        md.pop("search_time_ms")
+        return {"status": env["status"], "results": env["results"],
+                "metadata": md}
+
+    for eng in (brute, idx):
+        got = eng.search_many(batch, limit=5, threshold=-1.0)
+        for key, v in batch.items():
+            single = eng.search(v["query"], limit=v["limit"],
+                                threshold=v["threshold"])
+            assert strip(got[key]) == strip(single), (key, type(eng))
+    assert len(got["narrow"]["results"]) == 2
+    assert all(r["sim"] >= 0.2 for r in got["strict"]["results"])
