@@ -103,6 +103,50 @@ _DUCK_QVEC = "(SELECT embedding FROM embeddings WHERE vec_id = 0)"
 
 
 # =========================================================================
+# Trained-artifact publication (the ann_trained_store_exhaustive
+# technique, VERDICT r11 item 1, applied to the ADC fold): trained
+# centroids / codebooks are seed-DETERMINISTIC but not
+# dialect-reproducible in DuckDB, so each trained row PERSISTS its
+# artifacts here as part of the query and its oracle replays the whole
+# downstream composition (assign -> encode -> ADC -> re-rank) FROM the
+# persisted parquet — value-verifying every stage AFTER training.  The
+# path is FIXED (not mkdtemp) because oracle_sql() strings are static;
+# every run of the query rewrites/re-points it before its oracle
+# executes (the gate runs Spark first, then DuckDB, per row).
+# =========================================================================
+_TRAINED_ART = os.path.join(tempfile.gettempdir(), "mvs_trained_artifacts")
+
+
+def _trained_dir(name: str) -> str:
+    return os.path.join(_TRAINED_ART, name)
+
+
+def _publish_codebooks(name: str, books) -> None:
+    ann_index._write_codebooks(
+        books, os.path.join(_trained_dir(name), "codebooks"))
+
+
+def _publish_centroids(name: str, cent: DataFrame) -> None:
+    (cent.coalesce(1).write.mode("overwrite")
+     .parquet(os.path.join(_trained_dir(name), "centroids")))
+
+
+def _publish_store_link(name: str, target: str) -> None:
+    """Atomically re-point the canonical symlink at a (cached) store
+    directory — the store itself is built once per fixture (mkdtemp),
+    the link lets a static oracle string always read the CURRENT one."""
+    os.makedirs(_TRAINED_ART, exist_ok=True)
+    link = _trained_dir(name)
+    tmp = link + "._lnk"
+    try:
+        os.remove(tmp)
+    except FileNotFoundError:
+        pass
+    os.symlink(target, tmp)
+    os.replace(tmp, link)
+
+
+# =========================================================================
 # Similarity family (SURVEY 2.C C10/C8, 2.B B7, 2.D D6, 2.F F1)
 # =========================================================================
 
@@ -324,23 +368,96 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("o_orderstatus"))
 
 
-@register("ann_ivfpq_trained")  # rows-only BY DESIGN: MLlib k-means||
-# centroids + Lloyd's codebooks are seed-deterministic but not
-# dialect-reproducible in DuckDB; the seed-picked twin ann_ivfpq_topk
-# carries the full oracle for the same plan, and the operating point
-# (nprobe=8 x shortlist=400, recall@10 0.77) is the measured knee from
-# tools/scaling_check.py --knee (README table).
+def _ivfpq_replay_oracle(art_dir: str, nprobe: int,
+                         shortlist: int) -> str:
+    """The full IVF x PQ composition replayed in DuckDB FROM persisted
+    trained artifacts (centroids + codebooks parquet under *art_dir*):
+    cosine cell assignment (9dp, ties to smallest centroid id), probe
+    of the query's top-nprobe cells, per-subspace encode (argmax dot,
+    9dp, ties to lowest code), the adc_score_col fold (j*ncodes+code
+    indexing, 6dp), shortlist, exact-cosine re-rank — identical math
+    to the seed oracle _IVFPQ_SEED_ORACLE, with the artifact CTEs
+    reading parquet instead of deriving seed picks.  Verifies every
+    stage downstream of training at full value fidelity."""
+    return f"""
+WITH cent AS (
+  SELECT centroid_id, centroid_vec AS cvec
+  FROM read_parquet('{art_dir}/centroids/*.parquet')
+), cb AS (
+  SELECT j, cw, cv FROM read_parquet('{art_dir}/codebooks/*.parquet')
+), q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+cscored AS (
+  SELECT e.vec_id, e.embedding, c.centroid_id,
+         (round({V.duck_cosine('e.embedding', 'c.cvec')}, 9) + 0) AS cdist
+  FROM embeddings e CROSS JOIN cent c
+), celled AS (
+  SELECT vec_id, embedding, centroid_id AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cdist DESC, centroid_id) AS rn
+    FROM cscored) WHERE rn = 1
+), probe AS (
+  SELECT centroid_id AS cell
+  FROM cent, q
+  ORDER BY {V.duck_cosine('cvec', 'qv')} DESC, centroid_id
+  LIMIT {nprobe}
+), cand AS (
+  SELECT * FROM celled WHERE cell IN (SELECT cell FROM probe)
+), js AS (SELECT DISTINCT j FROM cb),
+ev AS (
+  SELECT c.vec_id, js.j, c.embedding[(js.j*8+1):(js.j*8+8)] AS xv
+  FROM cand c CROSS JOIN js
+), coded AS (
+  SELECT vec_id, j, cw FROM (
+    SELECT ev.vec_id, ev.j, cb.cw,
+           row_number() OVER (
+             PARTITION BY ev.vec_id, ev.j
+             ORDER BY (round({V.duck_dot('ev.xv', 'cb.cv')}, 9) + 0) DESC,
+                      cb.cw) AS rn
+    FROM ev JOIN cb ON cb.j = ev.j) WHERE rn = 1
+), qtab AS (
+  SELECT cb.j, cb.cw,
+         (round({V.duck_dot("(SELECT qv FROM q)[(cb.j*8+1):(cb.j*8+8)]",
+                            'cb.cv')}, 9) + 0) AS d
+  FROM cb
+), adc AS (
+  SELECT a.vec_id, (round(sum(t.d), 6) + 0) AS adc_sim
+  FROM coded a JOIN qtab t ON t.j = a.j AND t.cw = a.cw
+  GROUP BY a.vec_id
+), short AS (
+  SELECT vec_id FROM adc ORDER BY adc_sim DESC, vec_id LIMIT {shortlist}
+)
+SELECT c.vec_id, c.cell,
+       (round({V.duck_cosine('c.embedding', '(SELECT qv FROM q)')}, 6) + 0)
+         AS sim
+FROM cand c JOIN short s ON s.vec_id = c.vec_id
+ORDER BY sim DESC, c.vec_id LIMIT 10
+"""
+
+
+@register("ann_ivfpq_trained", oracle=_ivfpq_replay_oracle(
+    _trained_dir("ann_ivfpq_trained"), nprobe=8, shortlist=400))
 def ann_ivfpq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The trained IVF x PQ BUILD-path check: MLlib k-means coarse
     centroids + Lloyd's-trained codebooks through the same
     prune -> ADC -> re-rank composition as ann_ivfpq_topk, trained
     inline so the whole build+serve chain runs in one query.  Serving
     proper reads the persisted artifacts instead —
-    ann_ivfpq_materialized_trained."""
+    ann_ivfpq_materialized_trained.
+
+    FULL oracle since r12: the trained artifacts themselves aren't
+    DuckDB-reproducible (k-means|| / Lloyd's), so the query PERSISTS
+    them and the oracle replays the whole assign -> encode -> ADC ->
+    re-rank composition from the persisted parquet
+    (_ivfpq_replay_oracle) — the ann_trained_store_exhaustive
+    technique applied to the ADC fold (VERDICT r11 item 1).  The
+    nprobe=8 x shortlist=400 operating point (recall@10 0.77) is the
+    measured knee from tools/scaling_check.py --knee (README table)."""
     emb = _t(spark, sf_dir, "embeddings")
     cent = ivf_ops.kmeans_centroids(emb, 16)
     assigned = ivf_ops.assign_cells(emb, cent)
     cb = pq_ops.kmeans_codebooks(emb, m=8, ncodes=16)
+    _publish_centroids("ann_ivfpq_trained", cent)
+    _publish_codebooks("ann_ivfpq_trained", cb)
     return pq_ops.ivfpq_search(assigned, cent, cb,
                                _query_vec(spark, sf_dir),
                                k=10, nprobe=8, shortlist=400)
@@ -3473,22 +3590,61 @@ def ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_ops.pq_rerank(emb, codes, table, qv, k=10, shortlist=50)
 
 
-@register("ann_pq_rerank_trained")  # rows-only BY DESIGN: per-subspace
-# Lloyd's iterations are seed-deterministic in NumPy but not
-# dialect-reproducible in DuckDB SQL; quality is invariant-checked
-# instead (tests/test_pq.py::test_trained_beats_seed_recall asserts
-# trained >= seed recall, and tools/scaling_check.py publishes
-# seed-vs-trained recall side by side — 0.37 vs 0.83 at sf0.1).
+_PQRR_TRAINED_DIR = _trained_dir("ann_pq_rerank_trained")
+
+
+@register("ann_pq_rerank_trained", oracle=f"""
+WITH cb AS (
+  SELECT j, cw, cv
+  FROM read_parquet('{_PQRR_TRAINED_DIR}/codebooks/*.parquet')
+), js AS (SELECT DISTINCT j FROM cb),
+ev AS (
+  SELECT e.vec_id, js.j, e.embedding[(js.j*8+1):(js.j*8+8)] AS xv
+  FROM embeddings e CROSS JOIN js
+), assigned AS (
+  SELECT vec_id, j, cw FROM (
+    SELECT ev.vec_id, ev.j, cb.cw,
+           row_number() OVER (
+             PARTITION BY ev.vec_id, ev.j
+             ORDER BY (round({V.duck_dot('ev.xv', 'cb.cv')}, 9) + 0) DESC,
+                      cb.cw) AS rn
+    FROM ev JOIN cb ON cb.j = ev.j) WHERE rn = 1
+), q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+qtab AS (
+  SELECT cb.j, cb.cw,
+         (round({V.duck_dot("(SELECT qv FROM q)[(cb.j*8+1):(cb.j*8+8)]",
+                            'cb.cv')}, 9) + 0) AS d
+  FROM cb
+), adc AS (
+  SELECT a.vec_id, (round(sum(t.d), 6) + 0) AS adc_sim
+  FROM assigned a JOIN qtab t ON t.j = a.j AND t.cw = a.cw
+  GROUP BY a.vec_id
+), short AS (SELECT vec_id FROM adc ORDER BY adc_sim DESC, vec_id LIMIT 200)
+SELECT e.vec_id,
+       (round({V.duck_cosine('e.embedding', '(SELECT qv FROM q)')}, 6) + 0)
+         AS sim
+FROM embeddings e JOIN short s ON s.vec_id = e.vec_id
+ORDER BY sim DESC, e.vec_id LIMIT 10
+""")
 def ann_pq_rerank_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRODUCTION PQ path: k-means-trained codebooks (bounded
     deterministic sample, operators/pq.py:kmeans_codebooks) + the
     measured-knee shortlist of 200.  Identical plan shape to
     ann_pq_rerank — compressed ADC scan, TakeOrderedAndProject
     shortlist, broadcast exact re-rank — only the codebook literals
-    differ; the seed-codebook twin stays registered as the
-    oracle-value-checked spec of that shape."""
+    differ.
+
+    FULL oracle since r12 (VERDICT r11 item 1): Lloyd's iterations
+    aren't DuckDB-reproducible, so the query persists the trained
+    codebooks and the oracle replays encode -> ADC -> re-rank from the
+    persisted parquet — ann_pq_rerank's oracle with the codebook CTE
+    swapped from seed derivation to read_parquet.  Training QUALITY is
+    separately invariant-checked (test_pq.py::
+    test_trained_beats_seed_recall; recall table in
+    tools/scaling_check.py — 0.37 seed vs 0.83 trained at sf0.1)."""
     emb = _t(spark, sf_dir, "embeddings")
     cb = pq_ops.kmeans_codebooks(emb, m=8, ncodes=16)
+    _publish_codebooks("ann_pq_rerank_trained", cb)
     codes = pq_ops.pq_encode(emb, cb)
     qv = _query_vec(spark, sf_dir)
     table = pq_ops.adc_table(qv, cb)
@@ -3614,20 +3770,73 @@ def ann_ivfpq_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   k=10, nprobe=4, shortlist=50)
 
 
-@register("ann_ivfpq_materialized_trained")  # rows-only BY DESIGN:
-# trained artifacts (MLlib k-means|| centroids + Lloyd's codebooks)
-# are seed-deterministic but not dialect-reproducible in DuckDB; the
-# seed-artifact twin above carries the full oracle for the identical
-# serving plan, and the nprobe x shortlist operating point is
-# measured, not guessed (tools/scaling_check.py knee table -> README).
+_TRAINED_STORE_LINK = _trained_dir("trained_index")
+
+
+@register("ann_ivfpq_materialized_trained", oracle=f"""
+WITH cent AS (
+  SELECT centroid_id, centroid_vec AS cvec
+  FROM read_parquet('{_TRAINED_STORE_LINK}/centroids/*.parquet')
+), cb AS (
+  SELECT j, cw, cv
+  FROM read_parquet('{_TRAINED_STORE_LINK}/codebooks/*.parquet')
+), q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+probe AS (
+  SELECT centroid_id AS cell
+  FROM cent, q
+  ORDER BY {V.duck_cosine('cvec', 'qv')} DESC, centroid_id LIMIT 8
+), codes AS (
+  SELECT vec_id, codes, CAST(cell AS BIGINT) AS cell
+  FROM read_parquet('{_TRAINED_STORE_LINK}/codes/*/*.parquet',
+                    hive_partitioning = true)
+  WHERE CAST(cell AS BIGINT) IN (SELECT cell FROM probe)
+), js AS (SELECT DISTINCT j FROM cb),
+expl AS (
+  SELECT c.vec_id, js.j, c.codes[js.j + 1] AS cw
+  FROM codes c CROSS JOIN js
+), qtab AS (
+  SELECT cb.j, cb.cw,
+         (round({V.duck_dot("(SELECT qv FROM q)[(cb.j*8+1):(cb.j*8+8)]",
+                            'cb.cv')}, 9) + 0) AS d
+  FROM cb
+), adc AS (
+  SELECT e.vec_id, (round(sum(t.d), 6) + 0) AS adc_sim
+  FROM expl e JOIN qtab t ON t.j = e.j AND t.cw = e.cw
+  GROUP BY e.vec_id
+), short AS (
+  SELECT vec_id FROM adc ORDER BY adc_sim DESC, vec_id LIMIT 400
+), vecs AS (
+  SELECT vec_id, embedding, CAST(cell AS BIGINT) AS cell
+  FROM read_parquet('{_TRAINED_STORE_LINK}/vectors/*/*.parquet',
+                    hive_partitioning = true)
+  WHERE CAST(cell AS BIGINT) IN (SELECT cell FROM probe)
+)
+SELECT v.vec_id, v.cell,
+       (round({V.duck_cosine('v.embedding', '(SELECT qv FROM q)')}, 6) + 0)
+         AS sim
+FROM vecs v JOIN short s ON s.vec_id = v.vec_id
+ORDER BY sim DESC, v.vec_id LIMIT 10
+""")
 def ann_ivfpq_materialized_trained(spark: SparkSession,
                                    sf_dir: str) -> DataFrame:
     """The production serving row: trained IVF x PQ artifacts built
     ONCE (cached materialized index), queries served from the
     persisted store with cell partition pruning — no k-means, no
     Lloyd's, no assignment in the query path, unlike
-    ann_ivfpq_trained (kept registered as the build-path check)."""
+    ann_ivfpq_trained (kept registered as the build-path check).
+
+    FULL oracle since r12 (VERDICT r11 item 1): the query re-points a
+    canonical symlink at the cached store and the oracle replays the
+    SERVE path from the store's own parquet — probe from the persisted
+    centroid sidecar, hive-partition-filtered code scan, the
+    adc_score_col fold over the STORED codes (j*ncodes+code indexing,
+    6dp), shortlist-400, exact re-rank over the stored vectors.  The
+    store's content AND the serving math are both value-verified; only
+    the training iterations themselves stay unchecked (they cannot
+    be — but a wrong artifact would shift cells/codes and break the
+    match)."""
     path = _materialized_index(spark, sf_dir, trained=True)
+    _publish_store_link("trained_index", path)
     return ann_index.search_index(spark, path, _query_vec(spark, sf_dir),
                                   k=10, nprobe=8, shortlist=400)
 
@@ -8878,6 +9087,15 @@ def topk_mmr_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
 # every operator accrues one across rounds. Purely a presentation
 # order — REGISTRY itself keeps source order.
 DRIVER_VERIFIED = frozenset({
+    # round 12 rotation discipline: (a) the three trained-ANN rows are
+    # deliberately ABSENT (removed from their r5/r6 blocks) — r12 gave
+    # each a real DuckDB oracle over its own persisted artifacts
+    # (VERDICT r11 item 1), so they verify pending-first and the
+    # window's only remaining rows-only entries are the two embed-UDF
+    # rows; (b) udf_embed_batch / udf_embed_query are ABSENT too
+    # (VERDICT item 3: r11 touched the embed path — Arrow batch_size
+    # threading + preload_model — so they re-verify rows-only with
+    # fresh spark_rows > 0).
     # round 11 rotation discipline: (a) never-verified rows are
     # pending by construction (bpe_encode_corpus — red in r10, now
     # re-registered with a hashable token_ids projection;
@@ -8891,6 +9109,20 @@ DRIVER_VERIFIED = frozenset({
     # text_index_stats, text_bm25_topk, hybrid_search_rrf (removed
     # from their earlier blocks), plus pipeline_serving_capstone
     # (VERDICT item 5 asks for a re-run after the facade change).
+    # round 11 (CORRECTNESS_r11.json — 49 full-oracle green + 1
+    # rows-only-by-design): the r11 window's fresh names.  NOTE
+    # ann_ivfpq_trained is NOT here despite its r11 row — its serving
+    # fn changed in r12 (artifact publication + new oracle), so it
+    # stays pending-first along with its two trained siblings.
+    "ann_trained_store_exhaustive", "search_index_many",
+    "search_index_many_large", "hybrid_serve_many",
+    "hybrid_serve_many_large", "dsir_importance_sample",
+    "text_bm25_topk", "hybrid_search_rrf", "text_inverted_index_topk",
+    "text_search_many", "text_search_many_large",
+    "text_filtered_many_large", "hybrid_filtered_serve",
+    "hybrid_filtered_many_large", "text_index_stats",
+    "bpe_encode_corpus", "tokenizer_fertility_by_source",
+    "pipeline_serving_capstone",
     # round 10 (CORRECTNESS_r10.json — 48 full-oracle green; the
     # re-verified lifecycle and serve rows):
     "dedup_minhash_estimate", "ann_pq_topk", "ann_pq_rerank",
@@ -8942,7 +9174,6 @@ DRIVER_VERIFIED = frozenset({
     "pipeline_crawl_admit_index", "text_gopher_rules", "corpus_report",
     "skew_report_events", "vocab_coverage", "doc_length_histogram",
     "integrity_orphans",
-    "ann_ivfpq_materialized_trained",
     "ann_index_stats",
     "partitioned_time_scan", "store_bucket_stats",
     "multimodal_dedup_near", "multimodal_frame_dedup",
@@ -8959,14 +9190,12 @@ DRIVER_VERIFIED = frozenset({
     "topk_mmr_diverse",
     # round 5 (CORRECTNESS_r05.json — re-verified names already listed
     # under earlier rounds are not repeated)
-    "bucketed_colocated_join", "ann_ivfpq_trained",
-    "zorder_clustered_scan", "sink_delete_keys", "keyset_pagination",
+    "bucketed_colocated_join", "zorder_clustered_scan", "sink_delete_keys", "keyset_pagination",
     "tpch_q6_forecast_revenue", "tpch_q7_volume_shipping",
     "tpch_q8_market_share", "tpch_q9_product_profit",
     "tpch_q10_returned_items", "tpch_q11_important_stock",
     "tpch_q12_shipping_priority_class", "tpch_q13_customer_distribution",
     "tpch_q20_part_promotion", "dedup_incremental_new_docs",
-    "ann_pq_rerank_trained",
     "pack_sequences_budget", "pack_fill_stats",
     "pipeline_training_batches", "pack_sequences_greedy",
     "multimodal_dedup_bytes", "corpus_weighted_sample",
@@ -8990,7 +9219,7 @@ DRIVER_VERIFIED = frozenset({
     "streaming_sessionize_stateful", "streaming_dedup_within_watermark",
     "streaming_upsert_store",
     # round 3 (CORRECTNESS_r03.json)
-    "udf_embed_query", "group_centroids_pandas",
+    "group_centroids_pandas",
     # round 2 (CORRECTNESS_r02.json)
     "knn_join_pandas", "tpch_top_customers", "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume", "tpch_q14_promo_revenue",
@@ -9003,7 +9232,7 @@ DRIVER_VERIFIED = frozenset({
     "topk_quantized_int8", "dedup_components", "dedup_keep_canonical",
     "dedup_repeated_chunks", "pipeline_clean_corpus", "stratified_sample",
     "text_tfidf_topterms", "decontaminate_ngram", "shard_assignment",
-    "text_pii_scrub", "udf_embed_batch", "multimodal_features",
+    "text_pii_scrub", "multimodal_features",
     "multimodal_resize", "multimodal_frame_sample",
     "search_topk_enriched", "udtf_explode_users", "train_test_split",
     "text_chunking", "text_repetition", "topk_prenormalized",
@@ -9032,10 +9261,40 @@ DRIVER_VERIFIED = frozenset({
 })
 
 
+def _last_checked_rounds() -> dict:
+    """Per-row most-recent driver check, read from the
+    CORRECTNESS_r*.json artifacts at the repo root (the driver and the
+    local gate both run from there).  Names never appearing map to 0.
+    Failure-tolerant: no artifacts (fresh clone) -> empty dict and the
+    caller falls back to registration order."""
+    import glob as _glob
+    import json as _json
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    last: dict[str, int] = {}
+    for f in sorted(_glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            rnd = int(f.rsplit("_r", 1)[1].split(".")[0])
+            rows = _json.load(open(f))
+        except (ValueError, OSError, _json.JSONDecodeError):
+            continue
+        if isinstance(rows, dict):
+            for name in rows:
+                last[name] = max(last.get(name, 0), rnd)
+    return last
+
+
 def verification_order(mapping: dict) -> dict:
-    """Reorder ``mapping`` (REGISTRY or ORACLES) so names without a
-    driver CORRECTNESS row from any prior round come first, each block
-    keeping its original registration order."""
+    """Reorder ``mapping`` (REGISTRY or ORACLES) for the driver's
+    ~50-row window: names without a driver CORRECTNESS row — or whose
+    serving code changed this round (curated out of DRIVER_VERIFIED) —
+    come first in registration order, then everything else OLDEST
+    driver check first (VERDICT r11 item 2: the age-based rotation that
+    cycles stale rows — 84 rows were stuck at <= r4 — back through the
+    window at ~25-45/round, bounding staleness at ~2-3 rounds)."""
+    last = _last_checked_rounds()
     pending = [k for k in REGISTRY if k not in DRIVER_VERIFIED]
-    done = [k for k in REGISTRY if k in DRIVER_VERIFIED]
+    reg_pos = {k: i for i, k in enumerate(REGISTRY)}
+    done = sorted((k for k in REGISTRY if k in DRIVER_VERIFIED),
+                  key=lambda k: (last.get(k, 0), reg_pos[k]))
     return {k: mapping[k] for k in (*pending, *done) if k in mapping}
