@@ -5183,6 +5183,50 @@ def dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, F.col("source").isin("src1", "src3"))
 
 
+@register("dsir_hashed_bigram", oracle=f"""
+WITH lt AS (
+  SELECT doc_id, (source IN ('src1', 'src3')) AS tgt,
+         {_DUCK_TOKENS} AS t
+  FROM documents
+), tok AS (
+  SELECT doc_id, tgt,
+         ((('0x' || substr(md5(f), 1, 12))::BIGINT) % 4096) AS b
+  FROM (
+    SELECT doc_id, tgt,
+           unnest(list_concat(
+             t, [t[i + 1] || ' ' || t[i + 2]
+                 FOR i IN range(len(t) - 1)])) AS f
+    FROM lt)
+), ca AS (SELECT b, count(*) AS c_all FROM tok GROUP BY 1),
+ct AS (SELECT b, count(*) AS c_t FROM tok WHERE tgt GROUP BY 1),
+na AS (SELECT sum(c_all) AS n_all FROM ca),
+nt AS (SELECT count(*) AS n_t FROM tok WHERE tgt),
+r AS (
+  SELECT ca.b,
+         (ln(CAST(coalesce(ct.c_t, 0) + 1 AS DOUBLE) / (nt.n_t + 4096))
+          - ln(CAST(ca.c_all + 1 AS DOUBLE) / (na.n_all + 4096))) AS lr
+  FROM ca LEFT JOIN ct USING (b), na, nt
+)
+SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+       (round(avg(r.lr), 6) + 0) AS avg_log_ratio
+FROM tok t JOIN r USING (b) WHERE NOT t.tgt
+GROUP BY t.doc_id
+ORDER BY avg_log_ratio DESC, doc_id LIMIT 100
+""")
+def dsir_hashed_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR as Xie et al. 2023 actually ship it (section 3, hashed
+    n-gram features): unigrams + bigrams hashed into 4096 buckets,
+    same importance-ratio estimator as dsir_importance_sample over the
+    bucket counts — the model is 4096 rows by construction, so at
+    100 TB the count tables are bounded regardless of vocabulary and
+    the bigram features add word-order signal (VERDICT r11 item 5).
+    Same target slice (source src1/src3) so the two estimators'
+    rankings are directly comparable."""
+    docs = readers.widen(_t(spark, sf_dir, "documents"))
+    return corpus_ops.dsir_hashed_ngrams(
+        docs, F.col("source").isin("src1", "src3"))
+
+
 @register("decontaminate_ngram", oracle=f"""
 WITH toks AS (
   SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents

@@ -368,3 +368,63 @@ def dsir_importance(docs: DataFrame, target_pred,
                  .alias("avg_log_ratio"))
             .orderBy(F.col("avg_log_ratio").desc(), F.col(id_col))
             .limit(k))
+
+
+def dsir_hashed_ngrams(docs: DataFrame, target_pred,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       buckets: int = 4096, k: int = 100) -> DataFrame:
+    """The PRODUCTION DSIR estimator (Xie et al., NeurIPS 2023,
+    arXiv:2302.03169 section 3: hashed n-gram features): unigram AND
+    bigram features, each hashed into a FIXED bucket space, scored by
+    the same mean log importance ratio as :func:`dsir_importance`.
+    Hashing is what the paper actually ships — the model is exactly
+    ``buckets`` rows regardless of corpus vocabulary, so at 100 TB the
+    count tables are bounded by construction (the n=1 exact-vocab form
+    above keeps a vocabulary-sized table: fine for analysis, unbounded
+    in principle), and bigrams give the estimator word-order signal a
+    unigram model cannot see.
+
+    Same plan shape as the exact-vocab form: two bucket-keyed count
+    aggregates (uniform keys — the hash is the salt), the scalar
+    totals broadcast as one-row frames, the per-feature scoring join
+    CO-PARTITIONS on the bucket key, per-doc means are map-side
+    partial aggregates, final top-k is TakeOrderedAndProject.
+    Add-one smoothing runs over the fixed bucket space (denominator
+    ``buckets``), which also drops the vocab-size count query.  The
+    feature hash is the repo's shared 48-bit md5 prefix
+    (analysis.token_hash) so DuckDB replays it exactly."""
+    toks = analysis.tokens(F.col(text_col))
+    # bigrams: zip the token array against itself shifted by one —
+    # zip_with pads the tail with null, which concat propagates, so
+    # one null-filter yields exactly the n-1 adjacent pairs
+    bigrams = F.filter(
+        F.zip_with(toks, F.slice(toks, 2, F.size(toks)),
+                   lambda a, b: F.concat(a, F.lit(" "), b)),
+        lambda x: x.isNotNull())
+    feats = F.concat(toks, bigrams)
+    tok = (docs.select(F.col(id_col), target_pred.alias("_tgt"),
+                       F.explode(feats).alias("_f"))
+           .select(id_col, "_tgt",
+                   F.pmod(analysis.token_hash(F.col("_f")),
+                          F.lit(buckets)).alias("b")))
+    cnt_all = tok.groupBy("b").agg(F.count("*").alias("_c_all"))
+    cnt_t = (tok.filter(F.col("_tgt"))
+             .groupBy("b").agg(F.count("*").alias("_c_t")))
+    tot_all = cnt_all.agg(F.sum("_c_all").alias("_n_all"))
+    tot_t = tok.filter(F.col("_tgt")).agg(F.count("*").alias("_n_t"))
+    lr = (F.log((F.coalesce(F.col("_c_t"), F.lit(0)) + F.lit(1))
+                .cast("double") / (F.col("_n_t") + F.lit(buckets)))
+          - F.log((F.col("_c_all") + F.lit(1)).cast("double")
+                  / (F.col("_n_all") + F.lit(buckets))))
+    ratios = (cnt_all.join(cnt_t, "b", "left")
+              .crossJoin(F.broadcast(tot_all))
+              .crossJoin(F.broadcast(tot_t))
+              .select("b", lr.alias("_lr")))
+    return (tok.filter(~F.col("_tgt"))
+            .join(ratios, "b")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_feats"),
+                 (F.round(F.avg("_lr"), 6) + F.lit(0.0))
+                 .alias("avg_log_ratio"))
+            .orderBy(F.col("avg_log_ratio").desc(), F.col(id_col))
+            .limit(k))
