@@ -9139,7 +9139,15 @@ DRIVER_VERIFIED = frozenset({
     # rows; (b) udf_embed_batch / udf_embed_query are ABSENT too
     # (VERDICT item 3: r11 touched the embed path — Arrow batch_size
     # threading + preload_model — so they re-verify rows-only with
-    # fresh spark_rows > 0).
+    # fresh spark_rows > 0); (c) every row served through
+    # search_index_many / search_inverted_index_many /
+    # hybrid_serve_many is ABSENT (removed from the r11 block below)
+    # because r12 changed those paths (driver-side probe, with_rank,
+    # rank-reusing threaded fusion — VERDICT item 4):
+    # search_index_many(_large), text_search_many(_large),
+    # text_filtered_many_large, hybrid_serve_many(_large),
+    # hybrid_filtered_serve, hybrid_filtered_many_large,
+    # pipeline_serving_capstone.
     # round 11 rotation discipline: (a) never-verified rows are
     # pending by construction (bpe_encode_corpus — red in r10, now
     # re-registered with a hashable token_ids projection;
@@ -9158,15 +9166,10 @@ DRIVER_VERIFIED = frozenset({
     # ann_ivfpq_trained is NOT here despite its r11 row — its serving
     # fn changed in r12 (artifact publication + new oracle), so it
     # stays pending-first along with its two trained siblings.
-    "ann_trained_store_exhaustive", "search_index_many",
-    "search_index_many_large", "hybrid_serve_many",
-    "hybrid_serve_many_large", "dsir_importance_sample",
+    "ann_trained_store_exhaustive", "dsir_importance_sample",
     "text_bm25_topk", "hybrid_search_rrf", "text_inverted_index_topk",
-    "text_search_many", "text_search_many_large",
-    "text_filtered_many_large", "hybrid_filtered_serve",
-    "hybrid_filtered_many_large", "text_index_stats",
+    "text_index_stats",
     "bpe_encode_corpus", "tokenizer_fertility_by_source",
-    "pipeline_serving_capstone",
     # round 10 (CORRECTNESS_r10.json — 48 full-oracle green; the
     # re-verified lifecycle and serve rows):
     "dedup_minhash_estimate", "ann_pq_topk", "ann_pq_rerank",

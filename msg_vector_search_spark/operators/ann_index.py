@@ -216,7 +216,8 @@ def search_index_many(spark: SparkSession, path: str,
                       queries: dict, k: int = 10, nprobe: int = 8,
                       shortlist: int = 400,
                       where: str | None = None,
-                      literal_max: int = 4) -> DataFrame:
+                      literal_max: int = 4,
+                      with_rank: bool = False) -> DataFrame:
     """Serve a BATCH of queries from the persisted index in ONE plan —
     the high-QPS path :func:`search_index` can't reach: a single call
     carries ~0.2 s of local scheduler overhead, so Q sequential calls
@@ -284,41 +285,16 @@ def search_index_many(spark: SparkSession, path: str,
         return spark.createDataFrame(
             [], f"qid long, {id_col} long, cell long, sim double")
 
-    # ONE probe job for the whole batch either way: one collect of
-    # Q x nprobe rows — the per-call scheduler round trip is paid once
-    if len(qitems) <= literal_max:
-        # ONE probe job: Q tiny subplans unioned — each is
-        # probe_cells' exact expression, so per-query cell sets match
-        # the single-query path bit-for-bit
-        probe_frames = [
-            ivf.probe_cells(cent, qv, nprobe)
-            .withColumn("qid", F.lit(qid).cast("long"))
-            for qid, qv in qitems]
-        probe_all = probe_frames[0]
-        for pf in probe_frames[1:]:
-            probe_all = probe_all.unionByName(pf)
-    else:
-        # large-Q probe as DATA: centroids x broadcast query frame
-        # (nlist x Q rows, driver-bounded) with probe_cells' exact
-        # ordering as a per-qid window — constant plan in Q, same
-        # cosine doubles, same (qdist desc, centroid_id asc) tiebreak
-        from pyspark.sql import Window
-
-        qdim_p = spark.createDataFrame(
-            [(int(qid), [float(x) for x in qv]) for qid, qv in qitems],
-            "qid long, _qv array<double>")
-        w_p = Window.partitionBy("qid").orderBy(
-            F.col("qdist").desc(), F.col("centroid_id").asc())
-        probe_all = (cent.crossJoin(F.broadcast(qdim_p))
-                     .withColumn("qdist",
-                                 V.cosine(F.col("centroid_vec"),
-                                          F.col("_qv")))
-                     .withColumn("_rn", F.row_number().over(w_p))
-                     .filter(F.col("_rn") <= nprobe)
-                     .select("qid", F.col("centroid_id").alias("cell")))
-    cells_by_q: dict = {}
-    for r in probe_all.collect():
-        cells_by_q.setdefault(r["qid"], []).append(r["cell"])
+    # Probe DRIVER-SIDE for the whole batch: the centroid sidecar is
+    # nlist rows (collected once), and ivf.probe_cells_local replays
+    # probe_cells\' cosine with the identical IEEE operation order and
+    # tiebreak — bit-identical cell sets, ZERO probe jobs.  The Spark
+    # probe job this replaces cost ~2 s local per batched call (one
+    # crossJoin+window stage regardless of Q) — measured r12, it was
+    # the largest serial component of the hybrid large-Q tail.
+    cent_rows = cent.collect()
+    cells_by_q = {int(qid): ivf.probe_cells_local(cent_rows, qv, nprobe)
+                  for qid, qv in qitems}
     union_cells = sorted({c for cs in cells_by_q.values() for c in cs})
 
     codes = (spark.read.parquet(_subdir(path, "codes"))
@@ -383,13 +359,19 @@ def search_index_many(spark: SparkSession, path: str,
     exact = V.cosine(F.col(vec_col), F.col("_qv"))
     w_k = Window.partitionBy("qid").orderBy(
         F.col("sim").desc(), F.col(id_col).asc())
+    # with_rank exposes the top-k window\'s own row_number as the
+    # per-query rank — RRF fusion consumes it directly instead of
+    # re-windowing the k-bounded output (hybrid_serve_many)
+    extra = ((F.col("_rn").cast("int").alias("rank"),)
+             if with_rank else ())
     return (vectors.join(F.broadcast(short), id_col)
             .join(F.broadcast(qdim), "qid")
             .withColumn("sim", F.round(exact, 6) + F.lit(0.0))
             .withColumn("_rn", F.row_number().over(w_k))
             .filter(F.col("_rn") <= k)
             .select("qid", id_col,
-                    F.col("cell").cast("long").alias("cell"), "sim")
+                    F.col("cell").cast("long").alias("cell"), "sim",
+                    *extra)
             .orderBy("qid", F.col("sim").desc(), F.col(id_col).asc()))
 
 

@@ -20,6 +20,8 @@ centroids would use.  Swapping in MLlib KMeans centroids is a drop-in.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -211,6 +213,38 @@ def probe_cells(centroids: DataFrame, query_vec: list[float],
         .limit(nprobe)
         .select(F.col("centroid_id").alias("cell"))
     )
+
+
+def probe_cells_local(cent_rows, query_vec: list[float],
+                      nprobe: int) -> list:
+    """Driver-side :func:`probe_cells`: same cosine on the same
+    operands in the same ORDER (Spark's F.aggregate folds left;
+    Python's += loop is the identical IEEE-754 sequence, unlike
+    numpy's pairwise/SIMD sums), same (qdist desc, centroid_id asc)
+    tiebreak — bit-identical cell sets with NO scheduler round trip.
+    For the batched serves that need Q probe results up front: the
+    Spark probe job costs ~2 s local per call regardless of Q, while
+    this is O(Q x nlist x d) driver arithmetic over the
+    dimension-bounded centroid rows (collect them once, reuse across
+    queries)."""
+    qn = 0.0
+    for x in query_vec:
+        qn += float(x) * float(x)
+    qn = math.sqrt(qn)
+    scored = []
+    for r in cent_rows:
+        cv = r["centroid_vec"]
+        cn = 0.0
+        dot = 0.0
+        for x, y in zip(cv, query_vec):
+            fx = float(x)
+            cn += fx * fx
+            dot += fx * float(y)
+        n = math.sqrt(cn) * qn
+        cos = 0.0 if n == 0.0 else dot / n
+        scored.append((-cos, r["centroid_id"]))
+    scored.sort()
+    return [cid for _, cid in scored[:nprobe]]
 
 
 def ivf_search(assigned: DataFrame, centroids: DataFrame,

@@ -6,6 +6,7 @@ from __future__ import annotations
 import math
 
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from msg_vector_search_spark.operators import dedup as dedup_ops
@@ -654,6 +655,66 @@ def test_hybrid_serve_many_batch_independence(spark, tmp_path):
             spark, tpath, apath, {qid: queries[qid]}, leg_k=20, k=5,
             nprobe=2, shortlist=20).collect()]
     assert got == want and len(got) > 0
+
+
+def test_hybrid_fusion_reuses_leg_ranks(spark, tmp_path):
+    """The r12 tail fix (VERDICT r11 item 4): RRF fusion consumes each
+    leg's OWN top-k window row_number (with_rank=True) instead of
+    re-windowing the k-bounded leg outputs.  Pins (a) the legs emit a
+    ``rank`` column equal to the (score desc, id asc) re-rank an
+    external window would compute, and (b) hybrid's plan spends
+    exactly ONE row_number beyond what the two legs already pay — the
+    fusion window over rrf — so fusion adds no per-leg exchanges."""
+    from msg_vector_search_spark.operators import ann_index
+
+    rows = [(i, ("alpha beta " if i % 2 else "gamma delta ") + f"doc{i}")
+            for i in range(40)]
+    tpath = str(tmp_path / "text")
+    retrieval.build_inverted_index(_mini_corpus(spark, rows), tpath,
+                                   n_buckets=8)
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet").limit(40).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double"))
+        .alias("embedding"))
+    apath = str(tmp_path / "ann")
+    ann_index.build_index(spark, emb, apath, nlist=4, m=8, ncodes=16)
+    qv = {r["vec_id"]: [float(x) for x in r["embedding"]]
+          for r in emb.filter(F.col("vec_id").isin([0, 3])).collect()}
+    queries = {0: {"terms": ["alpha", "beta"], "qvec": qv[0]},
+               3: {"terms": ["gamma"], "qvec": qv[3]}}
+    kw_q = {q: s["terms"] for q, s in queries.items()}
+    vec_q = {q: s["qvec"] for q, s in queries.items()}
+
+    # (a) each leg's with_rank column == an external re-rank window
+    kw = retrieval.search_inverted_index_many(
+        spark, tpath, kw_q, k=20, literal_max=0, with_rank=True)
+    w_kw = Window.partitionBy("qid").orderBy(
+        F.col("bm25").desc(), F.col("doc_id").asc())
+    ext = {(r["qid"], r["doc_id"]): r["_r"] for r in
+           kw.withColumn("_r", F.row_number().over(w_kw)).collect()}
+    assert all(r["rank"] == ext[(r["qid"], r["doc_id"])]
+               for r in kw.collect())
+    vec = ann_index.search_index_many(
+        spark, apath, vec_q, k=20, nprobe=2, shortlist=20,
+        literal_max=0, with_rank=True)
+    w_v = Window.partitionBy("qid").orderBy(
+        F.col("sim").desc(), F.col("vec_id").asc())
+    extv = {(r["qid"], r["vec_id"]): r["_r"] for r in
+            vec.withColumn("_r", F.row_number().over(w_v)).collect()}
+    assert all(r["rank"] == extv[(r["qid"], r["vec_id"])]
+               for r in vec.collect())
+
+    # (b) hybrid pays exactly one Window operator more than the two
+    # legs already contain: the fusion window over rrf
+    def n_windows(df):
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        return plan.count("Window [")
+
+    hybrid = retrieval.hybrid_serve_many(
+        spark, tpath, apath, queries, leg_k=20, k=5,
+        nprobe=2, shortlist=20, literal_max=0)
+    assert n_windows(hybrid) == n_windows(kw) + n_windows(vec) + 1
 
 
 def test_text_upsert_rerun_recovers_half_appended_batch(spark, tmp_path):
