@@ -48,7 +48,10 @@ class Engine:
     def __init__(self, spark: SparkSession, sf_dir: str, store_dir: str,
                  update_threshold: int = 50, clock=time.time,
                  index_dir: str | None = None, nlist: int = 16,
-                 nprobe: int = 8, shortlist: int = 400):
+                 nprobe: int = 8, shortlist: int = 400,
+                 rebuild_growth: float | None = None,
+                 rebuild_skew: float | None = None,
+                 min_recall: float | None = None):
         self.spark = spark
         self.sf_dir = sf_dir
         self.store_dir = store_dir
@@ -66,6 +69,15 @@ class Engine:
         self.nlist = nlist
         self.nprobe = nprobe
         self.shortlist = shortlist
+        #: rebuild policy (maintain_index): any non-None signal arms
+        #: automatic maintenance after each index upsert.
+        #: rebuild_growth — rows grown since build / rows at build;
+        #: rebuild_skew — max cell occupancy / mean cell occupancy;
+        #: min_recall — recall@10 floor (opt-in: ground truth costs a
+        #: full store scan, the other two are metadata-light)
+        self.rebuild_growth = rebuild_growth
+        self.rebuild_skew = rebuild_skew
+        self.min_recall = min_recall
 
     # -- 3.2 write path ---------------------------------------------------
     def update_embeddings(self, max_messages: int | None = 10_000,
@@ -111,6 +123,7 @@ class Engine:
                     self.spark.conf.set(arrow_key, old_batch)
         self._gap_cache = None  # the store changed; cached gap is stale
         after = self._embedded_count()
+        maint = None
         if self.index_dir and self._index_ready() and after != before:
             from .operators import ann_index
             gen = merged.agg(F.max("_gen")).collect()[0][0]
@@ -119,11 +132,21 @@ class Engine:
                 merged.filter(F.col("_gen") == gen)
                 .select("message_id", "embedding",
                         *self.INDEX_META_COLS))
-        return {
+            if (self.rebuild_growth is not None
+                    or self.rebuild_skew is not None
+                    or self.min_recall is not None):
+                # the upsert merged new rows without moving centroids;
+                # an armed policy decides HERE whether decay crossed
+                # the line — ingest and maintenance advance together
+                maint = self.maintain_index()
+        out = {
             "status": "success",
             "new_messages": after - before,
             "update_time_ms": round((time.time() - t0) * 1000, 1),
         }
+        if maint is not None:
+            out["index_maintenance"] = maint
+        return out
 
     def preload_model(self) -> None:
         """Reference parity: the server preloads the embedding model
@@ -172,6 +195,92 @@ class Engine:
             self.index_dir, nlist=self.nlist, m=8, ncodes=16,
             id_col="message_id", meta_cols=self.INDEX_META_COLS)
         return True
+
+    def index_maintenance_stats(self) -> dict:
+        """The decay signals, metadata-light: per-cell occupancy of the
+        codes store (count-per-partition — no vector bytes read, the
+        ann_index_stats economics) folded to growth-since-build and
+        cell skew.  upsert_index deliberately never moves centroids or
+        codebooks (the FAISS operating practice), so these two numbers
+        are exactly what drifts."""
+        import os
+
+        from .operators import ann_index
+
+        meta = ann_index.read_meta(self.index_dir)
+        counts = [r["n"] for r in
+                  (self.spark.read.parquet(
+                      os.path.join(self.index_dir, "codes"))
+                   .groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+                   .collect())]
+        total = sum(counts)
+        mean = total / len(counts) if counts else 0.0
+        skew = (max(counts) / mean) if counts and mean else 1.0
+        at_build = int(meta.get("n_rows") or total)
+        growth = ((total - at_build) / at_build) if at_build else 0.0
+        return {"total_rows": total, "rows_at_build": at_build,
+                "occupied_cells": len(counts),
+                "skew": round(skew, 4), "growth": round(growth, 4)}
+
+    def audit_recall(self, k: int = 10) -> float:
+        """Recall@k of indexed serving (this engine's nprobe/shortlist
+        operating point) against brute-force ground truth over the
+        store, probed with the stored vector of the smallest
+        message_id — the facade rendering of the ann_recall_audit
+        query.  Costs one full store scan (the ground-truth leg); the
+        index leg is the usual pruned read."""
+        from .operators import ann_index
+        from .functions import vector as V
+
+        store = self._store()
+        qrow = (store.orderBy("message_id")
+                .select("embedding").head())
+        qv = [float(x) for x in qrow[0]]
+        q = F.array(*[F.lit(v) for v in qv])
+        truth = {r["message_id"] for r in
+                 store.select("message_id",
+                              V.cosine(F.col("embedding"), q)
+                              .alias("sim"))
+                 .orderBy(F.col("sim").desc(), F.col("message_id"))
+                 .limit(k).collect()}
+        served = {r["message_id"] for r in
+                  ann_index.search_index(
+                      self.spark, self.index_dir, qv, k=k,
+                      nprobe=self.nprobe,
+                      shortlist=self.shortlist).collect()}
+        return len(truth & served) / float(k)
+
+    def maintain_index(self, force: bool = False) -> dict:
+        """The rebuild DECISION (the action on the decay
+        ann_index_stats observes): trip any armed signal — growth
+        since build, cell skew, or the opt-in recall floor — and run
+        ann_index.rebuild_index (staged build from the current vectors
+        store, whole-dir swap; bit-identical to a fresh build over the
+        same rows, so serving rows stay green across it).  Returns the
+        measured signals plus what was decided; ``force=True`` skips
+        the signals (the scheduled-maintenance path)."""
+        if not (self.index_dir and self._index_ready()):
+            return {"rebuilt": False, "reason": "no_index"}
+        sig = self.index_maintenance_stats()
+        reason = None
+        if force:
+            reason = "forced"
+        elif (self.rebuild_growth is not None
+                and sig["growth"] > self.rebuild_growth):
+            reason = "growth"
+        elif (self.rebuild_skew is not None
+                and sig["skew"] > self.rebuild_skew):
+            reason = "skew"
+        elif self.min_recall is not None:
+            sig["recall"] = self.audit_recall()
+            if sig["recall"] < self.min_recall:
+                reason = "recall"
+        if reason is None:
+            return {"rebuilt": False, **sig}
+        from .operators import ann_index
+
+        ann_index.rebuild_index(self.spark, self.index_dir)
+        return {"rebuilt": True, "reason": reason, **sig}
 
     @staticmethod
     def _index_where(conversation_type: str | None,

@@ -104,9 +104,13 @@ def build_index(spark: SparkSession, embeddings: DataFrame, path: str,
     _write_codebooks(books, _subdir(path, "codebooks"))
     # dim is recoverable from the codebook tensor: m subspaces x dsub
     dim = m * books.shape[2]
+    # n_rows at build is the growth baseline for the facade's rebuild
+    # policy (Engine.maintain_index); counting the already-checkpointed
+    # assignment is metadata-cheap
     meta = {"m": m, "ncodes": ncodes, "nlist": nlist, "dim": dim,
             "trained": bool(trained), "id_col": id_col,
-            "vec_col": vec_col, "meta_cols": list(meta_cols)}
+            "vec_col": vec_col, "meta_cols": list(meta_cols),
+            "n_rows": assigned.count()}
     with open(os.path.join(path, META_FILE), "w") as f:
         json.dump(meta, f)
     return meta

@@ -241,6 +241,64 @@ def test_indexed_engine_ingest_upserts_index(spark, tmp_path):
     assert a["results"] == b["results"]
 
 
+def test_maintain_index_rebuild_policy(spark, tmp_path):
+    """The facade rebuild policy (VERDICT r11 item 6), interleaved
+    with the serving lifecycle: build on a partial store -> ingest
+    (upsert) trips the armed growth signal -> maintain_index rebuilds
+    (meta's n_rows baseline advances, occupancy stays consistent) ->
+    a second maintenance pass is a no-op -> exact-mode indexed serving
+    equals brute serving over the full corpus across the whole
+    sequence.  Also pins the signals' values: growth measured against
+    the build baseline, skew >= 1, recall = 1.0 in exact mode."""
+    from msg_vector_search_spark.operators import ann_index
+
+    idx = Engine(spark, SF, str(tmp_path / "i"),
+                 update_threshold=10 ** 9,
+                 index_dir=str(tmp_path / "idx"), nlist=4, nprobe=4,
+                 shortlist=10 ** 6, rebuild_growth=0.05)
+    first = idx.update_embeddings(max_messages=400)
+    assert first["new_messages"] > 0
+    assert "index_maintenance" not in first  # no index yet
+    assert idx.ensure_index()
+    base = ann_index.read_meta(idx.index_dir)["n_rows"]
+    assert base == idx._embedded_count()
+
+    # quiet store: signals below threshold, no rebuild
+    calm = idx.maintain_index()
+    assert calm["rebuilt"] is False
+    assert calm["growth"] == 0.0 and calm["skew"] >= 1.0
+
+    # ingest the rest: the upsert grows the index past the armed
+    # threshold and update_embeddings runs maintenance inline
+    second = idx.update_embeddings(max_messages=None)
+    assert second["new_messages"] > 0
+    maint = second["index_maintenance"]
+    assert maint["rebuilt"] is True and maint["reason"] == "growth"
+    assert maint["rows_at_build"] == base
+    assert maint["total_rows"] == idx._embedded_count()
+
+    # the rebuild reset the baseline: next pass is a no-op
+    again = idx.maintain_index()
+    assert again["rebuilt"] is False and again["growth"] == 0.0
+    assert ann_index.read_meta(idx.index_dir)["n_rows"] == \
+        idx._embedded_count()
+
+    # recall floor in exact mode: audit reports 1.0, never trips
+    idx.min_recall = 0.99
+    audited = idx.maintain_index()
+    assert audited["rebuilt"] is False and audited["recall"] == 1.0
+
+    # serving stayed correct across upsert + rebuild: equal to the
+    # brute twin ingested with the same batch boundaries
+    brute = Engine(spark, SF, str(tmp_path / "b"),
+                   update_threshold=10 ** 9)
+    brute.update_embeddings(max_messages=400)
+    brute.update_embeddings(max_messages=None)
+    a = brute.search("test message", limit=8, threshold=-1.0)
+    b = idx.search("test message", limit=8, threshold=-1.0)
+    assert a["results"] == b["results"]
+
+
 def test_search_many_per_query_filters(spark, tmp_path):
     """A multi-tenant batch: per-key filter specs group into one serve
     per DISTINCT filter, and every key's envelope equals a separate
