@@ -290,3 +290,84 @@ def test_dsir_matches_reference_model(spark, rows):
         assert abs(gd[i][1] - wd[i][1]) <= 2e-6, i
     scores = [sc for _, _, sc in got]
     assert scores == sorted(scores, reverse=True)
+
+
+def ref_bm25(corpus: dict, terms: list[str],
+             k1: float = 1.2, b: float = 0.75) -> dict:
+    """Reference BM25 over token lists (plain Python floats): doc ->
+    (dl, score) for docs matching >= 1 query term.  Same formula and
+    constants as retrieval._bm25_score_col, independent implementation."""
+    import math
+
+    n = len(corpus)
+    sumdl = sum(len(t) for t in corpus.values())
+    avgdl = sumdl / n
+    df = {t: sum(1 for toks in corpus.values() if t in toks)
+          for t in set(terms)}
+    out = {}
+    for doc, toks in corpus.items():
+        tfs = [toks.count(t) for t in terms]
+        if sum(tfs) == 0:
+            continue
+        dl = len(toks)
+        score = 0.0
+        for t, tf in zip(terms, tfs):
+            idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            score += (idf * (tf * (k1 + 1.0))
+                      / (tf + k1 * (1.0 - b + b * (dl / avgdl))))
+        out[doc] = (dl, score)
+    return out
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(st.lists(st.sampled_from("abcde"), min_size=1,
+                         max_size=8),
+                min_size=3, max_size=10),
+       st.lists(st.sampled_from("abcdez"), min_size=6, max_size=6))
+def test_batched_bm25_matches_reference_both_strategies(
+        spark, docs, qterms):
+    """search_inverted_index_many == brute-force BM25 computed in
+    plain Python on random small corpora, for BOTH strategies — and
+    the two strategies bit-identical to each other on a MIXED-length
+    query batch, which is exactly the padding claim at
+    retrieval.py (large-Q fold: a query's absent term positions
+    contribute EXACT 0.0, so shorter queries in a wide batch score
+    identically to their literal-path twins).  'z' never occurs in
+    any document, so some queries carry zero-df terms and one query
+    may match nothing at all (it must then return no rows)."""
+    import tempfile
+
+    from msg_vector_search_spark.operators import retrieval
+
+    corpus = {i: toks for i, toks in enumerate(docs)}
+    rows = [(i, " ".join(toks)) for i, toks in corpus.items()]
+    from pyspark.sql import Row
+    frame = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in rows])
+    # mixed lengths exercise the joined strategy's padding positions
+    queries = {0: qterms[:1], 1: qterms[1:3], 2: qterms[3:6]}
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/text"
+        retrieval.build_inverted_index(frame, path, n_buckets=4)
+        lit = retrieval.search_inverted_index_many(
+            spark, path, queries, k=50, literal_max=10 ** 9)
+        jnd = retrieval.search_inverted_index_many(
+            spark, path, queries, k=50, literal_max=0)
+        lit_rows = [tuple(r) for r in lit.collect()]
+        jnd_rows = [tuple(r) for r in jnd.collect()]
+    # strategies bit-identical (incl. the padded-zero positions)
+    assert sorted(lit_rows) == sorted(jnd_rows)
+    got = {}
+    for qid, doc, dl, bm25 in lit_rows:
+        got[(int(qid), doc)] = (dl, bm25)
+    want = {}
+    for qid, terms in queries.items():
+        for doc, (dl, score) in ref_bm25(corpus, list(terms)).items():
+            want[(qid, doc)] = (dl, score)
+    assert set(got) == set(want)
+    for key, (dl, bm25) in got.items():
+        wdl, wscore = want[key]
+        assert dl == wdl
+        # Spark rounds to the 6dp serving grid; the reference is
+        # unrounded — agreement within half a grid step
+        assert abs(bm25 - wscore) <= 5.5e-7, (key, bm25, wscore)
