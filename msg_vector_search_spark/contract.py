@@ -9147,7 +9147,13 @@ DRIVER_VERIFIED = frozenset({
     # search_index_many(_large), text_search_many(_large),
     # text_filtered_many_large, hybrid_serve_many(_large),
     # hybrid_filtered_serve, hybrid_filtered_many_large,
-    # pipeline_serving_capstone.
+    # pipeline_serving_capstone; (d) likewise every row serving
+    # through the SINGLE-query search_index (its probe moved
+    # driver-side too): ann_ivfpq_materialized,
+    # ann_ivfpq_filtered_materialized, ann_index_upsert/rebuild/
+    # erase/compact, streaming_index_upsert/erase,
+    # pipeline_forget_and_serve, changefeed_apply_index,
+    # ann_mmr_materialized.
     # round 11 rotation discipline: (a) never-verified rows are
     # pending by construction (bpe_encode_corpus — red in r10, now
     # re-registered with a hashable token_ids projection;
@@ -9173,16 +9179,11 @@ DRIVER_VERIFIED = frozenset({
     # round 10 (CORRECTNESS_r10.json — 48 full-oracle green; the
     # re-verified lifecycle and serve rows):
     "dedup_minhash_estimate", "ann_pq_topk", "ann_pq_rerank",
-    "ann_ivfpq_topk", "ann_ivfpq_materialized",
-    "ann_ivfpq_filtered_materialized", "ann_index_upsert",
-    "streaming_index_upsert", "ann_index_rebuild", "ann_index_erase",
-    "streaming_index_erase", "text_index_upsert", "text_index_erase",
+    "ann_ivfpq_topk", "text_index_upsert", "text_index_erase",
     "text_index_compact", "text_index_filtered_search",
     "streaming_text_index_upsert", "streaming_text_index_erase",
-    "changefeed_apply_text_index", "pipeline_forget_and_serve",
-    "changefeed_apply_index", "pipeline_tokenize_and_pack",
-    "ann_index_compact", "ann_recall_audit", "ann_mmr_materialized",
-    # round 10: the text-index path names are deliberately ABSENT from
+    "changefeed_apply_text_index", "pipeline_tokenize_and_pack",
+    "ann_recall_audit", # round 10: the text-index path names are deliberately ABSENT from
     # this set (removed from their round-6/7 blocks below) — round 9
     # changed operators/retrieval.py materially (_ensure_gen_layout
     # migration, _live's gen-default semantics, coalesce(1) tombstone
