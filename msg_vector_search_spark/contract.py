@@ -5227,6 +5227,86 @@ def dsir_hashed_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, F.col("source").isin("src1", "src3"))
 
 
+_MIX_BUDGETS = {f"src{i}": 500 for i in range(20)}
+_MIX_BUDGETS["src1"] = 120   # small budgets exercise the admit
+_MIX_BUDGETS["src3"] = 80    # boundary even at the sf0.001 fixture
+
+
+@register("mix_token_budget", oracle=f"""
+WITH b(source, budget) AS (VALUES ('src0', 500), ('src1', 120), ('src10', 500), ('src11', 500), ('src12', 500), ('src13', 500), ('src14', 500), ('src15', 500), ('src16', 500), ('src17', 500), ('src18', 500), ('src19', 500), ('src2', 500), ('src3', 80), ('src4', 500), ('src5', 500), ('src6', 500), ('src7', 500), ('src8', 500), ('src9', 500)),
+d AS (
+  SELECT doc_id, source,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END
+           AS n_tokens,
+         (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT)
+           AS h
+  FROM documents
+), c AS (
+  SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+         CAST(sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY h, doc_id
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM d
+)
+SELECT c.doc_id, c.source, c.n_tokens, c.cum_tokens
+FROM c JOIN b USING (source)
+WHERE c.cum_tokens <= b.budget
+""")
+def mix_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data mixing to per-source token budgets (the curriculum /
+    mixture-weights primitive): admit each source's documents in the
+    deterministic 48-bit-hash order until the source's budget fills.
+    Implemented as a DISTRIBUTED PREFIX SUM (corpus.mix_token_budget):
+    the hash order is cut into range buckets, (source, bucket) windows
+    run in parallel, and the dimension-bounded bucket offsets are
+    broadcast back — no per-source serialized window, because at
+    100 TB the sources ARE the hot keys.  The oracle replays the total
+    as one plain window cumsum over the same order, value-verifying
+    the parallel decomposition."""
+    docs = readers.widen(_t(spark, sf_dir, "documents"))
+    return corpus_ops.mix_token_budget(docs, _MIX_BUDGETS)
+
+
+@register("text_bigram_perplexity", oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_DUCK_TOKENS}) AS term FROM documents
+), cu AS (SELECT term, count(*) AS c_u FROM tok GROUP BY 1),
+nt AS (SELECT count(*) AS n FROM tok),
+lt AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
+big AS (
+  SELECT doc_id, p['u'] AS u, p['w'] AS w FROM (
+    SELECT doc_id,
+           unnest([{{'u': t[i + 1], 'w': t[i + 2]}}
+                   FOR i IN range(len(t) - 1)]) AS p
+    FROM lt)
+), cuw AS (SELECT u, w, count(*) AS c_uw FROM big GROUP BY 1, 2),
+sc AS (
+  SELECT b.doc_id,
+         -ln({0.7!r} * CAST(cuw.c_uw AS DOUBLE) / cu1.c_u
+             + {1.0 - 0.7!r} * CAST(cu2.c_u AS DOUBLE) / nt.n) AS nll
+  FROM big b
+  JOIN cuw ON cuw.u = b.u AND cuw.w = b.w
+  JOIN cu cu1 ON cu1.term = b.u
+  JOIN cu cu2 ON cu2.term = b.w, nt
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       (round(avg(nll), 6) + 0) AS avg_neg_ll
+FROM sc GROUP BY doc_id
+ORDER BY avg_neg_ll DESC, doc_id LIMIT 100
+""")
+def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM perplexity gate (corpus.bigram_perplexity
+    — the word-order-aware upgrade over text_unigram_logprob): mean
+    -ln(lam * c(u,w)/c(u) + (1-lam) * c(w)/N) per document, counts
+    from the corpus itself.  Count tables co-partition on their token
+    keys (vocabulary-sized — never broadcast), the scalar total
+    broadcasts, per-doc means map-side partial, top-k is
+    TakeOrderedAndProject."""
+    docs = readers.widen(_t(spark, sf_dir, "documents"))
+    return corpus_ops.bigram_perplexity(docs, lam=0.7)
+
+
 @register("decontaminate_ngram", oracle=f"""
 WITH toks AS (
   SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents

@@ -130,6 +130,122 @@ def centroid_drift(old: DataFrame, new: DataFrame,
             .select("label", "n_old", "n_new", "drift"))
 
 
+def mix_token_budget(docs: DataFrame, budgets: dict,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     source_col: str = "source",
+                     buckets: int = 64) -> DataFrame:
+    """Data mixing to per-source TOKEN budgets — the curriculum/mixture
+    primitive a pretraining pipeline runs after quality gating: from
+    each source, admit documents in a deterministic (hash, id) order
+    until that source's token budget is filled; the first document
+    that would overflow is dropped, as is everything after it.  The
+    admitted set is reshuffle-stable (same docs every run, any
+    cluster layout) and exactly reproducible from the budgets alone.
+
+    SCALE — a distributed prefix sum, not a per-source window: a
+    window partitioned by source serializes each source through one
+    task, and sources are exactly the hot keys at 100 TB (a corpus is
+    a handful of giant sources).  Instead the (hash, id) order is cut
+    into ``buckets`` RANGE slices of the 48-bit hash space (uniform by
+    construction), each (source, bucket) computes its LOCAL running
+    sum in parallel — the per-window state is corpus/(sources x
+    buckets) — and the bucket-boundary offsets (sources x buckets
+    rows, dimension-bounded) are cumulated and broadcast back.  Global
+    running total = bucket offset + local running sum; two narrow
+    shuffles, no serialized source.  The oracle replays the same total
+    as ONE window cumsum over the same (hash, id) order — identical
+    longs, so the parallel decomposition is value-verified.
+
+    Returns ``(id_col, source_col, n_tokens, cum_tokens)`` for the
+    admitted docs (cum_tokens <= budget, running total inclusive)."""
+    spark = docs.sparkSession
+    h = analysis.token_hash(F.col(id_col).cast("string"))
+    # 48-bit hash -> range bucket: bucket order == hash order
+    span = (1 << 48) // buckets + 1
+    toks = analysis.whitespace_token_count(F.col(text_col)).cast("long")
+    base = (docs.select(F.col(id_col), F.col(source_col),
+                        toks.alias("n_tokens"), h.alias("_h"))
+            .withColumn("_b", (F.col("_h") / F.lit(span))
+                        .cast("int")))
+    w_local = Window.partitionBy(source_col, "_b").orderBy(
+        F.col("_h").asc(), F.col(id_col).asc())
+    local = base.withColumn("_cum_local",
+                            F.sum("n_tokens").over(w_local))
+    # bucket totals -> exclusive prefix offsets per source, over the
+    # bucket index order; sources x buckets rows — broadcastable
+    w_off = (Window.partitionBy(source_col).orderBy("_b")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = (base.groupBy(source_col, "_b")
+               .agg(F.sum("n_tokens").alias("_bt"))
+               .withColumn("_off", F.coalesce(
+                   F.sum("_bt").over(w_off), F.lit(0)))
+               .select(source_col, "_b", "_off"))
+    bdg = spark.createDataFrame(
+        [(k, int(v)) for k, v in sorted(budgets.items())],
+        f"{source_col} string, _budget long")
+    return (local
+            .join(F.broadcast(offsets), [source_col, "_b"])
+            .join(F.broadcast(bdg), source_col)
+            .withColumn("cum_tokens",
+                        (F.col("_off") + F.col("_cum_local"))
+                        .cast("long"))
+            .filter(F.col("cum_tokens") <= F.col("_budget"))
+            .select(id_col, source_col, "n_tokens", "cum_tokens")
+            .orderBy(source_col, "cum_tokens"))
+
+
+def bigram_perplexity(docs: DataFrame, lam: float = 0.7,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      k: int = 100) -> DataFrame:
+    """Interpolated bigram-LM quality gate — the upgrade over the
+    unigram logprob filter (text_unigram_logprob): per document, the
+    mean negative log of p(w|u) = lam * c(u,w)/c(u) + (1-lam) *
+    c(w)/N over its adjacent token pairs, counts from the corpus
+    itself (the CCNet-style "score against your own corpus LM"
+    arrangement; a held-out LM swaps the count tables, same plan).
+    High score = improbable word-to-word transitions — boilerplate,
+    shredded text, wrong-language runs that unigram stats miss.
+
+    Plan shape: one bigram count aggregate and one unigram count
+    aggregate (uniform keys), the per-position scoring join
+    CO-PARTITIONS on the bigram key then the unigram key (count
+    tables are vocabulary-sized — never broadcast at 100 TB), the
+    scalar total IS broadcast, per-doc means are map-side partial,
+    top-k is TakeOrderedAndProject.  Returns ``(id_col, n_bigrams,
+    avg_neg_ll)``, top-*k* by (score desc, id)."""
+    toks = analysis.tokens(F.col(text_col))
+    pairs = F.filter(
+        F.zip_with(toks, F.slice(toks, 2, F.size(toks)),
+                   lambda a, b: F.struct(a.alias("u"), b.alias("w"))),
+        lambda p: p["w"].isNotNull())
+    tok = (docs.select(F.col(id_col),
+                       F.explode(analysis.tokens(F.col(text_col)))
+                       .alias("term")))
+    cnt_u = tok.groupBy("term").agg(F.count("*").alias("_c_u"))
+    tot = tok.agg(F.count("*").alias("_n"))
+    big = (docs.select(F.col(id_col), F.explode(pairs).alias("p"))
+           .select(id_col, F.col("p.u").alias("u"),
+                   F.col("p.w").alias("w")))
+    cnt_uw = big.groupBy("u", "w").agg(F.count("*").alias("_c_uw"))
+    p_col = (F.lit(lam) * F.col("_c_uw")
+             / F.col("_c_prev")
+             + F.lit(1.0 - lam) * F.col("_c_w") / F.col("_n"))
+    scored = (big
+              .join(cnt_uw, ["u", "w"])
+              .join(cnt_u.select(F.col("term").alias("u"),
+                                 F.col("_c_u").alias("_c_prev")), "u")
+              .join(cnt_u.select(F.col("term").alias("w"),
+                                 F.col("_c_u").alias("_c_w")), "w")
+              .crossJoin(F.broadcast(tot))
+              .select(id_col, (-F.log(p_col)).alias("_nll")))
+    return (scored.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 (F.round(F.avg("_nll"), 6) + F.lit(0.0))
+                 .alias("avg_neg_ll"))
+            .orderBy(F.col("avg_neg_ll").desc(), F.col(id_col))
+            .limit(k))
+
+
 def deterministic_group_sample(df: DataFrame, group_col: str,
                                id_col: str, k: int) -> DataFrame:
     """Fixed-k-per-group sample, deterministic across runs and

@@ -301,3 +301,45 @@ def test_dsir_ranks_target_lookalikes_first(spark):
     lr_b = math.log(1 / 10) - math.log(7 / 22)
     assert scores[0] == pytest.approx((3 * lr_a + lr_b) / 4, abs=1e-6)
     assert scores[2] < scores[1] < scores[0]  # falls with alpha density
+
+
+def test_mix_token_budget_decomposition_and_boundary(spark):
+    """mix_token_budget's distributed prefix sum == the single-window
+    cumsum it decomposes (any buckets value), and the admit boundary
+    is inclusive: a doc landing exactly on the budget stays, the first
+    overflowing doc and everything after it go."""
+    from pyspark.sql import Row, Window
+    from pyspark.sql import functions as F
+
+    from msg_vector_search_spark.functions import analysis
+    from msg_vector_search_spark.operators import corpus
+
+    rows = [Row(doc_id=i, source=f"s{i % 3}",
+                text=" ".join(["tok"] * (1 + i % 5))) for i in range(60)]
+    docs = spark.createDataFrame(rows)
+    budgets = {"s0": 14, "s1": 9, "s2": 10 ** 9}
+
+    # independent single-window reference
+    h = analysis.token_hash(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id"))
+    n = analysis.whitespace_token_count(F.col("text")).cast("long")
+    ref = (docs.select("doc_id", "source", n.alias("n_tokens"))
+           .withColumn("cum_tokens",
+                       F.sum("n_tokens").over(w).cast("long")))
+    want = {(r["doc_id"], r["source"], r["n_tokens"], r["cum_tokens"])
+            for r in ref.collect()
+            if r["cum_tokens"] <= budgets[r["source"]]}
+
+    for buckets in (1, 4, 64):
+        got = {tuple(r) for r in corpus.mix_token_budget(
+            docs, budgets, buckets=buckets).collect()}
+        assert got == want, buckets
+
+    # boundary semantics: inclusive admit, everything after drops
+    by_src = {}
+    for d, s, nt, c in sorted(want, key=lambda t: t[3]):
+        by_src.setdefault(s, []).append(c)
+    assert max(by_src["s0"]) <= 14 and max(by_src["s1"]) <= 9
+    # s2's budget is unbounded: every doc of s2 admitted
+    n_s2 = sum(1 for r in rows if r.source == "s2")
+    assert len(by_src["s2"]) == n_s2
