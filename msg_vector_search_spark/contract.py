@@ -2964,6 +2964,67 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                                          threshold=0.2)
 
 
+@register("dedup_containment", oracle=f"""
+WITH lt AS (
+  SELECT doc_id, source, {_DUCK_TOKENS} AS t FROM documents
+), corpus AS (
+  SELECT doc_id, source, t FROM lt
+  UNION ALL
+  SELECT doc_id + 3000000 AS doc_id, source,
+         t[1:greatest(len(t) // 2, 1)] AS t
+  FROM lt WHERE doc_id % 20 = 0
+), sh AS (
+  SELECT doc_id, source AS block,
+         unnest(list_distinct(CASE WHEN len(t) - 1 <= 0
+           THEN [array_to_string(t, ' ')]
+           ELSE [t[i + 1] || ' ' || t[i + 2] FOR i IN range(len(t) - 1)]
+         END)) AS shingle
+  FROM corpus
+), sizes AS (
+  SELECT doc_id, block, count(*) AS set_size FROM sh GROUP BY 1, 2
+), inter AS (
+  SELECT a.block, a.doc_id AS id_a, b.doc_id AS id_b,
+         count(*) AS inter_size
+  FROM sh a JOIN sh b ON a.block = b.block AND a.shingle = b.shingle
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3
+), scored AS (
+  SELECT i.block, i.id_a, i.id_b,
+         (round(CAST(i.inter_size AS DOUBLE)
+                / least(sa.set_size, sb.set_size), 6) + 0) AS containment,
+         (round(CAST(i.inter_size AS DOUBLE)
+                / (sa.set_size + sb.set_size - i.inter_size), 6) + 0)
+           AS jaccard
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.id_a AND sa.block = i.block
+  JOIN sizes sb ON sb.doc_id = i.id_b AND sb.block = i.block
+)
+SELECT * FROM scored WHERE containment >= 0.8
+""")
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment dedup (Broder's measure — the subset-duplication
+    gate): every 20th doc is re-injected as its first-half token
+    excerpt; the excerpt's 2-gram shingles are a SUBSET of the
+    original's, so containment pins 1.0 while Jaccard sits near 0.5 —
+    the asymmetric quote/boilerplate-inclusion case Jaccard
+    structurally misses (both scores returned so the gap is in the
+    verified values).  Blocked by source like the Jaccard row; at
+    100 TB the block is an LSH bucket and this is the verification
+    stage (dedup.containment_pairs)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = analysis.tokens(F.col("text"))
+    excerpt = F.array_join(
+        F.slice(toks, 1,
+                F.greatest((F.size(toks) / F.lit(2)).cast("int"),
+                           F.lit(1))), " ")
+    corpus = docs.select("doc_id", "source", "text").unionByName(
+        docs.filter(F.col("doc_id") % 20 == 0)
+        .select((F.col("doc_id") + F.lit(3_000_000)).alias("doc_id"),
+                "source", excerpt.alias("text")))
+    return dedup_ops.containment_pairs(corpus, "source", shingle_n=2,
+                                       threshold=0.8)
+
+
 @register("dedup_edit_distance", oracle="""
 WITH corpus AS (
   SELECT doc_id, text FROM documents

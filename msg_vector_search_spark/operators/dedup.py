@@ -567,6 +567,55 @@ def ngram_jaccard_pairs(df: DataFrame, block_col: str, text_col: str = "text",
     )
 
 
+def containment_pairs(df: DataFrame, block_col: str,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      shingle_n: int = 2,
+                      threshold: float = 0.8) -> DataFrame:
+    """Shingle CONTAINMENT >= threshold for pairs sharing a blocking
+    key: containment = |A n B| / min(|A|, |B|) — the asymmetric-dup
+    catcher Jaccard structurally misses.  A short document fully
+    quoted inside a long one has Jaccard |A|/|B| (arbitrarily small)
+    but containment 1.0; excerpt/quote/boilerplate-inclusion dup is
+    the common crawl case (Broder's containment measure, the
+    CCNet/Gopher subset-dup gate).  Same plan economics as
+    :func:`ngram_jaccard_pairs` (one shingle-keyed self-join bounded
+    by the block), both scores reported so the gap is observable."""
+    exploded = (
+        widen(df).select(F.col(id_col), F.col(block_col).alias("block"),
+                         F.explode(F.array_distinct(
+                             shingles(F.col(text_col), shingle_n)))
+                         .alias("shingle"))
+    )
+    sizes = exploded.groupBy(id_col, "block").agg(
+        F.count("*").alias("set_size"))
+    a = exploded.select(F.col(id_col).alias("id_a"), "block", "shingle")
+    b = exploded.select(F.col(id_col).alias("id_b"), "block", "shingle")
+    inter = (
+        a.join(b, ["block", "shingle"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("block", "id_a", "id_b")
+        .agg(F.count("*").alias("inter_size"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("block"),
+                      F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("block"),
+                      F.col("set_size").alias("size_b"))
+    containment = F.round(
+        F.col("inter_size").cast("double")
+        / F.least(F.col("size_a"), F.col("size_b")), 6) + F.lit(0.0)
+    jaccard = F.round(
+        F.col("inter_size").cast("double")
+        / (F.col("size_a") + F.col("size_b") - F.col("inter_size")),
+        6) + F.lit(0.0)
+    return (
+        inter.join(sa, ["id_a", "block"]).join(sb, ["id_b", "block"])
+        .withColumn("containment", containment)
+        .withColumn("jaccard", jaccard)
+        .filter(F.col("containment") >= threshold)
+        .select("block", "id_a", "id_b", "containment", "jaccard")
+    )
+
+
 def edit_distance_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", prefix_len: int = 12,
                         cmp_len: int = 64, max_dist: int = 2,
