@@ -127,8 +127,15 @@ def _publish_codebooks(name: str, books) -> None:
 
 
 def _publish_centroids(name: str, cent: DataFrame) -> None:
-    (cent.coalesce(1).write.mode("overwrite")
-     .parquet(os.path.join(_trained_dir(name), "centroids")))
+    _publish_frame(name, cent, "centroids")
+
+
+def _publish_frame(name: str, df: DataFrame, sub: str) -> None:
+    """Publish a small (dimension-bounded) frame under the canonical
+    artifact dir so a static oracle string can read it back — the same
+    query-writes / oracle-replays contract as the trained ANN rows."""
+    (df.coalesce(1).write.mode("overwrite")
+     .parquet(os.path.join(_trained_dir(name), sub)))
 
 
 def _publish_store_link(name: str, target: str) -> None:
@@ -5327,6 +5334,69 @@ def mix_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     the parallel decomposition."""
     docs = readers.widen(_t(spark, sf_dir, "documents"))
     return corpus_ops.mix_token_budget(docs, _MIX_BUDGETS)
+
+
+_TEMP_MIX_DIR = _trained_dir("mix_temperature_budget")
+
+
+@register("mix_temperature_budget", oracle=f"""
+WITH b AS (
+  SELECT source, budget
+  FROM read_parquet('{_TEMP_MIX_DIR}/budgets/*.parquet')
+), d AS (
+  SELECT doc_id, source,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END
+           AS n_tokens,
+         (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT)
+           AS h
+  FROM documents
+), c AS (
+  SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+         CAST(sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY h, doc_id
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM d
+)
+SELECT c.doc_id, c.source, c.n_tokens, c.cum_tokens
+FROM c JOIN b USING (source)
+WHERE c.cum_tokens <= b.budget
+""")
+def mix_temperature_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-mixed sampling (the T5/multilingual data-mixing
+    trick): per-source budgets PROPORTIONAL TO n_s^alpha with
+    alpha = 0.5 — upweights small sources relative to their raw share
+    — derived from the corpus's own per-source token totals
+    (dimension-bounded driver collect: one row per source), then
+    admitted by the same distributed-prefix-sum operator as
+    mix_token_budget.  Global budget = 40% of corpus tokens.
+
+    The derived budgets are PUBLISHED to the canonical artifact dir
+    and the oracle replays the admit FROM them (the trained-ANN
+    technique): sqrt/sum arithmetic is driver-side floats whose exact
+    doubles a SQL dialect need not reproduce, but the admit given the
+    budgets is exact.  The derivation itself is pinned in
+    tests/test_corpus_audits.py (weights proportional to sqrt(n_s),
+    floor rounding, sum(budgets) <= global budget)."""
+    import math as _math
+
+    docs = readers.widen(_t(spark, sf_dir, "documents"))
+    toks = analysis.whitespace_token_count(F.col("text")).cast("long")
+    totals = {r["source"]: int(r["n"]) for r in
+              docs.select("source", toks.alias("n_tokens"))
+              .groupBy("source").agg(F.sum("n_tokens").alias("n"))
+              .collect()}
+    corpus_total = sum(totals.values())
+    global_budget = corpus_total * 2 // 5
+    sum_w = sum(_math.sqrt(n) for _, n in sorted(totals.items()))
+    budgets = {src: int(global_budget * _math.sqrt(n) / sum_w)
+               for src, n in sorted(totals.items())}
+    _publish_frame(
+        "mix_temperature_budget",
+        spark.createDataFrame(sorted(budgets.items()),
+                              "source string, budget long"),
+        "budgets")
+    return corpus_ops.mix_token_budget(docs, budgets)
 
 
 @register("text_bigram_perplexity", oracle=f"""

@@ -343,3 +343,42 @@ def test_mix_token_budget_decomposition_and_boundary(spark):
     # s2's budget is unbounded: every doc of s2 admitted
     n_s2 = sum(1 for r in rows if r.source == "s2")
     assert len(by_src["s2"]) == n_s2
+
+
+def test_mix_temperature_budget_derivation(spark):
+    """mix_temperature_budget's budget derivation (the arithmetic the
+    published-artifact oracle deliberately does not replay): budgets
+    proportional to sqrt(per-source token total) with floor rounding,
+    summing to <= the 40%-of-corpus global budget, and the admitted
+    rows respect each derived budget."""
+    import math
+
+    from msg_vector_search_spark import contract
+    from msg_vector_search_spark.functions import analysis
+
+    sf = "/root/testdata/sf0.001"
+    docs = readers.read_table(spark, sf, "documents")
+    toks = analysis.whitespace_token_count(F.col("text")).cast("long")
+    totals = {r["source"]: int(r["n"]) for r in
+              docs.select("source", toks.alias("n"))
+              .groupBy("source").agg(F.sum("n").alias("n")).collect()}
+    corpus_total = sum(totals.values())
+    gb = corpus_total * 2 // 5
+    sum_w = sum(math.sqrt(n) for _, n in sorted(totals.items()))
+    want = {s: int(gb * math.sqrt(n) / sum_w)
+            for s, n in sorted(totals.items())}
+    assert sum(want.values()) <= gb
+
+    out = contract.REGISTRY["mix_temperature_budget"](spark, sf)
+    got = [(r["source"], r["cum_tokens"]) for r in out.collect()]
+    assert got, "admitted set must be non-empty"
+    import collections
+    max_cum = collections.defaultdict(int)
+    for src, cum in got:
+        max_cum[src] = max(max_cum[src], cum)
+    for src, cum in max_cum.items():
+        assert cum <= want[src], (src, cum, want[src])
+    # the published artifact carries exactly the derived budgets
+    pub = {r["source"]: r["budget"] for r in spark.read.parquet(
+        f"{contract._TEMP_MIX_DIR}/budgets").collect()}
+    assert pub == want
