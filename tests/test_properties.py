@@ -371,3 +371,46 @@ def test_batched_bm25_matches_reference_both_strategies(
         # Spark rounds to the 6dp serving grid; the reference is
         # unrounded — agreement within half a grid step
         assert abs(bm25 - wscore) <= 5.5e-7, (key, bm25, wscore)
+
+
+def ref_bigram_nll(corpus: dict, lam: float = 0.7) -> dict:
+    """Reference interpolated bigram LM: doc -> (n_bigrams, mean nll)
+    over adjacent token pairs, counts from the corpus itself."""
+    import math
+    from collections import Counter
+
+    uni = Counter(t for toks in corpus.values() for t in toks)
+    n = sum(uni.values())
+    big = Counter((u, w) for toks in corpus.values()
+                  for u, w in zip(toks, toks[1:]))
+    out = {}
+    for doc, toks in corpus.items():
+        pairs = list(zip(toks, toks[1:]))
+        if not pairs:
+            continue
+        nll = [-math.log(lam * big[(u, w)] / uni[u]
+                         + (1.0 - lam) * uni[w] / n)
+               for u, w in pairs]
+        out[doc] = (len(pairs), sum(nll) / len(nll))
+    return out
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(st.lists(st.sampled_from("abcd"), min_size=1,
+                         max_size=10),
+                min_size=2, max_size=8))
+def test_bigram_perplexity_matches_reference(spark, docs):
+    from msg_vector_search_spark.operators import corpus as corpus_ops
+
+    corpus = {i: toks for i, toks in enumerate(docs)}
+    frame = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in corpus.items()],
+        ["doc_id", "text"])
+    got = {r["doc_id"]: (r["n_bigrams"], r["avg_neg_ll"])
+           for r in corpus_ops.bigram_perplexity(frame).collect()}
+    want = ref_bigram_nll(corpus)
+    assert set(got) == set(want)
+    for doc, (nb, nll) in got.items():
+        wnb, wnll = want[doc]
+        assert nb == wnb
+        assert abs(nll - wnll) <= 5.5e-7, (doc, nll, wnll)
