@@ -9200,6 +9200,85 @@ SELECT CAST(10 AS BIGINT) AS k, count(*) AS n_hits,
 FROM served s JOIN truth t ON t.vec_id = s.vec_id""")
 
 
+@register("ann_recall_audit_trained", oracle=f"""
+WITH cent AS (
+  SELECT centroid_id, centroid_vec AS cvec
+  FROM read_parquet('{_TRAINED_STORE_LINK}/centroids/*.parquet')
+), cb AS (
+  SELECT j, cw, cv
+  FROM read_parquet('{_TRAINED_STORE_LINK}/codebooks/*.parquet')
+), q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+probe AS (
+  SELECT centroid_id AS cell
+  FROM cent, q
+  ORDER BY {V.duck_cosine('cvec', 'qv')} DESC, centroid_id LIMIT 8
+), codes AS (
+  SELECT vec_id, codes, CAST(cell AS BIGINT) AS cell
+  FROM read_parquet('{_TRAINED_STORE_LINK}/codes/*/*.parquet',
+                    hive_partitioning = true)
+  WHERE CAST(cell AS BIGINT) IN (SELECT cell FROM probe)
+), js AS (SELECT DISTINCT j FROM cb),
+expl AS (
+  SELECT c.vec_id, js.j, c.codes[js.j + 1] AS cw
+  FROM codes c CROSS JOIN js
+), qtab AS (
+  SELECT cb.j, cb.cw,
+         (round({V.duck_dot("(SELECT qv FROM q)[(cb.j*8+1):(cb.j*8+8)]",
+                            'cb.cv')}, 9) + 0) AS d
+  FROM cb
+), adc AS (
+  SELECT e.vec_id, (round(sum(t.d), 6) + 0) AS adc_sim
+  FROM expl e JOIN qtab t ON t.j = e.j AND t.cw = e.cw
+  GROUP BY e.vec_id
+), short AS (
+  SELECT vec_id FROM adc ORDER BY adc_sim DESC, vec_id LIMIT 400
+), vecs AS (
+  SELECT vec_id, embedding
+  FROM read_parquet('{_TRAINED_STORE_LINK}/vectors/*/*.parquet',
+                    hive_partitioning = true)
+  WHERE CAST(cell AS BIGINT) IN (SELECT cell FROM probe)
+), served AS (
+  SELECT v.vec_id,
+         (round({V.duck_cosine('v.embedding', '(SELECT qv FROM q)')}, 6)
+          + 0) AS sim
+  FROM vecs v JOIN short s ON s.vec_id = v.vec_id
+  ORDER BY sim DESC, v.vec_id LIMIT 10
+), truth AS (
+  SELECT e.vec_id,
+         (round({V.duck_cosine('e.embedding', 'q.qv')}, 6) + 0) AS sim
+  FROM embeddings e, q
+  ORDER BY sim DESC, e.vec_id LIMIT 10
+)
+SELECT CAST(10 AS BIGINT) AS k, count(*) AS n_hits,
+       (round(count(*) / 10.0, 6) + 0) AS recall
+FROM served s JOIN truth t ON t.vec_id = s.vec_id
+""")
+def ann_recall_audit_trained(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """recall@10 of the PRODUCTION index — the trained materialized
+    store at its measured operating point (nprobe=8 x shortlist=400) —
+    against brute-force ground truth, FULL-oracle via the r12 store
+    replay: the query re-points the canonical symlink at the cached
+    trained store and DuckDB replays probe -> ADC -> re-rank from the
+    persisted artifacts, then intersects with its own brute-force
+    top-10.  The seed twin (ann_recall_audit) value-checks the
+    composition spec; this row value-checks the quality number a
+    deployment actually watches (Engine.audit_recall serves the same
+    measurement through the facade)."""
+    path = _materialized_index(spark, sf_dir, trained=True)
+    _publish_store_link("trained_index", path)
+    qv = _query_vec(spark, sf_dir)
+    served = ann_index.search_index(spark, path, qv, k=10,
+                                    nprobe=8, shortlist=400)
+    truth = sim_ops.knn_search(_t(spark, sf_dir, "embeddings"), qv, k=10)
+    return (served.select("vec_id")
+            .join(truth.select("vec_id"), "vec_id")
+            .agg(F.lit(10).cast("long").alias("k"),
+                 F.count("*").alias("n_hits"))
+            .withColumn("recall",
+                        rnd(F.col("n_hits") / F.lit(10.0), 6)))
+
+
 @register("ann_recall_audit", oracle=_ANN_RECALL_ORACLE)
 def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index quality as a first-class query: recall@10 of the seed
