@@ -4670,6 +4670,44 @@ def streaming_index_erase(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   k=10, nprobe=4, shortlist=50)
 
 
+@register("ann_index_stats_trained", oracle=f"""
+WITH cent AS (
+  SELECT centroid_id, centroid_vec AS cvec
+  FROM read_parquet('{_TRAINED_STORE_LINK}/centroids/*.parquet')
+), cscored AS (
+  SELECT e.vec_id, c.centroid_id,
+         (round({V.duck_cosine('e.embedding', 'c.cvec')}, 9) + 0) AS cdist
+  FROM embeddings e CROSS JOIN cent c
+), celled AS (
+  SELECT vec_id, centroid_id AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cdist DESC, centroid_id) AS rn
+    FROM cscored) WHERE rn = 1
+)
+SELECT cell, count(*) AS n_vectors, count(*) AS n_codes
+FROM celled GROUP BY cell ORDER BY cell
+""")
+def ann_index_stats_trained(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """ann_index_stats over the TRAINED store, full-oracle via the r12
+    artifact replay: DuckDB re-derives every vector's cell from the
+    PERSISTED trained centroids and the counts must equal what the
+    physical cell directories hold — the layout-equals-assignment
+    invariant for the index the deployment actually serves (the seed
+    twin pins the same invariant for the spec artifacts).  Cost: two
+    count-per-partition scans, no vector bytes."""
+    path = _materialized_index(spark, sf_dir, trained=True)
+    _publish_store_link("trained_index", path)
+    v = (spark.read.parquet(os.path.join(path, "vectors"))
+         .groupBy("cell").agg(F.count(F.lit(1)).alias("n_vectors")))
+    c = (spark.read.parquet(os.path.join(path, "codes"))
+         .groupBy("cell").agg(F.count(F.lit(1)).alias("n_codes")))
+    return (v.join(c, "cell", "full")
+            .select(F.col("cell").cast("long").alias("cell"),
+                    "n_vectors", "n_codes")
+            .orderBy("cell"))
+
+
 @register("ann_index_stats", oracle=f"""
 WITH cent AS (
   SELECT vec_id AS centroid_id, embedding AS cvec
