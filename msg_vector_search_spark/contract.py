@@ -133,9 +133,27 @@ def _publish_centroids(name: str, cent: DataFrame) -> None:
 def _publish_frame(name: str, df: DataFrame, sub: str) -> None:
     """Publish a small (dimension-bounded) frame under the canonical
     artifact dir so a static oracle string can read it back — the same
-    query-writes / oracle-replays contract as the trained ANN rows."""
-    (df.coalesce(1).write.mode("overwrite")
-     .parquet(os.path.join(_trained_dir(name), sub)))
+    query-writes / oracle-replays contract as the trained ANN rows.
+
+    Written DRIVER-SIDE with pyarrow, not a Spark write job: a
+    coalesce(1) parquet write of a 20-row frame measures ~5-7 s of
+    pure scheduler/committer overhead on this host (the same
+    measurement that shaped ann_index._write_codebooks) — the frames
+    published here are centroids/budgets, dimension-bounded by
+    contract.  Float32 arrays collect as exact float64s, which is the
+    cast both engines score in anyway."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    rows = df.collect()
+    cols = df.columns
+    table = pa.table({c: [r[c] for r in rows] for c in cols})
+    path = os.path.join(_trained_dir(name), sub)
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path)
+    papq.write_table(table, os.path.join(path, "part-00000.parquet"))
 
 
 def _publish_store_link(name: str, target: str) -> None:
