@@ -214,7 +214,12 @@ class Engine:
                    .groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
                    .collect())]
         total = sum(counts)
-        mean = total / len(counts) if counts else 0.0
+        # mean over ALL nlist cells (empty cells count as 0): after
+        # erasures drain cells, max/mean-over-occupied would report
+        # skew 1.0 for the most imbalanced store achievable — a
+        # one-giant-cell store must read as skew ~nlist, not 1.0
+        nlist = int(meta.get("nlist") or len(counts) or 1)
+        mean = total / nlist if nlist else 0.0
         skew = (max(counts) / mean) if counts and mean else 1.0
         at_build = int(meta.get("n_rows") or total)
         growth = ((total - at_build) / at_build) if at_build else 0.0
@@ -235,12 +240,22 @@ class Engine:
         store = self._store()
         qrow = (store.orderBy("message_id")
                 .select("embedding").head())
+        if qrow is None:
+            # empty store: nothing the index can get wrong — report
+            # perfect recall instead of crashing (and never trip a
+            # rebuild on no data)
+            return 1.0
         qv = [float(x) for x in qrow[0]]
         q = F.array(*[F.lit(v) for v in qv])
+        # ground truth orders by the SAME 6dp serving grid the index
+        # leg uses (search_index rounds sim before its top-k): raw
+        # cosine ordering could legitimately disagree with the served
+        # set on grid-tied rows and report <1.0 recall on a perfect
+        # index — which, with min_recall armed, would rebuild forever
         truth = {r["message_id"] for r in
                  store.select("message_id",
-                              V.cosine(F.col("embedding"), q)
-                              .alias("sim"))
+                              (F.round(V.cosine(F.col("embedding"), q),
+                                       6) + F.lit(0.0)).alias("sim"))
                  .orderBy(F.col("sim").desc(), F.col("message_id"))
                  .limit(k).collect()}
         served = {r["message_id"] for r in

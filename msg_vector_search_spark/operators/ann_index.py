@@ -116,15 +116,26 @@ def build_index(spark: SparkSession, embeddings: DataFrame, path: str,
     return meta
 
 
-def _write_codebooks(books: np.ndarray, path: str) -> None:
-    """The codebook sidecar is m x ncodes rows (a few KB): write it
-    driver-side with pyarrow — a Spark job for 128 rows is pure
-    scheduler overhead (measured ~7 s of the build)."""
-    import pyarrow as pa
+def write_small_parquet(table, path: str) -> None:
+    """Driver-side single-file parquet write of a dimension-bounded
+    pyarrow table: a Spark write job for a handful of rows is pure
+    scheduler/committer overhead (~5-7 s local, measured) — sidecar
+    artifacts (codebooks, centroids, budgets) all go through here."""
+    import shutil
+
     import pyarrow.parquet as papq
 
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path)
+    papq.write_table(table, os.path.join(path, "part-00000.parquet"))
+
+
+def _write_codebooks(books: np.ndarray, path: str) -> None:
+    """The codebook sidecar is m x ncodes rows (a few KB)."""
+    import pyarrow as pa
+
     m, ncodes, _ = books.shape
-    table = pa.table({
+    write_small_parquet(pa.table({
         "j": pa.array([j for j in range(m) for _ in range(ncodes)],
                       pa.int32()),
         "cw": pa.array([c for _ in range(m) for c in range(ncodes)],
@@ -132,11 +143,7 @@ def _write_codebooks(books: np.ndarray, path: str) -> None:
         "cv": pa.array([[float(x) for x in books[j, c]]
                         for j in range(m) for c in range(ncodes)],
                        pa.list_(pa.float64())),
-    })
-    import shutil
-    shutil.rmtree(path, ignore_errors=True)
-    os.makedirs(path)
-    papq.write_table(table, os.path.join(path, "part-00000.parquet"))
+    }), path)
 
 
 def read_meta(path: str) -> dict:
