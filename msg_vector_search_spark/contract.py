@@ -5351,6 +5351,42 @@ def dsir_hashed_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, F.col("source").isin("src1", "src3"))
 
 
+@register("streaming_budget_admit", oracle=f"""
+WITH b(source, budget) AS (VALUES ('src0', 500), ('src1', 120), ('src10', 500), ('src11', 500), ('src12', 500), ('src13', 500), ('src14', 500), ('src15', 500), ('src16', 500), ('src17', 500), ('src18', 500), ('src19', 500), ('src2', 500), ('src3', 80), ('src4', 500), ('src5', 500), ('src6', 500), ('src7', 500), ('src8', 500), ('src9', 500)),
+d AS (
+  SELECT doc_id, source,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END
+           AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+         CAST(sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM d
+)
+SELECT c.doc_id, c.source, c.n_tokens, c.cum_tokens
+FROM c JOIN b USING (source)
+WHERE c.cum_tokens <= b.budget
+""")
+def streaming_budget_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The token-budget gate as a STREAMING stateful operator
+    (streaming.stateful_budget_admit): documents arrive, each source
+    admits until its budget fills, then closes for the rest of the
+    stream — state is (consumed, closed) per source, bounded by the
+    source count forever.  Arrival order here is doc_id order (one
+    AvailableNow micro-batch over the static fixture, kernel-sorted),
+    so the oracle is the plain window cumsum over the same order with
+    the same budgets — the batch twin (mix_token_budget) differs only
+    in using the reshuffle-stable HASH admit order."""
+    from .streaming import stream as stream_ops
+
+    return stream_ops.run_stateful_budget_admit(
+        spark, sf_dir, _MIX_BUDGETS,
+        query_name=f"budget_admit_{abs(hash(sf_dir)) % 10**6}")
+
+
 _MIX_BUDGETS = {f"src{i}": 500 for i in range(20)}
 _MIX_BUDGETS["src1"] = 120   # small budgets exercise the admit
 _MIX_BUDGETS["src3"] = 80    # boundary even at the sf0.001 fixture

@@ -326,6 +326,104 @@ def stateful_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
                 "append", GroupStateTimeout.NoTimeout))
 
 
+BUDGET_OUT_SCHEMA = ("doc_id bigint, source string, n_tokens bigint, "
+                     "cum_tokens bigint")
+BUDGET_STATE_SCHEMA = "consumed bigint, closed boolean"
+
+
+def read_document_stream(spark: SparkSession, sf_dir: str,
+                         max_files_per_trigger: int | None = None
+                         ) -> DataFrame:
+    """File-source stream over the documents fixture (same glob trick
+    as :func:`read_event_stream`; no timestamp-form branching — the
+    documents table has no ts column)."""
+    from ..sources import readers
+
+    schema = readers.read_table(spark, sf_dir, "documents").schema
+    reader = spark.readStream.schema(schema).format("parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger",
+                               max_files_per_trigger)
+    return reader.load(f"{sf_dir}/[d]ocuments.parquet")
+
+
+def stateful_budget_admit(docs: DataFrame, budgets: dict) -> DataFrame:
+    """Streaming token-budget admission — the stateful twin of
+    corpus.mix_token_budget: per source, admit arriving documents (in
+    (micro-batch, doc_id) order) until the source's token budget
+    fills, then CLOSE the source for the rest of the stream.  State is
+    two scalars per source (consumed tokens, closed flag), so the
+    state store is bounded by the number of sources regardless of
+    stream length — the continuous-crawl form of the batch mixing
+    job, where the budget must be enforced as data ARRIVES rather
+    than re-derived per run.
+
+    Because admitted-token totals are monotone, the FCFS stop rule
+    emits exactly the prefix whose running total (over ALL arrived
+    docs of the source) stays <= budget — which is the batch
+    operator's filter semantics, so a single-micro-batch run over a
+    static fixture equals a plain window cumsum in doc_id order (the
+    oracle of the streaming_budget_admit row)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def admit(key, pdf_iter, state: GroupState):
+        (source,) = key
+        budget = budgets.get(source)
+        if state.exists:
+            consumed, closed = state.get
+        else:
+            consumed, closed = 0, False
+        chunks = list(pdf_iter)
+        out = []
+        if chunks and budget is not None and not closed:
+            pdf = pd.concat(chunks).sort_values("doc_id")
+            for doc_id, n in zip(pdf["doc_id"], pdf["n_tokens"]):
+                if consumed + int(n) > budget:
+                    closed = True
+                    break
+                consumed += int(n)
+                out.append((int(doc_id), source, int(n), consumed))
+        state.update((int(consumed), bool(closed)))
+        if out:
+            yield pd.DataFrame(out, columns=[
+                "doc_id", "source", "n_tokens", "cum_tokens"])
+
+    return (docs.groupBy("source")
+            .applyInPandasWithState(
+                admit, BUDGET_OUT_SCHEMA, BUDGET_STATE_SCHEMA,
+                "append", GroupStateTimeout.NoTimeout))
+
+
+def run_stateful_budget_admit(spark: SparkSession, sf_dir: str,
+                              budgets: dict,
+                              query_name: str = "budget_admit"
+                              ) -> DataFrame:
+    """Drive the streaming budget gate over the fixture to completion
+    (AvailableNow + memory sink).  Token counting happens in the
+    STREAM plan (the shared whitespace_token_count expression) so the
+    stateful kernel only cumsums — one token rule, both engines."""
+    from ..functions import analysis
+
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{query_name}_")
+    docs = (read_document_stream(spark, sf_dir)
+            .select("doc_id", "source",
+                    analysis.whitespace_token_count(F.col("text"))
+                    .cast("long").alias("n_tokens")))
+    admitted = stateful_budget_admit(docs, budgets)
+    with _state_partitions(spark):
+        q = (admitted.writeStream.outputMode("append")
+             .format("memory").queryName(query_name)
+             .trigger(availableNow=True)
+             .option("checkpointLocation", ckpt)
+             .start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
 def run_stateful_sessions(spark: SparkSession, sf_dir: str,
                           gap_minutes: int = 30,
                           query_name: str = "stateful_sessions") -> DataFrame:

@@ -338,3 +338,52 @@ def test_stateful_sessionize_group_spanning_arrow_chunks(spark, tmp_path):
     assert s["session_start"] == early[0]
     assert s["session_end"] == early[-1]
     assert s["n_events"] == 10
+
+
+def test_budget_admit_state_survives_micro_batches(spark):
+    """The streaming budget gate's cross-batch contract: driven one
+    file-group at a time (maxFilesPerTrigger=1 over a 3-file copy of
+    the fixture), consumed-token state carries across micro-batches
+    and a source CLOSED by an overflow in batch k admits nothing in
+    batch k+1 even if smaller docs arrive later — FCFS semantics, not
+    per-batch re-filtering."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from msg_vector_search_spark.streaming import stream as stream_ops
+
+    d = tempfile.mkdtemp(prefix="budgetstream_")
+    try:
+        # three files arriving in name order: doc_ids descend across
+        # files so later batches carry SMALLER ids (which a per-batch
+        # re-filter would wrongly admit after closure)
+        rows = [(i, "s0", " ".join(["tok"] * 4)) for i in range(30)]
+        df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        for name, lo, hi in [("a", 20, 30), ("b", 10, 20), ("c", 0, 10)]:
+            (df.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+             .coalesce(1).write.parquet(f"{d}/part_{name}"))
+            for f in __import__("os").listdir(f"{d}/part_{name}"):
+                if f.endswith(".parquet"):
+                    shutil.move(f"{d}/part_{name}/{f}", f"{d}/{name}.parquet")
+            shutil.rmtree(f"{d}/part_{name}")
+
+        ckpt = tempfile.mkdtemp(prefix="ckpt_budget_")
+        docs = (spark.readStream.schema("doc_id long, source string, text string")
+                .format("parquet").option("maxFilesPerTrigger", 1)
+                .load(f"{d}/[abc].parquet")
+                .select("doc_id", "source", F.lit(4).cast("long").alias("n_tokens")))
+        admitted = stream_ops.stateful_budget_admit(docs, {"s0": 30})
+        q = (admitted.writeStream.outputMode("append")
+             .format("memory").queryName("budget_mb")
+             .trigger(availableNow=True)
+             .option("checkpointLocation", ckpt).start())
+        q.processAllAvailable(); q.stop()
+        got = {r["doc_id"]: r["cum_tokens"]
+               for r in spark.sql("SELECT * FROM budget_mb").collect()}
+        # batch 1 (ids 20..29): 7 docs fit (28 tokens), id 27 overflows
+        # -> closed; batches 2-3 (ids 10..19, 0..9) admit NOTHING
+        assert got == {20 + i: 4 * (i + 1) for i in range(7)}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
