@@ -5530,6 +5530,47 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_ops.bigram_perplexity(docs, lam=0.7)
 
 
+@register("span_corruption", oracle=f"""
+WITH lt AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents
+), base AS (SELECT doc_id, t, len(t) AS n FROM lt),
+built AS (
+  SELECT doc_id, n,
+    flatten([CASE
+       WHEN p = (((p - 1) // 20) * 20 + ((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST((p - 1) // 20 AS VARCHAR)), 1, 12))::BIGINT) % 18) + 1)
+         THEN ['<extra_id_' || CAST((p - 1) // 20 AS VARCHAR) || '>']
+       WHEN p > (((p - 1) // 20) * 20 + ((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST((p - 1) // 20 AS VARCHAR)), 1, 12))::BIGINT) % 18) + 1) AND p <= (((p - 1) // 20) * 20 + ((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST((p - 1) // 20 AS VARCHAR)), 1, 12))::BIGINT) % 18) + 1) + 2
+         THEN []
+       ELSE [t[p]] END
+      FOR p IN range(1, n + 1)]) AS inp,
+    flatten([['<extra_id_' || CAST(b AS VARCHAR) || '>']
+              || t[(b * 20 + ((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 1, 12))::BIGINT) % 18) + 1) : least((b * 20 + ((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 1, 12))::BIGINT) % 18) + 1) + 2, n)]
+             FOR b IN range(CAST(ceil(n / 20.0) AS INT))
+             IF (b * 20 + ((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 1, 12))::BIGINT) % 18) + 1) <= n]) AS tgt,
+    coalesce(list_sum([least(3, n - (b * 20 + ((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 1, 12))::BIGINT) % 18) + 1) + 1)
+             FOR b IN range(CAST(ceil(n / 20.0) AS INT))
+             IF (b * 20 + ((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 1, 12))::BIGINT) % 18) + 1) <= n]), 0) AS n_masked
+  FROM base
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+       CAST(n_masked AS BIGINT) AS n_masked,
+       coalesce(array_to_string(inp, ' '), '') AS input_text,
+       coalesce(array_to_string(tgt, ' '), '') AS target_text
+FROM built
+""")
+def span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 span corruption as a deterministic transform
+    (corpus.span_corruption_pairs): one 3-token span masked per
+    20-token block (the paper's ~15% rate), sentinel-in / sentinel+
+    span-out pair layout, span starts drawn from the shared 48-bit
+    hash of (doc_id, block) so pairs are reproducible from identity
+    alone.  Block-local spans make the transform a per-position O(1)
+    codegen expression — no sequential scan — and the oracle rebuilds
+    both strings token-for-token."""
+    docs = readers.widen(_t(spark, sf_dir, "documents"))
+    return corpus_ops.span_corruption_pairs(docs)
+
+
 @register("decontaminate_ngram", oracle=f"""
 WITH toks AS (
   SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents

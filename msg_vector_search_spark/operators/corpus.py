@@ -246,6 +246,73 @@ def bigram_perplexity(docs: DataFrame, lam: float = 0.7,
             .limit(k))
 
 
+def span_corruption_pairs(docs: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", block: int = 20,
+                          span_len: int = 3) -> DataFrame:
+    """T5-style span corruption (Raffel et al. 2020) as a
+    DETERMINISTIC data transform: every *block* tokens, one
+    *span_len*-token span is masked; the input replaces each span
+    with its block's sentinel ``<extra_id_b>`` and the target is the
+    concatenation of sentinel + original span — the (input, target)
+    pair layout a denoising pretrain consumes, reproducible from
+    (doc_id, position) alone so re-runs and retried tasks emit
+    identical pairs.
+
+    Span starts come from the shared 48-bit hash of ``doc_id:block``
+    and are BLOCK-LOCAL (a span never crosses its block), which makes
+    the whole transform a per-position O(1) expression — each
+    position consults only its own block's start; no sequential scan,
+    no cross-position dependency, one narrow codegen map at any
+    corpus size.  Masking rate = span_len/block (15% at defaults,
+    the paper's operating point).  Short tail blocks whose drawn
+    start falls past the end simply mask nothing."""
+    toks = analysis.tokens(F.col(text_col))
+
+    def hash_start(b):
+        # 1-based start of block b's span: block offset + drawn
+        # in-block offset (0 .. block-span_len), same md5 rule both
+        # engines
+        key = F.concat(F.col(id_col).cast("string"), F.lit(":"),
+                       b.cast("string"))
+        return (b * block
+                + F.pmod(analysis.token_hash(key),
+                         F.lit(block - span_len + 1)) + 1)
+
+    def sentinel(b):
+        return F.concat(F.lit("<extra_id_"), b.cast("string"),
+                        F.lit(">"))
+
+    n = F.size(toks)
+
+    def blk(p):
+        return ((p - 1) / F.lit(block)).cast("int")
+
+    pos = F.sequence(F.lit(1), n)
+    inp = F.flatten(F.transform(pos, lambda p: F.when(
+        p == hash_start(blk(p)), F.array(sentinel(blk(p))))
+        .when((p > hash_start(blk(p)))
+              & (p <= hash_start(blk(p)) + F.lit(span_len - 1)),
+              F.array().cast("array<string>"))
+        .otherwise(F.array(F.element_at(toks, p)))))
+    blocks = F.sequence(F.lit(0),
+                        F.ceil(n / F.lit(block)).cast("int") - 1)
+    valid = F.filter(blocks, lambda b: hash_start(b) <= n)
+    tgt = F.flatten(F.transform(valid, lambda b: F.concat(
+        F.array(sentinel(b)),
+        F.slice(toks, hash_start(b), span_len))))
+    n_masked = F.aggregate(
+        valid, F.lit(0).cast("long"),
+        lambda acc, b: acc + F.least(F.lit(span_len).cast("long"),
+                                     (n - hash_start(b) + 1)
+                                     .cast("long")))
+    return docs.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        n_masked.cast("long").alias("n_masked"),
+        F.array_join(inp, " ").alias("input_text"),
+        F.array_join(tgt, " ").alias("target_text"))
+
+
 def deterministic_group_sample(df: DataFrame, group_col: str,
                                id_col: str, k: int) -> DataFrame:
     """Fixed-k-per-group sample, deterministic across runs and
