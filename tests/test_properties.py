@@ -414,3 +414,48 @@ def test_bigram_perplexity_matches_reference(spark, docs):
         wnb, wnll = want[doc]
         assert nb == wnb
         assert abs(nll - wnll) <= 5.5e-7, (doc, nll, wnll)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.sampled_from("abcde"), min_size=1, max_size=60),
+       st.integers(0, 10 ** 6))
+def test_span_corruption_reconstructs_original(spark, toks, doc_id):
+    """The denoising invariant: splicing each sentinel's target span
+    back into the input reproduces the original token stream exactly,
+    masked count == sum of span lengths, and masking stays block-local
+    (no span crosses a 20-token block boundary)."""
+    from msg_vector_search_spark.operators import corpus as corpus_ops
+
+    frame = spark.createDataFrame([(doc_id, " ".join(toks))],
+                                  ["doc_id", "text"])
+    row = corpus_ops.span_corruption_pairs(frame).collect()[0]
+    inp = row["input_text"].split() if row["input_text"] else []
+    tgt = row["target_text"].split() if row["target_text"] else []
+    # parse target into sentinel -> span tokens
+    spans: dict[str, list[str]] = {}
+    cur = None
+    for t in tgt:
+        if t.startswith("<extra_id_"):
+            cur = t
+            spans[cur] = []
+        else:
+            spans[cur].append(t)
+    rebuilt = []
+    for t in inp:
+        if t.startswith("<extra_id_"):
+            rebuilt.extend(spans[t])
+        else:
+            rebuilt.append(t)
+    assert rebuilt == toks
+    assert row["n_masked"] == sum(len(v) for v in spans.values())
+    assert row["n_tokens"] == len(toks)
+    # block-locality: every span's tokens sit inside one 20-token block
+    pos = 0
+    for t in inp:
+        if t.startswith("<extra_id_"):
+            b = int(t[len("<extra_id_"):-1])
+            for k in range(len(spans[t])):
+                assert (pos + k) // 20 == b
+            pos += len(spans[t])
+        else:
+            pos += 1
