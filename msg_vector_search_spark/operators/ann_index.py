@@ -246,11 +246,11 @@ def search_index_many(spark: SparkSession, path: str,
     *queries* maps ``qid -> qvec``.  Returns ``(qid, vec_id, cell,
     sim)``, top-*k* per query by (sim desc, id).  Measured
     (tools/scaling_check.py --batch, sf0.1 local[32], 600k vectors,
-    r11): Q x single calls take 7.6/12.3/44/115 s at Q=5/10/50/100;
-    the literal strategy 7.4/5.4/15/40 s; the joined strategy
-    4.2/3.1/2.7/3.4 s, still 5.8/4.1 s at Q=250/500 — ~FLAT in Q
-    (34x over singles at Q=100), which
-    is why it is the default above literal_max=4.  Route single
+    r12 — post driver-side probe): Q x single calls take
+    5.6/9.3/46/85 s at Q=5/10/50/100; the literal strategy
+    4.3/2.6/7.3/16 s; the joined strategy 2.8/2.2/2.1/2.6 s, still
+    2.6/2.7 s at Q=250/500 — ~FLAT in Q (32x over singles at Q=100),
+    which is why it is the default above literal_max=4.  Route single
     queries through :func:`search_index`.
 
     Plan shape at 100 TB: one probe job (Q x nlist rows, driver-

@@ -598,10 +598,10 @@ def search_inverted_index_many(spark, path: str, queries: dict,
     *queries* maps ``qid -> [terms]``.  Returns ``(qid, id_col, dl,
     bm25)``, top-*k* per query by the 6dp-rounded score (desc, id asc
     — the serving grid order).  Measured (tools/scaling_check.py
-    --batch, sf0.1 local[32], 60k docs, r11): Q x single calls take
-    4.5/6.8/27/60 s at Q=5/10/50/100; the literal strategy
-    3.3/3.6/14/22 s; the joined strategy 2.0/1.9/3.0/3.1 s, still
-    4.3/4.6 s at Q=250/500 — ~FLAT in Q (19x over singles at Q=100),
+    --batch, sf0.1 local[32], 60k docs, r12): Q x single calls take
+    3.6/6.9/29/55 s at Q=5/10/50/100; the literal strategy
+    3.1/4.3/12.6/24 s; the joined strategy 2.1/2.2/2.6/3.6 s, still
+    4.0/5.1 s at Q=250/500 — ~FLAT in Q (15x over singles at Q=100),
     which is why it is the default
     above literal_max=4.  Route single lookups through
     :func:`search_inverted_index`.
