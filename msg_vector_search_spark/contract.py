@@ -5080,6 +5080,62 @@ def dedup_repeated_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
                                            max_occurrences=1)
 
 
+@register("dedup_unaligned_substring", oracle=f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         'zshift' || CAST(doc_id AS VARCHAR) || ' ' || text AS text
+  FROM documents WHERE doc_id % 10 = 0
+), toks AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS t FROM corpus
+), sized AS (
+  SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0
+), wins AS (
+  SELECT doc_id,
+         unnest(range(1, greatest(n - 15, 1) + 1)) AS wpos,
+         unnest([(('0x' || substr(md5(
+                    array_to_string(t[p : p + 15], ' ')), 1, 12))::BIGINT)
+                 FOR p IN range(1, greatest(n - 15, 1) + 1)]) AS whash
+  FROM sized
+), cnt AS (SELECT whash, count(*) AS c FROM wins GROUP BY 1),
+cov AS (
+  SELECT DISTINCT doc_id, pos FROM (
+    SELECT w.doc_id, unnest(range(w.wpos, w.wpos + 16)) AS pos
+    FROM wins w JOIN cnt USING (whash) WHERE cnt.c > 1)
+), tokpos AS (
+  SELECT doc_id, unnest(range(1, n + 1)) AS pos, unnest(t) AS token
+  FROM sized
+)
+SELECT tp.doc_id, count(*) AS kept_tokens,
+       string_agg(tp.token, ' ' ORDER BY tp.pos) AS clean_text
+FROM tokpos tp LEFT JOIN cov ON cov.doc_id = tp.doc_id AND cov.pos = tp.pos
+WHERE cov.pos IS NULL
+GROUP BY tp.doc_id
+""")
+def dedup_unaligned_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unaligned repeated-substring dedup (VERDICT r12 item 1 — the
+    coverage hole in the chunk-grid stage): every 10th doc is
+    re-injected SHIFTED BY ONE TOKEN (a unique 'zshiftN' prefix), so
+    none of its copied 16-token chunks land on dedup_repeated_chunks'
+    fixed grid — that operator keeps both copies whole — while the
+    overlapping-window operator (dedup.dedup_unaligned_substring)
+    matches every shared window at its shifted offset: the original
+    vanishes entirely and the copy keeps exactly its one novel prefix
+    token.  tests/test_dedup_units.py pins the gap this row closes
+    (the shifted duplicate IS caught here, is NOT caught by the
+    grid)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = (docs.filter(F.col("doc_id") % 10 == 0)
+            .select((F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+                    F.concat(F.lit("zshift"),
+                             F.col("doc_id").cast("string"), F.lit(" "),
+                             F.col("text")).alias("text")))
+    return dedup_ops.dedup_unaligned_substring(docs.unionByName(dups),
+                                               window_tokens=16,
+                                               max_occurrences=1)
+
+
 @register("pipeline_clean_corpus", oracle=f"""
 WITH RECURSIVE kept AS (
   SELECT doc_id, text, n_chars

@@ -339,6 +339,75 @@ def dedup_repeated_chunks(df: DataFrame, text_col: str = "text",
                  reassembled.alias("clean_text")))
 
 
+def dedup_unaligned_substring(df: DataFrame, text_col: str = "text",
+                              id_col: str = "doc_id",
+                              window_tokens: int = 16,
+                              max_occurrences: int = 1) -> DataFrame:
+    """Unaligned repeated-substring dedup — the OVERLAPPING-window
+    upgrade over :func:`dedup_repeated_chunks`, whose fixed
+    non-overlapping chunk grid misses any duplicate passage shifted
+    off its 16-token boundaries (shift a copied paragraph by ONE token
+    and every chunk hash changes).  This is the Spark-shaped
+    equivalent of the Lee et al. 2022 ("Deduplicating Training Data
+    Makes Language Models Better") suffix-array result: hash EVERY
+    k-token window, so a repeated run of >= k tokens matches at SOME
+    window start regardless of alignment.
+
+    Plan: tokenize once -> one narrow ``transform`` emits the window
+    hash at every start position (Rabin-Karp economics: the hash here
+    is the shared 48-bit md5 prefix of the joined window so DuckDB
+    replays it exactly; a production deployment swaps in an O(1)-
+    incremental rolling polynomial hash — same plan, cheaper map) ->
+    corpus-wide counts via groupBy on the uniform hash key (map-side
+    partials: a boilerplate window repeated 10M times reaches its
+    reducer as partial counts) -> count join back on the hash ->
+    every position covered by ANY over-threshold window is marked
+    (explode of k positions per duplicate window only) -> uncovered
+    tokens reassemble per doc.  Documents consisting entirely of
+    repeated substrings drop out, exactly like the chunk-grid
+    operator.  Documents shorter than *window_tokens* contribute one
+    whole-text window (the :func:`shingles` short-doc rule).
+
+    Returns ``(id_col, kept_tokens, clean_text)``."""
+    k = window_tokens
+    base = (widen(df)
+            .select(F.col(id_col),
+                    analysis.tokens(F.col(text_col)).alias("_toks"))
+            .withColumn("_n", F.size("_toks"))
+            .filter(F.col("_n") > 0))
+    starts = F.sequence(F.lit(1),
+                        F.greatest(F.col("_n") - F.lit(k - 1), F.lit(1)))
+    warr = F.transform(
+        starts,
+        lambda p: F.struct(
+            p.cast("int").alias("wpos"),
+            analysis.token_hash(
+                F.concat_ws(" ", F.slice(F.col("_toks"), p, F.lit(k))))
+            .alias("whash")))
+    wins = (base.select(F.col(id_col), F.explode(warr).alias("w"))
+            .select(id_col, F.col("w.wpos").alias("wpos"),
+                    F.col("w.whash").alias("whash")))
+    counts = wins.groupBy("whash").agg(F.count("*").alias("_cnt"))
+    covered = (wins.join(counts, "whash")
+               .filter(F.col("_cnt") > max_occurrences)
+               .select(id_col,
+                       F.explode(F.sequence(
+                           F.col("wpos"),
+                           F.col("wpos") + F.lit(k - 1))).alias("pos"))
+               .distinct())
+    tokpos = (base.select(F.col(id_col),
+                          F.posexplode("_toks").alias("_p0", "token"))
+              .select(id_col, (F.col("_p0") + 1).alias("pos"), "token"))
+    kept = tokpos.join(covered, [id_col, "pos"], "left_anti")
+    reassembled = F.concat_ws(
+        " ", F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "token"))),
+            lambda x: x.token))
+    return (kept.groupBy(id_col)
+            .agg(F.count("*").alias("kept_tokens"),
+                 reassembled.alias("clean_text")))
+
+
 def minhash_estimate_pairs(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", num_hashes: int = 8,
                            bands: int = 4, shingle_n: int = 3,
@@ -527,59 +596,20 @@ def hamming_pairs(fps: DataFrame, id_col: str = "doc_id",
     )
 
 
-def ngram_jaccard_pairs(df: DataFrame, block_col: str, text_col: str = "text",
-                        id_col: str = "doc_id", shingle_n: int = 2,
-                        threshold: float = 0.5) -> DataFrame:
-    """Exact n-gram Jaccard similarity for pairs sharing a blocking key.
+def _blocked_shingle_intersections(df: DataFrame, block_col: str,
+                                   text_col: str, id_col: str,
+                                   shingle_n: int) -> DataFrame:
+    """The shared candidate-pair stage of the exact shingle-overlap
+    verifiers (:func:`ngram_jaccard_pairs`, :func:`containment_pairs`):
+    explode distinct shingles -> per-doc set sizes -> self-join on
+    (block, shingle) -> |intersection| per pair -> sizes joined back.
+    Returns ``(block, id_a, id_b, inter_size, size_a, size_b)``; the
+    callers differ only in the score expression and threshold.
 
-    explode distinct shingles -> self-join on (block, shingle) ->
-    |intersection| per pair -> inclusion-exclusion with per-doc set
-    sizes -> threshold.  The blocking key bounds the pair space; at
-    100 TB the block is an LSH bucket from :func:`dedup_minhash_lsh`
-    and this operator is the verification stage.
-    """
-    exploded = (
-        widen(df).select(F.col(id_col), F.col(block_col).alias("block"),
-                  F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n)))
-                  .alias("shingle"))
-    )
-    sizes = exploded.groupBy(id_col, "block").agg(
-        F.count("*").alias("set_size"))
-    a = exploded.select(F.col(id_col).alias("id_a"), "block", "shingle")
-    b = exploded.select(F.col(id_col).alias("id_b"), "block", "shingle")
-    inter = (
-        a.join(b, ["block", "shingle"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("block", "id_a", "id_b")
-        .agg(F.count("*").alias("inter_size"))
-    )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("block"),
-                      F.col("set_size").alias("size_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("block"),
-                      F.col("set_size").alias("size_b"))
-    return (
-        inter.join(sa, ["id_a", "block"]).join(sb, ["id_b", "block"])
-        .withColumn("jaccard", (F.round(
-            F.col("inter_size").cast("double")
-            / (F.col("size_a") + F.col("size_b") - F.col("inter_size")), 6) + F.lit(0.0)))
-        .filter(F.col("jaccard") >= threshold)
-        .select("block", "id_a", "id_b", "jaccard")
-    )
-
-
-def containment_pairs(df: DataFrame, block_col: str,
-                      text_col: str = "text", id_col: str = "doc_id",
-                      shingle_n: int = 2,
-                      threshold: float = 0.8) -> DataFrame:
-    """Shingle CONTAINMENT >= threshold for pairs sharing a blocking
-    key: containment = |A n B| / min(|A|, |B|) — the asymmetric-dup
-    catcher Jaccard structurally misses.  A short document fully
-    quoted inside a long one has Jaccard |A|/|B| (arbitrarily small)
-    but containment 1.0; excerpt/quote/boilerplate-inclusion dup is
-    the common crawl case (Broder's containment measure, the
-    CCNet/Gopher subset-dup gate).  Same plan economics as
-    :func:`ngram_jaccard_pairs` (one shingle-keyed self-join bounded
-    by the block), both scores reported so the gap is observable."""
+    The blocking key bounds the pair space; at 100 TB the block is an
+    LSH bucket from :func:`dedup_minhash_lsh` and this stage is the
+    verification join — an equi-join on (block, shingle) that AQE can
+    size, never an all-pairs product."""
     exploded = (
         widen(df).select(F.col(id_col), F.col(block_col).alias("block"),
                          F.explode(F.array_distinct(
@@ -600,17 +630,57 @@ def containment_pairs(df: DataFrame, block_col: str,
                       F.col("set_size").alias("size_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("block"),
                       F.col("set_size").alias("size_b"))
-    containment = F.round(
-        F.col("inter_size").cast("double")
-        / F.least(F.col("size_a"), F.col("size_b")), 6) + F.lit(0.0)
-    jaccard = F.round(
+    return inter.join(sa, ["id_a", "block"]).join(sb, ["id_b", "block"])
+
+
+def _pair_jaccard() -> Column:
+    """Inclusion-exclusion Jaccard over the intersection frame's
+    (inter_size, size_a, size_b), on the 6dp output grid."""
+    return F.round(
         F.col("inter_size").cast("double")
         / (F.col("size_a") + F.col("size_b") - F.col("inter_size")),
         6) + F.lit(0.0)
+
+
+def ngram_jaccard_pairs(df: DataFrame, block_col: str, text_col: str = "text",
+                        id_col: str = "doc_id", shingle_n: int = 2,
+                        threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard similarity >= *threshold* for pairs sharing
+    a blocking key (the verification stage after LSH candidate
+    generation); plan shape in
+    :func:`_blocked_shingle_intersections`."""
     return (
-        inter.join(sa, ["id_a", "block"]).join(sb, ["id_b", "block"])
+        _blocked_shingle_intersections(df, block_col, text_col, id_col,
+                                       shingle_n)
+        .withColumn("jaccard", _pair_jaccard())
+        .filter(F.col("jaccard") >= threshold)
+        .select("block", "id_a", "id_b", "jaccard")
+    )
+
+
+def containment_pairs(df: DataFrame, block_col: str,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      shingle_n: int = 2,
+                      threshold: float = 0.8) -> DataFrame:
+    """Shingle CONTAINMENT >= threshold for pairs sharing a blocking
+    key: containment = |A n B| / min(|A|, |B|) — the asymmetric-dup
+    catcher Jaccard structurally misses.  A short document fully
+    quoted inside a long one has Jaccard |A|/|B| (arbitrarily small)
+    but containment 1.0; excerpt/quote/boilerplate-inclusion dup is
+    the common crawl case (Broder's containment measure, the
+    CCNet/Gopher subset-dup gate).  Same plan economics as
+    :func:`ngram_jaccard_pairs` (the shared
+    :func:`_blocked_shingle_intersections` stage — one shingle-keyed
+    self-join bounded by the block), both scores reported so the gap
+    is observable."""
+    containment = F.round(
+        F.col("inter_size").cast("double")
+        / F.least(F.col("size_a"), F.col("size_b")), 6) + F.lit(0.0)
+    return (
+        _blocked_shingle_intersections(df, block_col, text_col, id_col,
+                                       shingle_n)
         .withColumn("containment", containment)
-        .withColumn("jaccard", jaccard)
+        .withColumn("jaccard", _pair_jaccard())
         .filter(F.col("containment") >= threshold)
         .select("block", "id_a", "id_b", "containment", "jaccard")
     )

@@ -178,3 +178,45 @@ def test_incremental_components_match_fresh(spark):
     star = (d.connected_components_star(d.dedup_minhash_lsh(old))
             .filter(F.col("id") != F.col("component")).count())
     assert star < full_pairs
+
+
+def test_unaligned_substring_catches_one_token_shift(spark):
+    """The pinned gap (VERDICT r12 item 1): a duplicate passage
+    shifted by ONE token escapes the fixed chunk grid of
+    dedup_repeated_chunks entirely (every 16-token chunk hash
+    changes), but the overlapping-window operator catches every
+    shared window at its shifted offset — the original's tokens are
+    all covered and it drops out; the shifted copy keeps exactly its
+    one novel prefix token."""
+    passage = " ".join(f"tok{i}" for i in range(40))
+    rows = [(1, passage), (2, "shift " + passage),
+            (3, " ".join(f"other{i}" for i in range(40)))]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    grid = {r.doc_id: r.kept_chunks
+            for r in dedup.dedup_repeated_chunks(
+                df, chunk_tokens=16, max_occurrences=1).collect()}
+    # chunk grid misses the shifted duplicate: all three docs keep
+    # every chunk (ceil(40/16)=3, ceil(41/16)=3)
+    assert grid == {1: 3, 2: 3, 3: 3}
+
+    out = {r.doc_id: (r.kept_tokens, r.clean_text)
+           for r in dedup.dedup_unaligned_substring(
+               df, window_tokens=16, max_occurrences=1).collect()}
+    # original fully covered -> dropped; copy keeps only 'shift';
+    # the unrelated doc is untouched
+    assert 1 not in out
+    assert out[2] == (1, "shift")
+    assert out[3][0] == 40
+
+
+def test_unaligned_substring_keeps_unique_short_docs(spark):
+    """Docs shorter than the window fall back to one whole-text
+    window: unique short docs survive whole, identical short docs are
+    corpus-wide duplicates and both vanish."""
+    rows = [(1, "unique tiny doc"), (2, "same tiny"), (3, "same tiny")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r.kept_tokens
+           for r in dedup.dedup_unaligned_substring(
+               df, window_tokens=16).collect()}
+    assert out == {1: 3}
