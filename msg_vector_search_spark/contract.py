@@ -156,6 +156,75 @@ def _publish_frame(name: str, df: DataFrame, sub: str) -> None:
         table, os.path.join(_trained_dir(name), sub))
 
 
+# Canonical per-table witness keys for the artifact fingerprints: the
+# identity columns that actually change across fixture scales (row
+# COUNTS do not — sf0.001 and sf0.01 both carry 500 embeddings/
+# documents with different contents, measured), rendered identically
+# by both engines.  md5(text) folds arbitrary document text to a hex
+# token both dialects hash the same way.
+_WITNESS_KEY_SQL = {
+    "embeddings": "CAST(vec_id AS VARCHAR) || ':' || label",
+    "documents": "CAST(doc_id AS VARCHAR) || ':' || md5(text)",
+    "events": "CAST(event_id AS VARCHAR)",
+}
+
+
+def _witness_key_col(table: str):
+    if table == "embeddings":
+        return F.concat(F.col("vec_id").cast("string"), F.lit(":"),
+                        F.col("label"))
+    if table == "documents":
+        return F.concat(F.col("doc_id").cast("string"), F.lit(":"),
+                        F.md5(F.col("text").cast("binary")))
+    return F.col("event_id").cast("string")
+
+
+def _scale_witness(spark: SparkSession, sf_dir: str, table: str) -> int:
+    """Order-independent content checksum of *table*: per row
+    ``1000003 + (hash48(key) mod 1000003)`` summed — blends row count
+    and content, overflow-safe to ~9e12 rows (the raw 48-bit sum
+    would overflow BIGINT near 1M rows).  Computed with the shared
+    md5-prefix hash so :func:`_fp_guard` replays it in DuckDB."""
+    h = analysis.token_hash(_witness_key_col(table))
+    return int(_t(spark, sf_dir, table)
+               .agg(F.sum(F.lit(1000003).cast("long")
+                          + F.pmod(h, F.lit(1000003))).alias("w"))
+               .head()[0])
+
+
+def _publish_fingerprint(spark: SparkSession, sf_dir: str, name: str,
+                         table: str) -> None:
+    """Scale witness for a published-artifact row (ADVICE r12): the
+    content checksum of the query's anchor table at publish time,
+    written next to the artifacts.  The oracle's artifact-reading CTE
+    asserts this against the SAME checksum recomputed from its
+    registered views (:func:`_fp_guard`), so an artifact left behind
+    by a run at a DIFFERENT scale (the realistic clobber: a gate at
+    sf0.01 racing a pytest run at sf0.001) empties the CTE and the
+    row fails LOUDLY instead of silently comparing against stale
+    artifacts.  Same-scale clobber remains benign by construction —
+    every trained artifact is seed-deterministic per fixture, so a
+    concurrent same-scale writer reproduces byte-equal values (the
+    documented single-writer assumption, now enforced across
+    scales)."""
+    import pyarrow as pa
+
+    ann_index.write_small_parquet(
+        pa.table({"witness": [_scale_witness(spark, sf_dir, table)]}),
+        os.path.join(_trained_dir(name), "fingerprint"))
+
+
+def _fp_guard(name: str, table: str) -> str:
+    """DuckDB predicate asserting the published fingerprint matches
+    the oracle's own content checksum of *table* — AND this into the
+    artifact CTE's WHERE so a cross-scale artifact yields zero rows."""
+    key = _WITNESS_KEY_SQL[table]
+    return (f"(SELECT f.witness FROM read_parquet("
+            f"'{_trained_dir(name)}/fingerprint/*.parquet') f)"
+            f" = (SELECT sum(1000003 + "
+            f"({analysis.duck_token_hash(key)} % 1000003)) FROM {table})")
+
+
 def _publish_store_link(name: str, target: str) -> None:
     """Atomically re-point the canonical symlink at a (cached) store
     directory — the store itself is built once per fixture (mkdtemp),
@@ -403,11 +472,18 @@ def _ivfpq_replay_oracle(art_dir: str, nprobe: int,
     indexing, 6dp), shortlist, exact-cosine re-rank — identical math
     to the seed oracle _IVFPQ_SEED_ORACLE, with the artifact CTEs
     reading parquet instead of deriving seed picks.  Verifies every
-    stage downstream of training at full value fidelity."""
+    stage downstream of training at full value fidelity.  The
+    centroid CTE carries the fingerprint guard (ADVICE r12): a
+    cross-scale artifact empties it and the row fails loudly."""
     return f"""
 WITH cent AS (
   SELECT centroid_id, centroid_vec AS cvec
   FROM read_parquet('{art_dir}/centroids/*.parquet')
+  WHERE (SELECT f.witness
+         FROM read_parquet('{art_dir}/fingerprint/*.parquet') f)
+        = (SELECT sum(1000003 +
+             ({analysis.duck_token_hash(_WITNESS_KEY_SQL['embeddings'])}
+              % 1000003)) FROM embeddings)
 ), cb AS (
   SELECT j, cw, cv FROM read_parquet('{art_dir}/codebooks/*.parquet')
 ), q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
@@ -483,6 +559,7 @@ def ann_ivfpq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = pq_ops.kmeans_codebooks(emb, m=8, ncodes=16)
     _publish_centroids("ann_ivfpq_trained", cent)
     _publish_codebooks("ann_ivfpq_trained", cb)
+    _publish_fingerprint(spark, sf_dir, "ann_ivfpq_trained", "embeddings")
     return pq_ops.ivfpq_search(assigned, cent, cb,
                                _query_vec(spark, sf_dir),
                                k=10, nprobe=8, shortlist=400)
@@ -1112,12 +1189,49 @@ def agg_count_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"))
 
 
-@register("approx_distinct_users")
+_ADU_DIR = _trained_dir("approx_distinct_users")
+_ADU_RSD = 0.05
+
+
+@register("approx_distinct_users", oracle=f"""
+WITH est AS (
+  SELECT n_users_approx
+  FROM read_parquet('{_ADU_DIR}/estimate/*.parquet')
+  WHERE {_fp_guard("approx_distinct_users", "events")}
+), ex AS (SELECT count(DISTINCT user_id) AS n_users_exact FROM events)
+SELECT CAST(est.n_users_approx AS BIGINT) AS n_users_approx,
+       CAST(ex.n_users_exact AS BIGINT) AS n_users_exact,
+       abs(CAST(est.n_users_approx AS DOUBLE) - ex.n_users_exact)
+         <= {3 * _ADU_RSD} * ex.n_users_exact AS within_band
+FROM est, ex
+""")
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E4 scale variant: HLL++ sketch — sketch internals differ from
-    DuckDB's approx so this is a rows-only check by design."""
-    return _t(spark, sf_dir, "events").agg(
-        F.approx_count_distinct("user_id").alias("n_users_approx"))
+    """E4 scale variant: HLL++ sketch with a value-BAND oracle
+    (VERDICT r12 item 2 — formerly the registry's only non-embed
+    rows-only row).  Sketch register internals differ from DuckDB's
+    approx_count_distinct, so the ESTIMATE itself is published via
+    the trained-artifact contract and the oracle replays the
+    verifiable claims around it: the exact count (recomputed
+    independently in both engines) and the band check
+    |estimate - exact| <= 3*rsd*exact — deterministic booleans, full
+    value compare.  A sketch gone haywire flips within_band on the
+    Spark side while the oracle, asserting from the published
+    estimate, still reads true — hash mismatch, loud fail."""
+    import pyarrow as pa
+
+    ev = _t(spark, sf_dir, "events")
+    est = int(ev.agg(F.approx_count_distinct("user_id", _ADU_RSD)
+                     .alias("e")).head()[0])
+    ann_index.write_small_parquet(
+        pa.table({"n_users_approx": [est]}),
+        os.path.join(_ADU_DIR, "estimate"))
+    _publish_fingerprint(spark, sf_dir, "approx_distinct_users", "events")
+    return (ev.agg(F.countDistinct("user_id").alias("n_users_exact"))
+            .select(F.lit(est).cast("long").alias("n_users_approx"),
+                    F.col("n_users_exact"),
+                    (F.abs(F.lit(float(est)) - F.col("n_users_exact"))
+                     <= F.lit(3 * _ADU_RSD) * F.col("n_users_exact"))
+                    .alias("within_band")))
 
 
 @register("agg_new_msg_gap", oracle="""
@@ -3683,6 +3797,7 @@ _PQRR_TRAINED_DIR = _trained_dir("ann_pq_rerank_trained")
 WITH cb AS (
   SELECT j, cw, cv
   FROM read_parquet('{_PQRR_TRAINED_DIR}/codebooks/*.parquet')
+  WHERE {_fp_guard("ann_pq_rerank_trained", "embeddings")}
 ), js AS (SELECT DISTINCT j FROM cb),
 ev AS (
   SELECT e.vec_id, js.j, e.embedding[(js.j*8+1):(js.j*8+8)] AS xv
@@ -3731,6 +3846,7 @@ def ann_pq_rerank_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     cb = pq_ops.kmeans_codebooks(emb, m=8, ncodes=16)
     _publish_codebooks("ann_pq_rerank_trained", cb)
+    _publish_fingerprint(spark, sf_dir, "ann_pq_rerank_trained", "embeddings")
     codes = pq_ops.pq_encode(emb, cb)
     qv = _query_vec(spark, sf_dir)
     table = pq_ops.adc_table(qv, cb)
@@ -3858,11 +3974,29 @@ def ann_ivfpq_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TRAINED_STORE_LINK = _trained_dir("trained_index")
 
+# Intrinsic scale guard for the store-link oracles (ADVICE r12): the
+# linked store is always a FULL-corpus index, so its stored vectors
+# must content-match the oracle's own embeddings view — no
+# fingerprint sidecar needed, the store is its own witness.  Both
+# operands are computed in DuckDB over identically-typed float
+# arrays, so the native hash() rendering agrees; counts alone would
+# NOT discriminate (sf0.001 and sf0.01 both hold 500 embeddings).  A
+# link left pointing at another scale's store empties the centroid
+# CTE and the row fails loudly instead of replaying stale artifacts.
+_TRAINED_LINK_GUARD = (
+    f"(SELECT sum(hash(CAST(vec_id AS VARCHAR) ||"
+    f" CAST(embedding AS VARCHAR))) FROM read_parquet("
+    f"'{_TRAINED_STORE_LINK}/vectors/*/*.parquet', "
+    f"hive_partitioning = true)) = (SELECT sum(hash("
+    f"CAST(vec_id AS VARCHAR) || CAST(embedding AS VARCHAR)))"
+    f" FROM embeddings)")
+
 
 @register("ann_ivfpq_materialized_trained", oracle=f"""
 WITH cent AS (
   SELECT centroid_id, centroid_vec AS cvec
   FROM read_parquet('{_TRAINED_STORE_LINK}/centroids/*.parquet')
+  WHERE {_TRAINED_LINK_GUARD}
 ), cb AS (
   SELECT j, cw, cv
   FROM read_parquet('{_TRAINED_STORE_LINK}/codebooks/*.parquet')
@@ -4692,6 +4826,7 @@ def streaming_index_erase(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH cent AS (
   SELECT centroid_id, centroid_vec AS cvec
   FROM read_parquet('{_TRAINED_STORE_LINK}/centroids/*.parquet')
+  WHERE {_TRAINED_LINK_GUARD}
 ), cscored AS (
   SELECT e.vec_id, c.centroid_id,
          (round({V.duck_cosine('e.embedding', 'c.cvec')}, 9) + 0) AS cdist
@@ -5491,6 +5626,7 @@ _TEMP_MIX_DIR = _trained_dir("mix_temperature_budget")
 WITH b AS (
   SELECT source, budget
   FROM read_parquet('{_TEMP_MIX_DIR}/budgets/*.parquet')
+  WHERE {_fp_guard("mix_temperature_budget", "documents")}
 ), d AS (
   SELECT doc_id, source,
          CASE WHEN length(trim(text)) = 0 THEN 0
@@ -5544,6 +5680,7 @@ def mix_temperature_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.createDataFrame(sorted(budgets.items()),
                               "source string, budget long"),
         "budgets")
+    _publish_fingerprint(spark, sf_dir, "mix_temperature_budget", "documents")
     return corpus_ops.mix_token_budget(docs, budgets)
 
 
@@ -5581,7 +5718,11 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the corpus itself.  Count tables co-partition on their token
     keys (vocabulary-sized — never broadcast), the scalar total
     broadcasts, per-doc means map-side partial, top-k is
-    TakeOrderedAndProject."""
+    TakeOrderedAndProject.  The scoring join input is pre-aggregated
+    to per-doc distinct bigrams and the mean weighted by their counts
+    (r12 item 3 — strictly less shuffle volume); the oracle stays the
+    naive per-occurrence mean, value-verifying the weighted
+    decomposition against the definition."""
     docs = readers.widen(_t(spark, sf_dir, "documents"))
     return corpus_ops.bigram_perplexity(docs, lam=0.7)
 
@@ -9393,6 +9534,7 @@ FROM served s JOIN truth t ON t.vec_id = s.vec_id""")
 WITH cent AS (
   SELECT centroid_id, centroid_vec AS cvec
   FROM read_parquet('{_TRAINED_STORE_LINK}/centroids/*.parquet')
+  WHERE {_TRAINED_LINK_GUARD}
 ), cb AS (
   SELECT j, cw, cv
   FROM read_parquet('{_TRAINED_STORE_LINK}/codebooks/*.parquet')
