@@ -9727,6 +9727,92 @@ def pipeline_serving_capstone(spark: SparkSession,
     return sim_ops.mmr_select(short, k=8, lam=0.7)
 
 
+# =========================================================================
+# Multi-vector late interaction (ColBERT MaxSim) — VERDICT r12 item 5
+# =========================================================================
+# Fixture layout: each stored 64-dim embedding read as 8 contiguous
+# 8-dim token vectors (the multi-vector store shape); a query uses its
+# first 4 token views, so query and doc token counts differ as they do
+# in real late-interaction serving.
+_MAXSIM_QT, _MAXSIM_DT, _MAXSIM_DIM = 4, 8, 8
+
+
+def _duck_maxsim_terms(qv_sql: str) -> str:
+    """The MaxSim score in DuckDB: for each literal query-token index
+    i, max over doc-token slices j of the 6dp-rounded cosine (max is
+    fold-order-free), terms added in ascending i — the exact Spark
+    fold."""
+    d = _MAXSIM_DIM
+    terms = []
+    for i in range(_MAXSIM_QT):
+        a = f"({qv_sql}[({i * d}+1):({i * d}+{d})])"
+        dv = f"e.embedding[(j*{d}+1):(j*{d}+{d})]"
+        terms.append(
+            f"list_max(list_transform(generate_series(0, {_MAXSIM_DT - 1}),"
+            f" j -> (round({V.duck_cosine(a, dv)}, 6) + 0)))")
+    return "(" + "\n + ".join(terms) + ")"
+
+
+def _maxsim_token_views(vec: list[float]) -> list[list[float]]:
+    d = _MAXSIM_DIM
+    return [[float(x) for x in vec[t * d:(t + 1) * d]]
+            for t in range(_MAXSIM_QT)]
+
+
+@register("maxsim_topk", oracle=f"""
+SELECT vec_id, score FROM (
+  SELECT e.vec_id, (round({_duck_maxsim_terms("q.qv")}, 6) + 0) AS score
+  FROM embeddings e,
+       (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+) ORDER BY score DESC, vec_id LIMIT 10
+""")
+def maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-vector late-interaction top-k (ColBERT MaxSim — Khattab &
+    Zaharia, SIGIR 2020): score = sum_i max_j cos(q_i, d_j) over the
+    query's 4 token vectors vs each doc's 8 token views
+    (similarity.maxsim_topk).  The whole score is one codegen
+    projection riding the corpus scan + TakeOrderedAndProject — the
+    knn_search plan shape with per-token soft alignment; the oracle
+    rebuilds every (i, j) pair cosine on the same 6dp grid."""
+    qt = _maxsim_token_views(_query_vec(spark, sf_dir))
+    return sim_ops.maxsim_topk(_t(spark, sf_dir, "embeddings"), qt,
+                               k=10, doc_tokens=_MAXSIM_DT,
+                               dim=_MAXSIM_DIM)
+
+
+@register("maxsim_serve_many", oracle=f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+  WHERE vec_id IN (0, 1, 2)
+), scored AS (
+  SELECT q.q_id, e.vec_id,
+         (round({_duck_maxsim_terms("q.qv")}, 6) + 0) AS score
+  FROM embeddings e CROSS JOIN q
+)
+SELECT q_id, vec_id, score, rank FROM (
+  SELECT q_id, vec_id, score,
+         CAST(row_number() OVER (PARTITION BY q_id
+                                 ORDER BY score DESC, vec_id) AS INT)
+           AS rank
+  FROM scored
+) WHERE rank <= 10
+""")
+def maxsim_serve_many(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched MaxSim serving (similarity.maxsim_serve_many): Q=3
+    queries' token vectors broadcast as DATA, ONE corpus scan,
+    constant plan in Q — the search_index_many discipline applied to
+    late interaction (PLANS.md pins the single-scan plan).  Per-query
+    top-10 via the rank window; ties break (score desc, vec_id)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qrows = sorted((int(r["vec_id"]), r["embedding"]) for r in
+                   emb.filter(F.col("vec_id") <= 2)
+                   .select("vec_id", "embedding").collect())
+    query_rows = [(qid, _maxsim_token_views(vec)) for qid, vec in qrows]
+    return sim_ops.maxsim_serve_many(emb, query_rows, k=10,
+                                     doc_tokens=_MAXSIM_DT,
+                                     dim=_MAXSIM_DIM)
+
+
 @register("topk_mmr_diverse", oracle=_mmr_oracle(10, 50, 0.7))
 def topk_mmr_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal-Marginal-Relevance diversified top-10: greedy

@@ -222,6 +222,134 @@ def knn_join_pandas(corpus: DataFrame, query_rows: list, k: int = 10,
             .select(query_id, corpus_id, "sim", "rank"))
 
 
+def _doc_token_views(vec_col: str, doc_tokens: int, dim: int):
+    """The stored multi-vector layout: a doc's embedding column read
+    as *doc_tokens* contiguous *dim*-wide token vectors (ColBERT-style
+    late-interaction stores one vector PER TOKEN; the fixture's flat
+    array is sliced into that layout so the operator works on any
+    array<float> store).  Callers bind the returned expression once
+    and derive per-token norms from the bound value, so norms compute
+    ONCE per doc, not once per (q_token, d_token) pair."""
+    dtoks = F.transform(
+        F.sequence(F.lit(0), F.lit(doc_tokens - 1)),
+        lambda t: F.slice(F.col(vec_col), t * F.lit(dim) + 1, dim))
+    return dtoks
+
+
+def _maxsim_term(dtoks, dnorms, q_token: list[float]):
+    """One query token's MaxSim contribution: max_j cos(q_i, d_j),
+    each pair cosine rounded to the 6dp serving grid BEFORE the max
+    (max is fold-order-free, so the grid is the only cross-engine
+    agreement needed)."""
+    qn = math.sqrt(sum(float(x) * float(x) for x in q_token))
+    if qn == 0.0:
+        return F.lit(0.0)
+    qlit = F.array(*[F.lit(float(x)) for x in q_token])
+    return F.array_max(F.zip_with(
+        dtoks, dnorms,
+        lambda dv, dn: F.round(
+            F.when(dn == 0.0, F.lit(0.0))
+            .otherwise(V.dot(dv, qlit) / (dn * F.lit(qn))), 6)
+        + F.lit(0.0)))
+
+
+def maxsim_topk(corpus: DataFrame, query_tokens: list[list[float]],
+                k: int = 10, doc_tokens: int = 8, dim: int = 8,
+                vec_col: str = "embedding",
+                id_col: str = "vec_id") -> DataFrame:
+    """Multi-vector late-interaction retrieval (ColBERT MaxSim,
+    Khattab & Zaharia, SIGIR 2020): score(q, d) = sum_i max_j
+    cos(q_i, d_j) over the query's token vectors against each doc's
+    token vectors — per-token soft alignment, the retrieval-quality
+    step between single-vector cosine and a cross-encoder.
+
+    Brute-force oracle-checkable form: the whole score is ONE codegen
+    projection riding the corpus scan (query token vectors travel as
+    literal arrays, doc token views are slices of the stored array —
+    no join, no shuffle, no UDF), then TakeOrderedAndProject top-k —
+    exactly the knn_search plan shape with a richer score expression,
+    so it survives a 1000-executor corpus unchanged.  Doc token norms
+    are bound once per row; per (i, j) pair only the dot remains.
+    Sum over query tokens folds in ascending i (a fixed literal
+    chain), each pair cosine on the 6dp grid before the order-free
+    max."""
+    dtoks_expr = _doc_token_views(vec_col, doc_tokens, dim)
+
+    def score_with(dtoks):
+        def score_with_norms(dnorms):
+            total = None
+            for qt in query_tokens:
+                term = _maxsim_term(dtoks, dnorms, qt)
+                total = term if total is None else total + term
+            return F.round(total, 6) + F.lit(0.0)
+        return analysis.bind_once(
+            F.transform(dtoks, lambda dv: V.norm(dv)), score_with_norms)
+
+    scored = corpus.withColumn(
+        "score", analysis.bind_once(dtoks_expr, score_with))
+    return (scored
+            .orderBy(F.col("score").desc(), F.col(id_col).asc())
+            .limit(k)
+            .select(id_col, "score"))
+
+
+def maxsim_serve_many(corpus: DataFrame, query_rows: list, k: int = 10,
+                      doc_tokens: int = 8, dim: int = 8,
+                      vec_col: str = "embedding",
+                      corpus_id: str = "vec_id",
+                      query_id: str = "q_id") -> DataFrame:
+    """Batched MaxSim serving — the search_index_many discipline
+    applied to late interaction: Q queries' token vectors ship as
+    broadcast DATA (one tiny frame: q_id, token vectors, their norms
+    precomputed driver-side), the corpus is scanned ONCE, and the
+    per-(doc, query) score is the same fold as :func:`maxsim_topk`
+    expressed over the broadcast row's token array.  Constant plan in
+    Q: adding queries adds rows to the broadcast side, never a stage.
+    Per-query top-k via the rank window over (score desc, id) — the
+    knn_join shape; at very large Q x corpus the knn_join_pandas
+    partial-top-k GEMM twin generalizes (per-partition heaps before
+    the window shuffle).
+
+    *query_rows* = [(q_id, [[float; dim]; n_q_tokens]), ...],
+    driver-sized by the same contract that lets knn_join broadcast
+    its query set."""
+    spark = corpus.sparkSession
+    rows = [(int(qid),
+             [[float(x) for x in t] for t in toks],
+             [math.sqrt(sum(float(x) * float(x) for x in t))
+              for t in toks])
+            for qid, toks in query_rows]
+    qdf = spark.createDataFrame(
+        rows, f"{query_id} long, qtoks array<array<double>>, "
+              f"qnorms array<double>")
+    dtoks_expr = _doc_token_views(vec_col, doc_tokens, dim)
+
+    def score_with(dtoks):
+        def score_with_norms(dnorms):
+            qpairs = F.zip_with(
+                F.col("qtoks"), F.col("qnorms"),
+                lambda qt, qn: F.struct(qt.alias("qt"), qn.alias("qn")))
+            return F.round(F.aggregate(
+                qpairs, F.lit(0.0),
+                lambda acc, s: acc + F.array_max(F.zip_with(
+                    dtoks, dnorms,
+                    lambda dv, dn: F.round(
+                        F.when((dn * s.qn) == 0.0, F.lit(0.0))
+                        .otherwise(V.dot(dv, s.qt) / (dn * s.qn)), 6)
+                    + F.lit(0.0)))), 6) + F.lit(0.0)
+        return analysis.bind_once(
+            F.transform(dtoks, lambda dv: V.norm(dv)), score_with_norms)
+
+    scored = (corpus.crossJoin(F.broadcast(qdf))
+              .withColumn("score",
+                          analysis.bind_once(dtoks_expr, score_with)))
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("score").desc(), F.col(corpus_id).asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id, corpus_id, "score", "rank"))
+
+
 def pairwise_similarity(left: DataFrame, right: DataFrame, on: str,
                         threshold: float,
                         vec_col: str = "embedding") -> DataFrame:

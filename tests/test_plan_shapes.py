@@ -415,3 +415,26 @@ def test_batched_bm25_serve_reads_checkpoints_not_postings(spark):
     plan = plan_of(df)
     assert "FileScan parquet" not in plan  # result is the checkpoint
     assert df.count() > 0
+
+
+def test_maxsim_topk_single_stage_heap(spark):
+    """MaxSim brute force keeps the flagship plan shape: the whole
+    sum-of-max-cosines score is one codegen projection on the scan,
+    bounded by TakeOrderedAndProject — no shuffle, no global sort,
+    no join at any corpus size."""
+    plan = plan_of(contract.REGISTRY["maxsim_topk"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+    assert "Sort " not in plan
+    assert plan.count("embeddings.parquet") == 1
+
+
+def test_maxsim_serve_many_one_corpus_scan(spark):
+    """Batched MaxSim is constant-plan in Q: the query token vectors
+    are broadcast DATA (BroadcastNestedLoopJoin over the tiny frame),
+    the corpus parquet is scanned exactly once, and the only exchange
+    is the per-query rank window's — never a second corpus pass per
+    query."""
+    plan = plan_of(contract.REGISTRY["maxsim_serve_many"](spark, SF))
+    assert plan.count("embeddings.parquet") == 1
+    assert "BroadcastNestedLoopJoin" in plan

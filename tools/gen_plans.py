@@ -344,6 +344,80 @@ SHOW = [
      "ranks every query, and the top-k window plans as a "
      "WindowGroupLimit — no per-query subplans, no Union, plan "
      "constant in Q."),
+    ("mix_token_budget",
+     "Token-budget data mixing as a DISTRIBUTED PREFIX SUM: the "
+     "(hash, id) admit order is cut into range buckets of the 48-bit "
+     "hash space, each (source, bucket) window computes its local "
+     "running sum in parallel (the big Window below is partitioned by "
+     "BOTH keys — per-window state is corpus/(sources x buckets), "
+     "never a whole source), the dimension-bounded bucket totals "
+     "cumulate in a tiny per-source window (sources x buckets rows) "
+     "and come back as a BroadcastHashJoin, and the budget gate rides "
+     "the same broadcast join's condition. No per-source serialized "
+     "window anywhere — sources are exactly the hot keys at 100 TB. "
+     "The DuckDB oracle computes the same totals as ONE flat window "
+     "cumsum, value-verifying the decomposition; "
+     "tests/test_corpus_audits.py pins decomposition == flat window "
+     "for buckets in {1, 4, 64}."),
+    ("text_bigram_perplexity",
+     "Interpolated bigram-LM perplexity gate: one bigram count "
+     "aggregate and one unigram count aggregate (uniform token keys, "
+     "map-side partials); the scoring join co-partitions on the "
+     "bigram then the unigram key — count tables are vocabulary- "
+     "sized, so nothing vocabulary-shaped is ever broadcast; the "
+     "single scalar total is. Since r13 the join INPUT is the per-doc "
+     "DISTINCT-bigram frame (doc, u, w, c) — documents repeat "
+     "bigrams, so pre-aggregating before the three count joins "
+     "strictly shrinks shuffle volume and the per-doc mean weights by "
+     "c (identical value, verified against the naive per-occurrence "
+     "oracle). Per-doc means collapse map-side; the final top-k is "
+     "TakeOrderedAndProject."),
+    ("dedup_containment",
+     "Containment dedup (|AnB| / min(|A|,|B|)): identical economics "
+     "to the Jaccard verification stage — one shingle-keyed self-join "
+     "bounded by the blocking key (the shared "
+     "_blocked_shingle_intersections stage), inclusion-exclusion "
+     "against per-doc set sizes — with the asymmetric containment "
+     "score alongside Jaccard so subset duplication (excerpt/quote/ "
+     "boilerplate inclusion) is caught at containment ~1.0 where "
+     "Jaccard reads ~0.5."),
+    ("span_corruption",
+     "T5 span corruption as ONE narrow Project over the scan — the "
+     "entire transform (block-start hashing, per-position mask test, "
+     "sentinel splice, target assembly, mask accounting) folds into "
+     "per-row codegen expressions: no shuffle, no window, no join, no "
+     "UDF. Block-local spans are what make this possible (each "
+     "position consults only its own block's hash-drawn start), so "
+     "the operator costs a map pass at any corpus size. The "
+     "reconstruction invariant (input + target splice back to the "
+     "original stream) is property-tested; the oracle rebuilds both "
+     "strings token-for-token."),
+    ("dedup_unaligned_substring",
+     "Unaligned repeated-substring dedup (the overlapping-window "
+     "upgrade over dedup_repeated_chunks' fixed grid): one narrow "
+     "transform emits a window hash at EVERY token position, corpus- "
+     "wide counts via partial-aggregated groupBy on the uniform "
+     "48-bit key, the count join is an equi-join on that key, "
+     "coverage explodes only duplicate windows (k positions each), "
+     "and reassembly is one anti join + per-doc ordered collect. A "
+     "duplicate passage shifted off the chunk grid by one token is "
+     "caught; no stage is corpus-quadratic."),
+    ("maxsim_topk",
+     "ColBERT MaxSim late interaction, brute force: the whole "
+     "sum-of-max-cosines score (4 query token vectors as literals x 8 "
+     "doc token views sliced from the stored array, per-pair 6dp "
+     "rounding before the order-free max) is ONE codegen projection "
+     "riding the corpus scan, bounded by TakeOrderedAndProject — the "
+     "flagship knn_search shape with a richer score; zero exchanges "
+     "at any corpus size."),
+    ("maxsim_serve_many",
+     "Batched MaxSim serving: Q queries' token vectors (+ driver- "
+     "precomputed norms) broadcast as DATA, ONE corpus scan scores "
+     "all queries via an aggregate fold over the broadcast row's "
+     "token array, per-query top-k via the rank window — constant "
+     "plan in Q (the search_index_many discipline applied to late "
+     "interaction). At very large Q x corpus the knn_join_pandas "
+     "partial-top-k GEMM twin generalizes."),
 ]
 
 
