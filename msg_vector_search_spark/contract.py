@@ -4627,33 +4627,27 @@ def streaming_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     the live form of ann_index_upsert: the new-vector batch arrives as
     a file stream (3 files, maxFilesPerTrigger=1, so THREE separate
     micro-batches), and foreachBatch folds each one into the persisted
-    index via upsert_index.  Sharing ann_index_upsert's oracle proves
-    batch-split invariance: N incremental micro-batch upserts land the
-    index in exactly the state one bulk upsert (and the full-corpus
-    replay) produces — the property that makes continuous vector
-    ingest safe to retry and re-shard."""
+    index via streaming_ops.stream_index_upsert.  Sharing
+    ann_index_upsert's oracle proves batch-split invariance: N
+    incremental micro-batch upserts land the index in exactly the
+    state one bulk upsert (and the full-corpus replay) produces — the
+    property that makes continuous vector ingest safe to retry and
+    re-shard.  The in-stream maintenance policy runs OBSERVE-ONLY
+    here (maintain_every=2, no thresholds armed): the decay signals
+    are evaluated at ingest cadence through the same driver-checked
+    row, and with no armed trigger the index state is bit-identical
+    to plain streaming upsert.  The armed-threshold lifecycle
+    (growth trips exactly one staged rebuild mid-stream) is pinned in
+    tests/test_streaming_incremental.py."""
     emb = _t(spark, sf_dir, "embeddings")
     batch = emb.filter(F.col("vec_id") % 10 == 3)
     path = _upsert_base_copy(spark, sf_dir)
 
     src = os.path.join(tempfile.mkdtemp(prefix="annstream_"), "incoming")
     batch.repartition(3).write.parquet(src)
-    stream = (spark.readStream.schema(batch.schema)
-              .option("maxFilesPerTrigger", 1).parquet(src))
-
-    def fold(bdf: DataFrame, batch_id: int) -> None:
-        if bdf.isEmpty():
-            return
-        ann_index.upsert_index(bdf.sparkSession, path, bdf)
-
-    ckpt = tempfile.mkdtemp(prefix="ckpt_annstream_")
-    q = (stream.writeStream.foreachBatch(fold)
-         .trigger(availableNow=True)
-         .option("checkpointLocation", ckpt).start())
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    decisions = streaming_ops.stream_index_upsert(
+        spark, path, src, batch.schema, maintain_every=2)
+    assert all(not d["rebuilt"] for d in decisions)
     qrow = emb.filter(F.col("vec_id") == 3).select("embedding").head()
     qv = [float(x) for x in qrow[0]]
     return ann_index.search_index(spark, path, qv,
@@ -9855,11 +9849,10 @@ DRIVER_VERIFIED = frozenset({
     # text_filtered_many_large, hybrid_serve_many(_large),
     # hybrid_filtered_serve, hybrid_filtered_many_large,
     # pipeline_serving_capstone; (d) likewise every row serving
-    # through the single-query search_index incl.
-    # ann_trained_store_exhaustive (result-neutral there — it probes
-    # every cell — but the discipline is path-based):
     # through the SINGLE-query search_index (its probe moved
-    # driver-side too): ann_ivfpq_materialized,
+    # driver-side too), incl. ann_trained_store_exhaustive
+    # (result-neutral there — it probes every cell — but the
+    # discipline is path-based): ann_ivfpq_materialized,
     # ann_ivfpq_filtered_materialized, ann_index_upsert/rebuild/
     # erase/compact, streaming_index_upsert/erase,
     # pipeline_forget_and_serve, changefeed_apply_index,
@@ -10023,9 +10016,14 @@ _LAST_CHECKED_CACHE: dict | None = None
 
 
 def _last_checked_rounds() -> dict:
-    """Per-row most-recent driver check, read from the
+    """Per-row most-recent SUCCESSFUL driver check, read from the
     CORRECTNESS_r*.json artifacts at the repo root (the driver and the
     local gate both run from there).  Names never appearing map to 0.
+    Only green checks count toward freshness (ADVICE r12): a full-
+    oracle row needs rows_match with no err; a rows-only-by-contract
+    row (err == 'no_oracle') needs spark_rows > 0.  A FAILED check
+    leaves the row's last good round old, so it rotates FORWARD in
+    the window instead of being treated as freshly verified.
     Failure-tolerant: no artifacts (fresh clone) -> empty dict and the
     caller falls back to registration order."""
     global _LAST_CHECKED_CACHE
@@ -10033,6 +10031,13 @@ def _last_checked_rounds() -> dict:
         return _LAST_CHECKED_CACHE
     import glob as _glob
     import json as _json
+
+    def green(row) -> bool:
+        if not isinstance(row, dict):
+            return False
+        if row.get("err") == "no_oracle":
+            return (row.get("spark_rows") or 0) > 0
+        return bool(row.get("rows_match")) and row.get("err") is None
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     last: dict[str, int] = {}
@@ -10044,8 +10049,9 @@ def _last_checked_rounds() -> dict:
         except (ValueError, OSError, _json.JSONDecodeError):
             continue
         if isinstance(rows, dict):
-            for name in rows:
-                last[name] = max(last.get(name, 0), rnd)
+            for name, row in rows.items():
+                if green(row):
+                    last[name] = max(last.get(name, 0), rnd)
     _LAST_CHECKED_CACHE = last
     return last
 

@@ -197,35 +197,16 @@ class Engine:
         return True
 
     def index_maintenance_stats(self) -> dict:
-        """The decay signals, metadata-light: per-cell occupancy of the
-        codes store (count-per-partition — no vector bytes read, the
-        ann_index_stats economics) folded to growth-since-build and
-        cell skew.  upsert_index deliberately never moves centroids or
-        codebooks (the FAISS operating practice), so these two numbers
-        are exactly what drifts."""
-        import os
-
+        """The decay signals (ann_index.index_maintenance_stats):
+        per-cell occupancy folded to growth-since-build and cell skew,
+        with the pre-``n_rows`` baseline backfilled write-through and
+        surfaced as ``baseline_unknown`` (ADVICE r12 — growth on a
+        legacy store accrues from first observation instead of
+        pinning a growth-armed policy inert at 0.0)."""
         from .operators import ann_index
 
-        meta = ann_index.read_meta(self.index_dir)
-        counts = [r["n"] for r in
-                  (self.spark.read.parquet(
-                      os.path.join(self.index_dir, "codes"))
-                   .groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
-                   .collect())]
-        total = sum(counts)
-        # mean over ALL nlist cells (empty cells count as 0): after
-        # erasures drain cells, max/mean-over-occupied would report
-        # skew 1.0 for the most imbalanced store achievable — a
-        # one-giant-cell store must read as skew ~nlist, not 1.0
-        nlist = int(meta.get("nlist") or len(counts) or 1)
-        mean = total / nlist if nlist else 0.0
-        skew = (max(counts) / mean) if counts and mean else 1.0
-        at_build = int(meta.get("n_rows") or total)
-        growth = ((total - at_build) / at_build) if at_build else 0.0
-        return {"total_rows": total, "rows_at_build": at_build,
-                "occupied_cells": len(counts),
-                "skew": round(skew, 4), "growth": round(growth, 4)}
+        return ann_index.index_maintenance_stats(self.spark,
+                                                 self.index_dir)
 
     def audit_recall(self, k: int = 10) -> float:
         """Recall@k of indexed serving (this engine's nprobe/shortlist

@@ -301,7 +301,7 @@ def search_index_many(spark: SparkSession, path: str,
 
     # Probe DRIVER-SIDE for the whole batch: the centroid sidecar is
     # nlist rows (collected once), and ivf.probe_cells_local replays
-    # probe_cells\' cosine with the identical IEEE operation order and
+    # probe_cells' cosine with the identical IEEE operation order and
     # tiebreak — bit-identical cell sets, ZERO probe jobs.  The Spark
     # probe job this replaces cost ~2 s local per batched call (one
     # crossJoin+window stage regardless of Q) — measured r12, it was
@@ -373,7 +373,7 @@ def search_index_many(spark: SparkSession, path: str,
     exact = V.cosine(F.col(vec_col), F.col("_qv"))
     w_k = Window.partitionBy("qid").orderBy(
         F.col("sim").desc(), F.col(id_col).asc())
-    # with_rank exposes the top-k window\'s own row_number as the
+    # with_rank exposes the top-k window's own row_number as the
     # per-query rank — RRF fusion consumes it directly instead of
     # re-windowing the k-bounded output (hybrid_serve_many)
     extra = ((F.col("_rn").cast("int").alias("rank"),)
@@ -630,3 +630,72 @@ def upsert_index(spark: SparkSession, path: str,
     from .dedup import _cc_free
     _cc_free(assigned)  # both store merges committed; release the pin
     return touched
+
+
+def index_maintenance_stats(spark: SparkSession, path: str) -> dict:
+    """The rebuild-decay signals, metadata-light: per-cell occupancy
+    of the codes store (count-per-partition — no vector bytes read)
+    folded to growth-since-build and cell skew.  :func:`upsert_index`
+    deliberately never moves centroids or codebooks (the FAISS
+    operating practice), so these two numbers are exactly what
+    drifts.  Shared by the Engine facade and the streaming ingest
+    loop (:func:`msg_vector_search_spark.streaming.stream
+    .stream_index_upsert`).
+
+    Indexes written before ``n_rows`` existed report
+    ``baseline_unknown=True`` and get the CURRENT total backfilled
+    into meta write-through (ADVICE r12): growth then accrues from
+    the first observation instead of staying pinned at 0.0 forever,
+    and callers that want a conservative initial rebuild can key off
+    the flag."""
+    meta = read_meta(path)
+    counts = [r["n"] for r in
+              (spark.read.parquet(_subdir(path, "codes"))
+               .groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+               .collect())]
+    total = sum(counts)
+    # mean over ALL nlist cells (empty cells count as 0): after
+    # erasures drain cells, max/mean-over-occupied would report skew
+    # 1.0 for the most imbalanced store achievable — a one-giant-cell
+    # store must read as skew ~nlist, not 1.0
+    nlist = int(meta.get("nlist") or len(counts) or 1)
+    mean = total / nlist if nlist else 0.0
+    skew = (max(counts) / mean) if counts and mean else 1.0
+    baseline_unknown = meta.get("n_rows") is None
+    if baseline_unknown:
+        meta["n_rows"] = total
+        with open(os.path.join(path, META_FILE), "w") as f:
+            json.dump(meta, f)
+    at_build = int(meta["n_rows"])
+    growth = ((total - at_build) / at_build) if at_build else 0.0
+    return {"total_rows": total, "rows_at_build": at_build,
+            "occupied_cells": len(counts),
+            "skew": round(skew, 4), "growth": round(growth, 4),
+            "baseline_unknown": baseline_unknown}
+
+
+def maintain_index(spark: SparkSession, path: str,
+                   rebuild_growth: float | None = None,
+                   rebuild_skew: float | None = None,
+                   force: bool = False) -> dict:
+    """The rebuild DECISION on the decay signals: trip any armed
+    threshold — growth since build or cell skew — and run
+    :func:`rebuild_index` (staged build from the store's own vectors,
+    whole-dir swap, bit-identical to a fresh build over the same
+    rows, so serving stays green across it).  Returns the measured
+    signals plus what was decided; ``force=True`` skips the signals.
+    The Engine facade layers its opt-in recall floor on top of this
+    (recall needs the vectors store, not just the index)."""
+    sig = index_maintenance_stats(spark, path)
+    reason = None
+    if force:
+        reason = "forced"
+    elif (rebuild_growth is not None
+            and sig["growth"] > rebuild_growth):
+        reason = "growth"
+    elif rebuild_skew is not None and sig["skew"] > rebuild_skew:
+        reason = "skew"
+    if reason is None:
+        return {"rebuilt": False, **sig}
+    rebuild_index(spark, path)
+    return {"rebuilt": True, "reason": reason, **sig}

@@ -234,6 +234,13 @@ def probe_cells_local(cent_rows, query_vec: list[float],
     scored = []
     for r in cent_rows:
         cv = r["centroid_vec"]
+        if len(cv) != len(query_vec):
+            # fail loudly like the Spark path (zip_with null-pads and
+            # surfaces a null qdist); a silent zip truncation here
+            # would return plausible-looking cells instead (ADVICE
+            # r12) — the one way the bit-identical claim could break
+            raise ValueError(
+                f"query dim {len(query_vec)} != centroid dim {len(cv)}")
         cn = 0.0
         dot = 0.0
         for x, y in zip(cv, query_vec):

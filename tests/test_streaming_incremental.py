@@ -387,3 +387,72 @@ def test_budget_admit_state_survives_micro_batches(spark):
         assert got == {20 + i: 4 * (i + 1) for i in range(7)}
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_index_upsert_maintenance_rebuilds_once(spark, tmp_path):
+    """The in-stream maintenance lifecycle (VERDICT r12 item 6): build
+    on 90% of the corpus, stream the remaining 10% in three
+    micro-batches with a 5% growth trigger evaluated per batch —
+    growth crosses the threshold exactly once mid-stream (the rebuild
+    resets the baseline, so later batches sit under it again), the
+    rebuild is staged + swapped without breaking ingestion, and
+    post-stream serving finds the streamed vectors."""
+    from msg_vector_search_spark.operators import ann_index
+
+    emb = readers.read_table(spark, SF, "embeddings")
+    base = emb.filter(F.col("vec_id") % 10 != 3)
+    batch = emb.filter(F.col("vec_id") % 10 == 3)
+    path = str(tmp_path / "index")
+    ann_index.build_index(spark, base, path, nlist=16, m=8, ncodes=16)
+
+    src = str(tmp_path / "incoming")
+    batch.repartition(3).write.parquet(src)
+    decisions = stream.stream_index_upsert(
+        spark, path, src, batch.schema,
+        maintain_every=1, rebuild_growth=0.05,
+        query_name="sim_upkeep")
+
+    assert len(decisions) == 3                      # policy ran per batch
+    assert [d["rebuilt"] for d in decisions].count(True) == 1
+    rebuilt = next(d for d in decisions if d["rebuilt"])
+    assert rebuilt["reason"] == "growth" and rebuilt["growth"] > 0.05
+    # the rebuild reset the baseline: the decision AFTER it reads fresh
+    after = decisions[decisions.index(rebuilt) + 1:]
+    assert all(d["growth"] <= 0.05 for d in after)
+    # final stats observe the full corpus; serving finds a streamed key
+    sig = ann_index.index_maintenance_stats(spark, path)
+    assert sig["total_rows"] == emb.count()
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 3).select("embedding").head()[0]]
+    served = ann_index.search_index(spark, path, qv, k=10,
+                                    nprobe=4, shortlist=50)
+    assert 3 in {r["vec_id"] for r in served.collect()}
+
+
+def test_maintenance_stats_backfills_unknown_baseline(spark, tmp_path):
+    """ADVICE r12: an index whose meta predates n_rows must not pin
+    growth at 0.0 forever — the first stats read backfills the
+    observed total write-through and flags baseline_unknown, so a
+    growth-armed policy arms from that observation on."""
+    import json
+    import os
+
+    from msg_vector_search_spark.operators import ann_index
+
+    emb = readers.read_table(spark, SF, "embeddings")
+    path = str(tmp_path / "index")
+    ann_index.build_index(spark, emb.filter(F.col("vec_id") < 400),
+                          path, nlist=8, m=8, ncodes=16)
+    meta_path = os.path.join(path, ann_index.META_FILE)
+    meta = json.load(open(meta_path))
+    del meta["n_rows"]                       # simulate a legacy store
+    json.dump(meta, open(meta_path, "w"))
+
+    sig = ann_index.index_maintenance_stats(spark, path)
+    assert sig["baseline_unknown"] and sig["growth"] == 0.0
+    assert json.load(open(meta_path))["n_rows"] == sig["total_rows"]
+
+    ann_index.upsert_index(spark, path,
+                           emb.filter(F.col("vec_id") >= 400))
+    sig2 = ann_index.index_maintenance_stats(spark, path)
+    assert not sig2["baseline_unknown"] and sig2["growth"] > 0.0
