@@ -9832,6 +9832,35 @@ def topk_mmr_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
 # every operator accrues one across rounds. Purely a presentation
 # order — REGISTRY itself keeps source order.
 DRIVER_VERIFIED = frozenset({
+    # round 13 rotation discipline: of CORRECTNESS_r12's 50 green
+    # rows, re-listed below are only those UNCHANGED by the r13 diff.
+    # Deliberately ABSENT (pending-first in the r13 window):
+    # (a) new rows — dedup_unaligned_substring, maxsim_topk,
+    # maxsim_serve_many; (b) rows whose serving code changed —
+    # dedup_ngram_jaccard + dedup_containment (shared
+    # _blocked_shingle_intersections refactor; ngram_jaccard also
+    # REMOVED from its round-2 block below), text_bigram_perplexity
+    # (pre-aggregated scoring join), approx_distinct_users (band
+    # oracle + published estimate; removed from the round-1 block),
+    # streaming_index_upsert (rewired through
+    # streaming.stream_index_upsert); (c) every published-artifact row
+    # whose oracle gained the fingerprint/content-witness guard —
+    # ann_ivfpq_trained, ann_pq_rerank_trained,
+    # ann_ivfpq_materialized_trained, ann_index_stats_trained,
+    # ann_recall_audit_trained, mix_temperature_budget; (d) every row
+    # serving through ivf.probe_cells_local (the new dimension-
+    # mismatch guard is result-neutral, but the discipline is
+    # path-based): ann_ivfpq_materialized,
+    # ann_ivfpq_filtered_materialized, ann_trained_store_exhaustive,
+    # ann_index_upsert/rebuild/erase/compact, streaming_index_erase,
+    # pipeline_forget_and_serve, changefeed_apply_index,
+    # ann_mmr_materialized, search_index_many(_large),
+    # hybrid_serve_many(_large), hybrid_filtered_serve,
+    # hybrid_filtered_many_large.
+    "dsir_hashed_bigram", "streaming_budget_admit", "mix_token_budget",
+    "span_corruption", "udf_embed_batch", "udf_embed_query",
+    "text_search_many", "text_search_many_large",
+    "text_filtered_many_large", "pipeline_serving_capstone",
     # round 12 rotation discipline: (a) the three trained-ANN rows are
     # deliberately ABSENT (removed from their r5/r6 blocks) — r12 gave
     # each a real DuckDB oracle over its own persisted artifacts
@@ -9977,7 +10006,7 @@ DRIVER_VERIFIED = frozenset({
     "first_order_per_customer", "dedup_exact", "dedup_minhash_lsh",
     "dedup_lsh_star", "dedup_simhash", "dedup_simhash_hamming",
     "dedup_embedding_lsh",
-    "dedup_ngram_jaccard", "dedup_embedding_cosine", "text_lang_id",
+    "dedup_embedding_cosine", "text_lang_id",
     "text_quality_score", "text_token_counts", "text_fingerprint",
     "ann_lsh_topk",
     "topk_quantized_int8", "dedup_components", "dedup_keep_canonical",
@@ -10003,7 +10032,7 @@ DRIVER_VERIFIED = frozenset({
     "context_prev_next", "anti_join_unnamed", "semi_join_deep_search",
     "dedup_last_wins", "agg_count_total", "agg_count_embedded",
     "agg_min_max_ts", "agg_count_distinct_users",
-    "approx_distinct_users", "agg_new_msg_gap", "agg_group_first",
+    "agg_new_msg_gap", "agg_group_first",
     "agg_running_max_watermark", "group_agg_events",
     "sort_ts_pagination", "kth_ts_offset", "neighbor_limit1",
     "limit_candidates", "topk_per_group", "rolling_window_agg",

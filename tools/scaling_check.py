@@ -537,6 +537,46 @@ def audits_main() -> None:
             shutil.rmtree(d, ignore_errors=True)
 
 
+def transforms_main() -> None:
+    """python tools/scaling_check.py --transforms [mults ...] — time
+    the corpus-transform rows at replicated corpus scale (VERDICT r12
+    item 8: the retrieval rows have measured scaling tables; the new
+    transforms claimed flat/narrow scaling without one).  Expected
+    shapes: span_corruption is ONE narrow Project — pure scan, ~linear
+    wall time, zero shuffle at any size; mix_token_budget is two
+    narrow shuffles whose cumulated state is bounded by sources x
+    buckets — ~linear scan, constant tail as the bucket count holds;
+    text_bigram_perplexity grows with distinct (doc, bigram) volume
+    (the r13 pre-aggregated join input); dedup_unaligned_substring
+    grows with token volume (one window hash per position);
+    maxsim_topk stays one scan + bounded heap."""
+    from msg_vector_search_spark import contract
+    from msg_vector_search_spark.session import get_spark
+
+    mults = [int(a) for a in sys.argv[2:]] or [1, 4, 10]
+    queries = ["span_corruption", "mix_token_budget",
+               "text_bigram_perplexity", "dedup_unaligned_substring",
+               "maxsim_topk"]
+    spark = get_spark("transform_scale")
+    print(f"{'xN':>4} {'docs':>8} " +
+          " ".join(f"{q[:22]:>24}" for q in queries))
+    for m in mults:
+        d = tempfile.mkdtemp(prefix=f"tfm_{m}x_")
+        try:
+            replicate(spark, m, d)
+            replicate_embeddings(spark, m, d)
+            n = spark.read.parquet(f"{d}/documents.parquet").count()
+            times = []
+            for q in queries:
+                t0 = time.perf_counter()
+                contract.REGISTRY[q](spark, d).count()
+                times.append(time.perf_counter() - t0)
+            print(f"{m:>4} {n:>8} " +
+                  " ".join(f"{t:>24.2f}" for t in times), flush=True)
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def erase_main() -> None:
     """Erase-path scaling: delete a FIXED 20-key batch from indexes
     built over 1x/4x/16x corpora.  nlist scales with the corpus (the
@@ -712,5 +752,7 @@ if __name__ == "__main__":
         trunc_main()
     elif "--audits" in sys.argv:
         audits_main()
+    elif "--transforms" in sys.argv:
+        transforms_main()
     else:
         main()
