@@ -9774,7 +9774,7 @@ def maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                dim=_MAXSIM_DIM)
 
 
-@register("maxsim_serve_many", oracle=f"""
+_MAXSIM_MANY_ORACLE = f"""
 WITH q AS (
   SELECT vec_id AS q_id, embedding AS qv FROM embeddings
   WHERE vec_id IN (0, 1, 2)
@@ -9790,7 +9790,18 @@ SELECT q_id, vec_id, score, rank FROM (
            AS rank
   FROM scored
 ) WHERE rank <= 10
-""")
+"""
+
+
+def _maxsim_query_rows(spark: SparkSession, sf_dir: str) -> list:
+    emb = _t(spark, sf_dir, "embeddings")
+    qrows = sorted((int(r["vec_id"]), r["embedding"]) for r in
+                   emb.filter(F.col("vec_id") <= 2)
+                   .select("vec_id", "embedding").collect())
+    return [(qid, _maxsim_token_views(vec)) for qid, vec in qrows]
+
+
+@register("maxsim_serve_many", oracle=_MAXSIM_MANY_ORACLE)
 def maxsim_serve_many(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batched MaxSim serving (similarity.maxsim_serve_many): Q=3
     queries' token vectors broadcast as DATA, ONE corpus scan,
@@ -9798,13 +9809,27 @@ def maxsim_serve_many(spark: SparkSession, sf_dir: str) -> DataFrame:
     late interaction (PLANS.md pins the single-scan plan).  Per-query
     top-10 via the rank window; ties break (score desc, vec_id)."""
     emb = _t(spark, sf_dir, "embeddings")
-    qrows = sorted((int(r["vec_id"]), r["embedding"]) for r in
-                   emb.filter(F.col("vec_id") <= 2)
-                   .select("vec_id", "embedding").collect())
-    query_rows = [(qid, _maxsim_token_views(vec)) for qid, vec in qrows]
-    return sim_ops.maxsim_serve_many(emb, query_rows, k=10,
-                                     doc_tokens=_MAXSIM_DT,
+    return sim_ops.maxsim_serve_many(emb,
+                                     _maxsim_query_rows(spark, sf_dir),
+                                     k=10, doc_tokens=_MAXSIM_DT,
                                      dim=_MAXSIM_DIM)
+
+
+@register("maxsim_join_pandas", oracle=_MAXSIM_MANY_ORACLE)
+def maxsim_join_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GEMM scale twin of maxsim_serve_many
+    (similarity.maxsim_join_pandas — the knn_join_pandas discipline
+    applied to late interaction): one BLAS GEMM per partition over
+    the stacked doc-token matrix scores every query, per-partition
+    PARTIAL top-k bounds the rank window's shuffle to
+    k * Q * partitions rows instead of corpus * Q.  Shares the
+    expression form's oracle — per-pair 6dp rounding before the max
+    and ascending-i term accumulation make the two bit-identical."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim_ops.maxsim_join_pandas(emb,
+                                      _maxsim_query_rows(spark, sf_dir),
+                                      k=10, doc_tokens=_MAXSIM_DT,
+                                      dim=_MAXSIM_DIM)
 
 
 @register("topk_mmr_diverse", oracle=_mmr_oracle(10, 50, 0.7))

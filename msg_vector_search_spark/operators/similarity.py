@@ -350,6 +350,78 @@ def maxsim_serve_many(corpus: DataFrame, query_rows: list, k: int = 10,
             .select(query_id, corpus_id, "score", "rank"))
 
 
+def maxsim_join_pandas(corpus: DataFrame, query_rows: list, k: int = 10,
+                       doc_tokens: int = 8, dim: int = 8,
+                       vec_col: str = "embedding",
+                       corpus_id: str = "vec_id",
+                       query_id: str = "q_id") -> DataFrame:
+    """GEMM twin of :func:`maxsim_serve_many` with PARTIAL top-k — the
+    knn_join_pandas discipline applied to late interaction: each
+    corpus partition scores ALL queries' token vectors against all of
+    its docs' token vectors in ONE BLAS GEMM ((n x Td, d) @ (d, Q x
+    Tq)), folds max-over-doc-tokens then sum-over-query-tokens, and
+    emits only its own top-k per query — the rank window's shuffle
+    input is k * Q * partitions rows, never corpus * Q.  Bit-parity
+    with the expression form: per-pair cosines round to 6dp BEFORE the
+    order-free max, and the query-token terms accumulate sequentially
+    in ascending i (an explicit loop — numpy's pairwise .sum() folds
+    in a different IEEE order), so both operators share one oracle.
+
+    *query_rows* layout matches :func:`maxsim_serve_many`; all query
+    token counts must be equal (one GEMM)."""
+    import numpy as np
+    import pandas as pd
+
+    qids = np.array([q[0] for q in query_rows], dtype=np.int64)
+    n_q = len(qids)
+    t_q = len(query_rows[0][1])
+    qmat = np.array([t for _, toks in query_rows for t in toks],
+                    dtype=np.float64)                       # (Q*Tq, d)
+    qn = np.linalg.norm(qmat, axis=1)
+    qunit = qmat / np.where(qn == 0.0, 1.0, qn)[:, None]
+    qunit[qn == 0.0] = 0.0
+
+    def part_topk(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            ids = pdf[corpus_id].to_numpy()
+            flat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            dmat = flat.reshape(n * doc_tokens, dim)        # row-major:
+            dn = np.linalg.norm(dmat, axis=1)               # token t =
+            dunit = dmat / np.where(dn == 0.0, 1.0, dn)[:, None]
+            dunit[dn == 0.0] = 0.0                          # slice t*d+1..
+            sims = np.round(dunit @ qunit.T, 6) + 0.0       # (n*Td, Q*Tq)
+            maxed = (sims.reshape(n, doc_tokens, n_q, t_q)
+                     .max(axis=1))                          # (n, Q, Tq)
+            acc = maxed[:, :, 0]
+            for i in range(1, t_q):                         # ascending-i
+                acc = acc + maxed[:, :, i]                  # left fold
+            scores = np.round(acc, 6) + 0.0                 # (n, Q)
+            kk = min(k, n)
+            order = np.lexsort(
+                (np.broadcast_to(ids[:, None], scores.shape), -scores),
+                axis=0)[:kk, :]
+            qcol = np.repeat(qids[None, :], kk, axis=0)
+            yield pd.DataFrame({
+                query_id: qcol.ravel(),
+                corpus_id: ids[order.ravel()],
+                "score": scores[order.ravel(),
+                                np.repeat(np.arange(n_q)[None, :],
+                                          kk, axis=0).ravel()],
+            })
+
+    partial = corpus.select(corpus_id, vec_col).mapInPandas(
+        part_topk, schema=f"{query_id} long, {corpus_id} long, "
+                          f"score double")
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("score").desc(), F.col(corpus_id).asc())
+    return (partial.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id, corpus_id, "score", "rank"))
+
+
 def pairwise_similarity(left: DataFrame, right: DataFrame, on: str,
                         threshold: float,
                         vec_col: str = "embedding") -> DataFrame:

@@ -438,3 +438,14 @@ def test_maxsim_serve_many_one_corpus_scan(spark):
     plan = plan_of(contract.REGISTRY["maxsim_serve_many"](spark, SF))
     assert plan.count("embeddings.parquet") == 1
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_maxsim_join_pandas_partial_topk_shape(spark):
+    """The GEMM twin's scale property: the Arrow kernel rides the
+    single corpus scan (MapInPandas) and the only exchange is the
+    per-query rank window's — fed by the k-bounded per-partition
+    partials, never the corpus x Q product."""
+    plan = plan_of(contract.REGISTRY["maxsim_join_pandas"](spark, SF))
+    assert "MapInPandas" in plan
+    assert plan.count("embeddings.parquet") == 1
+    assert plan.count("Exchange hashpartitioning(q_id") == 1
