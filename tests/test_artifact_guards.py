@@ -32,8 +32,9 @@ def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
 def test_fp_guard_matches_own_scale_and_trips_cross_scale(spark, table):
     contract._publish_fingerprint(spark, SF_A, "guard_test", table)
     guard = contract._fp_guard("guard_test", table)
-    assert _duck(SF_A).sql(f"SELECT {guard}").fetchone()[0] is True
-    assert _duck(SF_B).sql(f"SELECT {guard}").fetchone()[0] is not True
+    con_a, con_b = _duck(SF_A), _duck(SF_B)
+    assert con_a.sql(f"SELECT {guard}").fetchone()[0] is True
+    assert con_b.sql(f"SELECT {guard}").fetchone()[0] is not True
 
 
 def test_spark_witness_equals_duck_witness(spark):
@@ -43,7 +44,8 @@ def test_spark_witness_equals_duck_witness(spark):
         w = contract._scale_witness(spark, SF_B, table)
         key = contract._WITNESS_KEY_SQL[table]
         from msg_vector_search_spark.functions import analysis
-        d = _duck(SF_B).sql(
+        con = _duck(SF_B)
+        d = con.sql(
             f"SELECT sum(1000003 + ({analysis.duck_token_hash(key)} "
             f"% 1000003)) FROM {table}").fetchone()[0]
         assert w == int(d), table
@@ -60,5 +62,6 @@ def test_trained_link_guard_requires_matching_store(spark, tmp_path):
     ann_index.build_index(spark, emb, path, nlist=8, m=8, ncodes=16)
     contract._publish_store_link("trained_index", path)
     guard = contract._TRAINED_LINK_GUARD
-    assert _duck(SF_A).sql(f"SELECT {guard}").fetchone()[0] is True
-    assert _duck(SF_B).sql(f"SELECT {guard}").fetchone()[0] is not True
+    con_a, con_b = _duck(SF_A), _duck(SF_B)
+    assert con_a.sql(f"SELECT {guard}").fetchone()[0] is True
+    assert con_b.sql(f"SELECT {guard}").fetchone()[0] is not True
