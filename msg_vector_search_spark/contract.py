@@ -9832,6 +9832,56 @@ def maxsim_join_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       dim=_MAXSIM_DIM)
 
 
+@register("maxsim_hybrid_rrf", oracle=f"""
+WITH kw_scored AS ({retrieval_ops.duck_bm25(_BM25_TERMS, _DUCK_TOKENS)}),
+kw_top AS (
+  SELECT doc_id, (round(bm25, 6) + 0) AS s FROM kw_scored
+  ORDER BY s DESC, doc_id LIMIT 50
+), kw_rank AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INT)
+           AS rank_kw
+  FROM kw_top
+), ms_scored AS (
+  SELECT e.vec_id AS doc_id,
+         (round({_duck_maxsim_terms("q.qv")}, 6) + 0) AS s
+  FROM embeddings e,
+       (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+), ms_top AS (
+  SELECT doc_id, s FROM ms_scored ORDER BY s DESC, doc_id LIMIT 50
+), ms_rank AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INT)
+           AS rank_ms
+  FROM ms_top
+)
+SELECT COALESCE(k.doc_id, m.doc_id) AS doc_id,
+       k.rank_kw AS rank_0, m.rank_ms AS rank_1,
+       (round(COALESCE(1.0::DOUBLE / (60 + k.rank_kw), 0.0)
+            + COALESCE(1.0::DOUBLE / (60 + m.rank_ms), 0.0), 6) + 0)
+         AS rrf
+FROM kw_rank k FULL JOIN ms_rank m ON k.doc_id = m.doc_id
+ORDER BY rrf DESC, doc_id LIMIT 10
+""")
+def maxsim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid keyword + LATE-INTERACTION retrieval: the BM25 leg and
+    the MaxSim leg each produce a bounded top-50 rank frame (one
+    corpus scan per leg — the same legs hybrid_search_rrf runs, with
+    the single-vector cosine leg upgraded to per-token soft
+    alignment), fused by reciprocal rank.  Every stage after the two
+    scans is bounded by the candidate count; the oracle replays both
+    legs and the fusion arithmetic end-to-end."""
+    docs = readers.widen(_t(spark, sf_dir, "documents"))
+    kw = (retrieval_ops.bm25_scores(docs, _BM25_TERMS)
+          .select("doc_id", rnd(F.col("bm25"), 6).alias("s")))
+    kw_rank = retrieval_ops.bounded_rank(kw, "s", "doc_id", 50)
+    emb = _t(spark, sf_dir, "embeddings")
+    qt = _maxsim_token_views(_query_vec(spark, sf_dir))
+    ms = (sim_ops.maxsim_topk(emb, qt, k=50, doc_tokens=_MAXSIM_DT,
+                              dim=_MAXSIM_DIM)
+          .select(F.col("vec_id").alias("doc_id"), "score"))
+    ms_rank = retrieval_ops.bounded_rank(ms, "score", "doc_id", 50)
+    return retrieval_ops.rrf_fuse([kw_rank, ms_rank], topk=10)
+
+
 @register("topk_mmr_diverse", oracle=_mmr_oracle(10, 50, 0.7))
 def topk_mmr_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal-Marginal-Relevance diversified top-10: greedy
