@@ -9832,6 +9832,38 @@ def maxsim_join_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       dim=_MAXSIM_DIM)
 
 
+@register("ann_signbit_rerank", oracle=f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+qs AS (
+  SELECT {sim_ops.duck_signbit_sketch('qv')} AS qsk FROM q
+), sk AS (
+  SELECT e.vec_id,
+         CAST(bit_count(xor(
+           {sim_ops.duck_signbit_sketch('e.embedding')},
+           qs.qsk)) AS INT) AS hamming
+  FROM embeddings e, qs
+), short AS (
+  SELECT vec_id, hamming FROM sk ORDER BY hamming ASC, vec_id LIMIT 64
+)
+SELECT s.vec_id, s.hamming,
+       (round({V.duck_cosine('e.embedding', 'q.qv')}, 6) + 0) AS sim
+FROM short s JOIN embeddings e ON e.vec_id = s.vec_id, q
+ORDER BY sim DESC, s.vec_id LIMIT 10
+""")
+def ann_signbit_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized ANN (similarity.signbit_rerank_search): 1-bit
+    sign sketches (48 dims packed into one long — the binary-index
+    storage form, 32x smaller than float32), Hamming xor+popcount
+    shortlist against the query's driver-computed sketch literal,
+    exact-cosine re-rank — the train-nothing quantized path next to
+    int8 (topk_quantized_int8) and the Matryoshka head
+    (ann_truncated_rerank).  Shortlist is TakeOrderedAndProject;
+    full-precision math touches only 64 rows."""
+    return sim_ops.signbit_rerank_search(
+        _t(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir),
+        k=10, shortlist=64)
+
+
 @register("maxsim_hybrid_rrf", oracle=f"""
 WITH kw_scored AS ({retrieval_ops.duck_bm25(_BM25_TERMS, _DUCK_TOKENS)}),
 kw_top AS (

@@ -158,3 +158,35 @@ def test_knn_join_pandas_zero_norm_query_scores_zero(spark):
     out = similarity.knn_join_pandas(corpus, [(9, [0.0, 0.0])], k=2).collect()
     assert {r.sim for r in out} == {0.0}
     assert [r.vec_id for r in sorted(out, key=lambda r: r.rank)] == [1, 2]
+
+
+def test_signbit_sketch_spark_matches_python(spark):
+    """The packed sign sketch agrees between the codegen expression
+    and the driver-side query twin — the equality the Hamming
+    shortlist's literal xor rests on."""
+    from pyspark.sql import functions as F
+
+    from msg_vector_search_spark.operators import similarity as sim
+    from msg_vector_search_spark.sources import readers
+
+    emb = readers.read_table(spark, "/root/testdata/sf0.001",
+                             "embeddings").limit(20)
+    rows = emb.select("vec_id", "embedding",
+                      sim.signbit_sketch("embedding").alias("sk")).collect()
+    for r in rows:
+        assert int(r["sk"]) == sim.signbit_sketch_py(r["embedding"])
+
+
+def test_signbit_rerank_finds_query_vector(spark):
+    """The query's own stored vector has Hamming distance 0 to its
+    sketch, survives any shortlist, and re-ranks to the top with
+    sim 1.0."""
+    from msg_vector_search_spark.operators import similarity as sim
+    from msg_vector_search_spark.sources import readers
+
+    emb = readers.read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qv = [float(x) for x in
+          emb.filter("vec_id = 0").select("embedding").head()[0]]
+    top = sim.signbit_rerank_search(emb, qv, k=5, shortlist=32).collect()
+    assert top[0]["vec_id"] == 0
+    assert top[0]["hamming"] == 0 and top[0]["sim"] == 1.0
