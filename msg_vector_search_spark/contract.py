@@ -9832,6 +9832,42 @@ def maxsim_join_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       dim=_MAXSIM_DIM)
 
 
+@register("search_rocchio_feedback", oracle=f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id, e.embedding,
+         (round({V.duck_cosine('e.embedding', 'q.qv')}, 6) + 0) AS sim
+  FROM embeddings e, q
+), fb AS (
+  SELECT embedding FROM scored ORDER BY sim DESC, vec_id LIMIT 10
+), cent AS (
+  SELECT idx, (round(avg(CAST(embedding[idx] AS DOUBLE)), 6) + 0) AS c
+  FROM fb, range(1, 65) t(idx) GROUP BY idx
+), q2 AS (
+  SELECT list((round(1.0 * CAST(qv[idx] AS DOUBLE) + 0.5 * c, 6) + 0)
+              ORDER BY idx) AS qv2
+  FROM cent, q
+)
+SELECT e.vec_id,
+       (round({V.duck_cosine('e.embedding', 'q2.qv2')}, 6) + 0) AS sim
+FROM embeddings e, q2
+ORDER BY sim DESC, e.vec_id LIMIT 10
+""")
+def search_rocchio_feedback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance feedback search (Rocchio): brute-force top-10
+    as presumed relevant, centroid blended into the query
+    (alpha=1.0, beta=0.5, 6dp grid — similarity.rocchio_expand_query),
+    then the flagship knn_search re-runs with the expanded vector.
+    Two TakeOrderedAndProject corpus passes, centroid math bounded by
+    k rows; the oracle rebuilds the feedback set, the centroid, the
+    blend, and the second pass end-to-end."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q2 = sim_ops.rocchio_expand_query(emb, _query_vec(spark, sf_dir),
+                                      k_feedback=10, alpha=1.0, beta=0.5)
+    return (sim_ops.knn_search(emb, q2, k=10)
+            .select("vec_id", "sim"))
+
+
 @register("ann_signbit_rerank", oracle=f"""
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
 qs AS (

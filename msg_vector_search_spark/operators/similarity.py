@@ -493,6 +493,33 @@ def signbit_rerank_search(corpus: DataFrame, query_vec: list[float],
             .select(id_col, "hamming", "sim"))
 
 
+def rocchio_expand_query(corpus: DataFrame, query_vec: list[float],
+                         k_feedback: int = 10, alpha: float = 1.0,
+                         beta: float = 0.5,
+                         vec_col: str = "embedding",
+                         id_col: str = "vec_id") -> list[float]:
+    """Pseudo-relevance feedback (Rocchio, the classic query-expansion
+    loop): take the brute-force top-*k_feedback* as presumed-relevant,
+    blend their 6dp-rounded centroid into the query —
+    ``q' = round(alpha * q + beta * centroid, 6)`` per dimension — and
+    return the expanded vector for a second search pass.  The
+    feedback set is dimension-bounded (k rows collected), centroid
+    math is driver-side NumPy on the same 6dp grid the corpus
+    centroid rows use (group_centroids_pandas precedent), so an
+    oracle rebuilding q' from its own top-k gets identical doubles.
+    Cost: one extra corpus scan (the feedback pass) — the expansion
+    itself never touches the corpus."""
+    import numpy as np
+
+    fb = (knn_search(corpus, query_vec, k=k_feedback,
+                     vec_col=vec_col, tiebreak=id_col)
+          .select(vec_col).collect())
+    mat = np.stack([np.asarray(r[0], dtype=np.float64) for r in fb])
+    cent = np.round(mat.mean(axis=0), 6) + 0.0
+    return [float(np.round(alpha * float(q) + beta * c, 6) + 0.0)
+            for q, c in zip(query_vec, cent)]
+
+
 def pairwise_similarity(left: DataFrame, right: DataFrame, on: str,
                         threshold: float,
                         vec_col: str = "embedding") -> DataFrame:

@@ -418,6 +418,34 @@ SHOW = [
      "plan in Q (the search_index_many discipline applied to late "
      "interaction). At very large Q x corpus the knn_join_pandas "
      "partial-top-k GEMM twin generalizes."),
+    ("maxsim_join_pandas",
+     "The GEMM twin of batched MaxSim with PARTIAL top-k: one BLAS "
+     "GEMM per partition over the stacked doc-token matrix scores "
+     "every query (MapInPandas on the single corpus scan), each "
+     "partition emits only its own top-k per query, so the rank "
+     "window's exchange is k*Q*partitions rows — never corpus*Q. "
+     "Per-pair 6dp rounding before the order-free max and explicit "
+     "ascending-i accumulation keep it bit-identical to the "
+     "expression form (shared oracle)."),
+    ("ann_signbit_rerank",
+     "Binary-quantized ANN: sign-bit sketches (48 dims packed into "
+     "one long — at write time the store keeps ONE long per vector, "
+     "32x fewer shortlist bytes than float32), Hamming xor+popcount "
+     "against the query's sketch literal, TakeOrderedAndProject "
+     "shortlist on (hamming asc, id), broadcast exact-cosine re-rank "
+     "of 64 survivors — the truncated_rerank shape with an integer "
+     "sketch instead of a head slice."),
+    ("search_rocchio_feedback",
+     "Pseudo-relevance feedback (Rocchio): feedback pass = the "
+     "flagship TakeOrderedAndProject top-10, centroid+blend on the "
+     "collected k rows (driver-bounded), second pass = the same "
+     "flagship plan with the expanded literal — two bounded corpus "
+     "scans, zero shuffles, no stage grows with k or corpus."),
+    ("maxsim_hybrid_rrf",
+     "Hybrid BM25 + late-interaction retrieval: each leg is one "
+     "bounded top-50 rank frame (one corpus scan per leg), RRF "
+     "fusion over k-bounded frames via broadcast joins — every stage "
+     "after the two scans is candidate-bounded."),
 ]
 
 
