@@ -157,13 +157,22 @@ def _publish_frame(name: str, df: DataFrame, sub: str) -> None:
 
 
 # Canonical per-table witness keys for the artifact fingerprints: the
-# identity columns that actually change across fixture scales (row
+# content columns that actually change across fixture scales (row
 # COUNTS do not — sf0.001 and sf0.01 both carry 500 embeddings/
 # documents with different contents, measured), rendered identically
 # by both engines.  md5(text) folds arbitrary document text to a hex
-# token both dialects hash the same way.
+# token both dialects hash the same way; the embeddings key carries a
+# VECTOR digest (per-dim round(x*1e6) summed to one BIGINT — integer
+# rendering, so no cross-engine float-formatting hazard) because the
+# trained artifacts derive from the vector BYTES: ids/labels alone
+# would pass stale artifacts through a regeneration that kept the
+# identity set but moved the vectors.
+_VEC_DIGEST_SQL = ("CAST(list_sum(list_transform(embedding, x -> "
+                   "CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)))"
+                   " AS BIGINT)")
 _WITNESS_KEY_SQL = {
-    "embeddings": "CAST(vec_id AS VARCHAR) || ':' || label",
+    "embeddings": ("CAST(vec_id AS VARCHAR) || ':' || label || ':' || "
+                   f"CAST({_VEC_DIGEST_SQL} AS VARCHAR)"),
     "documents": "CAST(doc_id AS VARCHAR) || ':' || md5(text)",
     "events": "CAST(event_id AS VARCHAR)",
 }
@@ -171,8 +180,14 @@ _WITNESS_KEY_SQL = {
 
 def _witness_key_col(table: str):
     if table == "embeddings":
+        digest = F.aggregate(
+            F.col("embedding"), F.lit(0).cast("long"),
+            lambda acc, x: acc + F.round(x.cast("double")
+                                         * F.lit(1_000_000.0), 0)
+            .cast("long"))
         return F.concat(F.col("vec_id").cast("string"), F.lit(":"),
-                        F.col("label"))
+                        F.col("label"), F.lit(":"),
+                        digest.cast("string"))
     if table == "documents":
         return F.concat(F.col("doc_id").cast("string"), F.lit(":"),
                         F.md5(F.col("text").cast("binary")))
@@ -1204,6 +1219,8 @@ SELECT CAST(est.n_users_approx AS BIGINT) AS n_users_approx,
        abs(CAST(est.n_users_approx AS DOUBLE) - ex.n_users_exact)
          <= {3 * _ADU_RSD} * ex.n_users_exact AS within_band
 FROM est, ex
+WHERE abs(CAST(est.n_users_approx AS DOUBLE) - ex.n_users_exact)
+        <= {3 * _ADU_RSD} * ex.n_users_exact
 """)
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E4 scale variant: HLL++ sketch with a value-BAND oracle
@@ -1214,9 +1231,12 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     verifiable claims around it: the exact count (recomputed
     independently in both engines) and the band check
     |estimate - exact| <= 3*rsd*exact — deterministic booleans, full
-    value compare.  A sketch gone haywire flips within_band on the
-    Spark side while the oracle, asserting from the published
-    estimate, still reads true — hash mismatch, loud fail."""
+    value compare.  The oracle ENFORCES the band, not just reports it
+    (its final WHERE keeps the row only when the published estimate
+    sits inside the band it recomputed): a sketch gone haywire makes
+    the oracle return ZERO rows against Spark's one — row-count
+    mismatch, loud fail — rather than both sides agreeing on
+    within_band=false."""
     import pyarrow as pa
 
     ev = _t(spark, sf_dir, "events")
@@ -9864,7 +9884,10 @@ def search_rocchio_feedback(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     q2 = sim_ops.rocchio_expand_query(emb, _query_vec(spark, sf_dir),
                                       k_feedback=10, alpha=1.0, beta=0.5)
-    return (sim_ops.knn_search(emb, q2, k=10)
+    # threshold=-1.0 on both passes: the oracle's LIMIT 10 is
+    # unconditional, so the serving side must not silently drop
+    # negative-sim rows
+    return (sim_ops.knn_search(emb, q2, k=10, threshold=-1.0)
             .select("vec_id", "sim"))
 
 
@@ -10192,8 +10215,11 @@ def _last_checked_rounds() -> dict:
     CORRECTNESS_r*.json artifacts at the repo root (the driver and the
     local gate both run from there).  Names never appearing map to 0.
     Only green checks count toward freshness (ADVICE r12): a full-
-    oracle row needs rows_match with no err; a rows-only-by-contract
-    row (err == 'no_oracle') needs spark_rows > 0.  A FAILED check
+    oracle row needs rows_match AND schema_match AND hash_match with
+    no err (a value-hash mismatch with equal row counts is exactly
+    the regression the value oracles exist to catch); a
+    rows-only-by-contract row (err == 'no_oracle') needs
+    spark_rows > 0.  A FAILED check
     leaves the row's last good round old, so it rotates FORWARD in
     the window instead of being treated as freshly verified.
     Failure-tolerant: no artifacts (fresh clone) -> empty dict and the
@@ -10209,7 +10235,10 @@ def _last_checked_rounds() -> dict:
             return False
         if row.get("err") == "no_oracle":
             return (row.get("spark_rows") or 0) > 0
-        return bool(row.get("rows_match")) and row.get("err") is None
+        return (bool(row.get("rows_match"))
+                and bool(row.get("schema_match"))
+                and bool(row.get("hash_match"))
+                and row.get("err") is None)
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     last: dict[str, int] = {}

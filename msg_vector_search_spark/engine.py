@@ -257,26 +257,24 @@ class Engine:
         the signals (the scheduled-maintenance path)."""
         if not (self.index_dir and self._index_ready()):
             return {"rebuilt": False, "reason": "no_index"}
-        sig = self.index_maintenance_stats()
-        reason = None
-        if force:
-            reason = "forced"
-        elif (self.rebuild_growth is not None
-                and sig["growth"] > self.rebuild_growth):
-            reason = "growth"
-        elif (self.rebuild_skew is not None
-                and sig["skew"] > self.rebuild_skew):
-            reason = "skew"
-        elif self.min_recall is not None:
-            sig["recall"] = self.audit_recall()
-            if sig["recall"] < self.min_recall:
-                reason = "recall"
-        if reason is None:
-            return {"rebuilt": False, **sig}
         from .operators import ann_index
 
+        # ONE copy of the growth/skew/force cascade
+        # (ann_index.maintain_index — the same policy the streaming
+        # ingest loop evaluates); the facade layers only its opt-in
+        # recall floor on top, because recall needs the vectors
+        # store, not just the index.
+        out = ann_index.maintain_index(
+            self.spark, self.index_dir,
+            rebuild_growth=self.rebuild_growth,
+            rebuild_skew=self.rebuild_skew, force=force)
+        if out["rebuilt"] or self.min_recall is None:
+            return out
+        out["recall"] = self.audit_recall()
+        if out["recall"] >= self.min_recall:
+            return out
         ann_index.rebuild_index(self.spark, self.index_dir)
-        return {"rebuilt": True, "reason": reason, **sig}
+        return {**out, "rebuilt": True, "reason": "recall"}
 
     @staticmethod
     def _index_where(conversation_type: str | None,

@@ -664,8 +664,17 @@ def index_maintenance_stats(spark: SparkSession, path: str) -> dict:
     baseline_unknown = meta.get("n_rows") is None
     if baseline_unknown:
         meta["n_rows"] = total
-        with open(os.path.join(path, META_FILE), "w") as f:
-            json.dump(meta, f)
+        # atomic write-through (tmp + rename): a stats READ must
+        # never be able to leave META_FILE truncated mid-dump; a
+        # read-only store (observer without write permission) still
+        # gets its signals — the backfill just doesn't persist
+        tmp = os.path.join(path, META_FILE + ".tmp")
+        try:
+            with open(tmp, "w") as f:
+                json.dump(meta, f)
+            os.replace(tmp, os.path.join(path, META_FILE))
+        except OSError:
+            pass
     at_build = int(meta["n_rows"])
     growth = ((total - at_build) / at_build) if at_build else 0.0
     return {"total_rows": total, "rows_at_build": at_build,

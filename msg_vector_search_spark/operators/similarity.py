@@ -508,10 +508,17 @@ def rocchio_expand_query(corpus: DataFrame, query_vec: list[float],
     centroid rows use (group_centroids_pandas precedent), so an
     oracle rebuilding q' from its own top-k gets identical doubles.
     Cost: one extra corpus scan (the feedback pass) — the expansion
-    itself never touches the corpus."""
+    itself never touches the corpus.
+
+    The feedback pass takes the top-k UNCONDITIONALLY
+    (threshold=-1.0, disarming knn_search's default sim >= 0 gate):
+    an anti-correlated query whose neighbors all score negative must
+    still yield k feedback vectors — a thresholded feedback set would
+    diverge from any fixed-LIMIT oracle and, at the extreme, leave
+    the centroid with zero rows."""
     import numpy as np
 
-    fb = (knn_search(corpus, query_vec, k=k_feedback,
+    fb = (knn_search(corpus, query_vec, k=k_feedback, threshold=-1.0,
                      vec_col=vec_col, tiebreak=id_col)
           .select(vec_col).collect())
     mat = np.stack([np.asarray(r[0], dtype=np.float64) for r in fb])

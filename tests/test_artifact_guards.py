@@ -53,15 +53,36 @@ def test_spark_witness_equals_duck_witness(spark):
 
 def test_trained_link_guard_requires_matching_store(spark, tmp_path):
     """The intrinsic store-link guard: a full-corpus index store
-    content-matches its own scale's embeddings view and no other."""
+    content-matches its own scale's embeddings view and no other.
+
+    The guard SQL hard-codes the canonical 'trained_index' link, so
+    the test must borrow it — the original target is restored in
+    teardown (pytest's tmp_path cleanup would otherwise leave the
+    shared link dangling for any later direct oracle read)."""
+    import os
+
     from msg_vector_search_spark.operators import ann_index
     from msg_vector_search_spark.sources import readers
 
+    link = contract._trained_dir("trained_index")
+    try:
+        prior = os.readlink(link)
+    except OSError:
+        prior = None
     emb = readers.read_table(spark, SF_A, "embeddings")
     path = str(tmp_path / "index")
     ann_index.build_index(spark, emb, path, nlist=8, m=8, ncodes=16)
-    contract._publish_store_link("trained_index", path)
-    guard = contract._TRAINED_LINK_GUARD
-    con_a, con_b = _duck(SF_A), _duck(SF_B)
-    assert con_a.sql(f"SELECT {guard}").fetchone()[0] is True
-    assert con_b.sql(f"SELECT {guard}").fetchone()[0] is not True
+    try:
+        contract._publish_store_link("trained_index", path)
+        guard = contract._TRAINED_LINK_GUARD
+        con_a, con_b = _duck(SF_A), _duck(SF_B)
+        assert con_a.sql(f"SELECT {guard}").fetchone()[0] is True
+        assert con_b.sql(f"SELECT {guard}").fetchone()[0] is not True
+    finally:
+        if prior is not None:
+            contract._publish_store_link("trained_index", prior)
+        else:
+            try:
+                os.remove(link)
+            except OSError:
+                pass
