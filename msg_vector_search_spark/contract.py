@@ -5285,6 +5285,50 @@ def dedup_unaligned_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                max_occurrences=1)
 
 
+@register("text_novelty_score", oracle=f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         'zshift' || CAST(doc_id AS VARCHAR) || ' ' || text AS text
+  FROM documents WHERE doc_id % 10 = 0
+), toks AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS t FROM corpus
+), sized AS (
+  SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0
+), wins AS (
+  SELECT doc_id,
+         unnest([(('0x' || substr(md5(
+                    array_to_string(t[p : p + 15], ' ')), 1, 12))::BIGINT)
+                 FOR p IN range(1, greatest(n - 15, 1) + 1)]) AS whash
+  FROM sized
+), cnt AS (SELECT whash, count(*) AS c FROM wins GROUP BY 1)
+SELECT w.doc_id, count(*) AS n_windows,
+       CAST(sum(CASE WHEN cnt.c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS dup_windows,
+       (round(1.0 - sum(CASE WHEN cnt.c > 1 THEN 1 ELSE 0 END)
+                    / CAST(count(*) AS DOUBLE), 6) + 0) AS novelty
+FROM wins w JOIN cnt USING (whash)
+GROUP BY w.doc_id
+""")
+def text_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty (dedup.substring_novelty): fraction of a
+    doc's overlapping 16-token window hashes unique in the corpus —
+    the quality-GATE rendering of unaligned substring dedup (score
+    and threshold/weight first, destructive-rewrite only when
+    needed).  Same one-token-shifted injections as the dedup row: the
+    originals and copies read novelty ~0 (only the copies' one novel
+    prefix window differs), untouched docs read 1.0."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = (docs.filter(F.col("doc_id") % 10 == 0)
+            .select((F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+                    F.concat(F.lit("zshift"),
+                             F.col("doc_id").cast("string"), F.lit(" "),
+                             F.col("text")).alias("text")))
+    return dedup_ops.substring_novelty(docs.unionByName(dups),
+                                       window_tokens=16)
+
+
 @register("pipeline_clean_corpus", oracle=f"""
 WITH RECURSIVE kept AS (
   SELECT doc_id, text, n_chars

@@ -339,6 +339,65 @@ def dedup_repeated_chunks(df: DataFrame, text_col: str = "text",
                  reassembled.alias("clean_text")))
 
 
+def _overlapping_window_hashes(df: DataFrame, text_col: str,
+                               id_col: str, k: int):
+    """The shared tokenize -> every-position k-token window hash stage
+    of the unaligned-substring family: returns ``(base, wins)`` where
+    base = (id, _toks, _n) for non-empty docs and wins = (id, wpos,
+    whash) with one shared-48-bit hash per start position (docs
+    shorter than k contribute one whole-text window).  One narrow
+    transform + explode riding the scan; the hash key is uniform, so
+    every downstream count is map-side-partialed."""
+    base = (widen(df)
+            .select(F.col(id_col),
+                    analysis.tokens(F.col(text_col)).alias("_toks"))
+            .withColumn("_n", F.size("_toks"))
+            .filter(F.col("_n") > 0))
+    starts = F.sequence(F.lit(1),
+                        F.greatest(F.col("_n") - F.lit(k - 1), F.lit(1)))
+    warr = F.transform(
+        starts,
+        lambda p: F.struct(
+            p.cast("int").alias("wpos"),
+            analysis.token_hash(
+                F.concat_ws(" ", F.slice(F.col("_toks"), p, F.lit(k))))
+            .alias("whash")))
+    wins = (base.select(F.col(id_col), F.explode(warr).alias("w"))
+            .select(id_col, F.col("w.wpos").alias("wpos"),
+                    F.col("w.whash").alias("whash")))
+    return base, wins
+
+
+def substring_novelty(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      window_tokens: int = 16) -> DataFrame:
+    """Per-document NOVELTY score from the same overlapping-window
+    machinery :func:`dedup_unaligned_substring` removes with: the
+    fraction of a doc's k-token windows whose hash is unique in the
+    corpus.  The quality-gate rendering of substring dedup — a
+    curation pipeline scores first (keep novelty >= t, or weight
+    sampling by it) and only destructive-rewrites when it must;
+    novelty 0.0 means every passage appears elsewhere (a pure
+    re-crawl/mirror/boilerplate doc), 1.0 means all content is
+    corpus-unique.
+
+    Plan: the shared window-hash stage, ONE count aggregate on the
+    uniform hash key, count-join back, one per-doc aggregate.
+    Returns ``(id_col, n_windows, dup_windows, novelty)``."""
+    _, wins = _overlapping_window_hashes(df, text_col, id_col,
+                                         window_tokens)
+    counts = wins.groupBy("whash").agg(F.count("*").alias("_cnt"))
+    flagged = wins.join(counts, "whash")
+    return (flagged.groupBy(id_col)
+            .agg(F.count("*").alias("n_windows"),
+                 F.sum(F.when(F.col("_cnt") > 1, 1).otherwise(0))
+                 .alias("dup_windows"))
+            .select(id_col, "n_windows", "dup_windows",
+                    (F.round(F.lit(1.0) - F.col("dup_windows")
+                             / F.col("n_windows"), 6) + F.lit(0.0))
+                    .alias("novelty")))
+
+
 def dedup_unaligned_substring(df: DataFrame, text_col: str = "text",
                               id_col: str = "doc_id",
                               window_tokens: int = 16,
@@ -370,23 +429,7 @@ def dedup_unaligned_substring(df: DataFrame, text_col: str = "text",
 
     Returns ``(id_col, kept_tokens, clean_text)``."""
     k = window_tokens
-    base = (widen(df)
-            .select(F.col(id_col),
-                    analysis.tokens(F.col(text_col)).alias("_toks"))
-            .withColumn("_n", F.size("_toks"))
-            .filter(F.col("_n") > 0))
-    starts = F.sequence(F.lit(1),
-                        F.greatest(F.col("_n") - F.lit(k - 1), F.lit(1)))
-    warr = F.transform(
-        starts,
-        lambda p: F.struct(
-            p.cast("int").alias("wpos"),
-            analysis.token_hash(
-                F.concat_ws(" ", F.slice(F.col("_toks"), p, F.lit(k))))
-            .alias("whash")))
-    wins = (base.select(F.col(id_col), F.explode(warr).alias("w"))
-            .select(id_col, F.col("w.wpos").alias("wpos"),
-                    F.col("w.whash").alias("whash")))
+    base, wins = _overlapping_window_hashes(df, text_col, id_col, k)
     counts = wins.groupBy("whash").agg(F.count("*").alias("_cnt"))
     covered = (wins.join(counts, "whash")
                .filter(F.col("_cnt") > max_occurrences)
