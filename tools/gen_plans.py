@@ -446,6 +446,13 @@ SHOW = [
      "bounded top-50 rank frame (one corpus scan per leg), RRF "
      "fusion over k-bounded frames via broadcast joins — every stage "
      "after the two scans is candidate-bounded."),
+    ("text_novelty_score",
+     "Per-doc novelty from the shared overlapping-window stage: one "
+     "window-hash explode riding the scan, ONE map-side-partialed "
+     "count aggregate on the uniform 48-bit key, count equi-join "
+     "back, one per-doc aggregate — the score-don't-rewrite "
+     "rendering of unaligned substring dedup; no stage is "
+     "corpus-quadratic."),
 ]
 
 
