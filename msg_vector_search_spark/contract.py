@@ -197,8 +197,10 @@ def _witness_key_col(table: str):
 def _scale_witness(spark: SparkSession, sf_dir: str, table: str) -> int:
     """Order-independent content checksum of *table*: per row
     ``1000003 + (hash48(key) mod 1000003)`` summed — blends row count
-    and content, overflow-safe to ~9e12 rows (the raw 48-bit sum
-    would overflow BIGINT near 1M rows).  Computed with the shared
+    and content, overflow-safe to ~4.6e12 rows (worst-case per-row
+    addend ~2.0e6, so the BIGINT sum crosses 2^63 near 2^63/2.0e6
+    ~ 4.6e12 rows; a raw 48-bit sum would overflow near 33k rows).
+    Computed with the shared
     md5-prefix hash so :func:`_fp_guard` replays it in DuckDB."""
     h = analysis.token_hash(_witness_key_col(table))
     return int(_t(spark, sf_dir, table)

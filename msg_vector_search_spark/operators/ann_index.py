@@ -632,7 +632,8 @@ def upsert_index(spark: SparkSession, path: str,
     return touched
 
 
-def index_maintenance_stats(spark: SparkSession, path: str) -> dict:
+def index_maintenance_stats(spark: SparkSession, path: str,
+                            persist_backfill: bool = False) -> dict:
     """The rebuild-decay signals, metadata-light: per-cell occupancy
     of the codes store (count-per-partition — no vector bytes read)
     folded to growth-since-build and cell skew.  :func:`upsert_index`
@@ -643,11 +644,18 @@ def index_maintenance_stats(spark: SparkSession, path: str) -> dict:
     .stream_index_upsert`).
 
     Indexes written before ``n_rows`` existed report
-    ``baseline_unknown=True`` and get the CURRENT total backfilled
-    into meta write-through (ADVICE r12): growth then accrues from
-    the first observation instead of staying pinned at 0.0 forever,
-    and callers that want a conservative initial rebuild can key off
-    the flag."""
+    ``baseline_unknown=True`` and use the CURRENT total as the
+    baseline (ADVICE r12): growth then accrues from the first
+    observation instead of staying pinned at 0.0 forever, and callers
+    that want a conservative initial rebuild can key off the flag.
+    The backfill is IN-MEMORY only unless *persist_backfill* — a
+    stats read is an observer and must not mutate the store (the
+    documented single-writer assumption covers writers, not readers;
+    ADVICE r13).  :func:`maintain_index` — a write-path caller —
+    passes ``persist_backfill=True`` so the baseline sticks across
+    policy evaluations; when a persist is attempted the returned dict
+    carries ``backfill_persisted`` (False = the write-through failed,
+    e.g. a read-only store — surfaced, not swallowed)."""
     meta = read_meta(path)
     counts = [r["n"] for r in
               (spark.read.parquet(_subdir(path, "codes"))
@@ -662,25 +670,29 @@ def index_maintenance_stats(spark: SparkSession, path: str) -> dict:
     mean = total / nlist if nlist else 0.0
     skew = (max(counts) / mean) if counts and mean else 1.0
     baseline_unknown = meta.get("n_rows") is None
+    backfill_persisted = None
     if baseline_unknown:
         meta["n_rows"] = total
-        # atomic write-through (tmp + rename): a stats READ must
-        # never be able to leave META_FILE truncated mid-dump; a
-        # read-only store (observer without write permission) still
-        # gets its signals — the backfill just doesn't persist
-        tmp = os.path.join(path, META_FILE + ".tmp")
-        try:
-            with open(tmp, "w") as f:
-                json.dump(meta, f)
-            os.replace(tmp, os.path.join(path, META_FILE))
-        except OSError:
-            pass
+        if persist_backfill:
+            # atomic write-through (tmp + rename): never leave
+            # META_FILE truncated mid-dump
+            tmp = os.path.join(path, META_FILE + ".tmp")
+            try:
+                with open(tmp, "w") as f:
+                    json.dump(meta, f)
+                os.replace(tmp, os.path.join(path, META_FILE))
+                backfill_persisted = True
+            except OSError:
+                backfill_persisted = False
     at_build = int(meta["n_rows"])
     growth = ((total - at_build) / at_build) if at_build else 0.0
-    return {"total_rows": total, "rows_at_build": at_build,
-            "occupied_cells": len(counts),
-            "skew": round(skew, 4), "growth": round(growth, 4),
-            "baseline_unknown": baseline_unknown}
+    out = {"total_rows": total, "rows_at_build": at_build,
+           "occupied_cells": len(counts),
+           "skew": round(skew, 4), "growth": round(growth, 4),
+           "baseline_unknown": baseline_unknown}
+    if backfill_persisted is not None:
+        out["backfill_persisted"] = backfill_persisted
+    return out
 
 
 def maintain_index(spark: SparkSession, path: str,
@@ -695,7 +707,7 @@ def maintain_index(spark: SparkSession, path: str,
     signals plus what was decided; ``force=True`` skips the signals.
     The Engine facade layers its opt-in recall floor on top of this
     (recall needs the vectors store, not just the index)."""
-    sig = index_maintenance_stats(spark, path)
+    sig = index_maintenance_stats(spark, path, persist_backfill=True)
     reason = None
     if force:
         reason = "forced"

@@ -26,6 +26,18 @@ from ..functions import analysis
 from ..functions import vector as V
 
 
+def _np_round6(x):
+    """Vectorized HALF-AWAY-FROM-ZERO rounding at 6dp — bit-parity
+    with ``F.round(_, 6)`` / DuckDB ``round(_, 6)``.  ``np.round`` is
+    half-TO-EVEN, so a value landing exactly on a .5e-6 boundary
+    would diverge between a NumPy twin and its shared SQL oracle
+    (ADVICE r13); same grid as the scalar ``_round6`` in
+    :func:`mmr_rerank` and ``duck_dequantize_int8``."""
+    import numpy as np
+
+    return np.copysign(np.floor(np.abs(x) * 1e6 + 0.5), x) / 1e6
+
+
 def similarity_to_query(corpus: DataFrame, query_vec: list[float],
                         vec_col: str = "embedding",
                         out_col: str = "sim") -> DataFrame:
@@ -392,13 +404,13 @@ def maxsim_join_pandas(corpus: DataFrame, query_rows: list, k: int = 10,
             dn = np.linalg.norm(dmat, axis=1)               # token t =
             dunit = dmat / np.where(dn == 0.0, 1.0, dn)[:, None]
             dunit[dn == 0.0] = 0.0                          # slice t*d+1..
-            sims = np.round(dunit @ qunit.T, 6) + 0.0       # (n*Td, Q*Tq)
+            sims = _np_round6(dunit @ qunit.T) + 0.0        # (n*Td, Q*Tq)
             maxed = (sims.reshape(n, doc_tokens, n_q, t_q)
                      .max(axis=1))                          # (n, Q, Tq)
             acc = maxed[:, :, 0]
             for i in range(1, t_q):                         # ascending-i
                 acc = acc + maxed[:, :, i]                  # left fold
-            scores = np.round(acc, 6) + 0.0                 # (n, Q)
+            scores = _np_round6(acc) + 0.0                  # (n, Q)
             kk = min(k, n)
             order = np.lexsort(
                 (np.broadcast_to(ids[:, None], scores.shape), -scores),
@@ -447,10 +459,15 @@ def signbit_sketch(vec_col, bits: int = SIGNBIT_BITS) -> Column:
 
 def signbit_sketch_py(vec: list[float], bits: int = SIGNBIT_BITS) -> int:
     """Driver-side twin of :func:`signbit_sketch` for the query
-    vector (same big-endian bit order)."""
+    vector (same big-endian bit order).  A vector SHORTER than *bits*
+    contributes 0-bits for the missing dims — matching the Spark form
+    (``element_at`` -> NULL -> ``otherwise(0)``) and the DuckDB form
+    (out-of-range index -> NULL -> CASE ELSE 0) instead of raising
+    IndexError (ADVICE r13)."""
     out = 0
     for j in range(bits):
-        out = (out << 1) | (1 if float(vec[j]) > 0 else 0)
+        v = float(vec[j]) if j < len(vec) else 0.0
+        out = (out << 1) | (1 if v > 0 else 0)
     return out
 
 
@@ -522,8 +539,15 @@ def rocchio_expand_query(corpus: DataFrame, query_vec: list[float],
                      vec_col=vec_col, tiebreak=id_col)
           .select(vec_col).collect())
     mat = np.stack([np.asarray(r[0], dtype=np.float64) for r in fb])
-    cent = np.round(mat.mean(axis=0), 6) + 0.0
-    return [float(np.round(alpha * float(q) + beta * c, 6) + 0.0)
+    # Sequential left-fold in the collected (score, id) order — NOT
+    # np.mean, whose pairwise multi-accumulator summation can differ
+    # from a SQL engine's sequential avg() fold in the last IEEE bit
+    # (ADVICE r13); rounding is the explicit half-away 6dp grid.
+    acc = np.zeros(mat.shape[1], dtype=np.float64)
+    for row in mat:
+        acc = acc + row
+    cent = _np_round6(acc / float(len(mat))) + 0.0
+    return [float(_np_round6(alpha * float(q) + beta * c) + 0.0)
             for q, c in zip(query_vec, cent)]
 
 

@@ -220,3 +220,38 @@ def test_unaligned_substring_keeps_unique_short_docs(spark):
            for r in dedup.dedup_unaligned_substring(
                df, window_tokens=16).collect()}
     assert out == {1: 3}
+
+
+def test_cc_free_releases_blocks_on_supported_path(spark):
+    """VERDICT r13 item 8: on a supported Spark the helper reports
+    True and the checkpoint's pinned blocks are actually released
+    (storage level drops to NONE on the underlying LogicalRDD)."""
+    df = spark.range(100).localCheckpoint(eager=True)
+    jrdd = df._jdf.queryExecution().analyzed().rdd()
+    assert jrdd.getStorageLevel().useMemory()      # pinned by ckpt
+    assert dedup._cc_free(df) is True
+    assert not jrdd.getStorageLevel().useMemory()  # released
+
+
+def test_cc_free_noop_fallbacks_never_raise(spark):
+    """VERDICT r13 item 8: both fallbacks are explicit no-ops.
+    (a) A derived (non-LogicalRDD) plan returns False per-call without
+    disabling the helper; (b) a missing private-API chain flips the
+    one-shot capability latch so every later call is a cheap no-op —
+    and the latch resets cleanly for the rest of the suite."""
+    derived = spark.range(10).withColumn("x", F.col("id") * 2)
+    assert dedup._cc_free(derived) is False
+    assert dedup._CC_FREE_DISABLED is False        # per-call, not latch
+
+    class _NoChain:                   # simulates a renamed private API
+        @property
+        def _jdf(self):
+            raise AttributeError("queryExecution is gone")
+
+    try:
+        assert dedup._cc_free(_NoChain()) is False
+        assert dedup._CC_FREE_DISABLED is True     # latched off
+        ckpt = spark.range(5).localCheckpoint(eager=True)
+        assert dedup._cc_free(ckpt) is False       # no-op while latched
+    finally:
+        dedup._CC_FREE_DISABLED = False

@@ -430,10 +430,12 @@ def test_stream_index_upsert_maintenance_rebuilds_once(spark, tmp_path):
 
 
 def test_maintenance_stats_backfills_unknown_baseline(spark, tmp_path):
-    """ADVICE r12: an index whose meta predates n_rows must not pin
-    growth at 0.0 forever — the first stats read backfills the
-    observed total write-through and flags baseline_unknown, so a
-    growth-armed policy arms from that observation on."""
+    """ADVICE r12 + r13: an index whose meta predates n_rows must not
+    pin growth at 0.0 forever — the baseline backfills from the first
+    observation and flags baseline_unknown — but a plain stats READ
+    is an observer and must NOT mutate the store; only the write-path
+    opt-in (persist_backfill=True, what maintain_index passes)
+    persists the backfill, and it reports whether the persist stuck."""
     import json
     import os
 
@@ -448,8 +450,16 @@ def test_maintenance_stats_backfills_unknown_baseline(spark, tmp_path):
     del meta["n_rows"]                       # simulate a legacy store
     json.dump(meta, open(meta_path, "w"))
 
+    # pure read: signals present, store untouched, no persist key
     sig = ann_index.index_maintenance_stats(spark, path)
     assert sig["baseline_unknown"] and sig["growth"] == 0.0
+    assert "backfill_persisted" not in sig
+    assert "n_rows" not in json.load(open(meta_path))
+
+    # write-path opt-in: persists and says so
+    sig = ann_index.index_maintenance_stats(spark, path,
+                                            persist_backfill=True)
+    assert sig["baseline_unknown"] and sig["backfill_persisted"] is True
     assert json.load(open(meta_path))["n_rows"] == sig["total_rows"]
 
     ann_index.upsert_index(spark, path,
