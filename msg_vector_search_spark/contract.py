@@ -10044,6 +10044,39 @@ def topk_mmr_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
 # every operator accrues one across rounds. Purely a presentation
 # order — REGISTRY itself keeps source order.
 DRIVER_VERIFIED = frozenset({
+    # round 14 rotation discipline (VERDICT r13 item 1 — CONSOLIDATION:
+    # pending capped at 7 so >= 43 window slots drain the r2-r4 stale
+    # tail, oldest-first).  Deliberately ABSENT (pending-first in the
+    # r14 window), every one a row whose serving path changed in the
+    # r14 diff: dedup_repeated_chunks, dedup_unaligned_substring,
+    # text_novelty_score (corpus counts rewritten groupBy+join-back ->
+    # count(*) over (partition by hash), VERDICT item 2);
+    # maxsim_join_pandas, search_rocchio_feedback (half-away-from-zero
+    # _np_round6 grid + sequential centroid fold, ADVICE r13);
+    # ann_signbit_rerank (signbit_sketch_py short-vector 0-bit parity,
+    # ADVICE r13); streaming_index_upsert (maintain_index ->
+    # index_maintenance_stats persist_backfill opt-in, ADVICE r13).
+    # DOCUMENTED EXCEPTION to the path-based rule: the r14 hardening of
+    # the shared _cc_free cleanup helper (VERDICT item 8) touches ~20
+    # transitive callers (index lifecycle, retrieval checkpoints, CC
+    # rounds), but it executes strictly AFTER each operator's output is
+    # committed and cannot affect any result — rotating all its callers
+    # out would defeat item 1's consolidation budget, so they stay
+    # listed and the helper carries its own direct both-path unit tests
+    # (tests/test_dedup_units.py::test_cc_free_*).  The r13 window's
+    # other green rows are re-listed below.
+    "ann_ivfpq_trained", "approx_distinct_users", "dedup_ngram_jaccard",
+    "dedup_containment", "ann_pq_rerank_trained", "ann_ivfpq_materialized",
+    "ann_ivfpq_materialized_trained", "ann_trained_store_exhaustive",
+    "ann_ivfpq_filtered_materialized", "search_index_many",
+    "search_index_many_large", "hybrid_serve_many",
+    "hybrid_serve_many_large", "ann_index_upsert", "ann_index_rebuild",
+    "ann_index_erase", "streaming_index_erase", "ann_index_stats_trained",
+    "mix_temperature_budget", "text_bigram_perplexity",
+    "hybrid_filtered_serve", "hybrid_filtered_many_large",
+    "pipeline_forget_and_serve", "changefeed_apply_index",
+    "ann_index_compact", "ann_recall_audit_trained", "ann_mmr_materialized",
+    "maxsim_topk", "maxsim_serve_many", "maxsim_hybrid_rrf",
     # round 13 rotation discipline: of CORRECTNESS_r12's 50 green
     # rows, re-listed below are only those UNCHANGED by the r13 diff.
     # Deliberately ABSENT (pending-first in the r13 window):
@@ -10222,7 +10255,8 @@ DRIVER_VERIFIED = frozenset({
     "text_quality_score", "text_token_counts", "text_fingerprint",
     "ann_lsh_topk",
     "topk_quantized_int8", "dedup_components", "dedup_keep_canonical",
-    "dedup_repeated_chunks", "pipeline_clean_corpus", "stratified_sample",
+    "pipeline_clean_corpus", "stratified_sample",
+    # (dedup_repeated_chunks REMOVED r14 — count-over-window rewrite)
     "text_tfidf_topterms", "decontaminate_ngram", "shard_assignment",
     "text_pii_scrub", "multimodal_features",
     "multimodal_resize", "multimodal_frame_sample",
