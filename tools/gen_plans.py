@@ -465,6 +465,51 @@ def simplify(plan: str, max_expr: int = 160) -> str:
     return "\n".join(out)
 
 
+class _CheckpointTracer:
+    """VERDICT r13 item 3: a final plan that reads localCheckpoint
+    output pins as a bare ``Scan ExistingRDD`` — the whole claimed
+    pipeline hides behind the checkpoint.  While active, this wraps
+    ``DataFrame.localCheckpoint`` (TOOLING-ONLY monkeypatch — the
+    package's serving code is untouched) and records each frame's
+    executed plan at the moment it is checkpointed, so PLANS.md can
+    show every pre-checkpoint stage next to the final plan."""
+
+    def __init__(self):
+        self.stages: list[tuple[str, str]] = []
+        self._real = None
+
+    def __enter__(self):
+        # pyspark 4: pyspark.sql.DataFrame is the abstract base; the
+        # runtime class (which OVERRIDES localCheckpoint) is
+        # sql.classic.dataframe.DataFrame — patch the concrete one
+        try:
+            from pyspark.sql.classic.dataframe import DataFrame
+        except ImportError:                      # pyspark 3.x
+            from pyspark.sql import DataFrame
+
+        self._cls = DataFrame
+        self._real = DataFrame.localCheckpoint
+        tracer = self
+
+        def traced(df, eager=True):
+            try:
+                plan = df._jdf.queryExecution().executedPlan().toString()
+                cols = ", ".join(df.columns[:8])
+                tracer.stages.append(
+                    (f"stage {len(tracer.stages) + 1}: "
+                     f"localCheckpoint({cols})", plan))
+            except Exception:
+                pass  # tracing must never change behavior
+            return tracer._real(df, eager)
+
+        DataFrame.localCheckpoint = traced
+        return self
+
+    def __exit__(self, *exc):
+        self._cls.localCheckpoint = self._real
+        return False
+
+
 def main() -> None:
     from pyspark.sql import SparkSession
 
@@ -478,12 +523,23 @@ def main() -> None:
         f"Generated by `python tools/gen_plans.py` at {SF} "
         "(plan SHAPE is scale-invariant; only statistics change).",
         "",
+        "Checkpointed pipelines additionally pin each PRE-CHECKPOINT "
+        "stage plan (captured at the localCheckpoint call), so a final "
+        "plan reading `Scan ExistingRDD` never hides the pipeline.",
+        "",
     ]
     for name, note in SHOW:
-        df = contract.REGISTRY[name](spark, SF)
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        lines += [f"## `{name}`", "", note, "", "```",
-                  simplify(plan).rstrip(), "```", ""]
+        with _CheckpointTracer() as tr:
+            df = contract.REGISTRY[name](spark, SF)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        lines += [f"## `{name}`", "", note, ""]
+        for label, stage_plan in tr.stages:
+            lines += [f"### {name} — {label}", "", "```",
+                      simplify(stage_plan).rstrip(), "```", ""]
+        if tr.stages:
+            lines += [f"### {name} — final plan (over the "
+                      "checkpointed stages above)", ""]
+        lines += ["```", simplify(plan).rstrip(), "```", ""]
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write("\n".join(lines))
     print(f"wrote PLANS.md ({len(SHOW)} plans)")
