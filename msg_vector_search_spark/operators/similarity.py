@@ -446,13 +446,18 @@ def signbit_sketch(vec_col, bits: int = SIGNBIT_BITS) -> Column:
     keeps the integer exactly representable on both engines' fold
     (sum of distinct powers of two < 2^53, exact in the double pow
     both dialects share); a production store packs all dims into an
-    array<long> of words, same expressions per word."""
+    array<long> of words, same expressions per word.
+
+    ``try_element_at`` (not ``element_at``, which THROWS out-of-range
+    under ANSI mode) makes a vector shorter than *bits* contribute
+    0-bits for its missing dims — the same edge behavior as the
+    DuckDB CASE form and :func:`signbit_sketch_py` (ADVICE r13)."""
     vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     return F.aggregate(
         F.sequence(F.lit(0), F.lit(bits - 1)),
         F.lit(0).cast("long"),
         lambda acc, j: acc + F.when(
-            F.element_at(vec, j + 1) > 0,
+            F.try_element_at(vec, j + 1) > 0,
             F.pow(F.lit(2.0), F.lit(bits - 1) - j).cast("long"))
         .otherwise(F.lit(0).cast("long")))
 
@@ -461,7 +466,7 @@ def signbit_sketch_py(vec: list[float], bits: int = SIGNBIT_BITS) -> int:
     """Driver-side twin of :func:`signbit_sketch` for the query
     vector (same big-endian bit order).  A vector SHORTER than *bits*
     contributes 0-bits for the missing dims — matching the Spark form
-    (``element_at`` -> NULL -> ``otherwise(0)``) and the DuckDB form
+    (``try_element_at`` -> NULL -> ``otherwise(0)``) and the DuckDB form
     (out-of-range index -> NULL -> CASE ELSE 0) instead of raising
     IndexError (ADVICE r13)."""
     out = 0

@@ -449,3 +449,29 @@ def test_maxsim_join_pandas_partial_topk_shape(spark):
     assert "MapInPandas" in plan
     assert plan.count("embeddings.parquet") == 1
     assert plan.count("Exchange hashpartitioning(q_id") == 1
+
+
+def test_overlapping_window_family_single_pass(spark):
+    """VERDICT r13 item 2: corpus-wide window-hash counts run as
+    count(*) over (partition by whash) — ONE tokenize+explode pass —
+    not a groupBy + join-back that recomputes the explode lineage.
+    The novelty scorer's plan must contain exactly ONE Generate
+    (the window-hash explode) and no join; the chunk-grid dedup
+    likewise counts via a Window, not a count-join."""
+    plan = plan_of(contract.REGISTRY["text_novelty_score"](spark, SF))
+    assert plan.count("Generate ") == 1
+    assert "Window" in plan
+    assert "Join" not in plan  # the old count-equi-join is gone
+
+    plan = plan_of(contract.REGISTRY["dedup_repeated_chunks"](spark, SF))
+    assert plan.count("Generate ") == 1
+    assert "Window" in plan
+    assert "Join" not in plan
+
+    # the dedup row keeps its coverage/tokpos joins by design, but the
+    # window-hash explode lineage must appear ONCE among its Generates:
+    # one wins explode + one covered-positions explode + one tokpos
+    # posexplode = exactly three, where the old join-back plan had four
+    plan = plan_of(
+        contract.REGISTRY["dedup_unaligned_substring"](spark, SF))
+    assert plan.count("Generate ") == 3

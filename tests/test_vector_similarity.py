@@ -190,3 +190,45 @@ def test_signbit_rerank_finds_query_vector(spark):
     top = sim.signbit_rerank_search(emb, qv, k=5, shortlist=32).collect()
     assert top[0]["vec_id"] == 0
     assert top[0]["hamming"] == 0 and top[0]["sim"] == 1.0
+
+
+def test_signbit_short_vector_zero_bit_parity(spark):
+    """ADVICE r13: a query vector SHORTER than the sketch width must
+    contribute 0-bits for the missing dims in all three renderings —
+    the Spark expression (try_element_at -> NULL -> otherwise 0), the
+    Python twin (was: IndexError), and by construction the DuckDB
+    CASE — instead of diverging on the edge."""
+    from pyspark.sql import functions as F
+
+    from msg_vector_search_spark.operators import similarity as sim
+
+    short = [1.0, -1.0, 1.0]  # 3 dims against a 48-bit sketch
+    df = spark.createDataFrame([(short,)], "v array<double>")
+    spark_sk = df.select(sim.signbit_sketch("v").alias("sk")).head()["sk"]
+    assert sim.signbit_sketch_py(short) == int(spark_sk)
+    # bit pattern: 101 followed by 45 zero bits
+    assert int(spark_sk) == 0b101 << 45
+
+
+def test_np_round6_half_away_from_zero_grid(spark):
+    """ADVICE r13: the GEMM twins' rounding grid must be half-AWAY-
+    from-zero (F.round / DuckDB parity), where np.round is half-to-
+    even — the exact .5e-6 tie is where the twins used to diverge."""
+    import numpy as np
+
+    from msg_vector_search_spark.operators.similarity import _np_round6
+
+    ties = np.array([0.0000005, 0.0000015, -0.0000005, -0.0000015,
+                     0.1234565, -0.1234565])
+    got = _np_round6(ties)
+    np.testing.assert_allclose(
+        got, [0.000001, 0.000002, -0.000001, -0.000002,
+              0.123457, -0.123457])
+    # np.round (half-to-even) disagrees on every odd tie — the bug
+    assert np.round(0.0000005, 6) == 0.0
+    # and the Spark expression agrees with _np_round6 on the ties
+    from pyspark.sql import functions as F
+    rows = spark.createDataFrame(
+        [(float(x),) for x in ties], "x double").select(
+        F.round("x", 6).alias("r")).collect()
+    np.testing.assert_allclose(sorted(r["r"] for r in rows), sorted(got))
