@@ -45,22 +45,34 @@ def _unpartitioned_window_lines(plan: str) -> list[str]:
     """Physical-plan ``Window`` lines whose spec has no partition group.
 
     Format: ``Window [exprs], [partitionSpec], [orderSpec]`` — three
-    top-level bracket groups when partitioned, two when not."""
+    top-level bracket groups when partitioned AND ordered.  TWO groups
+    is ambiguous: a partitioned order-less window (e.g. the
+    overlapping-window family's ``count(*) over (partition by whash)``
+    — r14) also prints two, so classify the second group: order specs
+    carry ``ASC``/``DESC`` direction tokens, partition specs are bare
+    column refs.  One group (or a direction-bearing second group) is
+    the single-reducer hazard this guard exists for."""
     bad = []
     for ln in plan.splitlines():
         m = re.search(r"(?:^|[-: ])Window (\[.*)$", ln)
         if not m:
             continue
-        groups, depth = 0, 0
-        for ch in m.group(1):
+        spans, depth, start = [], 0, None
+        for i, ch in enumerate(m.group(1)):
             if ch == "[":
                 if depth == 0:
-                    groups += 1
+                    start = i
                 depth += 1
             elif ch == "]":
                 depth -= 1
-        if groups < 3:
-            bad.append(ln.strip())
+                if depth == 0:
+                    spans.append(m.group(1)[start:i + 1])
+        if len(spans) >= 3:
+            continue  # [exprs], [partition], [order]
+        if (len(spans) == 2
+                and not re.search(r"\b(ASC|DESC)\b", spans[1])):
+            continue  # [exprs], [partition-only] — partitioned, no order
+        bad.append(ln.strip())
     return bad
 
 
