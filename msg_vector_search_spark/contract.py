@@ -10102,15 +10102,20 @@ def topk_mmr_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order — REGISTRY itself keeps source order.
 DRIVER_VERIFIED = frozenset({
     # round 14 rotation discipline (VERDICT r13 item 1 — CONSOLIDATION:
-    # pending capped at 7 so >= 43 window slots drain the r2-r4 stale
-    # tail, oldest-first).  Deliberately ABSENT (pending-first in the
-    # r14 window), every one a row whose serving path changed in the
+    # pending capped at 8 so 42 window slots drain the r2-r4 stale
+    # tail, oldest-first: ALL 16 r2 + all 5 r3 + the oldest 21 of 32
+    # r4 rows; the 11 r4 rows that miss the 50-slot window are covered
+    # by this round's full local sweep — README "Full-registry gate
+    # artifact", 0 failed — and rotate first in r15).  Deliberately
+    # ABSENT (pending-first in the r14 window): curate_by_novelty
+    # (new), plus every row whose serving path changed in the
     # r14 diff: dedup_repeated_chunks, dedup_unaligned_substring,
     # text_novelty_score (corpus counts rewritten groupBy+join-back ->
     # count(*) over (partition by hash), VERDICT item 2);
     # maxsim_join_pandas, search_rocchio_feedback (half-away-from-zero
     # _np_round6 grid + sequential centroid fold, ADVICE r13);
-    # ann_signbit_rerank (signbit_sketch_py short-vector 0-bit parity,
+    # ann_signbit_rerank (signbit_sketch_py + try_element_at
+    # short-vector 0-bit parity,
     # ADVICE r13); streaming_index_upsert (maintain_index ->
     # index_maintenance_stats persist_backfill opt-in, ADVICE r13).
     # DOCUMENTED EXCEPTION to the path-based rule: the r14 hardening of
