@@ -152,9 +152,12 @@ def main() -> None:
     # losing every key alphabetically before ~"text_i..." from
     # round-over-round comparison.  Persist the COMPLETE per-query
     # median dict to the repo so every round's full sweep survives.
-    # Round number = max existing BENCH_r*.json + 1 (the driver writes
-    # BENCH_r{N} for the round this run belongs to), overridable via
-    # SPARK_GRAFT_BENCH_ROUND.
+    # Round number = max existing BENCH_r*.json + 1.  Contract: the
+    # driver writes BENCH_r{N} at round END, so any bench run during
+    # round N sees max = N-1 and files the sweep under N; a manual
+    # re-run in the same round overwrites the same file with fresher
+    # numbers from the same code (intended).  Override via
+    # SPARK_GRAFT_BENCH_ROUND for out-of-band runs.
     try:
         import glob as _glob
         import re as _re
@@ -173,7 +176,10 @@ def main() -> None:
                        "total_sec": round(total, 3),
                        "queries": timings}, f, indent=0, sort_keys=True)
         print(f"bench: full sweep -> {sweep_path}", file=sys.stderr)
-    except OSError as e:
+    except (OSError, ValueError) as e:
+        # ValueError: a non-numeric SPARK_GRAFT_BENCH_ROUND must not
+        # kill the run after the whole sweep was paid for — the
+        # headline JSON line below is what the driver parses
         print(f"bench: sweep artifact failed: {e}", file=sys.stderr)
 
     print(json.dumps({

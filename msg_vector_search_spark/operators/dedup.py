@@ -878,9 +878,17 @@ def _cc_free(ckpt_df: DataFrame) -> bool:
         return False
     try:
         plan = ckpt_df._jdf.queryExecution().analyzed()
-    except Exception:
-        # the private chain itself is gone -> capability off for good
-        _CC_FREE_DISABLED = True
+    except Exception as exc:
+        # Latch off ONLY on evidence the private chain itself is gone
+        # (AttributeError on _jdf/queryExecution, or py4j's
+        # "does not exist" for a renamed JVM method).  Anything else —
+        # a stopped session, a py4j hiccup — is transient: return
+        # False for THIS call without poisoning the rest of the
+        # process (the latch would silently reintroduce the unbounded
+        # pinned-block leak everywhere).
+        if (isinstance(exc, AttributeError)
+                or "does not exist" in str(exc)):
+            _CC_FREE_DISABLED = True
         return False
     try:
         plan.rdd().unpersist(False)

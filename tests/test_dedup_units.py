@@ -243,6 +243,14 @@ def test_cc_free_noop_fallbacks_never_raise(spark):
     assert dedup._cc_free(derived) is False
     assert dedup._CC_FREE_DISABLED is False        # per-call, not latch
 
+    class _Transient:          # e.g. a stopped session / py4j hiccup
+        @property
+        def _jdf(self):
+            raise RuntimeError("connection reset")
+
+    assert dedup._cc_free(_Transient()) is False
+    assert dedup._CC_FREE_DISABLED is False  # transient must NOT latch
+
     class _NoChain:                   # simulates a renamed private API
         @property
         def _jdf(self):

@@ -70,8 +70,13 @@ def _unpartitioned_window_lines(plan: str) -> list[str]:
         if len(spans) >= 3:
             continue  # [exprs], [partition], [order]
         if (len(spans) == 2
-                and not re.search(r"\b(ASC|DESC)\b", spans[1])):
-            continue  # [exprs], [partition-only] — partitioned, no order
+                and not re.search(r"\b(ASC|DESC)\b", spans[1])
+                and re.search(r"#\d+", spans[1])):
+            # [exprs], [partition-only]: partitioned, no order.  The
+            # attribute-ref requirement (#id) keeps a CONSTANT
+            # partition key — partitionBy(lit(1)), a true single
+            # reducer — classified as the hazard it is.
+            continue
         bad.append(ln.strip())
     return bad
 

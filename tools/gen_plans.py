@@ -491,7 +491,10 @@ class _CheckpointTracer:
         self._real = DataFrame.localCheckpoint
         tracer = self
 
-        def traced(df, eager=True):
+        def traced(df, *args, **kwargs):
+            # *args/**kwargs: forward the full signature (pyspark 4's
+            # localCheckpoint also takes storageLevel) — tracing must
+            # never change behavior
             try:
                 plan = df._jdf.queryExecution().executedPlan().toString()
                 cols = ", ".join(df.columns[:8])
@@ -499,8 +502,8 @@ class _CheckpointTracer:
                     (f"stage {len(tracer.stages) + 1}: "
                      f"localCheckpoint({cols})", plan))
             except Exception:
-                pass  # tracing must never change behavior
-            return tracer._real(df, eager)
+                pass
+            return tracer._real(df, *args, **kwargs)
 
         DataFrame.localCheckpoint = traced
         return self

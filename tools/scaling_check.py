@@ -180,8 +180,9 @@ def trunc_main() -> None:
 
 def measure_ivfpq_recall(spark, emb, nlist: int = 16, nprobe: int = 4,
                          m: int = 8, ncodes: int = 16, k: int = 10,
-                         shortlist: int = 200,
-                         n_queries: int = 10) -> dict[str, float]:
+                         shortlist: int = 200, n_queries: int = 10,
+                         kinds: tuple = ("seed", "trained"),
+                         ) -> dict[str, float]:
     """recall@k of the composed IVF x PQ path (cell pruning + ADC +
     exact re-rank), seed picks vs fully trained (k-means centroids AND
     codebooks).  The composition's recall is bounded by the IVF cell
@@ -199,12 +200,18 @@ def measure_ivfpq_recall(spark, emb, nlist: int = 16, nprobe: int = 4,
                               similarity.knn_search(emb, qv, k=k)
                               .select("vec_id").collect()}
     out: dict[str, float] = {}
-    for kind, cent, cb in [
-        ("seed", ivf.seed_centroids(emb, nlist),
-         pq.seed_codebooks(emb, m=m, ncodes=ncodes)),
-        ("trained", ivf.kmeans_centroids(emb, nlist),
-         pq.kmeans_codebooks(emb, m=m, ncodes=ncodes)),
-    ]:
+    makers = {
+        "seed": lambda: (ivf.seed_centroids(emb, nlist),
+                         pq.seed_codebooks(emb, m=m, ncodes=ncodes)),
+        "trained": lambda: (ivf.kmeans_centroids(emb, nlist),
+                            pq.kmeans_codebooks(emb, m=m,
+                                                ncodes=ncodes)),
+    }
+    # kinds lets callers skip artifact builds they discard — the
+    # recall-floor probe only reads 'trained', and the seed build +
+    # assignment + 10-query serve is minutes of waste at 10x corpus
+    for kind in kinds:
+        cent, cb = makers[kind]()
         assigned = ivf.assign_cells(emb, cent).localCheckpoint()
         hits = 0
         for r in qrows:
@@ -615,7 +622,8 @@ def recall_floor_main() -> None:
             emb = spark.read.parquet(f"{d}/embeddings.parquet")
             n = emb.count()
             rec = measure_ivfpq_recall(spark, emb, nlist=16, nprobe=8,
-                                       shortlist=400)["trained"]
+                                       shortlist=400,
+                                       kinds=("trained",))["trained"]
             if m == 1:
                 base_rec = rec
             verdict = ""
