@@ -263,3 +263,24 @@ def test_cc_free_noop_fallbacks_never_raise(spark):
         assert dedup._cc_free(ckpt) is False       # no-op while latched
     finally:
         dedup._CC_FREE_DISABLED = False
+
+
+def test_corpus_key_counts_modes_agree(spark):
+    """The single-pass window mode and the skew_safe groupBy+join mode
+    of the sub-document dedup family must return identical results —
+    the mode only moves WHERE the hot key's rows meet their count."""
+    rows = [(1, " ".join(f"w{i}" for i in range(40))),
+            (2, "shift " + " ".join(f"w{i}" for i in range(40))),
+            (3, " ".join(f"other{i}" for i in range(40))),
+            (4, "same tiny"), (5, "same tiny")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def snap(frame):
+        return sorted(tuple(r) for r in frame.collect())
+
+    assert snap(dedup.dedup_unaligned_substring(df)) == \
+        snap(dedup.dedup_unaligned_substring(df, skew_safe=True))
+    assert snap(dedup.substring_novelty(df)) == \
+        snap(dedup.substring_novelty(df, skew_safe=True))
+    assert snap(dedup.dedup_repeated_chunks(df)) == \
+        snap(dedup.dedup_repeated_chunks(df, skew_safe=True))
