@@ -916,13 +916,16 @@ def _cc_free(ckpt_df: DataFrame) -> bool:
     except Exception as exc:
         # Latch off ONLY on evidence the private chain itself is gone
         # (AttributeError on _jdf/queryExecution, or py4j's
-        # "does not exist" for a renamed JVM method).  Anything else —
-        # a stopped session, a py4j hiccup — is transient: return
-        # False for THIS call without poisoning the rest of the
-        # process (the latch would silently reintroduce the unbounded
-        # pinned-block leak everywhere).
+        # "Method ... does not exist" for a RENAMED JVM method).  A
+        # bare "does not exist" is NOT enough: py4j's stale-object
+        # errors ("Target Object ID does not exist for this gateway",
+        # "... does not exist in the JVM" after a session restart)
+        # carry the same words but are transient — latching on them
+        # would permanently disable the helper in the NEXT, healthy
+        # session and silently reintroduce the unbounded pinned-block
+        # leak.  Anything transient: return False for THIS call only.
         if (isinstance(exc, AttributeError)
-                or "does not exist" in str(exc)):
+                or ("Method " in str(exc) and "does not exist" in str(exc))):
             _CC_FREE_DISABLED = True
         return False
     try:

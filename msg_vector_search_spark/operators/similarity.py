@@ -28,11 +28,24 @@ from ..functions import vector as V
 
 def _np_round6(x):
     """Vectorized HALF-AWAY-FROM-ZERO rounding at 6dp — bit-parity
-    with ``F.round(_, 6)`` / DuckDB ``round(_, 6)``.  ``np.round`` is
-    half-TO-EVEN, so a value landing exactly on a .5e-6 boundary
-    would diverge between a NumPy twin and its shared SQL oracle
-    (ADVICE r13); same grid as the scalar ``_round6`` in
-    :func:`mmr_rerank` and ``duck_dequantize_int8``."""
+    with DuckDB ``round(_, 6)``, which rounds the BINARY double
+    half-away (``np.round`` is half-TO-EVEN, so a value landing
+    exactly on a .5e-6 boundary would diverge between a NumPy twin
+    and its shared SQL oracle — ADVICE r13); same grid as the scalar
+    ``_round6`` in :func:`mmr_rerank` and ``duck_dequantize_int8``.
+
+    Spark's ``F.round(_, 6)`` is NOT bit-identical on one edge class:
+    it rounds the value's SHORTEST-DECIMAL repr via BigDecimal
+    HALF_UP, so a double whose shortest repr is an exact 7dp tie
+    (e.g. ``0.5165865`` -> Spark ``0.516587``, DuckDB/this grid
+    ``0.516586``, because the binary value is ``0.51658649999…``)
+    diverges.  Reaching that class requires a double that ROUND-TRIPS
+    in <= 7 significant decimals — computed sums/products essentially
+    never do (their shortest reprs carry 16-17 digits), which is why
+    every F.round-vs-DuckDB twin has hash-matched across 14 rounds of
+    full sweeps.  Ties on the 7dp grid are accepted as out-of-model
+    (the documented ADVICE r13 alternative); the divergence class is
+    pinned by test_np_round6_spark_decimal_tie_divergence."""
     import numpy as np
 
     return np.copysign(np.floor(np.abs(x) * 1e6 + 0.5), x) / 1e6
@@ -468,11 +481,15 @@ def signbit_sketch_py(vec: list[float], bits: int = SIGNBIT_BITS) -> int:
     contributes 0-bits for the missing dims — matching the Spark form
     (``try_element_at`` -> NULL -> ``otherwise(0)``) and the DuckDB form
     (out-of-range index -> NULL -> CASE ELSE 0) instead of raising
-    IndexError (ADVICE r13)."""
+    IndexError (ADVICE r13).  A NaN dim reads as a 1-BIT: both Spark
+    SQL and DuckDB order NaN greater than every numeric, so their
+    ``vec[j] > 0`` is true, while Python's ``nan > 0`` is False — the
+    twin matches the engines, not Python."""
     out = 0
     for j in range(bits):
         v = float(vec[j]) if j < len(vec) else 0.0
-        out = (out << 1) | (1 if v > 0 else 0)
+        bit = 1 if (v > 0 or math.isnan(v)) else 0
+        out = (out << 1) | bit
     return out
 
 

@@ -251,6 +251,38 @@ def test_cc_free_noop_fallbacks_never_raise(spark):
     assert dedup._cc_free(_Transient()) is False
     assert dedup._CC_FREE_DISABLED is False  # transient must NOT latch
 
+    class _StaleObject:        # py4j stale-object errors ALSO carry
+        @property              # "does not exist" — r14 review: they
+        def _jdf(self):        # must not poison the latch either
+            raise RuntimeError(
+                "Target Object ID does not exist for this gateway :o123")
+
+    assert dedup._cc_free(_StaleObject()) is False
+    assert dedup._CC_FREE_DISABLED is False
+
+    class _DeadJvm:            # session restart: same words, transient
+        @property
+        def _jdf(self):
+            raise RuntimeError(
+                "SparkSession does not exist in the JVM")
+
+    assert dedup._cc_free(_DeadJvm()) is False
+    assert dedup._CC_FREE_DISABLED is False
+
+    class _RenamedMethod:      # py4j's renamed-API signature DOES latch
+        @property
+        def _jdf(self):
+            raise RuntimeError(
+                "An error occurred while calling o12.queryExecution. "
+                "Trace: py4j.Py4JException: "
+                "Method queryExecution([]) does not exist")
+
+    try:
+        assert dedup._cc_free(_RenamedMethod()) is False
+        assert dedup._CC_FREE_DISABLED is True
+    finally:
+        dedup._CC_FREE_DISABLED = False
+
     class _NoChain:                   # simulates a renamed private API
         @property
         def _jdf(self):

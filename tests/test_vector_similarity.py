@@ -232,3 +232,29 @@ def test_np_round6_half_away_from_zero_grid(spark):
         [(float(x),) for x in ties], "x double").select(
         F.round("x", 6).alias("r")).collect()
     np.testing.assert_allclose(sorted(r["r"] for r in rows), sorted(got))
+
+
+def test_np_round6_spark_decimal_tie_divergence(spark):
+    """The documented EDGE of the rounding-parity claim (r14 review):
+    _np_round6 is bit-parity with DuckDB round() — both round the
+    BINARY double half-away — but Spark F.round rounds the value's
+    SHORTEST-DECIMAL repr via BigDecimal HALF_UP.  A double whose
+    shortest repr is an exact 7dp tie sitting just BELOW the binary
+    boundary (0.5165865 -> binary 0.51658649999…) therefore rounds
+    DOWN on the binary grid and UP on Spark's decimal grid.  Computed
+    doubles essentially never round-trip in <= 7 digits, so the class
+    is out-of-model for the shared oracles — this test pins that the
+    divergence exists and is exactly the documented one."""
+    import duckdb
+    import numpy as np
+
+    from msg_vector_search_spark.operators.similarity import _np_round6
+
+    x = 0.5165865  # shortest repr is a 7dp tie; binary is below it
+    grid = float(_np_round6(np.array([x]))[0])
+    duck = duckdb.sql(f"SELECT round({x!r}::DOUBLE, 6)").fetchone()[0]
+    assert grid == duck == 0.516586  # binary half-away: DOWN
+    from pyspark.sql import functions as F
+    spark_r = spark.range(1).select(
+        F.round(F.lit(x), 6).alias("r")).head()["r"]
+    assert spark_r == 0.516587  # decimal HALF_UP: UP — the known edge

@@ -609,7 +609,17 @@ def recall_floor_main() -> None:
     exactly the non-degradation bound."""
     from msg_vector_search_spark.session import get_spark
 
-    mults = [int(a) for a in sys.argv[2:] if a.isdigit()] or [1, 4, 10]
+    # Parse mults from EVERY numeric token (the --recallfloor flag may
+    # sit anywhere in argv — sys.argv[2:] would drop a mult that
+    # precedes it), and anchor the non-degradation bound by always
+    # measuring the 1x baseline FIRST: without it base_rec stayed
+    # None and the gate silently weakened to the 0.75 absolute
+    # fallback (r14 review).
+    mults = [int(a) for a in sys.argv[1:] if a.isdigit()] or [1, 4, 10]
+    if 1 not in mults:
+        print("note: adding 1x baseline (non-degradation bound needs it)")
+        mults = [1] + mults
+    mults = sorted(set(mults))
     spark = get_spark("recall_floor")
     print(f"{'xN':>4} {'vecs':>7} {'trained_recall@10':>18} "
           f"(nlist=16 nprobe=8 shortlist=400)")
