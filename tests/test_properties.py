@@ -459,3 +459,105 @@ def test_span_corruption_reconstructs_original(spark, toks, doc_id):
             pos += len(spans[t])
         else:
             pos += 1
+
+
+def ref_greedy_pack(rows: list[tuple[int, int]], budget: int) -> list[int]:
+    """Reference greedy packer over (order, tokens) rows already
+    sorted by order: run + t > budget with a non-empty run starts a
+    new pack; oversized docs pack alone."""
+    run, pid, out = 0, 0, []
+    for _, t in rows:
+        if run + t > budget and run > 0:
+            pid += 1
+            run = 0
+        run += t
+        out.append(pid)
+    return out
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.tuples(st.integers(0, 3),      # shard
+                          st.integers(0, 1000),   # order key
+                          st.integers(1, 40)),    # tokens
+                min_size=1, max_size=40),
+       st.integers(8, 60))
+def test_pack_greedy_matches_reference(spark, rows, budget):
+    """pack_greedy's distributed applyInPandas recurrence must equal
+    the sequential reference per shard — including oversized docs
+    (tokens > budget pack ALONE) and order ties (mergesort keeps
+    input order stable, so dedupe order keys per shard to keep the
+    reference well-defined)."""
+    from msg_vector_search_spark.operators import packing
+
+    seen = set()
+    uniq = []
+    for s, o, t in rows:
+        if (s, o) not in seen:
+            seen.add((s, o))
+            uniq.append((s, o, t))
+    df = spark.createDataFrame(uniq, ["shard", "ord", "toks"])
+    got = packing.pack_greedy(df, budget, "shard", "ord", "toks").collect()
+
+    by_shard: dict[int, list[tuple[int, int]]] = {}
+    for s, o, t in uniq:
+        by_shard.setdefault(s, []).append((o, t))
+    want = {}
+    for s, docs in by_shard.items():
+        docs.sort()
+        for (o, _), pid in zip(docs, ref_greedy_pack(docs, budget)):
+            want[(s, o)] = pid
+    assert {(r["shard"], r["ord"]): r["pack_id"] for r in got} == want
+    # invariants: packs fill contiguously from 0 and never exceed the
+    # budget except for a single oversized document
+    fills: dict[tuple[int, int], list[int]] = {}
+    for r in got:
+        fills.setdefault((r["shard"], r["pack_id"]), []).append(r["toks"])
+    for (s, pid), toks in fills.items():
+        assert sum(toks) <= budget or len(toks) == 1
+        if pid > 0:
+            assert (s, pid - 1) in fills
+
+
+@settings(**SETTINGS)
+@given(st.data())
+def test_pq_encode_and_adc_match_reference(spark, data):
+    """pq_encode's GEMM argmax (9dp grid, first-max-lowest-code) and
+    adc_score_col's literal-table fold must equal a per-row Python
+    reference on random vectors and codebooks."""
+    import numpy as np
+
+    from msg_vector_search_spark.operators import pq
+
+    m, ncodes, dsub = 2, 4, 3
+    rng_vals = data.draw(st.lists(
+        st.floats(-2, 2, allow_nan=False, width=32),
+        min_size=m * ncodes * dsub, max_size=m * ncodes * dsub))
+    codebooks = np.array(rng_vals, dtype=np.float64).reshape(m, ncodes, dsub)
+    n = data.draw(st.integers(1, 6))
+    vecs = [data.draw(st.lists(st.floats(-2, 2, allow_nan=False, width=32),
+                               min_size=m * dsub, max_size=m * dsub))
+            for _ in range(n)]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>")
+
+    encoded = pq.pq_encode(df, codebooks)
+    got_codes = {r["vec_id"]: list(r["codes"]) for r in encoded.collect()}
+    stored = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+              for r in df.collect()}   # float32 storage is the input
+    want_codes = {}
+    for i, v in stored.items():
+        cs = []
+        for j in range(m):
+            dots = np.round(codebooks[j] @ v[j * dsub:(j + 1) * dsub], 9)
+            cs.append(int(np.flatnonzero(dots == dots.max())[0]))
+        want_codes[i] = cs
+    assert got_codes == want_codes
+
+    qvec = stored[0]
+    table = pq.adc_table([float(x) for x in qvec], codebooks)
+    scored = {r["vec_id"]: r["adc"] for r in encoded.select(
+        "vec_id", pq.adc_score_col(table).alias("adc")).collect()}
+    for i, cs in want_codes.items():
+        want = sum(float(table[j, c]) for j, c in enumerate(cs))
+        assert abs(scored[i] - want) < 1e-9
