@@ -561,3 +561,61 @@ def test_pq_encode_and_adc_match_reference(spark, data):
     for i, cs in want_codes.items():
         want = sum(float(table[j, c]) for j, c in enumerate(cs))
         assert abs(scored[i] - want) < 1e-9
+
+
+@settings(**SETTINGS)
+@given(st.data())
+def test_maxsim_twins_and_reference_agree(spark, data):
+    """The MaxSim expression form (maxsim_serve_many) and its GEMM
+    twin (maxsim_join_pandas) must emit identical rows on random
+    corpora — the shared-oracle bit-parity claim — and both must match
+    a per-pair Python reference applying the same grid (round6 pair
+    cosines -> order-free max -> ascending-i left fold -> round6)."""
+    import numpy as np
+
+    from msg_vector_search_spark.operators import similarity
+    from msg_vector_search_spark.operators.similarity import _np_round6
+
+    dt, dim, tq = 2, 3, 2
+    n = data.draw(st.integers(1, 5))
+    nq = data.draw(st.integers(1, 3))
+    f32 = st.floats(-2, 2, allow_nan=False, width=32)
+    docs = [(i, data.draw(st.lists(f32, min_size=dt * dim,
+                                   max_size=dt * dim)))
+            for i in range(n)]
+    queries = [(100 + j,
+                [data.draw(st.lists(f32, min_size=dim, max_size=dim))
+                 for _ in range(tq)])
+               for j in range(nq)]
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in docs],
+        "vec_id long, embedding array<float>")
+
+    expr = similarity.maxsim_serve_many(
+        corpus, queries, k=n, doc_tokens=dt, dim=dim).collect()
+    gemm = similarity.maxsim_join_pandas(
+        corpus, queries, k=n, doc_tokens=dt, dim=dim).collect()
+    key = lambda r: (r["q_id"], r["vec_id"])
+    expr_m = {key(r): (r["score"], r["rank"]) for r in expr}
+    gemm_m = {key(r): (r["score"], r["rank"]) for r in gemm}
+    assert expr_m == gemm_m
+
+    # Python reference on the float32-stored vectors
+    stored = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+              for r in corpus.collect()}
+    for (qid, toks) in queries:
+        for i, _ in docs:
+            dtoks = stored[i].reshape(dt, dim)
+            dn = np.linalg.norm(dtoks, axis=1)
+            total = 0.0
+            for qt in toks:
+                q = np.array(qt, dtype=np.float64)
+                qn = float(np.linalg.norm(q))
+                pair = []
+                for t in range(dt):
+                    denom = dn[t] * qn
+                    c = 0.0 if denom == 0.0 else float(dtoks[t] @ q) / denom
+                    pair.append(float(_np_round6(np.array([c]))[0]))
+                total += max(pair)
+            want = float(_np_round6(np.array([total]))[0]) + 0.0
+            assert expr_m[(qid, i)][0] == want
