@@ -619,3 +619,36 @@ def test_maxsim_twins_and_reference_agree(spark, data):
                 total += max(pair)
             want = float(_np_round6(np.array([total]))[0]) + 0.0
             assert expr_m[(qid, i)][0] == want
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.lists(st.text(alphabet="abcxyz 0", min_size=0,
+                                 max_size=12),
+                          min_size=0, max_size=15),
+                min_size=1, max_size=6))
+def test_minhash_signature_matches_reference(spark, docs):
+    """minhash_signature's single streaming aggregate must equal the
+    definitional reference — per shingle the 48-bit md5-prefix hash,
+    per hash function min over (a*h+b) % p — including the empty
+    shingle set (signature = all-PRIME init)."""
+    import hashlib
+
+    from msg_vector_search_spark.operators.dedup import (
+        MINHASH_A, MINHASH_B, MINHASH_PRIME, minhash_signature)
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)],
+        "doc_id long, shingles array<string>")
+    got = {r["doc_id"]: list(r["sig"]) for r in df.select(
+        "doc_id", minhash_signature(F.col("shingles")).alias("sig"))
+        .collect()}
+
+    for i, shingles in enumerate(docs):
+        want = [MINHASH_PRIME] * 8
+        for s in shingles:
+            h = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:12], 16)
+            for j in range(8):
+                want[j] = min(want[j],
+                              (MINHASH_A[j] * h + MINHASH_B[j])
+                              % MINHASH_PRIME)
+        assert got[i] == want, f"doc {i}: {got[i]} != {want}"
