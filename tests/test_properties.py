@@ -652,3 +652,74 @@ def test_minhash_signature_matches_reference(spark, docs):
                               (MINHASH_A[j] * h + MINHASH_B[j])
                               % MINHASH_PRIME)
         assert got[i] == want, f"doc {i}: {got[i]} != {want}"
+
+
+@settings(**SETTINGS)
+@given(st.data())
+def test_ivf_assign_probe_search_match_reference(spark, data):
+    """The IVF composition on random corpora: assign_cells must pick
+    each vector's argmax-cosine centroid (9dp grid, ties to the
+    smallest cell), probe_cells_local must equal the Spark probe, and
+    ivf_search must equal brute-force cosine top-k RESTRICTED to the
+    probed cells — i.e. cell blocking loses nothing inside the probe
+    set."""
+    import numpy as np
+
+    from msg_vector_search_spark.operators import ivf
+
+    dim, nlist = 4, 3
+    f32 = st.floats(-2, 2, allow_nan=False, width=32)
+    n = data.draw(st.integers(1, 8))
+    docs = [(i, data.draw(st.lists(f32, min_size=dim, max_size=dim)))
+            for i in range(n)]
+    cents = [(c, data.draw(st.lists(f32, min_size=dim, max_size=dim)))
+             for c in range(nlist)]
+    qv = data.draw(st.lists(f32, min_size=dim, max_size=dim))
+
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in docs],
+        "vec_id long, embedding array<float>")
+    cdf = spark.createDataFrame(
+        [(c, [float(x) for x in v]) for c, v in cents],
+        "centroid_id int, centroid_vec array<double>")
+
+    stored = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+              for r in emb.collect()}
+    cent = {c: np.array(v, dtype=np.float64) for c, v in cents}
+
+    def cos(a, b):
+        d = float(np.linalg.norm(a)) * float(np.linalg.norm(b))
+        return 0.0 if d == 0.0 else float(a @ b) / d
+
+    # assignment reference: argmax cosine on the 9dp grid, ties low id
+    want_cell = {}
+    for i, v in stored.items():
+        best = max(range(nlist),
+                   key=lambda c: (round_half_away(cos(v, cent[c]), 9), -c))
+        want_cell[i] = best
+    assigned = ivf.assign_cells(emb, cdf)
+    got_cell = {r["vec_id"]: r["cell"] for r in assigned.collect()}
+    assert got_cell == want_cell
+
+    # probe parity: driver-side twin == Spark probe
+    qvl = [float(x) for x in qv]
+    local = ivf.probe_cells_local(cdf.collect(), qvl, nprobe=2)
+    spark_cells = [r["cell"] for r in
+                   ivf.probe_cells(cdf, qvl, nprobe=2).collect()]
+    assert local == spark_cells
+
+    # search == brute force restricted to the probed cells
+    got = [(r["vec_id"], r["sim"]) for r in
+           ivf.ivf_search(assigned, cdf, qvl, k=5, nprobe=2).collect()]
+    q = np.array(qvl, dtype=np.float64)
+    in_probe = [(i, round_half_away(cos(stored[i], q), 6) + 0.0)
+                for i in stored if got_cell[i] in set(local)]
+    in_probe.sort(key=lambda t: (-t[1], t[0]))
+    assert got == in_probe[:5]
+
+
+def round_half_away(x: float, nd: int) -> float:
+    import math as _m
+
+    s = 10.0 ** nd
+    return _m.copysign(_m.floor(abs(x) * s + 0.5), x) / s
