@@ -10102,9 +10102,9 @@ def topk_mmr_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order — REGISTRY itself keeps source order.
 DRIVER_VERIFIED = frozenset({
     # round 14 rotation discipline (VERDICT r13 item 1 — CONSOLIDATION:
-    # pending capped at 8 so 42 window slots drain the r2-r4 stale
-    # tail, oldest-first: ALL 16 r2 + all 5 r3 + the oldest 21 of 32
-    # r4 rows; the 11 r4 rows that miss the 50-slot window are covered
+    # pending capped at 9 so 41 window slots drain the r2-r4 stale
+    # tail, oldest-first: ALL 16 r2 + all 5 r3 + the oldest 20 of 32
+    # r4 rows; the 12 r4 rows that miss the 50-slot window are covered
     # by this round's full local sweep — README "Full-registry gate
     # artifact", 0 failed — and rotate first in r15).  Deliberately
     # ABSENT (pending-first in the r14 window): curate_by_novelty
@@ -10115,9 +10115,12 @@ DRIVER_VERIFIED = frozenset({
     # maxsim_join_pandas, search_rocchio_feedback (half-away-from-zero
     # _np_round6 grid + sequential centroid fold, ADVICE r13);
     # ann_signbit_rerank (signbit_sketch_py + try_element_at
-    # short-vector 0-bit parity,
-    # ADVICE r13); streaming_index_upsert (maintain_index ->
-    # index_maintenance_stats persist_backfill opt-in, ADVICE r13).
+    # short-vector 0-bit parity + NaN-dim 1-bit engine parity,
+    # ADVICE r13 + r14 second review); streaming_index_upsert
+    # (maintain_index -> index_maintenance_stats persist_backfill
+    # opt-in, ADVICE r13); streaming_sessionize_stateful (late-event
+    # cross-batch semantics fix, r14 second review — see the inline
+    # note at its old listing position below).
     # DOCUMENTED EXCEPTION to the path-based rule: the r14 hardening of
     # the shared _cc_free cleanup helper (VERDICT item 8) touches ~20
     # transitive callers (index lifecycle, retrieval checkpoints, CC
@@ -10125,8 +10128,19 @@ DRIVER_VERIFIED = frozenset({
     # committed and cannot affect any result — rotating all its callers
     # out would defeat item 1's consolidation budget, so they stay
     # listed and the helper carries its own direct both-path unit tests
-    # (tests/test_dedup_units.py::test_cc_free_*).  The r13 window's
-    # other green rows are re-listed below.
+    # (tests/test_dedup_units.py::test_cc_free_*).  The same reasoning
+    # covers the late-r14 crash-recovery hardening of the index verbs
+    # (second review: upsert/rebuild/stats now roll a crashed
+    # erasure's pending manifest forward before reading, read_meta
+    # heals a root stranded mid-swap, upsert staging moved to its own
+    # '._upstaged' suffix, build_index frees its assignment
+    # checkpoint): every added step is a no-op on a store WITHOUT
+    # crash artifacts — the fixture-built stores every registry row
+    # serves — so committed outputs are bit-identical; the crashed
+    # states themselves are pinned by direct unit tests
+    # (tests/test_ivf_index.py::test_*_rolls_forward_*, *heal_root*,
+    # *stats_heals*, *empty_queries*).  The r13 window's other green
+    # rows are re-listed below.
     "ann_ivfpq_trained", "approx_distinct_users", "dedup_ngram_jaccard",
     "dedup_containment", "ann_pq_rerank_trained", "ann_ivfpq_materialized",
     "ann_ivfpq_materialized_trained", "ann_trained_store_exhaustive",
@@ -10303,7 +10317,12 @@ DRIVER_VERIFIED = frozenset({
     "topk_with_ties", "unpivot_daily_counts", "user_event_type_sets",
     "funnel_signup_click_purchase", "cohort_weekly_retention",
     "rolling_1h_range_agg", "streaming_tumbling_availablenow",
-    "streaming_sessionize_stateful", "streaming_dedup_within_watermark",
+    # streaming_sessionize_stateful: rotated OUT late-r14 — the
+    # stateful sessionizer's late-event handling changed (events
+    # preceding the open session now extend it backwards / close as
+    # their own earlier sessions instead of silently folding in;
+    # r14 second-review finding), so the row re-verifies pending-first
+    "streaming_dedup_within_watermark",
     "streaming_upsert_store",
     # round 3 (CORRECTNESS_r03.json)
     "group_centroids_pandas",

@@ -42,6 +42,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
@@ -113,6 +114,12 @@ def build_index(spark: SparkSession, embeddings: DataFrame, path: str,
             "n_rows": assigned.count()}
     with open(os.path.join(path, META_FILE), "w") as f:
         json.dump(meta, f)
+    # every consumer (both store writes + the count) is done — release
+    # the corpus-sized checkpoint instead of pinning one full copy of
+    # the assignment per build for the session's lifetime (r14 review:
+    # the in-stream maintenance loop can trip many rebuilds per run)
+    from .dedup import _cc_free
+    _cc_free(assigned)
     return meta
 
 
@@ -147,6 +154,11 @@ def _write_codebooks(books: np.ndarray, path: str) -> None:
 
 
 def read_meta(path: str) -> dict:
+    # universal entry backstop (r14 review): a crash inside
+    # rebuild_index's root-level swap strands the WHOLE index as
+    # '<path>._old' — restore it before any verb touches META_FILE
+    from ..sources.sinks import heal_root
+    heal_root(path)
     with open(os.path.join(path, META_FILE)) as f:
         return json.load(f)
 
@@ -183,14 +195,17 @@ def search_index(spark: SparkSession, path: str, qvec: list[float],
     pruning before any ADC work, and the shortlist is drawn from
     eligible rows only — filtered ANN without the recall loss of
     post-filtering a top-k."""
-    from ..sources.sinks import _finish_pending_delete, heal_partial_swaps
+    from ..sources.sinks import (_finish_pending_delete,
+                                 heal_partial_swaps, heal_root)
 
     # serving self-heals too: a crash mid-swap in a maintenance verb
     # strands a cell as 'cell=N._old' (silently omitted by a raw read),
-    # and a crash mid-erasure leaves its recorded swap plan half
-    # applied (erased rows still served from un-swapped cells) — both
-    # are rolled forward here at listdir cost, closing the window
-    # between a crash and the next maintenance job
+    # a crash in rebuild's root swap strands the whole index as
+    # '<path>._old', and a crash mid-erasure leaves its recorded swap
+    # plan half applied (erased rows still served from un-swapped
+    # cells) — all rolled forward here at listdir cost, closing the
+    # window between a crash and the next maintenance job
+    heal_root(path)
     for store in (_subdir(path, "vectors"), _subdir(path, "codes")):
         _finish_pending_delete(store)
         heal_partial_swaps(store)
@@ -285,8 +300,10 @@ def search_index_many(spark: SparkSession, path: str,
       tools/scaling_check.py --batch (see README bench notes)."""
     from pyspark.sql import Window
 
-    from ..sources.sinks import _finish_pending_delete, heal_partial_swaps
+    from ..sources.sinks import (_finish_pending_delete,
+                                 heal_partial_swaps, heal_root)
 
+    heal_root(path)
     for store in (_subdir(path, "vectors"), _subdir(path, "codes")):
         _finish_pending_delete(store)
         heal_partial_swaps(store)
@@ -296,8 +313,15 @@ def search_index_many(spark: SparkSession, path: str,
     books = load_codebooks(spark, path)
     qitems = sorted(queries.items())
     if not qitems:
+        # mirror the non-empty path's contract exactly (r14 review):
+        # the id column keeps the STORE's type, and with_rank carries
+        # the rank column — hybrid_serve_many selects it unconditionally
+        id_type = (spark.read.parquet(_subdir(path, "vectors"))
+                   .schema[id_col].dataType.simpleString())
+        rank = ", rank int" if with_rank else ""
         return spark.createDataFrame(
-            [], f"qid long, {id_col} long, cell long, sim double")
+            [], f"qid long, {id_col} {id_type}, cell long, "
+                f"sim double{rank}")
 
     # Probe DRIVER-SIDE for the whole batch: the centroid sidecar is
     # nlist rows (collected once), and ivf.probe_cells_local replays
@@ -398,8 +422,20 @@ def _upsert_cells(spark: SparkSession, batch: DataFrame, store: str,
     IVF cell as the bucket.  *touched* lets a caller that already
     knows the batch's cell set (the codes store mirrors the vectors
     store's) skip the distinct-collect job."""
-    from ..sources.sinks import _swap_dir, heal_partial_swaps
+    from ..sources.sinks import (_finish_pending_delete, _swap_dir,
+                                 heal_partial_swaps)
 
+    # Roll a crashed erasure FORWARD before reading (r14 review): a
+    # pending _delete_pending.json means un-swapped cells still hold
+    # victim rows — merging without committing it would bake the
+    # victims back in, and the old shared '._staged' suffix meant the
+    # upsert's own staging write clobbered the erasure's staged
+    # rewrite while its manifest survived (the manifest's 'emptied'
+    # replay could then rmtree LIVE cells).  Commit the erasure, sweep
+    # pre-manifest staging orphans, then heal partial swaps.
+    if not _finish_pending_delete(store):
+        import shutil
+        shutil.rmtree(store + "._staged", ignore_errors=True)
     heal_partial_swaps(store)  # crashed prior swap: restore before read
     if touched is None:
         touched = sorted(r[0] for r in
@@ -419,14 +455,18 @@ def _upsert_cells(spark: SparkSession, batch: DataFrame, store: str,
                .filter(F.col("cell").isin(touched))
                .join(F.broadcast(inc.select(key)), key, "left_anti"))
     merged = current.unionByName(inc.select(*current.columns))
-    tmp = store + "._staged"
+    # distinct staging suffix from the erase path's '._staged' so an
+    # upsert can never collide with an in-flight erasure's artifacts
+    # even if the roll-forward contract above is violated
+    tmp = store + "._upstaged"
+    import shutil
+    shutil.rmtree(tmp, ignore_errors=True)  # orphan of a crashed upsert
     merged.write.mode("overwrite").partitionBy("cell").parquet(tmp)
     for c in touched:
         part = f"cell={c}"
         src = os.path.join(tmp, part)
         if os.path.exists(src):
             _swap_dir(src, os.path.join(store, part))
-    import shutil
     shutil.rmtree(tmp, ignore_errors=True)
     return touched
 
@@ -560,11 +600,22 @@ def rebuild_index(spark: SparkSession, path: str,
     seed <-> trained in place.  After a rebuild the index is
     bit-identical to a fresh :func:`build_index` over the same rows —
     upsert-then-rebuild converges to the fresh-build state."""
-    from ..sources.sinks import _swap_dir
+    from ..sources.sinks import (_finish_pending_delete, _swap_dir,
+                                 heal_partial_swaps, heal_root)
 
+    heal_root(path)  # a crashed prior rebuild stranded the root
     meta = read_meta(path)
     if trained is None:
         trained = meta["trained"]
+    # roll a crashed erasure FORWARD before treating the vectors store
+    # as the source of truth (r14 review): un-swapped cells still hold
+    # victim rows, and a rebuild that reads them bakes the victims
+    # into the fresh index AND discards the pending manifest with the
+    # old directories — the erasure would silently never complete
+    for store in (_subdir(path, "vectors"), _subdir(path, "codes")):
+        _finish_pending_delete(store)
+        heal_partial_swaps(store)
+    shutil.rmtree(path + "._rebuild", ignore_errors=True)  # stale stage
     vecs = (spark.read.parquet(_subdir(path, "vectors")).drop("cell")
             .localCheckpoint())  # detach from the dirs the swap replaces
     tmp = path + "._rebuild"
@@ -656,9 +707,21 @@ def index_maintenance_stats(spark: SparkSession, path: str,
     policy evaluations; when a persist is attempted the returned dict
     carries ``backfill_persisted`` (False = the write-through failed,
     e.g. a read-only store — surfaced, not swallowed)."""
+    from ..sources.sinks import _finish_pending_delete, heal_partial_swaps
+
     meta = read_meta(path)
+    # heal before counting (r14 review): a stale 'cell=N._old' leftover
+    # would be discovered as its own partition value and double-count
+    # that cell's rows — inflated growth/skew drive the WRITE-path
+    # rebuild decision (maintain_index).  Same roll-forward the serving
+    # reads do; committing a crashed erasure from an observer is the
+    # established self-heal contract (search_index does it on every
+    # call), distinct from the meta write-through that stays opt-in.
+    cstore = _subdir(path, "codes")
+    _finish_pending_delete(cstore)
+    heal_partial_swaps(cstore)
     counts = [r["n"] for r in
-              (spark.read.parquet(_subdir(path, "codes"))
+              (spark.read.parquet(cstore)
                .groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
                .collect())]
     total = sum(counts)

@@ -190,6 +190,27 @@ def _swap_dir(src: str, dst: str) -> None:
         os.rename(src, dst)
 
 
+def heal_root(path: str) -> bool:
+    """Roll back a ROOT directory stranded mid-:func:`_swap_dir` by a
+    crash (r14 review): a whole-directory swap (e.g. rebuild_index's
+    ``_swap_dir(tmp, path)``) that dies between its two renames leaves
+    the live tree as ``<path>._old`` with nothing at ``path`` —
+    :func:`heal_partial_swaps` only scans for strays INSIDE a store,
+    so no per-partition heal ever restores the root.  Restore it
+    (roll BACK — the conservative direction: the staged replacement
+    is derived data and its producer can re-run); delete a stale
+    ``._old`` whose base exists (the swap completed).  Returns True
+    if a stranded root was restored."""
+    old = path + "._old"
+    if not os.path.isdir(old):
+        return False
+    if os.path.exists(path):
+        shutil.rmtree(old, ignore_errors=True)
+        return False
+    os.rename(old, path)
+    return True
+
+
 def heal_partial_swaps(store: str) -> list:
     """Roll back directories stranded mid-:func:`_swap_dir` by a crash:
     a ``<part>._old`` whose base directory is MISSING means the crash

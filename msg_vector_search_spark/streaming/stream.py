@@ -276,6 +276,13 @@ def stateful_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     Scale: state is one row per user (start, last, n); the shuffle key
     is user_id.  A production deployment adds a state timeout to evict
     idle users instead of keeping them forever.
+
+    Late data: an event arriving WITHIN the gap before the open
+    session's start extends it backwards; one arriving MORE than a gap
+    before forms (and immediately closes) its own earlier session —
+    both matching the batch twin over the union of all batches.  Only
+    sessions already emitted in prior micro-batches are immutable
+    (append mode); bound that lateness with an upstream watermark.
     """
     import pandas as pd  # local import: only the streaming path needs it
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -301,17 +308,45 @@ def stateful_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         chunks = [pdf["ts"] for pdf in pdf_iter]
         all_ts = (pd.concat(chunks).sort_values() if chunks
                   else pd.Series([], dtype="datetime64[ns]"))
-        for ts in all_ts:
-            ts = pd.Timestamp(ts)
+        ts_list = [pd.Timestamp(t) for t in all_ts]
+        if start is not None and ts_list and ts_list[0] < start:
+            # LATE events preceding the open session (r14 review): the
+            # forward gap test below (ts - last > gap) can never fire
+            # for them — the old code silently folded an event hours
+            # BEFORE the session into it.  Sessionize the pre-start
+            # events among themselves; the last pre-session merges
+            # into the open session only when it reaches within one
+            # gap of session_start (extending the session BACKWARDS,
+            # exactly what the batch twin computes), everything
+            # earlier closes now.  Events older than sessions ALREADY
+            # emitted in prior batches necessarily form new sessions —
+            # emitted output is immutable; a production deployment
+            # bounds that lateness with a watermark upstream.
+            pre = [t for t in ts_list if t < start]
+            ts_list = [t for t in ts_list if t >= start]
+            ps = pe = pre[0]
+            pc = 1
+            for t in pre[1:]:
+                if t - pe > gap:
+                    closed.append((user_id, ps, pe, pc))
+                    ps = pe = t
+                    pc = 1
+                else:
+                    pe, pc = t, pc + 1
+            if start - pe <= gap:
+                start, n = ps, n + pc
+            else:
+                closed.append((user_id, ps, pe, pc))
+        for ts in ts_list:
             if start is None:
                 start, last, n = ts, ts, 1
             elif ts - last > gap:
                 closed.append((user_id, start, last, n))
                 start, last, n = ts, ts, 1
             else:
-                # max(): a late event older than the state's last (but
-                # within the gap) folds into the open session without
-                # moving its end backwards
+                # max(): an event inside the open span (start <= ts <=
+                # last, e.g. delivered by a prior chunk boundary) folds
+                # in without moving the end backwards
                 last, n = max(last, ts), n + 1
         if start is not None:
             state.update((start.to_pydatetime(), last.to_pydatetime(), int(n)))

@@ -776,3 +776,171 @@ def test_ann_many_large_q_path_equals_literal(spark, tmp_path):
         spark, path, qrows, k=5, nprobe=3, shortlist=40,
         literal_max=1000)._jdf.queryExecution().executedPlan().toString()
     assert "Generate" in lplan              # the literal path DOES explode
+
+
+def _stage_pending_erasure(spark, store: str, victims, key: str = "vec_id"):
+    """Simulate delete_index_keys crashing IMMEDIATELY after its
+    manifest write on *store*: the anti-joined rewrite is staged, the
+    manifest records the swap plan, and NO directory has been swapped
+    — the exact state erase_partitions leaves if the process dies
+    before _finish_pending_delete's first rename."""
+    import json as _json
+    import os
+
+    stored = spark.read.parquet(store)
+    cells = sorted({r["cell"] for r in
+                    stored.join(F.broadcast(victims), key, "semi")
+                    .select("cell").distinct().collect()})
+    kept = (stored.filter(F.col("cell").isin(cells))
+            .join(F.broadcast(victims), key, "left_anti"))
+    tmp = store + "._staged"
+    kept.write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    emptied = [c for c in cells
+               if not os.path.exists(os.path.join(tmp, f"cell={c}"))]
+    with open(os.path.join(store, "_delete_pending.json"), "w") as f:
+        _json.dump({"touched": cells, "emptied": emptied,
+                    "part_col": "cell"}, f)
+    return cells
+
+
+def test_upsert_index_rolls_forward_pending_erasure(spark, tmp_path):
+    """r14 review finding 1: an upsert arriving after a crashed
+    erasure must COMMIT the pending erasure before merging — the old
+    behavior clobbered the erasure's staged rewrite (shared '._staged'
+    suffix), baked the victims back in, and left a manifest whose
+    later replay could rmtree live cells."""
+    import os
+
+    from msg_vector_search_spark.operators import ann_index
+
+    emb = readers.read_table(spark, SF, "embeddings")
+    path = str(tmp_path / "upsert_pending")
+    ann_index.build_index(spark, emb, path, nlist=4, m=8, ncodes=16)
+    vstore = os.path.join(path, "vectors")
+    cstore = os.path.join(path, "codes")
+
+    victims = (spark.read.parquet(vstore).select("vec_id")
+               .orderBy("vec_id").limit(5).localCheckpoint())
+    victim_ids = {r["vec_id"] for r in victims.collect()}
+    _stage_pending_erasure(spark, cstore, victims)
+    _stage_pending_erasure(spark, vstore, victims)
+
+    batch = (emb.orderBy("vec_id").limit(3)
+             .select((F.col("vec_id") + 900000).alias("vec_id"),
+                     "embedding"))
+    ann_index.upsert_index(spark, path, batch)
+
+    for store in (vstore, cstore):
+        ids = {r["vec_id"] for r in
+               spark.read.parquet(store).select("vec_id").collect()}
+        assert ids.isdisjoint(victim_ids), store
+        assert {900000, 900001, 900002} <= ids, store
+        assert not os.path.exists(
+            os.path.join(store, "_delete_pending.json"))
+        assert not os.path.exists(store + "._staged")
+        assert not os.path.exists(store + "._upstaged")
+
+
+def test_rebuild_index_rolls_forward_pending_erasure(spark, tmp_path):
+    """r14 review finding 2: a rebuild after a crashed erasure must
+    commit the erasure BEFORE treating the vectors store as the source
+    of truth — otherwise the victims are baked into the fresh index
+    and the pending manifest is discarded with the old directories."""
+    import os
+
+    from msg_vector_search_spark.operators import ann_index
+
+    emb = readers.read_table(spark, SF, "embeddings")
+    path = str(tmp_path / "rebuild_pending")
+    ann_index.build_index(spark, emb, path, nlist=4, m=8, ncodes=16)
+    vstore = os.path.join(path, "vectors")
+
+    victims = (spark.read.parquet(vstore).select("vec_id")
+               .orderBy("vec_id").limit(5).localCheckpoint())
+    victim_ids = {r["vec_id"] for r in victims.collect()}
+    _stage_pending_erasure(spark, os.path.join(path, "codes"), victims)
+    _stage_pending_erasure(spark, vstore, victims)
+
+    meta = ann_index.rebuild_index(spark, path)
+    assert meta["n_rows"] == emb.count() - len(victim_ids)
+    ids = {r["vec_id"] for r in
+           spark.read.parquet(os.path.join(path, "vectors"))
+           .select("vec_id").collect()}
+    assert ids.isdisjoint(victim_ids)
+    assert not os.path.exists(
+        os.path.join(path, "vectors", "_delete_pending.json"))
+
+
+def test_heal_root_restores_stranded_index(spark, tmp_path):
+    """r14 review finding 3: a crash between rebuild's two root
+    renames leaves the whole index as '<path>._old' — the next verb
+    must restore it (and a STALE ._old beside a live root must be
+    swept, not restored over it)."""
+    import os
+
+    from msg_vector_search_spark.operators import ann_index
+
+    emb = readers.read_table(spark, SF, "embeddings")
+    path = str(tmp_path / "stranded_root")
+    ann_index.build_index(spark, emb, path, nlist=4, m=8, ncodes=16)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0)
+          .select("embedding").head()[0]]
+    want = [tuple(r) for r in ann_index.search_index(
+        spark, path, qv, k=5, nprobe=4, shortlist=50).collect()]
+
+    # crash between the renames: live tree at ._old, nothing at path
+    os.rename(path, path + "._old")
+    got = [tuple(r) for r in ann_index.search_index(
+        spark, path, qv, k=5, nprobe=4, shortlist=50).collect()]
+    assert got == want
+    assert os.path.isdir(path) and not os.path.exists(path + "._old")
+
+    # crash after the second rename: stale ._old beside the live root
+    os.makedirs(path + "._old")
+    assert ann_index.read_meta(path)["nlist"] == 4
+    assert not os.path.exists(path + "._old")
+
+
+def test_maintenance_stats_heals_stale_old_dir(spark, tmp_path):
+    """r14 review finding 7: a stale 'cell=N._old' leftover must not
+    double-count that cell's rows in the rebuild-decision signals."""
+    import os
+    import shutil
+
+    from msg_vector_search_spark.operators import ann_index
+
+    emb = readers.read_table(spark, SF, "embeddings")
+    path = str(tmp_path / "stats_stale")
+    ann_index.build_index(spark, emb, path, nlist=4, m=8, ncodes=16)
+    cstore = os.path.join(path, "codes")
+    cell_dir = next(os.path.join(cstore, d) for d in os.listdir(cstore)
+                    if d.startswith("cell="))
+    shutil.copytree(cell_dir, cell_dir + "._old")
+
+    sig = ann_index.index_maintenance_stats(spark, path)
+    assert sig["total_rows"] == emb.count()
+    assert sig["growth"] == 0.0
+    assert not os.path.exists(cell_dir + "._old")
+
+
+def test_search_index_many_empty_queries_contract(spark, tmp_path):
+    """r14 review finding 5: the empty-queries early return must carry
+    the same schema as the non-empty path — including 'rank' under
+    with_rank=True (hybrid_serve_many selects it unconditionally)."""
+    from msg_vector_search_spark.operators import ann_index
+
+    emb = readers.read_table(spark, SF, "embeddings")
+    path = str(tmp_path / "empty_q")
+    ann_index.build_index(spark, emb, path, nlist=4, m=8, ncodes=16)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0)
+          .select("embedding").head()[0]]
+
+    full = ann_index.search_index_many(spark, path, {7: qv},
+                                       with_rank=True)
+    empty = ann_index.search_index_many(spark, path, {}, with_rank=True)
+    assert empty.columns == full.columns
+    assert [f.dataType for f in empty.schema.fields] == \
+           [f.dataType for f in full.schema.fields]
+    assert empty.count() == 0
+    plain = ann_index.search_index_many(spark, path, {})
+    assert "rank" not in plain.columns

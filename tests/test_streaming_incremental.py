@@ -466,3 +466,51 @@ def test_maintenance_stats_backfills_unknown_baseline(spark, tmp_path):
                            emb.filter(F.col("vec_id") >= 400))
     sig2 = ann_index.index_maintenance_stats(spark, path)
     assert not sig2["baseline_unknown"] and sig2["growth"] > 0.0
+
+
+def test_stateful_sessionize_late_events_across_batches(spark, tmp_path):
+    """r14 review: late events spanning micro-batches.  Batch 1 opens
+    a session (10:00-10:30).  Batch 2 delivers (a) an event >gap
+    BEFORE it — must close as its OWN one-event session, not fold in —
+    and (b) an event within the gap before session_start — must extend
+    the open session BACKWARDS.  Batch 3 closes the open session with
+    a >gap event, exposing the state for assertion."""
+    import datetime as _dt
+    import tempfile as _tf
+
+    from pyspark.sql import Row
+
+    t = lambda h, m: _dt.datetime(2024, 1, 1, h, m, 0)
+    src = str(tmp_path / "late_src")
+    batches = [
+        [Row(user_id=1, ts=t(10, 0)), Row(user_id=1, ts=t(10, 30))],
+        [Row(user_id=1, ts=t(8, 0)), Row(user_id=1, ts=t(9, 45))],
+        [Row(user_id=1, ts=t(15, 0))],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows).coalesce(1).write.mode(
+            "append" if i else "overwrite").parquet(src)
+
+    # drive ALL files through one query with maxFilesPerTrigger=1 so
+    # each write lands (coalesced) in its own micro-batch
+    schema = "user_id long, ts timestamp"
+    src_stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+    sessions = stream.stateful_sessionize(src_stream, gap_minutes=30)
+    ckpt = _tf.mkdtemp(prefix="ckpt_late_")
+    with stream._state_partitions(spark):
+        q = (sessions.writeStream.outputMode("append")
+             .format("memory").queryName("late_sessions")
+             .option("checkpointLocation", ckpt).start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    got = sorted(((r["session_start"], r["session_end"], r["n_events"])
+                  for r in spark.sql(
+                      "SELECT * FROM late_sessions").collect()))
+    # 08:00 closed alone; the open session extended back to 09:45 and
+    # closed by the 15:00 event (which stays open in state)
+    assert got == [(t(8, 0), t(8, 0), 1),
+                   (t(9, 45), t(10, 30), 3)]
