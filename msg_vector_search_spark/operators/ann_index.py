@@ -737,13 +737,11 @@ def index_maintenance_stats(spark: SparkSession, path: str,
     if baseline_unknown:
         meta["n_rows"] = total
         if persist_backfill:
-            # atomic write-through (tmp + rename): never leave
-            # META_FILE truncated mid-dump
-            tmp = os.path.join(path, META_FILE + ".tmp")
+            # the shared write-then-rename idiom; a failed persist is
+            # SURFACED via backfill_persisted=False, not swallowed
+            from ..sources.sinks import _atomic_write_json
             try:
-                with open(tmp, "w") as f:
-                    json.dump(meta, f)
-                os.replace(tmp, os.path.join(path, META_FILE))
+                _atomic_write_json(os.path.join(path, META_FILE), meta)
                 backfill_persisted = True
             except OSError:
                 backfill_persisted = False
