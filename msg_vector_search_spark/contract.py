@@ -10139,8 +10139,18 @@ DRIVER_VERIFIED = frozenset({
     # serves — so committed outputs are bit-identical; the crashed
     # states themselves are pinned by direct unit tests
     # (tests/test_ivf_index.py::test_*_rolls_forward_*, *heal_root*,
-    # *stats_heals*, *empty_queries*).  The r13 window's other green
-    # rows are re-listed below.
+    # *stats_heals*, *empty_queries*).  Likewise the late-r14
+    # retrieval/engine edge-path fixes (empty-term-list guards,
+    # bootstrap id_col recording, changefeed meta_cols validation,
+    # hybrid's dynamic ANN id column, audit_recall's |truth| divisor,
+    # whole-call search_time_ms): each is unreachable or
+    # result-identical for every registry row's fixture inputs
+    # (fixture indexes use the default id column, non-empty term
+    # lists, and feeds carrying their recorded columns), pinned by
+    # tests/test_retrieval.py::test_empty_terms_*,
+    # *bootstrap_upsert*, *carries_meta_cols*, *non_default_ann*, and
+    # tests/test_engine_facade.py::test_audit_recall_small_store*.
+    # The r13 window's other green rows are re-listed below.
     "ann_ivfpq_trained", "approx_distinct_users", "dedup_ngram_jaccard",
     "dedup_containment", "ann_pq_rerank_trained", "ann_ivfpq_materialized",
     "ann_ivfpq_materialized_trained", "ann_trained_store_exhaustive",
@@ -10308,7 +10318,11 @@ DRIVER_VERIFIED = frozenset({
     "tpch_q22_dormant_accounts", "tpch_q16_supplier_part_counts",
     "tpch_q2_min_cost_supplier", "tpch_q4_order_priority",
     "tpch_q15_top_supplier", "tpch_q17_small_quantity_revenue",
-    "distinct_users_twophase", "join_salted_skew", "dedup_edit_distance",
+    # dedup_edit_distance: rotated OUT late-r14 — its inline salted
+    # self-join was refactored onto the shared _grid_salted_self_pairs
+    # helper (payload_cols generalization, r14 second review), so the
+    # row re-verifies pending-first
+    "distinct_users_twophase", "join_salted_skew",
     "text_unigram_logprob", "pivot_event_type_daily",
     "cube_order_priority", "event_value_histogram",
     "scd2_customer_status", "tpch_q19_disjunctive",

@@ -250,7 +250,12 @@ class Engine:
                       self.spark, self.index_dir, qv, k=k,
                       nprobe=self.nprobe,
                       shortlist=self.shortlist).collect()}
-        return len(truth & served) / float(k)
+        # divide by the TRUTH size, not k (r14 review): a store with
+        # fewer than k rows has |truth| < k, and a /k denominator
+        # caps its best-possible recall below 1.0 — with min_recall
+        # armed that meant an unconditional full rebuild on EVERY
+        # ingest, forever, on any small store
+        return len(truth & served) / float(len(truth))
 
     def maintain_index(self, force: bool = False) -> dict:
         """The rebuild DECISION (the action on the decay
@@ -344,13 +349,21 @@ class Engine:
                 },
             }
         if self.index_dir and self.ensure_index():
-            return self._indexed_envelopes(
+            env = self._indexed_envelopes(
                 {0: query}, limit, threshold, conversation_type,
                 session_id)[0]
-        corpus = self._store()
-        return search_plan.search_with_envelope(
-            corpus, query, limit=limit, threshold=threshold,
-            conversation_type=conversation_type, session_id=session_id)
+        else:
+            env = search_plan.search_with_envelope(
+                self._store(), query, limit=limit, threshold=threshold,
+                conversation_type=conversation_type,
+                session_id=session_id)
+        # the serving helpers time only their own scan; the envelope
+        # contract is the WHOLE call including any inline ingest the
+        # gate ran (r14 review; reference captures start_time before
+        # update_embeddings) — restamp with the outer clock
+        env["metadata"]["search_time_ms"] = round(
+            (time.time() - t0) * 1000, 1)
+        return env
 
     def search_many(self, queries: dict, limit: int = 30,
                     threshold: float = 0.3,

@@ -572,6 +572,16 @@ def apply_changefeed_index(spark: SparkSession, path: str,
     Returns the touched-cell lists per phase."""
     meta = read_meta(path)
     id_col, vec_col = meta["id_col"], meta["vec_col"]
+    # an index built with meta_cols stores them beside every vector —
+    # the upsert batch must carry them (r14 review, same contract as
+    # the text twin); validate BEFORE the erase phase commits so a
+    # bad feed fails whole instead of half-applied
+    meta_cols = tuple(meta.get("meta_cols", ()))
+    missing = [c for c in meta_cols if c not in feed.columns]
+    if missing:
+        raise ValueError(
+            f"index at {path} records meta_cols {list(meta_cols)}; "
+            f"the changefeed is missing {missing}")
     feed = feed.localCheckpoint()  # dimension-sized; read three times
     doomed = feed.filter(F.col(action_col).isin("delete", "update"))
     erased = delete_index_keys(
@@ -579,7 +589,8 @@ def apply_changefeed_index(spark: SparkSession, path: str,
         vectors=doomed.select(id_col,
                               F.col(old_vec_col).alias(vec_col)))
     incoming = (feed.filter(F.col(action_col).isin("insert", "update"))
-                .select(id_col, F.col(new_vec_col).alias(vec_col)))
+                .select(id_col, F.col(new_vec_col).alias(vec_col),
+                        *[F.col(c) for c in meta_cols]))
     merged = upsert_index(spark, path, incoming)
     from .dedup import _cc_free
     _cc_free(feed)  # erase + merge both committed; release the pin

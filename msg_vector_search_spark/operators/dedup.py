@@ -102,6 +102,12 @@ def minhash_signature(shingle_col: Column, num_hashes: int = 8) -> Column:
     reference would re-run the md5 scan of the document.
     Returns array<bigint> of length *num_hashes*.
     """
+    if not 1 <= num_hashes <= len(MINHASH_A):
+        # actionable instead of an IndexError deep in seed
+        # construction (r14 review) — mirrors the bands guard below
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be 1..{len(MINHASH_A)} "
+            "(the seeded hash family's size)")
     seeds = F.array(*[
         F.struct(F.lit(MINHASH_A[i]).cast("long").alias("a"),
                  F.lit(MINHASH_B[i]).cast("long").alias("b"))
@@ -128,6 +134,10 @@ def lsh_band_hashes(shingle_col: Column, num_hashes: int, bands: int) -> Column:
         raise ValueError(
             f"bands ({bands}) must evenly divide num_hashes "
             f"({num_hashes})")
+    if not 1 <= num_hashes <= len(MINHASH_A):
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be 1..{len(MINHASH_A)} "
+            "(the seeded hash family's size)")
     rows_per_band = num_hashes // bands
     seeds = F.array(*[
         F.struct(F.lit(MINHASH_A[i]).cast("long").alias("a"),
@@ -186,7 +196,9 @@ def _banded_pairs(banded: DataFrame, id_col: str,
 
 
 def _grid_salted_self_pairs(keyed: DataFrame, block_cols: list[str],
-                            id_col: str, max_block: int) -> DataFrame:
+                            id_col: str, max_block: int,
+                            payload_cols: tuple[str, ...] = (),
+                            dedup_pairs: bool = True) -> DataFrame:
     """EXACT skew-safe self-join of *keyed* on *block_cols*: emits the
     identical (id_a, id_b) row set as a plain self-join, but a hot
     block's PAIR COMPUTE is divided over ceil(n / max_block) reducers
@@ -207,7 +219,13 @@ def _grid_salted_self_pairs(keyed: DataFrame, block_cols: list[str],
     block's members).  The salt hash is the shared md5-prefix primitive,
     so the construction is DuckDB-mirrorable (though mirroring is never
     needed: the output is equal to the unsalted join's).
-    """
+
+    *payload_cols* ride each side of the pair as ``<col>_a`` /
+    ``<col>_b`` (e.g. the comparison prefix edit_distance_pairs
+    scores); *dedup_pairs=False* skips the final distinct for callers
+    whose *keyed* has ONE row per id (a pair then meets on exactly one
+    (block, salt) key, so no duplicates exist to drop — multi-row
+    inputs like LSH band keys need the distinct)."""
     sizes = (keyed.groupBy(*block_cols).agg(F.count("*").alias("_bsz"))
              .withColumn("_nsub",
                          F.greatest(F.lit(1),
@@ -216,15 +234,23 @@ def _grid_salted_self_pairs(keyed: DataFrame, block_cols: list[str],
              .drop("_bsz"))
     sized = keyed.join(sizes, block_cols)
     a = sized.select(
-        F.col(id_col).alias("id_a"), *block_cols,
+        F.col(id_col).alias("id_a"),
+        *[F.col(c).alias(f"{c}_a") for c in payload_cols],
+        *block_cols,
         F.explode(F.sequence(F.lit(0), F.col("_nsub") - 1)).alias("_salt"))
     b = sized.select(
-        F.col(id_col).alias("id_b"), *block_cols,
+        F.col(id_col).alias("id_b"),
+        *[F.col(c).alias(f"{c}_b") for c in payload_cols],
+        *block_cols,
         F.pmod(analysis.token_hash(F.col(id_col).cast("string")),
                F.col("_nsub")).alias("_salt"))
-    return (a.join(b, [*block_cols, "_salt"])
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b").distinct())
+    out_cols = (["id_a", "id_b"]
+                + [f"{c}_a" for c in payload_cols]
+                + [f"{c}_b" for c in payload_cols])
+    pairs = (a.join(b, [*block_cols, "_salt"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select(*out_cols))
+    return pairs.distinct() if dedup_pairs else pairs
 
 
 def dedup_minhash_lsh(df: DataFrame, text_col: str = "text",
@@ -793,24 +819,13 @@ def edit_distance_pairs(df: DataFrame, text_col: str = "text",
         F.lower(F.substring(F.col(text_col), 1, prefix_len))
         .alias("block"),
         F.substring(F.col(text_col), 1, cmp_len).alias("_cmp"))
-    sizes = (keyed.groupBy("block").agg(F.count("*").alias("_bsz"))
-             .withColumn("_nsub",
-                         F.greatest(F.lit(1),
-                                    F.ceil(F.col("_bsz") / max_block))
-                         .cast("int"))
-             .drop("_bsz"))
-    sized = keyed.join(sizes, "block")
-    a = sized.select(
-        F.col(id_col).alias("id_a"), F.col("_cmp").alias("_cmp_a"),
-        F.col("block"),
-        F.explode(F.sequence(F.lit(0), F.col("_nsub") - 1)).alias("_salt"))
-    b = sized.select(
-        F.col(id_col).alias("id_b"), F.col("_cmp").alias("_cmp_b"),
-        F.col("block"),
-        F.pmod(analysis.token_hash(F.col(id_col).cast("string")),
-               F.col("_nsub")).alias("_salt"))
-    return (a.join(b, ["block", "_salt"])
-            .filter(F.col("id_a") < F.col("id_b"))
+    # the shared grid-salted self-join (r14 review: this used to be an
+    # inline near-copy of the helper) carrying the comparison prefix
+    # as pair payload; keyed has one row per id, so no distinct needed
+    pairs = _grid_salted_self_pairs(keyed, ["block"], id_col, max_block,
+                                    payload_cols=("_cmp",),
+                                    dedup_pairs=False)
+    return (pairs
             .withColumn("dist",
                         F.levenshtein("_cmp_a", "_cmp_b").cast("long"))
             .filter(F.col("dist") <= max_dist)

@@ -63,6 +63,11 @@ def bm25_scores(docs: DataFrame, terms: list[str], text_col: str = "text",
     corpus scan itself.
     """
     toks = analysis.tokens(F.col(text_col))
+    if not terms:
+        # zero terms match zero docs; emit the contract schema empty
+        # instead of building an unresolvable _tf_0 (r14 review)
+        return (docs.select(F.col(id_col), F.size(toks).alias("dl"),
+                            F.lit(0.0).alias("bm25")).limit(0))
     base = (docs.select(F.col(id_col), toks.alias("_toks"))
             .withColumn("dl", F.size("_toks")))
     wtf = base.select(
@@ -309,9 +314,18 @@ def upsert_inverted_index(docs: DataFrame, path: str,
     from .dedup import _cc_free
 
     spark = docs.sparkSession
-    meta = _read_text_meta(path)
+    # _read_text_meta's id_col default only applies when no sidecar
+    # exists (bootstrap) — seed it with the CALLER's key so a fresh
+    # store records the right id column instead of the "doc_id"
+    # default bricking all later serving (r14 review); a mismatch
+    # against an EXISTING sidecar is an error, not an override
+    meta = _read_text_meta(path, id_col=id_col or "doc_id")
     if id_col is None:
         id_col = meta["id_col"]
+    elif meta["id_col"] != id_col:
+        raise ValueError(
+            f"index at {path} is keyed by {meta['id_col']!r}; "
+            f"got id_col={id_col!r}")
     _ensure_gen_layout(spark, path)
     g_old, g_new = int(meta["gen"]), int(meta["gen"]) + 1
     meta["gen"] = g_new
@@ -409,6 +423,17 @@ def apply_changefeed_text_index(spark, path: str, feed: DataFrame,
     meta = _read_text_meta(path)
     if id_col is None:
         id_col = meta["id_col"]
+    # an index built with meta_cols stores them beside every doclen
+    # row — the upsert batch must carry them (r14 review: dropping
+    # them crashed _tokenized AFTER the delete phase had already
+    # committed, leaving the feed half-applied); validate BEFORE any
+    # phase commits so a bad feed fails whole
+    meta_cols = tuple(meta.get("meta_cols", ()))
+    missing = [c for c in meta_cols if c not in feed.columns]
+    if missing:
+        raise ValueError(
+            f"index at {path} records meta_cols {list(meta_cols)}; "
+            f"the changefeed is missing {missing}")
     feed = feed.localCheckpoint()  # dimension-sized; read twice
     doomed = feed.filter(F.col(action_col) == "delete").select(id_col)
     n_del = doomed.count()
@@ -417,7 +442,8 @@ def apply_changefeed_text_index(spark, path: str, feed: DataFrame,
                              auto_compact_tombstones=auto_compact_tombstones)
     incoming = (feed.filter(F.col(action_col).isin("insert", "update"))
                 .select(F.col(id_col),
-                        F.col(new_text_col).alias("_feed_text")))
+                        F.col(new_text_col).alias("_feed_text"),
+                        *[F.col(c) for c in meta_cols]))
     n_up = incoming.count()
     gen = None
     if n_up:
@@ -538,6 +564,12 @@ def search_inverted_index(spark, path: str, terms: list[str],
     meta = _read_text_meta(path, id_col=id_col, n_buckets=n_buckets)
     id_col = meta["id_col"]
     n_buckets = int(meta["n_buckets"])
+    if not terms:
+        # zero terms match zero docs (r14 review): contract schema
+        # from the doclen sidecar, no postings work
+        return (spark.read.parquet(os.path.join(path, "doclen"))
+                .select(id_col, "dl")
+                .withColumn("bm25", F.lit(0.0)).limit(0))
     tomb = _tombstone_frame(spark, path, id_col)
     # the bucket of each query term, via the SAME hash expression the
     # build used (one 1-row driver job, no corpus work)
@@ -653,8 +685,18 @@ def search_inverted_index_many(spark, path: str, queries: dict,
     qitems = sorted(queries.items())
     union_terms = sorted({t for _, ts in qitems for t in ts})
     if not union_terms:
+        # mirror the non-empty contract (r14 review, the ANN twin's
+        # fix): qid keeps the caller's key type, the id column keeps
+        # the STORE's type, and with_rank carries the rank column
+        # (hybrid_serve_many selects it unconditionally)
+        id_t = (spark.read.parquet(os.path.join(path, "doclen"))
+                .schema[id_col].dataType.simpleString())
+        qid_t = ("string" if qitems and isinstance(qitems[0][0], str)
+                 else "int")
+        rank = ", rank int" if with_rank else ""
         return spark.createDataFrame(
-            [], f"qid string, {id_col} long, dl long, bm25 double")
+            [], f"qid {qid_t}, {id_col} {id_t}, dl long, "
+                f"bm25 double{rank}")
     uidx = {t: i for i, t in enumerate(union_terms)}
     row = spark.range(1).select(*[
         F.pmod(F.xxhash64(F.lit(t)), F.lit(n_buckets)).alias(f"b{i}")
@@ -698,6 +740,12 @@ def search_inverted_index_many(spark, path: str, queries: dict,
         base = wtf_all.crossJoin(F.broadcast(stats_all))
         for qid, terms in qitems:
             terms = list(terms)
+            if not terms:
+                # a term-less query matches nothing; the joined
+                # strategy drops it (no qtd rows), the literal path
+                # must too instead of building _tf_0 references that
+                # fail analysis (r14 review)
+                continue
             # rename this query's union columns into the conventional
             # _tf_i/_df_i names so _bm25_score_col builds the
             # IDENTICAL expression tree (same literals, same
@@ -851,7 +899,8 @@ def hybrid_serve_many(spark, text_path: str, ann_path: str,
     kw_rank = kw.select(F.col("qid").cast("long").alias("qid"),
                         F.col(id_col).alias("_id"),
                         F.col("rank").alias("rank_kw"))
-    vec_rank = vec.select("qid", F.col("vec_id").alias("_id"),
+    vec_id_col = vec.columns[1]  # the ANN index's recorded id column
+    vec_rank = vec.select("qid", F.col(vec_id_col).alias("_id"),
                           F.col("rank").alias("rank_vec"))
     fused = kw_rank.join(vec_rank, ["qid", "_id"], "full_outer")
     rrf = (F.coalesce(F.lit(1.0) / (F.lit(k_rrf) + F.col("rank_kw")),

@@ -316,3 +316,18 @@ def test_corpus_key_counts_modes_agree(spark):
         snap(dedup.substring_novelty(df, skew_safe=True))
     assert snap(dedup.dedup_repeated_chunks(df)) == \
         snap(dedup.dedup_repeated_chunks(df, skew_safe=True))
+
+
+def test_minhash_num_hashes_guard(spark):
+    """r14 review: num_hashes beyond the seeded family raises an
+    actionable ValueError, not an IndexError deep in seed
+    construction (mirrors the bands-divisibility guard)."""
+    import pytest
+
+    df = spark.createDataFrame([(1, ["a", "b"])],
+                               "doc_id long, sh array<string>")
+    with pytest.raises(ValueError, match="num_hashes"):
+        df.select(dedup.minhash_signature(F.col("sh"), num_hashes=32))
+    with pytest.raises(ValueError, match="num_hashes"):
+        df.select(dedup.lsh_band_hashes(F.col("sh"), num_hashes=32,
+                                        bands=8))

@@ -444,3 +444,25 @@ def test_search_many_per_query_limits_and_thresholds(spark, tmp_path):
             assert strip(got[key]) == strip(single), (key, type(eng))
     assert len(got["narrow"]["results"]) == 2
     assert all(r["sim"] >= 0.2 for r in got["strict"]["results"])
+
+
+def test_audit_recall_small_store_reports_one(spark, tmp_path):
+    """r14 review: recall divides by |truth|, not k — a store smaller
+    than k can still be served perfectly, and with min_recall armed
+    the old /k denominator (capped at store_size/k < floor) rebuilt
+    the whole index on EVERY maintenance pass, forever."""
+    eng = Engine(spark, SF, str(tmp_path / "tiny"),
+                 update_threshold=10 ** 9,
+                 index_dir=str(tmp_path / "tiny_idx"), nlist=2,
+                 nprobe=2, shortlist=10 ** 6)
+    eng.update_embeddings(max_messages=5)
+    assert eng.ensure_index()
+    assert eng._embedded_count() < 10  # genuinely below k
+
+    rec = eng.audit_recall(k=10)
+    assert rec == 1.0  # exact serving over the whole tiny store
+
+    eng.min_recall = 0.9
+    first = eng.maintain_index()
+    assert first["rebuilt"] is False  # no runaway rebuild
+    assert first["recall"] == 1.0

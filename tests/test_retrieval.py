@@ -919,3 +919,124 @@ def test_text_many_large_q_path_equals_literal(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     assert "Union" not in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_empty_terms_serve_empty_not_crash(spark, tmp_path):
+    """r14 review: zero-term queries must serve empty results with the
+    contract schema on every path — scan-side bm25, single index
+    serve, literal-strategy batch (mixed with a real query), and the
+    empty-union early return under with_rank."""
+    docs = _mini_corpus(spark, [(1, "alpha beta"), (2, "alpha")])
+    scan = retrieval.bm25_scores(docs, [])
+    assert scan.columns == ["doc_id", "dl", "bm25"]
+    assert scan.count() == 0
+
+    path = str(tmp_path / "idx")
+    retrieval.build_inverted_index(docs, path, n_buckets=8)
+    one = retrieval.search_inverted_index(spark, path, [], n_buckets=8)
+    assert one.columns == ["doc_id", "dl", "bm25"]
+    assert one.count() == 0
+
+    # literal strategy with a term-less query in the batch: the empty
+    # query drops (matching the joined strategy), the real one serves
+    mixed = retrieval.search_inverted_index_many(
+        spark, path, {"hit": ["alpha"], "void": []},
+        n_buckets=8, literal_max=16)
+    rows = mixed.collect()
+    assert {r["qid"] for r in rows} == {"hit"}
+    assert {r["doc_id"] for r in rows} == {1, 2}
+
+    # empty-union early return mirrors the non-empty schema, rank incl.
+    full = retrieval.search_inverted_index_many(
+        spark, path, {"hit": ["alpha"]}, n_buckets=8, with_rank=True)
+    void = retrieval.search_inverted_index_many(
+        spark, path, {"void": []}, n_buckets=8, with_rank=True)
+    assert void.columns == full.columns
+    assert void.count() == 0
+
+
+def test_bootstrap_upsert_records_caller_id_col(spark, tmp_path):
+    """r14 review: bootstrapping a never-built store via
+    upsert_inverted_index must record the CALLER's id column in the
+    meta sidecar (the old default bricked all later serving), and a
+    later conflicting id_col is an error, not an override."""
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame(
+        [Row(message_id=1, text="alpha beta"),
+         Row(message_id=2, text="alpha")])
+    path = str(tmp_path / "boot")
+    gen = retrieval.upsert_inverted_index(docs, path,
+                                          id_col="message_id")
+    assert gen == 1
+    assert retrieval._read_text_meta(path)["id_col"] == "message_id"
+    got = retrieval.search_inverted_index(spark, path, ["alpha"])
+    assert {r["message_id"] for r in got.collect()} == {1, 2}
+
+    with pytest.raises(ValueError, match="keyed by"):
+        retrieval.upsert_inverted_index(docs, path, id_col="doc_id")
+
+
+def test_changefeed_text_index_carries_meta_cols(spark, tmp_path):
+    """r14 review: a changefeed against a meta_cols index must carry
+    the recorded columns through the upsert (it used to drop them and
+    crash AFTER the delete phase committed), and a feed missing them
+    must fail BEFORE any phase commits."""
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="alpha beta", lang="en"),
+         Row(doc_id=2, text="alpha gamma", lang="de")])
+    path = str(tmp_path / "mc_idx")
+    retrieval.build_inverted_index(docs, path, n_buckets=8,
+                                   meta_cols=("lang",))
+
+    feed = spark.createDataFrame(
+        [Row(doc_id=3, action="insert", new_text="alpha delta",
+             lang="en"),
+         Row(doc_id=2, action="delete", new_text=None, lang=None)])
+    out = retrieval.apply_changefeed_text_index(
+        spark, path, feed, new_text_col="new_text")
+    assert out["deleted"] == 1 and out["upserted"] == 1
+    got = retrieval.search_inverted_index(spark, path, ["alpha"],
+                                          where="lang = 'en'")
+    assert {r["doc_id"] for r in got.collect()} == {1, 3}
+
+    bad = spark.createDataFrame(
+        [Row(doc_id=4, action="insert", new_text="alpha zz")])
+    before = spark.read.parquet(f"{path}/tombstones").count()
+    with pytest.raises(ValueError, match="meta_cols"):
+        retrieval.apply_changefeed_text_index(
+            spark, path, bad, new_text_col="new_text")
+    # failed whole: the delete phase never ran
+    assert spark.read.parquet(f"{path}/tombstones").count() == before
+
+
+def test_hybrid_serves_non_default_ann_id_col(spark, tmp_path):
+    """r14 review: the ANN leg's id column was hardcoded as vec_id —
+    an ANN index keyed by the text side's doc_id (the natural
+    same-corpus pairing) must fuse, matching the kw leg's dynamic
+    column read."""
+    from msg_vector_search_spark.operators import ann_index
+
+    rows = [(i, ("alpha beta " if i % 2 else "gamma delta ") + f"d{i}")
+            for i in range(20)]
+    tpath = str(tmp_path / "text")
+    retrieval.build_inverted_index(_mini_corpus(spark, rows), tpath,
+                                   n_buckets=8)
+    emb = (spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet").limit(20)
+        .select(F.col("vec_id").alias("doc_id"),
+                F.transform("embedding", lambda x: x.cast("double"))
+                .alias("embedding")))
+    apath = str(tmp_path / "ann_docid")
+    ann_index.build_index(spark, emb, apath, nlist=4, m=8, ncodes=16,
+                          id_col="doc_id")
+    qv = [float(x) for x in emb.filter(F.col("doc_id") == 0)
+          .select("embedding").head()[0]]
+    got = retrieval.hybrid_serve_many(
+        spark, tpath, apath, {0: {"terms": ["alpha"], "qvec": qv}},
+        leg_k=10, k=5, nprobe=2, shortlist=20).collect()
+    assert len(got) > 0
+    assert {c for c in got[0].asDict()} == {
+        "qid", "doc_id", "rank_kw", "rank_vec", "rrf"}
