@@ -768,7 +768,9 @@ WITH c AS (
 )
 SELECT doc_id,
   CASE substr(ltrim(content), 1, 1)
-    WHEN '{' THEN coalesce(json_extract_string(content, '$.text'), '')
+    WHEN '{' THEN CASE WHEN json_valid(content)
+                       THEN coalesce(json_extract_string(content, '$.text'), '')
+                       ELSE content END
     WHEN '[' THEN coalesce(json_extract_string(content, '$[0].text'), '')
                   || ' ' || coalesce(json_extract_string(content, '$[1].text'), '')
     ELSE content
@@ -10102,11 +10104,15 @@ def topk_mmr_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order — REGISTRY itself keeps source order.
 DRIVER_VERIFIED = frozenset({
     # round 14 rotation discipline (VERDICT r13 item 1 — CONSOLIDATION:
-    # pending capped at 9 so 41 window slots drain the r2-r4 stale
-    # tail, oldest-first: ALL 16 r2 + all 5 r3 + the oldest 20 of 32
-    # r4 rows; the 12 r4 rows that miss the 50-slot window are covered
-    # by this round's full local sweep — README "Full-registry gate
-    # artifact", 0 failed — and rotate first in r15).  Deliberately
+    # pending ended at 11 — 8 from the consolidation diff + 3 honest
+    # rotations from the late-r14 review fixes (streaming_sessionize_
+    # stateful, dedup_edit_distance, json_extract_text) — so 39 window
+    # slots drain the r2-r4 stale tail, oldest-first: ALL 16 r2 + all
+    # 5 r3 + the oldest 18 of 32 r4 rows; the r4 rows that miss the
+    # 50-slot window are covered by this round's full local sweeps —
+    # README "Full-registry gate artifact", 0 failed — and rotate
+    # first in r15.  A correctness fix always outranks the slot
+    # budget: rotating a changed row is not optional.)  Deliberately
     # ABSENT (pending-first in the r14 window): curate_by_novelty
     # (new), plus every row whose serving path changed in the
     # r14 diff: dedup_repeated_chunks, dedup_unaligned_substring,
@@ -10366,7 +10372,11 @@ DRIVER_VERIFIED = frozenset({
     "scan_latest_file", "sink_upsert_embeddings", "watermark_read",
     "filter_since_ts", "filter_like_json_probe", "filter_in_list",
     "filter_not_null_distinct", "filter_nonempty_text",
-    "filter_dynamic_conj", "json_extract_text", "clean_text",
+    # json_extract_text: rotated OUT late-r14 — extract_text's
+    # malformed-object branch changed to raw passthrough (reference
+    # parity, r14 third review; oracle updated with the matching
+    # json_valid CASE), so the row re-verifies pending-first
+    "filter_dynamic_conj", "clean_text",
     "fmt_human_time", "conv_type_from_sid", "truncate_ellipsis",
     "regex_name_from_email", "is_file_name", "derived_pct",
     "group_name_probe", "join_user_dim", "join_conv_name",

@@ -44,7 +44,15 @@ def extract_text(content: Column | str, message_type: Column | str | None = None
     c = _c(content)
     first = F.substring(F.ltrim(c), 1, 1)
     arr = F.from_json(c, schemas.MESSAGE_TEXT_ARR)
-    obj_text = F.coalesce(F.get_json_object(c, "$.text"), F.lit(""))
+    # '{'-prefixed but MALFORMED json is raw passthrough like every
+    # other non-JSON string (reference: json.loads raises -> raw;
+    # r14 review — the old coalesce collapsed it to '' and the ingest
+    # empty-text filter then silently dropped the message).  The
+    # validity probe is get_json_object('$') — null iff unparseable,
+    # matching DuckDB's json_valid() on every probed edge case.
+    obj_text = F.when(
+        F.get_json_object(c, "$").isNull(), c
+    ).otherwise(F.coalesce(F.get_json_object(c, "$.text"), F.lit("")))
     arr_text = F.when(
         arr.isNull(), c  # '['-prefixed but malformed: raw passthrough
     ).otherwise(

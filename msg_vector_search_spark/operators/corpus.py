@@ -421,6 +421,12 @@ def bpe_merge_rounds(docs: DataFrame, rounds: int = 3,
                 .groupBy("pair").agg(F.count("*").alias("cnt"))
                 .orderBy(F.col("cnt").desc(), F.col("pair").asc())
                 .head())
+        if best is None:
+            # no mergeable pair left: an all-short/no-letter corpus
+            # yields none at all, or every sequence collapsed to one
+            # symbol before `rounds` ran out — stop with the merges
+            # trained so far instead of dereferencing None (r14 review)
+            break
         merged = best["pair"].replace(" ", "")
         out.append((r, best["pair"], merged, int(best["cnt"])))
         # space-sentinel replace so a merge fires only on WHOLE-SYMBOL

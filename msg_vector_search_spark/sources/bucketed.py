@@ -34,25 +34,38 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def write_bucketed(df: DataFrame, table: str, key: str,
-                   nbuckets: int) -> None:
+                   nbuckets: int, path: str | None = None,
+                   sort_cols: list[str] | None = None) -> None:
     """Save *df* as a parquet table bucketed (and bucket-sorted) on
     *key* — one file per bucket via an explicit pre-repartition.
 
-    Drops any prior table AND its warehouse directory first: with the
+    Drops any prior table AND its on-disk location first: with the
     in-memory catalog a previous session's managed-table location
     survives on disk while its catalog entry does not, and saveAsTable
     refuses to reuse an unregistered location (LOCATION_ALREADY_EXISTS).
-    """
+
+    THE canonical implementation (r14 review: ``sinks.write_bucketed``
+    used to be a near-duplicate with swapped argument order and
+    without the stale-location guard — it now delegates here).
+    *path* writes an external table at an explicit location;
+    *sort_cols* overrides the default bucket-key sort."""
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
-    if wh.scheme in ("", "file"):
-        shutil.rmtree(f"{wh.path}/{table.lower()}", ignore_errors=True)
-    (df.repartition(nbuckets, key)
-     .write.mode("overwrite")
-     .bucketBy(nbuckets, key).sortBy(key)
-     .format("parquet")
-     .saveAsTable(table))
+    if path is not None:
+        shutil.rmtree(path, ignore_errors=True)
+    else:
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir",
+                                     "spark-warehouse"))
+        if wh.scheme in ("", "file"):
+            shutil.rmtree(f"{wh.path}/{table.lower()}",
+                          ignore_errors=True)
+    w = (df.repartition(nbuckets, key)
+         .write.mode("overwrite")
+         .bucketBy(nbuckets, key).sortBy(*(sort_cols or [key]))
+         .format("parquet"))
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
 
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:

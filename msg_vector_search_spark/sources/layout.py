@@ -44,6 +44,16 @@ def zorder_key(cols: list[Column | str], bits: int = 16) -> Column:
     whole-stage codegen.
     """
     ncols = len(cols)
+    if ncols * bits > 63:
+        # bit 63 is the long's sign bit (sign-flipped Z-values would
+        # range-partition before all positives) and Java shifts wrap
+        # mod 64 (positions >= 64 silently collide) — either way the
+        # interleaved-order contract breaks with no error; refuse with
+        # guidance instead (r14 review)
+        raise ValueError(
+            f"zorder_key: {ncols} cols x {bits} bits = {ncols * bits} "
+            "interleaved bits; the long Z-value holds at most 63 — "
+            "reduce bits (e.g. bits=63//ncols)")
     terms = []
     for j, c in enumerate(cols):
         col = F.col(c) if isinstance(c, str) else c

@@ -44,6 +44,16 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     schema Spark resolved, not by a config flag.
     """
     if name == "events":
+        # NOTE (r14 review, deliberately kept): these two conf flips
+        # are session-sticky — scoping them to this call is unsafe
+        # because the returned frame is LAZY and the scan consults the
+        # conf at execution, after a save/restore would have reverted
+        # it.  Within this engine every parquet read goes through
+        # read_table or engine-written micros stores, so the sticky
+        # nanosAsLong is benign; a library consumer mixing RAW
+        # spark.read.parquet calls on foreign TIMESTAMP(NANOS) data in
+        # the same session would see longs and should read via
+        # read_table or reset the conf.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         # micros fixtures must resolve to TIMESTAMP (with zone, session
         # tz = UTC), not TIMESTAMP_NTZ: downstream code and event-time

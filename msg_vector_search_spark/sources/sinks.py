@@ -246,6 +246,7 @@ def read_store(spark: SparkSession, path: str) -> DataFrame:
     applied — both are rolled forward here, not just in the merge
     verbs, so the window between a crash and the next maintenance
     job never serves a store with a dropped partition."""
+    heal_root(path)
     _finish_pending_delete(path)
     heal_partial_swaps(path)
     df = spark.read.parquet(path)
@@ -305,6 +306,12 @@ def upsert_parquet(spark: SparkSession, incoming: DataFrame, path: str,
     written before this guard — takes the one-time migration path
     below, which re-maps everything and records the layout.
     """
+    # restore a root stranded by a crashed migration/rebucket swap
+    # FIRST (r14 review): without it the exists check below reads
+    # False, the first-write branch replaces the store with just this
+    # batch, and the '._old' holding every prior row is later swept
+    # as a stale leftover — total data loss from one crash + upsert
+    heal_root(path)
     exists = os.path.exists(path)
     if exists:
         # roll any in-flight erasure FORWARD first: healing around its
@@ -441,6 +448,7 @@ def delete_keys(spark: SparkSession, path: str, key: str,
     size; the key list is dimension-sized (it arrives as a DataFrame
     and is used as a broadcast anti-join build side, never collected).
     """
+    heal_root(path)
     meta = _read_layout(path)
     if meta is None:
         raise ValueError(f"no layout metadata at {path}; not a store")
@@ -451,8 +459,17 @@ def delete_keys(spark: SparkSession, path: str, key: str,
     heal_partial_swaps(path)  # strays from crashed upsert/compact swaps
     keyed = (keys.select(key).filter(F.col(key).isNotNull()).distinct()
              .withColumn(BUCKET_COL, _bucket_expr(key, meta)))
-    touched = sorted(
-        r[0] for r in keyed.select(BUCKET_COL).distinct().collect())
+    buckets = [r[0] for r in
+               keyed.select(BUCKET_COL).distinct().collect()]
+    if None in buckets:
+        # range layout + a non-integer-castable key: it can't map to
+        # any bucket — fail the erasure whole with the same contract
+        # error the upsert path raises, instead of a TypeError from
+        # sorting None (r14 review)
+        raise ValueError(
+            f"range layout requires integer-castable keys; column "
+            f"{key!r} produced non-castable values in the key list")
+    touched = sorted(buckets)
     return erase_partitions(spark, path, key, keyed.select(key), touched,
                             part_col=BUCKET_COL)
 
@@ -500,7 +517,7 @@ def rebucket_store(spark: SparkSession, path: str,
     ~4x past TARGET_KEYS_PER_BUCKET and incremental upserts stay
     O(batch) between migrations.  Returns the new layout metadata.
     """
-    current = read_store(spark, path)
+    current = read_store(spark, path)  # read_store heals root + swaps
     meta = _new_layout(current, key, layout, num_buckets, range_width)
     staged = (current.filter(F.col(key).isNotNull())
               .withColumn(BUCKET_COL, _bucket_expr(key, meta)))
@@ -535,6 +552,7 @@ def compact_store(spark: SparkSession, path: str,
     Returns ``{"compacted": [bucket ids], "files_before": n,
     "files_after": m}``.
     """
+    heal_root(path)  # a crashed root swap strands the whole store
     if part_col == BUCKET_COL and _read_layout(path) is None:
         raise ValueError(f"no layout metadata at {path}; not a store")
     if part_col == BUCKET_COL:
@@ -610,10 +628,12 @@ def write_bucketed(df: DataFrame, table: str, n_buckets: int, key: str,
     'index' is the physical layout, so at 100 TB the join skips the
     exchange of the entire corpus, the single biggest cost in any
     enrich-at-scale plan.
-    """
-    w = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, key)
-    if sort_cols:
-        w = w.sortBy(*sort_cols)
-    if path:
-        w = w.option("path", path)
-    w.saveAsTable(table)
+
+    Thin legacy-signature delegate to
+    :func:`msg_vector_search_spark.sources.bucketed.write_bucketed`
+    (r14 review: the two copies had swapped argument order and only
+    one carried the stale-location guard)."""
+    from .bucketed import write_bucketed as _canonical
+
+    _canonical(df, table, key, n_buckets, path=path,
+               sort_cols=sort_cols)

@@ -56,7 +56,14 @@ def read_watermark(spark: SparkSession, state_dir: str,
     """A7 ``watermark_read``: load + clamp the scalar watermark; missing
     state means epoch (full scan), mirroring the reference's default 0."""
     path = os.path.join(state_dir, "watermark.parquet")
-    as_of = as_of or dt.datetime.utcnow()
+    # tz-AWARE now (r14 review): a naive utcnow() literal is
+    # re-interpreted by Spark in the SESSION timezone, so on any
+    # non-UTC driver the clamp guards would fire on an instant offset
+    # by the zone (fresh watermarks read as "future" -> clamped to
+    # EPOCH -> silent full rescans).  An aware datetime converts to
+    # the exact intended instant under every session timezone —
+    # the same hazard filters.py documents for date literals.
+    as_of = as_of or dt.datetime.now(dt.timezone.utc)
     try:
         df = spark.read.parquet(path)
     except Exception:

@@ -600,3 +600,77 @@ def test_heal_partial_swaps_three_cases(tmp_path):
     assert sinks.heal_partial_swaps(store) == []
     # missing store: no-op, no error
     assert sinks.heal_partial_swaps(str(tmp_path / "absent")) == []
+
+
+def test_upsert_heals_stranded_store_root(spark, tmp_path):
+    """r14 review: a crash between a migration/rebucket root swap's
+    two renames strands the whole store at '<path>._old'.  The next
+    upsert must RESTORE it — the old behavior saw a missing path,
+    took the first-write branch with just the batch, and later swept
+    the ._old holding every prior row (total data loss)."""
+    import os
+
+    from msg_vector_search_spark.sources import sinks
+
+    path = str(tmp_path / "store")
+    base = spark.createDataFrame(
+        [(i, i * 10) for i in range(50)], "k long, v long")
+    sinks.upsert_parquet(spark, base, path, key="k", order_col="v")
+
+    os.rename(path, path + "._old")  # crash between the two renames
+
+    batch = spark.createDataFrame([(100, 1)], "k long, v long")
+    sinks.upsert_parquet(spark, batch, path, key="k", order_col="v")
+    got = sinks.read_store(spark, path)
+    assert got.count() == 51  # every prior row survived + the batch
+    assert not os.path.exists(path + "._old")
+
+
+def test_delete_keys_non_castable_key_raises(spark, tmp_path):
+    """r14 review: a range-layout store given a non-castable key in
+    the erasure list raises the contract ValueError (as the upsert
+    path does) instead of a TypeError from sorting None."""
+    import pytest
+
+    from msg_vector_search_spark.sources import sinks
+
+    path = str(tmp_path / "rstore")
+    base = spark.createDataFrame(
+        [(str(i), i) for i in range(20)], "k string, v long")
+    sinks.upsert_parquet(spark, base, path, key="k", order_col="v",
+                         layout="range")
+    bad = spark.createDataFrame([("3",), ("abc",)], "k string")
+    with pytest.raises(ValueError, match="integer-castable"):
+        sinks.delete_keys(spark, path, "k", bad)
+
+
+def test_read_watermark_default_as_of_is_instant_correct(spark, tmp_path):
+    """r14 review: the default as_of must be a tz-AWARE now.  PySpark
+    converts a NAIVE datetime literal via the driver OS timezone
+    (verified empirically; the session timeZone is not consulted), so
+    on a non-UTC OS the naive utcnow() wall time landed on an instant
+    offset by the zone — a fresh watermark could read as 'future' and
+    clamp to EPOCH (silent full rescan per run) or weaken the guards
+    the other way.  An aware datetime is the exact instant under ANY
+    OS/session zone; this test pins instant-correctness under a
+    non-UTC session tz (the OS tz is fixed UTC in CI, so the naive
+    regression itself is not reproducible in-process)."""
+    import datetime as dt
+
+    from msg_vector_search_spark.sources import state
+
+    sd = str(tmp_path / "state")
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+    try:
+        wm = (dt.datetime.now(dt.timezone.utc)
+              - dt.timedelta(hours=1))
+        state.write_watermark(spark, sd, wm)
+        got = state.read_watermark(spark, sd)
+        assert got != state.EPOCH  # the old naive default clamped here
+        # collect() renders the instant as a naive datetime in the
+        # DRIVER OS timezone (UTC in CI) — compare instants there
+        assert abs((got - wm.replace(tzinfo=None))
+                   .total_seconds()) < 5
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)

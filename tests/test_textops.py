@@ -202,3 +202,16 @@ def test_classifier_score_bounds_and_monotone_stopwords(spark):
     # the stopword feature carries positive weight: all-stopword text
     # must outscore no-stopword text of comparable length
     assert out[0] > out[1]
+
+
+def test_extract_text_malformed_object_raw_passthrough(spark):
+    """r14 review: '{'-prefixed but MALFORMED json passes through raw
+    (reference: json.loads raises -> raw), matching the '['-branch's
+    existing behavior, instead of collapsing to '' and being dropped
+    by the ingest empty-text filter."""
+    assert one(spark, textops.extract_text(F.col("c")),
+               c="{not valid json") == "{not valid json"
+    assert one(spark, textops.extract_text(F.col("c")),
+               c='{"text": "trunc') == '{"text": "trunc'
+    # valid-but-no-text object still reads '' (dict.get('text',''))
+    assert one(spark, textops.extract_text(F.col("c")), c="{}") == ""
