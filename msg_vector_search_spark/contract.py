@@ -10104,15 +10104,18 @@ def topk_mmr_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order — REGISTRY itself keeps source order.
 DRIVER_VERIFIED = frozenset({
     # round 14 rotation discipline (VERDICT r13 item 1 — CONSOLIDATION:
-    # pending ended at 11 — 8 from the consolidation diff + 3 honest
-    # rotations from the late-r14 review fixes (streaming_sessionize_
-    # stateful, dedup_edit_distance, json_extract_text) — so 39 window
-    # slots drain the r2-r4 stale tail, oldest-first: ALL 16 r2 + all
-    # 5 r3 + the oldest 18 of 32 r4 rows; the r4 rows that miss the
-    # 50-slot window are covered by this round's full local sweeps —
-    # README "Full-registry gate artifact", 0 failed — and rotate
-    # first in r15.  A correctness fix always outranks the slot
-    # budget: rotating a changed row is not optional.)  Deliberately
+    # pending ended at 15 — 8 from the consolidation diff + 7 honest
+    # rotations from the late-r14 review passes (streaming_sessionize_
+    # stateful, dedup_edit_distance, json_extract_text, ann_lsh_topk,
+    # kth_ts_offset, plus tail rows asof_join_events and
+    # multimodal_features whose rotation is slot-NEUTRAL: they were
+    # already inside the window).  The 50-slot window = 15 pending +
+    # 35 tail slots, so every remaining r2 and r3 row is still
+    # covered plus the oldest 16 of 30 remaining r4 rows; the r4 rows
+    # that miss the window are covered by this round's full local
+    # sweeps — README "Full-registry gate artifact", 0 failed — and
+    # rotate first in r15.  A correctness fix always outranks the
+    # slot budget: rotating a changed row is not optional.)  Deliberately
     # ABSENT (pending-first in the r14 window): curate_by_novelty
     # (new), plus every row whose serving path changed in the
     # r14 diff: dedup_repeated_chunks, dedup_unaligned_substring,
@@ -10354,16 +10357,25 @@ DRIVER_VERIFIED = frozenset({
     "dedup_embedding_lsh",
     "dedup_embedding_cosine", "text_lang_id",
     "text_quality_score", "text_token_counts", "text_fingerprint",
-    "ann_lsh_topk",
+    # ann_lsh_topk: rotated OUT late-r14 — lsh_search's query row
+    # gained limit(1) (duplicate-id corpora no longer duplicate the
+    # top-k; r14 fourth review), so the row re-verifies pending-first
     "topk_quantized_int8", "dedup_components", "dedup_keep_canonical",
     "pipeline_clean_corpus", "stratified_sample",
     # (dedup_repeated_chunks REMOVED r14 — count-over-window rewrite)
     "text_tfidf_topterms", "decontaminate_ngram", "shard_assignment",
-    "text_pii_scrub", "multimodal_features",
+    # multimodal_features + asof_join_events: rotated OUT late-r14
+    # (fourth review; both were r2-tail rows already inside the
+    # window, so the rotation is slot-neutral) — extract_features now
+    # prunes to its three consumed columns before the Arrow transfer,
+    # and asof_join takes the latest right ROW atomically via one
+    # last(struct) (the per-column ignorenulls form skipped NULL
+    # values back to stale rows and could mix fields across rows)
+    "text_pii_scrub",
     "multimodal_resize", "multimodal_frame_sample",
     "search_topk_enriched", "udtf_explode_users", "train_test_split",
     "text_chunking", "text_repetition", "topk_prenormalized",
-    "event_value_percentiles", "asof_join_events",
+    "event_value_percentiles",
     "range_join_ship_window", "rollup_order_status",
     "rollup_two_level_time",
     # round 1 (CORRECTNESS_r01.json)
@@ -10385,7 +10397,10 @@ DRIVER_VERIFIED = frozenset({
     "agg_min_max_ts", "agg_count_distinct_users",
     "agg_new_msg_gap", "agg_group_first",
     "agg_running_max_watermark", "group_agg_events",
-    "sort_ts_pagination", "kth_ts_offset", "neighbor_limit1",
+    # kth_ts_offset: rotated OUT late-r14 — the kth probe's aggregate
+    # gained the kept-row-count guard (NULL under k rows; fourth
+    # review), so the row re-verifies pending-first
+    "sort_ts_pagination", "neighbor_limit1",
     "limit_candidates", "topk_per_group", "rolling_window_agg",
     "tumbling_window_agg", "sessionize", "set_ops_nations",
     "join_outer_totals", "tpch_q1_pricing_summary",

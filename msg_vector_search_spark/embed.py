@@ -77,6 +77,16 @@ def _load_model(dim: int = EMBED_DIM):
                 model_dir if model_dir else "all-MiniLM-L6-v2")
         except ImportError:
             _MODEL = _DeterministicFakeModel(dim)
+    elif (isinstance(_MODEL, _DeterministicFakeModel)
+          and _MODEL.dim != dim):
+        # the cache is one model per worker; silently returning the
+        # first-loaded dim for a DIFFERENT requested dim would hand
+        # the caller wrong-width vectors (r14 review: the query side
+        # could then null-pad against the corpus side in zip_with and
+        # cosine would quietly score garbage) — refuse loudly instead
+        raise ValueError(
+            f"embedding model already loaded at dim={_MODEL.dim}; "
+            f"requested dim={dim} (one dim per process)")
     return _MODEL
 
 

@@ -92,7 +92,13 @@ def extract_features(media: DataFrame, bins: int = FEATURE_DIM) -> DataFrame:
                 "features": list(feats),
             })
 
-    return media.mapInPandas(op, schema=FEATURES_SCHEMA)
+    # prune to the three consumed columns BEFORE the Arrow transfer
+    # (r14 review): mapInPandas serializes every input column per
+    # batch — on a wide media table the unused metadata is pure
+    # transfer overhead on the hot path (perceptual_simhash below
+    # already does this)
+    return (media.select("media_id", "media_type", "payload")
+            .mapInPandas(op, schema=FEATURES_SCHEMA))
 
 
 PERCEPTUAL_SCHEMA = T.StructType([
@@ -126,6 +132,14 @@ def perceptual_simhash(media: DataFrame, bits: int = 32,
     pipeline end to end.  Scale: narrow map riding the scan (no
     shuffle); downstream pairing is hamming-blocked
     (dedup.hamming_pairs), never all-pairs."""
+    if not 1 <= bits <= 48:
+        # the vote source is a 48-bit md5 prefix: bit positions past
+        # 47 are ALWAYS 0, so votes there are uniformly -1 and the
+        # high fingerprint bits freeze at 0 — silently shrinking the
+        # expected unrelated-pair hamming distance (and bit 63 would
+        # wrap into the int64 sign); refuse instead (r14 review)
+        raise ValueError(
+            f"bits ({bits}) must be 1..48 (the md5-prefix hash width)")
     import hashlib
 
     bit_w = np.arange(bits, dtype=np.int64)

@@ -43,11 +43,20 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, ts: str,
          .orderBy(F.col(ts).asc(), F.col("_side").asc(),
                   F.col(tiebreak).asc())
          .rowsBetween(Window.unboundedPreceding, 0))
-    out = unioned
+    # ONE last() over a struct of ALL value columns (r14 review): the
+    # old per-column last(when(...), ignorenulls=True) skipped right
+    # rows whose value was genuinely NULL — returning a STALE older
+    # value, and with several value_cols MIXING fields from different
+    # right rows into one that never existed.  The struct is non-null
+    # exactly for right rows (whatever its fields hold), so
+    # ignorenulls walks back to the latest right ROW atomically —
+    # true ASOF semantics, matching DuckDB's ASOF JOIN oracle.
+    row_struct = F.when(
+        F.col("_side") == 0,
+        F.struct(*[F.col(c).alias(c) for c in value_cols]))
+    out = unioned.withColumn(
+        "_asof_row", F.last(row_struct, ignorenulls=True).over(w))
     for c in value_cols:
-        out = out.withColumn(
-            f"asof_{c}",
-            F.last(F.when(F.col("_side") == 0, F.col(c)),
-                   ignorenulls=True).over(w))
+        out = out.withColumn(f"asof_{c}", F.col(f"_asof_row.{c}"))
     return (out.filter(F.col("_side") == 1)
-            .drop("_side", *value_cols))
+            .drop("_side", "_asof_row", *value_cols))

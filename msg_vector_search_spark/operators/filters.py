@@ -95,5 +95,10 @@ def dynamic_conjunction(df: DataFrame, **equals) -> DataFrame:
 def sim_threshold(df: DataFrame, threshold: float,
                   sim_col: str = "sim") -> DataFrame:
     """B7 ``filter_sim_threshold`` (reference: embeddings/processor.py:
-    508; default threshold 0.3 at server.py:206)."""
-    return df.filter(F.col(sim_col) >= F.lit(threshold))
+    508; default threshold 0.3 at server.py:206).  Thin delegate to
+    the registry's serving implementation
+    (:func:`..operators.similarity.threshold_filter`) so the predicate
+    exists ONCE (r14 review)."""
+    from .similarity import threshold_filter
+
+    return threshold_filter(df, threshold, sim_col=sim_col)

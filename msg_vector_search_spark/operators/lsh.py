@@ -99,8 +99,14 @@ def lsh_search(embeddings: DataFrame, planes: list[list[float]],
     """
     assigned = assign_buckets(embeddings, planes, vec_col)
     probes = probe_buckets(assigned, query_id, len(planes), id_col)
+    # limit(1): a duplicate-id corpus would otherwise crossJoin every
+    # candidate against EACH copy of the query row, duplicating every
+    # top-k entry (r14 review).  NOTE an ABSENT query_id yields an
+    # empty result, indistinguishable from "no neighbors" — the
+    # zero-collect query path cannot raise without a driver job;
+    # validate ids upstream when that distinction matters.
     qrow = (assigned.filter(F.col(id_col) == query_id)
-            .select(F.col(vec_col).alias("_qv")))
+            .select(F.col(vec_col).alias("_qv")).limit(1))
     cand = assigned.join(F.broadcast(probes),
                          assigned["bucket"] == probes["pb"], "left_semi")
     sim = V.cosine(F.col(vec_col), F.col("_qv"))

@@ -60,11 +60,16 @@ def kth_most_recent_ts(df: DataFrame, ts_col: str, k: int,
     ``ORDER BY _createAt DESC LIMIT 1 OFFSET k-1``).
 
     Ordered ``limit(k)`` (TakeOrderedAndProject heaps, no global window)
-    then min(ts) of the k kept rows == the k-th most recent.  At 100 TB
-    the exact k-th gives way to ``approx_percentile`` (see
-    :func:`ts_quantile_cut`)."""
+    then min(ts) of the k kept rows == the k-th most recent — guarded
+    by the kept-row COUNT so a frame with fewer than k rows reports a
+    NULL kth_ts, matching the reference's LIMIT 1 OFFSET k-1 returning
+    no row (r14 review: the unguarded min() reported the table's
+    oldest ts, and a backfill cap keyed on it would treat the whole
+    table as in-window).  At 100 TB the exact k-th gives way to
+    ``approx_percentile`` (see :func:`ts_quantile_cut`)."""
     return (df.orderBy(F.col(ts_col).desc(), F.col(tiebreak)).limit(k)
-              .agg(F.min(ts_col).alias("kth_ts")))
+              .agg(F.when(F.count(F.lit(1)) >= k, F.min(ts_col))
+                   .alias("kth_ts")))
 
 
 def ts_quantile_cut(df: DataFrame, ts_col: str, fraction: float) -> DataFrame:
@@ -88,11 +93,17 @@ def neighbor_limit1(df: DataFrame, ts_col: str, pivot_ts, direction: str,
     return filtered.orderBy(*order).limit(1)
 
 
-def limit_candidates(df: DataFrame, n: int, order_col: str) -> DataFrame:
+def limit_candidates(df: DataFrame, n: int, order_col: str,
+                     tiebreak: str | None = None) -> DataFrame:
     """F5 ``limit_candidates``: bounded candidate set (reference:
-    user_mapper.py:198 ``LIMIT 500``).  Ordered so the cap is
-    deterministic under parallel execution."""
-    return df.orderBy(order_col).limit(n)
+    user_mapper.py:198 ``LIMIT 500``).  The cap is deterministic under
+    parallel execution ONLY when the ordering is total: pass
+    *tiebreak* (a unique column) whenever *order_col* can tie at the
+    cut boundary — without it, per-partition heaps break boundary
+    ties by partition arrival order (r14 review)."""
+    order = ([F.col(order_col), F.col(tiebreak)] if tiebreak
+             else [F.col(order_col)])
+    return df.orderBy(*order).limit(n)
 
 
 def topk_per_group(df: DataFrame, group_col: str, order_col: str, k: int,

@@ -110,8 +110,14 @@ class ServingShim:
                     "tools": sorted(self.TOOLS)}
         try:
             return fn(self, **(request.get("args") or {}))
-        except TypeError as e:  # bad/missing arguments
-            return {"status": "error", "error": str(e), "tool": tool}
+        except Exception as e:  # noqa: BLE001 — the server must never
+            # die on a bad request (r14 review: TypeError alone let a
+            # malformed args payload kill the serve loop via
+            # KeyError/AttributeError/ValueError deeper in the engine);
+            # every failure comes back as an error envelope, typed so
+            # the client can tell bad-arguments from engine faults
+            return {"status": "error", "error": str(e),
+                    "error_type": type(e).__name__, "tool": tool}
 
     def serve_stdio(self, stdin: TextIO | None = None,
                     stdout: TextIO | None = None) -> int:
@@ -162,8 +168,10 @@ def build_mcp(engine: Engine):
                                     force_update=force_update)
 
     @srv.tool()  # pragma: no cover
-    def update_embeddings(max_messages: int = 10_000,
+    def update_embeddings(max_messages: int | None = 10_000,
                           batch_size: int | None = None) -> dict:
+        # None = uncapped (r14 review: the int-only annotation made
+        # the shim's unlimited-refresh option inexpressible over MCP)
         return shim.update_embeddings(max_messages=max_messages,
                                       batch_size=batch_size)
 

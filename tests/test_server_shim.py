@@ -79,3 +79,35 @@ def test_shim_batched_search_extension(spark, tmp_path):
                           "args": {"query": "test", "limit": 3,
                                    "threshold": -1.0}})
     assert resp["envelopes"]["a"]["results"] == single["results"]
+
+
+def test_shim_deep_errors_become_envelopes(spark, tmp_path):
+    """r14 review: only TypeError was caught, so malformed args that
+    exploded DEEPER in the engine (KeyError from a spec missing
+    'query', AttributeError from a list where a dict belongs) killed
+    the serve loop.  Every exception now returns a typed error
+    envelope."""
+    shim = ServingShim(Engine(spark, SF, str(tmp_path / "store")))
+    shim.handle({"tool": "update_embeddings", "args": {}})
+
+    bad = shim.handle({"tool": "search_messages_many",
+                       "args": {"queries": {"a": {}}}})
+    assert bad["status"] == "error" and bad["tool"] == "search_messages_many"
+    assert bad["error_type"] == "KeyError"
+
+    bad2 = shim.handle({"tool": "search_messages_many",
+                        "args": {"queries": ["not", "a", "dict"]}})
+    assert bad2["status"] == "error"
+
+    # and the stdio loop survives a poisoned line between good ones
+    lines = [
+        json.dumps({"tool": "search_messages_many",
+                    "args": {"queries": {"a": {}}}}),
+        json.dumps({"tool": "database_stats"}),
+    ]
+    out = io.StringIO()
+    served = shim.serve_stdio(io.StringIO("\n".join(lines) + "\n"), out)
+    assert served == 2
+    replies = [json.loads(l) for l in out.getvalue().splitlines()]
+    assert replies[0]["status"] == "error"
+    assert replies[1]["embedded_messages"] > 0
