@@ -1086,14 +1086,15 @@ SELECT event_id, user_id,
        lag(props) OVER w AS prev_text,
        lead(props) OVER w AS next_text
 FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY ts, props)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, props, event_id)
 """)
 def context_prev_next(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D3: prev/next message text per session via lag/lead — the window
     rewrite of the reference's two correlated point queries per row
     (processor.py:266-318)."""
     events = _t(spark, sf_dir, "events")
-    out = enrich_ops.context_prev_next(events, "user_id", "ts", "props")
+    out = enrich_ops.context_prev_next(events, "user_id", "ts", "props",
+                                       tiebreak_col="event_id")
     return out.select("event_id", "user_id", "prev_text", "next_text")
 
 
@@ -10159,6 +10160,12 @@ DRIVER_VERIFIED = frozenset({
     # tests/test_retrieval.py::test_empty_terms_*,
     # *bootstrap_upsert*, *carries_meta_cols*, *non_default_ann*, and
     # tests/test_engine_facade.py::test_audit_recall_small_store*.
+    # Same treatment for the fifth-review fingerprint_md5 NULL-text
+    # pin (NULL -> NULL fp matching the DuckDB twin): it touches every
+    # fingerprint-based row, but NO fixture carries a null text at any
+    # SF (asserted by tests/test_oracle_model_boundaries.py::
+    # test_fixture_corpus_inside_model), so outputs are bit-identical;
+    # pinned by test_edge_semantics.py::test_fingerprint_md5_null*.
     # The r13 window's other green rows are re-listed below.
     "ann_ivfpq_trained", "approx_distinct_users", "dedup_ngram_jaccard",
     "dedup_containment", "ann_pq_rerank_trained", "ann_ivfpq_materialized",
@@ -10373,7 +10380,10 @@ DRIVER_VERIFIED = frozenset({
     # values back to stale rows and could mix fields across rows)
     "text_pii_scrub",
     "multimodal_resize", "multimodal_frame_sample",
-    "search_topk_enriched", "udtf_explode_users", "train_test_split",
+    # udtf_explode_users: rotated OUT late-r14 (r2-tail, slot-neutral)
+    # — users_from_group_info picks min(name) per uid instead of a
+    # nondeterministic dropDuplicates survivor (fifth review)
+    "search_topk_enriched", "train_test_split",
     "text_chunking", "text_repetition", "topk_prenormalized",
     "event_value_percentiles",
     "range_join_ship_window", "rollup_order_status",
@@ -10392,7 +10402,10 @@ DRIVER_VERIFIED = frozenset({
     "fmt_human_time", "conv_type_from_sid", "truncate_ellipsis",
     "regex_name_from_email", "is_file_name", "derived_pct",
     "group_name_probe", "join_user_dim", "join_conv_name",
-    "context_prev_next", "anti_join_unnamed", "semi_join_deep_search",
+    # context_prev_next: rotated OUT late-r14 — the lag/lead window
+    # (and its oracle) gained the unique event_id tiebreak making the
+    # order TOTAL (fifth review), so the row re-verifies pending-first
+    "anti_join_unnamed", "semi_join_deep_search",
     "dedup_last_wins", "agg_count_total", "agg_count_embedded",
     "agg_min_max_ts", "agg_count_distinct_users",
     "agg_new_msg_gap", "agg_group_first",

@@ -102,21 +102,33 @@ def lang_id(text: Column | str, en_threshold: float = 0.08) -> Column:
 
 
 def quality_score(text: Column | str) -> Column:
-    """Composite [0,1] quality score: length band + stopword presence
-    - punctuation excess.  Deterministic arithmetic over the ratios
-    above; weights are arbitrary but fixed."""
+    """Composite quality score in [-0.25, 1.0]: length band + stopword
+    presence - punctuation excess.  Deterministic arithmetic over the
+    ratios above; weights are arbitrary but fixed."""
     c = _c(text)
     len_score = F.least(F.length(c).cast("double") / F.lit(400.0), F.lit(1.0))
     stop_score = F.least(stopword_ratio(c) * 5.0, F.lit(1.0))
     punct_penalty = F.least(punct_ratio(c) * 5.0, F.lit(1.0))
+    # range is [-0.25, 1.0], NOT [0, 1]: an all-punctuation text earns
+    # the full penalty with zero positive terms (r14 review — callers
+    # using the score as a weight must clamp; the oracle twins share
+    # this exact formula, so the range is part of the contract)
     return F.round(
         0.5 * len_score + 0.5 * stop_score - 0.25 * punct_penalty, 6)
 
 
 def fingerprint_md5(text: Column | str) -> Column:
-    """Exact-dup fingerprint: md5 of whitespace-normalized lowercase text."""
-    norm = F.concat_ws(" ", tokens(text))
-    return F.md5(norm)
+    """Exact-dup fingerprint: md5 of whitespace-normalized lowercase
+    text.  NULL text fingerprints to NULL (r14 review): concat_ws
+    swallows a null token array into '', which would silently collapse
+    null docs into the empty-text dedup group — and diverge from the
+    DuckDB oracle twin, whose array_to_string propagates NULL.  No
+    driver fixture carries a null text (verified at every SF), so this
+    is an oracle-model boundary pin, not a live behavior change."""
+    c = _c(text)
+    norm = F.concat_ws(" ", tokens(c))
+    return F.when(c.isNull(), F.lit(None).cast("string")) \
+        .otherwise(F.md5(norm))
 
 
 def token_hash32(tok: Column) -> Column:

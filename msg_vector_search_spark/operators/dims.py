@@ -38,7 +38,13 @@ def users_from_group_info(messages: DataFrame, content_col: str = "c") -> DataFr
                       F.trim(F.col("member.n")).alias("user_name"))
         .filter(F.col("user_id").isNotNull() & (F.length("user_name") > 0))
         .filter(~textops.is_file_name(F.col("user_name")))
-        .dropDuplicates(["user_id"])
+        # min(name), not dropDuplicates (r14 review): a uid appearing
+        # with several names would otherwise keep whichever row the
+        # partial aggregation saw first — nondeterministic across
+        # runs/partitionings.  min() is an arbitrary-but-FIXED pick,
+        # the determinism discipline this module demands of LIMIT
+        .groupBy("user_id")
+        .agg(F.min("user_name").alias("user_name"))
     )
 
 
@@ -116,7 +122,13 @@ def conversation_dim(messages: DataFrame, sid_col: str, ts_col: str,
             .otherwise(F.lit(1)))
         .filter(F.col("conv_name_candidate").isNotNull())
     )
-    order = ["priority", ts_col] + ([tiebreak_col] if tiebreak_col else [])
+    # the name pick is row_number == 1, so the ordering MUST be total
+    # (r14 review: the old optional default silently permitted the
+    # nondeterminism this module's own docstrings classify as a
+    # correctness bug) — fall back to the candidate name itself, which
+    # completes the order deterministically even without a unique id
+    order = ["priority", ts_col,
+             tiebreak_col if tiebreak_col else "conv_name_candidate"]
     w = Window.partitionBy(sid_col).orderBy(*order)
     return (
         candidates.withColumn("rn", F.row_number().over(w))

@@ -53,17 +53,23 @@ def join_conv_dim(facts: DataFrame, conv_dim: DataFrame, user_dim: DataFrame,
 
 
 def context_prev_next(df: DataFrame, part_col: str, ts_col: str,
-                      text_col: str, truncate: int = 100) -> DataFrame:
+                      text_col: str, truncate: int = 100,
+                      tiebreak_col: str | None = None) -> DataFrame:
     """D3 ``context_prev_next``: previous/next message text within the
     same session ordered by time, truncated to 100 chars.
 
     Reference: processor.py:266-318 — two correlated ``ORDER BY ..
     LIMIT 1`` queries PER ROW.  The canonical window rewrite: one
     shuffle on the session key, then ``lag``/``lead`` inside each
-    sorted partition.  Tiebreak on the text column keeps equal-ts rows
-    deterministic.
+    sorted partition.  The text column breaks equal-ts ties; pass
+    *tiebreak_col* (a unique column) to make the order TOTAL — rows
+    sharing (part, ts, text) otherwise receive their prev/next
+    assignments in nondeterministic order (r14 review; outputs carry
+    per-row ids, so the swap is visible even though the tied texts
+    are equal).
     """
-    w = Window.partitionBy(part_col).orderBy(ts_col, text_col)
+    order = [ts_col, text_col] + ([tiebreak_col] if tiebreak_col else [])
+    w = Window.partitionBy(part_col).orderBy(*order)
     return (
         df.withColumn("prev_text",
                       textops.truncate_ellipsis(F.lag(text_col, 1).over(w), truncate))
@@ -105,6 +111,19 @@ def salted_join(skewed: DataFrame, other: DataFrame, key: str,
     handles moderate skew automatically; explicit salting is for the
     pathological key that exceeds a single executor even after splits.
     """
+    # the equals-plain-join claim holds ONLY when unmatched OTHER-side
+    # rows are dropped: the replicated side's n_salts copies of an
+    # unmatched key would each null-extend under right/full outer,
+    # multiplying those rows by n_salts (r14 review) — refuse the
+    # broken variants
+    allowed = {"inner", "left", "leftouter", "left_outer", "semi",
+               "leftsemi", "left_semi", "anti", "leftanti", "left_anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join cannot render how={how!r}: the other side is "
+            "replicated per salt, so joins keeping unmatched other-side "
+            "rows emit them n_salts times — use a plain join (AQE skew "
+            "handling) for right/full outer")
     s = skewed.withColumn(
         "_salt", F.pmod(F.hash(F.col(unique_col)), F.lit(n_salts)))
     o = other.withColumn(

@@ -90,3 +90,68 @@ def test_embed_dim_conflict_raises():
             embed._load_model(dim=128)
     finally:
         embed._MODEL = old
+
+
+def test_fingerprint_md5_null_text_is_null(spark):
+    """r14 review: NULL text fingerprints to NULL (the DuckDB twin's
+    array_to_string propagates NULL) — concat_ws used to swallow the
+    null token array into md5('') and silently merge null docs into
+    the empty-text dedup group."""
+    import duckdb
+
+    from msg_vector_search_spark.functions import analysis
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "  a  b ")], "id long, text string")
+    got = {r["id"]: r["fp"] for r in df.select(
+        "id", analysis.fingerprint_md5("text").alias("fp")).collect()}
+    assert got[1] is None
+    duck = duckdb.sql(
+        "SELECT md5(array_to_string(string_split_regex("
+        "trim(lower('  a  b ')), '\\s+'), ' '))").fetchone()[0]
+    assert got[3] == duck          # normalized text agrees cross-engine
+    assert got[2] is not None      # empty string still fingerprints
+
+
+def test_users_from_group_info_deterministic_name_pick(spark):
+    """r14 review: a uid carried with several names resolves to a
+    FIXED pick (min), not whichever row partial aggregation saw
+    first."""
+    from msg_vector_search_spark.operators import dims
+
+    msgs = spark.createDataFrame(
+        [(1, '{"u": [{"uid": 7, "n": "Zed"}]}'),
+         (2, '{"u": [{"uid": 7, "n": "Alice"}]}')],
+        "mid long, c string")
+    out = dims.users_from_group_info(msgs, "c").collect()
+    assert [(r["user_id"], r["user_name"]) for r in out] == [(7, "Alice")]
+
+
+def test_salted_join_rejects_other_side_preserving_how(spark):
+    """r14 review: right/full outer would emit each unmatched
+    other-side row once per salt replica — refused loudly."""
+    from msg_vector_search_spark.operators import enrich
+
+    a = spark.createDataFrame([(1, 10)], "k long, uid long")
+    b = spark.createDataFrame([(2, 5)], "k long, v long")
+    with pytest.raises(ValueError, match="salted_join"):
+        enrich.salted_join(a, b, "k", "uid", n_salts=4, how="full")
+    with pytest.raises(ValueError, match="salted_join"):
+        enrich.salted_join(a, b, "k", "uid", n_salts=4, how="right")
+    # the safe variants still serve
+    got = enrich.salted_join(a, b, "k", "uid", n_salts=4, how="left")
+    assert got.count() == 1
+
+
+def test_context_prev_next_total_order_with_tiebreak(spark):
+    """r14 review: rows tying on (part, ts, text) get deterministic
+    prev/next once a unique tiebreak column completes the order."""
+    from msg_vector_search_spark.operators import enrich
+
+    rows = [(1, 1, "X", 10), (1, 2, "P", 11), (1, 2, "P", 12)]
+    df = spark.createDataFrame(rows, "u long, ts long, t string, id long")
+    out = {r["id"]: (r["prev_text"], r["next_text"])
+           for r in enrich.context_prev_next(
+               df, "u", "ts", "t", tiebreak_col="id").collect()}
+    assert out[11] == ("X", "P")   # id asc breaks the (2, 'P') tie
+    assert out[12] == ("P", None)

@@ -107,11 +107,15 @@ def test_fixture_corpus_inside_model():
 
     tbl = pq.read_table("/root/testdata/sf0.01/documents.parquet",
                         columns=["text"])
-    bad = 0
+    bad = nulls = 0
     for chunk in tbl.column("text").chunks:
         for v in chunk.to_pylist():
             if v is None:
+                # NULL text is itself off-model: fingerprint_md5 maps
+                # it to NULL like the DuckDB twin, but downstream
+                # dedup semantics over null docs are unexercised
+                nulls += 1
                 continue
             if ("\x0b" in v or "İ" in v or "Σ" in v):
                 bad += 1
-    assert bad == 0
+    assert bad == 0 and nulls == 0

@@ -84,13 +84,20 @@ def test_ivf_probe_is_semi_join_prune(spark):
 def test_lsh_ann_no_corpus_shuffle(spark):
     # bucket assignment is narrow; the probe arrives as a broadcast
     # semi join; top-k is a bounded heap — the only Exchanges allowed
-    # are broadcast exchanges
+    # are broadcast exchanges, plus the query row's GlobalLimit
+    # SinglePartition exchange (the r14 duplicate-id limit(1) guard —
+    # it moves AT MOST the handful of rows matching the query id,
+    # never the corpus; a corpus shuffle is an Exchange
+    # hashpartitioning, and a corpus-collapsing SinglePartition would
+    # also trip the hashpartitioning-free TakeOrderedAndProject pin)
     df = contract.REGISTRY["ann_lsh_topk"](spark, SF)
     plan = plan_of(df)
     assert "TakeOrderedAndProject" in plan
     for line in plan.splitlines():
-        if "Exchange" in line and "BroadcastExchange" not in line:
+        if ("Exchange" in line and "BroadcastExchange" not in line
+                and "SinglePartition" not in line):
             raise AssertionError(f"unexpected shuffle: {line.strip()}")
+    assert plan.count("Exchange SinglePartition") <= 1
 
 
 def test_decontaminate_broadcasts_eval_side(spark):

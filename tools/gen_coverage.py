@@ -189,7 +189,8 @@ def main() -> None:
                 lines.append(f"| `{k}` | MISSING | — |")
                 continue
             check = "oracle" if k in contract.ORACLES else "rows"
-            doc = (fn.__doc__ or "").strip().splitlines()[0]
+            doc = next(iter((fn.__doc__ or "").strip().splitlines()),
+                       "(no docstring)")
             lines.append(f"| `{k}` | {check} | {doc} |")
         lines.append("")
     extra = sorted(set(contract.REGISTRY) - listed)

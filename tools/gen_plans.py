@@ -514,12 +514,14 @@ class _CheckpointTracer:
 
 
 def main() -> None:
-    from pyspark.sql import SparkSession
-
     from msg_vector_search_spark import contract
+    # the ENGINE's tuned session (r14 review): a raw builder omits the
+    # broadcast threshold / AQE / timezone / nanos confs, so the
+    # pinned plans could differ from what the engine actually runs
+    # (and nanos-timestamp fixtures would fail to read at all)
+    from msg_vector_search_spark.session import get_spark
 
-    spark = (SparkSession.builder.master("local[8]")
-             .appName("gen_plans").getOrCreate())
+    spark = get_spark("gen_plans")
     lines = [
         "# PLANS — physical plans of the flagship queries",
         "",

@@ -328,7 +328,7 @@ def tpch_main() -> None:
     from msg_vector_search_spark import contract
     from msg_vector_search_spark.session import get_spark
 
-    mults = [int(a) for a in sys.argv[2:]] or [1, 4, 16]
+    mults = [int(a) for a in sys.argv[1:] if a.isdigit()] or [1, 4, 16]
     queries = ["tpch_q1_pricing_summary", "tpch_q9_product_profit",
                "tpch_q21_waiting_suppliers"]
     spark = get_spark("tpch_scale")
@@ -483,7 +483,7 @@ def retrieval_main() -> None:
     from msg_vector_search_spark import contract
     from msg_vector_search_spark.session import get_spark
 
-    mults = [int(a) for a in sys.argv[2:]] or [1, 4, 16]
+    mults = [int(a) for a in sys.argv[1:] if a.isdigit()] or [1, 4, 16]
     queries = ["text_bm25_topk", "hybrid_search_rrf",
                "ann_truncated_rerank", "rerank_cross_encoder",
                "pipeline_serving_capstone"]
@@ -519,7 +519,7 @@ def audits_main() -> None:
     from msg_vector_search_spark import contract
     from msg_vector_search_spark.session import get_spark
 
-    mults = [int(a) for a in sys.argv[2:]] or [1, 4, 16]
+    mults = [int(a) for a in sys.argv[1:] if a.isdigit()] or [1, 4, 16]
     queries = ["corpus_overlap_matrix", "embedding_centroid_drift",
                "sample_fixed_k_per_group", "topk_mmr_diverse",
                "dedup_cluster_histogram", "dedup_components_incremental",
@@ -560,7 +560,7 @@ def transforms_main() -> None:
     from msg_vector_search_spark import contract
     from msg_vector_search_spark.session import get_spark
 
-    mults = [int(a) for a in sys.argv[2:]] or [1, 4, 10]
+    mults = [int(a) for a in sys.argv[1:] if a.isdigit()] or [1, 4, 10]
     queries = ["span_corruption", "mix_token_budget",
                "text_bigram_perplexity", "dedup_unaligned_substring",
                "maxsim_topk",
@@ -720,14 +720,13 @@ def batch_main() -> None:
     scheduler round trip once, so the ratio should grow toward Q for
     cheap queries (overhead-dominated) and toward the shared-I/O
     fraction for expensive ones."""
-    from pyspark.sql import SparkSession
-
     from msg_vector_search_spark.operators import ann_index, retrieval
 
-    qs = [int(a) for a in sys.argv[2:] if a.isdigit()] or [2, 5, 10]
-    spark = (SparkSession.builder.master("local[32]")
-             .config("spark.sql.shuffle.partitions", "32")
-             .config("spark.driver.memory", "48g").getOrCreate())
+    qs = [int(a) for a in sys.argv[1:] if a.isdigit()] or [2, 5, 10]
+    from msg_vector_search_spark.session import get_spark
+    spark = get_spark("batch_probe")  # the engine's tuned session
+    # (r14 review: a raw builder here measured batched serving under
+    # different planner confs than the engine actually runs)
     emb = spark.read.parquet(f"{BASE}/embeddings.parquet").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double"))
