@@ -10105,18 +10105,20 @@ def topk_mmr_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order — REGISTRY itself keeps source order.
 DRIVER_VERIFIED = frozenset({
     # round 14 rotation discipline (VERDICT r13 item 1 — CONSOLIDATION:
-    # pending ended at 15 — 8 from the consolidation diff + 7 honest
-    # rotations from the late-r14 review passes (streaming_sessionize_
-    # stateful, dedup_edit_distance, json_extract_text, ann_lsh_topk,
-    # kth_ts_offset, plus tail rows asof_join_events and
-    # multimodal_features whose rotation is slot-NEUTRAL: they were
-    # already inside the window).  The 50-slot window = 15 pending +
-    # 35 tail slots, so every remaining r2 and r3 row is still
-    # covered plus the oldest 16 of 30 remaining r4 rows; the r4 rows
-    # that miss the window are covered by this round's full local
-    # sweeps — README "Full-registry gate artifact", 0 failed — and
-    # rotate first in r15.  A correctness fix always outranks the
-    # slot budget: rotating a changed row is not optional.)  Deliberately
+    # pending ended at 17 — 8 from the consolidation diff + 9 honest
+    # rotations from the five late-r14 review passes
+    # (streaming_sessionize_stateful, dedup_edit_distance,
+    # json_extract_text, ann_lsh_topk, kth_ts_offset,
+    # context_prev_next, plus tail rows asof_join_events,
+    # multimodal_features, and udtf_explode_users whose rotation is
+    # slot-NEUTRAL: they were already inside the window).  The
+    # 50-slot window = 17 pending + 33 tail slots, so every remaining
+    # r2 and r3 row is still covered plus the oldest 15 of 29
+    # remaining r4 rows; the r4 rows that miss the window are covered
+    # by this round's full local sweeps — README "Full-registry gate
+    # artifact", 0 failed — and rotate first in r15.  A correctness
+    # fix always outranks the slot budget: rotating a changed row is
+    # not optional.)  Deliberately
     # ABSENT (pending-first in the r14 window): curate_by_novelty
     # (new), plus every row whose serving path changed in the
     # r14 diff: dedup_repeated_chunks, dedup_unaligned_substring,
