@@ -264,6 +264,63 @@ SESSION_OUT_SCHEMA = ("user_id bigint, session_start timestamp, "
 SESSION_STATE_SCHEMA = "start timestamp, last timestamp, n bigint"
 
 
+def _sessionize_group(ts_list, open_session, gap):
+    """One user's micro-batch fold — the PURE core of
+    :func:`stateful_sessionize`, extracted so the cross-batch
+    recurrence is directly testable against the batch reference
+    (r14 review: the late-event fix deserves randomized validation,
+    which driving real streaming queries per example cannot afford).
+
+    *ts_list*: the batch's timestamps sorted ascending;
+    *open_session*: ``(start, last, n)`` or None — the state;
+    *gap*: the session gap (a Timedelta or any subtractable scalar).
+    Returns ``(closed, new_state)`` where *closed* is a list of
+    ``(start, end, n)`` sessions this batch closed, in emission order.
+
+    Semantics (matching the batch twin over the union of batches,
+    given the open session is the LATEST thing known): events more
+    than one gap before the open session's start sessionize among
+    themselves and close immediately; an event within the gap extends
+    the session backwards; events from start onward fold/close
+    forward.  Only sessions emitted in PRIOR batches are immutable.
+    """
+    if open_session is not None:
+        start, last, n = open_session
+    else:
+        start = last = None
+        n = 0
+    closed = []
+    if start is not None and ts_list and ts_list[0] < start:
+        pre = [t for t in ts_list if t < start]
+        ts_list = [t for t in ts_list if t >= start]
+        ps = pe = pre[0]
+        pc = 1
+        for t in pre[1:]:
+            if t - pe > gap:
+                closed.append((ps, pe, pc))
+                ps = pe = t
+                pc = 1
+            else:
+                pe, pc = t, pc + 1
+        if start - pe <= gap:
+            start, n = ps, n + pc
+        else:
+            closed.append((ps, pe, pc))
+    for ts in ts_list:
+        if start is None:
+            start, last, n = ts, ts, 1
+        elif ts - last > gap:
+            closed.append((start, last, n))
+            start, last, n = ts, ts, 1
+        else:
+            # max(): an event inside the open span (start <= ts <=
+            # last, e.g. delivered by a prior chunk boundary) folds
+            # in without moving the end backwards
+            last, n = max(last, ts), n + 1
+    new_state = None if start is None else (start, last, n)
+    return closed, new_state
+
+
 def stateful_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Gap-based session assembly as a custom stateful operator.
 
@@ -293,11 +350,10 @@ def stateful_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         (user_id,) = key
         if state.exists:
             start, last, n = state.get
-            start, last = pd.Timestamp(start), pd.Timestamp(last)
+            open_session = (pd.Timestamp(start), pd.Timestamp(last),
+                            int(n))
         else:
-            start = last = None
-            n = 0
-        closed = []
+            open_session = None
         # the iterator delivers the group in ARROW-CHUNK order (shuffle
         # read order, not time order) — a group larger than one Arrow
         # batch would otherwise be gap-scanned per chunk, regressing
@@ -309,50 +365,15 @@ def stateful_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         all_ts = (pd.concat(chunks).sort_values() if chunks
                   else pd.Series([], dtype="datetime64[ns]"))
         ts_list = [pd.Timestamp(t) for t in all_ts]
-        if start is not None and ts_list and ts_list[0] < start:
-            # LATE events preceding the open session (r14 review): the
-            # forward gap test below (ts - last > gap) can never fire
-            # for them — the old code silently folded an event hours
-            # BEFORE the session into it.  Sessionize the pre-start
-            # events among themselves; the last pre-session merges
-            # into the open session only when it reaches within one
-            # gap of session_start (extending the session BACKWARDS,
-            # exactly what the batch twin computes), everything
-            # earlier closes now.  Events older than sessions ALREADY
-            # emitted in prior batches necessarily form new sessions —
-            # emitted output is immutable; a production deployment
-            # bounds that lateness with a watermark upstream.
-            pre = [t for t in ts_list if t < start]
-            ts_list = [t for t in ts_list if t >= start]
-            ps = pe = pre[0]
-            pc = 1
-            for t in pre[1:]:
-                if t - pe > gap:
-                    closed.append((user_id, ps, pe, pc))
-                    ps = pe = t
-                    pc = 1
-                else:
-                    pe, pc = t, pc + 1
-            if start - pe <= gap:
-                start, n = ps, n + pc
-            else:
-                closed.append((user_id, ps, pe, pc))
-        for ts in ts_list:
-            if start is None:
-                start, last, n = ts, ts, 1
-            elif ts - last > gap:
-                closed.append((user_id, start, last, n))
-                start, last, n = ts, ts, 1
-            else:
-                # max(): an event inside the open span (start <= ts <=
-                # last, e.g. delivered by a prior chunk boundary) folds
-                # in without moving the end backwards
-                last, n = max(last, ts), n + 1
-        if start is not None:
-            state.update((start.to_pydatetime(), last.to_pydatetime(), int(n)))
+        closed, new_state = _sessionize_group(ts_list, open_session, gap)
+        if new_state is not None:
+            s, e, cnt = new_state
+            state.update((s.to_pydatetime(), e.to_pydatetime(), int(cnt)))
         if closed:
-            yield pd.DataFrame(closed, columns=[
-                "user_id", "session_start", "session_end", "n_events"])
+            yield pd.DataFrame(
+                [(user_id, s, e, cnt) for s, e, cnt in closed],
+                columns=["user_id", "session_start", "session_end",
+                         "n_events"])
 
     return (events.select("user_id", "ts")
             .groupBy("user_id")

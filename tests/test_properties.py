@@ -723,3 +723,59 @@ def round_half_away(x: float, nd: int) -> float:
 
     s = 10.0 ** nd
     return _m.copysign(_m.floor(abs(x) * s + 0.5), x) / s
+
+
+def ref_sessions(ts_sorted: list[int], gap: int) -> list[tuple]:
+    """Batch-reference sessionization: maximal gap-bounded runs."""
+    out = []
+    for t in ts_sorted:
+        if out and t - out[-1][1] <= gap:
+            s, e, c = out[-1]
+            out[-1] = (s, max(e, t), c + 1)
+        else:
+            out.append((t, t, 1))
+    return out
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.integers(0, 500), min_size=1, max_size=40),
+       st.integers(5, 60),
+       st.data())
+def test_stateful_sessionize_core_matches_batch_reference(ts, gap, data):
+    """The extracted _sessionize_group recurrence, driven over random
+    TIME-ORDERED batch splits, must emit exactly the batch reference:
+    closed sessions + the final open session == maximal gap-bounded
+    runs of the union (this includes equal timestamps and batches
+    splitting a session mid-run).  With ARBITRARY (late-delivery)
+    splits, conservation still holds: every event is counted exactly
+    once across closed + open."""
+    from msg_vector_search_spark.streaming.stream import _sessionize_group
+
+    ts_sorted = sorted(ts)
+    # random split points -> time-ordered batches
+    k = data.draw(st.integers(1, 5))
+    cuts = sorted(data.draw(st.lists(
+        st.integers(0, len(ts_sorted)), min_size=k - 1, max_size=k - 1)))
+    bounds = [0] + cuts + [len(ts_sorted)]
+    batches = [ts_sorted[a:b] for a, b in zip(bounds, bounds[1:])]
+
+    state = None
+    closed_all = []
+    for b in batches:
+        closed, state = _sessionize_group(b, state, gap)
+        closed_all += closed
+    got = closed_all + ([state] if state is not None else [])
+    assert got == ref_sessions(ts_sorted, gap)
+
+    # arbitrary (shuffled) batch order: event-count conservation
+    order = data.draw(st.permutations(range(len(batches))))
+    state = None
+    closed_all = []
+    for i in order:
+        closed, state = _sessionize_group(sorted(batches[i]), state, gap)
+        closed_all += closed
+    total = sum(c for _, _, c in closed_all) + (state[2] if state else 0)
+    assert total == len(ts_sorted)
+    # and every emitted session is internally gap-bounded at its ends
+    for s, e, c in closed_all:
+        assert s <= e and (c >= 2 or s == e)
