@@ -203,10 +203,13 @@ def _scale_witness(spark: SparkSession, sf_dir: str, table: str) -> int:
     Computed with the shared
     md5-prefix hash so :func:`_fp_guard` replays it in DuckDB."""
     h = analysis.token_hash(_witness_key_col(table))
-    return int(_t(spark, sf_dir, table)
-               .agg(F.sum(F.lit(1000003).cast("long")
-                          + F.pmod(h, F.lit(1000003))).alias("w"))
-               .head()[0])
+    w = (_t(spark, sf_dir, table)
+         .agg(F.sum(F.lit(1000003).cast("long")
+                    + F.pmod(h, F.lit(1000003))).alias("w"))
+         .head()[0])
+    # sum() over zero rows is NULL — an empty anchor table witnesses
+    # as 0 instead of raising int(None) at publish time (r14 review)
+    return int(w) if w is not None else 0
 
 
 def _publish_fingerprint(spark: SparkSession, sf_dir: str, name: str,
@@ -6686,7 +6689,14 @@ def group_centroids_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def centroid(pdf: pd.DataFrame) -> pd.DataFrame:
         mat = np.stack(pdf["embedding"].to_numpy()).astype("float64")
-        c = np.round(mat.mean(axis=0), 6) + 0.0
+        # sequential fold + half-away grid (r14 review; the rocchio
+        # centroid precedent): np.mean's pairwise summation and
+        # np.round's half-to-even both differ from DuckDB's
+        # sequential avg + half-away round on tie-class values
+        acc = np.zeros(mat.shape[1], dtype=np.float64)
+        for row in mat:
+            acc = acc + row
+        c = sim_ops._np_round6(acc / float(len(mat))) + 0.0
         return pd.DataFrame({"label": [pdf["label"].iloc[0]],
                              "n": [len(pdf)],
                              "centroid": [c.tolist()]})
@@ -10168,6 +10178,15 @@ DRIVER_VERIFIED = frozenset({
     # SF (asserted by tests/test_oracle_model_boundaries.py::
     # test_fixture_corpus_inside_model), so outputs are bit-identical;
     # pinned by test_edge_semantics.py::test_fingerprint_md5_null*.
+    # And for the sixth-review half-away rounding completion in the
+    # PQ encode/ADC kernels and the cell sim-join kernel: np.round's
+    # half-to-even differs from the rows' half-away DuckDB round()
+    # oracles ONLY on exact grid-half values — a fixture value in that
+    # class would already have hash-FAILED those green rows, so the
+    # change is provably bit-identical on every fixture (the two
+    # affected TAIL rows, knn_join_pandas and group_centroids_pandas,
+    # rotate anyway at zero slot cost; the reference-model property
+    # tests pin the grid).
     # The r13 window's other green rows are re-listed below.
     "ann_ivfpq_trained", "approx_distinct_users", "dedup_ngram_jaccard",
     "dedup_containment", "ann_pq_rerank_trained", "ann_ivfpq_materialized",
@@ -10357,9 +10376,13 @@ DRIVER_VERIFIED = frozenset({
     "streaming_dedup_within_watermark",
     "streaming_upsert_store",
     # round 3 (CORRECTNESS_r03.json)
-    "group_centroids_pandas",
+    # group_centroids_pandas + knn_join_pandas: rotated OUT late-r14
+    # (both tail rows already inside the window — slot-neutral): their
+    # pandas kernels moved to the half-away rounding grid (and the
+    # centroid to a sequential fold), the sixth-review remnants of the
+    # ADVICE r13 _np_round6 fix
     # round 2 (CORRECTNESS_r02.json)
-    "knn_join_pandas", "tpch_top_customers", "tpch_q3_shipping_priority",
+    "tpch_top_customers", "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume", "tpch_q14_promo_revenue",
     "first_order_per_customer", "dedup_exact", "dedup_minhash_lsh",
     "dedup_lsh_star", "dedup_simhash", "dedup_simhash_hamming",
@@ -10459,7 +10482,7 @@ def _last_checked_rounds() -> dict:
     last: dict[str, int] = {}
     for f in sorted(_glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         try:
-            rnd = int(f.rsplit("_r", 1)[1].split(".")[0])
+            round_no = int(f.rsplit("_r", 1)[1].split(".")[0])
             with open(f) as fh:
                 rows = _json.load(fh)
         except (ValueError, OSError, _json.JSONDecodeError):
@@ -10467,7 +10490,9 @@ def _last_checked_rounds() -> dict:
         if isinstance(rows, dict):
             for name, row in rows.items():
                 if green(row):
-                    last[name] = max(last.get(name, 0), rnd)
+                    # (named round_no, not rnd — the module-level rnd()
+                    # rounding helper must stay reachable here)
+                    last[name] = max(last.get(name, 0), round_no)
     _LAST_CHECKED_CACHE = last
     return last
 

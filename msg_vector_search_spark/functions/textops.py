@@ -7,9 +7,14 @@ formatting (reference: src/core/database/processor.py:117-178,
 here is a pure Column expression — JVM-side, codegen'd, no UDFs — so at
 100 TB these run inside the scan stage at full vectorized speed.
 
-Regex/format patterns are kept in the ASCII subset where Java regex
-(Spark) and RE2 (DuckDB) agree, because the correctness oracle replays
-them in DuckDB SQL (SURVEY 7 hard-point 1).
+Regex/format patterns are kept in the subset where Java regex (Spark)
+and RE2 (DuckDB) agree, because the correctness oracle replays them in
+DuckDB SQL (SURVEY 7 hard-point 1).  One ASCII exception is pinned,
+not avoided: Java's ``\\s`` includes VERTICAL TAB U+000B and RE2's
+does not, so ``\\s``/``\\S``-based twins diverge on VT-bearing input —
+class 2 of the documented oracle input model
+(tests/test_oracle_model_boundaries.py; the driver fixtures contain
+no VT, asserted there).
 """
 
 from __future__ import annotations

@@ -135,7 +135,12 @@ def pq_encode(embeddings: DataFrame, codebooks: np.ndarray,
             x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             codes = np.empty((len(pdf), m), dtype=np.int32)
             for j in range(m):
-                dots = np.round(x[:, j * dsub:(j + 1) * dsub] @ cb[j].T, 9)
+                # half-away grid like the DuckDB round(.,9) oracle
+                # (np.round is half-to-even; r14 review — the
+                # _np_round6 precedent at 9dp)
+                raw = x[:, j * dsub:(j + 1) * dsub] @ cb[j].T
+                dots = np.copysign(
+                    np.floor(np.abs(raw) * 1e9 + 0.5), raw) / 1e9
                 codes[:, j] = dots.argmax(axis=1)  # first max = lowest code
             out = {id_col: pdf[id_col], "codes": list(codes)}
             for c in keep:
@@ -156,7 +161,10 @@ def adc_table(qvec: list[float], codebooks: np.ndarray) -> np.ndarray:
     (rounded to the same 9dp grid as encode so both engines agree)."""
     m, ncodes, dsub = codebooks.shape
     q = np.asarray(qvec, dtype=np.float64)
-    return np.stack([np.round(cb_j @ q[j * dsub:(j + 1) * dsub], 9)
+    def _r9(v):
+        # half-away at 9dp, matching pq_encode and the oracles
+        return np.copysign(np.floor(np.abs(v) * 1e9 + 0.5), v) / 1e9
+    return np.stack([_r9(cb_j @ q[j * dsub:(j + 1) * dsub])
                      for j, cb_j in enumerate(codebooks)])
 
 

@@ -225,7 +225,7 @@ def knn_join_pandas(corpus: DataFrame, query_rows: list, k: int = 10,
             norms = np.linalg.norm(mat, axis=1)
             unit = mat / np.where(norms == 0.0, 1.0, norms)[:, None]
             unit[norms == 0.0] = 0.0
-            sims = np.round(unit @ qunit.T, 6) + 0.0   # n x Q
+            sims = _np_round6(unit @ qunit.T) + 0.0   # n x Q
             kk = min(k, n)
             order = np.lexsort((np.broadcast_to(ids[:, None], sims.shape),
                                 -sims), axis=0)[:kk, :]
@@ -726,7 +726,7 @@ def similarity_join_topk_pandas(assigned: DataFrame, block_col: str,
         sims[norms == 0.0, :] = 0.0
         sims[:, norms == 0.0] = 0.0
         np.fill_diagonal(sims, -np.inf)
-        sims = np.round(sims, 6) + 0.0
+        sims = _np_round6(sims) + 0.0
         kk = min(k, n - 1)
         # per-row top-k with (sim desc, id asc) tiebreak: lexsort on
         # (-sim, id) gives ascending id within equal sims

@@ -549,7 +549,11 @@ def test_pq_encode_and_adc_match_reference(spark, data):
     for i, v in stored.items():
         cs = []
         for j in range(m):
-            dots = np.round(codebooks[j] @ v[j * dsub:(j + 1) * dsub], 9)
+            raw = codebooks[j] @ v[j * dsub:(j + 1) * dsub]
+            # the serving kernel's half-away 9dp grid (r14 review —
+            # np.round's half-to-even diverges on exact grid halves)
+            dots = np.copysign(np.floor(np.abs(raw) * 1e9 + 0.5),
+                               raw) / 1e9
             cs.append(int(np.flatnonzero(dots == dots.max())[0]))
         want_codes[i] = cs
     assert got_codes == want_codes
