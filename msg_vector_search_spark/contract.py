@@ -1495,9 +1495,15 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev_ts = F.lag("ts").over(w)
+    # exact MICROSECOND gap like the oracle's interval compare (r14
+    # seventh review): cast('long') truncates to whole seconds, so a
+    # true gap in (3600 s, 3601 s) — sf0.1 already carries two —
+    # agreed with the oracle only when the fractional parts happened
+    # to land the floor difference on 3601
     new_session = F.when(
         prev_ts.isNull()
-        | (F.col("ts").cast("long") - prev_ts.cast("long") > 3600),
+        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts)
+           > 3_600_000_000),
         F.lit(1)).otherwise(F.lit(0))
     return (events.withColumn("new_session", new_session)
             .groupBy("user_id")
@@ -6248,6 +6254,31 @@ def multimodal_dedup_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count(F.lit(1)).alias("dup_count")))
 
 
+def _media_with_truncated_dups(docs: DataFrame) -> DataFrame:
+    """Shared media-fixture construction for the two multimodal dedup
+    rows (r14 seventh review: previously duplicated verbatim): every
+    9th payload re-injected truncated to 80% of its bytes — the
+    stand-in for a re-encode.
+
+    ORACLE-MODEL NOTE: payloads are UTF-8 encodings of
+    ``documents.text``, and these rows' DuckDB oracles window the TEXT
+    by CHARACTERS while the engine windows the payload BYTES — equal
+    exactly when the text is single-byte (pure ASCII), which every
+    fixture is (asserted by tests/test_oracle_model_boundaries.py);
+    multibyte text is off-model for the ORACLES (this DuckDB build has
+    no blob substring/md5 to express byte windows), never for the
+    engine, whose byte windows are the real media semantics."""
+    media = docs.select(F.col("doc_id").alias("media_id"),
+                        F.encode("text", "UTF-8").alias("payload"))
+    dups = (docs.filter(F.col("doc_id") % 9 == 0)
+            .select((F.col("doc_id") + 500000).alias("media_id"),
+                    F.encode(F.expr(
+                        "substring(text, 1, "
+                        "cast(floor(length(text) * 0.8) as int))"),
+                        "UTF-8").alias("payload")))
+    return media.unionByName(dups)
+
+
 @register("multimodal_dedup_near", oracle=f"""
 WITH media AS (
   SELECT doc_id AS media_id, text FROM documents
@@ -6298,16 +6329,8 @@ def multimodal_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     (block_idx, block_val) key; corrupted copies land within the
     distance budget while unrelated payloads sit ~bits/2 apart."""
     docs = _t(spark, sf_dir, "documents")
-    media = docs.select(F.col("doc_id").alias("media_id"),
-                        F.encode("text", "UTF-8").alias("payload"))
-    dups = (docs.filter(F.col("doc_id") % 9 == 0)
-            .select((F.col("doc_id") + 500000).alias("media_id"),
-                    F.encode(F.expr(
-                        "substring(text, 1, "
-                        "cast(floor(length(text) * 0.8) as int))"),
-                        "UTF-8").alias("payload")))
     fps = multimodal.perceptual_simhash(
-        readers.widen(media.unionByName(dups)),
+        readers.widen(_media_with_truncated_dups(docs)),
         bits=32, window=8, stride=4)
     pairs = dedup_ops.hamming_pairs(fps, id_col="media_id",
                                     fp_col="fp", bits=32,
@@ -6350,16 +6373,8 @@ def multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     its surviving full frames with the original, unrelated videos
     share none."""
     docs = _t(spark, sf_dir, "documents")
-    media = docs.select(F.col("doc_id").alias("media_id"),
-                        F.encode("text", "UTF-8").alias("payload"))
-    dups = (docs.filter(F.col("doc_id") % 9 == 0)
-            .select((F.col("doc_id") + 500000).alias("media_id"),
-                    F.encode(F.expr(
-                        "substring(text, 1, "
-                        "cast(floor(length(text) * 0.8) as int))"),
-                        "UTF-8").alias("payload")))
     frames = multimodal.sample_frames(
-        readers.widen(media.unionByName(dups)),
+        readers.widen(_media_with_truncated_dups(docs)),
         frame_size=64, stride=2)
     f = (frames.select("media_id", F.md5("frame_payload").alias("fh"))
          .distinct())
@@ -6737,16 +6752,31 @@ WITH clicks AS (
   SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
 ), views AS (
   SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view'
+), ranked AS (
+  SELECT c.event_id, c.user_id, c.ts,
+         v.value AS asof_value, v.ts AS asof_ts,
+         row_number() OVER (PARTITION BY c.event_id
+                            ORDER BY v.ts DESC, v.event_id DESC) AS rn
+  FROM clicks c LEFT JOIN views v
+    ON v.user_id = c.user_id AND v.ts <= c.ts
 )
-SELECT c.event_id, c.user_id, c.ts,
-       v.value AS asof_value, v.ts AS asof_ts
-FROM clicks c ASOF LEFT JOIN views v
-  ON c.user_id = v.user_id AND c.ts >= v.ts
+SELECT event_id, user_id, ts, asof_value, asof_ts
+FROM ranked WHERE rn = 1
 """)
 def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: for every click, the latest prior (or simultaneous)
     view's value per user — union+window composition, ONE shuffle on
-    the key, no correlated scan.  Oracle: DuckDB's native ASOF JOIN."""
+    the key, no correlated scan.
+
+    Oracle note (r14 seventh review): DuckDB's native ASOF JOIN
+    leaves the matched row UNSPECIFIED when two views tie on a user's
+    maximal prior ts, while the Spark side tie-breaks on event_id —
+    the oracle is therefore the tie-broken window formulation
+    (latest (ts, event_id) view per click; the old native-ASOF form
+    agreed only because the fixture has no duplicate (user_id, ts)
+    view pairs).  The oracle's pair join is O(clicks x views per
+    user) at sf0.01 — fine for the gate; the ENGINE side stays the
+    one-shuffle union+window plan."""
     events = _t(spark, sf_dir, "events")
     clicks = events.filter(F.col("event_type") == "click") \
         .select("event_id", "user_id", "ts")
@@ -6777,9 +6807,16 @@ def range_join_ship_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     product."""
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
+    # INTERVAL addition, not date_add (r14 seventh review): date_add
+    # silently casts the TIMESTAMP order date to DATE, dropping its
+    # time-of-day and shrinking the window vs the oracle's exact
+    # o_orderdate + INTERVAL 90 DAYS — masked only because every
+    # fixture date is midnight-aligned (the q4/q12/q21 siblings
+    # already use the interval form)
     cond = ((li.l_orderkey == orders.o_orderkey)
             & (li.l_shipdate >= orders.o_orderdate)
-            & (li.l_shipdate < F.date_add(orders.o_orderdate, 90)))
+            & (li.l_shipdate
+               < orders.o_orderdate + F.expr("INTERVAL 90 DAYS")))
     return (orders.join(li, cond, "left")
             .groupBy("o_orderkey")
             .agg(F.count("l_linenumber").alias("n_shipped_90d")))
@@ -7910,10 +7947,11 @@ def incremental_distinct_sketch(spark: SparkSession,
     (hll_sketch_agg, binary) is persisted to parquet; the batch's
     sketch folds in with hll_union_agg — register-wise max, the
     lossless sketch merge — and the row publishes
-    ``sketch_merge_consistent``: whether the MERGED estimate equals
-    the single-pass whole-corpus sketch estimate, computed in-query by
-    joining the two.  The oracle pins that flag to TRUE (merge must
-    lose nothing) and value-checks ``users_exact`` — the exact
+    ``sketch_merge_consistent``: whether the MERGED estimate agrees
+    with the single-pass whole-corpus sketch estimate within 2%
+    (estimator-path tolerance — see the inline note), computed
+    in-query by joining the two.  The oracle pins that flag to TRUE
+    (merge must lose nothing) and value-checks ``users_exact`` — the exact
     distinct in its skew-stable two-phase form (see
     distinct_users_twophase) — so the approximate path is verified
     against an exactly-checked column in the same row.  At 100 TB the
@@ -7943,7 +7981,18 @@ def incremental_distinct_sketch(spark: SparkSession,
     return (exact.join(merged, "event_type")
             .join(single, "event_type")
             .select("event_type", "users_exact",
-                    (F.col("merged_est") == F.col("single_est"))
+                    # tolerance, not exact equality (r14 seventh
+                    # review): the union path estimates via the
+                    # composite estimator while the single-pass sketch
+                    # uses HIP — identical only while sketches stay in
+                    # exact/sparse mode (true at every fixture
+                    # cardinality), ~1% apart at production
+                    # cardinality >> 2^lgK even though the register
+                    # merge itself is lossless.  2% covers the
+                    # estimator gap without masking a real merge bug
+                    # (losing registers shifts the estimate far more).
+                    (F.abs(F.col("merged_est") - F.col("single_est"))
+                     <= F.lit(0.02) * F.col("single_est"))
                     .alias("sketch_merge_consistent")))
 
 
@@ -10186,7 +10235,11 @@ DRIVER_VERIFIED = frozenset({
     # change is provably bit-identical on every fixture (the two
     # affected TAIL rows, knn_join_pandas and group_centroids_pandas,
     # rotate anyway at zero slot cost; the reference-model property
-    # tests pin the grid).
+    # tests pin the grid).  The seventh-review _media_with_truncated_
+    # dups extraction is PLAN-identical (the two multimodal dedup rows
+    # now share the construction expression verbatim via a helper), so
+    # those rows stay listed with the boundary documented in the
+    # helper's docstring.
     # The r13 window's other green rows are re-listed below.
     "ann_ivfpq_trained", "approx_distinct_users", "dedup_ngram_jaccard",
     "dedup_containment", "ann_pq_rerank_trained", "ann_ivfpq_materialized",
@@ -10329,7 +10382,11 @@ DRIVER_VERIFIED = frozenset({
     "rerank_cross_encoder", "dedup_semdedup",
     "ann_truncated_rerank", "streaming_enrich_dim",
     "streaming_interval_join", "quality_classifier_score",
-    "incremental_agg_merge", "incremental_distinct_sketch",
+    # incremental_distinct_sketch: rotated OUT late-r14 — the
+    # merge-consistency flag moved from exact estimate equality to
+    # the 2% estimator-path tolerance (seventh review), so the row
+    # re-verifies pending-first
+    "incremental_agg_merge",
     "store_changefeed",
     "corpus_overlap_matrix", "sample_fixed_k_per_group",
     "grouping_sets_report", "bpe_pair_frequencies",
@@ -10411,7 +10468,10 @@ DRIVER_VERIFIED = frozenset({
     "search_topk_enriched", "train_test_split",
     "text_chunking", "text_repetition", "topk_prenormalized",
     "event_value_percentiles",
-    "range_join_ship_window", "rollup_order_status",
+    # range_join_ship_window: rotated OUT late-r14 (r2 tail,
+    # slot-neutral) — date_add's silent TIMESTAMP->DATE cast
+    # replaced with the oracle's exact INTERVAL arithmetic
+    "rollup_order_status",
     "rollup_two_level_time",
     # round 1 (CORRECTNESS_r01.json)
     "cosine_similarity", "round_sim", "filter_sim_threshold",
@@ -10440,7 +10500,10 @@ DRIVER_VERIFIED = frozenset({
     # review), so the row re-verifies pending-first
     "sort_ts_pagination", "neighbor_limit1",
     "limit_candidates", "topk_per_group", "rolling_window_agg",
-    "tumbling_window_agg", "sessionize", "set_ops_nations",
+    # sessionize: rotated OUT late-r14 (r3 tail, slot-neutral) —
+    # the gap compare moved from whole-second cast('long') to the
+    # oracle's exact microsecond interval (seventh review)
+    "tumbling_window_agg", "set_ops_nations",
     "join_outer_totals", "tpch_q1_pricing_summary",
 })
 

@@ -107,7 +107,7 @@ def test_fixture_corpus_inside_model():
 
     tbl = pq.read_table("/root/testdata/sf0.01/documents.parquet",
                         columns=["text"])
-    bad = nulls = 0
+    bad = nulls = non_ascii = 0
     for chunk in tbl.column("text").chunks:
         for v in chunk.to_pylist():
             if v is None:
@@ -118,4 +118,11 @@ def test_fixture_corpus_inside_model():
                 continue
             if ("\x0b" in v or "İ" in v or "Σ" in v):
                 bad += 1
-    assert bad == 0 and nulls == 0
+            if not v.isascii():
+                # class 5: the multimodal dedup rows' oracles window
+                # the TEXT by characters while the engine windows the
+                # UTF-8 payload by BYTES — equal only for single-byte
+                # text (this DuckDB build has no blob substring/md5
+                # to express byte windows in SQL)
+                non_ascii += 1
+    assert bad == 0 and nulls == 0 and non_ascii == 0
