@@ -3461,7 +3461,13 @@ def skew_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                     rnd(F.col("n_rows") / F.col("total"), 6).alias("share"),
                     rnd(F.col("n_rows") / F.col("mean_n"), 6)
                     .alias("ratio_to_mean"))
-            .orderBy(F.col("n_rows").desc(), "user_id").limit(10))
+            # asc_nulls_last matches DuckDB's default NULLS LAST on
+            # the ascending tiebreak (eighth review; Spark defaults
+            # NULLS FIRST asc — a NULL user_id group tying at the
+            # rank-10 boundary would cut different rows; fixtures
+            # carry no NULL user_id, so outputs are identical today)
+            .orderBy(F.col("n_rows").desc(),
+                     F.col("user_id").asc_nulls_last()).limit(10))
 
 
 @register("vocab_coverage", oracle=f"""
@@ -5164,7 +5170,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     propagation remains available as connected_components()."""
     docs = _t(spark, sf_dir, "documents")
     pairs = dedup_ops.dedup_minhash_lsh(docs, num_hashes=8, bands=4,
-                                        shingle_n=3)
+                                        shingle_n=3, max_block=32)
     return dedup_ops.connected_components_star(pairs)
 
 
@@ -5188,17 +5194,21 @@ WHERE d.doc_id NOT IN (SELECT id FROM cc WHERE id <> component)
 """)
 def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup pipeline materialized end-to-end: LSH candidate pairs
-    -> connected components -> DROP every non-canonical member (keep
-    the smallest id per component) via a single anti join against the
-    tiny drop list — the corpus-sized side is filtered in place, never
-    shuffled (the drop list broadcasts)."""
+    (grid-salted band join — the eighth review aligned this row with
+    its guarded siblings; pair set identical, hypothesis-pinned) ->
+    connected components -> DROP every non-canonical member (keep the
+    smallest id per component) via an anti join against the drop
+    list.  NO broadcast hint on the drop list (eighth review): its
+    size is O(duplicate documents) — corpus-proportional at a real
+    crawl's dup rate, not dimension-bounded — so the planner must be
+    free to pick a shuffle anti join at scale (at fixture scale AQE
+    still broadcasts it under the threshold, same physical plan)."""
     docs = _t(spark, sf_dir, "documents")
     pairs = dedup_ops.dedup_minhash_lsh(docs, num_hashes=8, bands=4,
-                                        shingle_n=3)
+                                        shingle_n=3, max_block=32)
     comp = dedup_ops.connected_components_star(pairs)
     drops = comp.filter(F.col("id") != F.col("component")).select("id")
-    return (docs.join(F.broadcast(drops),
-                      docs["doc_id"] == drops["id"], "left_anti")
+    return (docs.join(drops, docs["doc_id"] == drops["id"], "left_anti")
             .select("doc_id", "source"))
 
 
@@ -5476,8 +5486,11 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                                         shingle_n=3, max_block=32)
     comp = dedup_ops.connected_components_star(pairs)
     drops = comp.filter(F.col("id") != F.col("component")).select("id")
-    return (exact.join(F.broadcast(drops),
-                       exact["doc_id"] == drops["id"], "left_anti")
+    # no broadcast hint: the drop list is O(duplicates), corpus-
+    # proportional at a real dup rate (eighth review) — AQE still
+    # broadcasts it at fixture scale, shuffles it at 100 TB
+    return (exact.join(drops, exact["doc_id"] == drops["id"],
+                       "left_anti")
             .select("doc_id", "n_chars"))
 
 
@@ -5916,10 +5929,15 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     at least one 3-gram shingle with the held-out eval set (here the
     deterministic doc_id%50 slice stands in for a benchmark suite).
 
-    Scale shape: the eval shingle set is benchmark-sized (tiny next to
-    a 100 TB corpus) so it BROADCASTS; the training side's shingles are
-    matched map-side and only the contaminated survivors reach the
-    final aggregation — the corpus itself never shuffles."""
+    Scale shape: in a REAL deployment the eval shingle set is
+    benchmark-sized (a few eval suites, tiny next to a 100 TB corpus)
+    and broadcasts.  This row's stand-in eval set is a 2% CORPUS
+    SLICE — corpus-proportional, a different scale class — so the
+    broadcast is left to the PLANNER (eighth review: a forced hint
+    here would bypass the threshold and OOM at scale on the stand-in;
+    AQE broadcasts it at fixture scale, producing the documented
+    map-side plan, and a production caller with a true
+    benchmark-sized eval set may force the hint safely)."""
     docs = _t(spark, sf_dir, "documents")
     sh = readers.widen(docs).select(
         "doc_id",
@@ -5928,7 +5946,7 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = (sh.filter(F.col("doc_id") % 50 == 0)
           .select("sh").distinct())
     tr = sh.filter(F.col("doc_id") % 50 != 0)
-    return (tr.join(F.broadcast(ev), "sh")
+    return (tr.join(ev, "sh")
             .groupBy("doc_id")
             .agg(F.countDistinct("sh").alias("n_shared")))
 
@@ -9315,7 +9333,7 @@ def dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     free."""
     docs = _t(spark, sf_dir, "documents")
     pairs = dedup_ops.dedup_minhash_lsh(docs, num_hashes=8, bands=4,
-                                        shingle_n=3)
+                                        shingle_n=3, max_block=32)
     comp = dedup_ops.connected_components_star(pairs)
     full = (docs.select("doc_id")
             .join(comp, docs.doc_id == comp.id, "left")
@@ -9555,7 +9573,8 @@ def dedup_components_incremental(spark: SparkSession,
         old = docs.filter(F.col("doc_id") % 4 != 0)
         dedup_ops.connected_components_star(
             dedup_ops.dedup_minhash_lsh(old, num_hashes=8, bands=4,
-                                        shingle_n=3)).write.parquet(store)
+                                        shingle_n=3,
+                                        max_block=32)).write.parquet(store)
         _CC_BASE_CACHE[sf_dir] = store
     comp_old = spark.read.parquet(_CC_BASE_CACHE[sf_dir])
 
@@ -10239,7 +10258,16 @@ DRIVER_VERIFIED = frozenset({
     # dups extraction is PLAN-identical (the two multimodal dedup rows
     # now share the construction expression verbatim via a helper), so
     # those rows stay listed with the boundary documented in the
-    # helper's docstring.
+    # helper's docstring.  The eighth-review scale alignments —
+    # max_block=32 on the remaining unsalted LSH rows (pair set
+    # IDENTICAL by construction, hypothesis-pinned by
+    # test_grid_salted_lsh_equals_unsalted_on_random_corpora),
+    # planner-free anti joins on the corpus-proportional drop/eval
+    # lists (AQE still broadcasts them at fixture scale), and the
+    # NULLS LAST tiebreak alignment in skew_report_events (fixtures
+    # carry no NULL user_id) — are likewise output-identical at the
+    # gate's scale and stay listed, each re-verified full-oracle at
+    # commit time.
     # The r13 window's other green rows are re-listed below.
     "ann_ivfpq_trained", "approx_distinct_users", "dedup_ngram_jaccard",
     "dedup_containment", "ann_pq_rerank_trained", "ann_ivfpq_materialized",
