@@ -62,12 +62,34 @@ class _DeterministicFakeModel:
 MODEL_DIR_ENV = "SPARK_GRAFT_MODEL_DIR"
 
 
-def _load_model(dim: int = EMBED_DIM):
+def _model_dim(model) -> int | None:
+    """Output width of a loaded encoder, fake or real; None when the
+    real model can't report one (some custom ST modules return None)."""
+    if isinstance(model, _DeterministicFakeModel):
+        return model.dim
+    try:  # pragma: no cover - real model path, not in this image
+        d = model.get_sentence_embedding_dimension()
+        return int(d) if d is not None else None
+    except Exception:
+        return None
+
+
+def _load_model(dim: int | None = EMBED_DIM):
     """Lazy per-worker model load (reference loads per process at
     embeddings/processor.py:47-109 with device selection; device pick
     would live here for the real model).  Resolution order:
     $SPARK_GRAFT_MODEL_DIR (local weights, offline) -> hub model name
-    (network) -> deterministic fake (sentence-transformers absent)."""
+    (network) -> deterministic fake (sentence-transformers absent).
+
+    ``dim`` is the width the CALLER requires (e.g. the width of the
+    corpus vectors a query vector will be zipped against); pass None
+    to accept whatever the process encoder produces (the bulk-embed
+    path, where downstream width derives FROM the output).  The cache
+    is one model per worker, so a width the cached encoder can't honor
+    refuses loudly in BOTH branches (r14 review for the fake, r15 for
+    the real model: a 384-dim SentenceTransformer silently serving a
+    dim=64 request would null-pad in zip_with and cosine would quietly
+    score garbage)."""
     global _MODEL
     if _MODEL is None:
         try:  # pragma: no cover - real model path, not in this image
@@ -76,17 +98,15 @@ def _load_model(dim: int = EMBED_DIM):
             _MODEL = SentenceTransformer(
                 model_dir if model_dir else "all-MiniLM-L6-v2")
         except ImportError:
-            _MODEL = _DeterministicFakeModel(dim)
-    elif (isinstance(_MODEL, _DeterministicFakeModel)
-          and _MODEL.dim != dim):
-        # the cache is one model per worker; silently returning the
-        # first-loaded dim for a DIFFERENT requested dim would hand
-        # the caller wrong-width vectors (r14 review: the query side
-        # could then null-pad against the corpus side in zip_with and
-        # cosine would quietly score garbage) — refuse loudly instead
+            _MODEL = _DeterministicFakeModel(
+                dim if dim is not None else EMBED_DIM)
+    loaded = _model_dim(_MODEL)
+    if dim is not None and loaded is not None and loaded != dim:
         raise ValueError(
-            f"embedding model already loaded at dim={_MODEL.dim}; "
-            f"requested dim={dim} (one dim per process)")
+            f"embedding model produces dim={loaded}; requested "
+            f"dim={dim} (one model per process — set "
+            f"{MODEL_DIR_ENV} to weights of the right width, or "
+            f"pass dim=None to accept the encoder's width)")
     return _MODEL
 
 
@@ -114,7 +134,9 @@ def embed_text(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
     Arrow batch size (spark.sql.execution.arrow.maxRecordsPerBatch) is
     the moral equivalent of the reference's hardware-tuned batch size.
     """
-    model = _load_model()
+    # dim=None: bulk embed accepts the process encoder's width —
+    # downstream (sink schema, corpus vectors) derives from the output
+    model = _load_model(None)
     for series in batches:
         texts = series.fillna("").astype(str).tolist()
         vecs = model.encode(texts, batch_size=64)

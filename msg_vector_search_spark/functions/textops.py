@@ -55,13 +55,24 @@ def extract_text(content: Column | str, message_type: Column | str | None = None
     # empty-text filter then silently dropped the message).  The
     # validity probe is get_json_object('$') — null iff unparseable,
     # matching DuckDB's json_valid() on every probed edge case.
+    # A VALID object that simply lacks $.text is ALSO raw passthrough:
+    # the reference's `"text" in data` guard fails and control falls
+    # through to `return content` (processor.py:137-150) — it is NOT
+    # dict.get('text','') (r15 review).  One pinned edge: {"text":null}
+    # reads as missing here (get_json_object can't distinguish a JSON
+    # null value from an absent key) and passes through raw, where the
+    # reference would surface Python None; no fixture carries it.
     obj_text = F.when(
         F.get_json_object(c, "$").isNull(), c
-    ).otherwise(F.coalesce(F.get_json_object(c, "$.text"), F.lit("")))
+    ).otherwise(F.coalesce(F.get_json_object(c, "$.text"), c))
+    # List branch: the reference appends only items that HAVE "text"
+    # (processor.py:141-145) — items lacking it are skipped entirely,
+    # not joined in as '' (which would double the separator).
     arr_text = F.when(
         arr.isNull(), c  # '['-prefixed but malformed: raw passthrough
     ).otherwise(
-        F.concat_ws(" ", F.transform(arr, lambda x: F.coalesce(x["text"], F.lit(""))))
+        F.concat_ws(" ", F.filter(F.transform(arr, lambda x: x["text"]),
+                                  lambda t: t.isNotNull()))
     )
     extracted = (
         F.when(first == "{", obj_text)

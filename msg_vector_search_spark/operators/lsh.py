@@ -101,12 +101,18 @@ def lsh_search(embeddings: DataFrame, planes: list[list[float]],
     probes = probe_buckets(assigned, query_id, len(planes), id_col)
     # limit(1): a duplicate-id corpus would otherwise crossJoin every
     # candidate against EACH copy of the query row, duplicating every
-    # top-k entry (r14 review).  NOTE an ABSENT query_id yields an
-    # empty result, indistinguishable from "no neighbors" — the
-    # zero-collect query path cannot raise without a driver job;
+    # top-k entry (r14 review).  The orderBy in front makes the kept
+    # copy DETERMINISTIC when duplicate ids carry different vectors
+    # (r15 review): a bare limit(1) keeps whichever partition answers
+    # first, so results would vary across runs/partitionings — the
+    # vector-fingerprint tiebreak pins one copy the way every other
+    # top-k in this package pins its order.  NOTE an ABSENT query_id
+    # yields an empty result, indistinguishable from "no neighbors" —
+    # the zero-collect query path cannot raise without a driver job;
     # validate ids upstream when that distinction matters.
     qrow = (assigned.filter(F.col(id_col) == query_id)
-            .select(F.col(vec_col).alias("_qv")).limit(1))
+            .select(F.col(vec_col).alias("_qv"))
+            .orderBy(F.xxhash64(F.col("_qv")).asc()).limit(1))
     cand = assigned.join(F.broadcast(probes),
                          assigned["bucket"] == probes["pb"], "left_semi")
     sim = V.cosine(F.col(vec_col), F.col("_qv"))

@@ -691,8 +691,12 @@ def search_inverted_index_many(spark, path: str, queries: dict,
         # (hybrid_serve_many selects it unconditionally)
         id_t = (spark.read.parquet(os.path.join(path, "doclen"))
                 .schema[id_col].dataType.simpleString())
-        qid_t = ("string" if qitems and isinstance(qitems[0][0], str)
-                 else "int")
+        # an EMPTY queries dict has no key to infer from: default to
+        # 'string' — the prior contract and what string-keyed callers
+        # union against (r15 review; an 'int' default made the
+        # degenerate frame schema-incompatible with their results)
+        qid_t = ("int" if qitems and not isinstance(qitems[0][0], str)
+                 else "string")
         rank = ", rank int" if with_rank else ""
         return spark.createDataFrame(
             [], f"qid {qid_t}, {id_col} {id_t}, dl long, "

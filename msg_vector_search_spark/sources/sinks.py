@@ -275,7 +275,8 @@ def upsert_parquet(spark: SparkSession, incoming: DataFrame, path: str,
                    key: str, order_col: str,
                    num_buckets: int | None = None,
                    layout: str = "hash",
-                   range_width: int = DEFAULT_RANGE_WIDTH) -> None:
+                   range_width: int = DEFAULT_RANGE_WIDTH,
+                   count_new: bool = False) -> int | None:
     """A5 ``sink_upsert_embeddings``: last-writer-wins upsert into a
     key-partitioned Parquet table.  Incoming rows shadow existing rows
     with the same key; among duplicates the largest *order_col* wins
@@ -296,6 +297,17 @@ def upsert_parquet(spark: SparkSession, incoming: DataFrame, path: str,
     per key because a key never spans buckets); a table format
     (Delta/Iceberg MERGE) is the production answer for multi-partition
     atomicity.
+
+    With ``count_new=True`` the call returns how many incoming keys
+    did NOT already exist in the store — computed as a key-projected
+    anti-join against the SAME touched-bucket slice the merge reads
+    (O(batch + touched buckets), never a store-wide count; Catalyst
+    prunes every non-key column, so expensive derived columns such as
+    the embed UDF do not run for it).  This is what lets the ingest
+    envelope report ``new_messages`` in O(batch) (reference semantics:
+    engine.py:57-103 returns the per-run new-row count) instead of
+    differencing two store-wide counts.  Default ``None`` return keeps
+    the historical signature for callers that don't ask.
 
     The layout (kind + bucket count / range width) is persisted in
     ``_layout.json`` at first write and is AUTHORITATIVE thereafter:
@@ -336,13 +348,21 @@ def upsert_parquet(spark: SparkSession, incoming: DataFrame, path: str,
             merged = current.unionByName(inc, allowMissingColumns=True)
         else:
             merged = inc
+        n_new = None
+        if count_new:
+            inc_keys = inc.select(key).distinct()
+            if exists:
+                n_new = inc_keys.join(current.select(key), key,
+                                      "left_anti").count()
+            else:
+                n_new = inc_keys.count()
         deduped = _dedup_last_wins_bucketed(merged, key, order_col)
         tmp = path + "._staged"
         deduped.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp)
         _check_no_null_bucket(tmp, key)
         _swap_dir(tmp, path)
         _write_layout(path, fresh)
-        return
+        return n_new
 
     # incremental path: touch only the buckets the batch maps into.
     # The distinct() is driver-sized (bounded by batch key spread);
@@ -351,7 +371,7 @@ def upsert_parquet(spark: SparkSession, incoming: DataFrame, path: str,
     inc = incoming.withColumn(BUCKET_COL, _bucket_expr(key, meta))
     touched = [r[0] for r in inc.select(BUCKET_COL).distinct().collect()]
     if not touched:
-        return
+        return 0 if count_new else None
     if None in touched:
         raise ValueError(
             f"range layout requires integer-castable keys; column "
@@ -359,6 +379,12 @@ def upsert_parquet(spark: SparkSession, incoming: DataFrame, path: str,
     touched = sorted(touched)
     current = spark.read.parquet(path).filter(
         F.col(BUCKET_COL).isin(touched))  # directory-level pruning
+    n_new = None
+    if count_new:
+        # keys outside the touched buckets can't collide (the bucket is
+        # a function of the key), so the touched slice is sufficient
+        n_new = (inc.select(key).distinct()
+                 .join(current.select(key), key, "left_anti").count())
     merged = current.unionByName(inc, allowMissingColumns=True)
     deduped = _dedup_last_wins_bucketed(merged, key, order_col)
     tmp = path + "._staged"
@@ -369,6 +395,7 @@ def upsert_parquet(spark: SparkSession, incoming: DataFrame, path: str,
         if os.path.exists(src):
             _swap_dir(src, os.path.join(path, part))
     shutil.rmtree(tmp)
+    return n_new
 
 
 def _finish_pending_delete(path: str) -> bool:

@@ -466,3 +466,23 @@ def test_audit_recall_small_store_reports_one(spark, tmp_path):
     first = eng.maintain_index()
     assert first["rebuilt"] is False  # no runaway rebuild
     assert first["recall"] == 1.0
+
+
+def test_update_embeddings_new_messages_equals_store_delta(spark, tmp_path):
+    """r15 (VERDICT r14 item 1): the envelope's new_messages now comes
+    from the ingest plan's O(batch) outputs (upsert-side anti-join on
+    the touched buckets), NOT store-wide before/after counts — so pin
+    that it still equals the exact store delta, including across a
+    CAPPED batch whose catch-up re-reads the inclusive watermark
+    boundary (those re-read keys already exist and must not count)."""
+    eng = Engine(spark, SF, str(tmp_path / "store"))
+    first = eng.update_embeddings(max_messages=400)
+    n1 = eng._embedded_count()
+    assert first["new_messages"] == n1  # cold store: delta from zero
+    second = eng.update_embeddings(max_messages=None)  # catch-up
+    n2 = eng._embedded_count()
+    assert second["new_messages"] == n2 - n1
+    assert second["new_messages"] > 0
+    third = eng.update_embeddings()  # no-op run
+    assert third["new_messages"] == 0
+    assert eng._embedded_count() == n2

@@ -69,3 +69,22 @@ def test_lsh_materialized_index_prunes_and_matches(spark, tmp_path):
     disk = lsh.lsh_search(on_disk.drop("bucket"), planes, query_id=0, k=5)
     assert {tuple(r) for r in mem.collect()} == \
            {tuple(r) for r in disk.collect()}
+
+
+def test_lsh_duplicate_id_distinct_vectors_deterministic(spark):
+    """r15 review: when duplicate ids carry DIFFERENT vectors, the kept
+    query copy is pinned by the vector-fingerprint tiebreak, so the
+    result is identical across runs and partitionings (a bare limit(1)
+    keeps whichever partition answers first)."""
+    planes = [[1.0, 0.0], [0.0, 1.0]]
+    rows = [(0, [1.0, 1.0]), (0, [1.0, 0.9]),  # duplicate id, two vecs
+            (5, [0.9, 1.0]), (7, [-1.0, -1.0])]
+    base = _emb(spark, rows)
+    # same data, adversarial layouts: 1 partition vs 4, reversed order
+    layouts = [base.coalesce(1),
+               base.repartition(4),
+               _emb(spark, list(reversed(rows))).repartition(3)]
+    results = [tuple(tuple(r) for r in
+                     lsh.lsh_search(df, planes, query_id=0, k=3).collect())
+               for df in layouts]
+    assert results[0] == results[1] == results[2]

@@ -610,6 +610,12 @@ def test_batched_serves_handle_empty_and_no_match(spark, tmp_path):
                                                  n_buckets=8)
     assert empty.count() == 0
     assert empty.columns == ["qid", "doc_id", "dl", "bm25"]
+    # r15 review: the empty-dict frame's qid stays STRING (the prior
+    # contract) so it unions cleanly with string-keyed batch results
+    assert dict(empty.dtypes)["qid"] == "string"
+    served = retrieval.search_inverted_index_many(
+        spark, path, {"hit": ["alpha"]}, n_buckets=8)
+    assert served.unionByName(empty).count() == served.count()
     for lm in (16, 0):   # literal strategy, then broadcast-data
         mixed = retrieval.search_inverted_index_many(
             spark, path, {"hit": ["alpha"], "miss": ["zzz"]},

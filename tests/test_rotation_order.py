@@ -18,15 +18,40 @@ def test_pending_rows_come_first_in_registration_order():
 
 
 def test_listed_rows_sorted_oldest_green_check_first():
+    """After the pending block comes the ROTATION_PRIORITY bump (the
+    §2 rows VERDICT r14 item 5 orders into the next window while they
+    are stale), then every remaining listed row oldest-check-first."""
     last = contract._last_checked_rounds()
     order = list(contract.verification_order(
         {k: None for k in contract.REGISTRY}))
     pending = [k for k in contract.REGISTRY
                if k not in contract.DRIVER_VERIFIED]
-    done = order[len(pending):]
+    prio = [k for k in contract.ROTATION_PRIORITY
+            if k in contract.DRIVER_VERIFIED and last.get(k, 0) <= 10]
+    n_head = len(pending) + len(prio)
+    assert order[len(pending):n_head] == prio
+    done = order[n_head:]
     rounds = [last.get(k, 0) for k in done]
     assert rounds == sorted(rounds), \
         "DRIVER_VERIFIED rows must rotate oldest-check-first"
+
+
+def test_rotation_priority_self_disarms_when_fresh():
+    """The §2 bump only holds while the row is STALE (<= r10): a row
+    with a fresh CORRECTNESS round must fall back into the age sort,
+    so the one-window bump can't permanently distort the rotation."""
+    last = contract._last_checked_rounds()
+    order = list(contract.verification_order(
+        {k: None for k in contract.REGISTRY}))
+    fresh = [k for k in contract.ROTATION_PRIORITY
+             if k in contract.DRIVER_VERIFIED and last.get(k, 0) > 10]
+    pending = [k for k in contract.REGISTRY
+               if k not in contract.DRIVER_VERIFIED]
+    prio = [k for k in contract.ROTATION_PRIORITY
+            if k in contract.DRIVER_VERIFIED and last.get(k, 0) <= 10]
+    head = order[:len(pending) + len(prio)]
+    for k in fresh:
+        assert k not in head
 
 
 def test_driver_verified_names_all_registered():

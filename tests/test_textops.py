@@ -20,7 +20,18 @@ def test_extract_text_object(spark):
 
 
 def test_extract_text_object_missing_key(spark):
-    assert one(spark, textops.extract_text(F.col("c")), c='{"x": 1}') == ""
+    """A VALID object lacking $.text is raw passthrough: the reference's
+    `"text" in data` guard fails and falls through to `return content`
+    (processor.py:137-150) — not dict.get('text','') (r15 review)."""
+    assert one(spark, textops.extract_text(F.col("c")), c='{"x": 1}') == '{"x": 1}'
+
+
+def test_extract_text_array_item_missing_key_skipped(spark):
+    """List items without "text" are skipped, not joined in as '' —
+    the reference appends only `"text" in item` segments
+    (processor.py:141-145), so no doubled separator."""
+    assert one(spark, textops.extract_text(F.col("c")),
+               c='[{"text": "a"}, {"n": 1}, {"text": "b"}]') == "a b"
 
 
 def test_extract_text_array(spark):
@@ -213,5 +224,6 @@ def test_extract_text_malformed_object_raw_passthrough(spark):
                c="{not valid json") == "{not valid json"
     assert one(spark, textops.extract_text(F.col("c")),
                c='{"text": "trunc') == '{"text": "trunc'
-    # valid-but-no-text object still reads '' (dict.get('text',''))
-    assert one(spark, textops.extract_text(F.col("c")), c="{}") == ""
+    # valid-but-no-text object is ALSO raw passthrough (reference falls
+    # through to `return content`; r15 review fixed the '' collapse)
+    assert one(spark, textops.extract_text(F.col("c")), c="{}") == "{}"

@@ -169,6 +169,39 @@ SECTIONS = [
 ]
 
 
+# Hazard pairs (r14 judge item 4): parity-form specs that deliberately
+# plan a single-partition window, each paired with its 100 TB scan twin.
+# The note rides the generated row so the hazard form can't be mistaken
+# for the scale path (tests/test_window_guard.py enforces the registry-
+# wide exemption list; tests/test_plan_shapes.py pins the twins' plans).
+HAZARD_PAIRS = {
+    "ntile_customer_quartiles":
+        "⚠ single-partition window BY DESIGN (parity spec) — "
+        "100 TB twin: `spend_quartile_scan`",
+    "spend_quartile_scan":
+        "✓ scale path of `ntile_customer_quartiles` (no window; "
+        "plan pinned in test_plan_shapes.py)",
+    "percent_rank_cume_dist":
+        "⚠ single-partition window BY DESIGN (parity spec) — "
+        "100 TB twin: `percent_rank_scan`",
+    "percent_rank_scan":
+        "✓ scale path of `percent_rank_cume_dist` (partitioned "
+        "windows only; plan pinned in test_plan_shapes.py)",
+    "sort_ts_pagination":
+        "⚠ OFFSET-parity page (window over a limit-bounded prefix) — "
+        "100 TB twin: `keyset_pagination`",
+    "keyset_pagination":
+        "✓ scale path of `sort_ts_pagination` (keyset predicate, "
+        "PushedFilters)",
+    "kth_ts_offset":
+        "⚠ exact ordered-limit parity form — 100 TB twin: "
+        "`ts_quantile_cut`",
+    "ts_quantile_cut":
+        "✓ scale path of `kth_ts_offset` (quantile cutpoint, no "
+        "global order)",
+}
+
+
 def main() -> None:
     lines = [
         "# COVERAGE — contract queries x implementation x check strength",
@@ -191,6 +224,8 @@ def main() -> None:
             check = "oracle" if k in contract.ORACLES else "rows"
             doc = next(iter((fn.__doc__ or "").strip().splitlines()),
                        "(no docstring)")
+            if k in HAZARD_PAIRS:
+                doc = f"{HAZARD_PAIRS[k]}. {doc}"
             lines.append(f"| `{k}` | {check} | {doc} |")
         lines.append("")
     extra = sorted(set(contract.REGISTRY) - listed)
