@@ -7996,18 +7996,23 @@ def incremental_distinct_sketch(spark: SparkSession,
             .join(single, "event_type")
             .select("event_type", "users_exact",
                     # Two-regime check (r15 review tightening r14's
-                    # blanket 2%): below the sparse->dense promotion
-                    # (coupon mode holds until ~3/4 * 2^lgK = 3072
-                    # coupons at the default lgK=12) both paths read
-                    # the SAME coupon set — union of coupon sets is
-                    # the coupon set of the union — so the estimates
-                    # must agree EXACTLY, and a blanket tolerance
-                    # would mask a genuinely lossy merge (every
-                    # fixture sits here: max 1500 distinct at sf0.1).
+                    # blanket 2%): in the sketches' EXACT regime the
+                    # estimates must agree exactly — a blanket
+                    # tolerance there would mask a genuinely lossy
+                    # merge.  Measured onset (lgK=12, this Spark/
+                    # Datasketches build): single vs merged estimates
+                    # are identical-and-exact through n=380 and first
+                    # diverge at n=400 (the estimator handoff out of
+                    # the exact coupon regime — NOT the 3/4*2^lgK
+                    # dense promotion, which is much later), so the
+                    # exact branch applies below 256 (1.7x above the
+                    # sf0.01 driver fixture's 150 distinct/group,
+                    # comfortably inside the verified-equal band).
                     # Above it the union path's composite estimator
                     # and the single-pass HIP estimator legitimately
-                    # drift ~1%, so 2% relative applies only there.
-                    F.when(F.col("single_est") < F.lit(2048.0),
+                    # drift ~0.5-1% (sf0.1's 1500/group measures
+                    # <=0.4%), so 2% relative applies only there.
+                    F.when(F.col("single_est") < F.lit(256.0),
                            F.col("merged_est") == F.col("single_est"))
                     .otherwise(
                         F.abs(F.col("merged_est") - F.col("single_est"))

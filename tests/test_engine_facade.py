@@ -486,3 +486,20 @@ def test_update_embeddings_new_messages_equals_store_delta(spark, tmp_path):
     third = eng.update_embeddings()  # no-op run
     assert third["new_messages"] == 0
     assert eng._embedded_count() == n2
+
+
+def test_update_embeddings_envelope_has_no_store_wide_jobs():
+    """The O(batch) pin behind VERDICT r14 item 1, as a source
+    tripwire: the envelope must take new_messages and the run's _gen
+    from the ingest plan's info dict — re-introducing the old three
+    store-wide jobs (embedded-count before/after, max(_gen) over the
+    merged store) trips this.  (A job-COUNT pin was tried and dropped:
+    the inclusive-watermark boundary re-read makes even a no-op run
+    exercise the full O(boundary-batch) upsert machinery, so counts
+    can't separate O(batch) from O(store) at fixture scale.)"""
+    import inspect
+
+    src = inspect.getsource(Engine.update_embeddings)
+    assert "_embedded_count" not in src
+    assert 'F.max("_gen")' not in src and "agg(F.max" not in src
+    assert "run_info" in src and "new_messages" in src
