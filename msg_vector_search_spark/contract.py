@@ -79,6 +79,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # oracle comparison depends on (UTC rendering matches DuckDB's
     # naive timestamps).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # INT64-micros timestamp WRITES (not the INT96 legacy default):
+    # INT96 columns carry no min/max stats, which would strip ts
+    # row-group pruning AND retention_sweep's footer probe from every
+    # store a contract row writes under the driver's vanilla session.
+    spark.conf.set("spark.sql.parquet.outputTimestampType",
+                   "TIMESTAMP_MICROS")
     return readers.read_table(spark, sf_dir, name)
 
 
@@ -641,6 +647,41 @@ def sink_delete_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     doomed = emb.filter(F.col("vec_id") % 7 == 0).select("vec_id")
     sinks.delete_keys(spark, store, "vec_id", doomed)
     return sinks.read_store(spark, store).select("vec_id", "label")
+
+
+@register("sink_retention_sweep", oracle="""
+SELECT event_id, ts, event_type FROM events
+WHERE ts >= (SELECT max(ts) - INTERVAL 7 DAY FROM events)
+""")
+def sink_retention_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TTL erasure end-to-end (forget-by-AGE — the lifecycle twin of
+    sink_delete_keys' forget-by-KEY): build the arrival-ordered store,
+    sweep a 7-day retention window, read it back — the survivors must
+    be exactly the rows with ts >= cutoff.  The sweep's probe reads
+    parquet FOOTER stats only: on this range-layout store (event_id
+    correlates with ts) whole expired directories DROP without a
+    rewrite and live directories are never opened — only the O(1)
+    boundary bucket rewrites, so retention over a 100 TB store costs
+    footers + boundary bytes, not a table scan
+    (sinks.retention_sweep; crash-recovery shares delete_keys'
+    staged-manifest commit).  The reference has no retention verb —
+    its SQLite store grows forever (SURVEY 2.A gap)."""
+    store = os.path.join(tempfile.mkdtemp(prefix="ttlstore_"), "store")
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    sinks.upsert_parquet(spark, ev.withColumn("_ord", F.lit(1)),
+                         store, key="event_id", order_col="_ord",
+                         layout="range", range_width=512)
+    cutoff = ev.agg(
+        F.max("ts") - F.expr("INTERVAL 7 DAYS")).collect()[0][0]
+    info = sinks.retention_sweep(spark, store, cutoff, ts_col="ts")
+    # the fast path must actually engage on this store: expired
+    # directories drop whole (no rewrite) and at most a couple of
+    # boundary dirs rewrite — if every bucket rewrote, the layout
+    # correlation broke and this row should fail loudly
+    assert len(info["dropped"]) >= 1, info
+    assert len(info["rewritten"]) <= 2, info
+    return sinks.read_store(spark, store).select(
+        "event_id", "ts", "event_type")
 
 
 @register("watermark_read", oracle=f"""
@@ -8018,6 +8059,155 @@ def incremental_distinct_sketch(spark: SparkSession,
                         F.abs(F.col("merged_est") - F.col("single_est"))
                         <= F.lit(0.02) * F.col("single_est"))
                     .alias("sketch_merge_consistent")))
+
+
+@register("incremental_topk_sketch", oracle="""
+WITH counts AS (
+  SELECT source, lang, count(*) AS cnt FROM documents GROUP BY source, lang
+), ranked AS (
+  SELECT source, lang, cnt,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY cnt DESC, lang) AS rk
+  FROM counts
+)
+SELECT source, lang, cnt, rk FROM ranked WHERE rk <= 3
+""")
+def incremental_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental per-group TOP-K via mergeable frequent-items
+    sketches (Datasketches ItemsSketch through approx_top_k_accumulate
+    / _combine / _estimate) — the heavy-hitters twin of
+    incremental_distinct_sketch: the base corpus's per-source state is
+    PERSISTED (binary column, |groups| x O(maxItemsTracked) bytes), a
+    batch's state folds in with approx_top_k_combine (counter-wise
+    merge), and serving explodes the estimate and re-ranks with the
+    deterministic (count DESC, item) tiebreak shared with the oracle.
+    At fixture cardinality (5 langs << 64 tracked) every count is
+    EXACT, so the oracle value-checks the full top-3 rows; at 100 TB
+    the same state serves epsilon-approximate heavy hitters with the
+    refresh reading only the batch — a dashboard counter no exact
+    GROUP BY can maintain incrementally."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source",
+                                                 "lang")
+    acc = (lambda df: df.groupBy("source").agg(
+        F.expr("approx_top_k_accumulate(lang, 64)").alias("st")))
+    state_dir = os.path.join(tempfile.mkdtemp(prefix="topkstate_"), "st")
+    acc(docs.filter(F.col("doc_id") % 10 != 7)) \
+        .write.mode("overwrite").parquet(state_dir)
+    state = spark.read.parquet(state_dir)
+    batch = acc(docs.filter(F.col("doc_id") % 10 == 7))
+    merged = (state.unionByName(batch)
+              .groupBy("source")
+              .agg(F.expr("approx_top_k_combine(st, 64)").alias("st")))
+    est = merged.select(
+        "source",
+        F.explode(F.expr("approx_top_k_estimate(st, 32)")).alias("e"))
+    out = est.select("source", F.col("e.item").alias("lang"),
+                     F.col("e.count").cast("long").alias("cnt"))
+    w = Window.partitionBy("source").orderBy(F.col("cnt").desc(), "lang")
+    return (out.withColumn("rk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rk") <= 3))
+
+
+@register("theta_sketch_setops", oracle="""
+WITH hi_p AS (SELECT DISTINCT user_id FROM events
+              WHERE event_type = 'purchase' AND value >= 90),
+     hi_c AS (SELECT DISTINCT user_id FROM events
+              WHERE event_type = 'click' AND value >= 90)
+SELECT 'intersection' AS op,
+       (SELECT count(*) FROM (SELECT user_id FROM hi_p
+        INTERSECT SELECT user_id FROM hi_c)) AS users
+UNION ALL
+SELECT 'purchase_minus_click',
+       (SELECT count(*) FROM (SELECT user_id FROM hi_p
+        EXCEPT SELECT user_id FROM hi_c))
+UNION ALL
+SELECT 'union',
+       (SELECT count(*) FROM (SELECT user_id FROM hi_p
+        UNION SELECT user_id FROM hi_c))
+ORDER BY op
+""")
+def theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-set ALGEBRA on mergeable Theta sketches — what HLL
+    can't do: HLL unions only, Theta also intersects and subtracts, so
+    'high-value purchasers who never high-value clicked' serves from
+    two persisted sketches without touching row data.  The purchase
+    sketch is deliberately built from TWO half-sketches folded with
+    theta_union_agg (the incremental-state path); both sketches sit in
+    exact mode at fixture cardinality (<< 2^lgK = 4096 retained), so
+    the estimates are integers the oracle value-checks against exact
+    EXCEPT / INTERSECT / UNION counts.  At 100 TB the same algebra is
+    epsilon-approximate with state size fixed at O(2^lgK) per set —
+    audience-overlap analytics at constant memory."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type",
+                                            "value")
+    hi = ev.filter(F.col("value") >= 90)
+    click = (hi.filter(F.col("event_type") == "click")
+             .agg(F.expr("theta_sketch_agg(user_id)").alias("c_st")))
+    purchase = (hi.filter(F.col("event_type") == "purchase")
+                .withColumn("h", F.col("user_id") % 2)
+                .groupBy("h")
+                .agg(F.expr("theta_sketch_agg(user_id)").alias("st"))
+                .agg(F.expr("theta_union_agg(st)").alias("p_st")))
+    both = purchase.crossJoin(F.broadcast(click))
+    est = (lambda expr, op: both.select(
+        F.lit(op).alias("op"),
+        F.round(F.expr(f"theta_sketch_estimate({expr})"))
+        .cast("long").alias("users")))
+    return (est("theta_intersection(p_st, c_st)", "intersection")
+            .unionByName(est("theta_difference(p_st, c_st)",
+                             "purchase_minus_click"))
+            .unionByName(est("theta_union(p_st, c_st)", "union"))
+            .orderBy("op"))
+
+
+@register("incremental_quantile_sketch", oracle="""
+SELECT event_type, count(*) AS n, TRUE AS median_rank_ok
+FROM events GROUP BY event_type
+""")
+def incremental_quantile_sketch(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Incremental QUANTILES via mergeable KLL sketches — the
+    order-statistics member of the incremental-dashboard family
+    (distinct = HLL, top-k = ItemsSketch, quantiles = KLL): per-group
+    KllDoublesSketch state over ``value`` is persisted, the batch
+    folds in with kll_merge_agg_double, and the merged state answers
+    rank/quantile queries without re-reading history.  Value-checked
+    columns: ``n`` (items collected — EXACT by construction, pinned to
+    count(*)) and ``median_rank_ok`` — the EXACT rank of the merged
+    sketch's median estimate (one scan: fraction of raw values <= the
+    estimate) must sit within ±0.05 of 0.5.  KLL k=200 normalized
+    rank error is ~1.33% at 99% confidence, so 5% only trips on a
+    broken merge, while exact equality would be dishonest for a
+    randomized sketch.  (The probe is inverted — sketch quantile,
+    exact rank — because kll_sketch_get_rank_double requires a
+    foldable literal, and the exact median isn't one.)  At 100 TB the
+    state is |groups| x ~3 KB and the refresh reads only the batch —
+    percentile dashboards without nightly full scans."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type",
+                                            "value")
+    sk = (lambda df: df.groupBy("event_type").agg(
+        F.expr("kll_sketch_agg_double(value, 200)").alias("st")))
+    state_dir = os.path.join(tempfile.mkdtemp(prefix="kllstate_"), "st")
+    sk(ev.filter(F.col("event_id") % 10 != 7)) \
+        .write.mode("overwrite").parquet(state_dir)
+    state = spark.read.parquet(state_dir)
+    batch = sk(ev.filter(F.col("event_id") % 10 == 7))
+    merged = (state.unionByName(batch)
+              .groupBy("event_type")
+              .agg(F.expr("kll_merge_agg_double(st, 200)").alias("st"))
+              .select("event_type",
+                      F.expr("kll_sketch_get_n_double(st)")
+                      .cast("long").alias("n"),
+                      F.expr("kll_sketch_get_quantile_double(st, 0.5)")
+                      .alias("med_est")))
+    rank = (ev.join(F.broadcast(merged), "event_type")
+            .groupBy("event_type", "n")
+            .agg(F.avg((F.col("value") <= F.col("med_est"))
+                       .cast("double")).alias("exact_rank")))
+    return (rank.select("event_type", "n",
+                        (F.abs(F.col("exact_rank") - F.lit(0.5))
+                         <= F.lit(0.05)).alias("median_rank_ok"))
+            .orderBy("event_type"))
 
 
 _INVIDX_CACHE: dict[str, str] = {}

@@ -43,6 +43,13 @@ def get_spark(app_name: str = "msg_vector_search_spark",
         # events.ts has shipped as TIMESTAMP(NANOS) in some fixture
         # generations; the vectorized reader needs this to read it at all
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # WRITE timestamps as INT64 micros, not the INT96 legacy default:
+        # INT96 columns carry NO min/max statistics, which kills parquet
+        # row-group pruning on every ts predicate against our own stores
+        # AND the retention sweep's footer-stats fast path
+        # (sinks.retention_sweep).  Micros matches TimestampType's own
+        # resolution — lossless.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # Arrow for pandas UDFs / toPandas
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
@@ -64,6 +71,10 @@ def tune_session(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # INT64-micros writes: ts stats survive into footers (row-group
+    # pruning + retention_sweep's footer probe) — see get_spark
+    spark.conf.set("spark.sql.parquet.outputTimestampType",
+                   "TIMESTAMP_MICROS")
     return spark
 
 

@@ -530,6 +530,140 @@ def erase_partitions(spark: SparkSession, path: str, key: str,
     return touched
 
 
+def retention_sweep(spark: SparkSession, path: str, cutoff,
+                    ts_col: str = "ts") -> dict:
+    """Maintenance verb: TTL erasure — delete every row whose *ts_col*
+    is older than *cutoff* (strictly ``< cutoff``; NULL timestamps are
+    KEPT — unknown age never silently expires).  The retention twin of
+    :func:`delete_keys`: that one forgets by KEY (GDPR), this one by
+    AGE (data lifecycle / compliance windows).
+
+    Scale shape — the reason this is cheap on the range layout:
+    arrival-ordered keys make bucket id correlate with time, so
+    retention is a PREFIX of the directory list.  The probe reads only
+    parquet FOOTER statistics (driver-side pyarrow, zero executor
+    jobs, no data pages):
+
+    - every row group's max(ts) < cutoff and no ts NULLs -> the bucket
+      dir is dropped WHOLE (a manifest entry + rmtree — no rewrite,
+      no read);
+    - min(ts) >= cutoff -> untouched (never opened);
+    - straddling (or stats missing / NULL-bearing) -> the ONLY buckets
+      rewritten, through the same staged-manifest commit as the key
+      erasure (:func:`_finish_pending_delete` replays it after any
+      crash; re-running the sweep with the same cutoff is the
+      documented recovery and a no-op on completed buckets).
+
+    On a time-correlated store the rewrite set is O(1) boundary
+    buckets regardless of store size or retention depth; cost is
+    O(footers + boundary bytes).  (A hash-layout store still works —
+    every bucket straddles, so it degrades to a full filtered rewrite,
+    the honest lower bound when age and placement are uncorrelated;
+    pick the range layout for time-lifecycle tables.)  Table formats
+    run the same plan as metadata-only partition drops + one MERGE.
+
+    Returns ``{"dropped": [...], "rewritten": [...], "kept": n_dirs,
+    "cutoff": iso}``.
+    """
+    import datetime as _dt
+
+    heal_root(path)
+    if _read_layout(path) is None:
+        raise ValueError(f"no layout metadata at {path}; not a store")
+    if not _finish_pending_delete(path):
+        shutil.rmtree(path + "._staged", ignore_errors=True)
+    heal_partial_swaps(path)
+
+    def _epoch_us(v) -> int | None:
+        """Normalize a pyarrow footer stat / python datetime to epoch
+        microseconds, INTEGER arithmetic only (float seconds lose
+        microsecond precision at 2024-era epochs).  Nano-unit stats
+        truncate exactly like the readers' ``ts div 1000``, so the
+        probe's boundary agrees with the Spark filter's."""
+        if v is None:
+            return None
+        ns = getattr(v, "value", None)  # pandas.Timestamp: ns int
+        if ns is not None and isinstance(ns, int):
+            return ns // 1000
+        if isinstance(v, _dt.datetime):
+            import calendar
+            if v.tzinfo is not None:
+                v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            return (calendar.timegm(v.timetuple()) * 1_000_000
+                    + v.microsecond)
+        return None
+
+    cut_us = _epoch_us(cutoff)
+    if cut_us is None:
+        raise ValueError(f"cutoff must be a datetime, got {cutoff!r}")
+
+    import pyarrow.parquet as _pq
+
+    drop: list[int] = []
+    rewrite: list[int] = []
+    kept_dirs = 0
+    for entry in sorted(os.listdir(path)):
+        if not entry.startswith(f"{BUCKET_COL}="):
+            continue
+        try:
+            b = int(entry.split("=", 1)[1])
+        except ValueError:
+            continue  # __HIVE_DEFAULT_PARTITION__ etc.: left as-is
+        lo = hi = None
+        nulls = 0
+        no_stats = False
+        d = os.path.join(path, entry)
+        for fn in os.listdir(d):
+            if not fn.endswith(".parquet") or fn.startswith(("_", ".")):
+                continue
+            md = _pq.ParquetFile(os.path.join(d, fn)).metadata
+            try:
+                ci = md.schema.names.index(ts_col)
+            except ValueError:
+                no_stats = True  # ts column absent in this file
+                break
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    no_stats = True
+                    continue
+                nulls += (st.null_count or 0) if st.has_null_count else 1
+                fmn, fmx = _epoch_us(st.min), _epoch_us(st.max)
+                if fmn is None or fmx is None:
+                    no_stats = True
+                    continue
+                lo = fmn if lo is None else min(lo, fmn)
+                hi = fmx if hi is None else max(hi, fmx)
+        if no_stats or lo is None:
+            rewrite.append(b)  # can't prove anything: filter it
+        elif hi < cut_us and nulls == 0:
+            drop.append(b)     # provably all-expired, no NULL ts
+        elif lo >= cut_us:
+            kept_dirs += 1     # provably all-live: never opened
+        else:
+            rewrite.append(b)
+    if not drop and not rewrite:
+        return {"dropped": [], "rewritten": [], "kept": kept_dirs,
+                "cutoff": str(cutoff)}
+
+    emptied = list(drop)
+    if rewrite:
+        current = spark.read.parquet(path).filter(
+            F.col(BUCKET_COL).isin(rewrite))
+        keep_pred = (F.col(ts_col) >= F.lit(cutoff)) | F.col(ts_col).isNull()
+        kept = current.filter(keep_pred)
+        tmp = path + "._staged"
+        kept.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp)
+        emptied += [b for b in rewrite if not os.path.exists(
+            os.path.join(tmp, f"{BUCKET_COL}={b}"))]
+    manifest = {"touched": sorted(rewrite + drop), "emptied": emptied,
+                "part_col": BUCKET_COL}
+    _atomic_write_json(os.path.join(path, DELETE_MANIFEST), manifest)
+    _finish_pending_delete(path)
+    return {"dropped": sorted(drop), "rewritten": sorted(rewrite),
+            "kept": kept_dirs, "cutoff": str(cutoff)}
+
+
 def rebucket_store(spark: SparkSession, path: str,
                    key: str, order_col: str,
                    num_buckets: int | None = None,

@@ -674,3 +674,126 @@ def test_read_watermark_default_as_of_is_instant_correct(spark, tmp_path):
                    .total_seconds()) < 5
     finally:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def _ttl_store(spark, tmp_path, name, n=2_000, width=500, nulls=False):
+    """Arrival-ordered store with one event per minute from a fixed
+    origin: bucket b covers minutes [b*width, (b+1)*width)."""
+    import datetime as dt
+
+    origin = dt.datetime(2024, 1, 1)
+    base = (spark.range(n)
+            .select(F.col("id").alias("k"),
+                    (F.lit(origin) + F.make_interval(
+                        mins=F.col("id").cast("int"))).alias("ts"),
+                    F.lit(1).alias("ord")))
+    if nulls:
+        base = base.withColumn(
+            "ts", F.when(F.col("k") % 997 == 0, F.lit(None)
+                         ).otherwise(F.col("ts")))
+    store = str(tmp_path / name)
+    sinks.upsert_parquet(spark, base, store, key="k", order_col="ord",
+                         layout="range", range_width=width)
+    return store, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=1_250)
+
+
+def test_retention_sweep_drops_whole_dirs_keeps_live_untouched(
+        spark, tmp_path):
+    """TTL fast path on an arrival-ordered store: provably-expired
+    bucket dirs DROP without a rewrite, provably-live dirs stay
+    byte-identical (never opened), only the boundary bucket rewrites —
+    and the surviving rows are exactly ts >= cutoff."""
+    store, cutoff = _ttl_store(spark, tmp_path, "ttl")
+    before = _partition_state(store)
+    info = sinks.retention_sweep(spark, store, cutoff)
+    # minutes 0..1999 in 4 buckets of 500; cutoff at minute 1250:
+    # buckets 0,1 (0-999) drop whole, bucket 2 (1000-1499) straddles,
+    # bucket 3 (1500-1999) is untouched
+    assert info["dropped"] == [0, 1]
+    assert info["rewritten"] == [2]
+    assert info["kept"] == 1
+    after = _partition_state(store)
+    live = {r: s for r, s in before.items()
+            if r.startswith(f"{sinks.BUCKET_COL}=3/")}
+    assert live and all(after.get(r) == s for r, s in live.items())
+    assert not any(r.startswith((f"{sinks.BUCKET_COL}=0/",
+                                 f"{sinks.BUCKET_COL}=1/")) for r in after)
+    rows = sinks.read_store(spark, store)
+    assert rows.count() == 2_000 - 1_250
+    assert rows.agg(F.min("k")).collect()[0][0] == 1_250
+    # idempotent: re-running the sweep with the same cutoff is a no-op
+    again = sinks.retention_sweep(spark, store, cutoff)
+    assert again["dropped"] == [] and again["rewritten"] == []
+    assert sinks.read_store(spark, store).count() == 750
+
+
+def test_retention_sweep_keeps_null_ts_everywhere(spark, tmp_path):
+    """NULL timestamps never expire: a NULL in an otherwise-expired
+    bucket forces that bucket onto the rewrite path (footer null_count
+    guard) and the row survives; straddling buckets keep theirs too."""
+    store, cutoff = _ttl_store(spark, tmp_path, "ttlnull", nulls=True)
+    # null keys: 0, 997, 1994 -> buckets 0 (two) and 3... bucket of
+    # 997 is 1; 1994 is 3.  Buckets 0 and 1 hold nulls among expired
+    # rows, so they must REWRITE (not drop) and keep exactly the nulls.
+    info = sinks.retention_sweep(spark, store, cutoff)
+    assert info["dropped"] == []           # null guard blocks the drop
+    assert set(info["rewritten"]) == {0, 1, 2}
+    rows = sinks.read_store(spark, store)
+    assert rows.filter(F.col("ts").isNull()).count() == 3
+    # 749 live non-null rows (minute 1250-1999 minus k=1994, which is
+    # itself one of the nulls) + the 3 never-expiring nulls
+    assert rows.count() == 749 + 3
+
+
+def test_retention_sweep_crash_after_manifest_rolls_forward(
+        spark, tmp_path):
+    """The sweep shares delete_keys' staged-manifest commit: kill the
+    commit after the manifest lands (whole-drop dirs still present,
+    staged boundary not yet swapped) — any later store verb (here a
+    re-run of the sweep; read_store-side healing works too) replays
+    the manifest and converges to the crash-free result."""
+    import json as _json
+    import os as _os
+
+    store, cutoff = _ttl_store(spark, tmp_path, "ttlcrash")
+    # stage exactly what retention_sweep would, then "crash": manifest
+    # written, nothing swapped, nothing dropped
+    current = spark.read.parquet(store).filter(
+        F.col(sinks.BUCKET_COL).isin([2]))
+    kept = current.filter(F.col("ts") >= F.lit(cutoff))
+    tmp = store + "._staged"
+    kept.write.mode("overwrite").partitionBy(sinks.BUCKET_COL).parquet(tmp)
+    with open(_os.path.join(store, sinks.DELETE_MANIFEST), "w") as f:
+        _json.dump({"touched": [0, 1, 2], "emptied": [0, 1],
+                    "part_col": sinks.BUCKET_COL}, f)
+
+    info = sinks.retention_sweep(spark, store, cutoff)
+    # the re-run first replayed the crashed manifest, then found
+    # nothing left to expire
+    assert info["dropped"] == [] and info["rewritten"] == []
+    rows = sinks.read_store(spark, store)
+    assert rows.count() == 750
+    assert not _os.path.exists(_os.path.join(store, sinks.DELETE_MANIFEST))
+    assert not _os.path.exists(store + "._staged")
+
+
+def test_retention_sweep_hash_layout_degrades_correctly(spark, tmp_path):
+    """On a hash layout age and placement are uncorrelated: every
+    bucket straddles, so the sweep degrades to a filtered rewrite of
+    all buckets — slower by design, still exact."""
+    import datetime as dt
+
+    origin = dt.datetime(2024, 1, 1)
+    base = (spark.range(800)
+            .select(F.col("id").cast("string").alias("k"),
+                    (F.lit(origin) + F.make_interval(
+                        mins=F.col("id").cast("int"))).alias("ts"),
+                    F.lit(1).alias("ord")))
+    store = str(tmp_path / "ttlhash")
+    sinks.upsert_parquet(spark, base, store, key="k", order_col="ord",
+                         num_buckets=8)
+    cutoff = origin + dt.timedelta(minutes=500)
+    info = sinks.retention_sweep(spark, store, cutoff)
+    assert info["dropped"] == []  # no bucket is provably all-expired
+    assert len(info["rewritten"]) == 8
+    assert sinks.read_store(spark, store).count() == 300

@@ -15,7 +15,7 @@ from msg_vector_search_spark import contract  # noqa: E402
 SECTIONS = [
     ("Scans / sources / sinks (SURVEY 2.A)", [
         "scan_messages", "scan_latest_file", "sink_upsert_embeddings",
-        "sink_delete_keys", "watermark_read"]),
+        "sink_delete_keys", "sink_retention_sweep", "watermark_read"]),
     ("Filters / predicates (2.B)", [
         "filter_since_ts", "filter_like_json_probe", "filter_in_list",
         "filter_not_null_distinct", "filter_nonempty_text",
@@ -132,6 +132,9 @@ SECTIONS = [
         "incremental_agg_merge", "incremental_distinct_sketch",
         "store_changefeed", "text_inverted_index_topk",
         "ann_index_compact"]),
+    ("Mergeable-sketch dashboard family completion (round 15)", [
+        "incremental_topk_sketch", "theta_sketch_setops",
+        "incremental_quantile_sketch"]),
     ("Index lifecycle closure: erasure, text maintenance, changefeed "
      "wiring (round 7)", [
         "ann_index_erase", "streaming_index_erase", "text_index_upsert",
