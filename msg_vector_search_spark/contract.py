@@ -8210,6 +8210,92 @@ def incremental_quantile_sketch(spark: SparkSession,
             .orderBy("event_type"))
 
 
+@register("pipeline_retention_forget", oracle=f"""
+WITH n AS (SELECT count(*) AS n FROM embeddings),
+surv AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE vec_id >= (SELECT n // 4 FROM n)
+), cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT 16
+), q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id, e.embedding, c.centroid_id,
+         (round({V.duck_cosine('e.embedding', 'c.cvec')}, 9) + 0) AS cdist
+  FROM surv e CROSS JOIN cent c
+), assigned AS (
+  SELECT vec_id, embedding, centroid_id AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cdist DESC, centroid_id) AS rn
+    FROM scored) WHERE rn = 1
+), probe AS (
+  SELECT centroid_id AS cell
+  FROM cent, q
+  ORDER BY {V.duck_cosine('cvec', 'qv')} DESC, centroid_id LIMIT 4
+)
+SELECT a.vec_id, a.cell,
+       (round({V.duck_cosine('a.embedding', 'qv')}, 6) + 0) AS sim
+FROM assigned a, q
+WHERE a.cell IN (SELECT cell FROM probe)
+ORDER BY sim DESC, a.vec_id LIMIT 10
+""")
+def pipeline_retention_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retention CAPSTONE: forget-by-age must reach the SERVING
+    surface, not just the store.  Flow: (1) arrival-ordered store
+    (synthesized ts = origin + vec_id minutes, so age aligns with the
+    range layout exactly as ingest ids do); (2) materialized IVF index
+    (frozen 16-centroid layout, partitionBy(cell)); (3) victims read
+    BEFORE the sweep via a ts-pruned store scan (INT64-micros footer
+    stats prune the live buckets — the r15 INT96 fix is what makes
+    this read O(expired)); (4) ``sinks.retention_sweep`` drops the
+    expired store dirs; (5) the victims' cells come from O(batch)
+    re-assignment against the PERSISTED centroids
+    (delete_index_keys' fast path) and ``erase_partitions`` removes
+    them from the index, touching only victim cells; (6) serving
+    probes 4 cells of the post-erase index.  The oracle replays
+    assignment + probe + exact cosine over the SURVIVORS — an expired
+    vector surfacing in the top-k fails the hash.  At 100 TB every
+    stage is O(expired + touched cells): nothing rescans the live
+    corpus."""
+    import datetime as dt
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n = emb.count()
+    origin = dt.datetime(2024, 1, 1)
+    stored = emb.withColumn(
+        "ts", F.lit(origin) + F.make_interval(
+            mins=F.col("vec_id").cast("int")))
+    root = tempfile.mkdtemp(prefix="retforget_")
+    store = os.path.join(root, "store")
+    # ~40 directories at any sf (width scales with the corpus), so the
+    # 25% retention cut expires ~10 of them WHOLE at every fixture size
+    sinks.upsert_parquet(spark, stored.withColumn("_ord", F.lit(1)),
+                         store, key="vec_id", order_col="_ord",
+                         layout="range", range_width=max(32, n // 40))
+    cent = ivf_ops.seed_centroids(emb, 16)
+    index = os.path.join(root, "ivf_index")
+    ivf_ops.assign_cells(emb, cent).write.mode("overwrite") \
+        .partitionBy("cell").parquet(index)
+
+    cutoff = origin + dt.timedelta(minutes=n // 4)
+    # victims BEFORE the sweep: ts-pruned store read (live buckets
+    # skipped via row-group stats), vectors kept for the cell lookup
+    victims = (sinks.read_store(spark, store)
+               .filter(F.col("ts") < F.lit(cutoff))
+               .select("vec_id", "embedding").localCheckpoint())
+    info = sinks.retention_sweep(spark, store, cutoff)
+    assert len(info["dropped"]) >= 1, info  # the fast path engaged
+    vcells = ivf_ops.assign_cells(victims, cent).select("vec_id", "cell")
+    touched = sorted(r[0] for r in
+                     vcells.select("cell").distinct().collect())
+    sinks.erase_partitions(spark, index, "vec_id",
+                           vcells.select("vec_id"), touched,
+                           part_col="cell")
+    on_disk = spark.read.parquet(index)
+    return ivf_ops.ivf_search(on_disk, cent,
+                              _query_vec(spark, sf_dir), k=10, nprobe=4)
+
+
 _INVIDX_CACHE: dict[str, str] = {}
 
 

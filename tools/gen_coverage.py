@@ -132,9 +132,10 @@ SECTIONS = [
         "incremental_agg_merge", "incremental_distinct_sketch",
         "store_changefeed", "text_inverted_index_topk",
         "ann_index_compact"]),
-    ("Mergeable-sketch dashboard family completion (round 15)", [
+    ("Mergeable-sketch dashboard family + retention lifecycle "
+     "(round 15)", [
         "incremental_topk_sketch", "theta_sketch_setops",
-        "incremental_quantile_sketch"]),
+        "incremental_quantile_sketch", "pipeline_retention_forget"]),
     ("Index lifecycle closure: erasure, text maintenance, changefeed "
      "wiring (round 7)", [
         "ann_index_erase", "streaming_index_erase", "text_index_upsert",
