@@ -515,6 +515,51 @@ class Engine:
         return out
 
     # -- 3.3 stats path ---------------------------------------------------
+    def apply_retention(self, cutoff) -> dict:
+        """Forget-by-AGE across the whole engine (the facade rendering
+        of ``pipeline_retention_forget``): rows with ``ts < cutoff``
+        leave the store via ``sinks.retention_sweep`` (footer-stats
+        whole-dir drops on the arrival-ordered range layout, boundary
+        bucket rewrite only) AND leave the serving index — victims are
+        read BEFORE the sweep through a ts-pruned store scan (vector
+        payload kept), so ``ann_index.delete_index_keys`` takes its
+        O(batch) fast path (cells re-derived from the persisted
+        centroids, no index scan).  The reference has no retention
+        verb — its SQLite store grows forever; at 100 TB every stage
+        here is O(expired + touched cells).
+
+        Returns ``{status, expired, store: sweep-info, index_cells}``.
+        Idempotent: re-running with the same cutoff finds zero
+        victims and touches nothing."""
+        if not self._store_exists():
+            return {"status": "success", "expired": 0,
+                    "store": {"dropped": [], "rewritten": [], "kept": 0,
+                              "cutoff": str(cutoff)},
+                    "index_cells": []}
+        victims = (self._store()
+                   .filter(F.col("ts") < F.lit(cutoff))
+                   .select("message_id", "embedding").localCheckpoint())
+        n_victims = victims.count()
+        touched_cells: list = []
+        # index FIRST, store second: if the store swept first and we
+        # crashed, a re-run would find zero victims (they're gone from
+        # the store) and the index would serve expired rows forever;
+        # with this order a crash at any point re-converges on re-run
+        # (victims still in the store -> re-derived -> idempotent
+        # erase).  Same discipline as delete_index_keys' codes-first.
+        if n_victims and self.index_dir and self._index_ready():
+            from .operators import ann_index
+            touched_cells = ann_index.delete_index_keys(
+                self.spark, self.index_dir, victims.select("message_id"),
+                vectors=victims)
+        info = sinks.retention_sweep(self.spark, self._store_path(),
+                                     cutoff, ts_col="ts")
+        from .operators.dedup import _cc_free
+        _cc_free(victims)
+        self._gap_cache = None  # the store changed; cached gap is stale
+        return {"status": "success", "expired": int(n_victims),
+                "store": info, "index_cells": touched_cells}
+
     def get_database_stats(self) -> dict:
         """One union-of-aggregates query (reference: engine.py:228-284
         runs three serial round-trips).  Before the first ingest the

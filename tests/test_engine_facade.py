@@ -503,3 +503,53 @@ def test_update_embeddings_envelope_has_no_store_wide_jobs():
     assert "_embedded_count" not in src
     assert 'F.max("_gen")' not in src and "agg(F.max" not in src
     assert "run_info" in src and "new_messages" in src
+
+
+def test_apply_retention_forgets_store_and_index(spark, tmp_path):
+    """Engine.apply_retention: rows older than the cutoff leave BOTH
+    the store and the serving index (the facade rendering of
+    pipeline_retention_forget); served results contain no expired id,
+    re-running with the same cutoff is a no-op, and a pre-first-ingest
+    call reports cleanly instead of crashing."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    cold = Engine(spark, SF, str(tmp_path / "cold_store"),
+                  index_dir=str(tmp_path / "cold_idx"))
+    out = cold.apply_retention(dt.datetime(2024, 1, 15))
+    assert out["status"] == "success" and out["expired"] == 0
+
+    eng = Engine(spark, SF, str(tmp_path / "store"),
+                 index_dir=str(tmp_path / "idx"), nlist=8, nprobe=8,
+                 shortlist=500)
+    eng.update_embeddings()
+    assert eng.ensure_index()
+    store = eng._store()
+    cutoff = store.agg(
+        F.max("ts") - F.expr("INTERVAL 7 DAYS")).collect()[0][0]
+    expired_ids = {r["message_id"] for r in
+                   store.filter(F.col("ts") < F.lit(cutoff))
+                   .select("message_id").collect()}
+    n_before = eng._embedded_count()
+    assert expired_ids and len(expired_ids) < n_before
+
+    out = eng.apply_retention(cutoff)
+    assert out["expired"] == len(expired_ids)
+    assert out["store"]["dropped"] or out["store"]["rewritten"]
+    assert out["index_cells"]  # the erase reached the index
+    assert eng._embedded_count() == n_before - len(expired_ids)
+    # nothing expired is served (exhaustive probe, store-sized
+    # shortlist -> any surviving copy WOULD surface)
+    res = eng.search("test message", limit=50, threshold=-1.0)
+    served = {r["message_id"] for r in res["results"]}
+    assert served and not served & expired_ids
+    # and the index's vectors store holds no expired key at all
+    import os
+    vecs = spark.read.parquet(os.path.join(str(tmp_path / "idx"),
+                                           "vectors"))
+    assert vecs.filter(F.col("message_id").isin(
+        list(expired_ids)[:50])).count() == 0
+    # idempotent re-run
+    again = eng.apply_retention(cutoff)
+    assert again["expired"] == 0 and again["index_cells"] == []

@@ -797,3 +797,33 @@ def test_retention_sweep_hash_layout_degrades_correctly(spark, tmp_path):
     assert info["dropped"] == []  # no bucket is provably all-expired
     assert len(info["rewritten"]) == 8
     assert sinks.read_store(spark, store).count() == 300
+
+
+def test_retention_sweep_then_upsert_stays_consistent(spark, tmp_path):
+    """Lifecycle interplay: after a sweep drops whole bucket dirs, a
+    later upsert must keep working under the UNCHANGED layout metadata
+    — new keys land in their original bucket function (re-growing a
+    dropped dir if keys map there), last-wins still holds, and a
+    second sweep sees the fresh rows as live."""
+    import datetime as dt
+
+    store, cutoff = _ttl_store(spark, tmp_path, "ttlup")
+    sinks.retention_sweep(spark, store, cutoff)
+    origin = dt.datetime(2024, 1, 1)
+    # new batch: keys 100-199 map to the DROPPED bucket 0, but with
+    # LIVE timestamps (arrival time is now, key range is recycled)
+    fresh = (spark.range(100, 200)
+             .select(F.col("id").alias("k"),
+                     (F.lit(origin) + F.make_interval(
+                         mins=(F.col("id") + 3_000).cast("int")))
+                     .alias("ts"),
+                     F.lit(2).alias("ord")))
+    sinks.upsert_parquet(spark, fresh, store, key="k", order_col="ord")
+    rows = sinks.read_store(spark, store)
+    assert rows.count() == 750 + 100
+    assert rows.filter((F.col("k") >= 100) & (F.col("k") < 200)).count() == 100
+    # second sweep at the same cutoff: the recycled-bucket rows are
+    # live (their ts is newer), so nothing is expired
+    again = sinks.retention_sweep(spark, store, cutoff)
+    assert again["dropped"] == [] and again["rewritten"] == []
+    assert sinks.read_store(spark, store).count() == 850
