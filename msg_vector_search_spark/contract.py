@@ -668,9 +668,13 @@ def sink_retention_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     its SQLite store grows forever (SURVEY 2.A gap)."""
     store = os.path.join(tempfile.mkdtemp(prefix="ttlstore_"), "store")
     ev = _t(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    # ~40 directories at any sf (width scales with the corpus — the
+    # per-dir file overhead of a fixed tiny width dominated the row's
+    # sf0.1 wall time, and the 7-day cut still expires ~30 of 40 whole)
+    n = ev.count()
     sinks.upsert_parquet(spark, ev.withColumn("_ord", F.lit(1)),
                          store, key="event_id", order_col="_ord",
-                         layout="range", range_width=512)
+                         layout="range", range_width=max(64, n // 40))
     cutoff = ev.agg(
         F.max("ts") - F.expr("INTERVAL 7 DAYS")).collect()[0][0]
     info = sinks.retention_sweep(spark, store, cutoff, ts_col="ts")
