@@ -711,6 +711,64 @@ def erase_main() -> None:
             shutil.rmtree(d, ignore_errors=True)
 
 
+def retention_main() -> None:
+    """python tools/scaling_check.py --retention [mult ...] — TTL-sweep
+    scaling: stores of 1x/4x/16x rows under the SAME per-dir width
+    discipline (~constant keys/dir, so dir count grows with the
+    corpus), each swept at a fixed 25% retention cut.  The claim under
+    measurement: sweep cost is footers + boundary bytes — whole-dir
+    drops are metadata renames, live dirs are never opened — so
+    sweep_s grows far slower than store size (the probe is O(dirs)
+    driver-side metadata; the ONE boundary-bucket rewrite is
+    ~constant).  build_s is the setup cost, reported for contrast."""
+    import datetime as dt
+
+    from msg_vector_search_spark.session import get_spark
+    from msg_vector_search_spark.sources import readers, sinks
+
+    mults = [int(a) for a in sys.argv[1:] if a.isdigit()] or [1, 4, 16]
+    spark = get_spark("retention_scaling")
+    origin = dt.datetime(2024, 1, 1)
+    print(f"{'xN':>4} {'rows':>9} {'dirs':>6} {'build_s':>8} "
+          f"{'sweep_s':>8} {'dropped':>8} {'rewrit':>7} {'surv':>9}")
+    for m in mults:
+        d = tempfile.mkdtemp(prefix=f"ttl_{m}x_")
+        try:
+            ev = readers.read_table(spark, BASE, "events") \
+                .select("event_id", "ts")
+            n0 = ev.count()
+            copies = [ev.withColumn("event_id",
+                                    F.col("event_id") + F.lit(i * 10_000_000))
+                      .withColumn("ts", F.col("ts") + F.expr(
+                          f"INTERVAL {i * 31} DAYS"))
+                      for i in range(m)]
+            big = copies[0]
+            for c in copies[1:]:
+                big = big.unionByName(c)
+            # production sizing: keys/dir held constant -> dirs grow
+            # with the corpus (the property the footer probe rides)
+            width = 2_500
+            store = os.path.join(d, "store")
+            t0 = time.perf_counter()
+            sinks.upsert_parquet(spark, big.withColumn("_ord", F.lit(1)),
+                                 store, key="event_id", order_col="_ord",
+                                 layout="range", range_width=width)
+            t_build = time.perf_counter() - t0
+            ndirs = sum(1 for e in os.listdir(store)
+                        if e.startswith(sinks.BUCKET_COL + "="))
+            # fixed 25% cut of the OLDEST data (replica 0's first week)
+            cutoff = origin + dt.timedelta(days=7, hours=12)
+            t0 = time.perf_counter()
+            info = sinks.retention_sweep(spark, store, cutoff)
+            t_sweep = time.perf_counter() - t0
+            surv = sinks.read_store(spark, store).count()
+            print(f"{m:>4} {n0 * m:>9} {ndirs:>6} {t_build:>8.2f} "
+                  f"{t_sweep:>8.2f} {len(info['dropped']):>8} "
+                  f"{len(info['rewritten']):>7} {surv:>9}")
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def batch_main() -> None:
     """python tools/scaling_check.py --batch [Q ...] — measure the
     batched-serving amortization: Q single search_index calls vs ONE
@@ -819,6 +877,8 @@ if __name__ == "__main__":
         batch_main()
     elif "--erase" in sys.argv:
         erase_main()
+    elif "--retention" in sys.argv:
+        retention_main()
     elif "--tpch" in sys.argv:
         tpch_main()
     elif "--retrieval" in sys.argv:
