@@ -7674,6 +7674,57 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(20))
 
 
+@register("text_bm25_and_topk", oracle=f"""
+WITH scored AS ({retrieval_ops.duck_bm25(_BM25_TERMS, _DUCK_TOKENS,
+                                         require_all=True)})
+SELECT doc_id, CAST(dl AS BIGINT) AS dl, (round(bm25, 6) + 0) AS bm25
+FROM scored
+ORDER BY (round(bm25, 6) + 0) DESC, doc_id LIMIT 20
+""")
+def text_bm25_and_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive (AND-mode) BM25 — the other standard keyword
+    semantics next to text_bm25_topk's OR mode: only documents
+    containing EVERY query term are admitted (Lucene BooleanQuery
+    MUST); scoring and idf statistics are mode-independent, so
+    AND-mode scores equal the OR scores of the surviving docs.  Same
+    scan-riding plan: one broadcast stats row, admission is a tighter
+    filter on the same pivoted tf columns — no extra pass, no
+    shuffle."""
+    docs = readers.widen(_t(spark, sf_dir, "documents"))
+    scored = retrieval_ops.bm25_scores(docs, _BM25_TERMS,
+                                       require_all=True)
+    return (scored.select("doc_id",
+                          F.col("dl").cast("long").alias("dl"),
+                          rnd(F.col("bm25"), 6).alias("bm25"))
+            .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+            .limit(20))
+
+
+@register("text_index_and_topk", oracle=f"""
+WITH scored AS ({retrieval_ops.duck_bm25(_BM25_TERMS, _DUCK_TOKENS,
+                                         require_all=True)})
+SELECT doc_id, CAST(dl AS BIGINT) AS dl, (round(bm25, 6) + 0) AS bm25
+FROM scored
+ORDER BY (round(bm25, 6) + 0) DESC, doc_id LIMIT 20
+""")
+def text_index_and_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AND-mode BM25 served from the PERSISTED inverted index — the
+    index path must reproduce the scan path's conjunction bit-for-bit
+    (same oracle as text_bm25_and_topk).  The pruned postings read is
+    unchanged (term buckets only); the conjunction is a filter over
+    the pivoted per-doc tf columns BEFORE the stats broadcast, so at
+    100 TB the admitted set shrinks to the rarest term's postings
+    intersection without reading anything extra."""
+    path = _inverted_index(spark, sf_dir)
+    scored = retrieval_ops.search_inverted_index(
+        spark, path, _BM25_TERMS, require_all=True)
+    return (scored.select("doc_id",
+                          F.col("dl").cast("long").alias("dl"),
+                          rnd(F.col("bm25"), 6).alias("bm25"))
+            .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+            .limit(20))
+
+
 @register("rerank_cross_encoder", oracle=f"""
 WITH scored AS ({retrieval_ops.duck_bm25(_BM25_TERMS, _DUCK_TOKENS)}),
 cand AS (

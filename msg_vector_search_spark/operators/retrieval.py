@@ -49,10 +49,17 @@ def _tf(tok_col, term: str):
 
 def bm25_scores(docs: DataFrame, terms: list[str], text_col: str = "text",
                 id_col: str = "doc_id", k1: float = K1,
-                b: float = B) -> DataFrame:
+                b: float = B, require_all: bool = False) -> DataFrame:
     """Okapi BM25 of every document against the fixed *terms* list.
 
-    Returns ``(id_col, dl, bm25)`` for documents matching >= 1 term.
+    Returns ``(id_col, dl, bm25)`` for documents matching >= 1 term —
+    or, with ``require_all`` (conjunctive / AND mode, the other
+    standard keyword-search semantics), only documents containing
+    EVERY term.  The scoring expression and the idf statistics are
+    mode-independent (df counts docs per term either way — Lucene's
+    BooleanQuery MUST semantics); only the admission predicate
+    changes, so AND-mode scores are the OR-mode scores of the
+    surviving docs.
     idf is the Lucene/Robertson form ``ln(1 + (N - df + 0.5)/(df +
     0.5))`` — always positive, so a term matched can only add score.
 
@@ -81,10 +88,16 @@ def bm25_scores(docs: DataFrame, terms: list[str], text_col: str = "text",
           for i in range(len(terms))])
     scored = wtf.crossJoin(F.broadcast(stats))
     score = _bm25_score_col(len(terms), k1, b)
-    matched = F.col("_tf_0")
-    for i in range(1, len(terms)):
-        matched = matched + F.col(f"_tf_{i}")
-    return (scored.filter(matched > 0)
+    if require_all:
+        matched = F.col("_tf_0") > 0
+        for i in range(1, len(terms)):
+            matched = matched & (F.col(f"_tf_{i}") > 0)
+    else:
+        total = F.col("_tf_0")
+        for i in range(1, len(terms)):
+            total = total + F.col(f"_tf_{i}")
+        matched = total > 0
+    return (scored.filter(matched)
             .select(id_col, "dl", score.alias("bm25")))
 
 
@@ -533,7 +546,8 @@ def search_inverted_index(spark, path: str, terms: list[str],
                           id_col: str = "doc_id", k1: float = K1,
                           b: float = B,
                           n_buckets: int = INDEX_BUCKETS,
-                          where: str | None = None) -> DataFrame:
+                          where: str | None = None,
+                          require_all: bool = False) -> DataFrame:
     """Serve BM25 from the PERSISTED index: prune postings to the query
     terms' buckets (literal partition filter — only those directories
     are listed or read), pivot the <= |terms| postings per doc to tf
@@ -600,6 +614,16 @@ def search_inverted_index(spark, path: str, terms: list[str],
         for i, t in enumerate(terms)])
     corpus = doclen.agg(F.count("*").alias("_n"),
                         F.sum("dl").cast("long").alias("_sumdl"))
+    if require_all:
+        # conjunctive (AND) mode: admit only docs with every term —
+        # same pivoted tf frame, same statistics (df/idf are
+        # mode-independent, Lucene MUST semantics), stricter admission.
+        # The filter runs BEFORE the stats broadcast join, so the
+        # scored set shrinks to the conjunction first.
+        cond = F.col("_tf_0") > 0
+        for i in range(1, len(terms)):
+            cond = cond & (F.col(f"_tf_{i}") > 0)
+        wtf = wtf.filter(cond)
     stats = corpus.crossJoin(dfs)
     scored = wtf.crossJoin(F.broadcast(stats))
     return scored.select(id_col, "dl",
@@ -923,7 +947,8 @@ def hybrid_serve_many(spark, text_path: str, ann_path: str,
 
 def duck_bm25(terms: list[str], duck_tokens: str,
               from_table: str = "documents", id_col: str = "doc_id",
-              k1: float = K1, b: float = B) -> str:
+              k1: float = K1, b: float = B,
+              require_all: bool = False) -> str:
     """DuckDB rendering of :func:`bm25_scores` — identical expression
     tree (same literals, same association order) so both engines emit
     bit-identical doubles before the grid rounding."""
@@ -939,13 +964,17 @@ def duck_bm25(terms: list[str], duck_tokens: str,
         f" / (w.tf_{i} + {k1!r} * (1.0 - {b!r}"
         f" + {b!r} * (w.dl / (s.sumdl / s.n)))))"
         for i in range(len(terms)))
-    matched = " + ".join(f"w.tf_{i}" for i in range(len(terms)))
+    if require_all:
+        matched = " AND ".join(f"w.tf_{i} > 0" for i in range(len(terms)))
+    else:
+        total = " + ".join(f"w.tf_{i}" for i in range(len(terms)))
+        matched = f"({total}) > 0"
     return f"""
 WITH t AS (SELECT {id_col}, {duck_tokens} AS toks FROM {from_table}),
 w AS (SELECT {id_col}, len(toks) AS dl, {tf_cols} FROM t),
 s AS (SELECT count(*) AS n, sum(dl) AS sumdl, {df_cols} FROM w)
 SELECT w.{id_col}, w.dl, ({contribs}) AS bm25
-FROM w, s WHERE ({matched}) > 0
+FROM w, s WHERE {matched}
 """
 
 

@@ -1046,3 +1046,30 @@ def test_hybrid_serves_non_default_ann_id_col(spark, tmp_path):
     assert len(got) > 0
     assert {c for c in got[0].asDict()} == {
         "qid", "doc_id", "rank_kw", "rank_vec", "rrf"}
+
+
+def test_bm25_and_mode_scan_and_index_agree(spark, tmp_path):
+    """Conjunctive (AND) BM25: only docs with EVERY term are admitted;
+    admitted docs keep their OR-mode scores exactly (df/idf statistics
+    are mode-independent — Lucene MUST semantics); and the persisted
+    index reproduces the scan path bit-for-bit."""
+    rows = [(1, "alpha beta gamma"), (2, "alpha beta"),
+            (3, "alpha alpha"), (4, "beta"), (5, "delta")]
+    docs = _mini_corpus(spark, rows)
+    terms = ["alpha", "beta"]
+    or_scores = _scores(retrieval.bm25_scores(docs, terms))
+    and_scores = _scores(retrieval.bm25_scores(docs, terms,
+                                               require_all=True))
+    assert set(and_scores) == {1, 2}           # both terms required
+    assert set(or_scores) == {1, 2, 3, 4}      # any term admits
+    for d, s in and_scores.items():            # same scores, fewer docs
+        assert s == or_scores[d]
+    path = str(tmp_path / "andidx")
+    retrieval.build_inverted_index(docs, path, n_buckets=8)
+    idx = _scores(retrieval.search_inverted_index(
+        spark, path, terms, n_buckets=8, require_all=True))
+    assert idx == and_scores
+    # zero-match conjunction: empty, not a crash
+    none = retrieval.bm25_scores(docs, ["alpha", "delta"],
+                                 require_all=True)
+    assert none.count() == 0

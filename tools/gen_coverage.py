@@ -104,7 +104,8 @@ SECTIONS = [
         "sim_join_ivf_pandas", "sim_join_ivf_p2", "knn_join_pandas",
         "topk_quantized_int8", "topk_prenormalized",
         "group_centroids_pandas", "ann_truncated_rerank",
-        "text_bm25_topk", "hybrid_search_rrf",
+        "text_bm25_topk", "text_bm25_and_topk", "text_index_and_topk",
+        "hybrid_search_rrf",
         "rerank_cross_encoder"]),
     ("Training-data pipeline: text analysis", [
         "text_lang_id", "text_quality_score", "text_token_counts",
