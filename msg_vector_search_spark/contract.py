@@ -807,8 +807,8 @@ WITH c AS (
   SELECT doc_id,
     CASE doc_id % 4
       WHEN 0 THEN '{"text": "' || substr(text, 1, 20) || '"}'
-      WHEN 1 THEN '[{"text": "' || substr(text, 1, 8) || '"}, {"text": "'
-                  || lang || '"}]'
+      WHEN 1 THEN '[{"text": "' || substr(text, 1, 8)
+                  || '"}, {"note": 1}, {"text": "' || lang || '"}]'
       WHEN 2 THEN text
       ELSE '{"x": 1}'
     END AS content
@@ -819,18 +819,27 @@ SELECT doc_id,
     WHEN '{' THEN CASE WHEN json_valid(content)
                        THEN coalesce(json_extract_string(content, '$.text'), content)
                        ELSE content END
-    WHEN '[' THEN coalesce(json_extract_string(content, '$[0].text'), '')
-                  || ' ' || coalesce(json_extract_string(content, '$[1].text'), '')
+    WHEN '[' THEN array_to_string(list_filter(
+                    [json_extract_string(content, '$[0].text'),
+                     json_extract_string(content, '$[1].text'),
+                     json_extract_string(content, '$[2].text')],
+                    x -> x IS NOT NULL), ' ')
     ELSE content
   END AS extracted
 FROM c
 """)
 def json_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C1: object => .text, array => joined segment texts, non-JSON =>
+    """C1: object => .text, array => joined segment texts with
+    text-LESS items SKIPPED (reference appends only items that have
+    "text", processor.py:141-145 — no separator doubling), non-JSON =>
     raw passthrough, dict-without-text => raw passthrough too (the
     reference's ``"text" in data`` guard falls through to ``return
-    content``, processor.py:137-150).  Inputs constructed per doc_id % 4;
-    the %4==3 branch ({"x": 1}) pins the no-text raw passthrough."""
+    content``, processor.py:137-150).  Inputs constructed per doc_id %
+    4; the %4==3 branch ({"x": 1}) pins the no-text raw passthrough
+    and the %4==1 array carries a text-less MIDDLE item so the skip
+    semantics are value-pinned on every fixture row (ADVICE r16: the
+    oracle's old ''-coalesce join would double the separator here —
+    both sides now implement the skip)."""
     docs = _t(spark, sf_dir, "documents")
     content = (
         F.when(F.col("doc_id") % 4 == 0,
@@ -838,7 +847,8 @@ def json_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.lit('"}')))
         .when(F.col("doc_id") % 4 == 1,
               F.concat(F.lit('[{"text": "'), F.substring("text", 1, 8),
-                       F.lit('"}, {"text": "'), F.col("lang"), F.lit('"}]')))
+                       F.lit('"}, {"note": 1}, {"text": "'),
+                       F.col("lang"), F.lit('"}]')))
         .when(F.col("doc_id") % 4 == 2, F.col("text"))
         .otherwise(F.lit('{"x": 1}'))
     )
@@ -8351,6 +8361,68 @@ def pipeline_retention_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
                               _query_vec(spark, sf_dir), k=10, nprobe=4)
 
 
+@register("pipeline_retention_forget_text", oracle=f"""
+WITH surv AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id >= (SELECT count(*) // 4 FROM documents)
+), scored AS ({retrieval_ops.duck_bm25(_BM25_TERMS, _DUCK_TOKENS,
+                                       from_table="surv")})
+SELECT doc_id, CAST(dl AS BIGINT) AS dl, (round(bm25, 6) + 0) AS bm25
+FROM scored
+ORDER BY (round(bm25, 6) + 0) DESC, doc_id LIMIT 20
+""")
+def pipeline_retention_forget_text(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """The TEXT twin of the retention capstone (VERDICT r15 item 1:
+    forget-by-age must reach BOTH serving indexes — the ANN capstone
+    above proves the vector surface; this row proves BM25 serving).
+    Flow: (1) arrival-ordered store (ts = origin + doc_id minutes);
+    (2) persisted inverted index over the full corpus; (3) victims
+    read BEFORE the sweep via the ts-pruned store scan; (4)
+    ``sinks.retention_sweep`` drops the expired store dirs whole; (5)
+    the victim ids feed ``delete_inverted_docs`` — ONE O(expired)
+    tombstone append, no postings touched, physical removal stays
+    compaction's job; (6) BM25 serves from the post-tombstone index.
+    Tombstones gate postings AND every corpus statistic (N, Σdl, df
+    recount over live docs only), so the oracle replays exact BM25
+    over the SURVIVORS — an expired doc surfacing in the top-k, or
+    stats still counting expired docs, fails the hash.  At 100 TB:
+    sweep is O(expired dirs + boundary), tombstone is O(expired),
+    serving is bucket-pruned postings + doclen; nothing rescans the
+    live corpus.  Engine.apply_retention renders this same flow as a
+    facade verb (engine.py) next to the ANN erase."""
+    import datetime as dt
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    n = docs.count()
+    origin = dt.datetime(2024, 1, 1)
+    stored = docs.withColumn(
+        "ts", F.lit(origin) + F.make_interval(
+            mins=F.col("doc_id").cast("int")))
+    root = tempfile.mkdtemp(prefix="retforget_text_")
+    store = os.path.join(root, "store")
+    sinks.upsert_parquet(spark, stored.withColumn("_ord", F.lit(1)),
+                         store, key="doc_id", order_col="_ord",
+                         layout="range", range_width=max(32, n // 40))
+    index = os.path.join(root, "text_index")
+    retrieval_ops.build_inverted_index(docs, index)
+
+    cutoff = origin + dt.timedelta(minutes=n // 4)
+    victims = (sinks.read_store(spark, store)
+               .filter(F.col("ts") < F.lit(cutoff))
+               .select("doc_id"))
+    retrieval_ops.delete_inverted_docs(victims, index)
+    info = sinks.retention_sweep(spark, store, cutoff)
+    assert len(info["dropped"]) >= 1, info  # the fast path engaged
+    scored = retrieval_ops.search_inverted_index(spark, index,
+                                                 _BM25_TERMS)
+    return (scored.select("doc_id",
+                          F.col("dl").cast("long").alias("dl"),
+                          rnd(F.col("bm25"), 6).alias("bm25"))
+            .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+            .limit(20))
+
+
 _INVIDX_CACHE: dict[str, str] = {}
 
 
@@ -10510,7 +10582,33 @@ def topk_mmr_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
 # every operator accrues one across rounds. Purely a presentation
 # order — REGISTRY itself keeps source order.
 DRIVER_VERIFIED = frozenset({
-    # r14-window greens re-listed in r15 (CORRECTNESS_r14: all
+    # r15-window greens re-listed in r16 (CORRECTNESS_r15: all 48
+    # full-oracle green + 2 rows-only-by-contract; their serving code
+    # is untouched by the r16 diff):
+    "sink_upsert_embeddings", "streaming_incremental_dedup",
+    "ann_lsh_topk", "streaming_index_upsert", "streaming_index_erase",
+    "streaming_budget_admit", "udf_embed_batch",
+    "streaming_tumbling_availablenow", "streaming_append_finalized",
+    "streaming_sliding_window", "streaming_sessionize_stateful",
+    "streaming_dedup_within_watermark", "streaming_upsert_store",
+    "text_bm25_and_topk", "text_index_and_topk",
+    "streaming_enrich_dim", "streaming_interval_join",
+    "incremental_distinct_sketch", "incremental_topk_sketch",
+    "theta_sketch_setops", "incremental_quantile_sketch",
+    "streaming_text_index_upsert", "streaming_text_index_erase",
+    "streaming_centroid_drift",
+    # round 16 rotation discipline: ABSENT (pending-first in the r16
+    # window) = rows whose EXECUTED serving path changed in the r16
+    # diff — json_extract_text (array fixture now carries a text-less
+    # middle item; oracle array branch rewritten to skip semantics,
+    # ADVICE r16 low), sink_retention_sweep + pipeline_retention_forget
+    # (retention_sweep's footer probe thread-pooled, VERDICT r15 item
+    # 6), udf_embed_query (embed_query_vector dim default -> None,
+    # ADVICE r16 medium), plus pipeline_retention_forget_text (NEW —
+    # the text-index retention capstone, VERDICT r15 item 1).
+    # Engine.apply_retention/ensure_text_index/search_text changes are
+    # facade-only (no contract row constructs an Engine) — covered by
+    # tests/test_engine_facade.py.
     # full-oracle or rows-only-by-contract green; their serving
     # code is untouched by the r15 diff):
     "knn_join_pandas", "context_prev_next", "kth_ts_offset", "sessionize", "dedup_edit_distance", "dedup_repeated_chunks", "dedup_unaligned_substring", "text_novelty_score", "curate_by_novelty", "multimodal_features", "udtf_explode_users", "group_centroids_pandas", "asof_join_events", "range_join_ship_window", "maxsim_join_pandas",
@@ -10926,38 +11024,54 @@ def _last_checked_rounds() -> dict:
     return last
 
 
-# SURVEY §2 keyed rows bumped ahead of the age sort for ONE window
-# (VERDICT r14 item 5: the core-surface rows stuck at r8-r9 must land
-# inside the next ~50-row check even though the r4-r5 extension tail
-# is older).  Cleared once their CORRECTNESS row refreshes — the
-# bump self-disarms because rows newer than the stale cut drop out.
-ROTATION_PRIORITY = (
-    "agg_count_total", "agg_count_embedded", "agg_min_max_ts",
-    "agg_count_distinct_users", "agg_new_msg_gap", "agg_group_first",
-    "agg_running_max_watermark", "sort_ts_pagination",
-    "keyset_pagination", "ts_quantile_cut", "neighbor_limit1",
-    "limit_candidates", "anti_join_unnamed", "semi_join_deep_search",
-    "dedup_last_wins", "window_rank_family",
-)
+# The rotation's hard staleness bound (VERDICT r15 item 3, replacing
+# the hand-curated one-window ROTATION_PRIORITY tuple): a listed row
+# whose last green driver check is more than this many rounds behind
+# the newest CORRECTNESS artifact is OVERDUE.  Overdue rows outrank
+# everything except a small reserved quota of pending (new/changed)
+# rows — when a large overdue backlog and a large pending set compete
+# for the ~50-row window, the age bound wins beyond that quota (the
+# excess pending rows are covered by the round's local full sweep and
+# land in the NEXT window; an overdue row has had no hard driver
+# signal for 8+ rounds).  Within each block the sort is
+# oldest-check-first, so the backlog drains at nearly the full window
+# rate and the mechanism self-disarms: a freshly checked row ages out
+# of the overdue set by definition.  Unlike its ROTATION_PRIORITY
+# predecessor this needs no per-round curation — ANY row that falls
+# behind the bound is bumped automatically, forever.
+MAX_CHECK_AGE_ROUNDS = 8
+
+#: window slots guaranteed to this round's new/changed rows even when
+#: the overdue backlog alone would fill the window — a changed row's
+#: driver check is the correctness gate's primary signal and must not
+#: be starved by the staleness drain (nor vice versa)
+PENDING_WINDOW_QUOTA = 12
 
 
 def verification_order(mapping: dict) -> dict:
     """Reorder ``mapping`` (REGISTRY or ORACLES) for the driver's
-    ~50-row window: names without a driver CORRECTNESS row — or whose
-    serving code changed this round (curated out of DRIVER_VERIFIED) —
-    come first in registration order, then the ROTATION_PRIORITY rows
-    still stale (last check <= r10), then everything else OLDEST
-    driver check first (VERDICT r11 item 2: the age-based rotation that
-    cycles stale rows — 84 rows were stuck at <= r4 — back through the
-    window at ~25-45/round, bounding staleness at ~2-3 rounds)."""
+    ~50-row window: first up to PENDING_WINDOW_QUOTA names without a
+    driver CORRECTNESS row or whose serving code changed this round
+    (curated out of DRIVER_VERIFIED), in registration order; then
+    every OVERDUE row (older than MAX_CHECK_AGE_ROUNDS vs the newest
+    artifact — the enforced staleness bound) oldest first; then any
+    pending overflow; then everything else OLDEST driver check first
+    (VERDICT r11 item 2: the age-based rotation that cycles stale rows
+    back through the window at ~25-45/round)."""
     last = _last_checked_rounds()
-    pending = [k for k in REGISTRY if k not in DRIVER_VERIFIED]
-    prio = [k for k in ROTATION_PRIORITY
-            if k in DRIVER_VERIFIED and last.get(k, 0) <= 10]
+    cur = max(last.values(), default=0)
+    cut = cur - MAX_CHECK_AGE_ROUNDS
     reg_pos = {k: i for i, k in enumerate(REGISTRY)}
-    head = set(pending) | set(prio)
+    age = (lambda k: (last.get(k, 0), reg_pos[k]))
+    overdue = sorted((k for k in REGISTRY
+                      if k in DRIVER_VERIFIED and last.get(k, 0) <= cut),
+                     key=age)
+    pending = [k for k in REGISTRY if k not in DRIVER_VERIFIED]
+    head = set(pending) | set(overdue)
     done = sorted((k for k in REGISTRY
                    if k in DRIVER_VERIFIED and k not in head),
-                  key=lambda k: (last.get(k, 0), reg_pos[k]))
-    return {k: mapping[k] for k in (*pending, *prio, *done)
+                  key=age)
+    q = PENDING_WINDOW_QUOTA
+    return {k: mapping[k]
+            for k in (*pending[:q], *overdue, *pending[q:], *done)
             if k in mapping}

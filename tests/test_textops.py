@@ -26,6 +26,24 @@ def test_extract_text_object_missing_key(spark):
     assert one(spark, textops.extract_text(F.col("c")), c='{"x": 1}') == '{"x": 1}'
 
 
+def test_extract_text_null_text_value(spark):
+    """DECIDED edge (VERDICT r15 item 5), claim matched to the
+    reference line-for-line: on '{"text": null}' the reference's
+    `"text" in data` guard is True so extract returns data['text'] =
+    None (processor.py:137-138) — and the reference then CRASHES on
+    its own output: clean_text does `re.sub(pattern, ' ', text)` on
+    that None (processor.py:153->167, TypeError).  We deliberately
+    pass the raw string through instead — identical to the reference
+    on every input the reference survives, recoverable on the one
+    shape where it aborts.  Same decision for the array twin."""
+    assert one(spark, textops.extract_text(F.col("c")),
+               c='{"text": null}') == '{"text": null}'
+    # array twin: a null-text item is skipped exactly like a missing
+    # key (from_json reads both as null)
+    assert one(spark, textops.extract_text(F.col("c")),
+               c='[{"text": null}, {"text": "b"}]') == "b"
+
+
 def test_extract_text_array_item_missing_key_skipped(spark):
     """List items without "text" are skipped, not joined in as '' —
     the reference appends only `"text" in item` segments

@@ -136,7 +136,8 @@ SECTIONS = [
     ("Mergeable-sketch dashboard family + retention lifecycle "
      "(round 15)", [
         "incremental_topk_sketch", "theta_sketch_setops",
-        "incremental_quantile_sketch", "pipeline_retention_forget"]),
+        "incremental_quantile_sketch", "pipeline_retention_forget",
+        "pipeline_retention_forget_text"]),
     ("Index lifecycle closure: erasure, text maintenance, changefeed "
      "wiring (round 7)", [
         "ann_index_erase", "streaming_index_erase", "text_index_upsert",

@@ -51,6 +51,20 @@ def main() -> None:
     for k in stale:
         print(f"  r{last.get(k, 0):>2} {k}")
 
+    # the enforced max-age bound (contract.MAX_CHECK_AGE_ROUNDS):
+    # overdue rows are auto-bumped directly after the reserved pending
+    # quota, so the backlog drains at ~(window - quota)/round
+    cut = cur_max - contract.MAX_CHECK_AGE_ROUNDS
+    overdue = [k for k in reg if k not in pending
+               and last.get(k, 0) <= cut]
+    q = min(len(pending), contract.PENDING_WINDOW_QUOTA)
+    rate = max(1, WINDOW - q)
+    rounds_to_drain = -(-len(overdue) // rate) if overdue else 0
+    print(f"\nmax-age bound: {len(overdue)} rows overdue "
+          f"(> {contract.MAX_CHECK_AGE_ROUNDS} rounds old, <= r{cut}); "
+          f"window drains ~{rate}/round -> bound restored in "
+          f"{rounds_to_drain} window(s)")
+
     if "--window" in sys.argv:
         order = list(contract.verification_order(
             {k: None for k in reg}))[:WINDOW]
