@@ -8423,6 +8423,95 @@ def pipeline_retention_forget_text(spark: SparkSession,
             .limit(20))
 
 
+@register("text_index_ttl_sweep", oracle=f"""
+WITH surv AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id >= (SELECT count(*) // 4 FROM documents)
+), scored AS ({retrieval_ops.duck_bm25(_BM25_TERMS, _DUCK_TOKENS,
+                                       from_table="surv")})
+SELECT doc_id, CAST(dl AS BIGINT) AS dl, (round(bm25, 6) + 0) AS bm25
+FROM scored
+ORDER BY (round(bm25, 6) + 0) DESC, doc_id LIMIT 20
+""")
+def text_index_ttl_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INDEX-SIDE forget-by-age for the text surface — no store scan
+    anywhere: the index records the doc timestamp as a meta column at
+    build time, so ``retention_sweep_inverted_index`` reads victims
+    from the DOCLEN SIDECAR (index metadata — (doc_id, dl, ts), never
+    the corpus text) and expires them through the same O(expired)
+    tombstone append as the GDPR verb.  This is the deployment shape
+    where the serving tier owns retention (store archived cold);
+    ``pipeline_retention_forget_text`` above proves the store-driven
+    twin.  The oracle is exact BM25 over the survivors — identical to
+    the store-driven capstone's, because both must converge on
+    serving == index-built-on-survivors.  At 100 TB the victim read
+    is a column-pruned metadata scan and the sweep never touches a
+    posting."""
+    import datetime as dt
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    n = docs.count()
+    origin = dt.datetime(2024, 1, 1)
+    aged = docs.withColumn(
+        "ts", F.lit(origin) + F.make_interval(
+            mins=F.col("doc_id").cast("int")))
+    index = os.path.join(tempfile.mkdtemp(prefix="ttl_text_"), "index")
+    retrieval_ops.build_inverted_index(aged, index, meta_cols=("ts",))
+    info = retrieval_ops.retention_sweep_inverted_index(
+        spark, index, origin + dt.timedelta(minutes=n // 4))
+    assert info["tombstoned"] > 0, info
+    scored = retrieval_ops.search_inverted_index(spark, index,
+                                                 _BM25_TERMS)
+    return (scored.select("doc_id",
+                          F.col("dl").cast("long").alias("dl"),
+                          rnd(F.col("bm25"), 6).alias("bm25"))
+            .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+            .limit(20))
+
+
+_ANN_TTL_ORACLE = _IVFPQ_SEED_ORACLE.replace(
+    "SELECT * FROM celled WHERE cell IN (SELECT cell FROM probe)",
+    "SELECT * FROM celled WHERE cell IN (SELECT cell FROM probe)\n"
+    "    AND vec_id >= (SELECT count(*) // 4 FROM embeddings)")
+assert _ANN_TTL_ORACLE != _IVFPQ_SEED_ORACLE  # the splice anchor held
+
+
+@register("ann_index_ttl_erase", oracle=_ANN_TTL_ORACLE)
+def ann_index_ttl_erase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INDEX-SIDE forget-by-age for the ANN surface — the vector twin
+    of text_index_ttl_sweep: the build records the row timestamp in
+    meta_cols (the same recorded metadata that serves as a search
+    pre-filter), so ``delete_index_where`` finds victims AND their
+    cells in one column-pruned scan of the vectors sidecar (id + ts +
+    cell pages, no vector bytes, no store access) and rewrites only
+    the victim cells through the staged codes-first commit.  Serving
+    after the erase probes the UNfiltered index; the oracle replays
+    the full seed-IVFPQ composition with the candidate set cut to the
+    survivors — an expired vector surfacing anywhere in the top-k, or
+    the ADC shortlist still drawing on erased codes, fails the hash.
+    Centroids and codebooks deliberately do not move (rebuild_index's
+    job), exactly like the GDPR key-erase verb."""
+    import datetime as dt
+
+    emb = _t(spark, sf_dir, "embeddings")
+    n = emb.count()
+    origin = dt.datetime(2024, 1, 1)
+    aged = emb.withColumn(
+        "ts", F.lit(origin) + F.make_interval(
+            mins=F.col("vec_id").cast("int")))
+    index = os.path.join(tempfile.mkdtemp(prefix="ttl_ann_"), "index")
+    ann_index.build_index(spark, aged, index, nlist=16, m=8, ncodes=16,
+                          meta_cols=("ts",))
+    cutoff = origin + dt.timedelta(minutes=n // 4)
+    touched = ann_index.delete_index_where(
+        spark, index,
+        f"ts < timestamp'{cutoff.strftime('%Y-%m-%d %H:%M:%S')}'")
+    assert touched, "the erase must reach at least one cell"
+    return ann_index.search_index(spark, index,
+                                  _query_vec(spark, sf_dir),
+                                  k=10, nprobe=4, shortlist=50)
+
+
 _INVIDX_CACHE: dict[str, str] = {}
 
 
@@ -10585,12 +10674,12 @@ DRIVER_VERIFIED = frozenset({
     # r15-window greens re-listed in r16 (CORRECTNESS_r15: all 48
     # full-oracle green + 2 rows-only-by-contract; their serving code
     # is untouched by the r16 diff):
-    "sink_upsert_embeddings", "streaming_incremental_dedup",
-    "ann_lsh_topk", "streaming_index_upsert", "streaming_index_erase",
+    "streaming_incremental_dedup",
+    "ann_lsh_topk", "streaming_index_upsert",
     "streaming_budget_admit", "udf_embed_batch",
     "streaming_tumbling_availablenow", "streaming_append_finalized",
     "streaming_sliding_window", "streaming_sessionize_stateful",
-    "streaming_dedup_within_watermark", "streaming_upsert_store",
+    "streaming_dedup_within_watermark",
     "text_bm25_and_topk", "text_index_and_topk",
     "streaming_enrich_dim", "streaming_interval_join",
     "incremental_distinct_sketch", "incremental_topk_sketch",
@@ -10598,17 +10687,28 @@ DRIVER_VERIFIED = frozenset({
     "streaming_text_index_upsert", "streaming_text_index_erase",
     "streaming_centroid_drift",
     # round 16 rotation discipline: ABSENT (pending-first in the r16
-    # window) = rows whose EXECUTED serving path changed in the r16
-    # diff — json_extract_text (array fixture now carries a text-less
-    # middle item; oracle array branch rewritten to skip semantics,
-    # ADVICE r16 low), sink_retention_sweep + pipeline_retention_forget
-    # (retention_sweep's footer probe thread-pooled, VERDICT r15 item
-    # 6), udf_embed_query (embed_query_vector dim default -> None,
-    # ADVICE r16 medium), plus pipeline_retention_forget_text (NEW —
-    # the text-index retention capstone, VERDICT r15 item 1).
-    # Engine.apply_retention/ensure_text_index/search_text changes are
-    # facade-only (no contract row constructs an Engine) — covered by
-    # tests/test_engine_facade.py.
+    # window, never-checked leading) = rows whose EXECUTED serving
+    # path changed in the r16 diff —
+    # * NEW rows: pipeline_retention_forget_text (text-index retention
+    #   capstone, VERDICT r15 item 1), text_index_ttl_sweep +
+    #   ann_index_ttl_erase (index-side TTL verbs);
+    # * json_extract_text (array fixture now carries a text-less
+    #   middle item; oracle array branch rewritten to skip semantics,
+    #   ADVICE r16 low);
+    # * sink_retention_sweep + pipeline_retention_forget
+    #   (retention_sweep footer probe thread-pooled, VERDICT r15 item
+    #   6, + the pruned-listing rewrite read);
+    # * udf_embed_query (embed_query_vector dim default -> None,
+    #   ADVICE r16 medium);
+    # * the sinks._read_buckets pruned-listing read changed the
+    #   touched-bucket read of EVERY incremental store/erase verb —
+    #   rotate the rows that execute it: sink_upsert_embeddings,
+    #   streaming_upsert_store, sink_delete_keys, ann_index_erase,
+    #   ann_index_compact, changefeed_apply_index,
+    #   streaming_index_erase, pipeline_forget_and_serve.
+    # Engine.apply_retention/ensure_text_index/search_text/
+    # search_hybrid changes are facade-only (no contract row
+    # constructs an Engine) — covered by tests/test_engine_facade.py.
     # full-oracle or rows-only-by-contract green; their serving
     # code is untouched by the r15 diff):
     "knn_join_pandas", "context_prev_next", "kth_ts_offset", "sessionize", "dedup_edit_distance", "dedup_repeated_chunks", "dedup_unaligned_substring", "text_novelty_score", "curate_by_novelty", "multimodal_features", "udtf_explode_users", "group_centroids_pandas", "asof_join_events", "range_join_ship_window", "maxsim_join_pandas",
@@ -10721,11 +10821,13 @@ DRIVER_VERIFIED = frozenset({
     "ann_ivfpq_filtered_materialized", "search_index_many",
     "search_index_many_large", "hybrid_serve_many",
     "hybrid_serve_many_large", "ann_index_upsert", "ann_index_rebuild",
-    "ann_index_erase", "ann_index_stats_trained",
+    "ann_index_stats_trained",
     "mix_temperature_budget", "text_bigram_perplexity",
     "hybrid_filtered_serve", "hybrid_filtered_many_large",
-    "pipeline_forget_and_serve", "changefeed_apply_index",
-    "ann_index_compact", "ann_recall_audit_trained", "ann_mmr_materialized",
+    "ann_recall_audit_trained", "ann_mmr_materialized",
+    # (r16: ann_index_erase, ann_index_compact, changefeed_apply_index,
+    # pipeline_forget_and_serve rotated out — their erase path now
+    # reads touched cells via sinks._read_buckets)
     "maxsim_topk", "maxsim_serve_many", "maxsim_hybrid_rrf",
     # round 13 rotation discipline: of CORRECTNESS_r12's 50 green
     # rows, re-listed below are only those UNCHANGED by the r13 diff.
@@ -10863,7 +10965,8 @@ DRIVER_VERIFIED = frozenset({
     "topk_mmr_diverse",
     # round 5 (CORRECTNESS_r05.json — re-verified names already listed
     # under earlier rounds are not repeated)
-    "bucketed_colocated_join", "zorder_clustered_scan", "sink_delete_keys", "keyset_pagination",
+    "bucketed_colocated_join", "zorder_clustered_scan", "keyset_pagination",
+    # (r16: sink_delete_keys rotated out — pruned-listing erase read)
     "tpch_q6_forecast_revenue", "tpch_q7_volume_shipping",
     "tpch_q8_market_share", "tpch_q9_product_profit",
     "tpch_q10_returned_items", "tpch_q11_important_stock",
@@ -11052,10 +11155,11 @@ def verification_order(mapping: dict) -> dict:
     """Reorder ``mapping`` (REGISTRY or ORACLES) for the driver's
     ~50-row window: first up to PENDING_WINDOW_QUOTA names without a
     driver CORRECTNESS row or whose serving code changed this round
-    (curated out of DRIVER_VERIFIED), in registration order; then
-    every OVERDUE row (older than MAX_CHECK_AGE_ROUNDS vs the newest
-    artifact — the enforced staleness bound) oldest first; then any
-    pending overflow; then everything else OLDEST driver check first
+    (curated out of DRIVER_VERIFIED), never-checked first then oldest
+    signal first; then every OVERDUE row (older than
+    MAX_CHECK_AGE_ROUNDS vs the newest artifact — the enforced
+    staleness bound) oldest first; then any pending overflow; then
+    everything else OLDEST driver check first
     (VERDICT r11 item 2: the age-based rotation that cycles stale rows
     back through the window at ~25-45/round)."""
     last = _last_checked_rounds()
@@ -11066,7 +11170,12 @@ def verification_order(mapping: dict) -> dict:
     overdue = sorted((k for k in REGISTRY
                       if k in DRIVER_VERIFIED and last.get(k, 0) <= cut),
                      key=age)
-    pending = [k for k in REGISTRY if k not in DRIVER_VERIFIED]
+    # pending sorted oldest-signal-first: a NEVER-checked row (a brand
+    # new query) outranks a changed row that was green last round, so
+    # when the quota bites, the rows with no driver signal at all
+    # keep their slot
+    pending = sorted((k for k in REGISTRY if k not in DRIVER_VERIFIED),
+                     key=age)
     head = set(pending) | set(overdue)
     done = sorted((k for k in REGISTRY
                    if k in DRIVER_VERIFIED and k not in head),

@@ -269,6 +269,49 @@ class Engine:
         return [{"message_id": r["message_id"],
                  "score": float(r["bm25"])} for r in rows]
 
+    def search_hybrid(self, query: str, limit: int = 30,
+                      terms: list[str] | None = None) -> dict:
+        """Hybrid serving across the engine's TWO surfaces: the query
+        embeds once driver-side for the ANN leg, tokenizes (or takes
+        explicit *terms*) for the BM25 leg, both legs serve from their
+        persisted indexes in one pass (``retrieval.hybrid_serve_many``
+        at Q=1 — two index reads, each leg k-bounded), and
+        reciprocal-rank fusion ranks the union.  Extension verb — the
+        reference serves vectors only; a production retrieval tier
+        almost always fuses keyword and vector legs.  Requires both
+        index_dir and text_index_dir (built on demand from the store).
+        Returns the reference-shaped envelope with ``rrf`` /
+        ``rank_kw`` / ``rank_vec`` per result."""
+        from . import embed
+        from .operators import retrieval
+        if not (self.ensure_index() and self.ensure_text_index()):
+            return {"status": "error",
+                    "message": "hybrid serving needs index_dir and "
+                               "text_index_dir (and an ingested store)"}
+        if terms is None:
+            terms = [t for t in query.lower().split() if t]
+        t0 = time.time()
+        fused = retrieval.hybrid_serve_many(
+            self.spark, self.text_index_dir, self.index_dir,
+            {0: {"terms": terms,
+                 "qvec": embed.embed_query_vector(query)}},
+            leg_k=max(limit, 50), k=limit,
+            nprobe=self.nprobe, shortlist=self.shortlist)
+        # the fusion's output id column is always named doc_id
+        # (hybrid_serve_many aliases both legs' recorded id to it);
+        # surface it under the engine's key name
+        rows = [dict(r.asDict(), message_id=r["doc_id"])
+                for r in fused.collect()]
+        ms = round((time.time() - t0) * 1000, 1)
+        results = [{k: v for k, v in d.items()
+                    if k not in ("qid", "doc_id")}
+                   for d in sorted(rows, key=lambda d: (-d["rrf"],
+                                                        d["message_id"]))]
+        return {"status": "success", "results": results,
+                "metadata": {"total_results": len(results),
+                             "query": query, "terms": terms,
+                             "search_time_ms": ms}}
+
     def index_maintenance_stats(self) -> dict:
         """The decay signals (ann_index.index_maintenance_stats):
         per-cell occupancy folded to growth-since-build and cell skew,

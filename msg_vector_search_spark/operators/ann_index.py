@@ -551,6 +551,62 @@ def delete_index_keys(spark: SparkSession, path: str, keys: DataFrame,
     return touched
 
 
+def delete_index_where(spark: SparkSession, path: str,
+                       predicate: str) -> list:
+    """INDEX-SIDE erase by metadata predicate — the ANN twin of
+    ``retrieval.retention_sweep_inverted_index``: remove every vector
+    whose recorded ``meta_cols`` satisfy *predicate* (a SQL expression
+    over those columns, e.g. ``"ts < timestamp'2024-01-08'"`` for TTL
+    or ``"session_id = 'x'"`` for a compliance slice) without
+    consulting the primary store.
+
+    The victims and their cells come from ONE column-pruned scan of
+    the vectors sidecar (id + meta + cell pages — vector bytes are
+    never read; the same recorded metadata that serves as the search
+    pre-filter makes erase-by-predicate index-local), then both
+    cell-partitioned stores rewrite only the touched cells through the
+    staged-manifest commit of :func:`delete_index_keys` (codes first,
+    vectors second — the same crash-ordering argument).  Cost:
+    O(victim cells + id/meta pages), independent of index size.
+    Idempotent: a re-run finds no matching rows.  Returns the touched
+    cell ids."""
+    from ..sources.sinks import (_finish_pending_delete, erase_partitions,
+                                 heal_partial_swaps)
+
+    from .dedup import _cc_free
+
+    meta = read_meta(path)
+    id_col = meta["id_col"]
+    meta_cols = tuple(meta.get("meta_cols", ()))
+    if not meta_cols:
+        raise ValueError(
+            f"index at {path} records no meta_cols; erase-by-predicate "
+            "needs the filter columns recorded at build time "
+            "(build_index(..., meta_cols=...))")
+    vstore, cstore = _subdir(path, "vectors"), _subdir(path, "codes")
+    for store in (vstore, cstore):
+        _finish_pending_delete(store)
+        heal_partial_swaps(store)
+    victims = (spark.read.parquet(vstore)
+               .filter(F.expr(predicate))
+               .select(id_col, "cell").localCheckpoint())
+    touched = sorted(r[0] for r in
+                     victims.select("cell").distinct().collect())
+    if not touched:
+        _cc_free(victims)
+        return []
+    keyed = victims.select(id_col).distinct()
+    # codes FIRST, then vectors (see delete_index_keys): a half-erased
+    # index can never SERVE a victim, and a crash re-converges because
+    # the predicate still matches the surviving vectors rows
+    erase_partitions(spark, cstore, id_col, keyed, touched,
+                     part_col="cell")
+    erase_partitions(spark, vstore, id_col, keyed, touched,
+                     part_col="cell")
+    _cc_free(victims)
+    return touched
+
+
 def apply_changefeed_index(spark: SparkSession, path: str,
                            feed: DataFrame, action_col: str = "action",
                            old_vec_col: str = "old_embedding",

@@ -406,6 +406,58 @@ def delete_inverted_docs(doc_ids: DataFrame, path: str,
         compact_inverted_index(doc_ids.sparkSession, path)
 
 
+def retention_sweep_inverted_index(spark, path: str, cutoff,
+                                   ts_col: str = "ts",
+                                   auto_compact_tombstones: int | None = 8,
+                                   ) -> dict:
+    """INDEX-SIDE forget-by-age: expire every doc whose recorded
+    *ts_col* meta column is older than *cutoff* (strictly ``<``; NULL
+    timestamps are KEPT — unknown age never silently expires, same
+    rule as ``sinks.retention_sweep``) without touching the primary
+    store at all.
+
+    ``Engine.apply_retention`` derives victims from a ts-pruned STORE
+    scan; this verb is for the deployment shape where the serving
+    index outlives hot store access (store archived to cold storage,
+    or retention owned by the serving tier): when the index was built
+    with the timestamp in ``meta_cols``, the victim ids come from the
+    DOCLEN SIDECAR — index metadata, a (doc_id, dl, meta...) table a
+    few hundred bytes per doc, never the corpus text — and expiry is
+    the same O(expired) tombstone append as the GDPR verb
+    (:func:`delete_inverted_docs`; physical removal stays
+    :func:`compact_inverted_index`'s job, the
+    *auto_compact_tombstones* backlog bound applies unchanged).
+    Tombstones gate postings AND corpus statistics, so post-sweep
+    serving is bit-identical to an index built on the survivors.
+    Idempotent: already-tombstoned docs are filtered from the victim
+    read, so a re-run with the same cutoff appends nothing.
+
+    Requires *ts_col* in the index's recorded ``meta_cols`` — an
+    index that never recorded age cannot self-expire, and raising
+    beats silently sweeping nothing.  Returns ``{"tombstoned": n,
+    "cutoff": str(cutoff)}``."""
+    meta = _read_text_meta(path)
+    if ts_col not in tuple(meta.get("meta_cols", ())):
+        raise ValueError(
+            f"index at {path} records meta_cols "
+            f"{list(meta.get('meta_cols', ()))}; TTL needs {ts_col!r} "
+            "recorded at build/upsert time (build_inverted_index"
+            f"(..., meta_cols=({ts_col!r},)))")
+    id_col = meta["id_col"]
+    tomb = _tombstone_frame(spark, path, id_col)
+    victims = (_live(spark.read.parquet(os.path.join(path, "doclen")),
+                     tomb, id_col)
+               .filter(F.col(ts_col) < F.lit(cutoff))
+               .select(id_col).distinct().localCheckpoint())
+    n = victims.count()
+    if n:
+        delete_inverted_docs(victims, path, id_col=id_col,
+                             auto_compact_tombstones=auto_compact_tombstones)
+    from .dedup import _cc_free
+    _cc_free(victims)
+    return {"tombstoned": int(n), "cutoff": str(cutoff)}
+
+
 def apply_changefeed_text_index(spark, path: str, feed: DataFrame,
                                 action_col: str = "action",
                                 new_text_col: str = "new_text",

@@ -1015,3 +1015,55 @@ def test_upsert_index_cell_moving_update_guard(spark, tmp_path):
     ann_index.upsert_index(spark, p_er, fresh, on_moved="erase")
     assert _vec_rows(spark, p_er).filter(
         F.col("vec_id") == 99_991).count() == 1
+
+
+def test_delete_index_where_ttl_and_guards(spark, tmp_path):
+    """Index-side erase-by-predicate (r16): victims AND their cells
+    come from one column-pruned vectors-sidecar scan; serving after
+    the erase equals the inline composition over survivors; an index
+    without meta_cols refuses; a re-run matches nothing."""
+    import datetime as dt
+
+    import pytest
+
+    from msg_vector_search_spark.operators import ann_index, pq
+
+    emb = readers.read_table(spark, SF, "embeddings")
+    n = emb.count()
+    origin = dt.datetime(2024, 1, 1)
+    aged = emb.withColumn(
+        "ts", F.lit(origin) + F.make_interval(
+            mins=F.col("vec_id").cast("int")))
+    path = str(tmp_path / "ttlann")
+    ann_index.build_index(spark, aged, path, nlist=8, m=8, ncodes=16,
+                          meta_cols=("ts",))
+
+    bare = str(tmp_path / "bareann")
+    ann_index.build_index(spark, emb, bare, nlist=8, m=8, ncodes=16)
+    with pytest.raises(ValueError, match="no meta_cols"):
+        ann_index.delete_index_where(spark, bare, "vec_id < 10")
+
+    cutoff = origin + dt.timedelta(minutes=n // 4)
+    pred = f"ts < timestamp'{cutoff.strftime('%Y-%m-%d %H:%M:%S')}'"
+    touched = ann_index.delete_index_where(spark, path, pred)
+    assert touched
+    import os
+    vecs = spark.read.parquet(os.path.join(path, "vectors"))
+    assert vecs.filter(F.col("vec_id") < n // 4).count() == 0
+    assert vecs.count() == n - n // 4
+    codes = spark.read.parquet(os.path.join(path, "codes"))
+    assert codes.filter(F.col("vec_id") < n // 4).count() == 0
+
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0)
+          .select("embedding").collect()[0][0]]
+    served = ann_index.search_index(spark, path, qv, k=5, nprobe=2,
+                                    shortlist=50)
+    surv = emb.filter(F.col("vec_id") >= n // 4)
+    cent = ivf.seed_centroids(emb, 8)
+    cb = pq.seed_codebooks(emb, m=8, ncodes=16)
+    inline = pq.ivfpq_search(ivf.assign_cells(surv, cent), cent, cb,
+                             qv, k=5, nprobe=2, shortlist=50)
+    assert [r.asDict() for r in served.collect()] == \
+        [r.asDict() for r in inline.collect()]
+    # idempotent: nothing matches any more
+    assert ann_index.delete_index_where(spark, path, pred) == []

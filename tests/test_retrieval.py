@@ -1073,3 +1073,53 @@ def test_bm25_and_mode_scan_and_index_agree(spark, tmp_path):
     none = retrieval.bm25_scores(docs, ["alpha", "delta"],
                                  require_all=True)
     assert none.count() == 0
+
+
+def test_retention_sweep_inverted_index_ttl_and_guards(spark, tmp_path):
+    """Index-side TTL (r16): victims come from the doclen sidecar's
+    recorded ts meta column — post-sweep serving equals an index built
+    on the survivors; an index that never recorded age refuses; a
+    re-run with the same cutoff appends no tombstone."""
+    import datetime as dt
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from msg_vector_search_spark.operators import retrieval
+    from msg_vector_search_spark.sources import readers
+
+    docs = readers.read_table(spark, "/root/testdata/sf0.001",
+                              "documents").select("doc_id", "text")
+    origin = dt.datetime(2024, 1, 1)
+    aged = docs.withColumn(
+        "ts", F.lit(origin) + F.make_interval(
+            mins=F.col("doc_id").cast("int")))
+    path = str(tmp_path / "ttlidx")
+    retrieval.build_inverted_index(aged, path, meta_cols=("ts",))
+
+    # guard: an index without the ts meta column cannot self-expire
+    bare = str(tmp_path / "bareidx")
+    retrieval.build_inverted_index(docs, bare)
+    with pytest.raises(ValueError, match="TTL needs"):
+        retrieval.retention_sweep_inverted_index(
+            spark, bare, origin + dt.timedelta(minutes=10))
+
+    n = docs.count()
+    cutoff = origin + dt.timedelta(minutes=n // 4)
+    info = retrieval.retention_sweep_inverted_index(spark, path, cutoff)
+    assert info["tombstoned"] == n // 4
+    terms = ["spark", "query", "dup"]
+    served = {(r["doc_id"], r["dl"], r["bm25"]) for r in
+              retrieval.search_inverted_index(spark, path, terms)
+              .collect()}
+    surv_scan = {(r["doc_id"], r["dl"], r["bm25"]) for r in
+                 retrieval.bm25_scores(
+                     docs.filter(F.col("doc_id") >= n // 4), terms)
+                 .collect()}
+    assert served == surv_scan
+    # idempotent: same cutoff -> zero victims, zero tombstone files
+    files_before = retrieval._tombstone_file_count(path)
+    again = retrieval.retention_sweep_inverted_index(spark, path, cutoff)
+    assert again["tombstoned"] == 0
+    assert retrieval._tombstone_file_count(path) == files_before

@@ -18,17 +18,21 @@ def _blocks():
                       if k in contract.DRIVER_VERIFIED
                       and last.get(k, 0) <= cut),
                      key=lambda k: (last.get(k, 0), reg_pos[k]))
-    pending = [k for k in contract.REGISTRY
-               if k not in contract.DRIVER_VERIFIED]
+    pending = sorted((k for k in contract.REGISTRY
+                      if k not in contract.DRIVER_VERIFIED),
+                     key=lambda k: (last.get(k, 0), reg_pos[k]))
     q = contract.PENDING_WINDOW_QUOTA
     return pending[:q], overdue, pending[q:], last
 
 
-def test_pending_quota_comes_first_in_registration_order():
+def test_pending_quota_comes_first_never_checked_leading():
     order = list(contract.verification_order(
         {k: None for k in contract.REGISTRY}))
-    head, _, _, _ = _blocks()
+    head, _, _, last = _blocks()
     assert order[:len(head)] == head
+    # never-checked rows outrank changed-but-recently-green ones
+    ages = [last.get(k, 0) for k in head]
+    assert ages == sorted(ages)
     # and every registry row appears exactly once
     assert sorted(order) == sorted(contract.REGISTRY)
 

@@ -137,7 +137,8 @@ SECTIONS = [
      "(round 15)", [
         "incremental_topk_sketch", "theta_sketch_setops",
         "incremental_quantile_sketch", "pipeline_retention_forget",
-        "pipeline_retention_forget_text"]),
+        "pipeline_retention_forget_text", "text_index_ttl_sweep",
+        "ann_index_ttl_erase"]),
     ("Index lifecycle closure: erasure, text maintenance, changefeed "
      "wiring (round 7)", [
         "ann_index_erase", "streaming_index_erase", "text_index_upsert",
