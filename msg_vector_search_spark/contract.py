@@ -8512,6 +8512,63 @@ def ann_index_ttl_erase(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   k=10, nprobe=4, shortlist=50)
 
 
+@register("pipeline_ttl_hybrid_serve", oracle=_hybrid_many_oracle(
+    doc_from="(SELECT doc_id, text FROM documents "
+             "WHERE doc_id >= (SELECT count(*) // 4 FROM documents))",
+    vec_pred="vec_id >= (SELECT count(*) // 4 FROM embeddings)"))
+def pipeline_ttl_hybrid_serve(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """TTL capstone THROUGH fusion: both serving surfaces self-expire
+    with the r16 index-side verbs (text: doclen-sidecar ts ->
+    ``retention_sweep_inverted_index``; ANN: vectors-sidecar ts ->
+    ``delete_index_where``), then batched hybrid serving fuses the
+    post-TTL legs — an expired doc surfacing in EITHER leg's rank or
+    the fused top-k fails the hash, as do corpus statistics still
+    counting the expired quarter.  The oracle is the parameterized
+    batched-hybrid construction with the keyword leg scored over the
+    surviving documents and the vector candidate set cut to the
+    surviving vectors — i.e. serving after TTL must be bit-identical
+    to a hybrid stack BUILT on the survivors.  At 100 TB both expiries
+    are index-local (metadata scans + tombstone/cell rewrites), and
+    the serve stays two index reads."""
+    import datetime as dt
+
+    origin = dt.datetime(2024, 1, 1)
+    root = tempfile.mkdtemp(prefix="ttl_hybrid_")
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    n_d = docs.count()
+    tpath = os.path.join(root, "text_index")
+    retrieval_ops.build_inverted_index(
+        docs.withColumn("ts", F.lit(origin) + F.make_interval(
+            mins=F.col("doc_id").cast("int"))),
+        tpath, meta_cols=("ts",))
+    retrieval_ops.retention_sweep_inverted_index(
+        spark, tpath, origin + dt.timedelta(minutes=n_d // 4))
+
+    emb = _t(spark, sf_dir, "embeddings")
+    n_v = emb.count()
+    apath = os.path.join(root, "ann_index")
+    ann_index.build_index(
+        spark, emb.withColumn("ts", F.lit(origin) + F.make_interval(
+            mins=F.col("vec_id").cast("int"))),
+        apath, nlist=16, m=8, ncodes=16, meta_cols=("ts",))
+    vcut = origin + dt.timedelta(minutes=n_v // 4)
+    ann_index.delete_index_where(
+        spark, apath,
+        f"ts < timestamp'{vcut.strftime('%Y-%m-%d %H:%M:%S')}'")
+
+    qids = sorted(_HYBRID_TERMS)
+    qv = {int(r["vec_id"]): [float(x) for x in r["embedding"]]
+          for r in emb.filter(F.col("vec_id").isin(qids))
+          .select("vec_id", "embedding").collect()}
+    queries = {qid: {"terms": _HYBRID_TERMS[qid], "qvec": qv[qid]}
+               for qid in qids}
+    return retrieval_ops.hybrid_serve_many(spark, tpath, apath, queries,
+                                           leg_k=50, k=10, nprobe=4,
+                                           shortlist=50)
+
+
 _INVIDX_CACHE: dict[str, str] = {}
 
 
