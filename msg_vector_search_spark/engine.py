@@ -148,6 +148,13 @@ class Engine:
                 merged.filter(F.col("_gen") == gen)
                 .select("message_id", "embedding",
                         *self.INDEX_META_COLS))
+            if (self.rebuild_growth is not None
+                    or self.rebuild_skew is not None
+                    or self.min_recall is not None):
+                # the upsert merged new rows without moving centroids;
+                # an armed policy decides HERE whether decay crossed
+                # the line — ingest and maintenance advance together
+                maint = self.maintain_index()
         if self._text_index_ready() and new_messages > 0:
             # the text index advances with the same generation batch
             # the ANN upsert consumed — both serving surfaces stay as
@@ -158,13 +165,6 @@ class Engine:
                 .select("message_id", "message_text"),
                 self.text_index_dir, text_col="message_text",
                 id_col="message_id")
-            if (self.rebuild_growth is not None
-                    or self.rebuild_skew is not None
-                    or self.min_recall is not None):
-                # the upsert merged new rows without moving centroids;
-                # an armed policy decides HERE whether decay crossed
-                # the line — ingest and maintenance advance together
-                maint = self.maintain_index()
         out = {
             "status": "success",
             "new_messages": new_messages,

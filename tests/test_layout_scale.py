@@ -827,3 +827,38 @@ def test_retention_sweep_then_upsert_stays_consistent(spark, tmp_path):
     again = sinks.retention_sweep(spark, store, cutoff)
     assert again["dropped"] == [] and again["rewritten"] == []
     assert sinks.read_store(spark, store).count() == 850
+
+
+def test_read_buckets_lists_only_touched_dirs(spark, tmp_path):
+    """The r16 pruned-listing read: _read_buckets must plan over ONLY
+    the requested bucket directories (inputFiles stays inside them —
+    at warehouse dir counts the discovery listing IS the maintenance
+    cost), contribute zero rows for not-yet-existing buckets, and
+    yield a well-typed empty frame when none exist."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from msg_vector_search_spark.sources import sinks
+
+    store = str(tmp_path / "store")
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), F.lit(1).alias("_ord"),
+        (F.col("id") * 2).alias("v"))
+    sinks.upsert_parquet(spark, df, store, key="k", order_col="_ord",
+                         layout="range", range_width=100)
+    dirs = sorted(e for e in os.listdir(store)
+                  if e.startswith(sinks.BUCKET_COL + "="))
+    assert len(dirs) == 10
+    got = sinks._read_buckets(spark, store, [0, 3])
+    touched = {f"{sinks.BUCKET_COL}=0", f"{sinks.BUCKET_COL}=3"}
+    assert {os.path.basename(os.path.dirname(f))
+            for f in got.inputFiles()} == touched
+    assert got.count() == 200
+    assert sinks.BUCKET_COL in got.columns  # basePath keeps the part col
+    # a bucket with no directory yet contributes nothing, not an error
+    assert sinks._read_buckets(spark, store, [0, 99]).count() == 100
+    # none exist: empty frame, schema intact
+    none = sinks._read_buckets(spark, store, [98, 99])
+    assert none.count() == 0
+    assert set(none.columns) == set(got.columns)
