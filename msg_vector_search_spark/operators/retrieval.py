@@ -436,6 +436,9 @@ def retention_sweep_inverted_index(spark, path: str, cutoff,
     index that never recorded age cannot self-expire, and raising
     beats silently sweeping nothing.  Returns ``{"tombstoned": n,
     "cutoff": str(cutoff)}``."""
+    from ..sources.sinks import heal_partial_swaps
+
+    heal_partial_swaps(path)  # same self-heal as the serving reads
     meta = _read_text_meta(path)
     if ts_col not in tuple(meta.get("meta_cols", ())):
         raise ValueError(
