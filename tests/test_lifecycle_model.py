@@ -410,3 +410,138 @@ def test_hybrid_batched_filtered_lifecycle_matches_model(spark, tmp_path):
         else:
             retrieval.compact_inverted_index(spark, tpath)
         check(step, op)
+
+
+def test_text_index_ttl_lifecycle_matches_model(spark, tmp_path):
+    """The r16 index-side TTL verb under random interleavings with
+    upsert / key-delete / compact: after every step, serving equals
+    BM25 over the model — where the model's TTL drops ids whose LAST
+    WRITTEN ts is expired, a rewritten doc carries its new ts (the
+    doclen generation shadowing), and a doc re-upserted AFTER a sweep
+    that expired it is resurrected at its new age (tombstones kill up
+    to the old generation only)."""
+    import datetime as dt
+
+    rng = random.Random(23)
+    origin = dt.datetime(2024, 1, 1)
+
+    def doc() -> str:
+        return " ".join(rng.choice(WORDS)
+                        for _ in range(rng.randint(1, 8)))
+
+    def ts_of(minutes: int):
+        return origin + dt.timedelta(minutes=minutes)
+
+    def aged_df(batch: dict):
+        return spark.createDataFrame(
+            [Row(doc_id=k, text=t, ts=ts_of(m))
+             for k, (t, m) in sorted(batch.items())])
+
+    # model: doc_id -> (text, ts_minutes)
+    model = {i: (doc(), i) for i in range(30)}
+    path = str(tmp_path / "ttlindex")
+    retrieval.build_inverted_index(aged_df(model), path, n_buckets=8,
+                                   meta_cols=("ts",))
+    cutoff_min = 0
+
+    def text_model():
+        return {k: t for k, (t, m) in model.items()}
+
+    for step in range(8):
+        op = rng.choice(["upsert", "ttl", "delete", "compact", "ttl"])
+        if op == "upsert":
+            # rewrites give an existing doc a NEW age; ids below the
+            # current cutoff pin the resurrection semantics
+            batch = {rng.randrange(0, 45): (doc(), 40 + step)
+                     for _ in range(rng.randint(1, 5))}
+            model.update(batch)
+            retrieval.upsert_inverted_index(aged_df(batch), path)
+        elif op == "ttl":
+            cutoff_min += rng.randint(3, 9)
+            for k in [k for k, (t, m) in model.items()
+                      if m < cutoff_min]:
+                model.pop(k)
+            info = retrieval.retention_sweep_inverted_index(
+                spark, path, ts_of(cutoff_min))
+            assert info["tombstoned"] >= 0
+        elif op == "delete" and model:
+            pool = sorted(model) + [999]
+            victims = rng.sample(pool, k=min(3, len(pool)))
+            for v in victims:
+                model.pop(v, None)
+            retrieval.delete_inverted_docs(
+                spark.createDataFrame([Row(doc_id=v) for v in victims]),
+                path)
+        else:
+            retrieval.compact_inverted_index(spark, path)
+        assert _served_bm25(spark, path) == \
+            _model_bm25(spark, text_model()), \
+            f"diverged after step {step} ({op}, cutoff={cutoff_min})"
+
+
+def test_ann_index_ttl_lifecycle_matches_model(spark, tmp_path):
+    """The r16 ANN erase-by-predicate verb under random interleavings
+    with upsert and key-erase: serving equals the model where TTL
+    drops ids by their recorded ts, and upserted batches carry the ts
+    meta column (recorded-cols contract)."""
+    import datetime as dt
+
+    rng = random.Random(29)
+    origin = dt.datetime(2024, 1, 1)
+    emb = readers.read_table(spark, SF, "embeddings")
+    base_rows = emb.limit(200).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double"))
+        .alias("embedding")).collect()
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]]
+            for r in base_rows}
+    qv = vecs[min(vecs)]
+
+    def ts_of(minutes: int):
+        return origin + dt.timedelta(minutes=minutes)
+
+    def aged_vec_df(batch: dict):
+        return spark.createDataFrame(
+            [Row(vec_id=k, embedding=v, ts=ts_of(m))
+             for k, (v, m) in sorted(batch.items())])
+
+    # model: vec_id -> (vector, ts_minutes); seed ages = id order
+    ordered = sorted(vecs.items())
+    model = {k: (v, i) for i, (k, v) in enumerate(ordered[:150])}
+    fresh = dict(ordered[150:])
+    path = str(tmp_path / "ttlann")
+    ann_index.build_index(spark, aged_vec_df(model), path,
+                          nlist=4, m=8, ncodes=16, meta_cols=("ts",))
+    cutoff_min = 0
+    next_age = 200
+
+    def vec_model():
+        return {k: v for k, (v, m) in model.items()}
+
+    for step in range(6):
+        op = rng.choice(["upsert", "ttl", "erase", "ttl"])
+        if op == "upsert" and fresh:
+            picks = rng.sample(sorted(fresh), k=min(10, len(fresh)))
+            batch = {k: (fresh.pop(k), next_age) for k in picks}
+            next_age += 1
+            model.update(batch)
+            ann_index.upsert_index(spark, path, aged_vec_df(batch))
+        elif op == "ttl":
+            cutoff_min += rng.randint(5, 20)
+            for k in [k for k, (v, m) in model.items()
+                      if m < cutoff_min]:
+                model.pop(k)
+            cut = ts_of(cutoff_min)
+            ann_index.delete_index_where(
+                spark, path,
+                f"ts < timestamp'{cut.strftime('%Y-%m-%d %H:%M:%S')}'")
+        elif model:
+            victims = rng.sample(sorted(model), k=min(8, len(model)))
+            for v in victims:
+                model.pop(v)
+            ann_index.delete_index_keys(
+                spark, path,
+                spark.createDataFrame([Row(vec_id=v) for v in victims]))
+        assert _served_topk(spark, path, len(model), qv) == \
+            _model_topk(spark, vec_model(), qv), \
+            f"diverged after step {step} ({op}, cutoff={cutoff_min})"
