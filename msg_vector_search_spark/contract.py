@@ -7647,6 +7647,38 @@ def streaming_upsert_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type")
 
 
+@register("streaming_retention_sweep", oracle="""
+SELECT event_id, user_id, event_type FROM events
+WHERE ts >= (SELECT max(ts) - INTERVAL 7 DAY FROM events)
+""")
+def streaming_retention_sweep(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Lifecycle x streaming: the TTL twin of streaming_upsert_store —
+    every micro-batch upserts into the range store AND runs the
+    retention sweep with a fixed 7-day window off the source's max
+    ts, so expiry happens at ingest cadence (a compliance window
+    enforced continuously, not by a nightly job).  The final store
+    must hold exactly the live-window rows whatever the micro-batch
+    boundaries: the sweep is idempotent, already-expired arrivals are
+    dropped by the first sweep after they land, and rows at the
+    boundary (ts == cutoff) are KEPT (the sweep expires strictly
+    older).  At 100 TB each per-batch sweep is the footer probe plus
+    at most one boundary-bucket rewrite — O(touched), never
+    O(store)."""
+    import datetime as dt
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    name = f"ct_stream_ttl_{next(_STREAM_SEQ)}"
+    store = os.path.join(tempfile.mkdtemp(prefix=name + "_"), "store")
+    ev = readers.read_table(spark, sf_dir, "events")
+    cutoff = (ev.agg(F.max("ts")).collect()[0][0]
+              - dt.timedelta(days=7))
+    streaming_ops.stream_upsert_ttl(spark, sf_dir, store, cutoff,
+                                    query_name=name)
+    return sinks.read_store(spark, store).select(
+        "event_id", "user_id", "event_type")
+
+
 # =========================================================================
 # Hybrid retrieval: BM25 keyword leg + reciprocal-rank fusion with the
 # vector leg (extension surface — the reference serves cosine only,

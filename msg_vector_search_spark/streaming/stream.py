@@ -506,6 +506,37 @@ def stream_upsert(spark: SparkSession, sf_dir: str, store_path: str,
            .start())
 
 
+def stream_upsert_ttl(spark: SparkSession, sf_dir: str, store_path: str,
+                      cutoff, query_name: str = "stream_upsert_ttl",
+                      ) -> None:
+    """H5 + lifecycle: the TTL twin of :func:`stream_upsert` — each
+    micro-batch merges last-writer-wins into the range-layout store
+    and then runs ``sinks.retention_sweep`` with the SAME cutoff, so
+    the retention window is enforced at ingest cadence instead of by
+    a scheduled job (the shape a compliance window actually runs in:
+    data expires as data arrives).  Batch-split invariant: upsert
+    then sweep per batch converges on exactly the live-window rows
+    whatever the batch boundaries, because the sweep is idempotent
+    and an already-expired arrival is dropped by the first sweep
+    after it lands.  Per-batch sweep cost is the footer probe +
+    boundary rewrite — O(dirs touched), not O(store)."""
+    from ..sources import sinks
+
+    events = read_event_stream(spark, sf_dir)
+
+    def upsert_then_sweep(batch_df: DataFrame, batch_id: int) -> None:
+        sinks.upsert_parquet(batch_df.sparkSession, batch_df, store_path,
+                             key="event_id", order_col="ts",
+                             layout="range")
+        sinks.retention_sweep(batch_df.sparkSession, store_path, cutoff)
+
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{query_name}_")
+    _drive(events.writeStream.foreachBatch(upsert_then_sweep)
+           .trigger(availableNow=True)
+           .option("checkpointLocation", ckpt)
+           .start())
+
+
 def stream_index_upsert(spark: SparkSession, index_path: str,
                         source_dir: str, schema,
                         maintain_every: int | None = None,

@@ -70,6 +70,7 @@ SECTIONS = [
         "streaming_tumbling_availablenow", "streaming_sliding_window",
         "streaming_append_finalized", "streaming_sessionize_stateful",
         "streaming_dedup_within_watermark", "streaming_upsert_store",
+        "streaming_retention_sweep",
         "streaming_index_upsert", "streaming_enrich_dim",
         "streaming_interval_join"]),
     ("Analytics widening (round 4)", [
