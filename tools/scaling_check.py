@@ -11,6 +11,7 @@ import sys
 import tempfile
 import time
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -711,6 +712,78 @@ def erase_main() -> None:
             shutil.rmtree(d, ignore_errors=True)
 
 
+def ttl_index_main() -> None:
+    """python tools/scaling_check.py --ttlindex [mult ...] — INDEX-SIDE
+    TTL scaling (r16 verbs): text + ANN indexes built over 1x/4x/16x
+    corpora with the row timestamp recorded in meta_cols, then swept
+    at a fixed 25% age cut.  The claims under measurement: the text
+    sweep is a doclen-sidecar scan + ONE tombstone append (no posting
+    touched — ~flat in corpus size apart from the metadata scan), and
+    the ANN erase-by-predicate is one column-pruned vectors-sidecar
+    scan + victim-cell rewrites whose touched-cell count tracks the
+    victim spread (at production nlist the rewritten FRACTION falls
+    as the corpus grows, same argument as the key-erase fast path).
+    Victim counts scale with the corpus (25% of rows) — this probes
+    the BULK-expiry shape, complementing --erase's fixed-20-key
+    shape."""
+    import datetime as dt
+
+    from msg_vector_search_spark.operators import ann_index, retrieval
+    from msg_vector_search_spark.session import get_spark
+
+    mults = [int(a) for a in sys.argv[1:] if a.isdigit()] or [1, 4, 16]
+    spark = get_spark("ttl_index_scaling")
+    origin = dt.datetime(2024, 1, 1)
+    print(f"{'xN':>4} {'docs':>7} {'text_s':>7} {'tomb':>7} "
+          f"{'vecs':>7} {'nlist':>6} {'ann_s':>7} {'cells':>6}")
+    for m in mults:
+        d = tempfile.mkdtemp(prefix=f"ttlidx_{m}x_")
+        try:
+            replicate(spark, m, d)
+            replicate_embeddings(spark, m, d)
+            docs = spark.read.parquet(f"{d}/documents.parquet")
+            emb = spark.read.parquet(f"{d}/embeddings.parquet")
+            n_d, n_v = docs.count(), emb.count()
+            # age = arrival order (row_number over id), so the 25% cut
+            # expires the same fraction at every scale
+            aged_docs = docs.select(
+                "doc_id", "text",
+                (F.lit(origin) + F.make_interval(
+                    mins=(F.row_number().over(
+                        Window.orderBy("doc_id")) % 2_000_000).cast("int")
+                )).alias("ts"))
+            tidx = os.path.join(d, "tindex")
+            retrieval.build_inverted_index(aged_docs, tidx,
+                                           meta_cols=("ts",))
+            tcut = origin + dt.timedelta(minutes=n_d // 4)
+            t0 = time.perf_counter()
+            info = retrieval.retention_sweep_inverted_index(
+                spark, tidx, tcut)
+            t_text = time.perf_counter() - t0
+
+            nlist = 16 * m
+            aged_emb = emb.select(
+                "vec_id", "embedding",
+                (F.lit(origin) + F.make_interval(
+                    mins=(F.row_number().over(
+                        Window.orderBy("vec_id")) % 2_000_000).cast("int")
+                )).alias("ts"))
+            aidx = os.path.join(d, "aindex")
+            ann_index.build_index(spark, aged_emb, aidx, nlist=nlist,
+                                  m=8, ncodes=16, meta_cols=("ts",))
+            vcut = origin + dt.timedelta(minutes=n_v // 4)
+            t0 = time.perf_counter()
+            cells = ann_index.delete_index_where(
+                spark, aidx,
+                f"ts < timestamp'{vcut.strftime('%Y-%m-%d %H:%M:%S')}'")
+            t_ann = time.perf_counter() - t0
+            print(f"{m:>4} {n_d:>7} {t_text:>7.2f} "
+                  f"{info['tombstoned']:>7} {n_v:>7} {nlist:>6} "
+                  f"{t_ann:>7.2f} {len(cells):>6}")
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def retention_main() -> None:
     """python tools/scaling_check.py --retention [mult ...] — TTL-sweep
     scaling: stores of 1x/4x/16x rows under the SAME per-dir width
@@ -879,6 +952,8 @@ if __name__ == "__main__":
         erase_main()
     elif "--retention" in sys.argv:
         retention_main()
+    elif "--ttlindex" in sys.argv:
+        ttl_index_main()
     elif "--tpch" in sys.argv:
         tpch_main()
     elif "--retrieval" in sys.argv:
