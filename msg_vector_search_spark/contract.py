@@ -11236,8 +11236,12 @@ MAX_CHECK_AGE_ROUNDS = 8
 #: window slots guaranteed to this round's new/changed rows even when
 #: the overdue backlog alone would fill the window — a changed row's
 #: driver check is the correctness gate's primary signal and must not
-#: be starved by the staleness drain (nor vice versa)
-PENDING_WINDOW_QUOTA = 12
+#: be starved by the staleness drain (nor vice versa).  Sized as a
+#: CEILING, not a target: a normal round's pending set (5-17 rows)
+#: fits entirely, so every changed row gets its driver check the same
+#: round; only a pathological 20+-row pending set spills, and even
+#: then the overdue drain keeps >= 30 window slots.
+PENDING_WINDOW_QUOTA = 20
 
 
 def verification_order(mapping: dict) -> dict:
