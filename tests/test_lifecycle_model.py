@@ -545,3 +545,80 @@ def test_ann_index_ttl_lifecycle_matches_model(spark, tmp_path):
         assert _served_topk(spark, path, len(model), qv) == \
             _model_topk(spark, vec_model(), qv), \
             f"diverged after step {step} ({op}, cutoff={cutoff_min})"
+
+
+def test_ann_ttl_erase_crash_between_codes_and_vectors_converges(
+        spark, tmp_path, monkeypatch):
+    """The codes-before-vectors invariant for the r16 predicate-erase
+    verb (delete_index_where): a crash injected between the codes
+    erase and the vectors erase must leave an index that never serves
+    a victim, and the SAME predicate re-run re-converges — victims
+    still match in the vectors store until the codes side committed,
+    so the retry re-derives them without any external key list."""
+    import datetime as dt
+
+    from msg_vector_search_spark.sources import sinks as sinks_mod
+
+    origin = dt.datetime(2024, 1, 1)
+    emb = readers.read_table(spark, SF, "embeddings")
+    base_rows = emb.limit(120).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double"))
+        .alias("embedding")).collect()
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]]
+            for r in base_rows}
+    qv = vecs[min(vecs)]
+
+    def aged_df(mapping):
+        return spark.createDataFrame(
+            [Row(vec_id=k, embedding=v,
+                 ts=origin + dt.timedelta(minutes=k))
+             for k, v in sorted(mapping.items())])
+
+    model = dict(sorted(vecs.items()))
+    path = str(tmp_path / "ttlcrash")
+    ann_index.build_index(spark, aged_df(model), path,
+                          nlist=4, m=8, ncodes=16, meta_cols=("ts",))
+
+    cut_min = sorted(model)[len(model) // 4]
+    cut = origin + dt.timedelta(minutes=cut_min)
+    pred = f"ts < timestamp'{cut.strftime('%Y-%m-%d %H:%M:%S')}'"
+    survivors = {k: v for k, v in model.items() if k >= cut_min}
+
+    real_erase = sinks_mod.erase_partitions
+
+    class _Boom(RuntimeError):
+        pass
+
+    calls = {"n": 0}
+
+    def crashing_erase(spark_, store, id_col, keys, touched, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:  # first call = codes, second = vectors
+            raise _Boom("injected crash between codes and vectors")
+        return real_erase(spark_, store, id_col, keys, touched, **kw)
+
+    monkeypatch.setattr(sinks_mod, "erase_partitions", crashing_erase)
+    try:
+        ann_index.delete_index_where(spark, path, pred)
+        raise AssertionError("injected crash did not fire")
+    except _Boom:
+        pass
+    monkeypatch.setattr(sinks_mod, "erase_partitions", real_erase)
+
+    # half-erased index (codes committed, vectors not): serving must
+    # already exclude every victim — erased codes keep them out of
+    # the ADC shortlist
+    assert _served_topk(spark, path, len(survivors), qv) == \
+        _model_topk(spark, survivors, qv)
+    # documented recovery: the same predicate re-runs and converges
+    # (victims still matched in the vectors store)
+    touched = ann_index.delete_index_where(spark, path, pred)
+    assert touched
+    import os
+    vstore = spark.read.parquet(os.path.join(path, "vectors"))
+    assert vstore.filter(F.col("vec_id") < cut_min).count() == 0
+    assert _served_topk(spark, path, len(survivors), qv) == \
+        _model_topk(spark, survivors, qv)
+    # idempotent once converged
+    assert ann_index.delete_index_where(spark, path, pred) == []
