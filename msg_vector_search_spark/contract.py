@@ -8601,6 +8601,51 @@ def pipeline_ttl_hybrid_serve(spark: SparkSession,
                                            shortlist=50)
 
 
+_STOPWORD_TOKENS = ("string_split_regex(trim(lower(text || ' zstopz')), "
+                    "'\\s+')")
+
+
+@register("text_index_stopword_prune", oracle=f"""
+WITH scored AS ({retrieval_ops.duck_bm25(["spark", "dup"],
+                                         _STOPWORD_TOKENS)})
+SELECT doc_id, CAST(dl AS BIGINT) AS dl, (round(bm25, 6) + 0) AS bm25
+FROM scored
+ORDER BY (round(bm25, 6) + 0) DESC, doc_id LIMIT 20
+""")
+def text_index_stopword_prune(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Stopword pruning as index maintenance: a token appended to
+    EVERY document (df ratio 1.0) is physically dropped from the
+    postings by ``prune_inverted_index_stopwords``, and a query that
+    still asks for it must score EXACTLY as if the term were removed
+    from the query — zero contribution, docs matching only the
+    stopword out of the matched set, doc lengths still counting the
+    pruned token (dl is a document property, not a vocabulary one).
+    The oracle scores the two SURVIVING terms over the stopword-
+    bearing corpus (dl includes the appended token), so any residue of
+    the pruned posting list — or a prune that touched the wrong
+    buckets — fails the hash.  At 100 TB this is the classic
+    index-size lever: the handful of terms above half the corpus own
+    a huge share of posting bytes at ~zero idf; the prune rewrites
+    only their term buckets through the staged crash-safe commit."""
+    docs = (_t(spark, sf_dir, "documents")
+            .select("doc_id",
+                    F.concat(F.col("text"), F.lit(" zstopz"))
+                    .alias("text")))
+    index = os.path.join(tempfile.mkdtemp(prefix="stopword_"), "index")
+    retrieval_ops.build_inverted_index(docs, index)
+    info = retrieval_ops.prune_inverted_index_stopwords(spark, index,
+                                                        max_df_ratio=0.9)
+    assert info["pruned"] == ["zstopz"], info
+    scored = retrieval_ops.search_inverted_index(
+        spark, index, ["zstopz", "spark", "dup"])
+    return (scored.select("doc_id",
+                          F.col("dl").cast("long").alias("dl"),
+                          rnd(F.col("bm25"), 6).alias("bm25"))
+            .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+            .limit(20))
+
+
 _INVIDX_CACHE: dict[str, str] = {}
 
 

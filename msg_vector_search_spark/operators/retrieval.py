@@ -522,6 +522,65 @@ def apply_changefeed_text_index(spark, path: str, feed: DataFrame,
     return {"deleted": n_del, "upserted": n_up, "gen": gen}
 
 
+def prune_inverted_index_stopwords(spark, path: str,
+                                   max_df_ratio: float = 0.5) -> dict:
+    """Maintenance verb: physically drop the posting lists of STOPWORD
+    terms — terms matching more than *max_df_ratio* of live docs.  In
+    a web-scale index the few highest-df terms own a huge share of
+    posting bytes while contributing ~no ranking signal (their idf is
+    ~ln(1 + 1/ratio) ≈ 0.7 at ratio 0.5 and falls toward 0); classic
+    IR systems prune or skip them.
+
+    Serving semantics after the prune are exactly "the term does not
+    exist": a pruned term's tf and df read as 0, its BM25 contribution
+    is an EXACT zero, and docs matching only pruned terms leave the
+    matched set — bit-identical to scoring the query with the pruned
+    terms removed from the term list.  Doc lengths deliberately keep
+    counting pruned tokens (dl is a property of the document, not of
+    the vocabulary served — same as Lucene's norms being independent
+    of stopword filtering at query time).
+
+    Cost: one map-side-partial df aggregation over live postings (the
+    maintenance scan), then a staged rewrite of ONLY the term buckets
+    containing stopwords (``erase_partitions`` keyed by TERM — the
+    same crash-safe manifest commit as the id erasure, so a crash at
+    any point rolls forward and a re-run is idempotent).  The
+    stopword list is driver-bounded by construction (terms above half
+    the corpus are a handful).  Returns ``{"pruned": [terms],
+    "df_cut": n, "n_docs": N}``."""
+    from ..sources.sinks import (_finish_pending_delete,
+                                 erase_partitions, heal_partial_swaps)
+
+    heal_partial_swaps(path)
+    # roll forward a crashed prior prune before reading (each bucket
+    # dir swaps atomically, so a half-committed prune serves each
+    # term either fully pruned or fully present — benign — but the
+    # next maintenance op must finish the recorded plan first)
+    _finish_pending_delete(os.path.join(path, "postings"))
+    meta = _read_text_meta(path)
+    id_col = meta["id_col"]
+    tomb = _tombstone_frame(spark, path, id_col)
+    doclen = _live(spark.read.parquet(os.path.join(path, "doclen")),
+                   tomb, id_col)
+    n_docs = doclen.count()
+    cut = int(max_df_ratio * n_docs)
+    postings = _live(spark.read.parquet(os.path.join(path, "postings")),
+                     tomb, id_col)
+    stop = (postings.groupBy("term", "tb")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > F.lit(cut))
+            .select("term", "tb").collect())
+    if not stop:
+        return {"pruned": [], "df_cut": cut, "n_docs": int(n_docs)}
+    terms = sorted({r["term"] for r in stop})
+    tbs = sorted({int(r["tb"]) for r in stop})
+    erase_partitions(
+        spark, os.path.join(path, "postings"), "term",
+        spark.createDataFrame([(t,) for t in terms], ["term"]),
+        tbs, part_col="tb")
+    return {"pruned": terms, "df_cut": cut, "n_docs": int(n_docs)}
+
+
 def compact_inverted_index(spark, path: str) -> dict:
     """Scheduled maintenance: physically drop dead rows (shadowed
     generations and erased docs) from postings and doclen, then clear

@@ -1123,3 +1123,56 @@ def test_retention_sweep_inverted_index_ttl_and_guards(spark, tmp_path):
     again = retrieval.retention_sweep_inverted_index(spark, path, cutoff)
     assert again["tombstoned"] == 0
     assert retrieval._tombstone_file_count(path) == files_before
+
+
+def test_stopword_prune_is_bounded_and_idempotent(spark, tmp_path):
+    """prune_inverted_index_stopwords (r16): drops exactly the
+    above-ratio terms, rewrites ONLY their term buckets (other bucket
+    dirs keep their files byte-for-byte), no-ops when nothing
+    qualifies, and a re-run finds nothing left to prune.  A later
+    upsert may re-introduce the term (prune is point-in-time
+    maintenance, not a vocabulary ban) — pinned so the semantics are
+    explicit."""
+    import os
+
+    from pyspark.sql import Row, functions as F
+
+    from msg_vector_search_spark.operators import retrieval
+    from msg_vector_search_spark.sources import readers
+
+    docs = (readers.read_table(spark, "/root/testdata/sf0.001",
+                               "documents")
+            .select("doc_id",
+                    F.concat(F.col("text"), F.lit(" zstopz"))
+                    .alias("text")))
+    path = str(tmp_path / "pruneidx")
+    retrieval.build_inverted_index(docs, path, n_buckets=8)
+
+    pdir = os.path.join(path, "postings")
+    row = spark.range(1).select(
+        F.pmod(F.xxhash64(F.lit("zstopz")), F.lit(8)).alias("b")
+    ).collect()[0]
+    stop_tb = int(row["b"])
+    before = {d: sorted(os.listdir(os.path.join(pdir, d)))
+              for d in os.listdir(pdir) if d.startswith("tb=")}
+
+    info = retrieval.prune_inverted_index_stopwords(spark, path,
+                                                    max_df_ratio=0.9)
+    assert info["pruned"] == ["zstopz"]
+    after = {d: sorted(os.listdir(os.path.join(pdir, d)))
+             for d in os.listdir(pdir) if d.startswith("tb=")}
+    for d, files in after.items():
+        if d != f"tb={stop_tb}":
+            assert files == before[d], f"untouched bucket {d} rewritten"
+    # the stopword's postings are physically gone
+    assert spark.read.parquet(pdir).filter(
+        F.col("term") == "zstopz").count() == 0
+    # idempotent; and a corpus with no stopword no-ops
+    assert retrieval.prune_inverted_index_stopwords(
+        spark, path, max_df_ratio=0.9)["pruned"] == []
+    # a later upsert re-introduces the term at a fresh generation
+    retrieval.upsert_inverted_index(
+        spark.createDataFrame([Row(doc_id=10_000_001,
+                                   text="zstopz alone")]), path)
+    served = retrieval.search_inverted_index(spark, path, ["zstopz"])
+    assert [r["doc_id"] for r in served.collect()] == [10_000_001]

@@ -144,6 +144,7 @@ SECTIONS = [
      "wiring (round 7)", [
         "ann_index_erase", "streaming_index_erase", "text_index_upsert",
         "text_index_erase", "text_index_compact", "text_index_stats",
+        "text_index_stopword_prune",
         "pipeline_forget_and_serve", "changefeed_apply_index",
         "bloom_filter_join_agg", "aqe_skew_join_agg",
         "streaming_centroid_drift", "bpe_merge_rounds"]),
