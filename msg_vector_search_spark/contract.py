@@ -8646,6 +8646,88 @@ def text_index_stopword_prune(spark: SparkSession,
             .limit(20))
 
 
+_RECYCLE_CORPUS = ("(SELECT doc_id, text || ' zstopz' AS text "
+                   "FROM documents UNION ALL "
+                   "SELECT 1000000 + doc_id, 'qrecycle zstopz' "
+                   "FROM documents WHERE doc_id % 50 = 0) corpus")
+
+
+@register("text_index_stopword_recycle", oracle=f"""
+WITH scored AS ({retrieval_ops.duck_bm25(["spark", "dup", "qrecycle"],
+                                         _DUCK_TOKENS,
+                                         from_table=_RECYCLE_CORPUS)})
+SELECT doc_id, CAST(dl AS BIGINT) AS dl, (round(bm25, 6) + 0) AS bm25
+FROM scored
+ORDER BY (round(bm25, 6) + 0) DESC, doc_id LIMIT 20
+""")
+def text_index_stopword_recycle(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Maintenance-family INTERPLAY capstone (VERDICT r16 item 6):
+    prune -> upsert (the pruned term COMES BACK) -> re-prune -> serve,
+    end-to-end on one persisted index.  A stopword prune is not a
+    one-shot: on a live index the next document batch can reintroduce
+    the pruned term at a fresh generation (upsert touches only the
+    batch's term buckets and knows nothing of past prunes), so the
+    prune must be re-runnable as SCHEDULED maintenance and each pass
+    must re-derive stopwords from the CURRENT live df — never from a
+    remembered list.  Sequence pinned here:
+
+    1. build on the full corpus with ' zstopz' appended to every doc
+       (df ratio 1.0) -> prune(0.9) drops exactly ['zstopz'] — the
+       natural vocabulary's densest terms sit below that ratio;
+    2. one upsert batch re-ingests EVERY doc (unchanged text, so each
+       doc's zstopz posting returns at gen+1, shadowing its old
+       generation) PLUS 10 brand-new docs carrying a rare term
+       'qrecycle' -> a serving probe pins that the stopword genuinely
+       came back (nonzero bm25);
+    3. re-prune(0.9) re-derives df over the 510 live docs: zstopz is
+       live in all of them (1.0 > 0.9) -> pruned AGAIN; qrecycle at
+       10/510 survives — the threshold is a live-df property, not a
+       vocabulary memory (and the cut scales with the grown corpus:
+       459, not the build-time 450);
+    4. the final serve asks for the stopword anyway — its
+       contribution must be an EXACT zero while spark/dup/qrecycle
+       score over the post-upsert corpus (originals keep the appended
+       token in dl; the 10 new docs rank on qrecycle's high idf).
+
+    The oracle scores the three SURVIVING terms over the upserted
+    corpus rendered as SQL, so residue of either prune pass, a prune
+    that forgot the reintroduced generation, or an upsert that failed
+    to shadow cleanly all fail the hash.  At 100 TB every stage stays
+    bucket-local: upsert appends O(batch) postings, each prune pass
+    is one map-side-partial df aggregation plus a staged rewrite of
+    only the stopword's term buckets."""
+    base = (_t(spark, sf_dir, "documents")
+            .select("doc_id",
+                    F.concat(F.col("text"), F.lit(" zstopz"))
+                    .alias("text")))
+    index = os.path.join(tempfile.mkdtemp(prefix="stopword_rec_"),
+                         "index")
+    retrieval_ops.build_inverted_index(base, index)
+    first = retrieval_ops.prune_inverted_index_stopwords(
+        spark, index, max_df_ratio=0.9)
+    assert first["pruned"] == ["zstopz"], first
+    batch = (base.unionByName(
+        base.filter(F.col("doc_id") % 50 == 0)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                F.lit("qrecycle zstopz").alias("text"))))
+    retrieval_ops.upsert_inverted_index(batch, index)
+    # the stopword is BACK: the upserted generation serves it again
+    came_back = retrieval_ops.search_inverted_index(
+        spark, index, ["zstopz"])
+    assert came_back.limit(1).count() == 1, "upsert must reintroduce"
+    second = retrieval_ops.prune_inverted_index_stopwords(
+        spark, index, max_df_ratio=0.9)
+    assert second["pruned"] == ["zstopz"], second  # qrecycle survives
+    scored = retrieval_ops.search_inverted_index(
+        spark, index, ["zstopz", "spark", "dup", "qrecycle"])
+    return (scored.select("doc_id",
+                          F.col("dl").cast("long").alias("dl"),
+                          rnd(F.col("bm25"), 6).alias("bm25"))
+            .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+            .limit(20))
+
+
 _INVIDX_CACHE: dict[str, str] = {}
 
 
@@ -10805,11 +10887,39 @@ def topk_mmr_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
 # every operator accrues one across rounds. Purely a presentation
 # order — REGISTRY itself keeps source order.
 DRIVER_VERIFIED = frozenset({
+    # r16-window greens re-listed in r17 (CORRECTNESS_r16: 49
+    # full-oracle green + udf_embed_query rows-only-by-contract;
+    # their serving code is untouched by the r17 diff):
+    "sink_upsert_embeddings", "sink_delete_keys", "sink_retention_sweep",
+    "json_extract_text", "ann_index_erase", "streaming_index_erase",
+    "udf_embed_query", "streaming_upsert_store",
+    "streaming_retention_sweep", "pipeline_retention_forget",
+    "pipeline_retention_forget_text", "text_index_ttl_sweep",
+    "ann_index_ttl_erase", "pipeline_ttl_hybrid_serve",
+    "text_index_stopword_prune",
+    # round 17 rotation discipline: ABSENT (pending-first in the r17
+    # window) = rows whose EXECUTED serving path changed in the r17
+    # diff — ann_index._upsert_cells now reads the touched cell
+    # partitions through sinks._read_buckets (explicit-dirs +
+    # basePath, O(touched) listing instead of O(nlist) discovery,
+    # VERDICT r16 item 2), so every row that merges into the ANN
+    # cell stores rotates: ann_index_upsert, streaming_index_upsert,
+    # ann_index_rebuild (pre-rebuild upsert), ann_index_compact,
+    # changefeed_apply_index, pipeline_forget_and_serve — plus the
+    # NEW maintenance-interplay capstone text_index_stopword_recycle
+    # (VERDICT r16 item 6).  Engine.apply_retention's
+    # text_index_tombstoned recount (ADVICE r16) is facade-only (no
+    # contract row constructs an Engine) — covered by
+    # tests/test_engine_facade.py; the _read_buckets docstring note
+    # and tools/gen_coverage SECTIONS entry change no executed path.
+    # The 25-row overdue tail (<= r8) follows pending via
+    # verification_order's max-age bump and drains this window
+    # (VERDICT r16 item 1).
     # r15-window greens re-listed in r16 (CORRECTNESS_r15: all 48
     # full-oracle green + 2 rows-only-by-contract; their serving code
     # is untouched by the r16 diff):
     "streaming_incremental_dedup",
-    "ann_lsh_topk", "streaming_index_upsert",
+    "ann_lsh_topk",
     "streaming_budget_admit", "udf_embed_batch",
     "streaming_tumbling_availablenow", "streaming_append_finalized",
     "streaming_sliding_window", "streaming_sessionize_stateful",
@@ -10954,7 +11064,7 @@ DRIVER_VERIFIED = frozenset({
     "ann_ivfpq_materialized_trained", "ann_trained_store_exhaustive",
     "ann_ivfpq_filtered_materialized", "search_index_many",
     "search_index_many_large", "hybrid_serve_many",
-    "hybrid_serve_many_large", "ann_index_upsert", "ann_index_rebuild",
+    "hybrid_serve_many_large",
     "ann_index_stats_trained",
     "mix_temperature_budget", "text_bigram_perplexity",
     "hybrid_filtered_serve", "hybrid_filtered_many_large",

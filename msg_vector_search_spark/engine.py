@@ -677,7 +677,14 @@ class Engine:
             retrieval.delete_inverted_docs(
                 victims.select("message_id"), self.text_index_dir,
                 id_col="message_id")
-            text_tombstoned = int(n_victims)
+            # report what the verb actually appended (ADVICE r16):
+            # delete_inverted_docs dedups and drops null ids, so the
+            # store-side victim count can overstate the tombstones —
+            # count the distinct non-null ids it received (victims is
+            # localCheckpointed; this re-reads cached blocks, no scan)
+            text_tombstoned = int(
+                victims.filter(F.col("message_id").isNotNull())
+                .select("message_id").distinct().count())
         info = sinks.retention_sweep(self.spark, self._store_path(),
                                      cutoff, ts_col="ts")
         from .operators.dedup import _cc_free

@@ -451,8 +451,15 @@ def _upsert_cells(spark: SparkSession, batch: DataFrame, store: str,
     # per-cell-directory partitioning, so no repartition shuffle either
     # (AQE coalesces small outputs at scale).
     inc = batch.dropDuplicates([key])
-    current = (spark.read.parquet(store)
-               .filter(F.col("cell").isin(touched))
+    # read ONLY the touched cell directories (VERDICT r16 item 2):
+    # the plain read + isin filter prunes what is READ but still
+    # LISTS every cell=N dir during discovery — O(nlist) per
+    # maintenance batch at web-scale nlist (10^4-10^5), the exact
+    # trap sinks._read_buckets documents.  basePath keeps `cell` in
+    # the schema, so the anti-join, union, and partitioned write
+    # below are plan-identical.
+    from ..sources.sinks import _read_buckets
+    current = (_read_buckets(spark, store, touched, part_col="cell")
                .join(F.broadcast(inc.select(key)), key, "left_anti"))
     merged = current.unionByName(inc.select(*current.columns))
     # distinct staging suffix from the erase path's '._staged' so an

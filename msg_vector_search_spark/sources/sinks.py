@@ -517,7 +517,16 @@ def _read_buckets(spark: SparkSession, path: str, buckets: list,
     into brand-new buckets is the common append case); when NONE of
     the touched dirs exist, the store's schema is read from one
     existing partition file so callers still get a well-typed empty
-    frame."""
+    frame.
+
+    Scope note (ADVICE r16): the existence probes here are
+    ``os.path.isdir``/``os.listdir`` — correct for this repo's
+    local-filesystem stores, where they are free.  On a remote
+    Hadoop-compatible FS those probes would read every dir as absent;
+    porting this store layer to object storage means swapping them for
+    ``FileSystem.exists`` via ``spark._jvm`` (one RPC per touched dir,
+    still O(touched) — the listing economics this helper exists for
+    are a property of the explicit-dirs read, not of the probe)."""
     dirs = [os.path.join(path, f"{part_col}={b}") for b in buckets]
     exist = [d for d in dirs if os.path.isdir(d)]
     if exist:

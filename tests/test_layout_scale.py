@@ -862,3 +862,49 @@ def test_read_buckets_lists_only_touched_dirs(spark, tmp_path):
     none = sinks._read_buckets(spark, store, [98, 99])
     assert none.count() == 0
     assert set(none.columns) == set(got.columns)
+
+
+def test_upsert_cells_reads_only_touched_dirs(spark, tmp_path,
+                                              monkeypatch):
+    """VERDICT r16 item 2: the ANN cell-store merge (_upsert_cells)
+    must take the pruned-listing read — _read_buckets with
+    part_col='cell' over exactly the batch's touched cells — instead
+    of a plain read + isin filter that lists every cell=N directory
+    (O(nlist) discovery per maintenance batch at web-scale nlist).
+    Pins the routing, the touched set, the files actually planned,
+    and the merge semantics (last-writer-wins, untouched cells
+    intact)."""
+    import os
+
+    from msg_vector_search_spark.operators import ann_index
+
+    store = str(tmp_path / "vectors")
+    base = spark.createDataFrame(
+        [(i, float(i), i % 8) for i in range(80)],
+        "id long, v double, cell int")
+    base.write.partitionBy("cell").parquet(store)
+
+    seen = {}
+    real = sinks._read_buckets
+
+    def spy(spark_, path, buckets, part_col=sinks.BUCKET_COL):
+        seen["args"] = (path, sorted(buckets), part_col)
+        out = real(spark_, path, buckets, part_col=part_col)
+        seen["files"] = set(out.inputFiles())
+        return out
+
+    monkeypatch.setattr(sinks, "_read_buckets", spy)
+    batch = spark.createDataFrame(
+        [(100, 100.0, 3), (0, 9.0, 0)], "id long, v double, cell int")
+    touched = ann_index._upsert_cells(spark, batch, store, "id")
+    assert touched == [0, 3]
+    assert seen["args"] == (store, [0, 3], "cell")
+    assert {os.path.basename(os.path.dirname(f))
+            for f in seen["files"]} == {"cell=0", "cell=3"}
+    out = spark.read.parquet(store)
+    assert out.count() == 81  # 80 - 1 shadowed + 2 incoming
+    assert out.filter("id = 0").select("v").head()[0] == 9.0
+    assert out.filter("id = 100").select("cell").head()[0] == 3
+    # untouched cells: byte-identical file set (never rewritten)
+    assert (out.filter(~F.col("cell").isin([0, 3])).count()
+            == base.filter(~F.col("cell").isin([0, 3])).count())

@@ -139,12 +139,12 @@ SECTIONS = [
         "incremental_topk_sketch", "theta_sketch_setops",
         "incremental_quantile_sketch", "pipeline_retention_forget",
         "pipeline_retention_forget_text", "text_index_ttl_sweep",
-        "ann_index_ttl_erase"]),
+        "ann_index_ttl_erase", "pipeline_ttl_hybrid_serve"]),
     ("Index lifecycle closure: erasure, text maintenance, changefeed "
      "wiring (round 7)", [
         "ann_index_erase", "streaming_index_erase", "text_index_upsert",
         "text_index_erase", "text_index_compact", "text_index_stats",
-        "text_index_stopword_prune",
+        "text_index_stopword_prune", "text_index_stopword_recycle",
         "pipeline_forget_and_serve", "changefeed_apply_index",
         "bloom_filter_join_agg", "aqe_skew_join_agg",
         "streaming_centroid_drift", "bpe_merge_rounds"]),
