@@ -10891,30 +10891,42 @@ DRIVER_VERIFIED = frozenset({
     # full-oracle green + udf_embed_query rows-only-by-contract;
     # their serving code is untouched by the r17 diff):
     "sink_upsert_embeddings", "sink_delete_keys", "sink_retention_sweep",
-    "json_extract_text", "ann_index_erase", "streaming_index_erase",
+    "json_extract_text",
     "udf_embed_query", "streaming_upsert_store",
     "streaming_retention_sweep", "pipeline_retention_forget",
     "pipeline_retention_forget_text", "text_index_ttl_sweep",
-    "ann_index_ttl_erase", "pipeline_ttl_hybrid_serve",
     "text_index_stopword_prune",
     # round 17 rotation discipline: ABSENT (pending-first in the r17
-    # window) = rows whose EXECUTED serving path changed in the r17
-    # diff — ann_index._upsert_cells now reads the touched cell
-    # partitions through sinks._read_buckets (explicit-dirs +
-    # basePath, O(touched) listing instead of O(nlist) discovery,
-    # VERDICT r16 item 2), so every row that merges into the ANN
-    # cell stores rotates: ann_index_upsert, streaming_index_upsert,
-    # ann_index_rebuild (pre-rebuild upsert), ann_index_compact,
-    # changefeed_apply_index, pipeline_forget_and_serve — plus the
-    # NEW maintenance-interplay capstone text_index_stopword_recycle
-    # (VERDICT r16 item 6).  Engine.apply_retention's
+    # window) = rows whose EXECUTED path changed in the r17 diff —
+    # BOTH halves of VERDICT r16 item 2 landed, so every ANN
+    # cell-store read now goes through sinks._read_buckets
+    # (explicit-dirs + basePath, O(touched/probed) listing instead of
+    # O(nlist) partition discovery):
+    # * the maintenance merge (_upsert_cells) rotates the rows that
+    #   merge into the cell stores: ann_index_upsert,
+    #   streaming_index_upsert, ann_index_rebuild (pre-rebuild
+    #   upsert), ann_index_compact, changefeed_apply_index,
+    #   pipeline_forget_and_serve;
+    # * the serving reads (_read_cells in search_index /
+    #   search_index_many) rotate every row that SERVES from the
+    #   index: ann_ivfpq_materialized(+_trained, _filtered),
+    #   ann_trained_store_exhaustive, search_index_many(+_large),
+    #   hybrid_serve_many(+_large), hybrid_filtered_serve,
+    #   hybrid_filtered_many_large, ann_recall_audit_trained,
+    #   ann_mmr_materialized, ann_index_erase, streaming_index_erase,
+    #   ann_index_ttl_erase, pipeline_ttl_hybrid_serve;
+    # * plus the NEW maintenance-interplay capstone
+    #   text_index_stopword_recycle (VERDICT r16 item 6).
+    # All 23 verified full-oracle at sf0.001 AND sf0.01 at commit
+    # time (0 failed).  Engine.apply_retention's
     # text_index_tombstoned recount (ADVICE r16) is facade-only (no
     # contract row constructs an Engine) — covered by
     # tests/test_engine_facade.py; the _read_buckets docstring note
     # and tools/gen_coverage SECTIONS entry change no executed path.
     # The 25-row overdue tail (<= r8) follows pending via
-    # verification_order's max-age bump and drains this window
-    # (VERDICT r16 item 1).
+    # verification_order's max-age bump and still drains this window:
+    # 20 pending in quota + 25 overdue + 3 pending overflow = 48 of
+    # the ~50 slots (VERDICT r16 item 1).
     # r15-window greens re-listed in r16 (CORRECTNESS_r15: all 48
     # full-oracle green + 2 rows-only-by-contract; their serving code
     # is untouched by the r16 diff):
@@ -11059,16 +11071,17 @@ DRIVER_VERIFIED = frozenset({
     # gate's scale and stay listed, each re-verified full-oracle at
     # commit time.
     # The r13 window's other green rows are re-listed below.
+    # (r17: the index-SERVING rows formerly re-listed here —
+    # ann_ivfpq_materialized(+_trained, _filtered),
+    # ann_trained_store_exhaustive, search_index_many(+_large),
+    # hybrid_serve_many(+_large), hybrid_filtered_serve,
+    # hybrid_filtered_many_large, ann_recall_audit_trained,
+    # ann_mmr_materialized — rotated out: their probed-cell reads now
+    # go through _read_cells; see the r17 note at the top.)
     "ann_ivfpq_trained", "approx_distinct_users", "dedup_ngram_jaccard",
-    "dedup_containment", "ann_pq_rerank_trained", "ann_ivfpq_materialized",
-    "ann_ivfpq_materialized_trained", "ann_trained_store_exhaustive",
-    "ann_ivfpq_filtered_materialized", "search_index_many",
-    "search_index_many_large", "hybrid_serve_many",
-    "hybrid_serve_many_large",
+    "dedup_containment", "ann_pq_rerank_trained",
     "ann_index_stats_trained",
     "mix_temperature_budget", "text_bigram_perplexity",
-    "hybrid_filtered_serve", "hybrid_filtered_many_large",
-    "ann_recall_audit_trained", "ann_mmr_materialized",
     # (r16: ann_index_erase, ann_index_compact, changefeed_apply_index,
     # pipeline_forget_and_serve rotated out — their erase path now
     # reads touched cells via sinks._read_buckets)

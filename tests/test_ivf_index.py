@@ -43,8 +43,10 @@ def test_ivf_index_prunes_partitions_and_matches(spark, tmp_path):
 def test_materialized_index_serves_pruned_no_training(spark, tmp_path):
     """The full index lifecycle: build_index persists vectors + codes
     partitionBy(cell) with centroid/codebook sidecars; search_index
-    serves with literal cell partition pruning on BOTH stores (codes
-    scan and re-rank scan) and returns exactly the inline IVFPQ
+    serves with BOTH stores read only at the probed cells (r17: the
+    pruning moved from a PartitionFilters literal to the explicit-dirs
+    _read_cells listing — stronger: the plan never even LISTS the
+    unprobed cell directories) and returns exactly the inline IVFPQ
     composition's answer."""
     from msg_vector_search_spark.operators import ann_index, pq
 
@@ -65,12 +67,21 @@ def test_materialized_index_serves_pruned_no_training(spark, tmp_path):
     assert [tuple(r) for r in served.collect()] == \
            [tuple(r) for r in inline.collect()]
 
-    # partition pruning is in the physical plan of the served query
-    plan = served._jdf.queryExecution().executedPlan().toString()
-    n_part_filters = plan.count("PartitionFilters: [")
-    assert n_part_filters >= 2  # codes scan AND re-rank vectors scan
-    for seg in plan.split("PartitionFilters: [")[1:]:
-        assert "cell" in seg.split("]", 1)[0]
+    # pruning: every file the served plan reads from the two cell
+    # stores lives under a probed cell=N directory (nprobe=2), i.e.
+    # the unprobed cells were never listed, let alone read.  The
+    # centroid/codebook sidecars are nlist/m*ncodes-row artifacts and
+    # exempt.
+    probed = {f"cell={r['cell']}" for r in
+              ivf.probe_cells(ann_index.load_centroids(spark, path),
+                              qv, 2).collect()}
+    assert len(probed) == 2
+    import os
+    store_files = [f for f in served.inputFiles()
+                   if "/vectors/" in f or "/codes/" in f]
+    assert store_files  # the serve really reads both cell stores
+    assert {os.path.basename(os.path.dirname(f))
+            for f in store_files} <= probed
 
 
 def test_upsert_index_touches_only_mapped_cells(spark, tmp_path):

@@ -418,18 +418,28 @@ def test_cross_encoder_candidates_stay_broadcast(spark):
 
 def test_batched_ann_serve_reads_each_store_once(spark):
     """search_index_many's whole point is I/O sharing: exactly ONE
-    codes FileScan and ONE vectors FileScan (each carrying a literal
-    cell PartitionFilter), no unpartitioned window anywhere."""
+    codes FileScan and ONE vectors FileScan, each reading ONLY the
+    union of the queries' probed cell directories (r17: the pruning
+    moved from a PartitionFilters literal to the explicit-dirs
+    _read_cells listing — the unprobed cells are never listed), no
+    unpartitioned window anywhere."""
+    import os
     import re
 
     df = contract.REGISTRY["search_index_many"](spark, SF)
     plan = plan_of(df)
     assert len(re.findall(r"FileScan parquet.*?/codes", plan)) == 1
     assert len(re.findall(r"FileScan parquet.*?/vectors", plan)) == 1
-    for line in plan.splitlines():
-        if "FileScan parquet" in line and "/codes" in line:
-            pf = line.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
-            assert "cell" in pf
+    # every store file read sits under a cell=N dir, and the union of
+    # cells read is bounded by Q * nprobe (5 queries x nprobe=4), far
+    # under the store's nlist — the batched serve shares one pruned
+    # read instead of listing the whole tree per query
+    store_files = [f for f in df.inputFiles()
+                   if "/codes/" in f or "/vectors/" in f]
+    assert store_files
+    cells = {os.path.basename(os.path.dirname(f)) for f in store_files}
+    assert all(c.startswith("cell=") for c in cells)
+    assert len(cells) <= 5 * 4
     assert "windowspecdefinition()" not in plan  # every window has qid
 
 

@@ -198,10 +198,10 @@ SHOW = [
      "shard exchange carries the whole chain."),
     ("ann_ivfpq_materialized",
      "IVF x PQ served from the PERSISTED index: probe the centroid "
-     "sidecar driver-side, then literal cell IN (...) filters become "
-     "PartitionFilters on BOTH the code scan and the re-rank scan — "
-     "no training, no assignment, files outside the probed cells are "
-     "never opened."),
+     "sidecar driver-side, then BOTH the code scan and the re-rank "
+     "scan read ONLY the probed cell directories (explicit-dirs "
+     "_read_cells listing, r17) — no training, no assignment, cells "
+     "outside the probe set are never even listed."),
     ("text_gopher_rules",
      "Gopher quality battery: every rule a Column expression riding "
      "ONE narrow scan stage — no UDF, no shuffle; per-rule booleans "
@@ -281,8 +281,9 @@ SHOW = [
      "fused over two 50-row frames — maintenance never adds a "
      "corpus-sized stage to serving."),
     ("search_index_many",
-     "Batched multi-query IVFPQ serving: the union of all probes is "
-     "ONE literal cell filter (PartitionFilters on both stores), each "
+     "Batched multi-query IVFPQ serving: the union of all probes "
+     "selects the cell directories both stores read (explicit-dirs "
+     "listing, r17), each "
      "query's ADC column rides the single pruned code scan, and the "
      "only exchange is the qid-partitioned shortlist window over "
      "narrow (qid, id, score) rows — Q queries, one scan, one "
@@ -307,7 +308,7 @@ SHOW = [
      "(Q x 50)-row frames regardless of corpus size."),
     ("ann_ivfpq_filtered_materialized",
      "Metadata-filtered ANN serve: the where predicate PRE-filters the "
-     "pruned code scan (pushed alongside the cell PartitionFilters), "
+     "cell-pruned code scan (pushed into the explicit-dirs read), "
      "so metadata selectivity stacks with partition pruning before any "
      "ADC work — a true hybrid filter, not a recall-losing post-filter "
      "of the top-k."),
