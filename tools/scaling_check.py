@@ -784,6 +784,67 @@ def ttl_index_main() -> None:
             shutil.rmtree(d, ignore_errors=True)
 
 
+def servelist_main() -> None:
+    """python tools/scaling_check.py --servelist [nlist ...] — the r17
+    serving-read question isolated: how much does PARTITION DISCOVERY
+    cost as the cell count grows, for a serve that reads a fixed
+    nprobe=8 cells?  Builds a synthetic cell-partitioned store with
+    nlist dirs (8 rows each — data volume per probe held CONSTANT, so
+    any growth is pure listing), then medians 5 reps of
+    (a) the pre-r17 form `read.parquet(store).filter(cell isin probe)`
+    (lists every dir during discovery) vs (b) `_read_cells` /
+    `sinks._read_buckets` (explicit dirs + basePath, lists only the
+    probed 8).  On local FS the syscalls are cheap, so the measured
+    gap UNDERSTATES object storage, where each dir list is a network
+    round trip; the point is the TREND — (a) grows with nlist, (b)
+    stays flat."""
+    import statistics
+
+    from msg_vector_search_spark.operators.ann_index import _read_cells
+    from msg_vector_search_spark.session import get_spark
+
+    nlists = [int(a) for a in sys.argv[1:] if a.isdigit()] \
+        or [64, 512, 2048, 8192]
+    spark = get_spark("servelist_scaling")
+    probe = list(range(8))
+    print(f"{'nlist':>6} {'dirs':>6} {'old_s':>7} {'new_s':>7} "
+          f"{'old/new':>8}")
+    for nlist in nlists:
+        d = tempfile.mkdtemp(prefix=f"servelist_{nlist}_")
+        store = os.path.join(d, "vectors")
+        try:
+            # repartition ON cell first: each writer task holds whole
+            # cells, so the store lands as ONE file per cell dir (the
+            # shape a compacted real store has) instead of up to
+            # 32 x nlist fragments
+            (spark.range(nlist * 8)
+             .select(F.col("id"),
+                     (F.col("id") % nlist).cast("int").alias("cell"),
+                     F.rand(seed=7).alias("v"))
+             .repartition(32, "cell")
+             .write.partitionBy("cell").parquet(store))
+            olds, news = [], []
+
+            def run_old():
+                return (spark.read.parquet(store)
+                        .filter(F.col("cell").isin(probe)).count())
+
+            def run_new():
+                return _read_cells(spark, store, probe).count()
+
+            assert run_old() == run_new() == 64
+            for _ in range(5):
+                t0 = time.perf_counter(); run_old()
+                olds.append(time.perf_counter() - t0)
+                t0 = time.perf_counter(); run_new()
+                news.append(time.perf_counter() - t0)
+            o, n = statistics.median(olds), statistics.median(news)
+            print(f"{nlist:>6} {nlist:>6} {o:>7.3f} {n:>7.3f} "
+                  f"{o / n:>8.2f}")
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def retention_main() -> None:
     """python tools/scaling_check.py --retention [mult ...] — TTL-sweep
     scaling: stores of 1x/4x/16x rows under the SAME per-dir width
@@ -954,6 +1015,8 @@ if __name__ == "__main__":
         retention_main()
     elif "--ttlindex" in sys.argv:
         ttl_index_main()
+    elif "--servelist" in sys.argv:
+        servelist_main()
     elif "--tpch" in sys.argv:
         tpch_main()
     elif "--retrieval" in sys.argv:
