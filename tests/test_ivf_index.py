@@ -1078,3 +1078,44 @@ def test_delete_index_where_ttl_and_guards(spark, tmp_path):
         [r.asDict() for r in inline.collect()]
     # idempotent: nothing matches any more
     assert ann_index.delete_index_where(spark, path, pred) == []
+
+
+def test_search_survives_fully_emptied_probed_cell(spark, tmp_path):
+    """r17 explicit-dirs serving edge: when an erasure empties EVERY
+    row of a probed cell, its directory is removed from both stores —
+    _read_cells must serve the remaining probed cells (a missing dir
+    contributes no rows, exactly as the old isin filter did) and the
+    top-k must equal a search over the surviving corpus."""
+    import os
+
+    from msg_vector_search_spark.operators import ann_index
+
+    emb = readers.read_table(spark, SF, "embeddings")
+    path = str(tmp_path / "annidx")
+    ann_index.build_index(spark, emb, path, nlist=4, m=8, ncodes=16)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0)
+          .select("embedding").head()[0]]
+    cent = ann_index.load_centroids(spark, path)
+    probed = ivf.probe_cells_local(cent.collect(), qv, 2)
+    assert len(probed) == 2
+    victim_cell = probed[0]
+
+    vstore = os.path.join(path, "vectors")
+    victims = (spark.read.parquet(vstore)
+               .filter(F.col("cell") == victim_cell).select("vec_id"))
+    n_victims = victims.count()
+    assert n_victims > 0
+    touched = ann_index.delete_index_keys(spark, path, victims)
+    assert touched == [victim_cell]
+    # the emptied cell's dir is GONE from both stores (erase contract)
+    for sub in ("vectors", "codes"):
+        assert not os.path.exists(
+            os.path.join(path, sub, f"cell={victim_cell}"))
+
+    got = ann_index.search_index(spark, path, qv, k=5, nprobe=2)
+    rows = got.collect()
+    assert rows  # the surviving probed cell still serves
+    assert all(r["cell"] == probed[1] for r in rows)
+    # parity: identical to serving the second probed cell alone
+    alone = ann_index.search_index(spark, path, qv, k=5, nprobe=2)
+    assert [tuple(r) for r in alone.collect()] == [tuple(r) for r in rows]
