@@ -329,8 +329,12 @@ def search_index_many(spark: SparkSession, path: str,
     if not qitems:
         # mirror the non-empty path's contract exactly (r14 review):
         # the id column keeps the STORE's type, and with_rank carries
-        # the rank column — hybrid_serve_many selects it unconditionally
-        id_type = (spark.read.parquet(_subdir(path, "vectors"))
+        # the rank column — hybrid_serve_many selects it unconditionally.
+        # Schema via _read_cells with an empty probe set: it reads ONE
+        # partition file — a plain read here would pay the same
+        # O(nlist) discovery the serving reads just stopped paying,
+        # in the branch whose whole job is to do no work (r17).
+        id_type = (_read_cells(spark, _subdir(path, "vectors"), [])
                    .schema[id_col].dataType.simpleString())
         rank = ", rank int" if with_rank else ""
         return spark.createDataFrame(
