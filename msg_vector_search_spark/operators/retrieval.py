@@ -663,8 +663,10 @@ def search_inverted_index(spark, path: str, terms: list[str],
                           where: str | None = None,
                           require_all: bool = False) -> DataFrame:
     """Serve BM25 from the PERSISTED index: prune postings to the query
-    terms' buckets (literal partition filter — only those directories
-    are listed or read), pivot the <= |terms| postings per doc to tf
+    terms' buckets (explicit-dirs ``_read_buckets`` — the unmatched
+    bucket directories are never even LISTED, so a serve costs
+    O(|query buckets|) discovery, not O(n_buckets); r17, the text twin
+    of the ANN serving fix), pivot the <= |terms| postings per doc to tf
     columns, join the doc-length sidecar, and score with the exact
     expression tree of :func:`bm25_scores` — integer inputs (tf, df,
     dl, N, Σdl) are identical to the scan-side path, so the scores are
@@ -686,7 +688,7 @@ def search_inverted_index(spark, path: str, terms: list[str],
     the doclen join and every statistic (N, Σdl, per-term df) is
     recounted over eligible docs only — bit-identical to serving an
     index built on the slice."""
-    from ..sources.sinks import heal_partial_swaps
+    from ..sources.sinks import _read_buckets, heal_partial_swaps
 
     heal_partial_swaps(path)
     meta = _read_text_meta(path, id_col=id_col, n_buckets=n_buckets)
@@ -705,9 +707,13 @@ def search_inverted_index(spark, path: str, terms: list[str],
         F.pmod(F.xxhash64(F.lit(t)), F.lit(n_buckets)).alias(f"b{i}")
         for i, t in enumerate(terms)]).collect()[0]
     tbs = sorted({int(v) for v in row})
+    # explicit-dirs read of the query terms' buckets (r17, the text
+    # twin of the ANN serving fix): a serve lists O(|query tb|)
+    # directories, not O(n_buckets) discovery — same rows as the old
+    # tb.isin filter, missing buckets contribute none
     postings = _live(
-        spark.read.parquet(os.path.join(path, "postings"))
-        .filter(F.col("tb").isin(tbs))
+        _read_buckets(spark, os.path.join(path, "postings"), tbs,
+                      part_col="tb")
         .filter(F.col("term").isin(terms)),
         tomb, id_col)
     doclen = _live(spark.read.parquet(os.path.join(path, "doclen")),
@@ -812,7 +818,7 @@ def search_inverted_index_many(spark, path: str, queries: dict,
     pinned."""
     from pyspark.sql import Window
 
-    from ..sources.sinks import heal_partial_swaps
+    from ..sources.sinks import _read_buckets, heal_partial_swaps
     from .dedup import _cc_free
 
     heal_partial_swaps(path)
@@ -844,9 +850,10 @@ def search_inverted_index_many(spark, path: str, queries: dict,
         F.pmod(F.xxhash64(F.lit(t)), F.lit(n_buckets)).alias(f"b{i}")
         for i, t in enumerate(union_terms)]).collect()[0]
     tbs = sorted({int(v) for v in row})
+    # explicit-dirs bucket read, as in the single-query path (r17)
     postings = _live(
-        spark.read.parquet(os.path.join(path, "postings"))
-        .filter(F.col("tb").isin(tbs))
+        _read_buckets(spark, os.path.join(path, "postings"), tbs,
+                      part_col="tb")
         .filter(F.col("term").isin(union_terms)),
         tomb, id_col)
     doclen = _live(spark.read.parquet(os.path.join(path, "doclen")),

@@ -1,0 +1,122 @@
+"""Scheme-dispatching filesystem probes for the pruned-listing reads.
+
+The store layer's listing economics (read O(touched) partition
+directories, never discover O(all)) depend on cheap existence probes.
+On the sandbox's POSIX stores ``os.path.isdir`` is free; on object
+storage those calls would silently report every directory absent and
+the explicit-dirs read would degenerate to the empty-schema fallback.
+
+This module keeps both worlds honest with one dispatch rule:
+
+- a plain path (no URI scheme, or ``file:``) probes with ``os`` —
+  zero JVM round-trips on the hot local path;
+- a remote URI (``s3a://``, ``hdfs://``, ``gs://``, ``abfss://``, …)
+  probes through the Hadoop ``FileSystem`` API via the Spark JVM
+  gateway, using the session's ``hadoopConfiguration`` — one
+  ``getFileStatus`` RPC per touched dir, still O(touched), which is
+  the property the pruned read exists for.
+
+The Hadoop branch is exercised in tests by forcing ``file:`` URIs
+through it (``force_hadoop=True``): Hadoop's ``LocalFileSystem``
+serves the same directories the ``os`` branch sees, so the two
+branches are pinned byte-equal on identical stores.
+
+Write-path verbs (staged swaps, manifests, ``rmtree``) remain POSIX
+by design — see the sinks module docstring; under Delta/Iceberg they
+are replaced by the table format's transaction log, and the probes
+here are the only piece the READ path needs on a remote store.
+"""
+
+from __future__ import annotations
+
+import os
+
+__all__ = ["is_remote", "probe_dirs", "list_child_dirs"]
+
+#: URI schemes that still resolve to the driver-local filesystem and
+#: therefore keep the free ``os`` probes.
+_LOCAL_SCHEMES = ("file",)
+
+
+def _scheme(path: str) -> str | None:
+    """Return the URI scheme of *path*, or None for a plain path.
+
+    A one-letter prefix (``C:``-style) is not a scheme; Hadoop applies
+    the same rule.
+    """
+    head, sep, _ = path.partition(":")
+    if not sep or len(head) < 2:
+        return None
+    if not head[0].isalpha() or not all(
+            c.isalnum() or c in "+-." for c in head):
+        return None
+    return head.lower()
+
+
+def is_remote(path: str) -> bool:
+    """True when *path* names a non-local filesystem (needs Hadoop FS)."""
+    s = _scheme(path)
+    return s is not None and s not in _LOCAL_SCHEMES
+
+
+def _strip_file_scheme(path: str) -> str:
+    """``file:/x`` / ``file:///x`` -> ``/x`` for the ``os`` branch."""
+    if _scheme(path) in _LOCAL_SCHEMES:
+        rest = path.partition(":")[2]
+        while rest.startswith("//"):
+            rest = rest[1:]
+        return rest or "/"
+    return path
+
+
+def _hadoop_fs(spark, path: str):
+    """(FileSystem, Path class) for *path* under the session's conf."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    conf = spark._jsc.hadoopConfiguration()
+    return jpath.getFileSystem(conf), jvm.org.apache.hadoop.fs.Path
+
+
+def probe_dirs(spark, dirs: list, force_hadoop: bool = False) -> list:
+    """Subset of *dirs* that exist as directories, order preserved.
+
+    O(len(dirs)) probes on either branch — never a parent listing, so
+    the cost tracks the TOUCHED set, not the store's directory count.
+    """
+    if not dirs:
+        return []
+    if force_hadoop or is_remote(dirs[0]):
+        fs, Path = _hadoop_fs(spark, dirs[0])
+        out = []
+        for d in dirs:
+            p = Path(d)
+            if fs.exists(p) and fs.getFileStatus(p).isDirectory():
+                out.append(d)
+        return out
+    return [d for d in dirs if os.path.isdir(_strip_file_scheme(d))]
+
+
+def list_child_dirs(spark, path: str, prefix: str,
+                    force_hadoop: bool = False) -> list:
+    """Sorted full paths of *path*'s child DIRECTORIES whose basename
+    starts with *prefix* (the ``part=`` partition-dir pattern).
+
+    Only the schema-fallback path uses this (no touched dir exists
+    yet) — a single listing RPC on the remote branch, ``os.listdir``
+    locally.
+    """
+    if force_hadoop or is_remote(path):
+        fs, Path = _hadoop_fs(spark, path)
+        out = []
+        for st in fs.listStatus(Path(path)):
+            name = st.getPath().getName()
+            if st.isDirectory() and name.startswith(prefix):
+                out.append(f"{path.rstrip('/')}/{name}")
+        return sorted(out)
+    local = _strip_file_scheme(path)
+    sep = "/" if is_remote(path) or _scheme(path) else os.sep
+    return sorted(
+        path.rstrip("/\\") + sep + entry
+        for entry in os.listdir(local)
+        if entry.startswith(prefix)
+        and os.path.isdir(os.path.join(local, entry)))

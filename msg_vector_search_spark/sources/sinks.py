@@ -37,13 +37,16 @@ format-level MERGE with file-level pruning; the jars are not in this
 environment so the bucket-partitioned dedup-rewrite is the
 implementation and the MERGE path is documented.
 
-Deployment note: the maintenance verbs here (directory swaps, swap
-healing, file counting, manifest staging) use ``os``/``shutil`` — a
-POSIX store directory, matching the sandbox-local design.  The
-DataFrame read/merge/write plans are cluster-agnostic; on HDFS or an
-object store the same verbs run against the filesystem client (Hadoop
-FileSystem API / S3 list+copy), or disappear entirely under
-Delta/Iceberg where the transaction log plays the manifest's role.
+Deployment note: the maintenance WRITE verbs here (directory swaps,
+swap healing, file counting, manifest staging) use ``os``/``shutil``
+— a POSIX store directory, matching the sandbox-local design.  The
+READ-path existence probes are scheme-dispatching (``sources/fs.py``):
+remote URIs route through the Hadoop FileSystem API so the pruned
+listing holds on object storage.  The DataFrame read/merge/write
+plans are cluster-agnostic; on HDFS or an object store the write
+verbs run against the filesystem client (Hadoop FileSystem API / S3
+list+copy), or disappear entirely under Delta/Iceberg where the
+transaction log plays the manifest's role.
 """
 
 from __future__ import annotations
@@ -51,6 +54,8 @@ from __future__ import annotations
 import json
 import os
 import shutil
+
+from . import fs as fs_probe
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -519,23 +524,22 @@ def _read_buckets(spark: SparkSession, path: str, buckets: list,
     existing partition file so callers still get a well-typed empty
     frame.
 
-    Scope note (ADVICE r16): the existence probes here are
-    ``os.path.isdir``/``os.listdir`` — correct for this repo's
-    local-filesystem stores, where they are free.  On a remote
-    Hadoop-compatible FS those probes would read every dir as absent;
-    porting this store layer to object storage means swapping them for
-    ``FileSystem.exists`` via ``spark._jvm`` (one RPC per touched dir,
-    still O(touched) — the listing economics this helper exists for
-    are a property of the explicit-dirs read, not of the probe)."""
-    dirs = [os.path.join(path, f"{part_col}={b}") for b in buckets]
-    exist = [d for d in dirs if os.path.isdir(d)]
+    Existence probes dispatch on the path's scheme (ADVICE r16 →
+    closed in r17 by ``sources/fs.py``): plain local paths keep the
+    free ``os.path.isdir`` loop; a remote URI (``s3a://``,
+    ``hdfs://``, …) probes through the Hadoop ``FileSystem`` API with
+    the session's ``hadoopConfiguration`` — one ``getFileStatus`` RPC
+    per touched dir, still O(touched), so the pruned listing's
+    economics hold on object storage too.  The Hadoop branch is
+    pinned byte-equal to the ``os`` branch in
+    tests/test_layout_scale.py by forcing ``file:`` URIs through it."""
+    dirs = [f"{path.rstrip('/')}/{part_col}={b}" for b in buckets]
+    exist = fs_probe.probe_dirs(spark, dirs)
     if exist:
         return spark.read.option("basePath", path).parquet(*exist)
-    for entry in sorted(os.listdir(path)):
-        d = os.path.join(path, entry)
-        if entry.startswith(f"{part_col}=") and os.path.isdir(d):
-            return (spark.read.option("basePath", path).parquet(d)
-                    .filter(F.lit(False)))
+    for d in fs_probe.list_child_dirs(spark, path, f"{part_col}="):
+        return (spark.read.option("basePath", path).parquet(d)
+                .filter(F.lit(False)))
     # store has no partition dirs at all: fall back to the plain read
     # (cheap by construction — there is nothing to list)
     return spark.read.parquet(path).filter(F.lit(False))

@@ -908,3 +908,52 @@ def test_upsert_cells_reads_only_touched_dirs(spark, tmp_path,
     # untouched cells: byte-identical file set (never rewritten)
     assert (out.filter(~F.col("cell").isin([0, 3])).count()
             == base.filter(~F.col("cell").isin([0, 3])).count())
+
+
+def test_fs_probe_hadoop_branch_matches_os_branch(spark, tmp_path):
+    """sources/fs.py (ADVICE r16 closure): the pruned-listing read's
+    existence probes dispatch on scheme — plain paths use os, remote
+    URIs use the Hadoop FileSystem API.  Force file: URIs through the
+    Hadoop branch (LocalFileSystem) and pin it byte-equal to the os
+    branch on the same store: probe subset, schema-fallback listing,
+    and the full _read_buckets result."""
+    from msg_vector_search_spark.sources import fs
+
+    # scheme classification: remote iff non-file URI scheme
+    assert not fs.is_remote(str(tmp_path))
+    assert not fs.is_remote("file:///x/store")
+    assert fs.is_remote("s3a://bucket/store")
+    assert fs.is_remote("hdfs://nn:8020/store")
+    assert fs.is_remote("abfss://c@a.dfs.core.windows.net/store")
+
+    store = str(tmp_path / "probe_store")
+    df = spark.createDataFrame(
+        [(i, i % 4) for i in range(40)], "id long, _bkt int")
+    df.write.partitionBy("_bkt").parquet(store)
+
+    dirs = [f"{store}/_bkt={b}" for b in (0, 2, 7, 3)]
+    local = fs.probe_dirs(spark, dirs)
+    hadoop = fs.probe_dirs(
+        spark, [f"file:{d}" for d in dirs], force_hadoop=True)
+    assert local == [f"{store}/_bkt={b}" for b in (0, 2, 3)]
+    assert [d.removeprefix("file:") for d in hadoop] == local
+    # a FILE (not dir) never probes true on either branch
+    (tmp_path / "probe_file").write_text("x")
+    assert fs.probe_dirs(spark, [str(tmp_path / "probe_file")]) == []
+    assert fs.probe_dirs(
+        spark, [f"file:{tmp_path / 'probe_file'}"],
+        force_hadoop=True) == []
+
+    kids_local = fs.list_child_dirs(spark, store, "_bkt=")
+    kids_hadoop = fs.list_child_dirs(
+        spark, f"file:{store}", "_bkt=", force_hadoop=True)
+    assert [k.removeprefix("file:") for k in kids_hadoop] == kids_local
+    assert kids_local == [f"{store}/_bkt={b}" for b in range(4)]
+
+    # end-to-end: _read_buckets over a file:-scheme store path equals
+    # the plain-path read (rows and schema)
+    plain = sinks._read_buckets(spark, store, [1, 3])
+    schemed = sinks._read_buckets(spark, f"file:{store}", [1, 3])
+    assert schemed.schema == plain.schema
+    assert (sorted(r.id for r in schemed.collect())
+            == sorted(r.id for r in plain.collect()))

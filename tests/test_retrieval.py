@@ -182,7 +182,10 @@ def test_truncated_rerank_plan_has_no_shuffle(spark, sf_dir):
 def test_inverted_index_serves_scan_result_with_pruning(spark, tmp_path):
     """The inverted-index path must reproduce the scan-side BM25
     bit-for-bit, and the postings read must prune to the query terms'
-    tb partitions (literal PartitionFilters on the directory column)."""
+    tb partitions — r17: upgraded from a PartitionFilters-literal pin
+    to inputFiles confinement, because serving now goes through the
+    explicit-dirs ``_read_buckets`` (unmatched bucket dirs are never
+    LISTED, the text twin of the ANN serving fix)."""
     import os
 
     from pyspark.sql import functions as F
@@ -198,22 +201,25 @@ def test_inverted_index_serves_scan_result_with_pruning(spark, tmp_path):
 
     scan = {(r["doc_id"], r["dl"], r["bm25"]) for r in
             retrieval.bm25_scores(docs, terms).collect()}
+    served_df = retrieval.search_inverted_index(spark, path, terms)
     served = {(r["doc_id"], r["dl"], r["bm25"]) for r in
-              retrieval.search_inverted_index(spark, path, terms)
-              .collect()}
+              served_df.collect()}
     assert served == scan
 
-    # partition pruning: the tb literal filter must reach the scan
+    # pruning: every postings file the served plan reads lives under
+    # a query-term bucket directory — the other tb dirs were never
+    # listed, let alone read (doclen is an unpartitioned sidecar and
+    # exempt)
     row = spark.range(1).select(*[
         F.pmod(F.xxhash64(F.lit(t)), F.lit(retrieval.INDEX_BUCKETS))
         .alias(f"b{i}") for i, t in enumerate(terms)]).collect()[0]
-    tbs = sorted({int(v) for v in row})
-    pruned = (spark.read.parquet(os.path.join(path, "postings"))
-              .filter(F.col("tb").isin(tbs)))
-    plan = pruned._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters: [" in plan
-    assert "tb" in plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
-    assert pruned.select("tb").distinct().count() <= len(terms)
+    allowed = {f"tb={b}" for b in {int(v) for v in row}}
+    postings_files = [f for f in served_df.inputFiles()
+                      if "/postings/" in f]
+    assert postings_files  # the serve really reads the postings store
+    assert {os.path.basename(os.path.dirname(f))
+            for f in postings_files} <= allowed
+    assert len(allowed) <= len(terms)
 
 
 def test_cross_encoder_rerank_bounded_and_deterministic(spark):
