@@ -55,10 +55,10 @@ import json
 import os
 import shutil
 
-from . import fs as fs_probe
-
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from . import fs as fs_probe
 
 #: Partition column of the upsert store layout.  Internal — readers go
 #: through :func:`read_store`, which drops it.
