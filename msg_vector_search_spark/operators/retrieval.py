@@ -148,6 +148,18 @@ def _bm25_score_col(n_terms: int, k1: float = K1, b: float = B):
 #   the scheduled O(index) job that keeps the query-time filter cheap.
 
 INDEX_BUCKETS = 64
+#: Auto-sizing target for the postings layout (build-time): a served
+#: bucket is read WHOLE then filtered to the query's terms, so
+#: terms-per-bucket is the serve's read amplification; it is also the
+#: rewrite granularity of every bucket-local maintenance verb.  The
+#: build sizes ``n_buckets = max(INDEX_BUCKETS, vocab / TARGET)`` —
+#: the same first-write auto-sizing policy as the hash store layout
+#: (sinks.TARGET_KEYS_PER_BUCKET), floored so small corpora keep the
+#: historical 64.  A web-scale vocabulary (10^6-10^7 terms) lands at
+#: 10^3-10^4 buckets: serves stay O(|terms|) explicit-dirs reads
+#: (never a discovery of all buckets — _read_buckets), and each
+#: bucket rewrite stays ~TARGET terms wide regardless of corpus.
+TARGET_TERMS_PER_BUCKET = 512
 TEXT_META = "_text_index_meta.json"
 
 
@@ -232,7 +244,7 @@ def _postings_of(base: DataFrame, id_col: str, gen: int,
 
 def build_inverted_index(docs: DataFrame, path: str,
                          text_col: str = "text", id_col: str = "doc_id",
-                         n_buckets: int = INDEX_BUCKETS,
+                         n_buckets: int | None = None,
                          meta_cols: tuple = ()) -> None:
     """Build-once job for keyword serving: tokenize the corpus ONCE and
     persist (a) a postings table ``(term, doc_id, tf, gen)``
@@ -253,7 +265,18 @@ def build_inverted_index(docs: DataFrame, path: str,
     every corpus statistic (N, Σdl, per-term df) over eligible docs
     only — "search within a slice" semantics, identical to building
     the index on the slice.  Upserts carry the recorded columns
-    (batches must include them)."""
+    (batches must include them).
+
+    ``n_buckets=None`` (the default) auto-sizes the layout from the
+    corpus vocabulary (r17): ``max(INDEX_BUCKETS, vocab /``
+    :data:`TARGET_TERMS_PER_BUCKET` ``)``, the first-write policy the
+    hash store layout already follows.  The vocabulary is estimated
+    with one sketch aggregation over the tokenized corpus
+    (``approx_count_distinct`` — map-side partial, one extra pass;
+    ±2% error moves a bucket count that only needs to be the right
+    order of magnitude).  The chosen value is recorded in the meta
+    sidecar, so every upsert/serve/maintenance verb follows the
+    build's layout; scores are independent of it."""
     import shutil
 
     # an in-place REBUILD over a previously-maintained index must not
@@ -261,6 +284,11 @@ def build_inverted_index(docs: DataFrame, path: str,
     # would fail gen > upto_gen and silently vanish from the new index
     shutil.rmtree(os.path.join(path, "tombstones"), ignore_errors=True)
     base = _tokenized(docs, text_col, id_col, tuple(meta_cols))
+    if n_buckets is None:
+        vocab = (base.select(F.explode("_toks").alias("_t"))
+                 .agg(F.approx_count_distinct("_t")).head()[0])
+        n_buckets = max(INDEX_BUCKETS,
+                        int(vocab) // TARGET_TERMS_PER_BUCKET)
     base.select(id_col, "dl", *meta_cols) \
         .withColumn("gen", F.lit(0).cast("long")) \
         .write.mode("overwrite").parquet(os.path.join(path, "doclen"))

@@ -1182,3 +1182,49 @@ def test_stopword_prune_is_bounded_and_idempotent(spark, tmp_path):
                                    text="zstopz alone")]), path)
     served = retrieval.search_inverted_index(spark, path, ["zstopz"])
     assert [r["doc_id"] for r in served.collect()] == [10_000_001]
+
+
+def test_build_auto_sizes_buckets_from_vocabulary(spark, tmp_path):
+    """r17 layout auto-sizing: the default build sizes n_buckets =
+    max(INDEX_BUCKETS, vocab / TARGET_TERMS_PER_BUCKET) — the hash
+    store's first-write policy applied to the postings layout.  Small
+    corpora keep the historical 64 (floor); a corpus whose vocabulary
+    exceeds 64 * TARGET sizes up, records the choice in the meta
+    sidecar, and serves bit-identically to the scan-side BM25 on the
+    wider layout."""
+    import json
+    import os
+
+    from msg_vector_search_spark.operators import retrieval
+
+    # small corpus: floor holds (31-term fixture vocab -> 64)
+    small = spark.createDataFrame(
+        [(i, "alpha beta gamma") for i in range(10)],
+        "doc_id long, text string")
+    p_small = str(tmp_path / "small")
+    retrieval.build_inverted_index(small, p_small)
+    with open(os.path.join(p_small, retrieval.TEXT_META)) as f:
+        assert json.load(f)["n_buckets"] == retrieval.INDEX_BUCKETS
+
+    # 40k-term vocabulary: 40000/512 = 78 expected (approx sketch,
+    # +-2%) — above the floor, well under 2x it
+    big = (spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", *[
+            F.concat(F.lit(f"tok{j}x"), F.col("id").cast("string"))
+            for j in range(10)]).alias("text")))
+    p_big = str(tmp_path / "big")
+    retrieval.build_inverted_index(big, p_big)
+    with open(os.path.join(p_big, retrieval.TEXT_META)) as f:
+        nb = json.load(f)["n_buckets"]
+    assert 64 < nb < 96
+
+    # the wider layout serves the scan-side result bit-for-bit (meta
+    # n_buckets drives the term->bucket hash, not the constant)
+    terms = ["tok0x7", "tok3x99"]
+    scan = {(r["doc_id"], r["bm25"]) for r in
+            retrieval.bm25_scores(big, terms).collect()}
+    served = {(r["doc_id"], r["bm25"]) for r in
+              retrieval.search_inverted_index(spark, p_big, terms)
+              .collect()}
+    assert served == scan and served
