@@ -59,7 +59,7 @@ def _subdir(path: str, name: str) -> str:
 
 
 def build_index(spark: SparkSession, embeddings: DataFrame, path: str,
-                nlist: int = 16, m: int = 8, ncodes: int = 16,
+                nlist: int | None = None, m: int = 8, ncodes: int = 16,
                 trained: bool = False, id_col: str = "vec_id",
                 vec_col: str = "embedding",
                 meta_cols: tuple = ()) -> dict:
@@ -77,7 +77,21 @@ def build_index(spark: SparkSession, embeddings: DataFrame, path: str,
     (stacking with the cell partition filter), so ADC only scores
     eligible rows — the production hybrid-filter shape, not a
     recall-losing post-filter of the top-k.  Incremental upserts and
-    rebuilds carry the recorded columns automatically."""
+    rebuilds carry the recorded columns automatically.
+
+    ``nlist=None`` (the default) auto-sizes the cell count to
+    ``max(16, floor(sqrt(N)))`` — the classic IVF balance point: a
+    serve pays nlist centroid distances to pick probes plus
+    ~nprobe*N/nlist candidate rows to scan, and sqrt(N) equalizes the
+    two growth terms, keeping cells ~sqrt(N) wide as the corpus
+    grows.  One count() job at build time (the build is O(corpus)
+    regardless); the choice lands in the meta sidecar, which every
+    serve, upsert, and rebuild already reads — rebuilds preserve the
+    built value, not the formula.  Pass nlist explicitly to pin a
+    layout (every contract row does, keeping oracles stable)."""
+    if nlist is None:
+        import math
+        nlist = max(16, math.isqrt(int(embeddings.count())))
     if trained:
         cent = ivf.kmeans_centroids(embeddings, nlist, vec_col=vec_col)
         books = pq.kmeans_codebooks(embeddings, m=m, ncodes=ncodes,

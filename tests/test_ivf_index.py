@@ -1119,3 +1119,44 @@ def test_search_survives_fully_emptied_probed_cell(spark, tmp_path):
     # parity: identical to serving the second probed cell alone
     alone = ann_index.search_index(spark, path, qv, k=5, nprobe=2)
     assert [tuple(r) for r in alone.collect()] == [tuple(r) for r in rows]
+
+
+def test_build_index_auto_sizes_nlist(spark, tmp_path):
+    """r17 layout auto-sizing (the ANN twin of the postings-bucket
+    policy): the default build sizes nlist = max(16, isqrt(N)).  A
+    2500-vector corpus lands at 50 cells, the floor holds for small
+    corpora, an explicit nlist still pins the layout, and serving the
+    auto-sized index stays correct (exact when nprobe = nlist)."""
+    import json
+    import os
+
+    from msg_vector_search_spark.operators import ann_index
+    from msg_vector_search_spark.operators import similarity as sim_ops
+
+    emb = (spark.range(2500).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.rand(seed=11 + j) * 2 - 1).cast("float")
+                  for j in range(8)]).alias("embedding"))
+        .localCheckpoint())
+    path = str(tmp_path / "auto")
+    meta = ann_index.build_index(spark, emb, path, m=4, ncodes=16)
+    assert meta["nlist"] == 50
+    with open(os.path.join(path, ann_index.META_FILE)) as f:
+        assert json.load(f)["nlist"] == 50
+
+    small = emb.limit(100)
+    meta_small = ann_index.build_index(
+        spark, small, str(tmp_path / "floor"), m=4, ncodes=16)
+    assert meta_small["nlist"] == 16
+    meta_pin = ann_index.build_index(
+        spark, small, str(tmp_path / "pinned"), nlist=4, m=4, ncodes=16)
+    assert meta_pin["nlist"] == 4
+
+    # exact serving on the auto-sized layout: nprobe = nlist and a
+    # corpus-wide shortlist degrade IVFPQ to brute force over PQ-free
+    # rerank, so top-1 of a stored vector is itself
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 7).head()["embedding"]]
+    top = ann_index.search_index(spark, path, qv, k=1, nprobe=50,
+                                 shortlist=2500).head()
+    assert top["vec_id"] == 7
