@@ -1002,6 +1002,65 @@ def batch_main() -> None:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def bucketwidth_main() -> None:
+    """python tools/scaling_check.py --bucketwidth [vocab ...] — the
+    r17 auto-sizing question isolated: how many postings rows does a
+    4-term serve SCAN as the vocabulary grows, under the historical
+    fixed-64 layout vs the auto-sized one (vocab/512 buckets)?  The
+    serve reads whole term buckets then filters to its terms, so
+    terms-per-bucket is pure read amplification; rows-scanned is
+    deterministic (counted off the probed-dirs read, before the term
+    filter), making this an exact accounting rather than a local-FS
+    timing.  Each term appears in exactly 2 docs, so rows-per-term is
+    constant and any growth is layout width alone."""
+    from msg_vector_search_spark.operators import retrieval
+    from msg_vector_search_spark.sources.sinks import _read_buckets
+    from msg_vector_search_spark.session import get_spark
+
+    vocabs = [int(a) for a in sys.argv[1:] if a.isdigit()] \
+        or [8192, 65536, 262144]
+    spark = get_spark("bucketwidth_scaling")
+    terms = [f"t{i}x" for i in (7, 1009, 4001, 8111)]
+    print(f"{'vocab':>8} {'auto_nb':>8} {'rows_64':>9} {'rows_auto':>10} "
+          f"{'ratio':>6}")
+    for v in vocabs:
+        d = tempfile.mkdtemp(prefix=f"bucketwidth_{v}_")
+        try:
+            # v distinct terms, each in docs (t mod D) and (t+1 mod D)
+            ndocs = max(64, v // 64)
+            docs = (spark.range(v).select(
+                F.concat(F.lit("t"), F.col("id").cast("string"),
+                         F.lit("x")).alias("term"),
+                F.explode(F.array(
+                    (F.col("id") % ndocs),
+                    ((F.col("id") + 1) % ndocs))).alias("doc_id"))
+                .groupBy("doc_id")
+                .agg(F.concat_ws(" ", F.collect_list("term"))
+                     .alias("text")))
+            rows = {}
+            for label, nb in (("64", 64), ("auto", None)):
+                path = os.path.join(d, f"idx_{label}")
+                retrieval.build_inverted_index(docs, path,
+                                               n_buckets=nb)
+                meta = retrieval._read_text_meta(path)
+                got_nb = int(meta["n_buckets"])
+                row = spark.range(1).select(*[
+                    F.pmod(F.xxhash64(F.lit(t)), F.lit(got_nb))
+                    .alias(f"b{i}") for i, t in enumerate(terms)]) \
+                    .collect()[0]
+                tbs = sorted({int(x) for x in row})
+                rows[label] = _read_buckets(
+                    spark, os.path.join(path, "postings"), tbs,
+                    part_col="tb").count()
+                if label == "auto":
+                    auto_nb = got_nb
+            print(f"{v:>8} {auto_nb:>8} {rows['64']:>9} "
+                  f"{rows['auto']:>10} "
+                  f"{rows['64'] / max(1, rows['auto']):>6.1f}")
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+
 if __name__ == "__main__":
     if "--knee" in sys.argv:
         knee_main()
@@ -1017,6 +1076,8 @@ if __name__ == "__main__":
         ttl_index_main()
     elif "--servelist" in sys.argv:
         servelist_main()
+    elif "--bucketwidth" in sys.argv:
+        bucketwidth_main()
     elif "--tpch" in sys.argv:
         tpch_main()
     elif "--retrieval" in sys.argv:
