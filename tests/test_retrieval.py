@@ -1228,3 +1228,17 @@ def test_build_auto_sizes_buckets_from_vocabulary(spark, tmp_path):
               retrieval.search_inverted_index(spark, p_big, terms)
               .collect()}
     assert served == scan and served
+
+    # upserts follow the BUILT layout (meta n_buckets, not the
+    # constant): fold in a new doc matching a query term, serve again,
+    # compare to a scan of the merged corpus
+    extra = spark.createDataFrame([(9001, "tok0x7 tok0x7 filler")],
+                                  "doc_id long, text string")
+    retrieval.upsert_inverted_index(extra, p_big)
+    merged = big.unionByName(extra)
+    scan2 = {(r["doc_id"], r["bm25"]) for r in
+             retrieval.bm25_scores(merged, terms).collect()}
+    served2 = {(r["doc_id"], r["bm25"]) for r in
+               retrieval.search_inverted_index(spark, p_big, terms)
+               .collect()}
+    assert served2 == scan2 and 9001 in {d for d, _ in served2}
