@@ -23,8 +23,11 @@ branches are pinned byte-equal on identical stores.
 
 Write-path verbs (staged swaps, manifests, ``rmtree``) remain POSIX
 by design — see the sinks module docstring; under Delta/Iceberg they
-are replaced by the table format's transaction log, and the probes
-here are the only piece the READ path needs on a remote store.
+are replaced by the table format's transaction log.  The probes here
+are the LISTING-ECONOMICS piece of the read path; the remaining
+local reads (json meta sidecars, tombstone-file probes) are
+single-file opens with no per-partition fan-out — porting them is
+``FileSystem.open``/``listStatus`` one-liners, not a layout change.
 """
 
 from __future__ import annotations
