@@ -925,6 +925,18 @@ def test_fs_probe_hadoop_branch_matches_os_branch(spark, tmp_path):
     assert fs.is_remote("s3a://bucket/store")
     assert fs.is_remote("hdfs://nn:8020/store")
     assert fs.is_remote("abfss://c@a.dfs.core.windows.net/store")
+    # edge cases, Hadoop's own rules: case-insensitive schemes, a
+    # one-letter head is a drive not a scheme, schemes start with a
+    # letter and carry only [alnum +-.]
+    assert fs.is_remote("S3A://bucket/store")
+    assert not fs.is_remote("FILE:///x")
+    assert not fs.is_remote("C:/x") and not fs.is_remote("C:\\x")
+    assert not fs.is_remote("9bad://x")
+    assert not fs.is_remote("ha lf://x")
+    assert not fs.is_remote("rel/path")
+    assert fs._strip_file_scheme("file:///x/y") == "/x/y"
+    assert fs._strip_file_scheme("file:/x/y") == "/x/y"
+    assert fs._strip_file_scheme("/plain") == "/plain"
 
     store = str(tmp_path / "probe_store")
     df = spark.createDataFrame(
