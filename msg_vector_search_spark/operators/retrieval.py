@@ -273,8 +273,8 @@ def build_inverted_index(docs: DataFrame, path: str,
     hash store layout already follows.  The vocabulary is estimated
     with one sketch aggregation over the tokenized corpus
     (``approx_count_distinct`` — map-side partial, one extra pass;
-    ±2% error moves a bucket count that only needs to be the right
-    order of magnitude).  The chosen value is recorded in the meta
+    its default ~5% rsd moves a bucket count that only needs to be
+    the right order of magnitude).  The chosen value is recorded in the meta
     sidecar, so every upsert/serve/maintenance verb follows the
     build's layout; scores are independent of it."""
     import shutil

@@ -1206,8 +1206,9 @@ def test_build_auto_sizes_buckets_from_vocabulary(spark, tmp_path):
     with open(os.path.join(p_small, retrieval.TEXT_META)) as f:
         assert json.load(f)["n_buckets"] == retrieval.INDEX_BUCKETS
 
-    # 40k-term vocabulary: 40000/512 = 78 expected (approx sketch,
-    # +-2%) — above the floor, well under 2x it
+    # 40k-term vocabulary: 40000/512 = 78 expected (HLL sketch, ~5%
+    # rsd, deterministic for a fixed corpus) — above the floor, well
+    # under 2x it
     big = (spark.range(4000).select(
         F.col("id").alias("doc_id"),
         F.concat_ws(" ", *[
