@@ -179,6 +179,27 @@ def _read_text_meta(path: str, id_col: str = "doc_id",
         with open(os.path.join(path, TEXT_META)) as f:
             return json.load(f)
     except (FileNotFoundError, NotADirectoryError):
+        # The missing-file fallback serves two safe cases: bootstrap
+        # (no store yet) and a pre-sidecar legacy index (always built
+        # at the 64-bucket default).  Since r17 auto-sizes layouts,
+        # a LOST sidecar over a wider layout would silently hash
+        # query terms mod the wrong bucket count and serve incomplete
+        # results — so before defaulting, probe the postings dirs: a
+        # tb id >= the assumed count proves the layout is not the
+        # default, and failing loudly beats silently missing terms.
+        # (A wider layout whose dirs all happen to fall below the
+        # default can still slip through — best-effort guard, exact
+        # only via the sidecar itself.)
+        pdir = os.path.join(path, "postings")
+        if os.path.isdir(pdir):
+            tbs = [int(e.split("=", 1)[1]) for e in os.listdir(pdir)
+                   if e.startswith("tb=") and e.split("=", 1)[1].isdigit()]
+            if tbs and max(tbs) >= n_buckets:
+                raise ValueError(
+                    f"index at {path} has no meta sidecar but a "
+                    f"tb={max(tbs)} partition — the layout cannot be "
+                    f"the assumed {n_buckets}-bucket default (lost "
+                    f"{TEXT_META}?); restore the sidecar or rebuild")
         return {"n_buckets": n_buckets, "gen": 0, "id_col": id_col}
     except ValueError as e:
         raise ValueError(
@@ -271,10 +292,11 @@ def build_inverted_index(docs: DataFrame, path: str,
     corpus vocabulary (r17): ``max(INDEX_BUCKETS, vocab /``
     :data:`TARGET_TERMS_PER_BUCKET` ``)``, the first-write policy the
     hash store layout already follows.  The vocabulary is estimated
-    with one sketch aggregation over the tokenized corpus
-    (``approx_count_distinct`` — map-side partial, one extra pass;
-    its default ~5% rsd moves a bucket count that only needs to be
-    the right order of magnitude).  The chosen value is recorded in the meta
+    with one sketch aggregation (``approx_count_distinct`` —
+    map-side partial) over the tokenized corpus, which is
+    checkpointed so a single tokenize pass feeds the estimate and
+    both store writes; the sketch's default ~5% rsd moves a bucket
+    count that only needs to be the right order of magnitude.  The chosen value is recorded in the meta
     sidecar, so every upsert/serve/maintenance verb follows the
     build's layout; scores are independent of it."""
     import shutil
@@ -284,7 +306,14 @@ def build_inverted_index(docs: DataFrame, path: str,
     # would fail gen > upto_gen and silently vanish from the new index
     shutil.rmtree(os.path.join(path, "tombstones"), ignore_errors=True)
     base = _tokenized(docs, text_col, id_col, tuple(meta_cols))
+    ckpt = None
     if n_buckets is None:
+        # the vocab estimate adds a third consumer of the tokenized
+        # corpus — checkpoint it so ONE tokenize pass feeds all three
+        # (the ANN build's `assigned` and the upsert path follow the
+        # same discipline); released after the writes
+        from .dedup import _cc_free
+        base = ckpt = base.localCheckpoint()
         vocab = (base.select(F.explode("_toks").alias("_t"))
                  .agg(F.approx_count_distinct("_t")).head()[0])
         n_buckets = max(INDEX_BUCKETS,
@@ -295,6 +324,8 @@ def build_inverted_index(docs: DataFrame, path: str,
     _postings_of(base, id_col, 0, n_buckets) \
         .write.mode("overwrite").partitionBy("tb") \
         .parquet(os.path.join(path, "postings"))
+    if ckpt is not None:
+        _cc_free(ckpt)
     _write_text_meta(path, {"n_buckets": int(n_buckets), "gen": 0,
                             "id_col": id_col,
                             "meta_cols": list(meta_cols)})

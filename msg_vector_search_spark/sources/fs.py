@@ -85,16 +85,32 @@ def probe_dirs(spark, dirs: list, force_hadoop: bool = False) -> list:
 
     O(len(dirs)) probes on either branch — never a parent listing, so
     the cost tracks the TOUCHED set, not the store's directory count.
+    All entries must live on ONE filesystem (they are partition dirs
+    of a single store); a mixed local/remote list is a caller bug and
+    raises rather than silently misrouting probes.
     """
     if not dirs:
         return []
-    if force_hadoop or is_remote(dirs[0]):
+    head_remote = is_remote(dirs[0])
+    if any(is_remote(d) != head_remote for d in dirs[1:]):
+        raise ValueError(
+            "probe_dirs requires a single-filesystem dir list; got a "
+            "mix of local paths and remote URIs")
+    if force_hadoop or head_remote:
+        from py4j.protocol import Py4JJavaError
+
         fs, Path = _hadoop_fs(spark, dirs[0])
         out = []
         for d in dirs:
-            p = Path(d)
-            if fs.exists(p) and fs.getFileStatus(p).isDirectory():
-                out.append(d)
+            # ONE getFileStatus RPC per dir; FileNotFound = absent,
+            # anything else (auth, network) propagates
+            try:
+                if fs.getFileStatus(Path(d)).isDirectory():
+                    out.append(d)
+            except Py4JJavaError as e:
+                name = e.java_exception.getClass().getName()
+                if "FileNotFoundException" not in name:
+                    raise
         return out
     return [d for d in dirs if os.path.isdir(_strip_file_scheme(d))]
 
@@ -117,7 +133,8 @@ def list_child_dirs(spark, path: str, prefix: str,
                 out.append(f"{path.rstrip('/')}/{name}")
         return sorted(out)
     local = _strip_file_scheme(path)
-    sep = "/" if is_remote(path) or _scheme(path) else os.sep
+    # only non-remote paths reach here; a file: scheme keeps URI "/"
+    sep = "/" if _scheme(path) else os.sep
     return sorted(
         path.rstrip("/\\") + sep + entry
         for entry in os.listdir(local)

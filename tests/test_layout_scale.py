@@ -969,3 +969,17 @@ def test_fs_probe_hadoop_branch_matches_os_branch(spark, tmp_path):
     assert schemed.schema == plain.schema
     assert (sorted(r.id for r in schemed.collect())
             == sorted(r.id for r in plain.collect()))
+
+
+def test_fs_probe_rejects_mixed_filesystem_lists(spark, tmp_path):
+    """probe_dirs takes partition dirs of ONE store; a mixed
+    local/remote list would silently misroute probes through whichever
+    branch dirs[0] selects — raise instead."""
+    import pytest as _pytest
+
+    from msg_vector_search_spark.sources import fs
+
+    with _pytest.raises(ValueError, match="single-filesystem"):
+        fs.probe_dirs(spark, [str(tmp_path), "s3a://bucket/x"])
+    with _pytest.raises(ValueError, match="single-filesystem"):
+        fs.probe_dirs(spark, ["s3a://bucket/x", str(tmp_path)])

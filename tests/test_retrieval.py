@@ -1243,3 +1243,38 @@ def test_build_auto_sizes_buckets_from_vocabulary(spark, tmp_path):
                retrieval.search_inverted_index(spark, p_big, terms)
                .collect()}
     assert served2 == scan2 and 9001 in {d for d, _ in served2}
+
+
+def test_lost_meta_sidecar_fails_loudly_on_wide_layout(spark, tmp_path):
+    """r17 review: the missing-meta fallback (bootstrap / pre-sidecar
+    legacy, both 64-bucket by construction) must not silently serve an
+    AUTO-SIZED layout whose sidecar was lost — hashing terms mod the
+    wrong bucket count returns incomplete results with no error.  A
+    tb id >= the assumed default proves the layout is wider: raise."""
+    import os
+
+    import pytest as _pytest
+
+    from msg_vector_search_spark.operators import retrieval
+
+    big = (spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", *[
+            F.concat(F.lit(f"tok{j}y"), F.col("id").cast("string"))
+            for j in range(10)]).alias("text")))
+    path = str(tmp_path / "wide")
+    retrieval.build_inverted_index(big, path)  # auto-sizes above 64
+    os.remove(os.path.join(path, retrieval.TEXT_META))
+    with _pytest.raises(ValueError, match="cannot be the assumed"):
+        retrieval.search_inverted_index(spark, path, ["tok0y7"])
+
+    # a legacy 64-bucket index with no sidecar still serves (every
+    # tb id < 64 is consistent with the default assumption)
+    small = spark.createDataFrame(
+        [(i, "alpha beta gamma") for i in range(10)],
+        "doc_id long, text string")
+    p64 = str(tmp_path / "legacy")
+    retrieval.build_inverted_index(small, p64, n_buckets=64)
+    os.remove(os.path.join(p64, retrieval.TEXT_META))
+    assert retrieval.search_inverted_index(
+        spark, p64, ["alpha"]).count() == 10
