@@ -1278,3 +1278,36 @@ def test_lost_meta_sidecar_fails_loudly_on_wide_layout(spark, tmp_path):
     os.remove(os.path.join(p64, retrieval.TEXT_META))
     assert retrieval.search_inverted_index(
         spark, p64, ["alpha"]).count() == 10
+
+
+def test_many_serve_matches_singles_on_auto_sized_layout(spark,
+                                                         tmp_path):
+    """The batched serve must follow the meta-recorded bucket layout
+    exactly as the single-query path does — on an AUTO-SIZED (non-64)
+    index, per-query results of search_inverted_index_many equal the
+    single serves, both literal-pivot and large-Q generic paths."""
+    from msg_vector_search_spark.operators import retrieval
+
+    big = (spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", *[
+            F.concat(F.lit(f"tok{j}z"), F.col("id").cast("string"))
+            for j in range(10)]).alias("text")))
+    path = str(tmp_path / "wide_many")
+    retrieval.build_inverted_index(big, path)  # auto-sizes above 64
+
+    queries = {1: ["tok0z7", "tok3z99"], 2: ["tok1z500"],
+               3: ["tok9z1", "tok9z2", "missingterm"]}
+    # the batched path rounds scores to 6dp (its serving contract);
+    # round the singles the same way for the parity compare
+    singles = {
+        qid: {(r["doc_id"], round(r["bm25"], 6)) for r in
+              retrieval.search_inverted_index(spark, path, ts).collect()}
+        for qid, ts in queries.items()}
+    for lit_max in (10, 0):  # literal-pivot path, then generic path
+        many = retrieval.search_inverted_index_many(
+            spark, path, queries, literal_max=lit_max)
+        got = {}
+        for r in many.collect():
+            got.setdefault(r["qid"], set()).add((r["doc_id"], r["bm25"]))
+        assert got == {k: v for k, v in singles.items() if v}
