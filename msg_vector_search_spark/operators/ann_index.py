@@ -181,6 +181,36 @@ def load_centroids(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(_subdir(path, "centroids"))
 
 
+def _read_small_parquet_rows(spark: SparkSession, path: str) -> list:
+    """Rows of a sidecar parquet (nlist / m*ncodes bounded — KB-sized
+    metadata, like the json sidecars) WITHOUT a Spark job: a cluster
+    round trip to collect a handful of driver-destined rows is pure
+    scheduler latency (r17; each serve paid 2 such jobs).  Driver-local
+    paths read via pyarrow; remote URIs keep the Spark read — the
+    sidecar is one file either way.  Dict rows index like Row objects
+    for every consumer here (probe_cells_local, the codebook loop).
+    Parity: both paths decode the same parquet doubles, so float
+    values are bit-identical."""
+    from ..sources import fs
+    if not fs.is_remote(path):
+        import glob as _glob
+
+        import pyarrow.parquet as papq
+        local = fs._strip_file_scheme(path)
+        files = sorted(_glob.glob(os.path.join(local, "*.parquet")))
+        if files:
+            import pyarrow as pa
+            return pa.concat_tables(
+                [papq.read_table(f) for f in files]).to_pylist()
+    return [r.asDict() for r in spark.read.parquet(path).collect()]
+
+
+def load_centroid_rows(spark: SparkSession, path: str) -> list:
+    """Driver-side rows of the nlist-bounded centroid sidecar (the
+    probe input); see :func:`_read_small_parquet_rows`."""
+    return _read_small_parquet_rows(spark, _subdir(path, "centroids"))
+
+
 def _read_cells(spark: SparkSession, store: str, cells: list) -> DataFrame:
     """Read ONLY the given ``cell=N`` directories of a cell-partitioned
     store (``sinks._read_buckets`` with the IVF cell as the bucket) —
@@ -198,8 +228,8 @@ def _read_cells(spark: SparkSession, store: str, cells: list) -> DataFrame:
 
 def load_codebooks(spark: SparkSession, path: str) -> np.ndarray:
     """Driver-side load of the (m, ncodes, dsub) codebook tensor —
-    m*ncodes rows, a few KB."""
-    rows = spark.read.parquet(_subdir(path, "codebooks")).collect()
+    m*ncodes rows, a few KB (no Spark job on local paths, r17)."""
+    rows = _read_small_parquet_rows(spark, _subdir(path, "codebooks"))
     meta = read_meta(path)
     m, ncodes = meta["m"], meta["ncodes"]
     dsub = meta["dim"] // m
@@ -241,13 +271,14 @@ def search_index(spark: SparkSession, path: str, qvec: list[float],
         heal_partial_swaps(store)
     meta = read_meta(path)
     id_col, vec_col = meta["id_col"], meta["vec_col"]
-    cent = load_centroids(spark, path)
     books = load_codebooks(spark, path)
     # probe driver-side: the sidecar is nlist rows, and
     # probe_cells_local replays probe_cells' arithmetic exactly — the
-    # collect swaps a crossJoin+TakeOrdered job for a tiny scan,
-    # ~0.2-0.3 s off every single-query serve (local)
-    cells = ivf.probe_cells_local(cent.collect(), qvec, nprobe)
+    # driver read swaps a crossJoin+TakeOrdered job for a tiny scan,
+    # ~0.2-0.3 s off every single-query serve (local); r17 drops the
+    # remaining collect() job too (load_centroid_rows)
+    cells = ivf.probe_cells_local(load_centroid_rows(spark, path),
+                                  qvec, nprobe)
 
     codes = _read_cells(spark, _subdir(path, "codes"), cells)
     if where is not None:
@@ -337,7 +368,6 @@ def search_index_many(spark: SparkSession, path: str,
         heal_partial_swaps(store)
     meta = read_meta(path)
     id_col, vec_col = meta["id_col"], meta["vec_col"]
-    cent = load_centroids(spark, path)
     books = load_codebooks(spark, path)
     qitems = sorted(queries.items())
     if not qitems:
@@ -356,13 +386,14 @@ def search_index_many(spark: SparkSession, path: str,
                 f"sim double{rank}")
 
     # Probe DRIVER-SIDE for the whole batch: the centroid sidecar is
-    # nlist rows (collected once), and ivf.probe_cells_local replays
-    # probe_cells' cosine with the identical IEEE operation order and
-    # tiebreak — bit-identical cell sets, ZERO probe jobs.  The Spark
-    # probe job this replaces cost ~2 s local per batched call (one
-    # crossJoin+window stage regardless of Q) — measured r12, it was
-    # the largest serial component of the hybrid large-Q tail.
-    cent_rows = cent.collect()
+    # nlist rows (read once, driver-local since r17 — no collect job),
+    # and ivf.probe_cells_local replays probe_cells' cosine with the
+    # identical IEEE operation order and tiebreak — bit-identical cell
+    # sets, ZERO probe jobs.  The Spark probe job this replaces cost
+    # ~2 s local per batched call (one crossJoin+window stage
+    # regardless of Q) — measured r12, it was the largest serial
+    # component of the hybrid large-Q tail.
+    cent_rows = load_centroid_rows(spark, path)
     cells_by_q = {int(qid): ivf.probe_cells_local(cent_rows, qv, nprobe)
                   for qid, qv in qitems}
     union_cells = sorted({c for cs in cells_by_q.values() for c in cs})

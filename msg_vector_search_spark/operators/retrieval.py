@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import analysis
+from ..functions.hashing import term_bucket
 
 K1 = 1.2
 B = 0.75
@@ -760,12 +761,11 @@ def search_inverted_index(spark, path: str, terms: list[str],
                 .select(id_col, "dl")
                 .withColumn("bm25", F.lit(0.0)).limit(0))
     tomb = _tombstone_frame(spark, path, id_col)
-    # the bucket of each query term, via the SAME hash expression the
-    # build used (one 1-row driver job, no corpus work)
-    row = spark.range(1).select(*[
-        F.pmod(F.xxhash64(F.lit(t)), F.lit(n_buckets)).alias(f"b{i}")
-        for i, t in enumerate(terms)]).collect()[0]
-    tbs = sorted({int(v) for v in row})
+    # the bucket of each query term, via the driver-side twin of the
+    # build's hash expression (functions.hashing, parity-pinned): a
+    # constant-per-term computation should not cost a cluster round
+    # trip per serve (r17; was a 1-row spark.range job)
+    tbs = sorted({term_bucket(t, n_buckets) for t in terms})
     # explicit-dirs read of the query terms' buckets (r17, the text
     # twin of the ANN serving fix): a serve lists O(|query tb|)
     # directories, not O(n_buckets) discovery — same rows as the old
@@ -905,10 +905,8 @@ def search_inverted_index_many(spark, path: str, queries: dict,
             [], f"qid {qid_t}, {id_col} {id_t}, dl long, "
                 f"bm25 double{rank}")
     uidx = {t: i for i, t in enumerate(union_terms)}
-    row = spark.range(1).select(*[
-        F.pmod(F.xxhash64(F.lit(t)), F.lit(n_buckets)).alias(f"b{i}")
-        for i, t in enumerate(union_terms)]).collect()[0]
-    tbs = sorted({int(v) for v in row})
+    # driver-side bucket mapping, as in the single-query path (r17)
+    tbs = sorted({term_bucket(t, n_buckets) for t in union_terms})
     # explicit-dirs bucket read, as in the single-query path (r17)
     postings = _live(
         _read_buckets(spark, os.path.join(path, "postings"), tbs,
@@ -1160,26 +1158,26 @@ FROM w, s WHERE {matched}
 
 def bounded_rank(df: DataFrame, score_col: str, id_col: str,
                  k: int) -> DataFrame:
-    """Ranks 1..k of the top-*k* rows by ``(score desc, id asc)``
-    without an unpartitioned window.
+    """Ranks 1..k of the top-*k* rows by ``(score desc, id asc)``.
 
     The ordered ``limit(k)`` plans TakeOrderedAndProject (each map task
-    ships at most k rows); the k-row prefix is checkpointed so the two
-    self-join sides don't re-run the corpus scan; rank = 1 + count of
-    strictly-better rows via a broadcast nested-loop over k x k pairs —
-    driver-bounded work for any corpus size.
+    ships at most k rows), so the global window below only ever sees k
+    rows — its single-partition exchange is k-bounded at any corpus
+    size, not the classic unpartitioned-window scale trap.  Values are
+    the pre-r17 form's exactly: ids are unique per leg, so
+    ``row_number`` over (score desc, id asc) equals 1 + the count of
+    strictly-better rows.  r17: this replaces an EAGER localCheckpoint
+    of the k rows plus a k x k broadcast nested-loop self-join and
+    re-aggregation — one fewer job per serving leg and a lazy frame
+    that fuses into the caller's single final action.
     """
-    top = (df.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
-           .limit(k).localCheckpoint())
-    a = top.select(F.col(id_col).alias("_id"), F.col(score_col).alias("_s"))
-    bside = top.select(F.col(id_col).alias("_bid"),
-                       F.col(score_col).alias("_bs"))
-    better = (F.col("_bs") > F.col("_s")) | (
-        (F.col("_bs") == F.col("_s")) & (F.col("_bid") < F.col("_id")))
-    return (a.join(F.broadcast(bside), better, "left")
-            .groupBy("_id")
-            .agg((F.count("_bid") + F.lit(1)).cast("int").alias("rank"))
-            .select(F.col("_id").alias(id_col), "rank"))
+    from pyspark.sql import Window
+
+    order = [F.col(score_col).desc(), F.col(id_col).asc()]
+    top = df.orderBy(*order).limit(k)
+    w = Window.orderBy(*order)
+    return top.select(F.col(id_col),
+                      F.row_number().over(w).cast("int").alias("rank"))
 
 
 def rrf_fuse(legs: list[DataFrame], id_col: str = "doc_id",

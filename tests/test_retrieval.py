@@ -53,7 +53,7 @@ def test_bm25_rare_term_outscores_common(spark):
 
 
 # ---------------------------------------------------------------------------
-# bounded_rank: equals the window-rank definition, without the window
+# bounded_rank: the window-rank definition over a k-bounded prefix
 # ---------------------------------------------------------------------------
 
 def test_bounded_rank_matches_window_rank(spark):
@@ -66,15 +66,24 @@ def test_bounded_rank_matches_window_rank(spark):
     assert got == exp
 
 
-def test_bounded_rank_plans_no_unpartitioned_window(spark):
+def test_bounded_rank_window_input_is_k_bounded(spark):
+    # r17 shape: the global window is fed by the ordered limit's
+    # TakeOrderedAndProject, so it only ever sees k rows — the
+    # single-partition exchange is k-bounded at any corpus size.  The
+    # frame is also LAZY now (no eager localCheckpoint job per leg):
+    # building it must run zero jobs.
     df = spark.createDataFrame([(i, float(i)) for i in range(10)],
                                "id long, s double")
     ranked = retrieval.bounded_rank(df, "s", "id", 5)
     plan = ranked._jdf.queryExecution().executedPlan().toString()
-    assert "Window" not in plan
-    assert "TakeOrderedAndProject" in \
-        df.orderBy(F.col("s").desc(), F.col("id")).limit(5) \
-        ._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    assert "TakeOrderedAndProject" in plan
+    # the limit sits BELOW the window: k rows in, never the corpus
+    assert plan.index("TakeOrderedAndProject") > plan.index("Window")
+    # lazy: the pre-r17 eager localCheckpoint pinned its own RDD; the
+    # plan must still bottom out at the caller's input, not a
+    # checkpoint scan
+    assert "LocalCheckpoint" not in plan
 
 
 # ---------------------------------------------------------------------------
