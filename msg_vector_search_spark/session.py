@@ -53,9 +53,22 @@ def get_spark(app_name: str = "msg_vector_search_spark",
         # Arrow for pandas UDFs / toPandas
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # parallelPartitionDiscovery.threshold stays at Spark's default
+        # 32: the event-log profile showed ~0.3 s listing JOBS on the
+        # ~60-dir range-layout reads, but an A/B at threshold=128
+        # (5-rep medians, r17) measured NO wall-clock win on any
+        # wide-touch row — the listing job overlaps other work — so
+        # the default keeps wide discovery distributed where object
+        # storage needs it.  (Override via SPARK_GRAFT_EXTRA_CONF.)
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
     )
+    # experiment/override hook: "k=v;k=v" extra confs (A/B harness and
+    # cluster-specific tuning land here without code edits)
+    extra = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for kv in filter(None, (s.strip() for s in extra.split(";"))):
+        k, _, v = kv.partition("=")
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -226,8 +226,10 @@ SHOW = [
      "data-dependent shuffle at any corpus size."),
     ("hybrid_search_rrf",
      "Hybrid retrieval: each leg's top-50 is a TakeOrderedAndProject "
-     "prefix ranked by a broadcast self-join (never an unpartitioned "
-     "window); the RRF fuse joins two 50-row frames — fusion cost is "
+     "prefix ranked by a k-bounded row_number window (the limit sits "
+     "below the window, so its single-partition exchange sees 50 "
+     "rows, r17 — one plan, no per-leg checkpoint jobs); the RRF "
+     "fuse joins two 50-row frames — fusion cost is "
      "corpus-independent."),
     ("ann_truncated_rerank",
      "Matryoshka-style adaptive retrieval: shortlist on the 16-dim "
@@ -277,8 +279,8 @@ SHOW = [
     ("pipeline_forget_and_serve",
      "The composed lifecycle capstone: both legs read MAINTAINED "
      "indexes (pruned postings + tombstone broadcast; cell-pruned "
-     "IVFPQ), each ranked by ordered-limit + broadcast self-join, "
-     "fused over two 50-row frames — maintenance never adds a "
+     "IVFPQ), each ranked by an ordered-limit-fed k-bounded window "
+     "(r17), fused over two 50-row frames — maintenance never adds a "
      "corpus-sized stage to serving."),
     ("search_index_many",
      "Batched multi-query IVFPQ serving: the union of all probes "

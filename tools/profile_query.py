@@ -28,8 +28,9 @@ EVDIR = "/tmp/spark-events"
 def main() -> None:
     names = sys.argv[1:]
     os.makedirs(EVDIR, exist_ok=True)
+    import shutil
     for f in glob.glob(os.path.join(EVDIR, "*")):
-        os.remove(f)
+        shutil.rmtree(f) if os.path.isdir(f) else os.remove(f)
 
     from pyspark.sql import SparkSession
 
@@ -40,6 +41,8 @@ def main() -> None:
                .appName("profile")
                .config("spark.eventLog.enabled", "true")
                .config("spark.eventLog.dir", EVDIR)
+               .config("spark.eventLog.compress", "false")
+               .config("spark.eventLog.rolling.enabled", "false")
                .config("spark.sql.shuffle.partitions", str(cpus))
                .config("spark.sql.adaptive.enabled", "true")
                .config("spark.sql.adaptive.coalescePartitions.enabled",
@@ -76,9 +79,12 @@ def main() -> None:
         print(f"WALL {name} rep{rep}: {dt:.3f}s")
     spark.stop()
 
-    # parse the event log
+    # parse the event log (single-file layout; a dir means the rolling
+    # writer was on — take its events_* member)
     evfiles = glob.glob(os.path.join(EVDIR, "*"))
     assert len(evfiles) == 1, evfiles
+    if os.path.isdir(evfiles[0]):
+        evfiles = [p for p in glob.glob(evfiles[0] + "/events_*")]
     jobs = {}
     stage_of_job = {}
     stages = {}
