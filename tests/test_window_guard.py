@@ -38,6 +38,18 @@ PARITY_SPECS = {"ntile_customer_quartiles", "percent_rank_cume_dist"}
 BOUNDED_EVIDENCE = {
     "topk_with_ties": "WindowGroupLimit",       # partial per-map limit
     "sort_ts_pagination": "TakeOrderedAndProject",  # limit-bounded prefix
+    # retrieval.bounded_rank (r17): each serving leg's rank window is
+    # fed by its ordered limit(k) — TakeOrderedAndProject below the
+    # window, so the single-partition exchange sees k=50 rows at any
+    # corpus size (tests/test_retrieval.py pins the limit-below-window
+    # order; this guard pins that the bounded child is in the plan).
+    # (pipeline_serving_capstone also calls bounded_rank, but its
+    # mmr_select stage localCheckpoints the fused shortlist, so the
+    # FINAL plan starts at that pin and shows no window — no
+    # exemption needed there.)
+    "hybrid_search_rrf": "TakeOrderedAndProject",
+    "pipeline_forget_and_serve": "TakeOrderedAndProject",
+    "maxsim_hybrid_rrf": "TakeOrderedAndProject",
 }
 
 
