@@ -7835,12 +7835,13 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     reciprocal-rank fusion (Cormack et al., SIGIR 2009) — the retrieval
     shape every production vector store serves next to pure ANN.
 
-    Each leg's ranks come from operators.retrieval.bounded_rank: an
-    ordered limit(50) prefix (TakeOrderedAndProject) checkpointed at 50
-    rows, then a broadcast self-join rank count — NO unpartitioned
-    window anywhere (the registry-wide guard in test_window_guard.py
-    stays exemption-free), and the fusion join runs over two 50-row
-    frames regardless of corpus size."""
+    Each leg's ranks come from operators.retrieval.bounded_rank: a
+    row_number() window fed by an ordered limit(50) prefix
+    (TakeOrderedAndProject), so the window's single-partition exchange
+    sees 50 rows at any corpus size (the registry-wide guard in
+    test_window_guard.py carries this caller as a bounded exemption),
+    and the fusion join runs over two 50-row frames regardless of
+    corpus size."""
     docs = readers.widen(_t(spark, sf_dir, "documents"))
     kw = (retrieval_ops.bm25_scores(docs, _BM25_TERMS)
           .select("doc_id", rnd(F.col("bm25"), 6).alias("s")))

@@ -108,12 +108,23 @@ def build_index(spark: SparkSession, embeddings: DataFrame, path: str,
                                  vec_col=vec_col,
                                  keep_cols=tuple(meta_cols))
                 .repartition("cell").localCheckpoint())
-    assigned.write.mode("overwrite").partitionBy("cell") \
-        .parquet(_subdir(path, "vectors"))
     codes = pq.pq_encode(assigned, books, id_col=id_col, vec_col=vec_col,
                          keep_cols=("cell", *meta_cols))
-    codes.write.mode("overwrite").partitionBy("cell") \
-        .parquet(_subdir(path, "codes"))
+    # both store writes consume the same checkpointed assignment and
+    # land in disjoint directories — run them as concurrent jobs
+    # (guide §2.6) so one write's straggler tail back-fills with the
+    # other's tasks; rebuild_index (a timed maintenance verb) pays
+    # this pair on every scheduled rebuild
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fv = pool.submit(
+            lambda: assigned.write.mode("overwrite").partitionBy("cell")
+            .parquet(_subdir(path, "vectors")))
+        fc = pool.submit(
+            lambda: codes.write.mode("overwrite").partitionBy("cell")
+            .parquet(_subdir(path, "codes")))
+        fv.result()
+        fc.result()
     cent.coalesce(1).write.mode("overwrite") \
         .parquet(_subdir(path, "centroids"))
     _write_codebooks(books, _subdir(path, "codebooks"))
@@ -181,6 +192,30 @@ def load_centroids(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(_subdir(path, "centroids"))
 
 
+def load_centroids_broadcastable(spark: SparkSession, path: str) -> DataFrame:
+    """The centroid sidecar as a DataFrame whose broadcast costs NO
+    scan job: driver-side pyarrow rows (nlist-bounded, the same bytes
+    :func:`load_centroid_rows` serves the probes) wrapped in a local
+    relation carrying the sidecar's exact Spark schema — broadcasting
+    a local relation is driver-side, so a maintenance batch no longer
+    pays a cluster job just to re-read KB-sized, driver-destined
+    metadata (guide §5; each streaming micro-batch paid one).  The
+    schema comes from the sidecar's own footer (a driver-side read,
+    no job), so column types — and therefore every downstream
+    expression — are identical to the plain read; parquet float32
+    values round-trip exactly through Python floats.  Remote URIs
+    keep the plain read."""
+    from ..sources import fs
+
+    sub = _subdir(path, "centroids")
+    if fs.is_remote(sub):
+        return spark.read.parquet(sub)
+    rows = _read_small_parquet_rows(spark, sub)
+    schema = spark.read.parquet(sub).schema
+    return spark.createDataFrame(
+        [tuple(r[f.name] for f in schema.fields) for r in rows], schema)
+
+
 def _read_small_parquet_rows(spark: SparkSession, path: str) -> list:
     """Rows of a sidecar parquet (nlist / m*ncodes bounded — KB-sized
     metadata, like the json sidecars) WITHOUT a Spark job: a cluster
@@ -193,11 +228,20 @@ def _read_small_parquet_rows(spark: SparkSession, path: str) -> list:
     values are bit-identical."""
     from ..sources import fs
     if not fs.is_remote(path):
-        import glob as _glob
-
         import pyarrow.parquet as papq
         local = fs._strip_file_scheme(path)
-        files = sorted(_glob.glob(os.path.join(local, "*.parquet")))
+        try:
+            # os.listdir, not glob: a store path containing glob
+            # metacharacters ([, ?, *) would silently match nothing
+            # and fall back to the Spark-job read, and glob would also
+            # pick up underscore-prefixed marker files a Spark read
+            # ignores (ADVICE r17)
+            names = os.listdir(local)
+        except (FileNotFoundError, NotADirectoryError):
+            names = []
+        files = sorted(os.path.join(local, n) for n in names
+                       if n.endswith(".parquet")
+                       and not n.startswith(("_", ".")))
         if files:
             import pyarrow as pa
             return pa.concat_tables(
@@ -583,7 +627,7 @@ def delete_index_keys(spark: SparkSession, path: str, keys: DataFrame,
         # the call still reported success
         present = (vectors.filter(F.col(vec_col).isNotNull())
                    .join(F.broadcast(keyed), id_col, "semi"))
-        cent = load_centroids(spark, path)
+        cent = load_centroids_broadcastable(spark, path)
         cells = ivf.assign_cells(present, cent, id_col=id_col,
                                  vec_col=vec_col).select("cell")
         missing = keyed.join(present.select(id_col), id_col, "left_anti")
@@ -815,7 +859,7 @@ def upsert_index(spark: SparkSession, path: str,
     meta = read_meta(path)
     id_col, vec_col = meta["id_col"], meta["vec_col"]
     meta_cols = tuple(meta.get("meta_cols", ()))
-    cent = load_centroids(spark, path)
+    cent = load_centroids_broadcastable(spark, path)
     books = load_codebooks(spark, path)
     assigned = ivf.assign_cells(new_vectors, cent, id_col=id_col,
                                 vec_col=vec_col, keep_cols=meta_cols)
@@ -824,10 +868,23 @@ def upsert_index(spark: SparkSession, path: str,
     codes = pq.pq_encode(assigned, books, id_col=id_col,
                          vec_col=vec_col,
                          keep_cols=("cell", *meta_cols))
-    touched = _upsert_cells(spark, assigned,
-                            _subdir(path, "vectors"), id_col)
-    _upsert_cells(spark, codes, _subdir(path, "codes"), id_col,
-                  touched=touched)
+    # both cell merges consume the same checkpointed batch and touch
+    # DISJOINT store directories, so they run as concurrent jobs
+    # (guide §2.6 — the scheduler back-fills one merge's straggler
+    # tail with the other's tasks; a streaming ingest loop pays this
+    # pair once per micro-batch, so the serial form was the largest
+    # per-batch wall term).  The touched set is computed once up
+    # front — it is a pure function of the batch, identical for both.
+    touched = sorted(r[0] for r in
+                     assigned.select("cell").distinct().collect())
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fv = pool.submit(_upsert_cells, spark, assigned,
+                         _subdir(path, "vectors"), id_col, touched)
+        fc = pool.submit(_upsert_cells, spark, codes,
+                         _subdir(path, "codes"), id_col, touched)
+        fv.result()
+        fc.result()
     if on_moved != "ignore":
         _resolve_moved_keys(spark, path, assigned, touched,
                             id_col, on_moved)

@@ -15,12 +15,15 @@ surface Spark-first:
   corpus total, both riding whole-stage codegen; the vocabulary-sized
   DF table TF-IDF needs never materializes because the query is the
   vocabulary.
-* :func:`bounded_rank` — dense ranks for a top-k WITHOUT a global
-  window: an ordered ``limit(k)`` prefix (TakeOrderedAndProject — per-
-  partition heaps) is checkpointed at k rows, then ranked by a
-  broadcast self-join count (k^2 comparisons of a driver-sized frame).
-  No ``Exchange SinglePartition`` ever sees corpus-sized input, so the
-  registry-wide window guard holds with no new exemption.
+* :func:`bounded_rank` — dense ranks for a top-k WITHOUT a corpus-
+  sized window: ``row_number()`` over a global window whose input is
+  an ordered ``limit(k)`` (TakeOrderedAndProject — per-partition
+  heaps), so the window's single-partition exchange only ever sees k
+  rows and the frame stays LAZY (it fuses into the caller's final
+  action; r17 removed the eager checkpoint + k x k self-join form).
+  The registry-wide window guard carries the bounded_rank callers as
+  exemptions, each required to show its TakeOrderedAndProject
+  boundedness evidence in the same plan (tests/test_window_guard.py).
 * :func:`rrf_fuse` — full-outer-join the per-leg rank lists on the
   document key, score 1/(k_rrf + rank) summed across legs.  Inputs are
   k-row frames; the fuse is driver-sized regardless of corpus size.
@@ -332,28 +335,87 @@ def build_inverted_index(docs: DataFrame, path: str,
                             "meta_cols": list(meta_cols)})
 
 
+def _first_data_file(store: str, depth: int = 1) -> str | None:
+    """Driver-side path of ONE parquet data file in *store* (descending
+    into partition dirs up to *depth* levels), or None.  Skips marker
+    files and swap strays (``._old`` etc.) the same way a Spark read
+    would."""
+    try:
+        entries = sorted(os.listdir(store))
+    except (FileNotFoundError, NotADirectoryError):
+        return None
+    for e in entries:
+        if e.endswith(".parquet") and not e.startswith(("_", ".")):
+            p = os.path.join(store, e)
+            if os.path.isfile(p):
+                return p
+    if depth:
+        for e in entries:
+            if ("=" not in e or e.startswith(("_", "."))
+                    or "._" in e):
+                continue
+            p = os.path.join(store, e)
+            if os.path.isdir(p):
+                f = _first_data_file(p, depth - 1)
+                if f:
+                    return f
+    return None
+
+
+def _store_has_gen(spark, store: str) -> bool | None:
+    """Whether the store's parquet schema carries the ``gen`` column
+    (None = store absent).  Local stores answer with ONE driver-side
+    footer read (pyarrow) instead of a Spark read whose partition
+    DISCOVERY lists every bucket directory — this check runs once per
+    upsert batch, and on an auto-sized postings layout (hundreds to
+    thousands of ``tb=`` dirs) the old read's listing alone cost a
+    cluster job per micro-batch (guide §5/§6; r18).  Parity: Spark's
+    own schema resolution reads one data-file footer when mergeSchema
+    is off, so the single-footer probe answers exactly the question
+    the old read did (the migration below stamps each store whole, so
+    files within a store never disagree on ``gen``).  Remote URIs
+    keep the Spark read."""
+    from ..sources import fs
+
+    if fs.is_remote(store):
+        try:
+            return "gen" in spark.read.parquet(store).columns
+        except Exception:
+            return None
+    local = fs._strip_file_scheme(store)
+    if not os.path.isdir(local):
+        return None
+    f = _first_data_file(local)
+    if f is None:
+        return None
+    import pyarrow.parquet as papq
+    return "gen" in papq.ParquetFile(f).schema_arrow.names
+
+
 def _ensure_gen_layout(spark, path: str) -> None:
     """One-time migration for a pre-generation-sidecar index: stamp
     ``gen = 0`` onto any store still lacking the column, staged and
     swapped whole.  Without this, an incremental append would mix
     gen-carrying files into a gen-less directory and the un-merged
     parquet schema read could silently drop (or null) the column the
-    tombstone filter keys on.  Cost when already migrated: one footer
-    read per store."""
+    tombstone filter keys on.  Cost when already migrated: one
+    driver-side footer read per store (:func:`_store_has_gen` — never
+    a per-batch Spark discovery of the whole postings layout)."""
     import shutil
 
     from ..sources.sinks import _swap_dir
 
     for sub, part in (("doclen", None), ("postings", "tb")):
         store = os.path.join(path, sub)
-        if not os.path.isdir(store):
+        has = _store_has_gen(spark, store)
+        if has is None:
             # never-built store: the append-mode writes below bootstrap
             # it (and _read_text_meta already tolerates missing meta) —
             # reading here would throw and narrow the upsert contract
             continue
-        cur = spark.read.parquet(store)
-        if "gen" in cur.columns:
+        if has:
             continue
+        cur = spark.read.parquet(store)
         tmp = store + "._genmigrate"
         shutil.rmtree(tmp, ignore_errors=True)
         migrated = cur.withColumn("gen", F.lit(0).cast("long"))
@@ -407,15 +469,36 @@ def upsert_inverted_index(docs: DataFrame, path: str,
     base = (_tokenized(docs.dropDuplicates([id_col]), text_col, id_col,
                        meta_cols)
             .localCheckpoint())  # one tokenize pass feeds all three writes
-    (base.select(id_col).coalesce(1)
-     .withColumn("upto_gen", F.lit(g_old).cast("long"))
-     .write.mode("append").parquet(os.path.join(path, "tombstones")))
-    (base.select(id_col, "dl", *meta_cols)
-     .withColumn("gen", F.lit(g_new).cast("long"))
-     .write.mode("append").parquet(os.path.join(path, "doclen")))
-    _postings_of(base, id_col, g_new, int(meta["n_buckets"])) \
-        .write.mode("append").partitionBy("tb") \
-        .parquet(os.path.join(path, "postings"))
+
+    # The three appends all consume the checkpointed batch and write
+    # DISJOINT directories, so they run as concurrent jobs (guide
+    # §2.6).  Convergence is order-independent: whatever subset a
+    # crash leaves behind, the re-run's tombstone-at-g_new (the meta
+    # gen was already bumped) kills every half-appended row and lands
+    # the batch whole at the next generation — the same recovery
+    # contract the serial form had.  A streaming ingest loop pays
+    # this trio once per micro-batch; overlapping them removes two
+    # full job round-trips of wall per batch.
+    def _w_tomb():
+        (base.select(id_col).coalesce(1)
+         .withColumn("upto_gen", F.lit(g_old).cast("long"))
+         .write.mode("append").parquet(os.path.join(path, "tombstones")))
+
+    def _w_doclen():
+        (base.select(id_col, "dl", *meta_cols)
+         .withColumn("gen", F.lit(g_new).cast("long"))
+         .write.mode("append").parquet(os.path.join(path, "doclen")))
+
+    def _w_postings():
+        _postings_of(base, id_col, g_new, int(meta["n_buckets"])) \
+            .write.mode("append").partitionBy("tb") \
+            .parquet(os.path.join(path, "postings"))
+
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        for f in [pool.submit(w) for w in (_w_tomb, _w_doclen,
+                                           _w_postings)]:
+            f.result()
     # all three writes consumed the checkpoint — release its pinned
     # blocks now instead of at session death
     _cc_free(base)

@@ -87,7 +87,6 @@ def main() -> None:
         evfiles = [p for p in glob.glob(evfiles[0] + "/events_*")]
     jobs = {}
     stage_of_job = {}
-    stages = {}
     with open(evfiles[0]) as f:
         for line in f:
             try:
@@ -101,10 +100,9 @@ def main() -> None:
                     "t0": ev["Submission Time"],
                     "desc": ev.get("Properties", {}).get(
                         "spark.job.description", ""),
-                    "stages": [s["Stage ID"]
-                               for s in ev.get("Stage Infos", [])],
                     "ntask": sum(s.get("Number of Tasks", 0)
                                  for s in ev.get("Stage Infos", [])),
+                    "in": 0, "sr": 0, "sw": 0,
                 }
                 for s in ev.get("Stage Infos", []):
                     stage_of_job[s["Stage ID"]] = jid
@@ -112,16 +110,31 @@ def main() -> None:
                 jid = ev["Job ID"]
                 if jid in jobs:
                     jobs[jid]["t1"] = ev["Completion Time"]
-            elif e == "SparkListenerStageCompleted":
-                si = ev["Stage Info"]
-                sid = si["Stage ID"]
-                sr = sw = inb = 0
-                stages[sid] = si
+            elif e == "SparkListenerTaskEnd":
+                # per-task metrics aggregated to the owning job — this
+                # is where the docstring's shuffle read/write bytes
+                # come from (ADVICE r17: they were parsed and dropped)
+                jid = stage_of_job.get(ev.get("Stage ID"))
+                tm = ev.get("Task Metrics") or {}
+                if jid in jobs and tm:
+                    j = jobs[jid]
+                    j["in"] += (tm.get("Input Metrics") or {}).get(
+                        "Bytes Read", 0)
+                    srm = tm.get("Shuffle Read Metrics") or {}
+                    j["sr"] += (srm.get("Remote Bytes Read", 0)
+                                + srm.get("Local Bytes Read", 0))
+                    j["sw"] += (tm.get("Shuffle Write Metrics") or {}
+                                ).get("Shuffle Bytes Written", 0)
+
+    def _mb(n: int) -> str:
+        return f"{n / 1048576:8.2f}M" if n else "       0 "
+
     for jid in sorted(jobs):
         j = jobs[jid]
         dur = (j.get("t1", j["t0"]) - j["t0"]) / 1000.0
         print(f"job {jid:4d}  {dur:7.3f}s  tasks={j['ntask']:4d}  "
-              f"{j['desc'][:90]}")
+              f"in={_mb(j['in'])} sr={_mb(j['sr'])} sw={_mb(j['sw'])}  "
+              f"{j['desc'][:80]}")
 
 
 if __name__ == "__main__":
