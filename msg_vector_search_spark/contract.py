@@ -4066,6 +4066,111 @@ def ann_ivfpq_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   k=10, nprobe=4, shortlist=50)
 
 
+# ann_ivfpq_topk's seed composition with the CELL COUNT DERIVED from
+# the corpus instead of pinned: nlist = max(16, floor(sqrt(N))) — the
+# first-write auto-sizing policy ann_index.build_index applies when
+# nlist is not pinned (r17 mechanism 5), replayed in SQL so the
+# driver's hash check covers the derived layout end-to-end.  FLOOR(
+# SQRT()) equals Python's isqrt at every fixture N (500 -> 22,
+# 2000 -> 44); codebook seeds stay ncodes=16 — auto-sizing moves only
+# the coarse quantizer.
+_IVFPQ_AUTOSIZED_ORACLE = f"""
+WITH nl AS (
+  SELECT GREATEST(16, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) AS nlist
+  FROM embeddings
+), cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec FROM (
+    SELECT vec_id, embedding,
+           row_number() OVER (ORDER BY vec_id) AS rn
+    FROM embeddings)
+  WHERE rn <= (SELECT nlist FROM nl)
+), q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+cscored AS (
+  SELECT e.vec_id, e.embedding, c.centroid_id,
+         (round({V.duck_cosine('e.embedding', 'c.cvec')}, 9) + 0) AS cdist
+  FROM embeddings e CROSS JOIN cent c
+), celled AS (
+  SELECT vec_id, embedding, centroid_id AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cdist DESC, centroid_id) AS rn
+    FROM cscored) WHERE rn = 1
+), probe AS (
+  SELECT centroid_id AS cell
+  FROM cent, q
+  ORDER BY {V.duck_cosine('cvec', 'qv')} DESC, centroid_id LIMIT 4
+), cand AS (
+  SELECT * FROM celled WHERE cell IN (SELECT cell FROM probe)
+), seeds AS (
+  SELECT embedding AS sv, row_number() OVER (ORDER BY vec_id) - 1 AS cw
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)
+), js AS (SELECT unnest(range(8)) AS j),
+cb AS (
+  SELECT js.j, seeds.cw, seeds.sv[(js.j*8+1):(js.j*8+8)] AS cv
+  FROM seeds CROSS JOIN js
+), ev AS (
+  SELECT c.vec_id, js.j, c.embedding[(js.j*8+1):(js.j*8+8)] AS xv
+  FROM cand c CROSS JOIN js
+), coded AS (
+  SELECT vec_id, j, cw FROM (
+    SELECT ev.vec_id, ev.j, cb.cw,
+           row_number() OVER (
+             PARTITION BY ev.vec_id, ev.j
+             ORDER BY (round({V.duck_dot('ev.xv', 'cb.cv')}, 9) + 0) DESC,
+                      cb.cw) AS rn
+    FROM ev JOIN cb ON cb.j = ev.j) WHERE rn = 1
+), qtab AS (
+  SELECT cb.j, cb.cw,
+         (round({V.duck_dot('(SELECT qv FROM q)[(cb.j*8+1):(cb.j*8+8)]',
+                            'cb.cv')}, 9) + 0) AS d
+  FROM cb
+), adc AS (
+  SELECT a.vec_id, (round(sum(t.d), 6) + 0) AS adc_sim
+  FROM coded a JOIN qtab t ON t.j = a.j AND t.cw = a.cw
+  GROUP BY a.vec_id
+), short AS (SELECT vec_id FROM adc ORDER BY adc_sim DESC, vec_id LIMIT 50)
+SELECT c.vec_id, c.cell,
+       (round({V.duck_cosine('c.embedding', '(SELECT qv FROM q)')}, 6) + 0)
+         AS sim
+FROM cand c JOIN short s ON s.vec_id = c.vec_id
+ORDER BY sim DESC, c.vec_id LIMIT 10
+"""
+
+
+@register("ann_ivfpq_autosized", oracle=_IVFPQ_AUTOSIZED_ORACLE)
+def ann_ivfpq_autosized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AUTO-SIZED index layout served end-to-end (VERDICT r17
+    item 4): build_index with nlist=None derives the cell count from
+    the corpus (max(16, isqrt(N)) — a serve pays nlist centroid
+    distances plus ~nprobe*N/nlist candidate rows, and sqrt(N)
+    equalizes the two growth terms), records it in the meta sidecar,
+    and every later verb follows the recorded layout.  The oracle
+    replays the same derivation in SQL, so the driver's hash check
+    pins the auto-sizing policy itself — not just a pinned-layout
+    instance of it.  This is the path the Engine facade now takes
+    with nlist=None (ensure_index passes the facade's nlist through;
+    the facade's encoder-backed store itself stays oracle-exempt by
+    the SURVEY §5.2 model-UDF contract, so the policy is pinned here
+    over the deterministic embeddings fixture instead).  Build cached
+    per fixture (the offline job); the meta assertion fails loudly if
+    the recorded layout ever drifts from the policy."""
+    import math
+
+    emb = _t(spark, sf_dir, "embeddings")
+    key = (sf_dir, "autosized")
+    if key not in _ANN_INDEX_CACHE:
+        path = os.path.join(tempfile.mkdtemp(prefix="annauto_"), "index")
+        ann_index.build_index(spark, emb, path, nlist=None, m=8,
+                              ncodes=16)
+        _ANN_INDEX_CACHE[key] = path
+    path = _ANN_INDEX_CACHE[key]
+    meta = ann_index.read_meta(path)
+    n = emb.count()
+    assert meta["nlist"] == max(16, math.isqrt(int(n))), \
+        (meta["nlist"], n)
+    return ann_index.search_index(spark, path, _query_vec(spark, sf_dir),
+                                  k=10, nprobe=4, shortlist=50)
+
+
 _TRAINED_STORE_LINK = _trained_dir("trained_index")
 
 # Intrinsic scale guard for the store-link oracles (ADVICE r12): the

@@ -47,7 +47,7 @@ class Engine:
 
     def __init__(self, spark: SparkSession, sf_dir: str, store_dir: str,
                  update_threshold: int = 50, clock=time.time,
-                 index_dir: str | None = None, nlist: int = 16,
+                 index_dir: str | None = None, nlist: int | None = 16,
                  nprobe: int = 8, shortlist: int = 400,
                  rebuild_growth: float | None = None,
                  rebuild_skew: float | None = None,
@@ -66,6 +66,11 @@ class Engine:
         #: search/search_many serve from the index (ANN semantics:
         #: recall bounded by nprobe/shortlist — exact when nprobe =
         #: nlist and shortlist >= corpus) and every ingest upserts it.
+        #: nlist=None defers to the build's own auto-sizing
+        #: (max(16, isqrt(N)) — ann_index.build_index; the derived
+        #: value lands in the meta sidecar every later verb follows),
+        #: so a facade over a growing store no longer pins a 16-cell
+        #: layout forever (VERDICT r17 item 4 / r18).
         self.index_dir = index_dir
         self.nlist = nlist
         self.nprobe = nprobe

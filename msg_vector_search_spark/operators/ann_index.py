@@ -179,6 +179,16 @@ def _write_codebooks(books: np.ndarray, path: str) -> None:
 
 
 def read_meta(path: str) -> dict:
+    from ..sources import fs
+    if fs.is_remote(path):
+        # remote serving reads the sidecar through the Hadoop FS API —
+        # no Spark job, no local-FS assumption (r18; the write-side
+        # heal verbs stay POSIX by design and no-op here: a remote
+        # store is read-only for this engine)
+        from pyspark.sql import SparkSession
+        spark = SparkSession.getActiveSession()
+        return json.loads(fs.read_bytes(
+            spark, f"{path.rstrip('/')}/{META_FILE}"))
     # universal entry backstop (r14 review): a crash inside
     # rebuild_index's root-level swap strands the WHOLE index as
     # '<path>._old' — restore it before any verb touches META_FILE
@@ -227,25 +237,36 @@ def _read_small_parquet_rows(spark: SparkSession, path: str) -> list:
     Parity: both paths decode the same parquet doubles, so float
     values are bit-identical."""
     from ..sources import fs
+
+    # os.listdir / FileSystem.listStatus, not glob: a store path
+    # containing glob metacharacters ([, ?, *) would silently match
+    # nothing, and glob would also pick up underscore-prefixed marker
+    # files a Spark read ignores (ADVICE r17)
+    import pyarrow.parquet as papq
     if not fs.is_remote(path):
-        import pyarrow.parquet as papq
-        local = fs._strip_file_scheme(path)
-        try:
-            # os.listdir, not glob: a store path containing glob
-            # metacharacters ([, ?, *) would silently match nothing
-            # and fall back to the Spark-job read, and glob would also
-            # pick up underscore-prefixed marker files a Spark read
-            # ignores (ADVICE r17)
-            names = os.listdir(local)
-        except (FileNotFoundError, NotADirectoryError):
-            names = []
-        files = sorted(os.path.join(local, n) for n in names
-                       if n.endswith(".parquet")
-                       and not n.startswith(("_", ".")))
+        files = fs.list_files(spark, path, suffix=".parquet")
         if files:
             import pyarrow as pa
             return pa.concat_tables(
-                [papq.read_table(f) for f in files]).to_pylist()
+                [papq.read_table(fs._strip_file_scheme(f))
+                 for f in files]).to_pylist()
+        return [r.asDict() for r in spark.read.parquet(path).collect()]
+    # remote URI: stream the KB-sized sidecar files through the Hadoop
+    # FS API and decode driver-side — zero Spark jobs, same parquet
+    # doubles (r18; was a collect() job per serve — the r17 deferral).
+    # Any gateway-level surprise falls back to the Spark read, so the
+    # serve never breaks on an exotic filesystem.
+    try:
+        files = fs.list_files(spark, path, suffix=".parquet")
+        if files:
+            import io
+
+            import pyarrow as pa
+            return pa.concat_tables(
+                [papq.read_table(io.BytesIO(fs.read_bytes(spark, f)))
+                 for f in files]).to_pylist()
+    except Exception:
+        pass
     return [r.asDict() for r in spark.read.parquet(path).collect()]
 
 

@@ -179,6 +179,36 @@ def _read_text_meta(path: str, id_col: str = "doc_id",
     on, not guessing through."""
     import json
 
+    from ..sources import fs
+
+    if fs.is_remote(path):
+        # remote serving reads the sidecar through the Hadoop FS API —
+        # no Spark job, no local-FS assumption (r18).  The legacy
+        # guard below mirrors the local branch via one listing RPC.
+        from pyspark.sql import SparkSession
+        spark = SparkSession.getActiveSession()
+        try:
+            return json.loads(fs.read_bytes(
+                spark, f"{path.rstrip('/')}/{TEXT_META}"))
+        except FileNotFoundError:
+            pdir = f"{path.rstrip('/')}/postings"
+            tbs = [int(d.rsplit("=", 1)[1])
+                   for d in fs.list_child_dirs(spark, pdir, "tb=")
+                   if d.rsplit("=", 1)[1].isdigit()]
+            if tbs and max(tbs) >= n_buckets:
+                raise ValueError(
+                    f"index at {path} has no meta sidecar but a "
+                    f"tb={max(tbs)} partition — the layout cannot be "
+                    f"the assumed {n_buckets}-bucket default (lost "
+                    f"{TEXT_META}?); restore the sidecar or rebuild")
+            return {"n_buckets": n_buckets, "gen": 0, "id_col": id_col}
+        except ValueError as e:
+            raise ValueError(
+                f"corrupt text-index meta at {path}: {e}; refusing to "
+                "default the generation counter (it would silently "
+                "disarm tombstones) — restore or rebuild the index"
+            ) from e
+
     try:
         with open(os.path.join(path, TEXT_META)) as f:
             return json.load(f)
@@ -224,10 +254,16 @@ def _write_text_meta(path: str, meta: dict) -> None:
 def _tombstone_frame(spark, path: str, id_col: str):
     """The per-doc kill threshold ``(id_col, _upto)``, or None when no
     tombstones exist.  Bounded by deletes since the last compaction —
-    the broadcast-side economics every query relies on."""
-    tdir = os.path.join(path, "tombstones")
-    if not os.path.isdir(tdir) or not any(
-            f.endswith(".parquet") for f in os.listdir(tdir)):
+    the broadcast-side economics every query relies on.  The existence
+    probe dispatches on the path scheme (``sources.fs``) so a remote
+    store's tombstones are SEEN, not silently skipped (r18: the old
+    ``os.path.isdir`` read False on any URI — live tombstones would
+    have been ignored when serving a remote index)."""
+    from ..sources import fs as fs_probe
+
+    tdir = f"{path.rstrip('/')}/tombstones" if fs_probe.is_remote(path) \
+        else os.path.join(path, "tombstones")
+    if not fs_probe.list_files(spark, tdir, suffix=".parquet"):
         return None
     return (spark.read.parquet(tdir)
             .groupBy(id_col).agg(F.max("upto_gen").alias("_upto")))

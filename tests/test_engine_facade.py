@@ -667,3 +667,40 @@ def test_search_hybrid_fuses_both_surfaces_and_honors_retention(
                              terms=[probe_tok])
     assert post["results"]
     assert not {r["message_id"] for r in post["results"]} & expired_ids
+
+
+def test_engine_autosized_index_passthrough(spark, tmp_path):
+    """nlist=None through the facade defers to build_index's own
+    auto-sizing (max(16, isqrt(N)) — VERDICT r17 item 4): the derived
+    cell count lands in the meta sidecar every later verb follows,
+    and indexed serving equals brute-force serving in exact mode, so
+    a facade over a growing store no longer pins a 16-cell layout."""
+    import math
+
+    from msg_vector_search_spark.operators import ann_index
+
+    brute = Engine(spark, SF, str(tmp_path / "b"),
+                   update_threshold=10 ** 9)
+    brute.update_embeddings()
+    auto = Engine(spark, SF, str(tmp_path / "i"),
+                  update_threshold=10 ** 9,
+                  index_dir=str(tmp_path / "idx"), nlist=None,
+                  shortlist=10 ** 6)
+    auto.update_embeddings()
+    assert auto.ensure_index()
+
+    meta = ann_index.read_meta(auto.index_dir)
+    n = auto._store().count()
+    assert meta["nlist"] == max(16, math.isqrt(int(n)))
+    # exact-mode parity: probe every derived cell
+    auto.nprobe = meta["nlist"]
+
+    def strip(env):
+        md = dict(env["metadata"])
+        md.pop("search_time_ms")
+        return {"status": env["status"], "results": env["results"],
+                "metadata": md}
+
+    a = brute.search("test message", limit=5, threshold=-1.0)
+    b = auto.search("test message", limit=5, threshold=-1.0)
+    assert strip(a) == strip(b)
