@@ -8675,26 +8675,40 @@ def pipeline_ttl_hybrid_serve(spark: SparkSession,
     root = tempfile.mkdtemp(prefix="ttl_hybrid_")
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    n_d = docs.count()
-    tpath = os.path.join(root, "text_index")
-    retrieval_ops.build_inverted_index(
-        docs.withColumn("ts", F.lit(origin) + F.make_interval(
-            mins=F.col("doc_id").cast("int"))),
-        tpath, meta_cols=("ts",))
-    retrieval_ops.retention_sweep_inverted_index(
-        spark, tpath, origin + dt.timedelta(minutes=n_d // 4))
-
     emb = _t(spark, sf_dir, "embeddings")
-    n_v = emb.count()
+    tpath = os.path.join(root, "text_index")
     apath = os.path.join(root, "ann_index")
-    ann_index.build_index(
-        spark, emb.withColumn("ts", F.lit(origin) + F.make_interval(
-            mins=F.col("vec_id").cast("int"))),
-        apath, nlist=16, m=8, ncodes=16, meta_cols=("ts",))
-    vcut = origin + dt.timedelta(minutes=n_v // 4)
-    ann_index.delete_index_where(
-        spark, apath,
-        f"ts < timestamp'{vcut.strftime('%Y-%m-%d %H:%M:%S')}'")
+
+    # the two serving surfaces build and self-expire INDEPENDENTLY
+    # (disjoint artifacts, no shared state) — run the legs as
+    # concurrent job streams (guide §2.6); the fused serve starts
+    # once both have committed
+    def _text_leg() -> None:
+        n_d = docs.count()
+        retrieval_ops.build_inverted_index(
+            docs.withColumn("ts", F.lit(origin) + F.make_interval(
+                mins=F.col("doc_id").cast("int"))),
+            tpath, meta_cols=("ts",))
+        retrieval_ops.retention_sweep_inverted_index(
+            spark, tpath, origin + dt.timedelta(minutes=n_d // 4))
+
+    def _ann_leg() -> None:
+        n_v = emb.count()
+        ann_index.build_index(
+            spark, emb.withColumn("ts", F.lit(origin) + F.make_interval(
+                mins=F.col("vec_id").cast("int"))),
+            apath, nlist=16, m=8, ncodes=16, meta_cols=("ts",))
+        vcut = origin + dt.timedelta(minutes=n_v // 4)
+        ann_index.delete_index_where(
+            spark, apath,
+            f"ts < timestamp'{vcut.strftime('%Y-%m-%d %H:%M:%S')}'")
+
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_t = pool.submit(_text_leg)
+        f_a = pool.submit(_ann_leg)
+        f_t.result()
+        f_a.result()
 
     qids = sorted(_HYBRID_TERMS)
     qv = {int(r["vec_id"]): [float(x) for x in r["embedding"]]
@@ -9458,20 +9472,42 @@ def pipeline_forget_and_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     victim_rows = (sinks.read_store(spark, store)
                    .join(F.broadcast(erase_ids), "vec_id", "semi")
                    .localCheckpoint())
-    sinks.delete_keys(spark, store, "vec_id", erase_ids)
-    sinks.upsert_parquet(spark, batch_emb, store,
-                         key="vec_id", order_col="vec_id")
 
-    ann_path = _upsert_base_copy(spark, sf_dir)
-    ann_index.delete_index_keys(spark, ann_path, erase_ids,
-                                vectors=victim_rows)
-    ann_index.upsert_index(spark, ann_path, batch_emb)
+    # The three maintenance legs — primary store, ANN index, text
+    # index — touch disjoint artifacts and share only the checkpointed
+    # erase/batch frames, so they run as concurrent job streams (guide
+    # §2.6), exactly as a production scheduler would dispatch them;
+    # each leg keeps its own internal ordering (erase before admit).
+    # The serve below starts when both index legs have committed.
+    def _store_leg() -> None:
+        sinks.delete_keys(spark, store, "vec_id", erase_ids)
+        sinks.upsert_parquet(spark, batch_emb, store,
+                             key="vec_id", order_col="vec_id")
 
-    txt_path = _invidx_copy(spark, sf_dir, base90=True)
-    retrieval_ops.delete_inverted_docs(
-        docs.filter(F.col("doc_id") % 10 == 7).select("doc_id"), txt_path)
-    retrieval_ops.upsert_inverted_index(
-        docs.filter(F.col("doc_id") % 10 == 3), txt_path)
+    def _ann_leg() -> str:
+        path = _upsert_base_copy(spark, sf_dir)
+        ann_index.delete_index_keys(spark, path, erase_ids,
+                                    vectors=victim_rows)
+        ann_index.upsert_index(spark, path, batch_emb)
+        return path
+
+    def _txt_leg() -> str:
+        path = _invidx_copy(spark, sf_dir, base90=True)
+        retrieval_ops.delete_inverted_docs(
+            docs.filter(F.col("doc_id") % 10 == 7).select("doc_id"),
+            path)
+        retrieval_ops.upsert_inverted_index(
+            docs.filter(F.col("doc_id") % 10 == 3), path)
+        return path
+
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_store = pool.submit(_store_leg)
+        f_ann = pool.submit(_ann_leg)
+        f_txt = pool.submit(_txt_leg)
+        f_store.result()
+        ann_path = f_ann.result()
+        txt_path = f_txt.result()
 
     kw = (retrieval_ops.search_inverted_index(spark, txt_path,
                                               _BM25_TERMS)
@@ -10433,10 +10469,16 @@ def ann_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann_index.upsert_index(spark, path,
                            emb.filter((F.col("vec_id") % 30 == 13)
                                       | (F.col("vec_id") % 30 == 23)))
-    stats_v = sinks.compact_store(spark, os.path.join(path, "vectors"),
-                                  part_col="cell")
-    sinks.compact_store(spark, os.path.join(path, "codes"),
-                        part_col="cell")
+    # the two stores compact independently — concurrent job streams
+    # (guide §2.6), same overlap the upsert path's auto-sweep uses
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_v = pool.submit(sinks.compact_store, spark,
+                          os.path.join(path, "vectors"), part_col="cell")
+        f_c = pool.submit(sinks.compact_store, spark,
+                          os.path.join(path, "codes"), part_col="cell")
+        stats_v = f_v.result()
+        f_c.result()
     assert stats_v["compacted"], "upserts must fragment some cell"
     assert stats_v["files_after"] < stats_v["files_before"]
     qrow = emb.filter(F.col("vec_id") == 3).select("embedding").head()

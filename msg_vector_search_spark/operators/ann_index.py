@@ -910,10 +910,15 @@ def upsert_index(spark: SparkSession, path: str,
         _resolve_moved_keys(spark, path, assigned, touched,
                             id_col, on_moved)
     if auto_compact_files is not None:
-        for store in ("vectors", "codes"):
-            compact_store(spark, _subdir(path, store),
-                          max_files_per_bucket=auto_compact_files,
-                          part_col="cell")
+        # the two stores' compaction sweeps are independent (disjoint
+        # directories) — overlap them like the merges above
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            for f in [pool.submit(compact_store, spark,
+                                  _subdir(path, store),
+                                  max_files_per_bucket=auto_compact_files,
+                                  part_col="cell")
+                      for store in ("vectors", "codes")]:
+                f.result()
     from .dedup import _cc_free
     _cc_free(assigned)  # both store merges committed; release the pin
     return touched

@@ -787,11 +787,14 @@ def compact_inverted_index(spark, path: str) -> dict:
     meta = _read_text_meta(path)
     id_col = meta["id_col"]
     tomb = _tombstone_frame(spark, path, id_col)
-    out = {}
-    for sub, part in (("postings", "tb"), ("doclen", None)):
+
+    # the two stores rewrite independently (disjoint directories, the
+    # tombstone frame is shared read-only) — run them as concurrent
+    # job streams (guide §2.6)
+    def _compact_one(sub: str, part: str | None) -> dict:
         store = os.path.join(path, sub)
         cur = spark.read.parquet(store)
-        out[f"{sub}_before"] = cur.count()
+        res = {f"{sub}_before": cur.count()}
         live = _live(cur, tomb, id_col)
         tmp = store + "._compacted"
         shutil.rmtree(tmp, ignore_errors=True)
@@ -802,7 +805,16 @@ def compact_inverted_index(spark, path: str) -> dict:
         else:
             live.write.mode("overwrite").parquet(tmp)
         _swap_dir(tmp, store)
-        out[f"{sub}_after"] = spark.read.parquet(store).count()
+        res[f"{sub}_after"] = spark.read.parquet(store).count()
+        return res
+
+    from concurrent.futures import ThreadPoolExecutor
+    out = {}
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        for f in [pool.submit(_compact_one, sub, part)
+                  for sub, part in (("postings", "tb"),
+                                    ("doclen", None))]:
+            out.update(f.result())
     shutil.rmtree(os.path.join(path, "tombstones"), ignore_errors=True)
     return out
 
