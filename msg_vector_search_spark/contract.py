@@ -8470,15 +8470,30 @@ def pipeline_retention_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
             mins=F.col("vec_id").cast("int")))
     root = tempfile.mkdtemp(prefix="retforget_")
     store = os.path.join(root, "store")
-    # ~40 directories at any sf (width scales with the corpus), so the
-    # 25% retention cut expires ~10 of them WHOLE at every fixture size
-    sinks.upsert_parquet(spark, stored.withColumn("_ord", F.lit(1)),
-                         store, key="vec_id", order_col="_ord",
-                         layout="range", range_width=max(32, n // 40))
     cent = ivf_ops.seed_centroids(emb, 16)
     index = os.path.join(root, "ivf_index")
-    ivf_ops.assign_cells(emb, cent).write.mode("overwrite") \
-        .partitionBy("cell").parquet(index)
+
+    # store build and index build are independent artifacts — run
+    # them as concurrent job streams (guide §2.6); likewise, once the
+    # victims are checkpointed, the store sweep and the index erase
+    # proceed independently (disjoint artifacts)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _build_store() -> None:
+        # ~40 directories at any sf (width scales with the corpus), so
+        # the 25% retention cut expires ~10 of them WHOLE at every
+        # fixture size
+        sinks.upsert_parquet(spark, stored.withColumn("_ord", F.lit(1)),
+                             store, key="vec_id", order_col="_ord",
+                             layout="range", range_width=max(32, n // 40))
+
+    def _build_index() -> None:
+        ivf_ops.assign_cells(emb, cent).write.mode("overwrite") \
+            .partitionBy("cell").parquet(index)
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        for f in [pool.submit(_build_store), pool.submit(_build_index)]:
+            f.result()
 
     cutoff = origin + dt.timedelta(minutes=n // 4)
     # victims BEFORE the sweep: ts-pruned store read (live buckets
@@ -8486,14 +8501,25 @@ def pipeline_retention_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
     victims = (sinks.read_store(spark, store)
                .filter(F.col("ts") < F.lit(cutoff))
                .select("vec_id", "embedding").localCheckpoint())
-    info = sinks.retention_sweep(spark, store, cutoff)
+
+    def _sweep_store() -> dict:
+        return sinks.retention_sweep(spark, store, cutoff)
+
+    def _erase_index() -> None:
+        vcells = (ivf_ops.assign_cells(victims, cent)
+                  .select("vec_id", "cell"))
+        touched = sorted(r[0] for r in
+                         vcells.select("cell").distinct().collect())
+        sinks.erase_partitions(spark, index, "vec_id",
+                               vcells.select("vec_id"), touched,
+                               part_col="cell")
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_sweep = pool.submit(_sweep_store)
+        f_erase = pool.submit(_erase_index)
+        info = f_sweep.result()
+        f_erase.result()
     assert len(info["dropped"]) >= 1, info  # the fast path engaged
-    vcells = ivf_ops.assign_cells(victims, cent).select("vec_id", "cell")
-    touched = sorted(r[0] for r in
-                     vcells.select("cell").distinct().collect())
-    sinks.erase_partitions(spark, index, "vec_id",
-                           vcells.select("vec_id"), touched,
-                           part_col="cell")
     on_disk = spark.read.parquet(index)
     return ivf_ops.ivf_search(on_disk, cent,
                               _query_vec(spark, sf_dir), k=10, nprobe=4)
@@ -8539,18 +8565,37 @@ def pipeline_retention_forget_text(spark: SparkSession,
             mins=F.col("doc_id").cast("int")))
     root = tempfile.mkdtemp(prefix="retforget_text_")
     store = os.path.join(root, "store")
-    sinks.upsert_parquet(spark, stored.withColumn("_ord", F.lit(1)),
-                         store, key="doc_id", order_col="_ord",
-                         layout="range", range_width=max(32, n // 40))
     index = os.path.join(root, "text_index")
-    retrieval_ops.build_inverted_index(docs, index)
+
+    # store build and index build are independent artifacts; after the
+    # victim ids are CHECKPOINTED (read before the sweep can touch the
+    # store), the index tombstone append and the store sweep are too —
+    # overlap both pairs as concurrent job streams (guide §2.6)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _build_store() -> None:
+        sinks.upsert_parquet(spark, stored.withColumn("_ord", F.lit(1)),
+                             store, key="doc_id", order_col="_ord",
+                             layout="range", range_width=max(32, n // 40))
+
+    def _build_index() -> None:
+        retrieval_ops.build_inverted_index(docs, index)
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        for f in [pool.submit(_build_store), pool.submit(_build_index)]:
+            f.result()
 
     cutoff = origin + dt.timedelta(minutes=n // 4)
     victims = (sinks.read_store(spark, store)
                .filter(F.col("ts") < F.lit(cutoff))
-               .select("doc_id"))
-    retrieval_ops.delete_inverted_docs(victims, index)
-    info = sinks.retention_sweep(spark, store, cutoff)
+               .select("doc_id").localCheckpoint())
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_del = pool.submit(retrieval_ops.delete_inverted_docs,
+                            victims, index)
+        f_sweep = pool.submit(sinks.retention_sweep, spark, store,
+                              cutoff)
+        f_del.result()
+        info = f_sweep.result()
     assert len(info["dropped"]) >= 1, info  # the fast path engaged
     scored = retrieval_ops.search_inverted_index(spark, index,
                                                  _BM25_TERMS)
