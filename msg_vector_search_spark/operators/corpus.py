@@ -397,14 +397,23 @@ def bpe_merge_rounds(docs: DataFrame, rounds: int = 3,
     checkpointed, so K rounds cost K corpus scans, not K^2 (at
     warehouse scale: a reliable-storage checkpoint per round, exactly
     how iterative MLlib jobs persist between passes)."""
+    from ..session import widen
+
     spark = docs.sparkSession
     toks = (docs
             .select(F.explode(analysis.tokens(F.col(text_col)))
                     .alias("tok"))
             .filter(F.col("tok").rlike("^[a-z]+$"))
             .filter(F.length("tok") >= 2))
-    spaced = toks.select(
-        F.trim(F.regexp_replace("tok", "(.)", "$1 ")).alias("s")) \
+    # widen BEFORE the first checkpoint: a single-file corpus arrives
+    # as ONE input split, and a localCheckpoint freezes that layout —
+    # every round's pair count AND rewrite then run on one core for
+    # the whole loop (measured: 3 x 1.3 s single-task round scans at
+    # sf0.1; r18).  The round-robin spread is a one-time shuffle of
+    # the token strings; at production scale the scan is already wide
+    # and widen is a no-op.
+    spaced = widen(toks.select(
+        F.trim(F.regexp_replace("tok", "(.)", "$1 ")).alias("s"))) \
         .localCheckpoint()
     out = []
     for r in range(1, rounds + 1):
