@@ -97,8 +97,13 @@ def build_index(spark: SparkSession, embeddings: DataFrame, path: str,
         books = pq.kmeans_codebooks(embeddings, m=m, ncodes=ncodes,
                                     id_col=id_col, vec_col=vec_col)
     else:
+        # checkpoint the nlist-row seed pick: it is consumed TWICE (the
+        # assignment broadcast and the centroids sidecar write), and
+        # each lazy evaluation re-ran the O(corpus) TakeOrdered scan
+        # behind it (guide §1 — don't compute things twice; r18).  The
+        # trained branch is already a driver-local relation.
         cent = ivf.seed_centroids(embeddings, nlist, id_col=id_col,
-                                  vec_col=vec_col)
+                                  vec_col=vec_col).localCheckpoint()
         books = pq.seed_codebooks(embeddings, m=m, ncodes=ncodes,
                                   id_col=id_col, vec_col=vec_col)
     # materialize the assignment once (both stores consume it), already
@@ -145,6 +150,7 @@ def build_index(spark: SparkSession, embeddings: DataFrame, path: str,
     # the in-stream maintenance loop can trip many rebuilds per run)
     from .dedup import _cc_free
     _cc_free(assigned)
+    _cc_free(cent)  # no-op on the trained branch's local relation
     return meta
 
 

@@ -345,27 +345,40 @@ def build_inverted_index(docs: DataFrame, path: str,
     # inherit its tombstones: fresh gen-0 rows of a once-erased doc
     # would fail gen > upto_gen and silently vanish from the new index
     shutil.rmtree(os.path.join(path, "tombstones"), ignore_errors=True)
-    base = _tokenized(docs, text_col, id_col, tuple(meta_cols))
-    ckpt = None
+    from .dedup import _cc_free
+
+    # checkpoint the tokenized corpus UNCONDITIONALLY: the doclen and
+    # postings writes both consume it, and without the checkpoint a
+    # pinned-layout build re-tokenized the whole corpus once per write
+    # (two full passes for one build — guide §1; r18: the auto-sized
+    # path already checkpointed for its third consumer, the vocab
+    # estimate).  Released after the writes.
+    base = _tokenized(docs, text_col, id_col,
+                      tuple(meta_cols)).localCheckpoint()
     if n_buckets is None:
-        # the vocab estimate adds a third consumer of the tokenized
-        # corpus — checkpoint it so ONE tokenize pass feeds all three
-        # (the ANN build's `assigned` and the upsert path follow the
-        # same discipline); released after the writes
-        from .dedup import _cc_free
-        base = ckpt = base.localCheckpoint()
         vocab = (base.select(F.explode("_toks").alias("_t"))
                  .agg(F.approx_count_distinct("_t")).head()[0])
         n_buckets = max(INDEX_BUCKETS,
                         int(vocab) // TARGET_TERMS_PER_BUCKET)
-    base.select(id_col, "dl", *meta_cols) \
-        .withColumn("gen", F.lit(0).cast("long")) \
-        .write.mode("overwrite").parquet(os.path.join(path, "doclen"))
-    _postings_of(base, id_col, 0, n_buckets) \
-        .write.mode("overwrite").partitionBy("tb") \
-        .parquet(os.path.join(path, "postings"))
-    if ckpt is not None:
-        _cc_free(ckpt)
+
+    # the two store writes consume the same checkpoint and land in
+    # disjoint directories — concurrent job streams (guide §2.6),
+    # same overlap the ANN build uses
+    def _w_doclen():
+        base.select(id_col, "dl", *meta_cols) \
+            .withColumn("gen", F.lit(0).cast("long")) \
+            .write.mode("overwrite").parquet(os.path.join(path, "doclen"))
+
+    def _w_postings():
+        _postings_of(base, id_col, 0, n_buckets) \
+            .write.mode("overwrite").partitionBy("tb") \
+            .parquet(os.path.join(path, "postings"))
+
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        for f in [pool.submit(_w_doclen), pool.submit(_w_postings)]:
+            f.result()
+    _cc_free(base)
     _write_text_meta(path, {"n_buckets": int(n_buckets), "gen": 0,
                             "id_col": id_col,
                             "meta_cols": list(meta_cols)})
