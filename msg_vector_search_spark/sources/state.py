@@ -79,11 +79,46 @@ def read_watermark(spark: SparkSession, state_dir: str,
 def write_watermark(spark: SparkSession, state_dir: str,
                     ts: dt.datetime) -> None:
     """A8: overwrite the single-row state table after a successful batch
-    (reference: processor.py:77-115 ``INSERT OR REPLACE``).  Overwrite of
-    a one-row Parquet is atomic at the commit-protocol level."""
+    (reference: processor.py:77-115 ``INSERT OR REPLACE``).
+
+    Local state writes go DRIVER-SIDE (pyarrow single file, staged then
+    swapped — the ``write_small_parquet`` economics): a Spark write of
+    a one-row Python-sourced frame measured a ~5-6 s stall per call in
+    the write task (the Python-runner teardown in the write path; a
+    JVM-native 1-row write is ~0.4 s) — a fixed cost the ingest path
+    paid on EVERY batch (guide §5: no cluster jobs for driver-sized
+    work; r18).  The physical form matches the old write (INT64 micros,
+    UTC-adjusted), so readers are unchanged.  A crash between the two
+    swap renames strands the state as ``._old``; the next read then
+    reports EPOCH (full rescan), which the last-writer-wins sink makes
+    safe — the same recovery the Spark overwrite's failure modes had.
+    Remote state dirs keep the Spark write."""
+    from . import fs as fs_probe
+
     path = os.path.join(state_dir, "watermark.parquet")
-    df = spark.createDataFrame([(WATERMARK_KEY, ts)], schema=schemas.WATERMARK_STATE)
-    df.coalesce(1).write.mode("overwrite").parquet(path)
+    if fs_probe.is_remote(state_dir):
+        df = spark.createDataFrame([(WATERMARK_KEY, ts)],
+                                   schema=schemas.WATERMARK_STATE)
+        df.coalesce(1).write.mode("overwrite").parquet(path)
+        return
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from .sinks import _swap_dir
+
+    # naive datetimes carry UTC semantics throughout the engine (the
+    # session timezone is pinned); tz-aware values convert exactly
+    table = pa.table({
+        "key": pa.array([WATERMARK_KEY], pa.string()),
+        "ts": pa.array([ts], pa.timestamp("us", tz="UTC")),
+    })
+    tmp = path + "._staged"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    papq.write_table(table, os.path.join(tmp, "part-00000.parquet"))
+    _swap_dir(tmp, path)
 
 
 # -- maintenance verbs (reference: src/initialize.py:51-116) --------------
