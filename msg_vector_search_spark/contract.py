@@ -11080,16 +11080,43 @@ def topk_mmr_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
 # every operator accrues one across rounds. Purely a presentation
 # order — REGISTRY itself keeps source order.
 DRIVER_VERIFIED = frozenset({
+    # round 18 rotation discipline (optimization round 2): ABSENT
+    # (pending-first in the r18 window) = rows whose EXECUTED path
+    # changed in the r18 diff —
+    # * NEW row: ann_ivfpq_autosized (the auto-sized layout policy
+    #   pinned end-to-end, VERDICT r17 item 4) leads never-checked;
+    # * every text-index verb/serve re-routes through the r18
+    #   _read_text_meta scheme dispatch + fs-probed _tombstone_frame,
+    #   and the upsert/build/compact verbs gained concurrent writes +
+    #   the footer-probe gen check: text_index_upsert/erase/compact/
+    #   stats/filtered_search/and_topk/ttl_sweep/stopword_prune,
+    #   text_inverted_index_topk, text_search_many(+_large),
+    #   text_filtered_many_large, changefeed_apply_text_index,
+    #   streaming_text_index_upsert/erase, pipeline_retention_forget_
+    #   text (also leg-overlapped);
+    # * the ANN sidecar reads (read_meta/_read_small_parquet_rows
+    #   scheme dispatch) + build_index seed-pick checkpoint +
+    #   overlapped store writes rotate ann_index_stats(+_trained),
+    #   ann_ivfpq_trained, pipeline_crawl_admit_index (and keep the
+    #   r17-absent ANN lifecycle/serving rows absent — touched again);
+    # * pipeline_retention_forget (store/index legs overlapped);
+    # * bpe_merge_rounds + bpe_encode_corpus (widened training loop).
+    # All rotated rows full-oracle green at sf0.001 and/or sf0.01 at
+    # commit time this round (round-end full sweep: 270 ok / 2
+    # rows-only / 0 failed).  write_watermark's driver-side rewrite is
+    # facade/bench-only (no contract row writes the state store) —
+    # covered by tests/test_engine_facade.py + test_freshness_gate.
+    # CORRECTNESS_r17's 50 sampled greens were ALL touched again by
+    # the r18 diff (they are the streaming/ANN/text maintenance tier
+    # this round optimized), so none re-list; they rotate with the
+    # rest.
     # r16-window greens re-listed in r17 (CORRECTNESS_r16: 49
     # full-oracle green + udf_embed_query rows-only-by-contract;
     # their serving code is untouched by the r17 diff):
     "sink_upsert_embeddings", "sink_delete_keys", "sink_retention_sweep",
     "json_extract_text",
     "udf_embed_query", "streaming_upsert_store",
-    "streaming_retention_sweep", "pipeline_retention_forget",
-    "pipeline_retention_forget_text", "text_index_ttl_sweep",
-    "text_index_stopword_prune",
-    # round 17 rotation discipline: ABSENT (pending-first in the r17
+    "streaming_retention_sweep", # round 17 rotation discipline: ABSENT (pending-first in the r17
     # window) = rows whose EXECUTED path changed in the r17 diff —
     # BOTH halves of VERDICT r16 item 2 landed, so every ANN
     # cell-store read now goes through sinks._read_buckets
@@ -11129,11 +11156,9 @@ DRIVER_VERIFIED = frozenset({
     "streaming_tumbling_availablenow", "streaming_append_finalized",
     "streaming_sliding_window", "streaming_sessionize_stateful",
     "streaming_dedup_within_watermark",
-    "text_bm25_and_topk", "text_index_and_topk",
-    "streaming_enrich_dim", "streaming_interval_join",
+    "text_bm25_and_topk", "streaming_enrich_dim", "streaming_interval_join",
     "incremental_distinct_sketch", "incremental_topk_sketch",
     "theta_sketch_setops", "incremental_quantile_sketch",
-    "streaming_text_index_upsert", "streaming_text_index_erase",
     "streaming_centroid_drift",
     # round 16 rotation discipline: ABSENT (pending-first in the r16
     # window, never-checked leading) = rows whose EXECUTED serving
@@ -11271,9 +11296,8 @@ DRIVER_VERIFIED = frozenset({
     # hybrid_filtered_many_large, ann_recall_audit_trained,
     # ann_mmr_materialized — rotated out: their probed-cell reads now
     # go through _read_cells; see the r17 note at the top.)
-    "ann_ivfpq_trained", "approx_distinct_users", "dedup_ngram_jaccard",
+    "approx_distinct_users", "dedup_ngram_jaccard",
     "dedup_containment", "ann_pq_rerank_trained",
-    "ann_index_stats_trained",
     "mix_temperature_budget", "text_bigram_perplexity",
     # (r16: ann_index_erase, ann_index_compact, changefeed_apply_index,
     # pipeline_forget_and_serve rotated out — their erase path now
@@ -11305,8 +11329,7 @@ DRIVER_VERIFIED = frozenset({
     # hybrid_serve_many(_large), hybrid_filtered_serve,
     # hybrid_filtered_many_large.
     "dsir_hashed_bigram", "mix_token_budget",
-    "span_corruption", "text_search_many", "text_search_many_large",
-    "text_filtered_many_large", "pipeline_serving_capstone",
+    "span_corruption", "pipeline_serving_capstone",
     # round 12 rotation discipline: (a) the three trained-ANN rows are
     # deliberately ABSENT (removed from their r5/r6 blocks) — r12 gave
     # each a real DuckDB oracle over its own persisted artifacts
@@ -11351,15 +11374,11 @@ DRIVER_VERIFIED = frozenset({
     # fn changed in r12 (artifact publication + new oracle), so it
     # stays pending-first along with its two trained siblings.
     "dsir_importance_sample",
-    "text_bm25_topk", "hybrid_search_rrf", "text_inverted_index_topk",
-    "text_index_stats",
-    "bpe_encode_corpus", "tokenizer_fertility_by_source",
+    "text_bm25_topk", "hybrid_search_rrf", "tokenizer_fertility_by_source",
     # round 10 (CORRECTNESS_r10.json — 48 full-oracle green; the
     # re-verified lifecycle and serve rows):
     "dedup_minhash_estimate", "ann_pq_topk", "ann_pq_rerank",
-    "ann_ivfpq_topk", "text_index_upsert", "text_index_erase",
-    "text_index_compact", "text_index_filtered_search",
-    "changefeed_apply_text_index", "pipeline_tokenize_and_pack",
+    "ann_ivfpq_topk", "pipeline_tokenize_and_pack",
     "ann_recall_audit", # round 10: the text-index path names are deliberately ABSENT from
     # this set (removed from their round-6/7 blocks below) — round 9
     # changed operators/retrieval.py materially (_ensure_gen_layout
@@ -11390,14 +11409,13 @@ DRIVER_VERIFIED = frozenset({
     # round 7 (CORRECTNESS_r07.json — 49 full-oracle + 1 rows-only by
     # design, zero errs; re-verified names already listed under earlier
     # rounds are not repeated)
-    "bpe_merge_rounds", "bloom_filter_join_agg", "aqe_skew_join_agg",
+    "bloom_filter_join_agg", "aqe_skew_join_agg",
     # round 6 (CORRECTNESS_r06.json — 49 full-oracle + 1 rows-only by
     # design, zero errs; re-verified names already listed under earlier
     # rounds are not repeated)
-    "ts_quantile_cut", "pipeline_crawl_admit_index", "text_gopher_rules", "corpus_report",
+    "ts_quantile_cut", "text_gopher_rules", "corpus_report",
     "skew_report_events", "vocab_coverage", "doc_length_histogram",
     "integrity_orphans",
-    "ann_index_stats",
     "partitioned_time_scan", "store_bucket_stats",
     "multimodal_dedup_near", "multimodal_frame_dedup",
     "rerank_cross_encoder", "dedup_semdedup",
